@@ -1,13 +1,201 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one operator from SURVEY.md §2; the
+  * paired [[oracleSql]] is the DuckDB-equivalent SQL the driver runs on
+  * the same parquet tables for a hash-compare. Column names and ordering
+  * are aligned on both sides; float aggregates use the exact-decimal
+  * accumulation trick (graft.util.Tables.dsum) on both engines.
+  */
 object SparkEntry {
+
+  /** One registered query: Spark builder + optional DuckDB oracle. */
+  final case class Q(
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  /** Shared DuckDB snippet: exact decimal sum of a double expr, as double. */
+  private def osum(expr: String): String =
+    s"CAST(sum(CAST($expr AS DECIMAL(30,8))) AS DOUBLE)"
+
+  val registry: Seq[(String, Q)] = Seq(
+    "q1_pricing_summary" -> Q(Analytics.q1PricingSummary, Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        ${osum("l_quantity")} AS sum_qty,
+        ${osum("l_extendedprice")} AS sum_base_price,
+        ${osum("l_extendedprice*(1.0-l_discount)")} AS sum_disc_price,
+        ${osum("l_extendedprice*(1.0-l_discount)*(1.0+l_tax)")} AS sum_charge,
+        ${osum("l_quantity")}/count(*) AS avg_qty,
+        ${osum("l_extendedprice")}/count(*) AS avg_price,
+        ${osum("l_discount")}/count(*) AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    "q3_top_revenue" -> Q(Analytics.q3TopRevenue, Some(s"""
+      SELECT l_orderkey,
+        ${osum("l_extendedprice*(1.0-l_discount)")} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    "q5_revenue_by_nation" -> Q(Analytics.q5RevenueByNation, Some(s"""
+      SELECT r_name, n_name,
+        ${osum("l_extendedprice*(1.0-l_discount)")} AS revenue,
+        count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    "topk_orders" -> Q(Analytics.topKOrders, Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""")),
+
+    "rollup_nation" -> Q(Analytics.rollupNation, Some(s"""
+      SELECT r_name, n_name, count(*) AS n_cust,
+        ${osum("c_acctbal")} AS sum_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")),
+
+    "cube_orders" -> Q(Analytics.cubeOrders, Some(s"""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        ${osum("o_totalprice")} AS sum_price
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    "dedup_exact" -> Q(Analytics.dedupExact, Some("""
+      SELECT DISTINCT l_returnflag, l_linestatus, l_orderkey
+      FROM lineitem ORDER BY 1, 2, 3""")),
+
+    "dedup_keep_latest" -> Q(Analytics.dedupKeepLatest, Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1 ORDER BY o_custkey""")),
+
+    "window_events" -> Q(Analytics.windowEvents, Some("""
+      SELECT user_id, CAST(rn AS INTEGER) AS rn, event_id, event_type,
+        prev_type, run_value FROM (
+        SELECT user_id, event_id, event_type,
+          row_number() OVER w AS rn,
+          lag(event_type, 1) OVER w AS prev_type,
+          CAST(sum(CAST(value AS DECIMAL(30,8))) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS run_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      WHERE rn <= 3 ORDER BY user_id, rn""")),
+
+    "tumbling_window" -> Q(Analytics.tumblingWindow, Some(s"""
+      SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us, event_type,
+        count(*) AS n_events, ${osum("value")} AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    "session_window" -> Q(Analytics.sessionWindow, Some(s"""
+      WITH e AS (
+        SELECT user_id, event_id, ts, value,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+      s AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+            OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+          THEN 1 ELSE 0 END AS new_sess FROM e),
+      g AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM s)
+      SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        count(*) AS n_events,
+        epoch_us(min(ts)) AS sess_start_us,
+        epoch_us(max(ts)) AS sess_end_us,
+        ${osum("value")} AS sum_value
+      FROM g GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    "set_ops" -> Q(Analytics.setOps, Some("""
+      SELECT c_nationkey, 'building_only' AS tag FROM (
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      UNION ALL
+      SELECT c_nationkey, 'both' AS tag FROM (
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      ORDER BY tag, c_nationkey""")),
+
+    "semi_join" -> Q(Analytics.semiJoin, Some("""
+      SELECT c_custkey, c_name, c_mktsegment FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      ORDER BY c_custkey""")),
+
+    "anti_join" -> Q(Analytics.antiJoin, Some("""
+      SELECT c_custkey, c_name, c_mktsegment FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+      ORDER BY c_custkey""")),
+
+    "asof_join" -> Q(Analytics.asofJoin, Some("""
+      SELECT event_id, user_id, asof_orderkey, asof_orderdate_us FROM (
+        SELECT e.event_id, e.user_id,
+          o.o_orderkey AS asof_orderkey,
+          epoch_us(o.o_orderdate) AS asof_orderdate_us,
+          row_number() OVER (PARTITION BY e.event_id
+            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+      WHERE rn = 1 ORDER BY event_id""")),
+
+    "json_extract" -> Q(Analytics.jsonExtract, Some("""
+      SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+          AS BIGINT) AS sum_k,
+        min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    "scalar_suite" -> Q(Analytics.scalarSuite, Some("""
+      SELECT o_orderkey,
+        CAST(year(o_orderdate) AS INTEGER) AS yr,
+        CAST(month(o_orderdate) AS INTEGER) AS mo,
+        CAST(day(o_orderdate) AS INTEGER) AS dom,
+        epoch_us(date_trunc('month', o_orderdate)) AS month_start_us,
+        CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+          AS INTEGER) AS days_to_eoy,
+        concat_ws('|', o_orderstatus, o_orderpriority) AS tag,
+        upper(substring(o_orderpriority, 1, 4)) AS prio4,
+        CAST(CAST(o_totalprice AS DECIMAL(18,1)) AS DOUBLE) AS price_r1,
+        abs(o_totalprice - 100000.0) AS dist_100k,
+        CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_kbin
+      FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""")),
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (n, q) => n -> q.fn }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    registry.collect { case (n, Q(_, Some(sql))) => n -> sql.trim }.toMap
+
+  /** Headline subset used by graft.Bench. */
+  def benchQueries: Seq[String] = registry.map(_._1)
 }

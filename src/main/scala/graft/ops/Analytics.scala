@@ -1,0 +1,276 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.Tables.{t, dsum, davg}
+
+/** Relational analytics extension operators (SURVEY.md §2.8 X6–X15).
+  *
+  * All plans are declarative DataFrame compositions — Catalyst handles
+  * predicate pushdown, column pruning, partial aggregation and join
+  * selection. Small dimensions (region/nation/supplier) are explicitly
+  * broadcast; fact-fact joins shuffle on their keys and rely on AQE for
+  * skew at scale.
+  */
+object Analytics {
+
+  /** X7 — grouped aggregation, TPC-H Q1 shape (pricing summary).
+    * Partial+final hash agg; scan prunes to 8 of 11 columns and pushes
+    * the shipdate filter into the parquet reader. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** X6 + join — top-10 revenue orders (TPC-H Q3 shape).
+    * customer is broadcast (small side); orders⨝lineitem shuffles on
+    * orderkey; final top-k is TakeOrderedAndProject (per-partition heap,
+    * no global sort) — the 100 TB-safe top-k. */
+  def q3TopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** X7 + multi-join — revenue by nation (TPC-H Q5 shape). All three
+    * dimension tables broadcast; single shuffle for the final group-by. */
+  def q5RevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val region = t(spark, dir, "region")
+    val nation = t(spark, dir, "nation")
+    val cust = t(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val ord = t(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val li = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** X6 — pure top-k with a total-order tie-breaker. */
+  def topKOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+
+  /** X8 — rollup over the region→nation hierarchy (customer counts +
+    * account balance). Expand+agg; grand-total rows carry nulls. */
+  def rollupNation(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val nation = t(spark, dir, "nation")
+    val region = t(spark, dir, "region")
+    cust
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** X8 — cube over orderstatus × orderpriority. */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** X1 — exact deduplication (distinct on a projection). Physical plan
+    * is partial+final hash aggregate — no driver state, AQE-skew-safe. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_orderkey")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus", "l_orderkey")
+
+  /** X2 — keep-latest dedup: newest order per customer
+    * (generalizes the reference's J1 upsert to N-version input,
+    * generic_load_script.py:158-164). Single shuffle on the partition
+    * key; row_number is streamed within each sorted partition. */
+  def dedupKeepLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
+  /** X9 — window analytics on the events table: per-user ordered
+    * lag/rank/running sum. One shuffle on user_id. */
+  def windowEvents(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("run_value",
+        sum(col("value").cast("decimal(30,8)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double"))
+      .filter(col("rn") <= 3)
+      .select(col("user_id"), col("rn"), col("event_id"),
+        col("event_type"), col("prev_type"), col("run_value"))
+      .orderBy("user_id", "rn")
+  }
+
+  /** X10 — tumbling event-time window (batch form of the streaming
+    * groupBy(window(...)); same expression works under readStream +
+    * withWatermark — see graft.streaming.StreamingOps). */
+  def tumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("w_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("w_start_us", "event_type")
+
+  /** X10 — session windows via gaps-and-islands (30-minute gap): the
+    * stateless batch formulation; the stateful streaming twin is
+    * session_window() under Structured Streaming. Same SQL algorithm
+    * runs in the DuckDB oracle — two independent implementations. */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapSec = 30 * 60
+    t(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapSec * 1000000L,
+          lit(1)).otherwise(lit(0)))
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_micros(min(col("ts"))).as("sess_start_us"),
+        unix_micros(max(col("ts"))).as("sess_end_us"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "sess_id")
+  }
+
+  /** X11 — set operations: customer nations present in BUILDING segment
+    * but absent from MACHINERY (EXCEPT), and present in both (INTERSECT). */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    def seg(s: String) =
+      cust.filter(col("c_mktsegment") === s).select(col("c_nationkey"))
+    val only = seg("BUILDING").except(seg("MACHINERY"))
+      .withColumn("tag", lit("building_only"))
+    val both = seg("BUILDING").intersect(seg("MACHINERY"))
+      .withColumn("tag", lit("both"))
+    only.unionByName(both).orderBy("tag", "c_nationkey")
+  }
+
+  /** X12 — left-semi: customers that have at least one order. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders").select("o_custkey")
+    t(spark, dir, "customer")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** X12 — left-anti: customers with no 1998 orders (the relational core
+    * of the reference's MERGE, generic_load_script.py:158-164). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .select("o_custkey")
+    t(spark, dir, "customer")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** X13 — as-of join: for each event, the latest order of the same user
+    * placed at-or-before the event time (DuckDB twin: ASOF JOIN).
+    *
+    * Implementation: equi-join on the user key (shuffle/broadcast chosen
+    * by Catalyst) with the range predicate applied during the join, then
+    * a keep-latest window. Scale note: the equi-key carries the fan-out,
+    * so this stays a hash join — no BNLJ. A time-bucketed prejoin is the
+    * fallback if a single user's history explodes. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val ord = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val joined = ev.join(ord,
+      ev("user_id") === ord("o_custkey") && ord("o_orderdate") <= ev("ts"),
+      "left")
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("asof_orderkey"),
+        // o_orderdate is parquet TIMESTAMP_NTZ; session TZ is UTC so the
+        // cast to instant-typed timestamp is lossless.
+        unix_micros(col("o_orderdate").cast("timestamp")).as("asof_orderdate_us"))
+      .orderBy("event_id")
+  }
+
+  /** X14 — JSON scalar functions over events.props. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** X15 — date/string/math scalar suite over orders. */
+  def scalarSuite(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        unix_micros(date_trunc("month", col("o_orderdate"))).as("month_start_us"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date"))
+          .as("days_to_eoy"),
+        concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+        upper(substring(col("o_orderpriority"), 1, 4)).as("prio4"),
+        col("o_totalprice").cast("decimal(18,1)").cast("double").as("price_r1"),
+        abs(col("o_totalprice") - lit(100000.0)).as("dist_100k"),
+        floor(col("o_totalprice") / 1000.0).cast("long").as("price_kbin"))
+      .orderBy("o_orderkey")
+}

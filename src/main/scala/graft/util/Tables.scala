@@ -1,0 +1,43 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared table readers + determinism helpers for oracle-paired queries.
+  *
+  * The driver's correctness gate hash-compares our parquet output against
+  * DuckDB running `SparkEntry.oracleSql` on the same tables, so every
+  * floating-point aggregate must be bit-identical across two independent
+  * engines. Strategy: per-row double arithmetic is IEEE-identical in both,
+  * so we do row math in double, then accumulate EXACTLY via decimal(30,8)
+  * (sum order no longer matters), and cast the final value back to double.
+  */
+object Tables {
+
+  /** All driver testdata tables (TESTDATA.md / FIXTURES.md §B). */
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+      // read as a timestamp. Read nanos as long and convert losslessly
+      // (testdata is µs-aligned; DIV keeps the math in integer space —
+      // ns epoch values exceed 2^53, double division would corrupt them).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact (order-independent) sum of a double column: accumulate in
+    * decimal, return double. DuckDB twin:
+    * `CAST(sum(CAST(x AS DECIMAL(30,8))) AS DOUBLE)`. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 8))).cast("double")
+
+  /** Deterministic average: exact decimal sum / count, divided in double.
+    * DuckDB twin: `CAST(sum(CAST(x AS DECIMAL(30,8))) AS DOUBLE)/count(*)`
+    * — do NOT use DuckDB's avg() (it returns double accumulated in
+    * nondeterministic partition order). */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+}
