@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [query ...]
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
+runs the paired DuckDB oracle from oracle_sql.json over the same
+testdata tables, and compares rows / schema(column names) / values
+(order-insensitive: rows sorted by all columns, columns sorted by name
+— mirrors the driver's sort-columns-then-hash compare).
+"""
+import duckdb, json, sys, math
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_fail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        try:
+            sdf = con.execute(
+                f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            n_fail += 1
+            continue
+        try:
+            odf = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+        if scols != ocols:
+            print(f"FAIL {name}: schema spark={scols} oracle={ocols}")
+            n_fail += 1
+            continue
+        if len(sdf) != len(odf):
+            print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}")
+            n_fail += 1
+            continue
+        srows = sorted(tuple(canon(v) for v in row)
+                       for row in sdf[scols].itertuples(index=False))
+        orows = sorted(tuple(canon(v) for v in row)
+                       for row in odf[ocols].itertuples(index=False))
+        if srows != orows:
+            bad = next(i for i, (a, b) in enumerate(zip(srows, orows))
+                       if a != b)
+            print(f"FAIL {name}: values differ, first diff row {bad}:")
+            print(f"  spark : {srows[bad]}")
+            print(f"  oracle: {orows[bad]}")
+            n_fail += 1
+            continue
+        print(f"ok   {name} ({len(sdf)} rows)")
+    print(f"{'ALL GREEN' if n_fail == 0 else f'{n_fail} FAILURES'}")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

@@ -1,5 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one warmup pass (discarded — absorbs JVM/codegen
+  * warmup so per-query numbers are comparable round-over-round), then one
+  * timed pass. Prints ONE JSON line; failures are surfaced in an
+  * `errors` map and as value -1 for the failing query, never silently
+  * recorded as a fast run. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +13,35 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.registry.map(_._1)
+    val fns = SparkEntry.queries
+    // Warmup: run everything once, discard timings, remember failures so
+    // the timed pass can skip (and report) queries that cannot run.
+    val warmupErr: Map[String, String] = names.flatMap { n =>
+      try { fns(n)(spark, sfDir).count(); None }
+      catch { case e: Throwable => Some(n -> e.toString.take(300)) }
+    }.toMap
+    val results = names.map { n =>
+      if (warmupErr.contains(n)) n -> -1.0
+      else {
+        val t0 = System.nanoTime()
+        try { fns(n)(spark, sfDir).count(); n -> (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => n -> -1.0 }
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = warmupErr.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${warmupErr.size},"sf":"$sfDir"}""")
     spark.stop()
+    if (warmupErr.nonEmpty) sys.exit(1)
   }
 }

@@ -195,7 +195,4 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     registry.collect { case (n, Q(_, Some(sql))) => n -> sql.trim }.toMap
-
-  /** Headline subset used by graft.Bench. */
-  def benchQueries: Seq[String] = registry.map(_._1)
 }

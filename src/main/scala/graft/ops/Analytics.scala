@@ -36,9 +36,11 @@ object Analytics {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** X6 + join — top-10 revenue orders (TPC-H Q3 shape).
-    * customer is broadcast (small side); orders⨝lineitem shuffles on
-    * orderkey; final top-k is TakeOrderedAndProject (per-partition heap,
-    * no global sort) — the 100 TB-safe top-k. */
+    * customer is a fact-scaled table, so NO broadcast hint on it — AQE
+    * picks broadcast at small SF and SMJ/shuffled-hash at scale from the
+    * runtime size estimate. orders⨝lineitem shuffles on orderkey; final
+    * top-k is TakeOrderedAndProject (per-partition heap, no global sort)
+    * — the 100 TB-safe top-k. */
   def q3TopRevenue(spark: SparkSession, dir: String): DataFrame = {
     val cust = t(spark, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
@@ -48,7 +50,7 @@ object Analytics {
     val li = t(spark, dir, "lineitem")
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("revenue"))
@@ -56,8 +58,10 @@ object Analytics {
       .limit(10)
   }
 
-  /** X7 + multi-join — revenue by nation (TPC-H Q5 shape). All three
-    * dimension tables broadcast; single shuffle for the final group-by. */
+  /** X7 + multi-join — revenue by nation (TPC-H Q5 shape). Constant-size
+    * dimensions (nation=25, region=5 rows at every SF) are broadcast;
+    * customer is data-scaled so its join is left to AQE (broadcast at
+    * small SF, shuffle join at 100 TB); single shuffle for the group-by. */
   def q5RevenueByNation(spark: SparkSession, dir: String): DataFrame = {
     val region = t(spark, dir, "region")
     val nation = t(spark, dir, "nation")
@@ -66,7 +70,7 @@ object Analytics {
     val li = t(spark, dir, "lineitem")
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -147,8 +151,8 @@ object Analytics {
   }
 
   /** X10 — tumbling event-time window (batch form of the streaming
-    * groupBy(window(...)); same expression works under readStream +
-    * withWatermark — see graft.streaming.StreamingOps). */
+    * groupBy(window(...)); the streaming twin lives in
+    * [[graft.streaming.StreamingOps.tumblingCounts]]). */
   def tumblingWindow(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -218,29 +222,43 @@ object Analytics {
   /** X13 — as-of join: for each event, the latest order of the same user
     * placed at-or-before the event time (DuckDB twin: ASOF JOIN).
     *
-    * Implementation: equi-join on the user key (shuffle/broadcast chosen
-    * by Catalyst) with the range predicate applied during the join, then
-    * a keep-latest window. Scale note: the equi-key carries the fan-out,
-    * so this stays a hash join — no BNLJ. A time-bucketed prejoin is the
-    * fallback if a single user's history explodes. */
+    * Implementation: union-then-window merge. Events and orders are
+    * tagged and unioned on a common schema, then ONE window per user in
+    * (time, kind, orderkey) order carries the last-seen order forward
+    * (`last(..., ignoreNulls)`); event rows read the carry. Orders sort
+    * before events at equal timestamps, so an order placed exactly at the
+    * event time qualifies (at-or-before); among equal-time orders the
+    * highest orderkey wins — matching the oracle's
+    * `row_number() OVER (ORDER BY o_orderdate DESC, o_orderkey DESC)`.
+    *
+    * Scale: a single shuffle on user_id and linear work per row — no
+    * intermediate events×orders fan-out, unlike the naive range-predicate
+    * equi-join whose cardinality is quadratic per user. */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
-      .select(col("event_id"), col("ts"), col("user_id"))
+      .select(col("user_id"), col("ts").as("t"), lit(1).as("kind"),
+        col("event_id"),
+        lit(null).cast("long").as("ok"),
+        lit(null).cast("timestamp").as("od"))
+    // o_orderdate is parquet TIMESTAMP_NTZ; session TZ is UTC so the
+    // cast to instant-typed timestamp is lossless.
     val ord = t(spark, dir, "orders")
-      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-    val joined = ev.join(ord,
-      ev("user_id") === ord("o_custkey") && ord("o_orderdate") <= ev("ts"),
-      "left")
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    joined
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .select(col("o_custkey").as("user_id"),
+        col("o_orderdate").cast("timestamp").as("t"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderkey").as("ok"),
+        col("o_orderdate").cast("timestamp").as("od"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("kind"), col("ok"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.unionByName(ord)
+      .withColumn("carry",
+        last(when(col("kind") === 0, struct(col("od"), col("ok"))),
+          ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
       .select(col("event_id"), col("user_id"),
-        col("o_orderkey").as("asof_orderkey"),
-        // o_orderdate is parquet TIMESTAMP_NTZ; session TZ is UTC so the
-        // cast to instant-typed timestamp is lossless.
-        unix_micros(col("o_orderdate").cast("timestamp")).as("asof_orderdate_us"))
+        col("carry.ok").as("asof_orderkey"),
+        unix_micros(col("carry.od")).as("asof_orderdate_us"))
       .orderBy("event_id")
   }
 

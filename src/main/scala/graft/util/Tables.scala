@@ -19,16 +19,28 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Session invariants every oracle-paired query depends on. Applied on
+    * every table read (idempotent) so behavior never depends on which
+    * query ran first or on the harness having pre-set them:
+    *  - UTC session TZ: timestamp literals and unix_micros-over-NTZ casts
+    *    must agree with the DuckDB oracle regardless of host TZ;
+    *  - nanosAsLong: events.ts is parquet TIMESTAMP(NANOS), which Spark 4
+    *    refuses to read as a timestamp otherwise. */
+  def ensureSessionConf(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    ensureSessionConf(spark)
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-      // read as a timestamp. Read nanos as long and convert losslessly
-      // (testdata is µs-aligned; DIV keeps the math in integer space —
-      // ns epoch values exceed 2^53, double division would corrupt them).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Convert nanos→micros losslessly (testdata is µs-aligned; DIV keeps
+      // the math in integer space — ns epoch values exceed 2^53, double
+      // division would corrupt them).
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Exact (order-independent) sum of a double column: accumulate in
     * decimal, return double. DuckDB twin:
