@@ -21,7 +21,47 @@ object SparkEntry {
   private def osum(expr: String): String =
     s"CAST(sum(CAST($expr AS DECIMAL(30,8))) AS DOUBLE)"
 
+  /** DuckDB read of a customers fixture CSV with the declared schema
+    * (mirrors the loader's explicit StructType read). */
+  private def ocsv(file: String, dt: String): String =
+    s"""SELECT id, name, city, bal, '$dt' AS dt
+       FROM read_csv('${Ingest.FixtureDir}/inbound/sap/customers/$file',
+         header=true, columns={'id':'INTEGER','name':'VARCHAR',
+         'city':'VARCHAR','bal':'DOUBLE','junk':'VARCHAR'})"""
+
+  /** Audit columns as the oracle sees them (pinned clock, epoch µs). */
+  private val oAudit =
+    """epoch_us(TIMESTAMP '2024-07-01 00:00:00') AS cret_ts_us,
+       epoch_us(TIMESTAMP '2024-07-01 00:00:00') AS updt_ts_us,
+       'graft-spark' AS cret_nm, 'graft-spark' AS updt_nm"""
+
   val registry: Seq[(String, Q)] = Seq(
+    "ingest_append" -> Q(Ingest.ingestAppend, Some(s"""
+      WITH f AS (
+        ${ocsv("customers_20240628.csv", "2024-06-28")}
+        UNION ALL
+        ${ocsv("customers_20240630.csv.gz", "2024-06-30")})
+      SELECT id, name, city, bal, dt, $oAudit
+      FROM f ORDER BY dt, id""")),
+
+    "ingest_overwrite" -> Q(Ingest.ingestOverwrite, Some(s"""
+      SELECT id, name, city, bal, junk, '2024-06-30' AS dt, $oAudit
+      FROM read_csv(
+        '${Ingest.FixtureDir}/inbound/sap/customers/customers_20240630.csv.gz',
+        header=true, all_varchar=true)
+      ORDER BY id""")),
+
+    "ingest_upsert" -> Q(Ingest.ingestUpsert, Some(s"""
+      WITH a AS (${ocsv("customers_20240628.csv", "2024-06-28")}),
+      b AS (${ocsv("customers_r2_20240628.csv", "2024-06-28")}),
+      c AS (${ocsv("customers_20240629.csv", "2024-06-29")}),
+      m1 AS (SELECT * FROM a ANTI JOIN b USING (id, dt)
+             UNION ALL SELECT * FROM b),
+      m2 AS (SELECT * FROM m1 ANTI JOIN c USING (id, dt)
+             UNION ALL SELECT * FROM c)
+      SELECT id, name, city, bal, dt, $oAudit
+      FROM m2 ORDER BY dt, id""")),
+
     "q1_pricing_summary" -> Q(Analytics.q1PricingSummary, Some(s"""
       SELECT l_returnflag, l_linestatus,
         ${osum("l_quantity")} AS sum_qty,

@@ -1,0 +1,144 @@
+package graft.load
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.slf4j.LoggerFactory
+
+/** Zone writes + load strategies (SURVEY.md §2.4/§2.6: W1–W5, J1/J2, O1).
+  *
+  * The curated zone is plain partitioned Parquet (no Delta jar ships with
+  * this Spark — SURVEY §7.1), so the reference's Delta `MERGE`
+  * (/root/reference/FInal/load_script.py:94-102,
+  * generic_load_script.py:158-164) is re-expressed relationally:
+  * anti-join the target on `primary_key :+ dt` and union the source —
+  * `whenMatchedUpdateAll` ≡ matched target rows replaced by their source
+  * versions, `whenNotMatchedInsertAll` ≡ unmatched source rows unioned in.
+  *
+  * Scale design: the merge is PARTITION-SCOPED. Only the `dt` partitions
+  * present in the source batch are read (partition pruning), merged, and
+  * atomically swapped via a staging directory; at 100 TB a daily batch
+  * touches one partition dir, not the table. The one driver-side
+  * materialization is the batch's distinct `dt` list — bounded by dates
+  * per batch, not data size (the same collect dynamic partition
+  * overwrite does internally).
+  */
+object Strategies {
+
+  private val log = LoggerFactory.getLogger(getClass)
+
+  /** Overwrite accepts both generations' spellings (v1 `truncate`,
+    * v2 `overwrite` — SURVEY §2.9.3). */
+  private val OverwriteNames = Set("overwrite", "truncate")
+
+  private def ensureConf(spark: SparkSession): Unit =
+    // dt partition values like "2024-06-28" would otherwise be inferred
+    // as DATE on read-back, silently changing the curated schema.
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+
+  /** S5 — merge-target existence probe (the Delta `isDeltaTable` twin:
+    * FInal/load_script.py:92). True iff the path exists and contains
+    * any file (a bare empty dir is not a table). */
+  def tableExists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  /** W4 — landing write: unpartitioned, pre-`dt` raw projection
+    * (v2 ordering, FInal/load_script.py:197-204). Unknown strategy warns
+    * and SKIPS the write, exactly like the reference. */
+  def writeLanding(df: DataFrame, path: String, strategy: String): Unit =
+    strategy match {
+      case "append" => df.write.mode("append").parquet(path)
+      case s if OverwriteNames(s) => df.write.mode("overwrite").parquet(path)
+      case other =>
+        log.warn(s"Unknown landing_load_strategy: $other. Skipping landing write.")
+    }
+
+  /** W1/W2/W3 + J1/J2 — curated write under a load strategy. `df` must
+    * already carry the `dt` partition column. */
+  def writeCurated(spark: SparkSession, df: DataFrame, path: String,
+      strategy: String, primaryKey: Seq[String],
+      sortColumns: Seq[String] = Nil): Unit = {
+    ensureConf(spark)
+    // O1 — the v2 global orderBy-before-write is implemented as
+    // cluster-within-partition (repartition on dt, then sort within each
+    // task): same file-local ordering intent, no global range shuffle,
+    // and it actually survives the partitioned write (SURVEY §2.9.9).
+    def clustered(d: DataFrame): DataFrame =
+      if (sortColumns.isEmpty) d
+      else d.repartition(col("dt"))
+        .sortWithinPartitions(sortColumns.map(col): _*)
+    strategy match {
+      case "append" =>
+        clustered(df).write.mode("append").partitionBy("dt").parquet(path)
+      case s if OverwriteNames(s) =>
+        clustered(df).write.mode("overwrite").partitionBy("dt").parquet(path)
+      case "upsert" =>
+        if (primaryKey.isEmpty)
+          throw new IllegalArgumentException(
+            "Primary key is required for upsert strategy")
+        if (!tableExists(spark, path)) {
+          // J2 — first-load fallback: plain overwrite partitioned by dt
+          // (FInal/load_script.py:104-109).
+          clustered(df).write.mode("overwrite").partitionBy("dt").parquet(path)
+        } else {
+          upsertMerge(spark, clustered(df), path, primaryKey)
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"Unknown curated load strategy: $other")
+    }
+  }
+
+  /** J1/W5 — partition-scoped upsert merge into existing parquet target.
+    * Merge keys are `primaryKey :+ dt` (the reference's condition always
+    * appends `target.dt = source.dt`, generic_load_script.py:158), so the
+    * same business key on a new date inserts rather than updates, and the
+    * merge only ever needs the touched `dt` partitions of the target. */
+  private def upsertMerge(spark: SparkSession, source: DataFrame,
+      path: String, primaryKey: Seq[String]): Unit = {
+    val keys = primaryKey :+ "dt"
+    // Cache the source: it is read three times (dt list, anti-join,
+    // union) and may itself be a non-trivial plan.
+    val src = source.cache()
+    try {
+      val touchedDts = src.select("dt").distinct()
+        .collect().map(_.getString(0)).toSeq
+      val target = spark.read.parquet(path)
+        .filter(col("dt").isin(touchedDts: _*)) // partition-pruned scan
+      val kept = target.join(
+        src.select(keys.map(col): _*), keys, "left_anti")
+      val merged = kept.unionByName(src.select(target.columns.map(col): _*))
+
+      // Staged atomic swap: write the merged slice next to the table,
+      // then rename each touched dt dir into place. The live table is
+      // never read and overwritten in the same job.
+      val stage =
+        path + "__stage_" + java.util.UUID.randomUUID().toString.take(8)
+      merged.write.mode("overwrite").partitionBy("dt").parquet(stage)
+      val fs = new Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      try {
+        touchedDts.foreach { dt =>
+          val live = new Path(s"$path/dt=$dt")
+          val staged = new Path(s"$stage/dt=$dt")
+          if (fs.exists(live)) fs.delete(live, true)
+          if (fs.exists(staged)) {
+            if (!fs.rename(staged, live))
+              throw new java.io.IOException(
+                s"Failed to move staged partition $staged -> $live")
+          }
+        }
+      } finally fs.delete(new Path(stage), true)
+    } finally src.unpersist()
+  }
+
+  /** Read a curated table back (partition inference disabled so `dt`
+    * stays a string, matching what was written). */
+  def readCurated(spark: SparkSession, path: String): DataFrame = {
+    ensureConf(spark)
+    spark.read.parquet(path)
+  }
+}

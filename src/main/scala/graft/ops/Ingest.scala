@@ -1,0 +1,101 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+import java.util.Comparator
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.TableConfig
+import graft.lake.LakeLayout
+import graft.load.Strategies
+import graft.pipeline.GenericLoader
+import graft.pipeline.GenericLoader.LoadRun
+
+/** Registered queries exercising the generic loader end-to-end
+  * (SURVEY.md §2.1–§2.7: S1–S5, P1–P5, O1, J1/J2, W1–W5).
+  *
+  * Each query runs the full pipeline over the committed CSV fixtures
+  * into a fresh scratch lake under target/, reads the curated zone back,
+  * and returns it in a deterministic order; the DuckDB oracle recomputes
+  * the same contents from the raw CSVs with `read_csv`. The audit clock
+  * is pinned so `cret_ts`/`updt_ts` are oracle-comparable (exposed as
+  * epoch micros to sidestep engine timestamp-rendering differences).
+  */
+object Ingest {
+
+  val FixtureDir = "/root/repo/fixtures"
+  private def inbound(f: String) = s"$FixtureDir/inbound/sap/customers/$f"
+  private def config(table: String) =
+    s"$FixtureDir/config/sap/$table/${table}_config.json"
+
+  /** Pinned audit clock for oracle determinism. Built from an Instant so
+    * the value is independent of the JVM default time zone. */
+  val Clock: Timestamp =
+    Timestamp.from(java.time.Instant.parse("2024-07-01T00:00:00Z"))
+
+  /** Fresh scratch lake per invocation so queries are idempotent across
+    * warmup/timed/verify runs. Lives under the repo's build scratch. */
+  private def freshLayout(name: String): LakeLayout = {
+    val base = Paths.get(s"/root/repo/target/ingest/$name")
+    if (Files.exists(base)) {
+      Files.walk(base).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.delete(p))
+    }
+    LakeLayout(s"$base/landing", s"$base/config", s"$base/curated")
+  }
+
+  private def load(spark: SparkSession, layout: LakeLayout, table: String,
+      cfg: TableConfig, file: String): Unit = {
+    GenericLoader.run(spark, LoadRun(inbound(file), "sap", table, cfg,
+      layout, clock = Some(Clock)))
+    ()
+  }
+
+  private def curatedBack(spark: SparkSession, layout: LakeLayout,
+      table: String, cols: Seq[String]): DataFrame =
+    Strategies.readCurated(spark, layout.curatedPath("sap", table))
+      .select((cols.map(col) ++ Seq(
+        unix_micros(col("cret_ts")).as("cret_ts_us"),
+        unix_micros(col("updt_ts")).as("updt_ts_us"),
+        col("cret_nm"), col("updt_nm"))): _*)
+
+  /** S1/S3 + P1/P2/P5 + O1 + W1/W4 — schema'd CSV (plain + gzip) loaded
+    * twice under `append`: both days' partitions accumulate. */
+  def ingestAppend(spark: SparkSession, dir: String): DataFrame = {
+    val layout = freshLayout("ingest_append")
+    val cfg = TableConfig.fromFile(config("customers_append"))
+    load(spark, layout, "customers_append", cfg, "customers_20240628.csv")
+    load(spark, layout, "customers_append", cfg, "customers_20240630.csv.gz")
+    curatedBack(spark, layout, "customers_append",
+      Seq("id", "name", "city", "bal", "dt"))
+      .orderBy("dt", "id")
+  }
+
+  /** S2 + W2 — v1-style all-string read, v1 `truncate` spelling: second
+    * load replaces the first entirely. The config's bogus landing
+    * strategy exercises the warn-and-skip path. */
+  def ingestOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val layout = freshLayout("ingest_overwrite")
+    val cfg = TableConfig.fromFile(config("customers_overwrite"))
+    load(spark, layout, "customers_overwrite", cfg, "customers_20240628.csv")
+    load(spark, layout, "customers_overwrite", cfg, "customers_20240630.csv.gz")
+    curatedBack(spark, layout, "customers_overwrite",
+      Seq("id", "name", "city", "bal", "junk", "dt"))
+      .orderBy("id")
+  }
+
+  /** J1/J2/W5 — upsert: first load (J2 overwrite), same-dt corrections
+    * batch (matched rows updated, new keys inserted), then a new-dt batch
+    * (all inserted — the merge key includes dt). */
+  def ingestUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val layout = freshLayout("ingest_upsert")
+    val cfg = TableConfig.fromFile(config("customers_upsert"))
+    load(spark, layout, "customers_upsert", cfg, "customers_20240628.csv")
+    load(spark, layout, "customers_upsert", cfg, "customers_r2_20240628.csv")
+    load(spark, layout, "customers_upsert", cfg, "customers_20240629.csv")
+    curatedBack(spark, layout, "customers_upsert",
+      Seq("id", "name", "city", "bal", "dt"))
+      .orderBy("dt", "id")
+  }
+}

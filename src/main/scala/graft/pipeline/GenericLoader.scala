@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.slf4j.LoggerFactory
+
+import graft.config.TableConfig
+import graft.lake.LakeLayout
+import graft.load.Strategies
+import graft.transform.Derive
+
+/** The config-driven generic loader — the reference's reason to exist
+  * (macro lifecycle: SURVEY.md §3;
+  * /root/reference/FInal/load_script.py:164-219,
+  * /root/reference/generic_load_script.py:113-173).
+  *
+  * One run = one inbound CSV file:
+  *   read CSV (schema'd or all-string) → projection → landing write
+  *   (raw, pre-`dt`) → dt derivation from filename → audit columns →
+  *   curated write under the configured strategy.
+  *
+  * Differences from the reference, all deliberate (SURVEY §2.9):
+  * gzip handled by Spark's native `.csv.gz` codec instead of a
+  * driver-local gunzip; v2 landing ordering (raw before dt); both
+  * overwrite spellings accepted; v1's `"unknown"` dt fallback kept;
+  * Delta MERGE re-expressed as a partition-scoped parquet merge.
+  */
+object GenericLoader {
+
+  private val log = LoggerFactory.getLogger(getClass)
+
+  final case class LoadRun(
+      csvPath: String,
+      sourceSystem: String,
+      table: String,
+      config: TableConfig,
+      layout: LakeLayout,
+      actor: String = "graft-spark",
+      clock: Option[Timestamp] = None)
+
+  /** S2/S3 — CSV scan: header + delimiter, with the config's explicit
+    * StructType when declared, else every column string (v1 mode).
+    * `.csv.gz` inputs decompress in the scan (S1). */
+  def readCsv(spark: SparkSession, path: String, config: TableConfig): DataFrame = {
+    val r = spark.read
+      .option("header", true)
+      .option("delimiter", config.delimiter)
+    config.structType.fold(r.csv(path))(s => r.schema(s).csv(path))
+  }
+
+  /** Execute one load; returns the curated table read back. */
+  def run(spark: SparkSession, lr: LoadRun): DataFrame = {
+    val cfg = lr.config
+    log.info(s"Loading ${lr.sourceSystem}/${lr.table} from ${lr.csvPath} " +
+      s"(curated=${cfg.curatedLoadStrategy}, landing=${cfg.landingLoadStrategy})")
+
+    val projected = Derive.project(readCsv(spark, lr.csvPath, cfg),
+      cfg.selectColumns)
+    val landingDf =
+      if (cfg.sortColumns.nonEmpty)
+        projected.sortWithinPartitions(cfg.sortColumns.map(
+          org.apache.spark.sql.functions.col): _*)
+      else projected
+
+    val landingPath = lr.layout.landingPath(lr.sourceSystem, lr.table)
+    Strategies.writeLanding(landingDf, landingPath, cfg.landingLoadStrategy)
+
+    val dt = Derive.dtFromFileName(lr.csvPath)
+    val curated = Derive.withAudit(
+      Derive.withDt(projected, dt), lr.actor, lr.clock)
+
+    val curatedPath = lr.layout.curatedPath(lr.sourceSystem, lr.table)
+    Strategies.writeCurated(spark, curated, curatedPath,
+      cfg.curatedLoadStrategy, cfg.primaryKey, cfg.sortColumns)
+    Strategies.readCurated(spark, curatedPath)
+  }
+}
+
+/** E3/E4 — the 4-argument entry contract of the reference's dispatcher
+  * (`spark-submit load_script.py <inbound_folder> <source_system>
+  * <table_name> <file_path>`, /root/reference/FInal/script.sh:78), with
+  * zone roots from the LANDING/CONFIG/CURATED env contract. */
+object IngestMain {
+  def main(args: Array[String]): Unit = {
+    if (args.length != 4) {
+      System.err.println(
+        "Usage: IngestMain <inbound_folder> <source_system> <table_name> <file_path>")
+      sys.exit(1)
+    }
+    val Array(inbound, sourceSystem, table, filePath) = args
+    val layout = LakeLayout.fromEnv()
+    val config = TableConfig.fromFile(layout.configPath(sourceSystem, table))
+    val builder = SparkSession.builder()
+      .appName("graft-generic-loader")
+      .config("spark.sql.session.timeZone", "UTC")
+    // spark-submit injects spark.master; standalone runs (the v1
+    // bare-python path, Script.sh:66) get a local default.
+    val spark = (if (sys.props.contains("spark.master")) builder
+      else builder.master(
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
+      .getOrCreate()
+    try {
+      val csv =
+        if (filePath.startsWith("/") || filePath.contains("://")) filePath
+        else s"${layout.landingRoot.stripSuffix("/")}/$inbound/$sourceSystem/$table/$filePath"
+      GenericLoader.run(spark,
+        GenericLoader.LoadRun(csv, sourceSystem, table, config, layout))
+    } finally spark.stop()
+  }
+}

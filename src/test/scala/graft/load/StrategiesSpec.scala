@@ -1,0 +1,108 @@
+package graft.load
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Load-strategy matrix (SURVEY.md §5.2.2): append/overwrite/upsert ×
+  * first-load/existing × single/composite PK × same-dt/new-dt. */
+class StrategiesSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-strategies").toString + "/t"
+
+  private def df(rows: (Int, String, String)*): DataFrame =
+    rows.toSeq.toDF("id", "v", "dt")
+
+  private def contents(path: String): Set[(Int, String, String)] =
+    Strategies.readCurated(spark, path)
+      .select("id", "v", "dt").as[(Int, String, String)].collect().toSet
+
+  test("append accumulates batches (W1)") {
+    val p = tmp()
+    Strategies.writeCurated(spark, df((1, "a", "d1")), p, "append", Nil)
+    Strategies.writeCurated(spark, df((2, "b", "d1")), p, "append", Nil)
+    assert(contents(p) == Set((1, "a", "d1"), (2, "b", "d1")))
+  }
+
+  test("overwrite replaces, under both spellings (W2, SURVEY §2.9.3)") {
+    for (spelling <- Seq("overwrite", "truncate")) {
+      val p = tmp()
+      Strategies.writeCurated(spark, df((1, "a", "d1")), p, spelling, Nil)
+      Strategies.writeCurated(spark, df((2, "b", "d2")), p, spelling, Nil)
+      assert(contents(p) == Set((2, "b", "d2")), s"spelling=$spelling")
+    }
+  }
+
+  test("upsert first load falls back to overwrite (J2)") {
+    val p = tmp()
+    Strategies.writeCurated(spark, df((1, "a", "d1")), p, "upsert", Seq("id"))
+    assert(contents(p) == Set((1, "a", "d1")))
+  }
+
+  test("upsert updates matched PK+dt, inserts unmatched (J1)") {
+    val p = tmp()
+    Strategies.writeCurated(spark,
+      df((1, "a", "d1"), (2, "b", "d1")), p, "upsert", Seq("id"))
+    Strategies.writeCurated(spark,
+      df((2, "B2", "d1"), (3, "c", "d1")), p, "upsert", Seq("id"))
+    assert(contents(p) == Set((1, "a", "d1"), (2, "B2", "d1"), (3, "c", "d1")))
+  }
+
+  test("merge key includes dt: same PK on a new dt INSERTS (SURVEY §2.9.5)") {
+    val p = tmp()
+    Strategies.writeCurated(spark, df((1, "a", "d1")), p, "upsert", Seq("id"))
+    Strategies.writeCurated(spark, df((1, "a2", "d2")), p, "upsert", Seq("id"))
+    assert(contents(p) == Set((1, "a", "d1"), (1, "a2", "d2")))
+  }
+
+  test("upsert leaves untouched dt partitions alone (partition-scoped)") {
+    val p = tmp()
+    Strategies.writeCurated(spark,
+      df((1, "a", "d1"), (9, "z", "d0")), p, "upsert", Seq("id"))
+    Strategies.writeCurated(spark, df((1, "A", "d1")), p, "upsert", Seq("id"))
+    assert(contents(p) == Set((1, "A", "d1"), (9, "z", "d0")))
+  }
+
+  test("composite primary key merges on all key parts") {
+    val p = tmp()
+    val mk = Seq("id", "v")
+    Strategies.writeCurated(spark,
+      df((1, "x", "d1"), (1, "y", "d1")), p, "upsert", mk)
+    Strategies.writeCurated(spark, df((1, "x", "d1")), p, "upsert", mk)
+    assert(contents(p) == Set((1, "x", "d1"), (1, "y", "d1")))
+  }
+
+  test("upsert without primary key raises (FInal/load_script.py:89-90)") {
+    val p = tmp()
+    val ex = intercept[IllegalArgumentException] {
+      Strategies.writeCurated(spark, df((1, "a", "d1")), p, "upsert", Nil)
+    }
+    assert(ex.getMessage.toLowerCase.contains("primary key"))
+  }
+
+  test("unknown curated strategy raises (generic_load_script.py:172-173)") {
+    val ex = intercept[IllegalArgumentException] {
+      Strategies.writeCurated(spark, df((1, "a", "d1")), tmp(), "merge", Nil)
+    }
+    assert(ex.getMessage.contains("merge"))
+  }
+
+  test("unknown landing strategy warns and skips (FInal/load_script.py:203-204)") {
+    val p = tmp()
+    Strategies.writeLanding(df((1, "a", "d1")), p, "bogus")
+    assert(!Strategies.tableExists(spark, p))
+  }
+
+  test("landing append is unpartitioned and raw (W4)") {
+    val p = tmp()
+    Strategies.writeLanding(Seq((1, "a")).toDF("id", "v"), p, "append")
+    val back = spark.read.parquet(p)
+    assert(back.columns.toSeq == Seq("id", "v")) // no dt: pre-derivation
+    assert(back.count() == 1)
+  }
+}
