@@ -207,6 +207,109 @@ object SparkEntry {
         max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
       FROM events GROUP BY 1 ORDER BY 1""")),
 
+    "similarity_topk" -> Q((s, d) => Similarity.cosineTopK(s, d), Some("""
+      WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+                 FROM embeddings WHERE vec_id < 8),
+      c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      s AS (SELECT q_id, vec_id,
+              list_dot_product(qe, e) /
+                (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e)))
+                AS score
+            FROM c, q WHERE vec_id <> q_id),
+      r AS (SELECT *, row_number() OVER (
+              PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM s)
+      SELECT q_id, vec_id, score, CAST(rn AS INTEGER) AS rn
+      FROM r WHERE rn <= 10 ORDER BY q_id, rn""")),
+
+    "embedding_stats" -> Q(Similarity.embeddingStats, Some(s"""
+      WITH e AS (SELECT label,
+          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))) AS nrm,
+          CAST(embedding[1] AS DOUBLE) AS e1,
+          CAST(embedding[2] AS DOUBLE) AS e2
+        FROM embeddings)
+      SELECT label, count(*) AS n_vecs, ${osum("nrm")} AS sum_norm,
+        min(nrm) AS min_norm, max(nrm) AS max_norm,
+        ${osum("e1")} AS sum_e1, ${osum("e2")} AS sum_e2
+      FROM e GROUP BY 1 ORDER BY 1""")),
+
+    // X17 Aggregator UDAF: array output + float-sum order nondeterminism
+    // ⇒ no SQL oracle; driver records rows-only, exact values verified
+    // against a Scala recomputation in SimilaritySpec.
+    "centroid_udaf" -> Q(Similarity.centroidByLabel, None),
+
+    "word_freq" -> Q((s, d) => TextAnalysis.wordFreq(s, d), Some("""
+      SELECT word, count(*) AS n FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+          x -> x <> '')) AS word FROM documents)
+      GROUP BY 1 ORDER BY n DESC, word LIMIT 50""")),
+
+    "text_quality" -> Q(TextAnalysis.textQuality, Some("""
+      WITH d AS (SELECT doc_id, lang, source,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents)
+      SELECT doc_id, lang, source,
+        CAST(len(w) AS INTEGER) AS n_tokens,
+        CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+          AS n_token_chars,
+        CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+          AS avg_token_len,
+        CAST(len(list_filter(w, x -> list_contains(
+          ['the','a','of','and','to'], x))) AS DOUBLE) / len(w) AS stop_ratio,
+        CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS uniq_ratio
+      FROM d ORDER BY doc_id""")),
+
+    "lang_stats" -> Q(TextAnalysis.langStats, Some("""
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        count(DISTINCT source) AS n_sources
+      FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    "doc_fingerprint" -> Q(TextAnalysis.docFingerprint, Some("""
+      WITH d AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents)
+      SELECT doc_id, md5(array_to_string(w, ' ')) AS fingerprint,
+        CAST(len(w) AS INTEGER) AS n_tokens
+      FROM d ORDER BY doc_id""")),
+
+    "neardup_minhash" -> Q((s, d) => Dedup.nearDupPairs(s, d), Some("""
+      WITH tok AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM tok WHERE len(w) >= 3),
+      sig AS (SELECT doc_id, b.band,
+          min(md5(b.band || ':' || shingle)) AS sig
+        FROM sh, (SELECT unnest(range(0, 8)) AS band) b GROUP BY 1, 2),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          count(*) AS n_bands
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_bands FROM pairs
+      WHERE n_bands >= 4 ORDER BY doc_a, doc_b""")),
+
+    "multimodal_media" -> Q(Multimodal.mediaFeatures, Some("""
+      WITH m AS (SELECT doc_id AS media_id, lang, source, n_chars, text,
+          CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+        FROM documents)
+      -- testdata text is pure ASCII (verified), so char slicing + encode
+      -- equals byte slicing of the blob (DuckDB 1.0 lacks BLOB substring)
+      SELECT media_id, lang, source, n_chars, n_bytes,
+        sha256(text) AS content_sha,
+        hex(encode(substring(text, 1, 8))) AS head_hex,
+        hex(encode(substring(text, 1, 1))) AS frame_0,
+        hex(encode(substring(text, n_bytes // 2, 1))) AS frame_mid,
+        hex(encode(substring(text, n_bytes, 1))) AS frame_last
+      FROM m ORDER BY media_id""")),
+
     "scalar_suite" -> Q(Analytics.scalarSuite, Some("""
       SELECT o_orderkey,
         CAST(year(o_orderdate) AS INTEGER) AS yr,

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Tables.t
+import graft.functions.CentroidAgg
+
+/** X4/X17 — similarity search + embedding aggregation over the
+  * `embeddings` table (vec_id, embedding: array<float>, label).
+  *
+  * All vector math uses codegen'd higher-order functions (`zip_with` +
+  * `aggregate` sequential fold) — no UDFs — and casts each float to
+  * double BEFORE multiplying so the DuckDB oracle
+  * (`list_dot_product(CAST(.. AS DOUBLE[])`, also a sequential fold)
+  * produces bit-identical IEEE doubles. */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<float> columns in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** X4 — brute-force cosine top-k: the correctness baseline.
+    *
+    * Scale design: the query set is small and BROADCAST (size-bounded by
+    * construction, unlike a data-scaled table); candidates stream
+    * through a broadcast nested-loop join scoring each (query,
+    * candidate) pair once — cost O(|C|·|Q|), no shuffle of the candidate
+    * side. Top-k lands on a window over q_id (|Q| partitions). For
+    * data-scaled query sets switch to [[lshCandidates]]. */
+  def cosineTopK(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 8): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cands = emb.select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    cands.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("score"),
+        col("rn").cast("int").as("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** X4 scale path — deterministic random-hyperplane LSH bucketing,
+    * OR-amplified across hash tables.
+    *
+    * Signature for one table: bit j is the sign of a pseudo-random
+    * projection whose "plane" coefficients derive from
+    * `xxhash64(table, j, element index)` — deterministic, no stored
+    * model, identical on every executor. Vectors are ANN candidates if
+    * they share a bucket in ANY of the `nTables` tables (OR-amplification
+    * recovers the recall a single AND-of-bits table lacks); each table's
+    * self-join is an equi shuffle on (table, bucket) with fan-out bounded
+    * by bucket size — never all-pairs. Recall vs [[cosineTopK]] is
+    * asserted in SimilaritySpec; nBits (bucket granularity) × nTables
+    * (recall) is the cost/recall knob. */
+  def signature(e: Column, dim: Int, nBits: Int, table: Int = 0): Column = {
+    val bits = (0 until nBits).map { j =>
+      // projection_j = Σ_i coef(table,j,i) · e[i], coef in [-0.5, 0.5)
+      val proj = aggregate(
+        zip_with(e, sequence(lit(0), lit(dim - 1)), (x, i) =>
+          x.cast("double") *
+            ((pmod(xxhash64(lit(table), lit(j), i), lit(1000000L))
+              .cast("double") / 1000000.0) - 0.5)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a + b)
+  }
+
+  def lshCandidates(spark: SparkSession, dir: String, nBits: Int = 8,
+      nTables: Int = 8): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // (table, bucket, vec_id): one row per vector per hash table
+    val buckets = emb.select(col("vec_id"), col("embedding"),
+      explode(array((0 until nTables).map(tb =>
+        struct(lit(tb).as("tb"),
+          signature(col("embedding"), 64, nBits, tb).as("bucket"))): _*))
+        .as("h"))
+      .select(col("h.tb"), col("h.bucket"), col("vec_id"),
+        col("embedding"))
+    val a = buckets.select(col("tb"), col("bucket"),
+      col("vec_id").as("a"), col("embedding").as("ea"))
+    val b = buckets.select(col("tb"), col("bucket"),
+      col("vec_id").as("b"), col("embedding").as("eb"))
+    a.join(b, Seq("tb", "bucket")).filter(col("a") < col("b"))
+      // dedup pairs surfaced by several tables BEFORE scoring: one
+      // shuffle on (a,b), each survivor scored exactly once
+      .groupBy(col("a"), col("b"))
+      .agg(first(col("ea")).as("ea"), first(col("eb")).as("eb"))
+      .withColumn("score", cosine(col("ea"), col("eb")))
+      .select("a", "b", "score")
+  }
+
+  /** X17 — per-label centroid via the custom Aggregator UDAF. Array
+    * output + float-sum order nondeterminism ⇒ registered as a
+    * rows-only check; exact values verified against a Scala
+    * recomputation in SimilaritySpec. */
+  def centroidByLabel(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(
+        CentroidAgg.centroid(64)(col("embedding")).as("centroid"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy("label")
+
+  /** X16 — higher-order-function stats over the embedding arrays
+    * (norms + leading elements), exactly oracle-able because per-row
+    * folds are deterministic and cross-row sums use decimal
+    * accumulation. */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.util.Tables.dsum
+    val e = t(spark, dir, "embeddings")
+      .withColumn("nrm", l2norm(col("embedding")))
+    e.groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        dsum(col("nrm")).as("sum_norm"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"),
+        dsum(element_at(col("embedding"), 1).cast("double")).as("sum_e1"),
+        dsum(element_at(col("embedding"), 2).cast("double")).as("sum_e2"))
+      .orderBy("label")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables.{t, dsum}
+
+/** X5 — text analysis over the `documents` table (doc_id, text, lang,
+  * source, n_chars): tokenization, word frequency, quality scoring,
+  * per-language rollups, document fingerprinting. Pure map + aggregate —
+  * embarrassingly parallel, no UDFs, fully codegen'd. */
+object TextAnalysis {
+
+  /** Whitespace tokenization of lowercased text (DuckDB twin:
+    * `string_split_regex(lower(text), '\s+')`). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => w =!= "")
+
+  /** Word frequency: tokenize → explode → count, top-50. The groupBy
+    * shuffles only (word, partial count) pairs — map-side combined. */
+  def wordFreq(spark: SparkSession, dir: String, topN: Int = 50): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(topN)
+
+  private val StopWords = Seq("the", "a", "of", "and", "to")
+
+  /** Per-document quality scores: token/char counts, average token
+    * length, stopword ratio, distinct-token ratio. All per-row integer
+    * folds, so doubles divide identically in both engines. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    t(spark, dir, "documents")
+      .withColumn("w", toks)
+      .select(
+        col("doc_id"), col("lang"), col("source"),
+        size(col("w")).as("n_tokens"),
+        aggregate(transform(col("w"), w => length(w)), lit(0), _ + _)
+          .cast("long").as("n_token_chars"),
+        (aggregate(transform(col("w"), w => length(w)), lit(0), _ + _)
+          .cast("double") / size(col("w"))).as("avg_token_len"),
+        (size(filter(col("w"), w => w.isInCollection(StopWords)))
+          .cast("double") / size(col("w"))).as("stop_ratio"),
+        (size(array_distinct(col("w"))).cast("double") / size(col("w")))
+          .as("uniq_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Rollup by language: doc counts, exact char sums, source spread. */
+  def langStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+
+  /** Document fingerprint: md5 over the normalized (lowercased,
+    * whitespace-collapsed) token stream — the deterministic stand-in for
+    * a rolling-hash fingerprint, identical in DuckDB. */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(concat_ws(" ", tokens(col("text")))).as("fingerprint"),
+        size(tokens(col("text"))).as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic (no oracle — verified in TextAnalysisSpec):
+    * scores text against per-language marker-word lists and picks the
+    * argmax, falling back to 'und'. A real pipeline would swap in
+    * fastText-style n-gram profiles; the Spark-side shape (per-row
+    * scoring over a broadcast profile, no shuffle) is the real thing. */
+  def langIdScore(text: Column, markers: Map[String, Seq[String]]): Column = {
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(filter(tokens(text), w => w.isInCollection(words))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
+  }
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class SimilaritySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("centroid UDAF matches a driver-side Scala recomputation (X17)") {
+    import spark.implicits._
+    val got = Similarity.centroidByLabel(spark, dir)
+      .as[(Int, Seq[Double], Long)].collect()
+      .map { case (l, c, n) => l -> ((c, n)) }.toMap
+
+    val raw = graft.util.Tables.t(spark, dir, "embeddings")
+      .select("label", "embedding")
+      .as[(Int, Seq[Float])].collect()
+    val expect = raw.groupBy(_._1).map { case (l, rows) =>
+      val n = rows.length
+      val sums = Array.fill(64)(0.0)
+      rows.foreach(r => r._2.zipWithIndex.foreach { case (v, i) =>
+        sums(i) += v.toDouble })
+      l -> ((sums.map(_ / n).toSeq, n.toLong))
+    }
+    assert(got.keySet == expect.keySet)
+    for (l <- got.keySet) {
+      assert(got(l)._2 == expect(l)._2, s"count for label $l")
+      got(l)._1.zip(expect(l)._1).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+          s"label $l element $i: $a vs $b")
+      }
+    }
+  }
+
+  test("LSH candidate buckets achieve useful recall of true top-1 (X4 scale path)") {
+    import spark.implicits._
+    // True nearest neighbor per query from the brute-force baseline...
+    val top1 = Similarity.cosineTopK(spark, dir, k = 1, nQueries = 32)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .map { case (q, v) => (math.min(q, v), math.max(q, v)) }.toSet
+    // ...vs pairs surfaced by OR-amplified hyperplane bucketing: fewer
+    // bits -> bigger buckets, more tables -> higher recall.
+    val cands = Similarity.lshCandidates(spark, dir, nBits = 4, nTables = 12)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val recall = top1.count(cands.contains).toDouble / top1.size
+    assert(recall >= 0.5, s"recall $recall too low: LSH bucketing broken")
+  }
+
+  test("LSH signature is deterministic across evaluations and salted per table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def sigs(table: Int) = graft.util.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        Similarity.signature(col("embedding"), 64, 12, table).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0) == sigs(0))
+    assert(sigs(0) != sigs(1)) // different table -> different planes
+  }
+}
