@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+
+/** X10 streaming twins (SURVEY.md §2.8): the same event-time window
+  * expressions the batch queries use (`Analytics.tumblingWindow` /
+  * `sessionWindow`), under Structured Streaming with watermarks, plus a
+  * `mapGroupsWithState` custom-state operator.
+  *
+  * These take the (possibly streaming) events DataFrame rather than a
+  * path: callers wire `spark.readStream` (or a MemoryStream in tests —
+  * StreamingSpec asserts batch/stream parity on identical input).
+  *
+  * Scale: event-time windows + watermark keep state bounded — the store
+  * holds only open windows newer than the watermark; state is
+  * partitioned by group key across executors, no driver state. */
+object StreamingOps {
+
+  /** Tumbling 1-hour event-time counts per event type. Watermark bounds
+    * state: windows older than 2 hours behind max event time finalize
+    * and evict. Decimal accumulation keeps sums exact, as in batch. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(30,8)")).cast("double")
+          .as("sum_value"))
+      .select(unix_micros(col("w.start")).as("w_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Native stateful session windows (30-minute gap) per user — the
+    * streaming-engine form of the batch gaps-and-islands query. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(30,8)")).cast("double")
+          .as("sum_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("sess_start_us"),
+        unix_micros(col("w.end")).as("sess_end_us"), col("n_events"),
+        col("sum_value"))
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserTotal(user_id: Long, n_events: Long, total: Double)
+
+  /** Custom per-key state via `mapGroupsWithState`: running per-user
+    * totals that survive across micro-batches (the
+    * KeyValueGroupedDataset custom-state surface). */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotal, UserTotal] {
+        (user: Long, batch: Iterator[UserEvent], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0.0))
+          val next = batch.foldLeft(prev)((acc, e) =>
+            UserTotal(user, acc.n_events + 1, acc.total + e.value))
+          state.update(next)
+          next
+      }
+  }
+}

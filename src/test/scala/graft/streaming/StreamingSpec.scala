@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+final case class Ev(ts: Timestamp, user_id: Long, event_type: String,
+    value: Double)
+
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String): Timestamp =
+    Timestamp.from(java.time.Instant.parse(s))
+
+  private val batch1 = Seq(
+    Ev(ts("2024-01-01T10:05:00Z"), 1, "click", 1.0),
+    Ev(ts("2024-01-01T10:20:00Z"), 1, "click", 2.0),
+    Ev(ts("2024-01-01T10:55:00Z"), 1, "view", 4.0),
+    Ev(ts("2024-01-01T12:00:00Z"), 2, "click", 8.0),
+    Ev(ts("2024-01-01T12:40:00Z"), 2, "view", 16.0))
+
+  test("streaming tumbling window == batch tumbling window on same data") {
+    import spark.implicits._
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingOps.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumb")
+      .outputMode("complete").start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      val streamed = spark.table("tumb")
+        .select("w_start_us", "event_type", "n_events", "sum_value")
+        .as[(Long, String, Long, Double)].collect().toSet
+      val batch = StreamingOps.tumblingCounts(batch1.toDF())
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("native session windows emit finalized sessions once watermark passes") {
+    import spark.implicits._
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingOps.sessionAgg(input.toDF())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      // advance the watermark beyond every batch1 session (+gap+wm)
+      input.addData(Seq(Ev(ts("2024-01-02T00:00:00Z"), 9, "click", 0.0)))
+      q.processAllAvailable()
+      val emitted = spark.table("sess")
+        .select("user_id", "n_events", "sum_value")
+        .as[(Long, Long, Double)].collect().toSet
+      // user 1: events at 10:05/10:20 chain (<30m gap), 10:55 second
+      // session (35m gap); user 2: 12:00 and 12:40 are separate sessions
+      assert(emitted == Set((1L, 2L, 3.0), (1L, 1L, 4.0),
+        (2L, 1L, 8.0), (2L, 1L, 16.0)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState carries per-user totals across micro-batches") {
+    import spark.implicits._
+    import StreamingOps.{UserEvent, UserTotal}
+    val input = MemoryStream[UserEvent](spark)
+    val q = StreamingOps.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("totals")
+      .outputMode("update").start()
+    try {
+      input.addData(Seq(UserEvent(1, 1.0), UserEvent(1, 2.0), UserEvent(2, 5.0)))
+      q.processAllAvailable()
+      input.addData(Seq(UserEvent(1, 4.0)))
+      q.processAllAvailable()
+      val last = spark.table("totals").as[UserTotal].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+      // state survived: batch 2's user-1 row includes batch 1's events
+      assert(last(1L) == UserTotal(1, 3, 7.0))
+      assert(last(2L) == UserTotal(2, 1, 5.0))
+    } finally q.stop()
+  }
+
+  test("batch sessionWindow (gaps-and-islands) agrees with native session_window") {
+    import spark.implicits._
+    // same 30-minute gap semantics, two independent formulations
+    val df = batch1.toDF().withColumn("event_id", col("user_id"))
+    val native = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select("user_id", "n").as[(Long, Long)].collect()
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val islands = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+      df.withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("newS", when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1)
+          .otherwise(0))
+        .withColumn("sid", sum(col("newS")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sid")).agg(count(lit(1)).as("n"))
+        .select("user_id", "n").as[(Long, Long)].collect()
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+    }
+    assert(native == islands)
+  }
+}
