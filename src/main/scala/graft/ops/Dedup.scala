@@ -18,27 +18,41 @@ import graft.util.Tables.t
   * hazard, handled by AQE skew-join splitting. */
 object Dedup {
 
-  /** Word 3-gram shingle array of the lowercased text. */
-  private def shingles3 = {
-    val w = TextAnalysis.tokens(col("text"))
+  /** Word 3-gram shingle array over an ALREADY-MATERIALIZED token
+    * column. The token array must be a plain column reference, not the
+    * tokenize expression inline: Spark does not CSE a subexpression
+    * across a lambda boundary, so an inline `split(...)` would re-run
+    * per sequence element — benched 10× slower at sf0.1. */
+  private def shingles3(w: org.apache.spark.sql.Column) =
     when(size(w) >= 3,
       transform(sequence(lit(1), size(w) - 2), i =>
         concat_ws(" ", element_at(w, i), element_at(w, i + 1),
           element_at(w, i + 2))))
       .otherwise(array())
-  }
 
   /** (doc_id, band, sig) minhash signatures: sig = min md5 over the
-    * doc's shingles, salted per band. */
+    * doc's shingles, salted per band.
+    *
+    * All nBands mins are aggregated in ONE groupBy(doc_id) pass — the
+    * map-side partial aggregate reduces each partition to one row per
+    * doc BEFORE the shuffle, so the exchange carries |docs| rows, not
+    * |shingles|×nBands (a crossJoin-with-bands formulation benched 12s
+    * vs ~1s at sf0.1 for exactly this reason). The per-band rows are
+    * then unpivoted from the aggregated result. */
   def bandSignatures(spark: SparkSession, dir: String,
-      nBands: Int = 8): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"), explode(array_distinct(shingles3)).as("shingle"))
-      .crossJoin(
-        spark.range(nBands).select(col("id").cast("int").as("band")))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(min(md5(concat(col("band").cast("string"), lit(":"),
-        col("shingle")))).as("sig"))
+      nBands: Int = 8): DataFrame = {
+    val sh = t(spark, dir, "documents")
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles3(col("w")))).as("shingle"))
+    val minCols = (0 until nBands).map(b =>
+      min(md5(concat(lit(s"$b:"), col("shingle")))).as(s"sig_$b"))
+    sh.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"), col(s"sig_$b").as("sig"))): _*)).as("h"))
+      .select(col("doc_id"), col("h.band"), col("h.sig"))
+  }
 
   /** Candidate near-duplicate pairs: distinct (a < b) doc pairs sharing
     * a band bucket, kept when they agree on ≥ minBands of the bands. */
