@@ -207,6 +207,36 @@ object SparkEntry {
         max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
       FROM events GROUP BY 1 ORDER BY 1""")),
 
+    "agg_distinct" -> Q(Analytics.aggDistinct, Some("""
+      SELECT o_orderstatus, count(*) AS n,
+        count(DISTINCT o_custkey) AS n_cust,
+        count(DISTINCT o_orderpriority) AS n_prio
+      FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    "grouping_sets" -> Q(Analytics.groupingSetsOrders, Some(s"""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        ${osum("o_totalprice")} AS sum_price
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    "except_all" -> Q(Analytics.exceptAllOrders, Some("""
+      SELECT o_custkey, count(*) AS n_pre98 FROM (
+        SELECT o_custkey FROM orders
+        EXCEPT ALL
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+      GROUP BY 1 ORDER BY 1""")),
+
+    "json_functions" -> Q(Analytics.jsonFunctions, Some("""
+      SELECT event_type,
+        CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+          AS BIGINT) AS sum_k,
+        count(json_extract_string(props, '$.k')) AS n_tuple,
+        min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
     "similarity_topk" -> Q((s, d) => Similarity.cosineTopK(s, d), Some("""
       WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
                  FROM embeddings WHERE vec_id < 8),

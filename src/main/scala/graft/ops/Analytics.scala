@@ -273,6 +273,64 @@ object Analytics {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** X7 — distinct-counting aggregation (exact). The plan is the
+    * two-phase expand+agg Catalyst generates for multiple DISTINCT
+    * aggregates; at 100 TB swap exact distincts for
+    * approx_count_distinct (HLL sketch, exercised in AnalyticsSpec —
+    * approx results are not cross-engine comparable). */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"))
+      .orderBy("o_orderstatus")
+
+  /** X8 — grouping sets (non-hierarchical: per-status totals and
+    * per-priority totals computed in one expand+agg pass). */
+  def groupingSetsOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** X11 — multiset EXCEPT ALL: customer keys' order multiplicities
+    * minus their post-1998 multiplicities; aggregated for a
+    * deterministic comparison (proves bag, not set, semantics). */
+  def exceptAllOrders(spark: SparkSession, dir: String): DataFrame = {
+    val all = t(spark, dir, "orders").select("o_custkey")
+    val recent = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .select("o_custkey")
+    all.exceptAll(recent)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_pre98"))
+      .orderBy("o_custkey")
+  }
+
+  /** X14 — the fuller JSON scalar surface: from_json with an explicit
+    * schema and the json_tuple generator (complementing
+    * [[jsonExtract]]'s get_json_object). */
+  def jsonFunctions(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType))))
+          .getField("k").as("k_struct"),
+        json_tuple(col("props"), "k").as("k_tuple"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k_struct")).as("sum_k"),
+        count(col("k_tuple")).as("n_tuple"),
+        min(col("k_tuple").cast("int")).as("min_k"),
+        max(col("k_tuple").cast("int")).as("max_k"))
+      .orderBy("event_type")
+
   /** X15 — date/string/math scalar suite over orders. */
   def scalarSuite(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")

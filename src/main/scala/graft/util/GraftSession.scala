@@ -1,0 +1,46 @@
+package graft.util
+
+import org.apache.spark.sql.SparkSession
+
+/** E6 — session configuration (SURVEY.md §2.7). The reference pins its
+  * session conf in the loader (Delta extension, hive catalog,
+  * `spark.sql.shuffle.partitions=200` — /root/reference/FInal/
+  * load_script.py:58-69); our equivalent is a builder that encodes the
+  * engine's recommended conf for Spark 4:
+  *
+  *  - AQE on (default, made explicit): runtime join re-selection,
+  *    shuffle coalescing, and skew-join splitting replace the
+  *    reference's fixed shuffle width at scale;
+  *  - shuffle partitions sized to the deployment (cores locally; on a
+  *    cluster set `spark.sql.adaptive.coalescePartitions.initialPartitionNum`
+  *    high and let AQE coalesce);
+  *  - UTC session TZ + nanos handling for deterministic timestamp
+  *    semantics (see [[Tables.ensureSessionConf]]);
+  *  - partition-column type inference off: `dt=2024-06-28` directory
+  *    values stay strings on read-back (the loader's contract).
+  */
+object GraftSession {
+
+  def builder(appName: String = "graft",
+      master: Option[String] = None,
+      shufflePartitions: Option[Int] = None): SparkSession.Builder = {
+    val cores = Runtime.getRuntime.availableProcessors()
+    val b = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.shuffle.partitions",
+        shufflePartitions.getOrElse(cores).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    master.orElse(
+      if (sys.props.contains("spark.master")) None
+      else Some(s"local[$cores]")).fold(b)(b.master)
+  }
+
+  def local(appName: String = "graft-local", cpus: Int = 0): SparkSession = {
+    val n = if (cpus > 0) cpus else Runtime.getRuntime.availableProcessors()
+    builder(appName, Some(s"local[$n]"), Some(n)).getOrCreate()
+  }
+}

@@ -1,0 +1,52 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for hot keys at scale.
+  *
+  * AQE's skew-join splitting (on in [[GraftSession]]) is the first
+  * line of defense; these are the explicit fallbacks for plans AQE
+  * can't rescue — a shuffled join where one key holds a double-digit
+  * percentage of rows, or a groupBy whose hot key swamps one reducer
+  * before the partial aggregate can help (e.g. collect-style aggs).
+  */
+object Skew {
+
+  private val SaltCol = "__graft_salt"
+
+  /** Salted shuffle join: the skewed (big) side gets a uniform salt in
+    * [0, nSalts); the small side is replicated once per salt value, so
+    * every (key, salt) bucket joins correctly and the hot key's rows
+    * spread over nSalts reducers instead of one.
+    *
+    * Cost: small side shuffles ×nSalts — use for moderate right sides
+    * (if it were broadcast-small you'd broadcast instead and skew
+    * wouldn't matter). */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      nSalts: Int): DataFrame = {
+    require(nSalts > 0, "nSalts must be positive")
+    val salted = big.withColumn(SaltCol,
+      pmod(xxhash64(monotonically_increasing_id()), lit(nSalts)).cast("int"))
+    val replicated = small.withColumn(SaltCol,
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    salted.join(replicated, keys :+ SaltCol).drop(SaltCol)
+  }
+
+  /** Two-phase salted aggregation: groupBy(keys + salt) first (hot key
+    * split across nSalts reducers), then re-aggregate the partials by
+    * the real keys. `partialAggs`/`finalAggs` must be an associative
+    * pair (sum/sum, count/sum, min/min, ...). */
+  def saltedAgg(df: DataFrame, keys: Seq[String], nSalts: Int,
+      partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame = {
+    require(nSalts > 0, "nSalts must be positive")
+    val salted = df.withColumn(SaltCol,
+      pmod(xxhash64(monotonically_increasing_id()), lit(nSalts)).cast("int"))
+    val partial = salted
+      .groupBy((keys :+ SaltCol).map(col): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(finalAggs.head, finalAggs.tail: _*)
+  }
+}
