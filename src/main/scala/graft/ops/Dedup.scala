@@ -55,15 +55,30 @@ object Dedup {
   }
 
   /** Candidate near-duplicate pairs: distinct (a < b) doc pairs sharing
-    * a band bucket, kept when they agree on ≥ minBands of the bands. */
+    * a band bucket, kept when they agree on ≥ minBands of the bands.
+    *
+    * Pair generation is BUCKET-LOCAL: group the signatures by
+    * (band, sig), collect the bucket's doc list, and explode its (a<b)
+    * pairs with a nested array transform — the signature subplan runs
+    * ONCE (a self-join formulation re-computes it for each side) and
+    * pair fan-out is bounded by bucket size². Degenerate stop-shingle
+    * buckets are the skew hazard; cap them with maxBucket (0 = no cap;
+    * the oracle-paired query uses no cap so both engines see identical
+    * pairs). */
   def nearDupPairs(spark: SparkSession, dir: String, nBands: Int = 8,
-      minBands: Int = 4): DataFrame = {
-    val sig = bandSignatures(spark, dir, nBands)
-    val a = sig.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
-    val b = sig.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      minBands: Int = 4, maxBucket: Int = 0): DataFrame = {
+    val buckets = bandSignatures(spark, dir, nBands)
+      .groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+    val capped =
+      if (maxBucket > 0) buckets.filter(size(col("docs")) <= maxBucket)
+      else buckets
+    capped
+      .select(explode(flatten(transform(col("docs"), (a, i) =>
+        transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
+          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
       .filter(col("n_bands") >= minBands)
       .orderBy("doc_a", "doc_b")

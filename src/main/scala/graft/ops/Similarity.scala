@@ -16,8 +16,15 @@ import graft.functions.CentroidAgg
   * produces bit-identical IEEE doubles. */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<float> columns in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product of two array<float> columns in double:
+    * the native codegen'd expression ([[graft.expressions.FloatDot]] —
+    * one fused loop inside whole-stage codegen, no intermediate zipped
+    * array). Bit-identical to [[dotHof]], asserted in SimilaritySpec. */
+  def dot(a: Column, b: Column): Column = graft.expressions.FloatDot(a, b)
+
+  /** The pure-builtin formulation of [[dot]] (interpreted HOF lambdas);
+    * kept as the reference semantics the native expression must match. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

@@ -48,6 +48,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low: LSH bucketing broken")
   }
 
+  test("native FloatDot is bit-identical to the HOF fold (incl. null element)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = graft.util.Tables.t(spark, dir, "embeddings")
+    val diffs = emb.crossJoin(emb.select(col("embedding").as("e2"),
+        col("vec_id").as("v2")))
+      .filter(col("vec_id") < 5)
+      .select(
+        Similarity.dot(col("embedding"), col("e2")).as("native"),
+        Similarity.dotHof(col("embedding"), col("e2")).as("hof"))
+      .filter(col("native") =!= col("hof")) // exact double comparison
+      .count()
+    assert(diffs == 0)
+    // null element -> null result, matching zip_with+aggregate semantics
+    val withNull = Seq((Seq(Some(1.0f), None), Seq(Some(2.0f), Some(3.0f))))
+      .toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("d"),
+        Similarity.dotHof(col("a"), col("b")).as("h"))
+      .head()
+    assert(withNull.isNullAt(0) && withNull.isNullAt(1))
+  }
+
   test("LSH signature is deterministic across evaluations and salted per table") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
