@@ -326,6 +326,96 @@ object SparkEntry {
       SELECT doc_a, doc_b, n_bands FROM pairs
       WHERE n_bands >= 4 ORDER BY doc_a, doc_b""")),
 
+    "simhash_pairs" -> Q((s, d) => Dedup.simhashPairs(s, d), Some {
+      val sums = (0 until 32).map(j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(", ")
+      val bits = (0 until 32).map(j =>
+        s"(CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)")
+        .mkString(" + ")
+      s"""
+      WITH tok AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      sh0 AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        FROM tok WHERE len(w) >= 3),
+      h AS (SELECT doc_id,
+          CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) AS h FROM sh0),
+      s AS (SELECT doc_id, $sums FROM h GROUP BY 1),
+      sig AS (SELECT doc_id, $bits AS simhash FROM s),
+      c AS (SELECT doc_id, simhash, simhash & 65535 AS c0,
+          (simhash >> 16) & 65535 AS c1 FROM sig),
+      pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) AS INTEGER)
+            AS hamming
+        FROM c a JOIN c b
+          ON (a.c0 = b.c0 OR a.c1 = b.c1) AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, hamming FROM pairs
+      WHERE hamming <= 6 ORDER BY doc_a, doc_b"""
+    }),
+
+    "ngram_jaccard" -> Q((s, d) => Dedup.ngramJaccard(s, d), Some("""
+      WITH tok AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        FROM tok WHERE len(w) >= 3),
+      sig AS (SELECT doc_id, b.band,
+          min(md5(b.band || ':' || g)) AS sig
+        FROM sh, (SELECT unnest(range(0, 8)) AS band) b GROUP BY 1, 2),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          count(*) AS n_bands
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 4),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      inter AS (SELECT p.doc_a, p.doc_b, count(*) AS inter
+        FROM pairs p
+        JOIN sh a ON a.doc_id = p.doc_a
+        JOIN sh b ON b.doc_id = p.doc_b AND b.g = a.g
+        GROUP BY 1, 2)
+      SELECT p.doc_a, p.doc_b, p.n_bands, i.inter,
+        sa.n AS n_a, sb.n AS n_b,
+        CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jaccard
+      FROM pairs p
+      JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+      ORDER BY p.doc_a, p.doc_b""")),
+
+    "cosine_pairs" -> Q((s, d) => Similarity.cosinePairs(s, d), Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings)
+      SELECT a.vec_id AS a, b.vec_id AS b,
+        list_dot_product(a.emb, b.emb) /
+          (sqrt(list_dot_product(a.emb, a.emb)) *
+           sqrt(list_dot_product(b.emb, b.emb))) AS score
+      FROM e a, e b
+      WHERE a.vec_id < b.vec_id
+        AND list_dot_product(a.emb, b.emb) /
+          (sqrt(list_dot_product(a.emb, a.emb)) *
+           sqrt(list_dot_product(b.emb, b.emb))) > 0.4
+      ORDER BY a, b""")),
+
+    "token_counts" -> Q(TextAnalysis.tokenCounts, Some("""
+      WITH d AS (SELECT doc_id, text,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w,
+          regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]') AS b
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(w) AS INTEGER) AS ws_tokens,
+        CAST(len(b) AS INTEGER) AS bpe_tokens,
+        CAST(length(text) AS INTEGER) AS n_chars_text,
+        CAST(len(b) AS DOUBLE) / len(w) AS tokens_per_word
+      FROM d ORDER BY doc_id""")),
+
     "multimodal_media" -> Q(Multimodal.mediaFeatures, Some("""
       WITH m AS (SELECT doc_id AS media_id, lang, source, n_chars, text,
           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes

@@ -54,6 +54,82 @@ object Dedup {
       .select(col("doc_id"), col("h.band"), col("h.sig"))
   }
 
+  /** X3b — SimHash near-dup: 32-bit simhash over 3-gram shingle
+    * features (md5-derived bit hashes — deterministic in the DuckDB
+    * oracle), candidates bucketed on the two 16-bit chunks (a pair
+    * within hamming distance 1 per chunk region must agree on at least
+    * one chunk), exact hamming filter after.
+    *
+    * Scale shape: one groupBy(doc_id) with 32 map-side-combined sums
+    * builds the signatures; candidates come from TWO hash-joins (one
+    * per chunk — an OR join predicate would force a nested-loop plan),
+    * unioned + deduped. Never all-pairs. */
+  def simhashPairs(spark: SparkSession, dir: String,
+      hammingMax: Int = 6): DataFrame = {
+    val nBits = 32
+    val sh = t(spark, dir, "documents")
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles3(col("w")))).as("g"))
+      // 32-bit feature hash from the md5 hex prefix
+      .withColumn("h", conv(substring(md5(col("g")), 1, 8), 16, 10)
+        .cast("long"))
+    val bitSums = (0 until nBits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"s$j"))
+    val simhash = (0 until nBits).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a + b)
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
+      .withColumn("c0", col("simhash").bitwiseAND(lit(65535L)))
+      .withColumn("c1", shiftright(col("simhash"), 16).bitwiseAND(lit(65535L)))
+    def side(n: String) = sig.select(col("doc_id").as(n),
+      col("simhash").as(s"sh_$n"), col("c0").as(s"c0_$n"),
+      col("c1").as(s"c1_$n"))
+    val (a, b) = (side("doc_a"), side("doc_b"))
+    val byC0 = a.join(b, col("c0_doc_a") === col("c0_doc_b"))
+    val byC1 = a.join(b, col("c1_doc_a") === col("c1_doc_b"))
+    byC0.unionByName(byC1)
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_doc_a").bitwiseXOR(col("sh_doc_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= hammingMax)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** X3c — exact n-gram Jaccard over the MinHash candidate pairs:
+    * LSH bounds the candidate set, then the true 3-gram-set Jaccard is
+    * computed per candidate by joining the exploded shingle sets —
+    * integer intersection/union counts, so the double division is
+    * engine-exact. */
+  def ngramJaccard(spark: SparkSession, dir: String, nBands: Int = 8,
+      minBands: Int = 4): DataFrame = {
+    val sh = t(spark, dir, "documents")
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles3(col("w")))).as("g"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = nearDupPairs(spark, dir, nBands, minBands)
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs.join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_bands"), col("inter"),
+        col("n_a"), col("n_b"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Candidate near-duplicate pairs: distinct (a < b) doc pairs sharing
     * a band bucket, kept when they agree on ≥ minBands of the bands.
     *

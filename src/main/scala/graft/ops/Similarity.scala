@@ -111,6 +111,24 @@ object Similarity {
       .select("a", "b", "score")
   }
 
+  /** X4b — exhaustive embedding-cosine pair search above a threshold:
+    * the correctness baseline for embedding near-dup (the scale path is
+    * [[lshCandidates]], which trades recall for a bounded candidate
+    * set). Self cross-join bounded to a<b; each pair scored once by the
+    * codegen'd [[dot]] loop. */
+  def cosinePairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    a.crossJoin(b)
+      .filter(col("a") < col("b"))
+      .withColumn("score", cosine(col("ea"), col("eb")))
+      .filter(col("score") > threshold)
+      .select("a", "b", "score")
+      .orderBy("a", "b")
+  }
+
   /** X17 — per-label centroid via the custom Aggregator UDAF. Array
     * output + float-sum order nondeterminism ⇒ registered as a
     * rows-only check; exact values verified against a Scala

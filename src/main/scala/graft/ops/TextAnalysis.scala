@@ -70,6 +70,27 @@ object TextAnalysis {
         size(tokens(col("text"))).as("n_tokens"))
       .orderBy("doc_id")
 
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * segmentation (letter runs / single digits / punctuation runs — the
+    * pre-tokenizer shape BPE vocabularies start from). Both are pure
+    * per-row regex work; counts are integers so the ratio divides
+    * identically cross-engine. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val bpeish = regexp_extract_all(lower(col("text")),
+      lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))
+    t(spark, dir, "documents")
+      .withColumn("w", tokens(col("text")))
+      .withColumn("b", bpeish)
+      .select(
+        col("doc_id"),
+        size(col("w")).as("ws_tokens"),
+        size(col("b")).as("bpe_tokens"),
+        length(col("text")).as("n_chars_text"),
+        (size(col("b")).cast("double") / size(col("w")))
+          .as("tokens_per_word"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID heuristic (no oracle — verified in TextAnalysisSpec):
     * scores text against per-language marker-word lists and picks the
     * argmax, falling back to 'und'. A real pipeline would swap in
