@@ -111,6 +111,50 @@ object Similarity {
       .select("a", "b", "score")
   }
 
+  /** X4c — IVF-style ANN: coarse-quantize vectors into centroid cells,
+    * then search only the query's nProbe closest cells.
+    *
+    * The coarse codebook here is the per-label centroid set (computed
+    * by the [[CentroidAgg]] UDAF and collected — nCells×dim doubles, a
+    * broadcast-sized model). Candidate generation is an equi-join on
+    * the cell id (probed cells exploded on the query side), so the
+    * shuffle is keyed and bounded by cell population — the IVF shape
+    * used at 100 TB, where nProbe/nCells is the recall/cost knob.
+    * Correctness is anchored in SimilaritySpec: probing ALL cells must
+    * reproduce the brute-force top-k exactly. */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 8, nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val cells: Seq[(Int, Seq[Double])] = centroidByLabel(spark, dir)
+      .select("label", "centroid").as[(Int, Seq[Double])].collect().toSeq
+    def cellDots(e: Column) = cells.map { case (id, c) =>
+      struct(
+        aggregate(zip_with(e, typedLit(c), (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, v) => acc + v).as("score"),
+        lit(id).as("cell"))
+    }
+    val assignCell = greatest(cellDots(col("embedding")): _*).getField("cell")
+    val probes = slice(
+      array_sort(array(cellDots(col("q_emb")): _*)),
+      lit(cells.size - nProbe + 1), lit(nProbe))
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("cell", assignCell)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("cell", explode(transform(probes, p => p.getField("cell"))))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    queries.join(emb, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("score"),
+        col("rn").cast("int").as("rn"))
+      .orderBy("q_id", "rn")
+  }
+
   /** X4b — exhaustive embedding-cosine pair search above a threshold:
     * the correctness baseline for embedding near-dup (the scale path is
     * [[lshCandidates]], which trades recall for a bounded candidate

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.config.TableConfig
+import graft.lake.LakeLayout
+import graft.load.Strategies
+import graft.transform.Derive
+
+/** Streaming twin of the batch [[graft.pipeline.GenericLoader]]: a
+  * `readStream` CSV file source watches the inbound directory and each
+  * discovered file becomes a micro-batch applied to the curated zone
+  * under the config's load strategy via `foreachBatch`.
+  *
+  * `foreachBatch` is the right seam because the curated sink is a
+  * MERGE-style upsert — not an append-only sink — so each micro-batch
+  * reuses the exact batch merge ([[Strategies.writeCurated]]): the
+  * streaming and batch paths cannot drift. Checkpointing makes file
+  * discovery exactly-once; the merge itself is idempotent on
+  * `primary_key + dt` (MergePropsSpec), so retries are safe — the
+  * standard Spark recipe for upsert sinks without a table format.
+  *
+  * The filename→`dt` derivation uses the per-row input file name
+  * (`_metadata.file_path`), so one micro-batch may span several inbound
+  * files and still partition correctly. */
+object IngestStream {
+
+  def start(spark: SparkSession, watchDir: String, config: TableConfig,
+      layout: LakeLayout, sourceSystem: String, table: String,
+      checkpoint: String,
+      clock: Option[java.sql.Timestamp] = None,
+      actor: String = "graft-spark"): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val reader = spark.readStream
+      .option("header", true)
+      .option("delimiter", config.delimiter)
+    val raw = config.structType.fold(
+      // v1 all-string mode needs an explicit schema for streaming:
+      // infer once from the files already present
+      reader.schema(spark.read.option("header", true)
+        .option("delimiter", config.delimiter).csv(watchDir).schema))(
+      s => reader.schema(s))
+      .csv(watchDir)
+      .withColumn("__file", col("_metadata.file_path"))
+
+    val curatedPath = layout.curatedPath(sourceSystem, table)
+    raw.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val dts = batch.select("__file").distinct().collect()
+            .map(_.getString(0)).map(f => f -> Derive.dtFromFileName(f))
+            .toMap
+          val dtExpr = dts.foldLeft(lit(null).cast("string")) {
+            case (acc, (f, dt)) =>
+              when(col("__file") === f, lit(dt)).otherwise(acc)
+          }
+          val projected = Derive.project(
+            batch.withColumn("dt", dtExpr).drop("__file"),
+            config.selectColumns.map(_ :+ "dt"))
+          val curated = Derive.withAudit(projected, actor, clock)
+          Strategies.writeCurated(spark, curated, curatedPath,
+            config.curatedLoadStrategy, config.primaryKey,
+            config.sortColumns)
+        }
+      }
+      .start()
+  }
+}

@@ -48,6 +48,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low: LSH bucketing broken")
   }
 
+  test("IVF with all cells probed reproduces brute-force top-k exactly (X4c)") {
+    import spark.implicits._
+    val brute = Similarity.cosineTopK(spark, dir, k = 5, nQueries = 16)
+      .select("q_id", "vec_id", "rn").as[(Long, Long, Int)].collect().toSet
+    val ivfAll = Similarity.ivfTopK(spark, dir, k = 5, nQueries = 16,
+        nProbe = 10) // nProbe == nCells: no pruning, must match exactly
+      .select("q_id", "vec_id", "rn").as[(Long, Long, Int)].collect().toSet
+    assert(ivfAll == brute)
+    // pruned probing returns a subset ranking over candidate cells only
+    val ivf2 = Similarity.ivfTopK(spark, dir, k = 5, nQueries = 16,
+        nProbe = 2)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count { case (q, v, _) => ivf2((q, v)) }.toDouble /
+      brute.size
+    // embeddings are near-isotropic (weak label structure), so pruned
+    // recall is bounded by probed-cell mass; just sanity-check it's live
+    assert(ivf2.nonEmpty && recall > 0.0, s"recall=$recall")
+  }
+
   test("native FloatDot is bit-identical to the HOF fold (incl. null element)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

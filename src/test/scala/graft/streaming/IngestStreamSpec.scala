@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.config.TableConfig
+import graft.lake.LakeLayout
+import graft.load.Strategies
+import graft.ops.Ingest
+
+class IngestStreamSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def fixture(name: String) = Paths.get(
+    s"${Ingest.FixtureDir}/inbound/sap/customers/$name")
+
+  test("streaming upsert ingest: files landed in sequence merge like batch") {
+    val base = Files.createTempDirectory("graft-ingest-stream").toString
+    val watch = s"$base/inbound"
+    Files.createDirectories(Paths.get(watch))
+    val layout = LakeLayout(s"$base/landing", s"$base/config", s"$base/curated")
+    val cfg = TableConfig.fromFile(
+      s"${Ingest.FixtureDir}/config/sap/customers_upsert/customers_upsert_config.json")
+
+    // first file must exist before start (schema + first batch)
+    Files.copy(fixture("customers_20240628.csv"),
+      Paths.get(s"$watch/customers_20240628.csv"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val q = IngestStream.start(spark, watch, cfg, layout, "sap", "customers",
+      s"$base/ckpt", clock = Some(Ingest.Clock))
+    try {
+      q.processAllAvailable()
+      val afterFirst = Strategies.readCurated(spark,
+        layout.curatedPath("sap", "customers"))
+      assert(afterFirst.count() == 20)
+
+      // corrections batch lands while the stream runs: same dt, merge
+      Files.copy(fixture("customers_r2_20240628.csv"),
+        Paths.get(s"$watch/customers_r2_20240628.csv"))
+      q.processAllAvailable()
+      val merged = Strategies.readCurated(spark,
+        layout.curatedPath("sap", "customers"))
+      assert(merged.count() == 25) // 10 kept + 10 updated + 5 inserted
+      import spark.implicits._
+      val id11 = merged.filter(org.apache.spark.sql.functions.col("id") === 11)
+        .select("name").as[String].head()
+      assert(id11 == "Cust 11 r2") // updated row won
+
+      // new-dt batch: all inserted (merge key includes dt)
+      Files.copy(fixture("customers_20240629.csv"),
+        Paths.get(s"$watch/customers_20240629.csv"))
+      q.processAllAvailable()
+      val fin = Strategies.readCurated(spark,
+        layout.curatedPath("sap", "customers"))
+      assert(fin.count() == 35)
+      assert(fin.select("dt").distinct().count() == 2)
+    } finally q.stop()
+  }
+}
