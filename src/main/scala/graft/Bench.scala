@@ -25,23 +25,26 @@ object Bench {
       try { fns(n)(spark, sfDir).count(); None }
       catch { case e: Throwable => Some(n -> e.toString.take(300)) }
     }.toMap
+    val timedErr = scala.collection.mutable.Map.empty[String, String]
     val results = names.map { n =>
       if (warmupErr.contains(n)) n -> -1.0
       else {
         val t0 = System.nanoTime()
         try { fns(n)(spark, sfDir).count(); n -> (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => n -> -1.0 }
+        catch { case e: Throwable =>
+          timedErr(n) = e.toString.take(300); n -> -1.0 }
       }
     }
+    val allErr = warmupErr ++ timedErr
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val errs = warmupErr.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+    val errs = allErr.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${warmupErr.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${allErr.size},"sf":"$sfDir"}""")
     spark.stop()
-    if (warmupErr.nonEmpty) sys.exit(1)
+    if (allErr.nonEmpty) sys.exit(1)
   }
 }

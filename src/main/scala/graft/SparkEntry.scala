@@ -283,11 +283,11 @@ object SparkEntry {
         CAST(len(w) AS INTEGER) AS n_tokens,
         CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
           AS n_token_chars,
-        CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+        CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / NULLIF(len(w), 0)
           AS avg_token_len,
         CAST(len(list_filter(w, x -> list_contains(
-          ['the','a','of','and','to'], x))) AS DOUBLE) / len(w) AS stop_ratio,
-        CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS uniq_ratio
+          ['the','a','of','and','to'], x))) AS DOUBLE) / NULLIF(len(w), 0) AS stop_ratio,
+        CAST(len(list_distinct(w)) AS DOUBLE) / NULLIF(len(w), 0) AS uniq_ratio
       FROM d ORDER BY doc_id""")),
 
     "lang_stats" -> Q(TextAnalysis.langStats, Some("""
@@ -306,7 +306,8 @@ object SparkEntry {
         CAST(len(w) AS INTEGER) AS n_tokens
       FROM d ORDER BY doc_id""")),
 
-    "neardup_minhash" -> Q((s, d) => Dedup.nearDupPairs(s, d), Some("""
+    "neardup_minhash" -> Q(
+      (s, d) => Dedup.nearDupPairs(s, d).orderBy("doc_a", "doc_b"), Some("""
       WITH tok AS (SELECT doc_id,
           list_filter(string_split_regex(lower(text), '\s+'),
             x -> x <> '') AS w
@@ -333,6 +334,10 @@ object SparkEntry {
       val bits = (0 until 32).map(j =>
         s"(CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)")
         .mkString(" + ")
+      // four 8-bit chunks: pigeonhole-complete for hamming <= 3
+      val chunkCond = (0 until 4).map(c =>
+        s"((a.simhash >> ${c * 8}) & 255) = ((b.simhash >> ${c * 8}) & 255)")
+        .mkString(" OR ")
       s"""
       WITH tok AS (SELECT doc_id,
           list_filter(string_split_regex(lower(text), '\\s+'),
@@ -346,15 +351,13 @@ object SparkEntry {
           CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) AS h FROM sh0),
       s AS (SELECT doc_id, $sums FROM h GROUP BY 1),
       sig AS (SELECT doc_id, $bits AS simhash FROM s),
-      c AS (SELECT doc_id, simhash, simhash & 65535 AS c0,
-          (simhash >> 16) & 65535 AS c1 FROM sig),
       pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
           CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) AS INTEGER)
             AS hamming
-        FROM c a JOIN c b
-          ON (a.c0 = b.c0 OR a.c1 = b.c1) AND a.doc_id < b.doc_id)
+        FROM sig a JOIN sig b
+          ON ($chunkCond) AND a.doc_id < b.doc_id)
       SELECT doc_a, doc_b, hamming FROM pairs
-      WHERE hamming <= 6 ORDER BY doc_a, doc_b"""
+      WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
     }),
 
     "ngram_jaccard" -> Q((s, d) => Dedup.ngramJaccard(s, d), Some("""
@@ -413,7 +416,7 @@ object SparkEntry {
         CAST(len(w) AS INTEGER) AS ws_tokens,
         CAST(len(b) AS INTEGER) AS bpe_tokens,
         CAST(length(text) AS INTEGER) AS n_chars_text,
-        CAST(len(b) AS DOUBLE) / len(w) AS tokens_per_word
+        CAST(len(b) AS DOUBLE) / NULLIF(len(w), 0) AS tokens_per_word
       FROM d ORDER BY doc_id""")),
 
     "multimodal_media" -> Q(Multimodal.mediaFeatures, Some("""

@@ -112,26 +112,32 @@ object Strategies {
         src.select(keys.map(col): _*), keys, "left_anti")
       val merged = kept.unionByName(src.select(target.columns.map(col): _*))
 
-      // Staged atomic swap: write the merged slice next to the table,
-      // then rename each touched dt dir into place. The live table is
-      // never read and overwritten in the same job.
-      val stage =
-        path + "__stage_" + java.util.UUID.randomUUID().toString.take(8)
+      // Staged swap: write the merged slice next to the table, move each
+      // live dt dir ASIDE (never deleted first), move the staged dir
+      // into place, and only then clean up. If any rename fails, both
+      // the staged copy and the moved-aside live copy survive on disk
+      // for recovery — no code path can destroy the only copy of a
+      // partition. Backup dirs live OUTSIDE the table path so a crashed
+      // run's leftovers are never picked up as partitions by readers.
+      val runId = java.util.UUID.randomUUID().toString.take(8)
+      val stage = path + "__stage_" + runId
+      val bak = path + "__bak_" + runId
       merged.write.mode("overwrite").partitionBy("dt").parquet(stage)
       val fs = new Path(path).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
-      try {
-        touchedDts.foreach { dt =>
-          val live = new Path(s"$path/dt=$dt")
-          val staged = new Path(s"$stage/dt=$dt")
-          if (fs.exists(live)) fs.delete(live, true)
-          if (fs.exists(staged)) {
-            if (!fs.rename(staged, live))
-              throw new java.io.IOException(
-                s"Failed to move staged partition $staged -> $live")
-          }
-        }
-      } finally fs.delete(new Path(stage), true)
+      def mv(from: Path, to: Path): Unit =
+        if (!fs.rename(from, to))
+          throw new java.io.IOException(s"Failed to rename $from -> $to")
+      fs.mkdirs(new Path(bak))
+      touchedDts.foreach { dt =>
+        val live = new Path(s"$path/dt=$dt")
+        val staged = new Path(s"$stage/dt=$dt")
+        if (fs.exists(live)) mv(live, new Path(s"$bak/dt=$dt"))
+        if (fs.exists(staged)) mv(staged, live)
+      }
+      // all partitions swapped — safe to drop both scratch dirs
+      fs.delete(new Path(stage), true)
+      fs.delete(new Path(bak), true)
     } finally src.unpersist()
   }
 

@@ -56,17 +56,23 @@ object Dedup {
 
   /** X3b — SimHash near-dup: 32-bit simhash over 3-gram shingle
     * features (md5-derived bit hashes — deterministic in the DuckDB
-    * oracle), candidates bucketed on the two 16-bit chunks (a pair
-    * within hamming distance 1 per chunk region must agree on at least
-    * one chunk), exact hamming filter after.
+    * oracle), candidates bucketed on FOUR 8-bit chunks, exact hamming
+    * filter after. Pigeonhole guarantee: a pair within hamming ≤ 3
+    * differs in at most 3 of the 4 chunk regions, so it must agree on
+    * at least one chunk and is always surfaced — chunk count must
+    * exceed hammingMax for full recall.
     *
     * Scale shape: one groupBy(doc_id) with 32 map-side-combined sums
-    * builds the signatures; candidates come from TWO hash-joins (one
+    * builds the signatures; candidates come from four hash-joins (one
     * per chunk — an OR join predicate would force a nested-loop plan),
-    * unioned + deduped. Never all-pairs. */
+    * unioned, deduped on (pair, signatures), and scored once. Never
+    * all-pairs. */
   def simhashPairs(spark: SparkSession, dir: String,
-      hammingMax: Int = 6): DataFrame = {
+      hammingMax: Int = 3): DataFrame = {
     val nBits = 32
+    val nChunks = 4 // must be > hammingMax for the recall guarantee
+    require(hammingMax < nChunks,
+      s"hammingMax=$hammingMax needs more than $nChunks chunks for full recall")
     val sh = t(spark, dir, "documents")
       .withColumn("w", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"),
@@ -80,22 +86,26 @@ object Dedup {
     val simhash = (0 until nBits).map(j =>
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce((a, b) => a + b)
+    val chunkBits = nBits / nChunks
+    val mask = (1L << chunkBits) - 1
     val sig = sh.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), simhash.as("simhash"))
-      .withColumn("c0", col("simhash").bitwiseAND(lit(65535L)))
-      .withColumn("c1", shiftright(col("simhash"), 16).bitwiseAND(lit(65535L)))
     def side(n: String) = sig.select(col("doc_id").as(n),
-      col("simhash").as(s"sh_$n"), col("c0").as(s"c0_$n"),
-      col("c1").as(s"c1_$n"))
+      col("simhash").as(s"sh_$n"))
     val (a, b) = (side("doc_a"), side("doc_b"))
-    val byC0 = a.join(b, col("c0_doc_a") === col("c0_doc_b"))
-    val byC1 = a.join(b, col("c1_doc_a") === col("c1_doc_b"))
-    byC0.unionByName(byC1)
+    val byChunk = (0 until nChunks).map { c =>
+      a.join(b,
+        shiftright(col("sh_doc_a"), c * chunkBits).bitwiseAND(lit(mask)) ===
+          shiftright(col("sh_doc_b"), c * chunkBits).bitwiseAND(lit(mask)))
+    }
+    byChunk.reduce(_.unionByName(_))
       .filter(col("doc_a") < col("doc_b"))
+      // dedup pairs surfaced by several chunks BEFORE scoring
+      .select(col("doc_a"), col("doc_b"), col("sh_doc_a"), col("sh_doc_b"))
+      .distinct()
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sh_doc_a").bitwiseXOR(col("sh_doc_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= hammingMax)
       .orderBy("doc_a", "doc_b")
   }
@@ -157,6 +167,8 @@ object Dedup {
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
       .filter(col("n_bands") >= minBands)
-      .orderBy("doc_a", "doc_b")
+    // NOTE: no orderBy here — this is a reusable pair generator
+    // (ngramJaccard feeds it into joins); the registered query adds the
+    // deterministic ordering at the output boundary.
   }
 }

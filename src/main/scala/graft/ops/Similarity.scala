@@ -72,11 +72,14 @@ object Similarity {
     * by bucket size — never all-pairs. Recall vs [[cosineTopK]] is
     * asserted in SimilaritySpec; nBits (bucket granularity) × nTables
     * (recall) is the cost/recall knob. */
-  def signature(e: Column, dim: Int, nBits: Int, table: Int = 0): Column = {
+  def signature(e: Column, nBits: Int, table: Int = 0): Column = {
     val bits = (0 until nBits).map { j =>
-      // projection_j = Σ_i coef(table,j,i) · e[i], coef in [-0.5, 0.5)
+      // projection_j = Σ_i coef(table,j,i) · e[i], coef in [-0.5, 0.5).
+      // The index sequence is sized from the row's own array, so any
+      // embedding dimension works (a hardcoded dim would silently
+      // truncate longer vectors or null-pad shorter ones into bucket 0).
       val proj = aggregate(
-        zip_with(e, sequence(lit(0), lit(dim - 1)), (x, i) =>
+        zip_with(e, sequence(lit(0), size(e) - 1), (x, i) =>
           x.cast("double") *
             ((pmod(xxhash64(lit(table), lit(j), i), lit(1000000L))
               .cast("double") / 1000000.0) - 0.5)),
@@ -94,7 +97,7 @@ object Similarity {
     val buckets = emb.select(col("vec_id"), col("embedding"),
       explode(array((0 until nTables).map(tb =>
         struct(lit(tb).as("tb"),
-          signature(col("embedding"), 64, nBits, tb).as("bucket"))): _*))
+          signature(col("embedding"), nBits, tb).as("bucket"))): _*))
         .as("h"))
       .select(col("h.tb"), col("h.bucket"), col("vec_id"),
         col("embedding"))
@@ -127,6 +130,10 @@ object Similarity {
     import spark.implicits._
     val cells: Seq[(Int, Seq[Double])] = centroidByLabel(spark, dir)
       .select("label", "centroid").as[(Int, Seq[Double])].collect().toSeq
+    // nProbe beyond the cell count would make the probe slice start at
+    // <=0 (error, or Spark's from-the-end semantics silently probing
+    // ONE cell); clamp to "probe everything".
+    val probeN = math.min(nProbe, cells.size)
     def cellDots(e: Column) = cells.map { case (id, c) =>
       struct(
         aggregate(zip_with(e, typedLit(c), (x, w) => x.cast("double") * w),
@@ -136,7 +143,7 @@ object Similarity {
     val assignCell = greatest(cellDots(col("embedding")): _*).getField("cell")
     val probes = slice(
       array_sort(array(cellDots(col("q_emb")): _*)),
-      lit(cells.size - nProbe + 1), lit(nProbe))
+      lit(cells.size - probeN + 1), lit(probeN))
     val emb = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .withColumn("cell", assignCell)

@@ -32,6 +32,10 @@ object TextAnalysis {
     * folds, so doubles divide identically in both engines. */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
+    // Token-less docs: nullify the denominator so ratios are NULL in
+    // BOTH engines (Spark's x/0 is NULL but DuckDB's is inf/nan — an
+    // unguarded division diverges cross-engine on empty text).
+    val denom = nullif(size(col("w")), lit(0))
     t(spark, dir, "documents")
       .withColumn("w", toks)
       .select(
@@ -40,10 +44,10 @@ object TextAnalysis {
         aggregate(transform(col("w"), w => length(w)), lit(0), _ + _)
           .cast("long").as("n_token_chars"),
         (aggregate(transform(col("w"), w => length(w)), lit(0), _ + _)
-          .cast("double") / size(col("w"))).as("avg_token_len"),
+          .cast("double") / denom).as("avg_token_len"),
         (size(filter(col("w"), w => w.isInCollection(StopWords)))
-          .cast("double") / size(col("w"))).as("stop_ratio"),
-        (size(array_distinct(col("w"))).cast("double") / size(col("w")))
+          .cast("double") / denom).as("stop_ratio"),
+        (size(array_distinct(col("w"))).cast("double") / denom)
           .as("uniq_ratio"))
       .orderBy("doc_id")
   }
@@ -86,7 +90,7 @@ object TextAnalysis {
         size(col("w")).as("ws_tokens"),
         size(col("b")).as("bpe_tokens"),
         length(col("text")).as("n_chars_text"),
-        (size(col("b")).cast("double") / size(col("w")))
+        (size(col("b")).cast("double") / nullif(size(col("w")), lit(0)))
           .as("tokens_per_word"))
       .orderBy("doc_id")
   }

@@ -98,6 +98,17 @@ class StrategiesSpec extends AnyFunSuite {
     assert(!Strategies.tableExists(spark, p))
   }
 
+  test("upsert cleans its stage and backup scratch dirs after the swap") {
+    val p = tmp()
+    Strategies.writeCurated(spark, df((1, "a", "d1")), p, "upsert", Seq("id"))
+    Strategies.writeCurated(spark, df((1, "A", "d1")), p, "upsert", Seq("id"))
+    val parent = new java.io.File(p).getParentFile
+    val stray = parent.listFiles().map(_.getName)
+      .filter(n => n.contains("__stage_") || n.contains("__bak_"))
+    assert(stray.isEmpty, s"leftover scratch dirs: ${stray.mkString(",")}")
+    assert(contents(p) == Set((1, "A", "d1")))
+  }
+
   test("landing append is unpartitioned and raw (W4)") {
     val p = tmp()
     Strategies.writeLanding(Seq((1, "a")).toDF("id", "v"), p, "append")

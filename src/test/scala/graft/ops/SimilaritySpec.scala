@@ -94,7 +94,7 @@ class SimilaritySpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     def sigs(table: Int) = graft.util.Tables.t(spark, dir, "embeddings")
       .select(col("vec_id"),
-        Similarity.signature(col("embedding"), 64, 12, table).as("sig"))
+        Similarity.signature(col("embedding"), 12, table).as("sig"))
       .as[(Long, Long)].collect().toMap
     assert(sigs(0) == sigs(0))
     assert(sigs(0) != sigs(1)) // different table -> different planes

@@ -11,8 +11,12 @@ object IvfDemo {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val pruned = graft.ops.Similarity.ivfTopK(spark, dir, k = 5, nQueries = 8, nProbe = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nProbe far beyond the cell count: must clamp to probe-everything
+    val over = graft.ops.Similarity.ivfTopK(spark, dir, k = 5, nQueries = 8, nProbe = 99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     println(s"IVF_FULL_EXACT=${full == brute} (${full.size} results)")
-    println(f"IVF_PRUNED recall=${brute.count(pruned.contains).toDouble / brute.size}%.2f candidates_scored<=3/10 cells")
+    println(s"IVF_OVERPROBE_EXACT=${over == brute}")
+    println(f"IVF_PRUNED recall=${brute.count(pruned.contains).toDouble / brute.size}%.2f")
     spark.stop()
   }
 }
