@@ -119,26 +119,68 @@ object Strategies {
       // for recovery — no code path can destroy the only copy of a
       // partition. Backup dirs live OUTSIDE the table path so a crashed
       // run's leftovers are never picked up as partitions by readers.
-      val runId = java.util.UUID.randomUUID().toString.take(8)
-      val stage = path + "__stage_" + runId
-      val bak = path + "__bak_" + runId
-      merged.write.mode("overwrite").partitionBy("dt").parquet(stage)
-      val fs = new Path(path).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      def mv(from: Path, to: Path): Unit =
-        if (!fs.rename(from, to))
-          throw new java.io.IOException(s"Failed to rename $from -> $to")
-      fs.mkdirs(new Path(bak))
-      touchedDts.foreach { dt =>
-        val live = new Path(s"$path/dt=$dt")
-        val staged = new Path(s"$stage/dt=$dt")
-        if (fs.exists(live)) mv(live, new Path(s"$bak/dt=$dt"))
-        if (fs.exists(staged)) mv(staged, live)
-      }
-      // all partitions swapped — safe to drop both scratch dirs
-      fs.delete(new Path(stage), true)
-      fs.delete(new Path(bak), true)
+      stagedPartitionSwap(spark, merged, path, touchedDts)
     } finally src.unpersist()
+  }
+
+  /** Write `df` (which must carry `dt`) to a staging dir, then swap the
+    * given dt partitions into the live table: live dirs are moved ASIDE
+    * (to a backup dir outside the table path) before staged dirs move
+    * in, and scratch is deleted only after every rename succeeds — a
+    * failed rename leaves both copies on disk for recovery; no code
+    * path can destroy the only copy of a partition. */
+  private def stagedPartitionSwap(spark: SparkSession, df: DataFrame,
+      path: String, dts: Seq[String]): Unit = {
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val stage = path + "__stage_" + runId
+    val bak = path + "__bak_" + runId
+    df.write.mode("overwrite").partitionBy("dt").parquet(stage)
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def mv(from: Path, to: Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"Failed to rename $from -> $to")
+    fs.mkdirs(new Path(bak))
+    dts.foreach { dt =>
+      val live = new Path(s"$path/dt=$dt")
+      val staged = new Path(s"$stage/dt=$dt")
+      if (fs.exists(live)) mv(live, new Path(s"$bak/dt=$dt"))
+      if (fs.exists(staged)) mv(staged, live)
+    }
+    // all partitions swapped — safe to drop both scratch dirs
+    fs.delete(new Path(stage), true)
+    fs.delete(new Path(bak), true)
+  }
+
+  /** Small-file compaction for a curated table: rewrite each (or a
+    * subset of) dt partition(s) into ~targetBytes output files via the
+    * same staged atomic swap the merge uses. The append strategy
+    * produces one file set per batch, so a hot partition accumulates
+    * tiny files until scan overhead dominates — compaction restores
+    * scan efficiency without changing contents. At 100 TB this runs
+    * per-partition (only listed dts are touched) and is safe to
+    * schedule online: readers see either the old or the new file set.
+    */
+  def compact(spark: SparkSession, path: String,
+      dts: Seq[String] = Nil,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    ensureConf(spark)
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val targets =
+      if (dts.nonEmpty) dts
+      else fs.listStatus(new Path(path)).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("dt="))
+        .map(_.getPath.getName.stripPrefix("dt="))
+    targets.foreach { dt =>
+      val part = new Path(s"$path/dt=$dt")
+      val bytes = fs.getContentSummary(part).getLength
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      val df = spark.read.parquet(part.toString)
+        .withColumn("dt", org.apache.spark.sql.functions.lit(dt))
+        .repartition(nFiles)
+      stagedPartitionSwap(spark, df, path, Seq(dt))
+    }
   }
 
   /** Read a curated table back (partition inference disabled so `dt`

@@ -76,6 +76,43 @@ object GenericLoader {
   }
 }
 
+/** Backfill entry: replay every inbound file for one table in filename
+  * order through the loader — the catch-up companion to the
+  * event-per-file dispatcher (each reference invocation handles exactly
+  * one landed object; after an outage the backlog needs a driver).
+  * Usage: `BackfillMain <inbound_dir> <source_system> <table>` with the
+  * same env contract as IngestMain. */
+object BackfillMain {
+  def main(args: Array[String]): Unit = {
+    if (args.length != 3) {
+      System.err.println(
+        "Usage: BackfillMain <inbound_dir> <source_system> <table_name>")
+      sys.exit(1)
+    }
+    val Array(inboundDir, sourceSystem, table) = args
+    val layout = LakeLayout.fromEnv()
+    val config = TableConfig.fromFile(layout.configPath(sourceSystem, table))
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(inboundDir))
+      .toArray.map(_.toString).sorted
+      .filter(f => f.endsWith(".csv") || f.endsWith(".csv.gz"))
+    if (files.isEmpty) {
+      System.err.println(s"No CSV files under $inboundDir")
+      sys.exit(1)
+    }
+    val builder = SparkSession.builder()
+      .appName("graft-backfill")
+      .config("spark.sql.session.timeZone", "UTC")
+    val spark = (if (sys.props.contains("spark.master")) builder
+      else builder.master(
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
+      .getOrCreate()
+    try files.foreach { f =>
+      GenericLoader.run(spark,
+        GenericLoader.LoadRun(f, sourceSystem, table, config, layout))
+    } finally spark.stop()
+  }
+}
+
 /** E3/E4 — the 4-argument entry contract of the reference's dispatcher
   * (`spark-submit load_script.py <inbound_folder> <source_system>
   * <table_name> <file_path>`, /root/reference/FInal/script.sh:78), with

@@ -109,6 +109,24 @@ class StrategiesSpec extends AnyFunSuite {
     assert(contents(p) == Set((1, "A", "d1")))
   }
 
+  test("compaction shrinks file count without changing contents") {
+    val p = tmp()
+    // 6 tiny appends -> many small files in dt=d1
+    (1 to 6).foreach(i =>
+      Strategies.writeCurated(spark, df((i, s"v$i", "d1")), p, "append", Nil))
+    val before = contents(p)
+    def nFiles = new java.io.File(s"$p/dt=d1").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 6)
+    Strategies.compact(spark, p)
+    assert(nFiles == 1, s"expected 1 file after compaction, got $nFiles")
+    assert(contents(p) == before)
+    // scratch cleaned
+    val stray = new java.io.File(p).getParentFile.listFiles().map(_.getName)
+      .filter(n => n.contains("__stage_") || n.contains("__bak_"))
+    assert(stray.isEmpty)
+  }
+
   test("landing append is unpartitioned and raw (W4)") {
     val p = tmp()
     Strategies.writeLanding(Seq((1, "a")).toDF("id", "v"), p, "append")
