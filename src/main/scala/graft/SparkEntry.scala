@@ -327,6 +327,61 @@ object SparkEntry {
       SELECT doc_a, doc_b, n_bands FROM pairs
       WHERE n_bands >= 4 ORDER BY doc_a, doc_b""")),
 
+    "funnel" -> Q(Analytics.funnel, Some("""
+      WITH e AS (
+        SELECT user_id, event_id, ts, event_type,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+      s AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+            OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+          THEN 1 ELSE 0 END AS new_sess FROM e),
+      g AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM s),
+      f AS (
+        SELECT user_id, sess_id,
+          min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+          min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+          min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+            AS t_purchase
+        FROM g GROUP BY 1, 2)
+      SELECT count(*) AS n_sessions,
+        count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+        count(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+        count(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END)
+          AS n_view_click_purchase
+      FROM f""")),
+
+    "clean_corpus" -> Q((s, d) => TextAnalysis.cleanCorpus(s, d), Some("""
+      WITH d AS (SELECT doc_id, lang, source,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      q AS (SELECT doc_id, lang, source,
+          CAST(len(w) AS INTEGER) AS n_tokens,
+          CAST(len(list_distinct(w)) AS DOUBLE) / NULLIF(len(w), 0)
+            AS uniq_ratio
+        FROM d
+        WHERE len(w) >= 20
+          AND CAST(len(list_distinct(w)) AS DOUBLE) / NULLIF(len(w), 0)
+            >= 0.35),
+      sh AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        FROM d WHERE len(w) >= 3),
+      sig AS (SELECT doc_id, b.band,
+          min(md5(b.band || ':' || g)) AS sig
+        FROM sh, (SELECT unnest(range(0, 8)) AS band) b GROUP BY 1, 2),
+      dup AS (SELECT DISTINCT b.doc_id FROM sig a JOIN sig b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 4)
+      SELECT doc_id, lang, source, n_tokens, uniq_ratio
+      FROM q ANTI JOIN dup USING (doc_id)
+      ORDER BY doc_id""")),
+
     "simhash_pairs" -> Q((s, d) => Dedup.simhashPairs(s, d), Some {
       val sums = (0 until 32).map(j =>
         s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")

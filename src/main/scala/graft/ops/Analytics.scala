@@ -331,6 +331,45 @@ object Analytics {
         max(col("k_tuple").cast("int")).as("max_k"))
       .orderBy("event_type")
 
+  /** X9b — sessionized conversion funnel: per user session (30-minute
+    * gap), did a `view` precede a `click`, and did that `click` precede
+    * a `purchase`? One shuffle on user_id for the sessionization window
+    * (shared with sessionWindow), then a per-session min-timestamp
+    * comparison — the standard ordered-funnel formulation that avoids
+    * self-joins entirely. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    val sessions = t(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs,
+          lit(1)).otherwise(lit(0)))
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    def firstTs(tpe: String) =
+      min(when(col("event_type") === tpe, unix_micros(col("ts"))))
+    val perSession = sessions
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(firstTs("view").as("t_view"),
+        firstTs("click").as("t_click"),
+        firstTs("purchase").as("t_purchase"))
+      .select(
+        col("user_id"), col("sess_id"),
+        col("t_view").isNotNull.as("has_view"),
+        (col("t_click") > col("t_view")).as("clicked_after_view"),
+        (col("t_purchase") > col("t_click")).as("purchased_after_click"))
+    perSession
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        count(when(col("has_view"), 1)).as("n_view"),
+        count(when(col("clicked_after_view"), 1)).as("n_view_click"),
+        count(when(col("clicked_after_view") &&
+          col("purchased_after_click"), 1)).as("n_view_click_purchase"))
+  }
+
   /** X15 — date/string/math scalar suite over orders. */
   def scalarSuite(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")

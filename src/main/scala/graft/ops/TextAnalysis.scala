@@ -95,6 +95,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** End-to-end corpus cleaning — the composed training-data pipeline:
+    * quality gate (token count, distinct-token ratio) then near-dup
+    * removal over the survivors using the MinHash candidates with a
+    * deterministic keep-lowest-doc_id policy (any doc appearing as the
+    * higher id of a near-dup pair is dropped; no transitive clustering
+    * needed for determinism). Returns the surviving corpus with its
+    * quality features — what a 100 TB cleaning job would write back.
+    * Each stage is the already-verified operator; this query pins their
+    * composition. */
+  def cleanCorpus(spark: SparkSession, dir: String, minTokens: Int = 20,
+      minUniqRatio: Double = 0.35): DataFrame = {
+    val quality = textQuality(spark, dir)
+      .filter(col("n_tokens") >= minTokens &&
+        col("uniq_ratio") >= minUniqRatio)
+    val dupBs = Dedup.nearDupPairs(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    quality
+      .join(dupBs, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_tokens", "uniq_ratio")
+      .orderBy("doc_id")
+  }
+
   /** Language-ID heuristic (no oracle — verified in TextAnalysisSpec):
     * scores text against per-language marker-word lists and picks the
     * argmax, falling back to 'und'. A real pipeline would swap in
