@@ -375,9 +375,14 @@ object SparkEntry {
       sig AS (SELECT doc_id, b.band,
           min(md5(b.band || ':' || g)) AS sig
         FROM sh, (SELECT unnest(range(0, 8)) AS band) b GROUP BY 1, 2),
-      dup AS (SELECT DISTINCT b.doc_id FROM sig a JOIN sig b
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a
+          JOIN sig b
           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 4)
+        GROUP BY 1, 2 HAVING count(*) >= 4),
+      -- drop doc_b only when BOTH ends survived the quality gate
+      dup AS (SELECT DISTINCT p.doc_b AS doc_id FROM pairs p
+        JOIN q qa ON qa.doc_id = p.doc_a
+        JOIN q qb ON qb.doc_id = p.doc_b)
       SELECT doc_id, lang, source, n_tokens, uniq_ratio
       FROM q ANTI JOIN dup USING (doc_id)
       ORDER BY doc_id""")),

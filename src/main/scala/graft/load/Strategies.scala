@@ -123,12 +123,22 @@ object Strategies {
     } finally src.unpersist()
   }
 
+  /** Hive-style escaping of a partition VALUE as it appears in the
+    * directory name — paths must be built from the escaped form or a dt
+    * containing ':', '%', '=' etc. would address a dir Spark never
+    * wrote (delegates to Spark's own escaper so the two can't drift). */
+  private def escDt(dt: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(dt)
+
   /** Write `df` (which must carry `dt`) to a staging dir, then swap the
     * given dt partitions into the live table: live dirs are moved ASIDE
     * (to a backup dir outside the table path) before staged dirs move
-    * in, and scratch is deleted only after every rename succeeds — a
-    * failed rename leaves both copies on disk for recovery; no code
-    * path can destroy the only copy of a partition. */
+    * in, and scratch is deleted only after every rename AND a
+    * swapped-in existence check succeed — a failure leaves both copies
+    * on disk for recovery; no code path can destroy the only copy of a
+    * partition. `dts` are RAW partition values; paths use the
+    * Hive-escaped form Spark writes. */
   private def stagedPartitionSwap(spark: SparkSession, df: DataFrame,
       path: String, dts: Seq[String]): Unit = {
     val runId = java.util.UUID.randomUUID().toString.take(8)
@@ -142,10 +152,23 @@ object Strategies {
         throw new java.io.IOException(s"Failed to rename $from -> $to")
     fs.mkdirs(new Path(bak))
     dts.foreach { dt =>
-      val live = new Path(s"$path/dt=$dt")
-      val staged = new Path(s"$stage/dt=$dt")
-      if (fs.exists(live)) mv(live, new Path(s"$bak/dt=$dt"))
-      if (fs.exists(staged)) mv(staged, live)
+      val dirName = s"dt=${escDt(dt)}"
+      val live = new Path(s"$path/$dirName")
+      val staged = new Path(s"$stage/$dirName")
+      val hasLive = fs.exists(live)
+      val hasStaged = fs.exists(staged)
+      if (!hasStaged) {
+        // The staged write produced no dir for this dt. If live data
+        // exists, moving it aside then deleting scratch would destroy
+        // it (e.g. an escaping mismatch) — refuse loudly. With no live
+        // data either, there is simply nothing to swap.
+        if (hasLive) throw new java.io.IOException(
+          s"Staged output missing partition dir $dirName under $stage; " +
+            s"aborting swap to protect $live")
+      } else {
+        if (hasLive) mv(live, new Path(s"$bak/$dirName"))
+        mv(staged, live)
+      }
     }
     // all partitions swapped — safe to drop both scratch dirs
     fs.delete(new Path(stage), true)
@@ -157,10 +180,18 @@ object Strategies {
     * same staged atomic swap the merge uses. The append strategy
     * produces one file set per batch, so a hot partition accumulates
     * tiny files until scan overhead dominates — compaction restores
-    * scan efficiency without changing contents. At 100 TB this runs
-    * per-partition (only listed dts are touched) and is safe to
-    * schedule online: readers see either the old or the new file set.
-    */
+    * scan efficiency without changing contents.
+    *
+    * Concurrency contract: requires NO concurrent writer to the
+    * partitions being compacted (rows appended between the snapshot
+    * read and the swap would be lost with the old file set) — schedule
+    * it in the ingest cadence's gaps, per partition. Readers see the
+    * old file set, then the new one, with a brief absence window during
+    * the two renames; retry-on-missing readers (normal at this layer
+    * without a table format) are unaffected.
+    *
+    * `dts` takes RAW partition values; directory listing unescapes
+    * Hive-encoded names so escapable dt values round-trip. */
   def compact(spark: SparkSession, path: String,
       dts: Seq[String] = Nil,
       targetBytes: Long = 128L * 1024 * 1024): Unit = {
@@ -171,9 +202,10 @@ object Strategies {
       if (dts.nonEmpty) dts
       else fs.listStatus(new Path(path)).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("dt="))
-        .map(_.getPath.getName.stripPrefix("dt="))
+        .map(s => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(s.getPath.getName.stripPrefix("dt=")))
     targets.foreach { dt =>
-      val part = new Path(s"$path/dt=$dt")
+      val part = new Path(s"$path/dt=${escDt(dt)}")
       val bytes = fs.getContentSummary(part).getLength
       val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
       val df = spark.read.parquet(part.toString)

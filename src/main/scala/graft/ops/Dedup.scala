@@ -72,7 +72,7 @@ object Dedup {
     val nBits = 32
     val nChunks = 4 // must be > hammingMax for the recall guarantee
     require(hammingMax < nChunks,
-      s"hammingMax=$hammingMax needs more than $nChunks chunks for full recall")
+      s"hammingMax=$hammingMax needs more than $hammingMax chunks for full recall")
     val sh = t(spark, dir, "documents")
       .withColumn("w", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"),

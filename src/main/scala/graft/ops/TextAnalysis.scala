@@ -109,11 +109,17 @@ object TextAnalysis {
     val quality = textQuality(spark, dir)
       .filter(col("n_tokens") >= minTokens &&
         col("uniq_ratio") >= minUniqRatio)
+      .select("doc_id", "lang", "source", "n_tokens", "uniq_ratio")
+    // Near-dup removal over the SURVIVORS only: a pair whose lower-id
+    // doc already failed the quality gate must not drag its partner
+    // out — drop doc_b only when doc_a also survived.
+    val survivors = quality.select(col("doc_id"))
     val dupBs = Dedup.nearDupPairs(spark, dir)
+      .join(survivors.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .join(survivors.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
       .select(col("doc_b").as("doc_id")).distinct()
     quality
       .join(dupBs, Seq("doc_id"), "left_anti")
-      .select("doc_id", "lang", "source", "n_tokens", "uniq_ratio")
       .orderBy("doc_id")
   }
 

@@ -76,10 +76,17 @@ object GenericLoader {
   }
 }
 
-/** Backfill entry: replay every inbound file for one table in filename
-  * order through the loader — the catch-up companion to the
-  * event-per-file dispatcher (each reference invocation handles exactly
-  * one landed object; after an outage the backlog needs a driver).
+/** Backfill entry: replay every not-yet-processed inbound file for one
+  * table in filename order through the loader — the catch-up companion
+  * to the event-per-file dispatcher (each reference invocation handles
+  * exactly one landed object; after an outage the backlog needs a
+  * driver).
+  *
+  * Idempotent across reruns: processed file names are appended to a
+  * `_graft_backfill.log` ledger inside the curated table dir (the `_`
+  * prefix hides it from Spark's partition/file discovery), and listed
+  * files already in the ledger are skipped — replaying the same backlog
+  * twice cannot double-load an append-strategy table.
   * Usage: `BackfillMain <inbound_dir> <source_system> <table>` with the
   * same env contract as IngestMain. */
 object BackfillMain {
@@ -92,12 +99,26 @@ object BackfillMain {
     val Array(inboundDir, sourceSystem, table) = args
     val layout = LakeLayout.fromEnv()
     val config = TableConfig.fromFile(layout.configPath(sourceSystem, table))
-    val files = java.nio.file.Files.list(java.nio.file.Paths.get(inboundDir))
-      .toArray.map(_.toString).sorted
-      .filter(f => f.endsWith(".csv") || f.endsWith(".csv.gz"))
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(inboundDir))
+    val files =
+      try listing.toArray.map(_.toString).sorted
+        .filter(f => f.endsWith(".csv") || f.endsWith(".csv.gz"))
+      finally listing.close()
     if (files.isEmpty) {
       System.err.println(s"No CSV files under $inboundDir")
       sys.exit(1)
+    }
+    val ledger = java.nio.file.Paths.get(
+      layout.curatedPath(sourceSystem, table), "_graft_backfill.log")
+    val done: Set[String] =
+      if (java.nio.file.Files.exists(ledger))
+        java.nio.file.Files.readAllLines(ledger).toArray
+          .map(_.toString).toSet
+      else Set.empty
+    val todo = files.filterNot(done.contains)
+    if (todo.isEmpty) {
+      System.err.println(s"All ${files.length} files already processed")
+      return
     }
     val builder = SparkSession.builder()
       .appName("graft-backfill")
@@ -106,9 +127,13 @@ object BackfillMain {
       else builder.master(
         s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
       .getOrCreate()
-    try files.foreach { f =>
+    try todo.foreach { f =>
       GenericLoader.run(spark,
         GenericLoader.LoadRun(f, sourceSystem, table, config, layout))
+      java.nio.file.Files.createDirectories(ledger.getParent)
+      java.nio.file.Files.writeString(ledger, f + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     } finally spark.stop()
   }
 }

@@ -127,6 +127,19 @@ class StrategiesSpec extends AnyFunSuite {
     assert(stray.isEmpty)
   }
 
+  test("escapable dt values round-trip through upsert swap and compaction") {
+    val p = tmp()
+    // ':' and '%' are Hive-escaped in partition dir names; raw-path
+    // construction would address dirs Spark never wrote
+    val weird = "20:24%06"
+    Strategies.writeCurated(spark, df((1, "a", weird)), p, "upsert", Seq("id"))
+    Strategies.writeCurated(spark, df((1, "A", weird), (2, "b", weird)),
+      p, "upsert", Seq("id"))
+    assert(contents(p) == Set((1, "A", weird), (2, "b", weird)))
+    Strategies.compact(spark, p)
+    assert(contents(p) == Set((1, "A", weird), (2, "b", weird)))
+  }
+
   test("landing append is unpartitioned and raw (W4)") {
     val p = tmp()
     Strategies.writeLanding(Seq((1, "a")).toDF("id", "v"), p, "append")
