@@ -17,9 +17,11 @@ object SparkEntry {
       fn: (SparkSession, String) => DataFrame,
       oracle: Option[String])
 
-  /** Shared DuckDB snippet: exact decimal sum of a double expr, as double. */
+  /** Shared DuckDB snippet: exact decimal sum of a double expr, as
+    * double — via VARCHAR so the decimal→double conversion is correctly
+    * rounded, matching Tables.dsum (see its scaladoc). */
   private def osum(expr: String): String =
-    s"CAST(sum(CAST($expr AS DECIMAL(30,8))) AS DOUBLE)"
+    s"CAST(CAST(sum(CAST($expr AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)"
 
   /** DuckDB read of a customers fixture CSV with the declared schema
     * (mirrors the loader's explicit StructType read). */
@@ -131,10 +133,10 @@ object SparkEntry {
         SELECT user_id, event_id, event_type,
           row_number() OVER w AS rn,
           lag(event_type, 1) OVER w AS prev_type,
-          CAST(sum(CAST(value AS DECIMAL(30,8))) OVER (
+          CAST(CAST(sum(CAST(value AS DECIMAL(30,8))) OVER (
             PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-            AS run_value
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR)
+            AS DOUBLE) AS run_value
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
       WHERE rn <= 3 ORDER BY user_id, rn""")),

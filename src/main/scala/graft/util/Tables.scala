@@ -43,9 +43,16 @@ object Tables {
   }
 
   /** Exact (order-independent) sum of a double column: accumulate in
-    * decimal, return double. DuckDB twin:
-    * `CAST(sum(CAST(x AS DECIMAL(30,8))) AS DOUBLE)`. */
-  def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 8))).cast("double")
+    * decimal, return double. The final decimal→double conversion goes
+    * THROUGH A STRING: above 2^53 in scaled-integer space the engines'
+    * native decimal→double conversions differ by 1 ulp (DuckDB divides
+    * the int128 by 10^scale in floating point; Spark rounds via
+    * BigDecimal), but string→double parsing is correctly rounded in
+    * both — caught at sf0.1 where sf0.01 magnitudes never triggered it.
+    * DuckDB twin:
+    * `CAST(CAST(sum(CAST(x AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)`. */
+  def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(30, 8))).cast("string").cast("double")
 
   /** Deterministic average: exact decimal sum / count, divided in double.
     * DuckDB twin: `CAST(sum(CAST(x AS DECIMAL(30,8))) AS DOUBLE)/count(*)`
