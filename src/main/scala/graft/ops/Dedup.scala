@@ -91,21 +91,34 @@ object Dedup {
     val sig = sh.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), simhash.as("simhash"))
-    def side(n: String) = sig.select(col("doc_id").as(n),
-      col("simhash").as(s"sh_$n"))
-    val (a, b) = (side("doc_a"), side("doc_b"))
-    val byChunk = (0 until nChunks).map { c =>
-      a.join(b,
-        shiftright(col("sh_doc_a"), c * chunkBits).bitwiseAND(lit(mask)) ===
-          shiftright(col("sh_doc_b"), c * chunkBits).bitwiseAND(lit(mask)))
-    }
-    byChunk.reduce(_.unionByName(_))
-      .filter(col("doc_a") < col("doc_b"))
-      // dedup pairs surfaced by several chunks BEFORE scoring
-      .select(col("doc_a"), col("doc_b"), col("sh_doc_a"), col("sh_doc_b"))
+    // Bucket-local pair generation, like nearDupPairs: explode one row
+    // per (chunk region, chunk value), collect each bucket's members,
+    // emit its (a<b) pairs. The signature subplan runs ONCE — a
+    // chunk-per-join formulation re-executed it on every join side
+    // (8×, benched ~2× slower at sf0.1).
+    val buckets = sig
+      .select(col("doc_id"), col("simhash"),
+        explode(array((0 until nChunks).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("simhash"), c * chunkBits).bitwiseAND(lit(mask))
+              .as("cval"))): _*)).as("h"))
+      .groupBy(col("h.chunk"), col("h.cval"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
+        .as("docs"))
+      .filter(size(col("docs")) > 1)
+    buckets
+      .select(explode(flatten(transform(col("docs"), (a, i) =>
+        transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
+          struct(a.getField("doc_id").as("doc_a"),
+            b.getField("doc_id").as("doc_b"),
+            a.getField("simhash").as("sh_a"),
+            b.getField("simhash").as("sh_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.sh_a").as("sh_a"), col("p.sh_b").as("sh_b"))
+      // dedup pairs surfaced by several chunk regions BEFORE scoring
       .distinct()
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sh_doc_a").bitwiseXOR(col("sh_doc_b"))).as("hamming"))
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= hammingMax)
       .orderBy("doc_a", "doc_b")
   }
