@@ -97,6 +97,17 @@ object SparkEntry {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    "q9_nation_brand" -> Q(Analytics.q9RevenueByNationBrand, Some(s"""
+      SELECT n_name, p_brand,
+        ${osum("l_extendedprice*(1.0-l_discount)")} AS revenue,
+        count(*) AS n_items
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_size >= 25
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     "topk_orders" -> Q(Analytics.topKOrders, Some("""
       SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""")),
@@ -370,10 +381,12 @@ object SparkEntry {
         WHERE len(w) >= 20
           AND CAST(len(list_distinct(w)) AS DOUBLE) / NULLIF(len(w), 0)
             >= 0.35),
-      sh AS (SELECT DISTINCT doc_id,
+      -- shingle/signature work restricted to quality survivors (band
+      -- agreement is per-pair, so the survivor-pair set is unchanged)
+      sh AS (SELECT DISTINCT d.doc_id,
           unnest(list_transform(range(1, len(w) - 1),
             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
-        FROM d WHERE len(w) >= 3),
+        FROM d SEMI JOIN q USING (doc_id) WHERE len(w) >= 3),
       sig AS (SELECT doc_id, b.band,
           min(md5(b.band || ':' || g)) AS sig
         FROM sh, (SELECT unnest(range(0, 8)) AS band) b GROUP BY 1, 2),
@@ -381,10 +394,7 @@ object SparkEntry {
           JOIN sig b
           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= 4),
-      -- drop doc_b only when BOTH ends survived the quality gate
-      dup AS (SELECT DISTINCT p.doc_b AS doc_id FROM pairs p
-        JOIN q qa ON qa.doc_id = p.doc_a
-        JOIN q qb ON qb.doc_id = p.doc_b)
+      dup AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
       SELECT doc_id, lang, source, n_tokens, uniq_ratio
       FROM q ANTI JOIN dup USING (doc_id)
       ORDER BY doc_id""")),

@@ -38,11 +38,16 @@ object Strategies {
 
   /** S5 — merge-target existence probe (the Delta `isDeltaTable` twin:
     * FInal/load_script.py:92). True iff the path exists and contains
-    * any file (a bare empty dir is not a table). */
+    * any DATA entry — `_`/`.`-prefixed metadata files (Spark ignores
+    * them too, e.g. the backfill ledger) don't make a dataless dir a
+    * table, matching the "bare empty dir is not a table" contract. */
   def tableExists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
+    fs.exists(p) && fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
   }
 
   /** W4 — landing write: unpartitioned, pre-`dt` raw projection

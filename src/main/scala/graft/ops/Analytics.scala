@@ -80,6 +80,29 @@ object Analytics {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** X7 + 4-way join — revenue by supplier nation × part brand (TPC-H
+    * Q9 shape, over the tables this schema provides). part and supplier
+    * are data-scaled (no broadcast hint — AQE decides); nation is
+    * constant-size and broadcast; the p_size filter pushes into the
+    * part scan. */
+  def q9RevenueByNationBrand(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val part = t(spark, dir, "part")
+      .filter(col("p_size") >= 25)
+      .select("p_partkey", "p_brand")
+    val supp = t(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val nation = t(spark, dir, "nation")
+    li.join(part, li("l_partkey") === part("p_partkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name"), col("p_brand"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name", "p_brand")
+  }
+
   /** X6 — pure top-k with a total-order tie-breaker. */
   def topKOrders(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")

@@ -40,8 +40,14 @@ object Dedup {
     * vs ~1s at sf0.1 for exactly this reason). The per-band rows are
     * then unpivoted from the aggregated result. */
   def bandSignatures(spark: SparkSession, dir: String,
-      nBands: Int = 8): DataFrame = {
-    val sh = t(spark, dir, "documents")
+      nBands: Int = 8): DataFrame =
+    bandSignaturesFor(t(spark, dir, "documents"), nBands)
+
+  /** Signature variant over an arbitrary (doc_id, text) DataFrame —
+    * lets composed pipelines (cleanCorpus) restrict the expensive
+    * shingle/signature work to an already-filtered corpus. */
+  def bandSignaturesFor(docs: DataFrame, nBands: Int = 8): DataFrame = {
+    val sh = docs
       .withColumn("w", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"),
         explode(array_distinct(shingles3(col("w")))).as("shingle"))
@@ -63,12 +69,16 @@ object Dedup {
     * exceed hammingMax for full recall.
     *
     * Scale shape: one groupBy(doc_id) with 32 map-side-combined sums
-    * builds the signatures; candidates come from four hash-joins (one
-    * per chunk — an OR join predicate would force a nested-loop plan),
-    * unioned, deduped on (pair, signatures), and scored once. Never
-    * all-pairs. */
+    * builds the signatures; candidates are generated BUCKET-LOCALLY
+    * per (chunk region, chunk value) via collect + pair explode, so
+    * the signature subplan executes once. Caveat: 8-bit chunk buckets
+    * are DENSE by construction (~N/256 docs each), so bucket pair
+    * fan-out grows quadratically with corpus size — `maxBucket` caps
+    * runaway buckets, and a corpus beyond ~1M docs should move to a
+    * 64-bit simhash with 16-bit chunks (65536 buckets/region) or the
+    * streamed per-chunk self-join. */
   def simhashPairs(spark: SparkSession, dir: String,
-      hammingMax: Int = 3): DataFrame = {
+      hammingMax: Int = 3, maxBucket: Int = 0): DataFrame = {
     val nBits = 32
     val nChunks = 4 // must be > hammingMax for the recall guarantee
     require(hammingMax < nChunks,
@@ -106,7 +116,10 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
         .as("docs"))
       .filter(size(col("docs")) > 1)
-    buckets
+    val capped =
+      if (maxBucket > 0) buckets.filter(size(col("docs")) <= maxBucket)
+      else buckets
+    capped
       .select(explode(flatten(transform(col("docs"), (a, i) =>
         transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
           struct(a.getField("doc_id").as("doc_a"),
@@ -165,8 +178,13 @@ object Dedup {
     * the oracle-paired query uses no cap so both engines see identical
     * pairs). */
   def nearDupPairs(spark: SparkSession, dir: String, nBands: Int = 8,
+      minBands: Int = 4, maxBucket: Int = 0): DataFrame =
+    nearDupPairsFor(t(spark, dir, "documents"), nBands, minBands, maxBucket)
+
+  /** Pair-generation variant over an arbitrary (doc_id, text) corpus. */
+  def nearDupPairsFor(docs: DataFrame, nBands: Int = 8,
       minBands: Int = 4, maxBucket: Int = 0): DataFrame = {
-    val buckets = bandSignatures(spark, dir, nBands)
+    val buckets = bandSignaturesFor(docs, nBands)
       .groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) > 1)

@@ -112,11 +112,14 @@ object TextAnalysis {
       .select("doc_id", "lang", "source", "n_tokens", "uniq_ratio")
     // Near-dup removal over the SURVIVORS only: a pair whose lower-id
     // doc already failed the quality gate must not drag its partner
-    // out — drop doc_b only when doc_a also survived.
-    val survivors = quality.select(col("doc_id"))
-    val dupBs = Dedup.nearDupPairs(spark, dir)
-      .join(survivors.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
-      .join(survivors.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+    // out. Pair GENERATION is also restricted to survivors — band
+    // agreement is per-pair, so the survivor-pair set is identical
+    // either way, and the expensive shingle/signature work skips the
+    // junk the quality gate just shed.
+    val survivorDocs = t(spark, dir, "documents")
+      .join(quality.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select("doc_id", "text")
+    val dupBs = Dedup.nearDupPairsFor(survivorDocs)
       .select(col("doc_b").as("doc_id")).distinct()
     quality
       .join(dupBs, Seq("doc_id"), "left_anti")

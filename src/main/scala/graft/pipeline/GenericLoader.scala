@@ -82,11 +82,16 @@ object GenericLoader {
   * exactly one landed object; after an outage the backlog needs a
   * driver).
   *
-  * Idempotent across reruns: processed file names are appended to a
+  * Idempotent across reruns: processed file BASENAMES (stable across
+  * relative/absolute/symlinked spellings of the inbound dir; unique by
+  * the filename-ordered contract) are appended to a
   * `_graft_backfill.log` ledger inside the curated table dir (the `_`
-  * prefix hides it from Spark's partition/file discovery), and listed
-  * files already in the ledger are skipped — replaying the same backlog
-  * twice cannot double-load an append-strategy table.
+  * prefix hides it from Spark's partition/file discovery and from
+  * `Strategies.tableExists`), and listed files already in the ledger
+  * are skipped — replaying the same backlog cannot double-load an
+  * append-strategy table. The ledger entry lands AFTER its load
+  * commits, so a crash between the two replays at most the one
+  * in-flight file (at-least-once; upsert tables absorb even that).
   * Usage: `BackfillMain <inbound_dir> <source_system> <table>` with the
   * same env contract as IngestMain. */
 object BackfillMain {
@@ -115,7 +120,8 @@ object BackfillMain {
         java.nio.file.Files.readAllLines(ledger).toArray
           .map(_.toString).toSet
       else Set.empty
-    val todo = files.filterNot(done.contains)
+    def base(f: String) = java.nio.file.Paths.get(f).getFileName.toString
+    val todo = files.filterNot(f => done.contains(base(f)))
     if (todo.isEmpty) {
       System.err.println(s"All ${files.length} files already processed")
       return
@@ -131,7 +137,7 @@ object BackfillMain {
       GenericLoader.run(spark,
         GenericLoader.LoadRun(f, sourceSystem, table, config, layout))
       java.nio.file.Files.createDirectories(ledger.getParent)
-      java.nio.file.Files.writeString(ledger, f + "\n",
+      java.nio.file.Files.writeString(ledger, base(f) + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } finally spark.stop()

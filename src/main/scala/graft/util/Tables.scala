@@ -55,8 +55,9 @@ object Tables {
     sum(c.cast(DecimalType(30, 8))).cast("string").cast("double")
 
   /** Deterministic average: exact decimal sum / count, divided in double.
-    * DuckDB twin: `CAST(sum(CAST(x AS DECIMAL(30,8))) AS DOUBLE)/count(*)`
-    * — do NOT use DuckDB's avg() (it returns double accumulated in
-    * nondeterministic partition order). */
+    * DuckDB twin:
+    * `CAST(CAST(sum(CAST(x AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)/count(*)`
+    * (string-routed like [[dsum]]) — do NOT use DuckDB's avg() (double
+    * accumulated in nondeterministic partition order). */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 }
