@@ -164,10 +164,9 @@ object Analytics {
       .withColumn("rn", row_number().over(w))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .withColumn("run_value",
-        // string-route the decimal→double cast, same as Tables.dsum
-        sum(col("value").cast("decimal(30,8)"))
-          .over(w.rowsBetween(Window.unboundedPreceding, 0))
-          .cast("string").cast("double"))
+        graft.util.Tables.decToDouble(
+          sum(col("value").cast("decimal(30,8)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))))
       .filter(col("rn") <= 3)
       .select(col("user_id"), col("rn"), col("event_id"),
         col("event_type"), col("prev_type"), col("run_value"))

@@ -84,14 +84,17 @@ object GenericLoader {
   *
   * Idempotent across reruns: processed file BASENAMES (stable across
   * relative/absolute/symlinked spellings of the inbound dir; unique by
-  * the filename-ordered contract) are appended to a
-  * `_graft_backfill.log` ledger inside the curated table dir (the `_`
-  * prefix hides it from Spark's partition/file discovery and from
-  * `Strategies.tableExists`), and listed files already in the ledger
-  * are skipped — replaying the same backlog cannot double-load an
-  * append-strategy table. The ledger entry lands AFTER its load
-  * commits, so a crash between the two replays at most the one
-  * in-flight file (at-least-once; upsert tables absorb even that).
+  * the filename-ordered contract) are recorded in a ledger stored as a
+  * SIBLING of the curated table dir (`<table>__backfill.log` — outside
+  * the table path, so overwrite/truncate-strategy loads that wipe the
+  * table dir can't erase the history, and readers never see it) via
+  * the Hadoop FileSystem API, so it works on object-store lakes where
+  * java.nio would silently treat an s3a:// URI as a local path. Files
+  * already in the ledger are skipped — replaying the same backlog
+  * cannot double-load an append-strategy table. The ledger update
+  * lands AFTER its load commits, so a crash between the two replays at
+  * most the one in-flight file (at-least-once; upsert tables absorb
+  * even that).
   * Usage: `BackfillMain <inbound_dir> <source_system> <table>` with the
   * same env contract as IngestMain. */
 object BackfillMain {
@@ -113,13 +116,26 @@ object BackfillMain {
       System.err.println(s"No CSV files under $inboundDir")
       sys.exit(1)
     }
-    val ledger = java.nio.file.Paths.get(
-      layout.curatedPath(sourceSystem, table), "_graft_backfill.log")
-    val done: Set[String] =
-      if (java.nio.file.Files.exists(ledger))
-        java.nio.file.Files.readAllLines(ledger).toArray
-          .map(_.toString).toSet
-      else Set.empty
+    val ledgerPath = new org.apache.hadoop.fs.Path(
+      layout.curatedPath(sourceSystem, table).stripSuffix("/")
+        + "__backfill.log")
+    val fs = ledgerPath.getFileSystem(
+      new org.apache.hadoop.conf.Configuration())
+    def readLedger(): Set[String] =
+      if (fs.exists(ledgerPath)) {
+        val in = fs.open(ledgerPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toSet
+        finally in.close()
+      } else Set.empty
+    // full rewrite, not append: S3A and friends don't support append
+    def writeLedger(entries: Set[String]): Unit = {
+      val out = fs.create(ledgerPath, true)
+      try out.write(entries.toSeq.sorted.mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+      finally out.close()
+    }
+    var done: Set[String] = readLedger()
     def base(f: String) = java.nio.file.Paths.get(f).getFileName.toString
     val todo = files.filterNot(f => done.contains(base(f)))
     if (todo.isEmpty) {
@@ -136,10 +152,8 @@ object BackfillMain {
     try todo.foreach { f =>
       GenericLoader.run(spark,
         GenericLoader.LoadRun(f, sourceSystem, table, config, layout))
-      java.nio.file.Files.createDirectories(ledger.getParent)
-      java.nio.file.Files.writeString(ledger, base(f) + "\n",
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
+      done = done + base(f)
+      writeLedger(done)
     } finally spark.stop()
   }
 }

@@ -26,11 +26,10 @@ object StreamingOps {
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        // string-route the decimal→double cast, same as Tables.dsum —
-        // keeps streaming output bit-identical to the batch twin at
-        // every magnitude
-        sum(col("value").cast("decimal(30,8)")).cast("string")
-          .cast("double").as("sum_value"))
+        // decToDouble keeps streaming output bit-identical to the
+        // batch twin at every magnitude
+        graft.util.Tables.decToDouble(
+          sum(col("value").cast("decimal(30,8)"))).as("sum_value"))
       .select(unix_micros(col("w.start")).as("w_start_us"),
         col("event_type"), col("n_events"), col("sum_value"))
 
@@ -41,8 +40,8 @@ object StreamingOps {
       .withWatermark("ts", "2 hours")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(30,8)")).cast("string")
-          .cast("double").as("sum_value"))
+        graft.util.Tables.decToDouble(
+          sum(col("value").cast("decimal(30,8)"))).as("sum_value"))
       .select(col("user_id"), unix_micros(col("w.start")).as("sess_start_us"),
         unix_micros(col("w.end")).as("sess_end_us"), col("n_events"),
         col("sum_value"))

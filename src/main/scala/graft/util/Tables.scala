@@ -42,17 +42,20 @@ object Tables {
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Correctly-rounded decimal→double conversion, shared by every
+    * oracle-paired aggregate (dsum, window/streaming sums): the cast
+    * goes THROUGH A STRING because above 2^53 in scaled-integer space
+    * the engines' native decimal→double conversions differ by 1 ulp
+    * (DuckDB divides the int128 by 10^scale in floating point; Spark
+    * rounds via BigDecimal), while string→double parsing is correctly
+    * rounded in both — caught at sf0.1 where sf0.01 magnitudes never
+    * triggered it. DuckDB twin: `CAST(CAST(x AS VARCHAR) AS DOUBLE)`. */
+  def decToDouble(c: Column): Column = c.cast("string").cast("double")
+
   /** Exact (order-independent) sum of a double column: accumulate in
-    * decimal, return double. The final decimal→double conversion goes
-    * THROUGH A STRING: above 2^53 in scaled-integer space the engines'
-    * native decimal→double conversions differ by 1 ulp (DuckDB divides
-    * the int128 by 10^scale in floating point; Spark rounds via
-    * BigDecimal), but string→double parsing is correctly rounded in
-    * both — caught at sf0.1 where sf0.01 magnitudes never triggered it.
-    * DuckDB twin:
+    * decimal, return double via [[decToDouble]]. DuckDB twin:
     * `CAST(CAST(sum(CAST(x AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)`. */
-  def dsum(c: Column): Column =
-    sum(c.cast(DecimalType(30, 8))).cast("string").cast("double")
+  def dsum(c: Column): Column = decToDouble(sum(c.cast(DecimalType(30, 8))))
 
   /** Deterministic average: exact decimal sum / count, divided in double.
     * DuckDB twin:
