@@ -2,8 +2,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: one warmup pass (discarded — absorbs JVM/codegen
-  * warmup so per-query numbers are comparable round-over-round), then one
-  * timed pass. Prints ONE JSON line; failures are surfaced in an
+  * warmup so per-query numbers are comparable round-over-round), then
+  * TWO timed passes reporting the per-query MINIMUM (machine-wide noise
+  * on a shared box inflates single runs by 20%+; the minimum is the
+  * stable estimator). Prints ONE JSON line; failures are surfaced in an
   * `errors` map and as value -1 for the failing query, never silently
   * recorded as a fast run. */
 object Bench {
@@ -26,14 +28,19 @@ object Bench {
       catch { case e: Throwable => Some(n -> e.toString.take(300)) }
     }.toMap
     val timedErr = scala.collection.mutable.Map.empty[String, String]
-    val results = names.map { n =>
-      if (warmupErr.contains(n)) n -> -1.0
+    def timedPass(): Map[String, Double] = names.map { n =>
+      if (warmupErr.contains(n) || timedErr.contains(n)) n -> -1.0
       else {
         val t0 = System.nanoTime()
         try { fns(n)(spark, sfDir).count(); n -> (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           timedErr(n) = e.toString.take(300); n -> -1.0 }
       }
+    }.toMap
+    val (p1, p2) = (timedPass(), timedPass())
+    val results = names.map { n =>
+      val (a, b) = (p1(n), p2(n))
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val allErr = warmupErr ++ timedErr
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
