@@ -276,10 +276,11 @@ object SparkEntry {
         ${osum("e1")} AS sum_e1, ${osum("e2")} AS sum_e2
       FROM e GROUP BY 1 ORDER BY 1""")),
 
-    // X17 Aggregator UDAF: array output + float-sum order nondeterminism
-    // ⇒ no SQL oracle; driver records rows-only, exact values verified
-    // against a Scala recomputation in SimilaritySpec.
-    "centroid_udaf" -> Q(Similarity.centroidByLabel, None),
+    // X17 Aggregator UDAF: float-sum order nondeterminism ⇒ no SQL
+    // oracle; driver records rows-only (exploded to scalar columns so
+    // the harness can sort), exact values verified against a Scala
+    // recomputation in SimilaritySpec.
+    "centroid_udaf" -> Q(Similarity.centroidByLabelFlat, None),
 
     "word_freq" -> Q((s, d) => TextAnalysis.wordFreq(s, d), Some("""
       SELECT word, count(*) AS n FROM (

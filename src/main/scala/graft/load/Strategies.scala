@@ -68,12 +68,15 @@ object Strategies {
       sortColumns: Seq[String] = Nil): Unit = {
     ensureConf(spark)
     // O1 — the v2 global orderBy-before-write is implemented as
-    // cluster-within-partition (repartition on dt, then sort within each
-    // task): same file-local ordering intent, no global range shuffle,
-    // and it actually survives the partitioned write (SURVEY §2.9.9).
+    // cluster-within-partition (range-partition on dt + sort columns,
+    // then sort within each task): same file-local ordering intent, no
+    // single global range shuffle bottleneck, and it actually survives
+    // the partitioned write (SURVEY §2.9.9). Range (not hash) on
+    // dt+sortCols: a typical batch carries ONE dt value, and hashing dt
+    // alone would funnel the whole batch through a single task.
     def clustered(d: DataFrame): DataFrame =
       if (sortColumns.isEmpty) d
-      else d.repartition(col("dt"))
+      else d.repartitionByRange((("dt" +: sortColumns)).map(col): _*)
         .sortWithinPartitions(sortColumns.map(col): _*)
     strategy match {
       case "append" =>
@@ -109,6 +112,18 @@ object Strategies {
     // union) and may itself be a non-trivial plan.
     val src = source.cache()
     try {
+      // Delta MERGE raises on multiple source rows matching one target
+      // row; a source batch with duplicate (pk, dt) rows would here be
+      // silently unioned in whole, corrupting PK uniqueness — fail
+      // loudly instead, matching the reference's observable semantics.
+      val dup = src.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).collect()
+      if (dup.nonEmpty)
+        throw new IllegalArgumentException(
+          "Upsert source contains duplicate rows for merge key " +
+            s"(${keys.mkString(", ")}), e.g. " +
+            dup.head.toSeq.init.mkString("[", ", ", "]") +
+            " — dedup the batch (e.g. keep-latest) before merging")
       val touchedDts = src.select("dt").distinct()
         .collect().map(_.getString(0)).toSeq
       val target = spark.read.parquet(path)

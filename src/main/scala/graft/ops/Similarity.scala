@@ -192,6 +192,20 @@ object Similarity {
         count(lit(1)).as("n_vecs"))
       .orderBy("label")
 
+  /** The registered form of [[centroidByLabel]]: the centroid array is
+    * exploded into one (label, dim, value) row per element so every
+    * column is a sortable scalar — the driver's rows-only
+    * canonicalization cannot sort an array column (pandas
+    * `unhashable type` on ndarray). Values rounded to 6dp purely for
+    * cross-run display stability; exactness lives in SimilaritySpec. */
+  def centroidByLabelFlat(spark: SparkSession, dir: String): DataFrame =
+    centroidByLabel(spark, dir)
+      .select(col("label"), col("n_vecs"),
+        posexplode(col("centroid")).as(Seq("dim", "c")))
+      .select(col("label"), col("dim").cast("int").as("dim"),
+        round(col("c"), 6).as("centroid_val"), col("n_vecs"))
+      .orderBy("label", "dim")
+
   /** X16 — higher-order-function stats over the embedding arrays
     * (norms + leading elements), exactly oracle-able because per-row
     * folds are deterministic and cross-row sums use decimal

@@ -107,11 +107,15 @@ object BackfillMain {
     val Array(inboundDir, sourceSystem, table) = args
     val layout = LakeLayout.fromEnv()
     val config = TableConfig.fromFile(layout.configPath(sourceSystem, table))
-    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(inboundDir))
-    val files =
-      try listing.toArray.map(_.toString).sorted
-        .filter(f => f.endsWith(".csv") || f.endsWith(".csv.gz"))
-      finally listing.close()
+    // Hadoop FS listing (same API as the ledger below): an s3a:// or
+    // hdfs:// inbound dir lists correctly instead of being treated as
+    // a local path by java.nio.
+    val inboundPath = new org.apache.hadoop.fs.Path(inboundDir)
+    val inboundFs = inboundPath.getFileSystem(
+      new org.apache.hadoop.conf.Configuration())
+    val files = inboundFs.listStatus(inboundPath)
+      .map(_.getPath.toString).sorted
+      .filter(f => f.endsWith(".csv") || f.endsWith(".csv.gz"))
     if (files.isEmpty) {
       System.err.println(s"No CSV files under $inboundDir")
       sys.exit(1)
@@ -136,7 +140,7 @@ object BackfillMain {
       finally out.close()
     }
     var done: Set[String] = readLedger()
-    def base(f: String) = java.nio.file.Paths.get(f).getFileName.toString
+    def base(f: String) = new org.apache.hadoop.fs.Path(f).getName
     val todo = files.filterNot(f => done.contains(base(f)))
     if (todo.isEmpty) {
       System.err.println(s"All ${files.length} files already processed")

@@ -15,6 +15,17 @@ object Skew {
 
   private val SaltCol = "__graft_salt"
 
+  /** Deterministic content-derived salt in [0, nSalts): hashing the
+    * row's own columns means a task retry that recomputes the row
+    * assigns it the SAME salt — a random or id-derived salt can change
+    * on recompute after a shuffle-fetch failure and duplicate/drop rows
+    * downstream (the SPARK-23207 class of bug). Exact-duplicate rows
+    * share a salt (they can't be told apart), which only matters if the
+    * hot key's rows are all byte-identical — then salting can't help
+    * anyway. */
+  private def contentSalt(df: DataFrame, nSalts: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(nSalts)).cast("int")
+
   /** Salted shuffle join: the skewed (big) side gets a uniform salt in
     * [0, nSalts); the small side is replicated once per salt value, so
     * every (key, salt) bucket joins correctly and the hot key's rows
@@ -26,8 +37,7 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       nSalts: Int): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
-    val salted = big.withColumn(SaltCol,
-      pmod(xxhash64(monotonically_increasing_id()), lit(nSalts)).cast("int"))
+    val salted = big.withColumn(SaltCol, contentSalt(big, nSalts))
     val replicated = small.withColumn(SaltCol,
       explode(sequence(lit(0), lit(nSalts - 1))))
     salted.join(replicated, keys :+ SaltCol).drop(SaltCol)
@@ -40,8 +50,7 @@ object Skew {
   def saltedAgg(df: DataFrame, keys: Seq[String], nSalts: Int,
       partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
-    val salted = df.withColumn(SaltCol,
-      pmod(xxhash64(monotonically_increasing_id()), lit(nSalts)).cast("int"))
+    val salted = df.withColumn(SaltCol, contentSalt(df, nSalts))
     val partial = salted
       .groupBy((keys :+ SaltCol).map(col): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)

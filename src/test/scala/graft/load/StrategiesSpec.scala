@@ -77,6 +77,19 @@ class StrategiesSpec extends AnyFunSuite {
     assert(contents(p) == Set((1, "x", "d1"), (1, "y", "d1")))
   }
 
+  test("upsert rejects a source batch with duplicate (pk, dt) rows " +
+      "(Delta MERGE multiple-match error twin)") {
+    val p = tmp()
+    Strategies.writeCurated(spark, df((1, "a", "d1")), p, "upsert", Seq("id"))
+    val ex = intercept[IllegalArgumentException] {
+      Strategies.writeCurated(spark,
+        df((1, "x", "d1"), (1, "y", "d1")), p, "upsert", Seq("id"))
+    }
+    assert(ex.getMessage.contains("duplicate"))
+    // target untouched by the failed merge
+    assert(contents(p) == Set((1, "a", "d1")))
+  }
+
   test("upsert without primary key raises (FInal/load_script.py:89-90)") {
     val p = tmp()
     val ex = intercept[IllegalArgumentException] {

@@ -34,6 +34,28 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("flattened centroid query is all-scalar and consistent with the UDAF") {
+    import spark.implicits._
+    val flat = Similarity.centroidByLabelFlat(spark, dir)
+    // every column scalar (the driver harness sorts all columns; an
+    // array column breaks its pandas canonicalization)
+    assert(flat.schema.fields.forall(f =>
+      !f.dataType.typeName.contains("array")), flat.schema.treeString)
+    val byLabel = Similarity.centroidByLabel(spark, dir)
+      .as[(Int, Seq[Double], Long)].collect()
+    val expectRows = byLabel.map { case (_, c, _) => c.length }.sum
+    assert(flat.count() == expectRows)
+    val got = flat.select("label", "dim", "centroid_val")
+      .as[(Int, Int, Double)].collect()
+      .map { case (l, d, v) => (l, d) -> v }.toMap
+    byLabel.foreach { case (l, c, _) =>
+      c.zipWithIndex.foreach { case (v, i) =>
+        assert(math.abs(got((l, i)) - v) <= 5e-7,
+          s"label $l dim $i: ${got((l, i))} vs $v")
+      }
+    }
+  }
+
   test("LSH candidate buckets achieve useful recall of true top-1 (X4 scale path)") {
     import spark.implicits._
     // True nearest neighbor per query from the brute-force baseline...
