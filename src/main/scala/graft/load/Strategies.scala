@@ -112,20 +112,26 @@ object Strategies {
     // union) and may itself be a non-trivial plan.
     val src = source.cache()
     try {
-      // Delta MERGE raises on multiple source rows matching one target
-      // row; a source batch with duplicate (pk, dt) rows would here be
-      // silently unioned in whole, corrupting PK uniqueness — fail
-      // loudly instead, matching the reference's observable semantics.
-      val dup = src.groupBy(keys.map(col): _*).count()
-        .filter(col("count") > 1).limit(1).collect()
-      if (dup.nonEmpty)
+      // ONE aggregation job yields both the touched-dt list and a
+      // duplicate-merge-key probe: Delta MERGE raises on multiple
+      // source rows matching one target row; a source batch with
+      // duplicate (pk, dt) rows would here be silently unioned in
+      // whole, corrupting PK uniqueness — fail loudly instead,
+      // matching the reference's observable semantics.
+      val dtStats = src.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col("dt")).agg(max(col("__n")).as("__maxn"))
+        .collect()
+      if (dtStats.exists(_.getLong(1) > 1)) {
+        val offender = src.groupBy(keys.map(col): _*).count()
+          .filter(col("count") > 1).limit(1).collect()
         throw new IllegalArgumentException(
           "Upsert source contains duplicate rows for merge key " +
             s"(${keys.mkString(", ")}), e.g. " +
-            dup.head.toSeq.init.mkString("[", ", ", "]") +
+            offender.head.toSeq.init.mkString("[", ", ", "]") +
             " — dedup the batch (e.g. keep-latest) before merging")
-      val touchedDts = src.select("dt").distinct()
-        .collect().map(_.getString(0)).toSeq
+      }
+      val touchedDts = dtStats.map(_.getString(0)).toSeq
       val target = spark.read.parquet(path)
         .filter(col("dt").isin(touchedDts: _*)) // partition-pruned scan
       val kept = target.join(

@@ -138,31 +138,51 @@ object Dedup {
 
   /** X3c — exact n-gram Jaccard over the MinHash candidate pairs:
     * LSH bounds the candidate set, then the true 3-gram-set Jaccard is
-    * computed per candidate by joining the exploded shingle sets —
-    * integer intersection/union counts, so the double division is
-    * engine-exact. */
+    * computed per candidate — integer intersection/union counts, so the
+    * double division is engine-exact.
+    *
+    * Plan shape: ONE groupBy(doc_id) pass carries the per-band minhash
+    * signature, the exact shingle set, and its size. Every consumer
+    * (band-bucket pairing, both sides of the per-pair join) hangs off
+    * that single exchange, which ReuseExchange executes once — the
+    * previous formulation re-ran the tokenize→shingle→explode subplan
+    * three times. Intersections come from `array_intersect` on the
+    * carried sets: the candidate pairs are LSH-bounded, so the per-pair
+    * work is bounded by document size, never corpus size. */
   def ngramJaccard(spark: SparkSession, dir: String, nBands: Int = 8,
       minBands: Int = 4): DataFrame = {
     val sh = t(spark, dir, "documents")
       .withColumn("w", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"),
         explode(array_distinct(shingles3(col("w")))).as("g"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = nearDupPairs(spark, dir, nBands, minBands)
-    val inter = pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs.join(inter, Seq("doc_a", "doc_b"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
-        Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
-        Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("n_bands"), col("inter"),
-        col("n_a"), col("n_b"),
-        (col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+    val minCols = (0 until nBands).map(b =>
+      min(md5(concat(lit(s"$b:"), col("g")))).as(s"sig_$b"))
+    val aggs = minCols ++ Seq(
+      collect_set(col("g")).as("gs"), count(lit(1)).as("n"))
+    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val pairs = sig
+      .select(col("doc_id"), explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"), col(s"sig_$b").as("sig"))): _*)).as("h"))
+      .groupBy(col("h.band"), col("h.sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(explode(flatten(transform(col("docs"), (a, i) =>
+        transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
+          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= minBands)
+    pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("gs").as("gs_a"),
+        col("n").as("n_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("gs").as("gs_b"),
+        col("n").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_bands"),
+        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long")
+          .as("inter"),
+        col("n_a"), col("n_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")))
       .orderBy("doc_a", "doc_b")
   }
 

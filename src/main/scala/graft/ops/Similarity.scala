@@ -44,14 +44,22 @@ object Similarity {
   def cosineTopK(spark: SparkSession, dir: String, k: Int = 10,
       nQueries: Int = 8): DataFrame = {
     val emb = t(spark, dir, "embeddings")
+    // Norms are precomputed per ROW before the pair join — computing
+    // them inside `cosine` would redo both 64-element folds once per
+    // (query, candidate) pair, tripling the scoring work. Same
+    // arithmetic per vector (sqrt of the same sequential fold), so
+    // scores stay bit-identical to the oracle's.
     val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val cands = emb.select(col("vec_id"), col("embedding"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        l2norm(col("embedding")).as("q_nrm"))
+    val cands = emb.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id"))
     cands.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("score", cosine(col("q_emb"), col("embedding")))
+      .withColumn("score",
+        dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("vec_id"), col("score"),
@@ -92,25 +100,27 @@ object Similarity {
   def lshCandidates(spark: SparkSession, dir: String, nBits: Int = 8,
       nTables: Int = 8): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
     // (table, bucket, vec_id): one row per vector per hash table
-    val buckets = emb.select(col("vec_id"), col("embedding"),
+    val buckets = emb.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(array((0 until nTables).map(tb =>
         struct(lit(tb).as("tb"),
           signature(col("embedding"), nBits, tb).as("bucket"))): _*))
         .as("h"))
       .select(col("h.tb"), col("h.bucket"), col("vec_id"),
-        col("embedding"))
+        col("embedding"), col("nrm"))
     val a = buckets.select(col("tb"), col("bucket"),
-      col("vec_id").as("a"), col("embedding").as("ea"))
+      col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = buckets.select(col("tb"), col("bucket"),
-      col("vec_id").as("b"), col("embedding").as("eb"))
+      col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, Seq("tb", "bucket")).filter(col("a") < col("b"))
       // dedup pairs surfaced by several tables BEFORE scoring: one
       // shuffle on (a,b), each survivor scored exactly once
       .groupBy(col("a"), col("b"))
-      .agg(first(col("ea")).as("ea"), first(col("eb")).as("eb"))
-      .withColumn("score", cosine(col("ea"), col("eb")))
+      .agg(first(col("ea")).as("ea"), first(col("eb")).as("eb"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .withColumn("score", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .select("a", "b", "score")
   }
 
@@ -145,16 +155,19 @@ object Similarity {
       array_sort(array(cellDots(col("q_emb")): _*)),
       lit(cells.size - probeN + 1), lit(probeN))
     val emb = t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
       .withColumn("cell", assignCell)
     val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
       .withColumn("cell", explode(transform(probes, p => p.getField("cell"))))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id"))
     queries.join(emb, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("score", cosine(col("q_emb"), col("embedding")))
+      .withColumn("score",
+        dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("vec_id"), col("score"),
@@ -169,12 +182,18 @@ object Similarity {
     * codegen'd [[dot]] loop. */
   def cosinePairs(spark: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame = {
+    // Per-row norm precomputation (see cosineTopK): the O(n²) pair loop
+    // pays ONE 64-element fold per pair instead of three.
     val emb = t(spark, dir, "embeddings")
-    val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
-    val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
+      .select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+    val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
     a.crossJoin(b)
       .filter(col("a") < col("b"))
-      .withColumn("score", cosine(col("ea"), col("eb")))
+      .withColumn("score", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("score") > threshold)
       .select("a", "b", "score")
       .orderBy("a", "b")
