@@ -506,6 +506,144 @@ object SparkEntry {
         hex(encode(substring(text, n_bytes, 1))) AS frame_last
       FROM m ORDER BY media_id""")),
 
+    "pivot_orders" -> Q(Reshape.pivotOrders, Some {
+      def cnt(s: String) =
+        s"count(CASE WHEN o_orderstatus = '$s' THEN 1 END)"
+      def psum(s: String) =
+        s"""CAST(CAST(sum(CASE WHEN o_orderstatus = '$s'
+           THEN CAST(o_totalprice AS DECIMAL(30,8)) END) AS VARCHAR)
+           AS DOUBLE)"""
+      s"""
+      SELECT o_orderpriority,
+        ${cnt("F")} AS n_f, ${psum("F")} AS price_f,
+        ${cnt("O")} AS n_o, ${psum("O")} AS price_o,
+        ${cnt("P")} AS n_p, ${psum("P")} AS price_p
+      FROM orders GROUP BY 1 ORDER BY 1"""
+    }),
+
+    "unpivot_metrics" -> Q(Reshape.unpivotMetrics, Some(s"""
+      WITH w AS (SELECT l_returnflag,
+          ${osum("l_quantity")} AS qty,
+          ${osum("l_extendedprice")} AS price,
+          ${osum("l_discount")} AS disc
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, 'qty' AS metric, qty AS value FROM w
+      UNION ALL
+      SELECT l_returnflag, 'price' AS metric, price AS value FROM w
+      UNION ALL
+      SELECT l_returnflag, 'disc' AS metric, disc AS value FROM w
+      ORDER BY l_returnflag, metric""")),
+
+    "percentiles" -> Q(Reshape.percentiles, Some("""
+      SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.5) AS p50,
+        quantile_cont(l_quantity, 0.9) AS p90,
+        quantile_cont(l_quantity, 0.99) AS p99,
+        min(l_quantity) AS q_min, max(l_quantity) AS q_max,
+        count(*) AS n
+      FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    "array_suite" -> Q(Reshape.arraySuite, Some {
+      val sum8 = (1 to 8).map(i => s"a8[$i]").mkString(" + ")
+      val sumsq8 = (1 to 8).map(i => s"a8[$i]*a8[$i]").mkString(" + ")
+      s"""
+      WITH e AS (SELECT vec_id,
+          (CAST(embedding AS DOUBLE[]))[1:8] AS a8 FROM embeddings)
+      SELECT vec_id,
+        CAST(len(a8) AS INTEGER) AS n,
+        a8[1] AS first_el,
+        a8[8] AS last_el,
+        list_sort(a8)[1] AS sorted_min,
+        list_sort(a8)[8] AS sorted_max,
+        list_min(a8) AS a_min,
+        list_max(a8) AS a_max,
+        CAST(len(list_filter(a8, x -> x > 0.0)) AS INTEGER) AS n_pos,
+        $sum8 AS sum8,
+        $sumsq8 AS sumsq8
+      FROM e ORDER BY vec_id"""
+    }),
+
+    "sample_stratified" -> Q(Reshape.sampleStratified, Some("""
+      WITH s AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+          CAST(('0x' || substring(md5('smpl:' || CAST(c_custkey AS VARCHAR)),
+            1, 8)) AS BIGINT) % 100 AS bucket
+        FROM customer)
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+        CAST(bucket AS INTEGER) AS bucket
+      FROM s
+      WHERE bucket < CASE WHEN c_mktsegment = 'BUILDING' THEN 20 ELSE 5 END
+      ORDER BY c_custkey""")),
+
+    "range_join" -> Q(Reshape.rangeJoinBucketed, Some(s"""
+      WITH m AS (
+        SELECT e.event_id, count(*) AS n_orders,
+          ${osum("o.o_totalprice")} AS sum_price
+        FROM events e JOIN orders o
+          ON e.user_id = o.o_custkey
+         AND o.o_orderdate >= e.ts - INTERVAL 7 DAY
+         AND o.o_orderdate <= e.ts
+        GROUP BY 1)
+      SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        COALESCE(m.n_orders, 0) AS n_orders, m.sum_price
+      FROM events e LEFT JOIN m USING (event_id)
+      ORDER BY event_id""")),
+
+    "dedup_groups" -> Q((s, d) => Dedup.dedupGroups(s, d), Some("""
+      WITH RECURSIVE tok AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM tok WHERE len(w) >= 3),
+      sig AS (SELECT doc_id, b.band,
+          min(md5(b.band || ':' || shingle)) AS sig
+        FROM sh, (SELECT unnest(range(0, 8)) AS band) b GROUP BY 1, 2),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 4),
+      edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      walk AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT w.s, e.d FROM walk w JOIN edges e ON w.d = e.s),
+      lbl AS (SELECT s AS doc_id, least(s, min(d)) AS group_id
+        FROM walk GROUP BY s),
+      sz AS (SELECT group_id, count(*) AS grp_size FROM lbl GROUP BY 1)
+      SELECT l.doc_id, l.group_id, s.grp_size
+      FROM lbl l JOIN sz s USING (group_id)
+      ORDER BY l.doc_id""")),
+
+    "scrub_normalize" -> Q(TextAnalysis.scrubNormalize, Some("""
+      WITH d AS (SELECT doc_id, lang,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      k AS (SELECT doc_id, lang, w,
+          list_filter(w, x -> NOT list_contains(
+            ['the','a','of','and','to'], x) AND length(x) >= 2) AS k
+        FROM d),
+      c AS (SELECT doc_id, lang, w, k,
+          CASE WHEN len(k) <= 1 THEN k
+          ELSE k[1:1] || list_filter(
+            list_transform(range(2, len(k) + 1),
+              i -> CASE WHEN k[i] <> k[i-1] THEN k[i] END),
+            x -> x IS NOT NULL)
+          END AS c
+        FROM k)
+      SELECT doc_id, lang,
+        CAST(len(w) AS INTEGER) AS n_raw,
+        CAST(len(k) AS INTEGER) AS n_kept,
+        CAST(len(c) AS INTEGER) AS n_collapsed,
+        CAST(len(w) - len(k) AS INTEGER) AS n_stopped,
+        CAST(len(k) - len(c) AS INTEGER) AS n_repeats,
+        md5(array_to_string(c, ' ')) AS scrub_fp,
+        array_to_string(c[1:5], ' ') AS head5
+      FROM c ORDER BY doc_id""")),
+
     "scalar_suite" -> Q(Analytics.scalarSuite, Some("""
       SELECT o_orderkey,
         CAST(year(o_orderdate) AS INTEGER) AS yr,

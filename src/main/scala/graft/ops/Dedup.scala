@@ -186,6 +186,50 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** X3d — near-dup GROUP assignment: connected components over the
+    * MinHash candidate pairs, labels = min doc_id per component. This
+    * is the step that turns pairwise candidates into dedup decisions
+    * ("keep one doc per group") when duplicate clusters are larger
+    * than 2 and only pairwise edges exist (a~b, b~c but never a~c).
+    *
+    * Algorithm: iterative min-label propagation — each round every
+    * node takes the min of its own label and its neighbors' labels;
+    * converges in graph-diameter rounds. Each round is one shuffle of
+    * the (bounded, pair-derived) edge set; the driver holds only a
+    * convergence flag, never data. Lineage is truncated with
+    * localCheckpoint every round so 20 iterations don't stack 20
+    * joins into one plan. Near-dup graphs are overwhelmingly tiny
+    * cliques (diameter 1–2), so the loop exits after 2–3 rounds. */
+  def dedupGroups(spark: SparkSession, dir: String, nBands: Int = 8,
+      minBands: Int = 4, maxIter: Int = 20): DataFrame = {
+    val pairs = nearDupPairs(spark, dir, nBands, minBands)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("grp", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val propagated = labels
+        .join(edges, labels("doc_id") === edges("doc_a"))
+        .select(col("doc_b").as("doc_id"), col("grp"))
+        .union(labels)
+        .groupBy(col("doc_id")).agg(min(col("grp")).as("grp"))
+        .localCheckpoint()
+      converged = propagated.join(labels.withColumnRenamed("grp", "old"),
+        Seq("doc_id")).filter(col("grp") =!= col("old")).isEmpty
+      labels = propagated
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("grp")).agg(count(lit(1)).as("grp_size"))
+    labels.join(sizes, Seq("grp"))
+      .select(col("doc_id"), col("grp").as("group_id"), col("grp_size"))
+      .orderBy("doc_id")
+  }
+
   /** Candidate near-duplicate pairs: distinct (a < b) doc pairs sharing
     * a band bucket, kept when they agree on ≥ minBands of the bands.
     *

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables.{t, dsum}
+
+/** Reshaping + sampling operators rounding out the analytics surface:
+  * pivot/unpivot, exact percentiles, an array higher-order-function
+  * suite, deterministic stratified sampling, and a bucketed range join.
+  * All pure DataFrame ops — Catalyst plans them as partial+final
+  * aggregates or equi-joins; nothing here materializes on the driver.
+  */
+object Reshape {
+
+  /** Pivot: order counts and exact price sums per priority × status.
+    * Pivot values are DECLARED (`F`/`O`/`P`) so the plan is a single
+    * aggregate pass — an undeclared pivot first runs a distinct-values
+    * job and would embed a data-dependent column set. Missing combos:
+    * Spark's pivot yields null where `count(*) FILTER` yields 0, so
+    * counts are coalesced to 0; sums are NULL in both engines. */
+  def pivotOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price"))
+      .select(col("o_orderpriority"),
+        coalesce(col("F_n"), lit(0L)).as("n_f"),
+        col("F_price").as("price_f"),
+        coalesce(col("O_n"), lit(0L)).as("n_o"),
+        col("O_price").as("price_o"),
+        coalesce(col("P_n"), lit(0L)).as("n_p"),
+        col("P_price").as("price_p"))
+      .orderBy("o_orderpriority")
+
+  /** Unpivot (melt): wide per-returnflag metric columns back to long
+    * (flag, metric, value) rows — the Dataset.unpivot operator. */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val wide = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dsum(col("l_quantity")).as("qty"),
+        dsum(col("l_extendedprice")).as("price"),
+        dsum(col("l_discount")).as("disc"))
+    wide.unpivot(
+      Array(col("l_returnflag")),
+      Array(col("qty"), col("price"), col("disc")),
+      "metric", "value")
+      .orderBy("l_returnflag", "metric")
+  }
+
+  /** Exact interpolated percentiles of l_quantity per return flag.
+    * l_quantity is integer-valued, so the interpolation lands on exact
+    * quarter/hundredth fractions representable in double — bit-identical
+    * across engines regardless of each one's interpolation formula. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90"),
+        percentile(col("l_quantity"), lit(0.99)).as("p99"),
+        min(col("l_quantity")).as("q_min"),
+        max(col("l_quantity")).as("q_max"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Array higher-order-function suite over the embedding vectors:
+    * slice, reverse, sort, filter, transform, left-fold aggregate,
+    * min/max — each reduced to a scalar so the result is oracle-able.
+    * The fold sum is a SEQUENTIAL left fold over 8 elements, matching
+    * an explicit left-associated addition chain in the oracle. */
+  def arraySuite(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .withColumn("a8",
+        slice(transform(col("embedding"), x => x.cast("double")), 1, 8))
+      .select(
+        col("vec_id"),
+        size(col("a8")).as("n"),
+        element_at(col("a8"), 1).as("first_el"),
+        element_at(reverse(col("a8")), 1).as("last_el"),
+        element_at(array_sort(col("a8")), 1).as("sorted_min"),
+        element_at(array_sort(col("a8")), 8).as("sorted_max"),
+        array_min(col("a8")).as("a_min"),
+        array_max(col("a8")).as("a_max"),
+        size(filter(col("a8"), x => x > 0.0)).as("n_pos"),
+        aggregate(col("a8"), lit(0.0), (acc, x) => acc + x).as("sum8"),
+        aggregate(transform(col("a8"), x => x * x), lit(0.0),
+          (acc, x) => acc + x).as("sumsq8"))
+      .orderBy("vec_id")
+
+  /** Deterministic stratified sample: per-stratum rates applied through
+    * a content-derived hash (`md5` of a salted key), NOT an RNG — the
+    * same row is in or out on every run, every engine, every retry.
+    * This is the reproducible sampler a training pipeline wants (an
+    * RNG-based `sampleBy` resamples differently per execution and is
+    * unverifiable cross-engine). Embarrassingly parallel: a pure
+    * per-row filter, no shuffle. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("smpl:"),
+        col("c_custkey").cast("string"))), 1, 8), 16, 10).cast("long"),
+      lit(100))
+    val rate = when(col("c_mktsegment") === "BUILDING", 20).otherwise(5)
+    t(spark, dir, "customer")
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < rate)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        col("bucket").cast("int").as("bucket"))
+      .orderBy("c_custkey")
+  }
+
+  /** Range join, bucket-accelerated: for each event, the user's orders
+    * in the trailing 7 days. A naive range-predicate join is a
+    * broadcast-nested-loop at scale; instead each event EXPLODES into
+    * its 8 covered calendar days, orders key by their day, and the join
+    * is pure equi on (user, day) — shuffle-bounded, fan-out 8×events —
+    * with the exact timestamp range applied as a post-filter. Events
+    * with no orders in range are kept via the final left join. */
+  def rangeJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val eDays = events.withColumn("day",
+      explode(sequence(
+        to_date(col("ts") - expr("INTERVAL 7 DAYS")), to_date(col("ts")))))
+    val orders = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), to_date(col("o_orderdate")).as("day"))
+    val matched = eDays
+      .join(orders,
+        eDays("user_id") === orders("o_custkey") &&
+          eDays("day") === orders("day"))
+      .filter(col("o_orderdate") >= col("ts") - expr("INTERVAL 7 DAYS") &&
+        col("o_orderdate") <= col("ts"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+    events
+      .join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        (unix_micros(col("ts"))).as("ts_us"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("sum_price"))
+      .orderBy("event_id")
+  }
+}

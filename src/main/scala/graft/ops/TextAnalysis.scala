@@ -126,6 +126,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Text scrub/normalize — the boilerplate-removal step of a training
+    * pipeline: drop stopwords and single-char tokens, collapse
+    * consecutive repeated tokens, and emit the normalized stream's
+    * fingerprint plus how much each stage removed. Pure per-row array
+    * work (no shuffle); each intermediate array is materialized as its
+    * own column — referencing a tokenize expression inline from a
+    * lambda re-runs it per element (no CSE across lambda boundaries).
+    *
+    * Consecutive-dup collapse is index-based (`element_at(i) ≠
+    * element_at(i-1)`) rather than a 2-arg filter lambda, which the
+    * DuckDB twin lacks. */
+  def scrubNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val kept = filter(col("w"),
+      w => !w.isInCollection(StopWords) && length(w) >= 2)
+    // Guarded: size<=1 arrays pass through untouched — `sequence(2, 1)`
+    // would DESCEND ([2,1]) and index 0 is an ANSI error, so the index
+    // walk only runs for size >= 2 and starts at element 2.
+    val collapsed = when(size(col("k")) <= 1, col("k")).otherwise(
+      concat(slice(col("k"), 1, 1), filter(
+        transform(sequence(lit(2), size(col("k"))), i =>
+          when(element_at(col("k"), i) =!= element_at(col("k"), i - 1),
+            element_at(col("k"), i))),
+        x => x.isNotNull)))
+    t(spark, dir, "documents")
+      .withColumn("w", tokens(col("text")))
+      .withColumn("k", kept)
+      .withColumn("c", collapsed)
+      .select(
+        col("doc_id"), col("lang"),
+        size(col("w")).as("n_raw"),
+        size(col("k")).as("n_kept"),
+        size(col("c")).as("n_collapsed"),
+        (size(col("w")) - size(col("k"))).as("n_stopped"),
+        (size(col("k")) - size(col("c"))).as("n_repeats"),
+        md5(concat_ws(" ", col("c"))).as("scrub_fp"),
+        concat_ws(" ", slice(col("c"), 1, 5)).as("head5"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID heuristic (no oracle — verified in TextAnalysisSpec):
     * scores text against per-language marker-word lists and picks the
     * argmax, falling back to 'und'. A real pipeline would swap in

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class ReshapeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pivot cell counts reconcile with the plain groupBy") {
+    import spark.implicits._
+    val pivoted = Reshape.pivotOrders(spark, dir)
+      .select("o_orderpriority", "n_f", "n_o", "n_p")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val plain = graft.util.Tables.t(spark, dir, "orders")
+      .groupBy("o_orderpriority", "o_orderstatus").count()
+      .as[(String, String, Long)].collect()
+      .map { case (p, s, n) => (p, s) -> n }.toMap
+    for ((p, (f, o, pp)) <- pivoted) {
+      assert(f == plain.getOrElse((p, "F"), 0L), s"F @ $p")
+      assert(o == plain.getOrElse((p, "O"), 0L), s"O @ $p")
+      assert(pp == plain.getOrElse((p, "P"), 0L), s"P @ $p")
+    }
+  }
+
+  test("unpivot is the inverse shape of the wide aggregate") {
+    import spark.implicits._
+    val long = Reshape.unpivotMetrics(spark, dir)
+    // 3 metrics per flag, one value each, metric names preserved
+    val byFlag = long.as[(String, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    byFlag.values.foreach(ms =>
+      assert(ms == Seq("disc", "price", "qty")))
+  }
+
+  test("percentiles are order statistics: p50 <= p90 <= p99 within bounds") {
+    import spark.implicits._
+    Reshape.percentiles(spark, dir)
+      .as[(String, Double, Double, Double, Double, Double, Long)]
+      .collect().foreach { case (f, p50, p90, p99, mn, mx, n) =>
+        assert(n > 0)
+        assert(mn <= p50 && p50 <= p90 && p90 <= p99 && p99 <= mx, f)
+      }
+  }
+
+  test("stratified sample is deterministic and near the configured rates") {
+    import spark.implicits._
+    val s1 = Reshape.sampleStratified(spark, dir)
+      .as[(Long, String, Double, Int)].collect().toSeq
+    val s2 = Reshape.sampleStratified(spark, dir)
+      .as[(Long, String, Double, Int)].collect().toSeq
+    assert(s1 == s2) // same rows, same order, every run
+    val total = graft.util.Tables.t(spark, dir, "customer")
+      .groupBy("c_mktsegment").count()
+      .as[(String, Long)].collect().toMap
+    val picked = s1.groupBy(_._2).view.mapValues(_.size).toMap
+    for ((seg, n) <- picked) {
+      val rate = if (seg == "BUILDING") 0.20 else 0.05
+      val expected = total(seg) * rate
+      // md5 buckets are uniform; allow generous slack at tiny sf
+      assert(math.abs(n - expected) <= math.max(5.0, expected),
+        s"$seg: picked $n of ${total(seg)} (expected ~$expected)")
+    }
+  }
+
+  test("bucketed range join equals the naive range-predicate join") {
+    import spark.implicits._
+    val bucketed = Reshape.rangeJoinBucketed(spark, dir)
+      .select("event_id", "n_orders").as[(Long, Long)].collect().toMap
+    val e = graft.util.Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = graft.util.Tables.t(spark, dir, "orders")
+    val naive = e.join(o,
+        e("user_id") === o("o_custkey") &&
+          o("o_orderdate") >= e("ts") - expr("INTERVAL 7 DAYS") &&
+          o("o_orderdate") <= e("ts"), "left")
+      .groupBy(col("event_id"))
+      .agg(count(col("o_orderkey")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(bucketed == naive)
+  }
+
+  test("dedup groups match a driver-side union-find over the same pairs") {
+    import spark.implicits._
+    val pairs = Dedup.nearDupPairs(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    // brute-force union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.map(x => x -> find(x)).toMap
+    val got = Dedup.dedupGroups(spark, dir)
+      .select("doc_id", "group_id").as[(Long, Long)].collect().toMap
+    assert(got == expect)
+    // group sizes are consistent
+    val sizes = Dedup.dedupGroups(spark, dir)
+      .select("group_id", "grp_size").as[(Long, Long)].collect().toSet
+    val expectSizes = expect.groupBy(_._2).map { case (g, m) =>
+      (g, m.size.toLong) }.toSet
+    assert(sizes == expectSizes)
+  }
+
+  test("scrub output has no consecutive duplicate tokens and is idempotent") {
+    import spark.implicits._
+    val rows = TextAnalysis.scrubNormalize(spark, dir)
+      .select("doc_id", "n_raw", "n_kept", "n_collapsed", "head5")
+      .as[(Long, Int, Int, Int, String)].collect()
+    rows.foreach { case (id, raw, kept, coll, head5) =>
+      assert(kept <= raw && coll <= kept, s"doc $id monotone stages")
+      val toks = head5.split(" ").filter(_.nonEmpty)
+      toks.sliding(2).foreach {
+        case Array(x, y) => assert(x != y, s"doc $id repeat in head5")
+        case _ =>
+      }
+    }
+  }
+}
