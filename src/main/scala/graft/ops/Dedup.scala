@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.util.Tables.t
+import graft.util.Tables.{t, fanOut}
 
 /** X3 — near-duplicate text detection via MinHash + banded LSH
   * (SURVEY.md §2.8). Deterministic md5 minhashes (identical in the
@@ -23,7 +23,7 @@ object Dedup {
     * tokenize expression inline: Spark does not CSE a subexpression
     * across a lambda boundary, so an inline `split(...)` would re-run
     * per sequence element — benched 10× slower at sf0.1. */
-  private def shingles3(w: org.apache.spark.sql.Column) =
+  private[graft] def shingles3(w: org.apache.spark.sql.Column) =
     when(size(w) >= 3,
       transform(sequence(lit(1), size(w) - 2), i =>
         concat_ws(" ", element_at(w, i), element_at(w, i + 1),
@@ -41,7 +41,7 @@ object Dedup {
     * then unpivoted from the aggregated result. */
   def bandSignatures(spark: SparkSession, dir: String,
       nBands: Int = 8): DataFrame =
-    bandSignaturesFor(t(spark, dir, "documents"), nBands)
+    bandSignaturesFor(fanOut(t(spark, dir, "documents")), nBands)
 
   /** Signature variant over an arbitrary (doc_id, text) DataFrame —
     * lets composed pipelines (cleanCorpus) restrict the expensive
@@ -83,7 +83,7 @@ object Dedup {
     val nChunks = 4 // must be > hammingMax for the recall guarantee
     require(hammingMax < nChunks,
       s"hammingMax=$hammingMax needs more than $hammingMax chunks for full recall")
-    val sh = t(spark, dir, "documents")
+    val sh = fanOut(t(spark, dir, "documents"))
       .withColumn("w", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"),
         explode(array_distinct(shingles3(col("w")))).as("g"))
@@ -151,7 +151,7 @@ object Dedup {
     * work is bounded by document size, never corpus size. */
   def ngramJaccard(spark: SparkSession, dir: String, nBands: Int = 8,
       minBands: Int = 4): DataFrame = {
-    val sh = t(spark, dir, "documents")
+    val sh = fanOut(t(spark, dir, "documents"))
       .withColumn("w", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"),
         explode(array_distinct(shingles3(col("w")))).as("g"))
@@ -213,15 +213,21 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // Neighbor contributions + the node's own label in ONE union; the
+      // `self` flag lets min(grp) (new label) and min(grp | self) (old
+      // label) come out of the SAME aggregation, so the convergence
+      // check is a scan of the round's result, not an extra join.
       val propagated = labels
         .join(edges, labels("doc_id") === edges("doc_a"))
-        .select(col("doc_b").as("doc_id"), col("grp"))
-        .union(labels)
-        .groupBy(col("doc_id")).agg(min(col("grp")).as("grp"))
+        .select(col("doc_b").as("doc_id"), col("grp"),
+          lit(false).as("self"))
+        .union(labels.withColumn("self", lit(true)))
+        .groupBy(col("doc_id"))
+        .agg(min(col("grp")).as("grp"),
+          min(when(col("self"), col("grp"))).as("old"))
         .localCheckpoint()
-      converged = propagated.join(labels.withColumnRenamed("grp", "old"),
-        Seq("doc_id")).filter(col("grp") =!= col("old")).isEmpty
-      labels = propagated
+      converged = propagated.filter(col("grp") =!= col("old")).isEmpty
+      labels = propagated.select(col("doc_id"), col("grp"))
       iter += 1
     }
     val sizes = labels.groupBy(col("grp")).agg(count(lit(1)).as("grp_size"))

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.util.Tables.t
+import graft.util.Tables.{t, fanOut}
 import graft.functions.CentroidAgg
 
 /** X4/X17 — similarity search + embedding aggregation over the
@@ -43,7 +43,7 @@ object Similarity {
     * data-scaled query sets switch to [[lshCandidates]]. */
   def cosineTopK(spark: SparkSession, dir: String, k: Int = 10,
       nQueries: Int = 8): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
+    val emb = fanOut(t(spark, dir, "embeddings"))
     // Norms are precomputed per ROW before the pair join — computing
     // them inside `cosine` would redo both 64-element folds once per
     // (query, candidate) pair, tripling the scoring work. Same
@@ -99,7 +99,7 @@ object Similarity {
 
   def lshCandidates(spark: SparkSession, dir: String, nBits: Int = 8,
       nTables: Int = 8): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
+    val emb = fanOut(t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
     // (table, bucket, vec_id): one row per vector per hash table
@@ -154,7 +154,7 @@ object Similarity {
     val probes = slice(
       array_sort(array(cellDots(col("q_emb")): _*)),
       lit(cells.size - probeN + 1), lit(probeN))
-    val emb = t(spark, dir, "embeddings")
+    val emb = fanOut(t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
       .withColumn("cell", assignCell)
@@ -184,7 +184,7 @@ object Similarity {
       threshold: Double = 0.4): DataFrame = {
     // Per-row norm precomputation (see cosineTopK): the O(n²) pair loop
     // pays ONE 64-element fold per pair instead of three.
-    val emb = t(spark, dir, "embeddings")
+    val emb = fanOut(t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
     val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"),

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.util.Tables
 import graft.util.Tables.{t, dsum}
 
 /** X5 — text analysis over the `documents` table (doc_id, text, lang,
@@ -116,7 +117,7 @@ object TextAnalysis {
     // agreement is per-pair, so the survivor-pair set is identical
     // either way, and the expensive shingle/signature work skips the
     // junk the quality gate just shed.
-    val survivorDocs = t(spark, dir, "documents")
+    val survivorDocs = Tables.fanOut(t(spark, dir, "documents"))
       .join(quality.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select("doc_id", "text")
     val dupBs = Dedup.nearDupPairsFor(survivorDocs)

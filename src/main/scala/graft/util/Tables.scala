@@ -42,6 +42,22 @@ object Tables {
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Spread a SCAN across the cluster before CPU-heavy per-row work.
+    * A small parquet file is one row group, so Spark reads it as ONE
+    * partition regardless of maxPartitionBytes, and every downstream
+    * map stage (tokenize/shingle/hash/vector-fold) runs single-threaded
+    * — profiled 3-5× slowdowns at sf0.1. At 100 TB the scan already has
+    * thousands of splits and this is a no-op, so the round-robin
+    * shuffle only ever moves small data. Call it on freshly-read frames
+    * only: `.rdd` on a pure scan plans without running jobs, but on a
+    * join/agg under AQE it can trigger stage execution. Results are
+    * retry-safe — Spark local-sorts before round-robin partitioning
+    * (SPARK-23207), and our consumers are order-insensitive aggs. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Correctly-rounded decimal→double conversion, shared by every
     * oracle-paired aggregate (dsum, window/streaming sums): the cast
     * goes THROUGH A STRING because above 2^53 in scaled-integer space
