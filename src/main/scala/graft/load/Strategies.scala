@@ -89,7 +89,11 @@ object Strategies {
             "Primary key is required for upsert strategy")
         if (!tableExists(spark, path)) {
           // J2 — first-load fallback: plain overwrite partitioned by dt
-          // (FInal/load_script.py:104-109).
+          // (FInal/load_script.py:104-109). Same duplicate-merge-key
+          // probe as the merge path: a first batch with duplicate
+          // (pk, dt) rows would otherwise seed the table with a broken
+          // PK invariant that every later merge depends on.
+          requireUniqueMergeKeys(df, primaryKey :+ "dt")
           clustered(df).write.mode("overwrite").partitionBy("dt").parquet(path)
         } else {
           upsertMerge(spark, clustered(df), path, primaryKey)
@@ -98,6 +102,25 @@ object Strategies {
         throw new IllegalArgumentException(
           s"Unknown curated load strategy: $other")
     }
+  }
+
+  /** Fail loudly when `df` holds duplicate rows for the merge key.
+    * DELIBERATELY STRICTER than Delta MERGE, which only errors when
+    * multiple source rows match an existing TARGET row (insert-only
+    * duplicates slip through and corrupt PK uniqueness): under this
+    * loader's contract a batch is keyed by (pk, dt), so any duplicate —
+    * matched or not — is a malformed batch. Applied identically on the
+    * merge path (fused with the dt-list aggregation there) and the
+    * first-load path. */
+  private def requireUniqueMergeKeys(df: DataFrame, keys: Seq[String]): Unit = {
+    val offender = df.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    if (offender.nonEmpty)
+      throw new IllegalArgumentException(
+        "Upsert source contains duplicate rows for merge key " +
+          s"(${keys.mkString(", ")}), e.g. " +
+          offender.head.toSeq.init.mkString("[", ", ", "]") +
+          " — dedup the batch (e.g. keep-latest) before merging")
   }
 
   /** J1/W5 — partition-scoped upsert merge into existing parquet target.
@@ -112,12 +135,12 @@ object Strategies {
     // union) and may itself be a non-trivial plan.
     val src = source.cache()
     try {
-      // ONE aggregation job yields both the touched-dt list and a
-      // duplicate-merge-key probe: Delta MERGE raises on multiple
-      // source rows matching one target row; a source batch with
-      // duplicate (pk, dt) rows would here be silently unioned in
-      // whole, corrupting PK uniqueness — fail loudly instead,
-      // matching the reference's observable semantics.
+      // ONE aggregation job yields both the touched-dt list and the
+      // duplicate-merge-key probe (see requireUniqueMergeKeys for the
+      // contract — deliberately stricter than Delta, which lets
+      // insert-only duplicates through): a source batch with duplicate
+      // (pk, dt) rows would here be silently unioned in whole,
+      // corrupting PK uniqueness — fail loudly instead.
       val dtStats = src.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__n"))
         .groupBy(col("dt")).agg(max(col("__n")).as("__maxn"))

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.slf4j.LoggerFactory
 import graft.util.Tables.{t, fanOut}
 
 /** X3 — near-duplicate text detection via MinHash + banded LSH
@@ -17,6 +18,8 @@ import graft.util.Tables.{t, fanOut}
   * (band, signature); skewed buckets (stop-shingle mins) are the one
   * hazard, handled by AQE skew-join splitting. */
 object Dedup {
+
+  private val log = LoggerFactory.getLogger(getClass)
 
   /** Word 3-gram shingle array over an ALREADY-MATERIALIZED token
     * column. The token array must be a plain column reference, not the
@@ -230,6 +233,12 @@ object Dedup {
       labels = propagated.select(col("doc_id"), col("grp"))
       iter += 1
     }
+    // Truncated propagation is silent data corruption at scale (chained
+    // near-dup corpora can exceed any fixed diameter) — make it loud.
+    if (!converged) log.warn(
+      s"dedupGroups: label propagation did NOT converge after $maxIter " +
+        "iterations; components with larger diameter carry truncated " +
+        "(non-minimal) group labels. Raise maxIter for this corpus.")
     val sizes = labels.groupBy(col("grp")).agg(count(lit(1)).as("grp_size"))
     labels.join(sizes, Seq("grp"))
       .select(col("doc_id"), col("grp").as("group_id"), col("grp_size"))

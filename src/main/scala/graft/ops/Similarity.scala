@@ -199,31 +199,43 @@ object Similarity {
       .orderBy("a", "b")
   }
 
-  /** X17 — per-label centroid via the custom Aggregator UDAF. Array
-    * output + float-sum order nondeterminism ⇒ registered as a
-    * rows-only check; exact values verified against a Scala
-    * recomputation in SimilaritySpec. */
-  def centroidByLabel(spark: SparkSession, dir: String): DataFrame =
+  /** X17 — per-label centroid aggregation WITHOUT an output ordering:
+    * the shared subplan for both public forms. Kept order-free because a
+    * global orderBy over an aggregate range-samples its child — running
+    * the whole UDAF subplan an extra time per sort (the round-3
+    * centroid_udaf 2.6× regression was exactly two stacked orderBys). */
+  private def centroidCore(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
       .groupBy(col("label"))
       .agg(
         CentroidAgg.centroid(64)(col("embedding")).as("centroid"),
         count(lit(1)).as("n_vecs"))
-      .orderBy("label")
+
+  /** X17 — per-label centroid via the custom Aggregator UDAF. Array
+    * output + float-sum order nondeterminism ⇒ registered as a
+    * rows-only check; exact values verified against a Scala
+    * recomputation in SimilaritySpec. Output is label-count-sized
+    * (bounded), so the total order comes from a single-partition sort —
+    * no range-sampling re-execution of the aggregate. */
+  def centroidByLabel(spark: SparkSession, dir: String): DataFrame =
+    centroidCore(spark, dir).coalesce(1).sortWithinPartitions("label")
 
   /** The registered form of [[centroidByLabel]]: the centroid array is
     * exploded into one (label, dim, value) row per element so every
     * column is a sortable scalar — the driver's rows-only
     * canonicalization cannot sort an array column (pandas
     * `unhashable type` on ndarray). Values rounded to 6dp purely for
-    * cross-run display stability; exactness lives in SimilaritySpec. */
+    * cross-run display stability; exactness lives in SimilaritySpec.
+    * Single-partition sort (labels × 64 dims rows, bounded): the
+    * map-side partial aggregation keeps full scan parallelism, only the
+    * tiny final-merge stage collapses to one task. */
   def centroidByLabelFlat(spark: SparkSession, dir: String): DataFrame =
-    centroidByLabel(spark, dir)
+    centroidCore(spark, dir)
       .select(col("label"), col("n_vecs"),
         posexplode(col("centroid")).as(Seq("dim", "c")))
       .select(col("label"), col("dim").cast("int").as("dim"),
         round(col("c"), 6).as("centroid_val"), col("n_vecs"))
-      .orderBy("label", "dim")
+      .coalesce(1).sortWithinPartitions("label", "dim")
 
   /** X16 — higher-order-function stats over the embedding arrays
     * (norms + leading elements), exactly oracle-able because per-row

@@ -97,34 +97,34 @@ object GenericLoader {
   * even that).
   * Usage: `BackfillMain <inbound_dir> <source_system> <table>` with the
   * same env contract as IngestMain. */
-object BackfillMain {
-  def main(args: Array[String]): Unit = {
-    if (args.length != 3) {
-      System.err.println(
-        "Usage: BackfillMain <inbound_dir> <source_system> <table_name>")
-      sys.exit(1)
-    }
-    val Array(inboundDir, sourceSystem, table) = args
-    val layout = LakeLayout.fromEnv()
-    val config = TableConfig.fromFile(layout.configPath(sourceSystem, table))
+object Backfill {
+
+  /** Replay every not-yet-processed inbound CSV through the loader;
+    * returns the files processed THIS run (empty when the ledger already
+    * covers the backlog). All filesystem access goes through the
+    * session's `hadoopConfiguration` so `spark.hadoop.*` settings (s3a
+    * credentials/endpoint passed via Spark conf) reach the listing and
+    * the ledger — a bare `new Configuration()` would silently drop
+    * them. */
+  def run(spark: SparkSession, inboundDir: String, sourceSystem: String,
+      table: String, config: TableConfig, layout: LakeLayout,
+      clock: Option[Timestamp] = None,
+      actor: String = "graft-spark"): Seq[String] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
     // Hadoop FS listing (same API as the ledger below): an s3a:// or
     // hdfs:// inbound dir lists correctly instead of being treated as
     // a local path by java.nio.
     val inboundPath = new org.apache.hadoop.fs.Path(inboundDir)
-    val inboundFs = inboundPath.getFileSystem(
-      new org.apache.hadoop.conf.Configuration())
+    val inboundFs = inboundPath.getFileSystem(hconf)
     val files = inboundFs.listStatus(inboundPath)
-      .map(_.getPath.toString).sorted
+      .map(_.getPath.toString).sorted.toSeq
       .filter(f => f.endsWith(".csv") || f.endsWith(".csv.gz"))
-    if (files.isEmpty) {
-      System.err.println(s"No CSV files under $inboundDir")
-      sys.exit(1)
-    }
+    if (files.isEmpty)
+      throw new IllegalArgumentException(s"No CSV files under $inboundDir")
     val ledgerPath = new org.apache.hadoop.fs.Path(
       layout.curatedPath(sourceSystem, table).stripSuffix("/")
         + "__backfill.log")
-    val fs = ledgerPath.getFileSystem(
-      new org.apache.hadoop.conf.Configuration())
+    val fs = ledgerPath.getFileSystem(hconf)
     def readLedger(): Set[String] =
       if (fs.exists(ledgerPath)) {
         val in = fs.open(ledgerPath)
@@ -142,10 +142,26 @@ object BackfillMain {
     var done: Set[String] = readLedger()
     def base(f: String) = new org.apache.hadoop.fs.Path(f).getName
     val todo = files.filterNot(f => done.contains(base(f)))
-    if (todo.isEmpty) {
-      System.err.println(s"All ${files.length} files already processed")
-      return
+    todo.foreach { f =>
+      GenericLoader.run(spark, GenericLoader.LoadRun(
+        f, sourceSystem, table, config, layout, actor, clock))
+      done = done + base(f)
+      writeLedger(done)
     }
+    todo
+  }
+}
+
+object BackfillMain {
+  def main(args: Array[String]): Unit = {
+    if (args.length != 3) {
+      System.err.println(
+        "Usage: BackfillMain <inbound_dir> <source_system> <table_name>")
+      sys.exit(1)
+    }
+    val Array(inboundDir, sourceSystem, table) = args
+    val layout = LakeLayout.fromEnv()
+    val config = TableConfig.fromFile(layout.configPath(sourceSystem, table))
     val builder = SparkSession.builder()
       .appName("graft-backfill")
       .config("spark.sql.session.timeZone", "UTC")
@@ -153,11 +169,11 @@ object BackfillMain {
       else builder.master(
         s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
       .getOrCreate()
-    try todo.foreach { f =>
-      GenericLoader.run(spark,
-        GenericLoader.LoadRun(f, sourceSystem, table, config, layout))
-      done = done + base(f)
-      writeLedger(done)
+    try {
+      val processed = Backfill.run(
+        spark, inboundDir, sourceSystem, table, config, layout)
+      if (processed.isEmpty)
+        System.err.println("All files already processed")
     } finally spark.stop()
   }
 }

@@ -1,0 +1,34 @@
+package graft.tools
+
+import graft.SparkEntry
+import graft.util.GraftSession
+
+/** Time a subset of registered queries without running the full bench:
+  * `runMain graft.tools.QTime q1 q2 ...` (all registry names when no
+  * args). Same protocol as [[graft.Bench]] — one discarded warmup pass,
+  * then the minimum of two timed passes — so numbers are comparable
+  * with BENCH_r*.json entries. */
+object QTime {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder("graft-qtime",
+      master = Some(s"local[$cpus]")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fns = SparkEntry.queries
+    val names =
+      if (args.nonEmpty) args.toSeq else SparkEntry.registry.map(_._1)
+    names.foreach { n =>
+      val fn = fns.getOrElse(n,
+        sys.error(s"unknown query $n; known: ${fns.keys.mkString(", ")}"))
+      fn(spark, dir).count() // warmup
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val rows = fn(spark, dir).count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      println(f"QTIME $n%-24s ${times.map(_._1).min}%8.3f s  rows=${times.head._2}")
+    }
+    spark.stop()
+  }
+}

@@ -22,9 +22,29 @@ object Skew {
     * downstream (the SPARK-23207 class of bug). Exact-duplicate rows
     * share a salt (they can't be told apart), which only matters if the
     * hot key's rows are all byte-identical — then salting can't help
-    * anyway. */
-  private def contentSalt(df: DataFrame, nSalts: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(nSalts)).cast("int")
+    * anyway.
+    *
+    * Type restriction: only hash-supported columns participate
+    * (xxhash64 raises AnalysisException on e.g. MapType); a schema with
+    * no hashable column at all cannot be content-salted and fails with
+    * a clear message rather than Spark's analysis error. */
+  private def contentSalt(df: DataFrame, nSalts: Int): Column = {
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.forall(f => hashable(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType =>
+          hashable(a.elementType)
+        case _ => true
+      }
+    val cols = df.schema.fields.filter(f => hashable(f.dataType))
+      .map(f => col(f.name))
+    require(cols.nonEmpty,
+      "contentSalt: no hash-supported columns in schema " +
+        df.schema.simpleString)
+    pmod(xxhash64(cols.toIndexedSeq: _*), lit(nSalts)).cast("int")
+  }
 
   /** Salted shuffle join: the skewed (big) side gets a uniform salt in
     * [0, nSalts); the small side is replicated once per salt value, so

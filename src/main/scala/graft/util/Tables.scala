@@ -52,10 +52,26 @@ object Tables {
     * only: `.rdd` on a pure scan plans without running jobs, but on a
     * join/agg under AQE it can trigger stage execution. Results are
     * retry-safe — Spark local-sorts before round-robin partitioning
-    * (SPARK-23207), and our consumers are order-insensitive aggs. */
+    * (SPARK-23207), and our consumers are order-insensitive aggs.
+    *
+    * Guarded to bare scans (relation + column-level Project/Filter):
+    * for any derived frame (join/agg/...) this is an identity, because
+    * probing `.rdd` there can trigger stage execution under AQE and the
+    * tiny-scan problem it solves doesn't exist post-shuffle anyway.
+    * FanOutSpec asserts the scan probe runs zero jobs. */
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def scanOnly(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case _: Project | _: Filter | _: SubqueryAlias =>
+        p.children.forall(scanOnly)
+      case _ => false
+    }
+    if (!scanOnly(df.queryExecution.analyzed)) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    }
   }
 
   /** Correctly-rounded decimal→double conversion, shared by every
