@@ -401,15 +401,20 @@ object SparkEntry {
       ORDER BY doc_id""")),
 
     "simhash_pairs" -> Q((s, d) => Dedup.simhashPairs(s, d), Some {
-      val sums = (0 until 32).map(j =>
-        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      // 64-bit simhash as two 32-bit halves (see Dedup.simhashPairsFor:
+      // 1 << 63 overflows signed 64-bit in both engines).
+      def sums(src: String, pre: String) = (0 until 32).map(j =>
+        s"sum(CASE WHEN ($src >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS $pre$j")
         .mkString(", ")
-      val bits = (0 until 32).map(j =>
-        s"(CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)")
+      def half(pre: String) = (0 until 32).map(j =>
+        s"(CASE WHEN $pre$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)")
         .mkString(" + ")
-      // four 8-bit chunks: pigeonhole-complete for hamming <= 3
-      val chunkCond = (0 until 4).map(c =>
-        s"((a.simhash >> ${c * 8}) & 255) = ((b.simhash >> ${c * 8}) & 255)")
+      // four 16-bit chunks: pigeonhole-complete for hamming <= 3
+      val chunkCond = Seq(
+        "(a.sim_lo & 65535) = (b.sim_lo & 65535)",
+        "((a.sim_lo >> 16) & 65535) = ((b.sim_lo >> 16) & 65535)",
+        "(a.sim_hi & 65535) = (b.sim_hi & 65535)",
+        "((a.sim_hi >> 16) & 65535) = ((b.sim_hi >> 16) & 65535)")
         .mkString(" OR ")
       s"""
       WITH tok AS (SELECT doc_id,
@@ -421,11 +426,16 @@ object SparkEntry {
             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
         FROM tok WHERE len(w) >= 3),
       h AS (SELECT doc_id,
-          CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) AS h FROM sh0),
-      s AS (SELECT doc_id, $sums FROM h GROUP BY 1),
-      sig AS (SELECT doc_id, $bits AS simhash FROM s),
+          CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) AS hlo,
+          CAST(('0x' || substring(md5(g), 9, 8)) AS BIGINT) AS hhi
+        FROM sh0),
+      s AS (SELECT doc_id, ${sums("hlo", "l")}, ${sums("hhi", "u")}
+        FROM h GROUP BY 1),
+      sig AS (SELECT doc_id, ${half("l")} AS sim_lo, ${half("u")} AS sim_hi
+        FROM s),
       pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-          CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIT)) AS INTEGER)
+          CAST(bit_count(CAST(xor(a.sim_lo, b.sim_lo) AS BIT)) +
+               bit_count(CAST(xor(a.sim_hi, b.sim_hi) AS BIT)) AS INTEGER)
             AS hamming
         FROM sig a JOIN sig b
           ON ($chunkCond) AND a.doc_id < b.doc_id)

@@ -63,61 +63,89 @@ object Dedup {
       .select(col("doc_id"), col("h.band"), col("h.sig"))
   }
 
-  /** X3b — SimHash near-dup: 32-bit simhash over 3-gram shingle
+  /** X3b — SimHash near-dup: 64-bit simhash over 3-gram shingle
     * features (md5-derived bit hashes — deterministic in the DuckDB
-    * oracle), candidates bucketed on FOUR 8-bit chunks, exact hamming
+    * oracle), candidates bucketed on FOUR 16-bit chunks, exact hamming
     * filter after. Pigeonhole guarantee: a pair within hamming ≤ 3
     * differs in at most 3 of the 4 chunk regions, so it must agree on
     * at least one chunk and is always surfaced — chunk count must
     * exceed hammingMax for full recall.
     *
-    * Scale shape: one groupBy(doc_id) with 32 map-side-combined sums
+    * The signature is CARRIED AS TWO 32-BIT HALVES (sim_lo = bits
+    * 0–31 from md5 hex chars 1–8, sim_hi = bits 32–63 from chars 9–16):
+    * a single 64-bit value would need `1 << 63`, which is negative in
+    * both Spark's ANSI longs and DuckDB BIGINT — summing those powers
+    * of two overflows. Each half sums disjoint powers < 2^32, safe in
+    * both engines; hamming distance is the sum of the halves'
+    * bit_count(xor).
+    *
+    * Scale shape: one groupBy(doc_id) with 64 map-side-combined sums
     * builds the signatures; candidates are generated BUCKET-LOCALLY
     * per (chunk region, chunk value) via collect + pair explode, so
-    * the signature subplan executes once. Caveat: 8-bit chunk buckets
-    * are DENSE by construction (~N/256 docs each), so bucket pair
-    * fan-out grows quadratically with corpus size — `maxBucket` caps
-    * runaway buckets, and a corpus beyond ~1M docs should move to a
-    * 64-bit simhash with 16-bit chunks (65536 buckets/region) or the
-    * streamed per-chunk self-join. */
+    * the signature subplan executes once. 16-bit chunks give 65,536
+    * buckets per region — expected bucket occupancy stays ~N/65536
+    * (vs ~N/256 for the 8-bit chunks this replaces, whose pair fan-out
+    * went quadratic past ~1M docs); `maxBucket` still caps adversarial
+    * buckets (near-identical boilerplate corpora). */
   def simhashPairs(spark: SparkSession, dir: String,
-      hammingMax: Int = 3, maxBucket: Int = 0): DataFrame = {
-    val nBits = 32
-    val nChunks = 4 // must be > hammingMax for the recall guarantee
-    require(hammingMax < nChunks,
-      s"hammingMax=$hammingMax needs more than $hammingMax chunks for full recall")
-    val sh = fanOut(t(spark, dir, "documents"))
+      hammingMax: Int = 3, maxBucket: Int = 0): DataFrame =
+    simhashPairsFor(fanOut(t(spark, dir, "documents")), hammingMax,
+      maxBucket)
+
+  /** (doc_id, sim_lo, sim_hi) 64-bit simhash signatures over an
+    * arbitrary (doc_id, text) corpus — the shared signature subplan of
+    * [[simhashPairsFor]], public so SimhashSpec can brute-force-verify
+    * the banded candidate generation's recall independently of the
+    * cross-engine oracle (which cannot catch a bug implemented
+    * identically on both sides). */
+  def simhashSignaturesFor(docs: DataFrame): DataFrame = {
+    val sh = docs
       .withColumn("w", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"),
         explode(array_distinct(shingles3(col("w")))).as("g"))
-      // 32-bit feature hash from the md5 hex prefix
-      .withColumn("h", conv(substring(md5(col("g")), 1, 8), 16, 10)
-        .cast("long"))
-    val bitSums = (0 until nBits).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"s$j"))
-    val simhash = (0 until nBits).map(j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      // 64-bit feature hash as two 32-bit md5 hex slices
+      .withColumn("hex", md5(col("g")))
+      .select(col("doc_id"),
+        conv(substring(col("hex"), 1, 8), 16, 10).cast("long").as("hlo"),
+        conv(substring(col("hex"), 9, 8), 16, 10).cast("long").as("hhi"))
+    def bitSums(src: String, pre: String) = (0 until 32).map(j =>
+      sum(when(shiftright(col(src), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"$pre$j"))
+    def half(pre: String) = (0 until 32).map(j =>
+      when(col(s"$pre$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce((a, b) => a + b)
-    val chunkBits = nBits / nChunks
-    val mask = (1L << chunkBits) - 1
-    val sig = sh.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), simhash.as("simhash"))
+    val allSums = bitSums("hlo", "l") ++ bitSums("hhi", "u")
+    sh.groupBy(col("doc_id"))
+      .agg(allSums.head, allSums.tail: _*)
+      .select(col("doc_id"), half("l").as("sim_lo"), half("u").as("sim_hi"))
+  }
+
+  /** [[simhashPairs]] over an arbitrary (doc_id, text) corpus. */
+  def simhashPairsFor(docs: DataFrame, hammingMax: Int = 3,
+      maxBucket: Int = 0): DataFrame = {
+    val nChunks = 4 // 16-bit regions; must be > hammingMax for recall
+    require(hammingMax < nChunks,
+      s"hammingMax=$hammingMax needs more than $hammingMax chunks for full recall")
+    val sig = simhashSignaturesFor(docs)
+    // 16-bit chunk values: regions 0,1 off sim_lo; 2,3 off sim_hi.
+    val mask = 0xFFFFL
+    val chunkVals = Seq(
+      col("sim_lo").bitwiseAND(lit(mask)),
+      shiftright(col("sim_lo"), 16).bitwiseAND(lit(mask)),
+      col("sim_hi").bitwiseAND(lit(mask)),
+      shiftright(col("sim_hi"), 16).bitwiseAND(lit(mask)))
     // Bucket-local pair generation, like nearDupPairs: explode one row
     // per (chunk region, chunk value), collect each bucket's members,
     // emit its (a<b) pairs. The signature subplan runs ONCE — a
     // chunk-per-join formulation re-executed it on every join side
-    // (8×, benched ~2× slower at sf0.1).
+    // (benched ~2× slower at sf0.1 on the 32-bit version).
     val buckets = sig
-      .select(col("doc_id"), col("simhash"),
-        explode(array((0 until nChunks).map(c =>
-          struct(lit(c).as("chunk"),
-            shiftright(col("simhash"), c * chunkBits).bitwiseAND(lit(mask))
-              .as("cval"))): _*)).as("h"))
+      .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+        explode(array(chunkVals.zipWithIndex.map { case (cv, i) =>
+          struct(lit(i).as("chunk"), cv.as("cval")) }: _*)).as("h"))
       .groupBy(col("h.chunk"), col("h.cval"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
-        .as("docs"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("sim_lo"), col("sim_hi")))).as("docs"))
       .filter(size(col("docs")) > 1)
     val capped =
       if (maxBucket > 0) buckets.filter(size(col("docs")) <= maxBucket)
@@ -127,14 +155,18 @@ object Dedup {
         transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
           struct(a.getField("doc_id").as("doc_a"),
             b.getField("doc_id").as("doc_b"),
-            a.getField("simhash").as("sh_a"),
-            b.getField("simhash").as("sh_b")))))).as("p"))
+            a.getField("sim_lo").as("lo_a"),
+            b.getField("sim_lo").as("lo_b"),
+            a.getField("sim_hi").as("hi_a"),
+            b.getField("sim_hi").as("hi_b")))))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.sh_a").as("sh_a"), col("p.sh_b").as("sh_b"))
+        col("p.lo_a").as("lo_a"), col("p.lo_b").as("lo_b"),
+        col("p.hi_a").as("hi_a"), col("p.hi_b").as("hi_b"))
       // dedup pairs surfaced by several chunk regions BEFORE scoring
       .distinct()
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).as("hamming"))
       .filter(col("hamming") <= hammingMax)
       .orderBy("doc_a", "doc_b")
   }
