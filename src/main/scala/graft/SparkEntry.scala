@@ -489,6 +489,15 @@ object SparkEntry {
            sqrt(list_dot_product(b.emb, b.emb))) > 0.4
       ORDER BY a, b""")),
 
+    // X4 scale paths — the ANN operators a 100 TB corpus actually runs.
+    // Registered rows-only (like centroid_udaf): the hyperplane hashes
+    // (xxhash64) and the UDAF-collected IVF codebook have no DuckDB
+    // equivalent. Exactness is anchored in SimilaritySpec instead:
+    // ann_lsh_pairs ⊆ cosine_pairs with bit-identical scores and
+    // recall ≥ bound; ivf with all cells probed ≡ brute force exactly.
+    "ann_lsh_pairs" -> Q((s, d) => Similarity.lshPairs(s, d), None),
+    "ann_ivf_topk" -> Q((s, d) => Similarity.ivfTopK(s, d), None),
+
     "token_counts" -> Q(TextAnalysis.tokenCounts, Some("""
       WITH d AS (SELECT doc_id, text,
           list_filter(string_split_regex(lower(text), '\s+'),

@@ -97,19 +97,35 @@ object Similarity {
     bits.reduce((a, b) => a + b)
   }
 
+  /** The FIRST-CLASS embedding near-dup query: LSH candidate generation
+    * ([[lshCandidates]]) followed by exact cosine rescoring and a
+    * threshold. Precision is exact by construction — every returned pair
+    * is rescored with the same [[dot]]/[[l2norm]] arithmetic as the
+    * brute-force twin, so the scores are bit-identical doubles — and the
+    * only approximation is recall (pairs whose vectors never share a
+    * bucket are missed), tuned by nBits × nTables and asserted against
+    * [[cosinePairs]] in SimilaritySpec. The plane hashes (xxhash64) have
+    * no DuckDB equivalent ⇒ registered rows-only, like `centroid_udaf`. */
+  def lshPairs(spark: SparkSession, dir: String, threshold: Double = 0.4,
+      nBits: Int = 8, nTables: Int = 8): DataFrame =
+    lshCandidates(spark, dir, nBits, nTables)
+      .filter(col("score") > threshold)
+      .orderBy("a", "b")
+
   def lshCandidates(spark: SparkSession, dir: String, nBits: Int = 8,
       nTables: Int = 8): DataFrame = {
     val emb = fanOut(t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
-    // (table, bucket, vec_id): one row per vector per hash table
-    val buckets = emb.select(col("vec_id"), col("embedding"), col("nrm"),
-      explode(array((0 until nTables).map(tb =>
-        struct(lit(tb).as("tb"),
-          signature(col("embedding"), nBits, tb).as("bucket"))): _*))
-        .as("h"))
-      .select(col("h.tb"), col("h.bucket"), col("vec_id"),
-        col("embedding"), col("nrm"))
+    // (table, bucket, vec_id): one row per vector per hash table. All
+    // nTables signatures come from ONE fused codegen loop
+    // ([[graft.expressions.HyperplaneSigs]], bit-identical to the HOF
+    // [[signature]] — SimilaritySpec) instead of nBits × nTables
+    // interpreted lambda folds per row.
+    val buckets = emb
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(graft.expressions.HyperplaneSigs(
+          col("embedding"), nBits, nTables)).as(Seq("tb", "bucket")))
     val a = buckets.select(col("tb"), col("bucket"),
       col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = buckets.select(col("tb"), col("bucket"),
@@ -144,10 +160,14 @@ object Similarity {
     // <=0 (error, or Spark's from-the-end semantics silently probing
     // ONE cell); clamp to "probe everything".
     val probeN = math.min(nProbe, cells.size)
+    // Cell scoring is a heuristic ROUTE (which cells to probe / which
+    // cell owns a vector), not part of the returned scores — so the
+    // codebook is downcast to float and scored with the codegen'd
+    // [[dot]] loop instead of an interpreted HOF fold per (row, cell).
+    // Returned top-k scores still use the exact double path below.
     def cellDots(e: Column) = cells.map { case (id, c) =>
       struct(
-        aggregate(zip_with(e, typedLit(c), (x, w) => x.cast("double") * w),
-          lit(0.0), (acc, v) => acc + v).as("score"),
+        dot(e, typedLit(c.map(_.toFloat))).as("score"),
         lit(id).as("cell"))
     }
     val assignCell = greatest(cellDots(col("embedding")): _*).getField("cell")
@@ -176,10 +196,12 @@ object Similarity {
   }
 
   /** X4b — exhaustive embedding-cosine pair search above a threshold:
-    * the correctness baseline for embedding near-dup (the scale path is
-    * [[lshCandidates]], which trades recall for a bounded candidate
-    * set). Self cross-join bounded to a<b; each pair scored once by the
-    * codegen'd [[dot]] loop. */
+    * the VERIFICATION TWIN of the first-class [[lshPairs]] query. O(n²)
+    * by construction, so it exists to pin exactness at verification
+    * scale — a 100 TB corpus runs [[lshPairs]], whose output this twin
+    * bounds (subset with bit-identical scores, SimilaritySpec). Self
+    * cross-join bounded to a<b; each pair scored once by the codegen'd
+    * [[dot]] loop. */
   def cosinePairs(spark: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame = {
     // Per-row norm precomputation (see cosineTopK): the O(n²) pair loop

@@ -89,6 +89,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf2.nonEmpty && recall > 0.0, s"recall=$recall")
   }
 
+  test("registered LSH pair query is a subset of its exact twin with bit-identical scores") {
+    import spark.implicits._
+    val exact = Similarity.cosinePairs(spark, dir, threshold = 0.4)
+      .select("a", "b", "score").as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    val lsh = Similarity.lshPairs(spark, dir, threshold = 0.4)
+      .select("a", "b", "score").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty, "LSH path surfaced no pairs at all")
+    // precision is exact by construction: every pair rescored with the
+    // same arithmetic, so scores must be bit-identical doubles
+    lsh.foreach { case (a, b, s) =>
+      assert(exact.contains((a, b)), s"($a,$b) not in the exact twin")
+      assert(exact((a, b)) == s, s"($a,$b): $s vs ${exact((a, b))}")
+    }
+    // Recall anchor: hyperplane LSH collision probability per bit is
+    // p = 1 - acos(score)/π, so a pair survives one 8-bit table with
+    // p^8 and ANY of 8 tables with 1-(1-p^8)^8. The synthetic embeddings
+    // top out at cosine ≈ 0.5 (verified: no pair exceeds 0.52), so the
+    // twin's pairs all sit in the low-similarity band where expected
+    // recall is ~0.2 — a fixed "recall ≥ 0.5" would test the data, not
+    // the code. Assert against the per-pair theoretical expectation
+    // (with 2× slack for plane-draw variance); on a real near-dup band
+    // (≥0.8) the same formula predicts recall ≥ 0.97.
+    val expected = exact.values.map { s =>
+      val p = 1.0 - math.acos(math.min(1.0, s)) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p, 8), 8)
+    }.sum / exact.size
+    val recall = lsh.length.toDouble / exact.size
+    assert(recall >= 0.5 * expected,
+      s"recall $recall below half the theoretical expectation $expected " +
+        s"(${lsh.length}/${exact.size}) — bucketing is broken, not just lossy")
+  }
+
   test("native FloatDot is bit-identical to the HOF fold (incl. null element)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -109,6 +142,34 @@ class SimilaritySpec extends AnyFunSuite {
         Similarity.dotHof(col("a"), col("b")).as("h"))
       .head()
     assert(withNull.isNullAt(0) && withNull.isNullAt(1))
+  }
+
+  test("native HyperplaneSigs is bit-identical to the HOF signature, incl. null element") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = graft.util.Tables.t(spark, dir, "embeddings")
+    val native = emb.select(col("vec_id"),
+      graft.expressions.HyperplaneSigs(col("embedding"), 12, 4).as("sigs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val hof = (0 until 4).map { t =>
+      emb.select(col("vec_id"),
+        Similarity.signature(col("embedding"), 12, t).as("sig"))
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(native.nonEmpty)
+    native.foreach { case (v, sigs) =>
+      (0 until 4).foreach(t =>
+        assert(sigs(t) == hof(t)(v), s"vec $v table $t"))
+    }
+    // a null ELEMENT poisons every projection fold -> all signatures 0L
+    // in the HOF form; the native expression must collapse identically
+    val withNull = Seq(Seq(Some(1.0f), None, Some(2.0f))).toDF("e")
+    val nSigs = withNull.select(
+      graft.expressions.HyperplaneSigs(col("e"), 8, 3).as("sigs"))
+      .as[Seq[Long]].head()
+    val hSig = withNull.select(
+      Similarity.signature(col("e"), 8, 0).as("s")).as[Long].head()
+    assert(nSigs == Seq(0L, 0L, 0L) && hSig == 0L)
   }
 
   test("LSH signature is deterministic across evaluations and salted per table") {
