@@ -37,6 +37,21 @@ object SparkEntry {
        epoch_us(TIMESTAMP '2024-07-01 00:00:00') AS updt_ts_us,
        'graft-spark' AS cret_nm, 'graft-spark' AS updt_nm"""
 
+  /** Contents of an append of every fixture CSV — the shared oracle for
+    * the compaction and backfill maintenance queries (both must be
+    * contents-preserving no-ops relative to a plain append). */
+  private val allFourCsvs = s"""
+      WITH f AS (
+        ${ocsv("customers_20240628.csv", "2024-06-28")}
+        UNION ALL
+        ${ocsv("customers_r2_20240628.csv", "2024-06-28")}
+        UNION ALL
+        ${ocsv("customers_20240629.csv", "2024-06-29")}
+        UNION ALL
+        ${ocsv("customers_20240630.csv.gz", "2024-06-30")})
+      SELECT id, name, city, bal, dt, $oAudit
+      FROM f ORDER BY dt, id"""
+
   val registry: Seq[(String, Q)] = Seq(
     "ingest_append" -> Q(Ingest.ingestAppend, Some(s"""
       WITH f AS (
@@ -63,6 +78,13 @@ object SparkEntry {
              UNION ALL SELECT * FROM c)
       SELECT id, name, city, bal, dt, $oAudit
       FROM m2 ORDER BY dt, id""")),
+
+    // Maintenance twins: same contents-oracle as an append of all four
+    // fixture files; the operation under test (file-count-reducing
+    // compaction / ledger-idempotent backfill replay) is enforced by
+    // in-query `require`s, so a regression fails the row.
+    "ingest_compact" -> Q(Ingest.ingestCompact, Some(allFourCsvs)),
+    "ingest_backfill" -> Q(Ingest.ingestBackfill, Some(allFourCsvs)),
 
     "q1_pricing_summary" -> Q(Analytics.q1PricingSummary, Some(s"""
       SELECT l_returnflag, l_linestatus,

@@ -85,6 +85,62 @@ object Ingest {
       .orderBy("id")
   }
 
+  /** Compaction (maintenance twin of W1 append): four appended batches
+    * leave dt=2024-06-28 with two file sets; [[Strategies.compact]] must
+    * rewrite every partition to its byte-sized file count WITHOUT
+    * changing contents. Contents are pinned by the DuckDB oracle (same
+    * union-of-CSVs as the append query); the file-count drop is pinned
+    * by the in-query `require` — a no-op compaction fails the
+    * correctness row, not just a spec. */
+  def ingestCompact(spark: SparkSession, dir: String): DataFrame = {
+    val layout = freshLayout("ingest_compact")
+    val cfg = TableConfig.fromFile(config("customers_append"))
+    Seq("customers_20240628.csv", "customers_r2_20240628.csv",
+      "customers_20240629.csv", "customers_20240630.csv.gz")
+      .foreach(load(spark, layout, "customers_append", cfg, _))
+    val path = layout.curatedPath("sap", "customers_append")
+    def dataFiles(): Long = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next().getPath.getName
+        if (!f.startsWith("_") && !f.startsWith(".")) n += 1
+      }
+      n
+    }
+    val before = dataFiles()
+    Strategies.compact(spark, path)
+    val after = dataFiles()
+    require(after < before,
+      s"compaction did not reduce file count ($before -> $after)")
+    curatedBack(spark, layout, "customers_append",
+      Seq("id", "name", "city", "bal", "dt"))
+      .orderBy("dt", "id")
+  }
+
+  /** Backfill replay (E3's catch-up companion): one [[graft.pipeline.Backfill]]
+    * run replays the whole inbound dir in filename order through the
+    * loader; a SECOND run must be a ledger-guarded no-op — the in-query
+    * `require` turns a double-load (which would double every row and
+    * also break the oracle hash) into a failed correctness row. */
+  def ingestBackfill(spark: SparkSession, dir: String): DataFrame = {
+    val layout = freshLayout("ingest_backfill")
+    val cfg = TableConfig.fromFile(config("customers_append"))
+    val inboundDir = s"$FixtureDir/inbound/sap/customers"
+    val first = graft.pipeline.Backfill.run(spark, inboundDir, "sap",
+      "customers_append", cfg, layout, clock = Some(Clock))
+    require(first.nonEmpty, "first backfill run processed nothing")
+    val second = graft.pipeline.Backfill.run(spark, inboundDir, "sap",
+      "customers_append", cfg, layout, clock = Some(Clock))
+    require(second.isEmpty,
+      s"backfill replayed ${second.size} already-ledgered files")
+    curatedBack(spark, layout, "customers_append",
+      Seq("id", "name", "city", "bal", "dt"))
+      .orderBy("dt", "id")
+  }
+
   /** J1/J2/W5 — upsert: first load (J2 overwrite), same-dt corrections
     * batch (matched rows updated, new keys inserted), then a new-dt batch
     * (all inserted — the merge key includes dt). */
