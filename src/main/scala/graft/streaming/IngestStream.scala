@@ -45,11 +45,27 @@ object IngestStream {
       .withColumn("__file", col("_metadata.file_path"))
 
     val curatedPath = layout.curatedPath(sourceSystem, table)
+    val landingPath = layout.landingPath(sourceSystem, table)
     raw.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(0))
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          // Zone parity with the batch loader (W4, landing BEFORE
+          // curated): raw pre-`dt` projection, unpartitioned, under the
+          // config's landing strategy. Granularity is the micro-batch —
+          // an overwrite-strategy landing zone holds the latest
+          // micro-batch (possibly several inbound files) where the
+          // batch loader holds the latest single file.
+          val landing = Derive.project(batch.drop("__file"),
+            config.selectColumns)
+          val landingSorted =
+            if (config.sortColumns.nonEmpty)
+              landing.sortWithinPartitions(config.sortColumns.map(col): _*)
+            else landing
+          Strategies.writeLanding(landingSorted, landingPath,
+            config.landingLoadStrategy)
+
           val dts = batch.select("__file").distinct().collect()
             .map(_.getString(0)).map(f => f -> Derive.dtFromFileName(f))
             .toMap

@@ -55,6 +55,16 @@ class IngestStreamSpec extends AnyFunSuite {
         layout.curatedPath("sap", "customers"))
       assert(fin.count() == 35)
       assert(fin.select("dt").distinct().count() == 2)
+
+      // zone parity with the batch loader: every micro-batch also wrote
+      // its raw pre-dt projection to the landing zone under the config's
+      // landing strategy — here `overwrite`, so the zone holds exactly
+      // the LATEST micro-batch (the 10-row 0629 file), like the batch
+      // loader after its last file
+      val landing = spark.read.parquet(layout.landingPath("sap", "customers"))
+      assert(landing.count() == 10)
+      assert(!landing.columns.contains("dt"), "landing must be pre-dt")
+      assert(!landing.columns.contains("cret_ts"), "landing must be raw")
     } finally q.stop()
   }
 }
