@@ -79,6 +79,29 @@ object SparkEntry {
       SELECT id, name, city, bal, dt, $oAudit
       FROM m2 ORDER BY dt, id""")),
 
+    // S2 hard mode: RFC-4180 doubled quotes, delimiters and NEWLINES
+    // inside quoted fields, 3,000 rows — both engines parse the same
+    // bytes with their own CSV readers, so quote/newline handling is
+    // pinned cross-engine.
+    "ingest_multiline" -> Q(Ingest.ingestMultiline, Some(s"""
+      SELECT id, name, city, bal, '2024-07-01' AS dt, $oAudit
+      FROM read_csv(
+        '${Ingest.FixtureDir}/inbound/sap/customers_big/customers_20240701.csv',
+        header=true, columns={'id':'INTEGER','name':'VARCHAR',
+          'city':'VARCHAR','bal':'DOUBLE','junk':'VARCHAR'})
+      ORDER BY id""")),
+
+    // Hive partition escaping under merge: dt carries '/', ':' and '='
+    // through first-load, staged-swap merge, and read-back; the oracle
+    // sees it as a plain constant, so any escaping break hash-fails.
+    "ingest_escaped_dt" -> Q(Ingest.ingestEscapedDt, Some(s"""
+      WITH a AS (${ocsv("customers_20240628.csv", "2024/06:28=x")}),
+      b AS (${ocsv("customers_r2_20240628.csv", "2024/06:28=x")}),
+      m AS (SELECT * FROM a ANTI JOIN b USING (id, dt)
+            UNION ALL SELECT * FROM b)
+      SELECT id, name, city, bal, dt, $oAudit
+      FROM m ORDER BY id""")),
+
     // Maintenance twins: same contents-oracle as an append of all four
     // fixture files; the operation under test (file-count-reducing
     // compaction / ledger-idempotent backfill replay) is enforced by

@@ -23,7 +23,8 @@ final case class TableConfig(
     selectColumns: Option[Seq[String]] = None,
     delimiter: String = ",",
     curatedScript: Option[String] = None,
-    curatedTableName: Option[String] = None) {
+    curatedTableName: Option[String] = None,
+    multiline: Boolean = false) {
 
   /** Explicit read schema, when declared. Nullable fields, like the
     * reference's build_schema_from_dict (FInal/load_script.py:42-54). */
@@ -86,7 +87,11 @@ object TableConfig {
         .map(a => a.elements().asScala.map(_.asText()).toSeq),
       delimiter = str("delimiter", ","),
       curatedScript = optStr("curated_script"),
-      curatedTableName = optStr("curated_table_name"))
+      curatedTableName = optStr("curated_table_name"),
+      // Opt-in per table: multiline quoted fields make the file
+      // NON-SPLITTABLE (one scan task per file), so it must never be a
+      // global default at 100 TB — tables that need it pay for it.
+      multiline = Option(n.get("multiline")).exists(_.asBoolean(false)))
   }
 
   def fromFile(path: String): TableConfig =

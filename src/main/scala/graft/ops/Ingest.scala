@@ -11,6 +11,7 @@ import graft.lake.LakeLayout
 import graft.load.Strategies
 import graft.pipeline.GenericLoader
 import graft.pipeline.GenericLoader.LoadRun
+import graft.transform.Derive
 
 /** Registered queries exercising the generic loader end-to-end
   * (SURVEY.md §2.1–§2.7: S1–S5, P1–P5, O1, J1/J2, W1–W5).
@@ -82,6 +83,55 @@ object Ingest {
     load(spark, layout, "customers_overwrite", cfg, "customers_20240630.csv.gz")
     curatedBack(spark, layout, "customers_overwrite",
       Seq("id", "name", "city", "bal", "junk", "dt"))
+      .orderBy("id")
+  }
+
+  /** S2 hard mode — a 3,000-row day where names carry RFC-4180
+    * doubled-quote escapes, fields contain the delimiter, and cities
+    * contain embedded NEWLINES (the config's `multiline` flag turns on
+    * whole-file parsing for this table only — see TableConfig for the
+    * splittability tradeoff). The DuckDB oracle reads the same file
+    * with its own RFC-4180 parser, so quote/newline handling is pinned
+    * cross-engine, not just by a spec. */
+  def ingestMultiline(spark: SparkSession, dir: String): DataFrame = {
+    val layout = freshLayout("ingest_multiline")
+    val cfg = TableConfig.fromFile(config("customers_multiline"))
+    GenericLoader.run(spark, LoadRun(
+      s"$FixtureDir/inbound/sap/customers_big/customers_20240701.csv",
+      "sap", "customers_multiline", cfg, layout, clock = Some(Clock)))
+    curatedBack(spark, layout, "customers_multiline",
+      Seq("id", "name", "city", "bal", "dt"))
+      .orderBy("id")
+  }
+
+  /** Partition-escaping under merge: the same upsert flow as
+    * [[ingestUpsert]] but with an adversarial `dt` value (`/`, `:`, `=`
+    * all require Hive escaping in directory names). Both the first-load
+    * write and the staged-swap merge must address the ESCAPED dir (a
+    * raw-path build would read/swap a dir Spark never wrote — data
+    * loss), and the read-back must unescape; any break surfaces as a
+    * row/hash mismatch against the oracle, which carries the dt as a
+    * plain constant. */
+  def ingestEscapedDt(spark: SparkSession, dir: String): DataFrame = {
+    val layout = freshLayout("ingest_escaped_dt")
+    val cfg = TableConfig.fromFile(config("customers_upsert"))
+    val dt = "2024/06:28=x"
+    val path = layout.curatedPath("sap", "customers_escaped")
+    def loadWith(file: String): Unit = {
+      val projected = Derive.project(
+        GenericLoader.readCsv(spark, inbound(file), cfg), cfg.selectColumns)
+      val curated = Derive.withAudit(
+        Derive.withDt(projected, dt), "graft-spark", Some(Clock))
+      Strategies.writeCurated(spark, curated, path, "upsert",
+        cfg.primaryKey, cfg.sortColumns)
+    }
+    loadWith("customers_20240628.csv")    // first load → overwrite path
+    loadWith("customers_r2_20240628.csv") // merge → staged swap on escaped dir
+    Strategies.readCurated(spark, path)
+      .select(col("id"), col("name"), col("city"), col("bal"), col("dt"),
+        unix_micros(col("cret_ts")).as("cret_ts_us"),
+        unix_micros(col("updt_ts")).as("updt_ts_us"),
+        col("cret_nm"), col("updt_nm"))
       .orderBy("id")
   }
 

@@ -40,11 +40,20 @@ object GenericLoader {
 
   /** S2/S3 — CSV scan: header + delimiter, with the config's explicit
     * StructType when declared, else every column string (v1 mode).
-    * `.csv.gz` inputs decompress in the scan (S1). */
+    * `.csv.gz` inputs decompress in the scan (S1).
+    *
+    * Quote escaping is RFC-4180 (`""` inside a quoted field — Spark's
+    * default is backslash, which no warehouse export produces); fields
+    * containing the delimiter need no option. Embedded NEWLINES need
+    * the per-table `multiline` config flag: Spark then parses whole
+    * files (`multiLine`), which makes them non-splittable — an opt-in
+    * cost, never the default (see TableConfig). */
   def readCsv(spark: SparkSession, path: String, config: TableConfig): DataFrame = {
     val r = spark.read
       .option("header", true)
       .option("delimiter", config.delimiter)
+      .option("escape", "\"")
+      .option("multiLine", config.multiline)
     config.structType.fold(r.csv(path))(s => r.schema(s).csv(path))
   }
 

@@ -35,6 +35,8 @@ object IngestStream {
     val reader = spark.readStream
       .option("header", true)
       .option("delimiter", config.delimiter)
+      .option("escape", "\"") // RFC-4180, matching the batch readCsv
+      .option("multiLine", config.multiline)
     val raw = config.structType.fold(
       // v1 all-string mode needs an explicit schema for streaming:
       // infer once from the files already present
