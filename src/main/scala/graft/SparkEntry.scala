@@ -722,6 +722,79 @@ object SparkEntry {
         abs(o_totalprice - 100000.0) AS dist_100k,
         CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_kbin
       FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""")),
+
+    // Corpus-level statistics (CorpusStats.scala). DuckDB reproduces
+    // the 32-bit md5-prefix hash with an explicit hex-digit fold (no
+    // conv() in DuckDB 1.0); all ratios are single double divisions of
+    // exact integers, so values hash-match bit-for-bit.
+    "kmv_distinct" -> Q((s, d) => CorpusStats.kmvDistinct(s, d), Some("""
+      WITH words AS (SELECT DISTINCT lang,
+          unnest(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '')) AS word
+        FROM documents),
+      hashed AS (SELECT lang, word,
+          CAST(list_sum(list_transform(range(1, 9), i ->
+            (strpos('0123456789abcdef',
+               substring(md5(word), i, 1)) - 1) * 16.0**(8 - i)))
+            AS BIGINT) AS hv
+        FROM words),
+      ranked AS (SELECT lang, hv,
+          row_number() OVER (PARTITION BY lang ORDER BY hv, word) AS rn
+        FROM hashed),
+      kth AS (SELECT lang, hv AS kth_hv FROM ranked WHERE rn = 64),
+      exact AS (SELECT lang, count(*) AS exact_distinct
+        FROM words GROUP BY 1)
+      SELECT e.lang, e.exact_distinct,
+        coalesce((63.0 * 4294967296.0) / CAST(kth_hv AS DOUBLE),
+          CAST(exact_distinct AS DOUBLE)) AS kmv_estimate
+      FROM exact e LEFT JOIN kth k ON e.lang = k.lang
+      ORDER BY e.lang""")),
+
+    "tfidf_top_terms" -> Q((s, d) => CorpusStats.tfidfTopTerms(s, d), Some("""
+      WITH tok AS (SELECT doc_id,
+          unnest(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '')) AS term
+        FROM documents),
+      dt AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (SELECT dt.doc_id, dt.term, dt.tf, dfreq.df,
+          CAST(dt.tf AS DOUBLE) *
+            (CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS score
+        FROM dt JOIN dfreq USING (term) CROSS JOIN n
+        WHERE dt.doc_id % 50 = 0),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, term) AS rank FROM scored)
+      SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, score
+      FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""")),
+
+    "inverted_index" -> Q((s, d) => CorpusStats.invertedIndex(s, d), Some("""
+      WITH postings AS (SELECT DISTINCT doc_id,
+          unnest(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '')) AS term
+        FROM documents)
+      SELECT term, count(*) AS df,
+        md5(array_to_string(list_sort(list(doc_id)), ',')) AS posting_fp
+      FROM postings GROUP BY 1 HAVING count(*) >= 20 ORDER BY term""")),
+
+    "bigram_novelty" -> Q((s, d) => CorpusStats.bigramNovelty(s, d), Some("""
+      WITH d AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      g AS (SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i + 1]) ELSE [] END)) AS g
+        FROM d),
+      gdf AS (SELECT g, count(*) AS gdf FROM g GROUP BY 1)
+      SELECT doc_id, count(*) AS n_bigrams,
+        CAST(sum(CASE WHEN gdf.gdf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_unique,
+        CAST(sum(CASE WHEN gdf.gdf = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE) AS novelty,
+        CAST(CAST(sum(gdf.gdf) AS BIGINT) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE) AS mean_df
+      FROM g JOIN gdf USING (g) GROUP BY doc_id ORDER BY doc_id""")),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

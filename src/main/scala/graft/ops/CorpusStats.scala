@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Tables.{t, fanOut}
+
+/** Corpus-level statistics a large-scale training-data pipeline needs
+  * beyond per-document quality scores: cardinality sketches, term
+  * weighting, index construction, and cross-document novelty. All four
+  * operators are exactly oracle-able — sketches use deterministic
+  * md5-derived hashes (not RNG), and every floating-point value is a
+  * single correctly-rounded double division of integers, so DuckDB
+  * reproduces them bit-for-bit. */
+object CorpusStats {
+
+  /** KMV (K-minimum-values) distinct-count sketch: estimate the number
+    * of distinct tokens per language from only the K smallest hash
+    * values — the mergeable, bounded-memory cardinality sketch shape
+    * used at 100 TB, where exact `count(DISTINCT)` needs a full
+    * shuffle of every distinct value. Estimator: `(K-1) / frac(h_K)`
+    * with `h_K` the K-th smallest 32-bit md5 prefix.
+    *
+    * Deterministic by construction (md5, not random seeds), so the
+    * DuckDB oracle reproduces the ESTIMATE exactly; the exact distinct
+    * count is carried alongside, making the sketch's relative error
+    * visible in the result (spec asserts < 15%). Groups with fewer
+    * than K distinct values fall back to the exact count, like any
+    * production KMV. Scale note: the sketch here ranks with a
+    * per-group window for oracle parity; the window shuffles only
+    * DISTINCT (lang, token) hashes, and K bounds what survives. */
+  def kmvDistinct(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val words = fanOut(t(spark, dir, "documents"))
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .distinct()
+    val hashed = words.select(col("lang"), col("word"),
+      conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long").as("hv"))
+    // 32-bit prefix collisions are broken by the word itself so the
+    // rank-K row is unique in both engines
+    val w = Window.partitionBy(col("lang")).orderBy(col("hv"), col("word"))
+    val kth = hashed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === k)
+      .select(col("lang"), col("hv").as("kth_hv"))
+    val exact = words.groupBy(col("lang"))
+      .agg(count(lit(1)).as("exact_distinct"))
+    exact.join(kth, Seq("lang"), "left")
+      .select(col("lang"), col("exact_distinct"),
+        coalesce(
+          (lit((k - 1).toDouble) * pow(lit(2.0), 32)) /
+            col("kth_hv").cast("double"),
+          col("exact_distinct").cast("double")).as("kmv_estimate"))
+      .orderBy("lang")
+  }
+
+  /** TF-IDF top terms per document (raw inverse document frequency):
+    * `score = tf · (N / df)` — log damping is deliberately omitted
+    * because `ln` is not guaranteed bit-identical across engines, while
+    * integer-derived double division is; the RANKING this produces is
+    * what the operator is for, and raw idf ranks more aggressively
+    * toward rare terms. Term stats are corpus-wide; the per-doc top-k
+    * window runs on a deterministic (score desc, term) order.
+    *
+    * Scale shape: tf is one map-side-combined groupBy(doc, term); df
+    * is one groupBy(term) over distinct (doc, term) pairs reusing the
+    * same exchange; N is a 1-row aggregate broadcast into the join.
+    * Output is restricted to a doc_id sample purely to bound the
+    * verification payload — the plan is identical unsampled. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, topK: Int = 5,
+      docMod: Int = 50): DataFrame = {
+    val tok = fanOut(t(spark, dir, "documents"))
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val docTerm = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = docTerm.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = fanOut(t(spark, dir, "documents"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    docTerm.filter(col("doc_id") % docMod === 0)
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank").cast("int").as("rank"),
+        col("term"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Inverted-index construction: per term, its document frequency and
+    * an md5 fingerprint of the full sorted posting list. A production
+    * index materializes (term, doc_id) postings partitioned by term —
+    * exactly the `docTerm` exchange here — so the fingerprint is a
+    * verification-friendly projection of the same build, bounding the
+    * oracle payload while still pinning every posting's presence AND
+    * order. Restricted to terms with `df ≥ minDf` (the head of the
+    * vocabulary; the long tail is size-bounded by definition). */
+  def invertedIndex(spark: SparkSession, dir: String,
+      minDf: Int = 20): DataFrame = {
+    val postings = fanOut(t(spark, dir, "documents"))
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .distinct()
+    postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(col("doc_id"))),
+            d => d.cast("string")))).as("posting_fp"))
+      .filter(col("df") >= minDf)
+      .orderBy("term")
+  }
+
+  /** Per-document bigram novelty: what fraction of a doc's distinct
+    * word bigrams appear in NO other document (`novelty`), and how
+    * common its bigrams are on average (`mean_df`) — the cheap
+    * LM-free proxy for "is this document new text or boilerplate"
+    * used to prioritize training data. All ratios are single double
+    * divisions of exact integer counts. */
+  def bigramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = fanOut(t(spark, dir, "documents"))
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+    val bigrams = docs.select(col("doc_id"),
+      explode(array_distinct(when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1), i =>
+          concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+        .otherwise(array()))).as("g"))
+    val gdf = bigrams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    bigrams.join(gdf, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("gdf") === 1, 1L).otherwise(0L)).as("n_unique"),
+        sum(col("gdf")).as("sum_df"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_unique"),
+        (col("n_unique").cast("double") / col("n_bigrams").cast("double"))
+          .as("novelty"),
+        (col("sum_df").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_df"))
+      .orderBy("doc_id")
+  }
+}

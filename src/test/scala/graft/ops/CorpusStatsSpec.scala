@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class CorpusStatsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("KMV estimate lands within 15% of the exact distinct count") {
+    import spark.implicits._
+    val rows = CorpusStats.kmvDistinct(spark, sf)
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, exact, est) =>
+      // small groups fall back to exact; sketched groups must be close
+      if (exact >= 64)
+        assert(math.abs(est - exact) / exact < 0.15,
+          s"$lang: exact=$exact est=$est")
+      else assert(est == exact.toDouble)
+    }
+  }
+
+  test("TF-IDF ranks a rare term above a common one at equal tf") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "zebra common common", "en", "s", 19),
+      (50L, "zebra common apple", "en", "s", 18),
+      (100L, "common filler words", "en", "s", 19),
+      (150L, "more common filler", "en", "s", 18))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-tfidf-${System.nanoTime()}"
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = CorpusStats.tfidfTopTerms(spark, dir, topK = 3, docMod = 50)
+      .select("doc_id", "rank", "term").as[(Long, Int, String)].collect()
+    // doc 0: tf(common)=2 df=4 → score 2; tf(zebra)=1 df=2 → score 2;
+    // tie broken by term: "common" < "zebra"
+    assert(out.filter(_._1 == 0L).sortBy(_._2).map(_._3).toSeq ==
+      Seq("common", "zebra"))
+    // doc 50: zebra (df 2) and apple (df 1) outrank common (df 4)
+    assert(out.filter(_._1 == 50L).sortBy(_._2).map(_._3).toSeq ==
+      Seq("apple", "zebra", "common"))
+  }
+
+  test("inverted-index fingerprint pins posting membership and order") {
+    import spark.implicits._
+    val out = CorpusStats.invertedIndex(spark, sf, minDf = 20)
+    val row = out.filter(col("term") === "the").head()
+    val docs = spark.read
+      .parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .filter(col("t") === "the").select("doc_id").distinct()
+      .as[Long].collect().sorted
+    assert(row.getAs[Long]("df") == docs.length)
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(docs.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(row.getAs[String]("posting_fp") == fp)
+  }
+
+  test("bigram novelty: all-unique doc scores 1.0, cloned docs near 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "en", "s", 22),
+      (2L, "shared text here now", "en", "s", 20),
+      (3L, "shared text here now", "en", "s", 20),
+      (4L, "one", "en", "s", 3)) // <2 tokens → no output row
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-novel-${System.nanoTime()}"
+    docs.write.parquet(s"$dir/documents.parquet")
+    val byId = CorpusStats.bigramNovelty(spark, dir)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    assert(byId(1L) == ((1.0, 1.0)))
+    assert(byId(2L) == ((0.0, 2.0))) // every bigram shared with doc 3
+    assert(byId(3L) == ((0.0, 2.0)))
+    assert(!byId.contains(4L))
+  }
+}
