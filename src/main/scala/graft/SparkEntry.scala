@@ -795,6 +795,71 @@ object SparkEntry {
         CAST(CAST(sum(gdf.gdf) AS BIGINT) AS DOUBLE) /
           CAST(count(*) AS DOUBLE) AS mean_df
       FROM g JOIN gdf USING (g) GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Corpus quality signals (QualitySignals.scala): repetition
+    // scoring, eval-set decontamination, Zipf frequency spectrum.
+    "ngram_repetition" -> Q(
+      (s, d) => QualitySignals.ngramRepetition(s, d), Some("""
+      WITH d AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      dd AS (SELECT doc_id, w FROM d WHERE len(w) >= 3),
+      bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+          i -> w[i] || ' ' || w[i + 1])) AS g FROM dd),
+      bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      bi AS (SELECT doc_id, max(c) AS top_bigram_n,
+          CAST(sum(c) AS BIGINT) AS n_bigrams FROM bgc GROUP BY 1),
+      tg AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+          i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g FROM dd),
+      tri AS (SELECT doc_id, count(*) AS n_trigrams,
+          count(DISTINCT g) AS n_distinct_trigrams FROM tg GROUP BY 1)
+      SELECT bi.doc_id, n_bigrams, top_bigram_n,
+        CAST(top_bigram_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+          AS top_bigram_frac,
+        n_trigrams, n_distinct_trigrams,
+        CAST(n_trigrams - n_distinct_trigrams AS DOUBLE) /
+          CAST(n_trigrams AS DOUBLE) AS dup_trigram_frac
+      FROM bi JOIN tri ON bi.doc_id = tri.doc_id
+      ORDER BY bi.doc_id""")),
+
+    "decontaminate" -> Q(
+      (s, d) => QualitySignals.decontaminate(s, d), Some("""
+      WITH d AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 3), i ->
+            w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+            w[i+3] || ' ' || w[i+4])) AS shingle
+        FROM d WHERE len(w) >= 5),
+      ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+      tr AS (SELECT s.doc_id, count(*) AS n_shingles,
+          CAST(sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overlap
+        FROM sh s LEFT JOIN ev ON s.shingle = ev.shingle
+        WHERE s.doc_id % 97 <> 0 GROUP BY 1)
+      SELECT doc_id, n_shingles, n_overlap,
+        CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+          AS overlap_frac
+      FROM tr WHERE n_overlap > 0 ORDER BY doc_id""")),
+
+    "zipf_spectrum" -> Q(
+      (s, d) => QualitySignals.zipfSpectrum(s, d), Some("""
+      WITH d AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      p AS (SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i + 1]) ELSE [] END)) AS term
+        FROM d),
+      dfreq AS (SELECT term, count(*) AS df FROM p GROUP BY 1)
+      SELECT CAST(length(format('{:b}', df)) - 1 AS INTEGER) AS bucket,
+        count(*) AS n_terms, min(df) AS min_df, max(df) AS max_df,
+        min(term) AS first_term
+      FROM dfreq GROUP BY 1 ORDER BY 1""")),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

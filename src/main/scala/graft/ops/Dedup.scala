@@ -54,6 +54,10 @@ object Dedup {
       .withColumn("w", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"),
         explode(array_distinct(shingles3(col("w")))).as("shingle"))
+    // NOTE: a numeric 32-bit minhash (conv(substring(md5,1,8),16,10))
+    // was benched to move this from SortAggregate to HashAggregate —
+    // no measurable win at sf0.1 or 10× (the agg is not the bottleneck
+    // at these scales), so the md5 string min stays for oracle parity.
     val minCols = (0 until nBands).map(b =>
       min(md5(concat(lit(s"$b:"), col("shingle")))).as(s"sig_$b"))
     sh.groupBy(col("doc_id"))
@@ -176,45 +180,56 @@ object Dedup {
     * computed per candidate — integer intersection/union counts, so the
     * double division is engine-exact.
     *
-    * Plan shape: ONE groupBy(doc_id) pass carries the per-band minhash
-    * signature, the exact shingle set, and its size. Every consumer
-    * (band-bucket pairing, both sides of the per-pair join) hangs off
-    * that single exchange, which ReuseExchange executes once — the
-    * previous formulation re-ran the tokenize→shingle→explode subplan
-    * three times. Intersections come from `array_intersect` on the
-    * carried sets: the candidate pairs are LSH-bounded, so the per-pair
-    * work is bounded by document size, never corpus size. */
+    * Plan shape (fixed after the 10× scale-stress caught the previous
+    * one): candidates come from [[nearDupPairs]] and are materialized
+    * once with localCheckpoint (pair-count-sized, tiny relative to the
+    * corpus). Intersections are a shingle equi-join between candidate
+    * docs only — the corpus-sized shingle relation is SEMI-JOINED down
+    * to candidate docs before anything heavy touches it, so per-pair
+    * work is bounded by candidate-set size, never corpus size.
+    *
+    * The previous formulation carried `collect_set(shingles)` through
+    * one "shared" aggregation; column pruning actually split it into
+    * THREE corpus passes and AQE then broadcast the corpus-sized
+    * signature+set table as the build side of both pair joins — ~6×
+    * super-linear from 3× to 10× docs locally, and a guaranteed driver
+    * OOM on a real cluster. The join-based intersection computes the
+    * same integers, so this is plan-only: output is bit-identical and
+    * the paired oracle is unchanged. */
   def ngramJaccard(spark: SparkSession, dir: String, nBands: Int = 8,
       minBands: Int = 4): DataFrame = {
+    val pairs = nearDupPairs(spark, dir, nBands, minBands)
+      .localCheckpoint() // 2 consumers below; without this the whole
+                         // signature subplan would run twice
     val sh = fanOut(t(spark, dir, "documents"))
       .withColumn("w", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"),
         explode(array_distinct(shingles3(col("w")))).as("g"))
-    val minCols = (0 until nBands).map(b =>
-      min(md5(concat(lit(s"$b:"), col("g")))).as(s"sig_$b"))
-    val aggs = minCols ++ Seq(
-      collect_set(col("g")).as("gs"), count(lit(1)).as("n"))
-    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    val pairs = sig
-      .select(col("doc_id"), explode(array((0 until nBands).map(b =>
-        struct(lit(b).as("band"), col(s"sig_$b").as("sig"))): _*)).as("h"))
-      .groupBy(col("h.band"), col("h.sig"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")) > 1)
-      .select(explode(flatten(transform(col("docs"), (a, i) =>
-        transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
-          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .agg(count(lit(1)).as("n_bands"))
-      .filter(col("n_bands") >= minBands)
+    val pairDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // AQE broadcasts pairDocs when small; degrades to a shuffle
+    // semi-join (not a broadcast of the corpus) when it isn't.
+    val shc = sh.join(pairDocs, Seq("doc_id"), "left_semi")
+    val ns = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // Pair-DRIVEN intersection: attach A's shingles to each pair, then
+    // equi-join on (doc_b, shingle). Work is |pairs|·|doc| rows — a
+    // candidate self-join on shingle alone instead explodes with
+    // bucket occupancy² on common shingles (measured 3× slower than
+    // even the broken formulation on a small-vocabulary corpus).
+    val inter = pairs.select(col("doc_a"), col("doc_b"))
+      .join(shc.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
+      .join(shc.select(col("doc_id").as("doc_b"), col("g")),
+        Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
     pairs
-      .join(sig.select(col("doc_id").as("doc_a"), col("gs").as("gs_a"),
-        col("n").as("n_a")), Seq("doc_a"))
-      .join(sig.select(col("doc_id").as("doc_b"), col("gs").as("gs_b"),
-        col("n").as("n_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("n_bands"),
-        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long")
-          .as("inter"),
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(ns.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        Seq("doc_a"))
+      .join(ns.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_bands"), col("inter"),
         col("n_a"), col("n_b"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")))

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables.{t, fanOut}
+
+/** Pre-training corpus quality signals beyond per-document ratios
+  * (see TextAnalysis.textQuality): repetition scoring, eval-set
+  * decontamination, and the corpus frequency spectrum. All values are
+  * exact integer counts or single double divisions thereof, so the
+  * DuckDB oracle reproduces them bit-for-bit. */
+object QualitySignals {
+
+  /** Repetition signals per document (the "excessive repetition" family
+    * of quality filters): what fraction of a doc's bigram occurrences
+    * belong to its single most frequent bigram (`top_bigram_frac`), and
+    * what fraction of trigram occurrences are repeats of an
+    * already-seen trigram (`dup_trigram_frac`). Template/boilerplate
+    * text scores high on both; clean prose scores low.
+    *
+    * Scale shape: both n-gram counts group on (doc_id, gram) — keys are
+    * doc-local, so the aggregation is map-side combined and the final
+    * per-doc reduction shuffles one row per distinct gram, never the
+    * text. Docs with fewer than 3 tokens have no trigram (and a
+    * degenerate bigram profile) and are excluded in both engines. */
+  def ngramRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = fanOut(t(spark, dir, "documents"))
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("w"))
+    def grams(n: Int) = docs.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("w")) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(o => element_at(col("w"), i + o)): _*)))
+        .as("g"))
+    val bi = grams(2).groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
+    val tri = grams(3).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        count_distinct(col("g")).as("n_distinct_trigrams"))
+    bi.join(tri, Seq("doc_id"))
+      .select(col("doc_id"),
+        col("n_bigrams"), col("top_bigram_n"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"))
+          .as("top_bigram_frac"),
+        col("n_trigrams"), col("n_distinct_trigrams"),
+        ((col("n_trigrams") - col("n_distinct_trigrams")).cast("double") /
+          col("n_trigrams").cast("double")).as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Eval-set decontamination: flag training documents sharing word
+    * {n}-grams with a held-out eval set (docs whose `doc_id % evalMod
+    * == 0` stand in for the benchmark). Output: one row per
+    * contaminated train doc with its distinct-shingle count, the number
+    * of shingles also present anywhere in the eval set, and the overlap
+    * fraction — the decision variable of every published
+    * decontamination pipeline.
+    *
+    * Scale shape: the eval side is a distinct-shingle set orders of
+    * magnitude smaller than the corpus — broadcast it, so the train
+    * side never shuffles. Per-doc aggregation is map-side combined on
+    * doc-local keys. At 100 TB the eval set (a few benchmarks) still
+    * fits comfortably in a broadcast; if it ever didn't, the join key
+    * is an equi-join on `shingle` and degrades gracefully to a
+    * sort-merge join. */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 5,
+      evalMod: Int = 97): DataFrame = {
+    val shingled = fanOut(t(spark, dir, "documents"))
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("w")) - (n - 1)), i =>
+          concat_ws(" ", (0 until n).map(o => element_at(col("w"), i + o)): _*))))
+        .as("shingle"))
+    val evalShingles = shingled.filter(col("doc_id") % evalMod === 0)
+      .select("shingle").distinct().withColumn("hit", lit(1))
+    shingled.filter(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(evalShingles), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).as("n_overlap"))
+      .filter(col("n_overlap") > 0)
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_shingles").cast("double"))
+          .as("overlap_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus frequency spectrum (Zipf profile): bucket every term by
+    * floor(log2(document frequency)) and report terms-per-bucket plus
+    * df extrema — the shape a corpus curator reads to spot head/tail
+    * imbalance before filtering. The bucket is computed EXACTLY as the
+    * bit length of the integer df (`length(bin(df)) - 1`), not via
+    * float log2, so bucket boundaries at powers of two cannot diverge
+    * between engines.
+    *
+    * Scale shape: df is one distinct + one map-side-combined groupBy;
+    * the spectrum itself aggregates ~vocabulary-size rows down to ~20
+    * buckets. */
+  def zipfSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    // Spectrum over word BIGRAMS, not unigrams: the bigram vocabulary
+    // is large enough to spread document frequencies across the full
+    // bucket range (a unigram spectrum on a small vocabulary collapses
+    // into one or two buckets and measures nothing).
+    val docs = fanOut(t(spark, dir, "documents"))
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+    val df = docs.select(col("doc_id"),
+        explode(array_distinct(when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1), i =>
+            concat_ws(" ", element_at(col("w"), i),
+              element_at(col("w"), i + 1))))
+          .otherwise(array()))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    df.select(col("term"), col("df"),
+        (length(bin(col("df"))) - 1).cast("int").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_terms"),
+        min(col("df")).as("min_df"), max(col("df")).as("max_df"),
+        min(col("term")).as("first_term"))
+      .orderBy("bucket")
+  }
+}
