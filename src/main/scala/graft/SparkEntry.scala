@@ -321,6 +321,26 @@ object SparkEntry {
         ${osum("e1")} AS sum_e1, ${osum("e2")} AS sum_e2
       FROM e GROUP BY 1 ORDER BY 1""")),
 
+    "embedding_quantize" -> Q(Similarity.quantizeInt8, Some("""
+      WITH e AS (SELECT vec_id, label,
+          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      r AS (SELECT vec_id, label, v, list_min(v) AS vmin,
+          list_max(v) AS vmax,
+          (list_max(v) - list_min(v)) / 255.0 AS scale FROM e),
+      c AS (SELECT *, list_transform(v, x ->
+          CASE WHEN scale = 0 THEN 0
+            ELSE least(255, CAST(floor((x - vmin) / scale) AS BIGINT))
+          END) AS codes FROM r),
+      er AS (SELECT *, list_transform(range(1, len(v) + 1), i ->
+          abs(v[i] - (vmin + (CAST(codes[i] AS DOUBLE) + 0.5) * scale)))
+          AS errs FROM c)
+      SELECT vec_id, label, CAST(len(v) AS INTEGER) AS n_dims,
+        vmin, vmax,
+        md5(array_to_string(codes, ',')) AS code_fp,
+        list_max(errs) AS max_abs_err,
+        list_sum(list_transform(errs, x -> x * x)) AS sse
+      FROM er ORDER BY vec_id""")),
+
     // X17 Aggregator UDAF: float-sum order nondeterminism ⇒ no SQL
     // oracle; driver records rows-only (exploded to scalar columns so
     // the harness can sort), exact values verified against a Scala

@@ -277,4 +277,38 @@ object Similarity {
         dsum(element_at(col("embedding"), 2).cast("double")).as("sum_e2"))
       .orderBy("label")
   }
+
+  /** Int8 scalar quantization of the embedding column — the 4×
+    * compression step a 100 TB ANN index applies before anything else
+    * (smaller vectors = more of the index in executor memory = fewer
+    * probe spills). Per vector: min/max range, codes
+    * `floor((x-min)/scale)` (floor, NOT round — round-half ties break
+    * differently across engines; floor of the same IEEE division is
+    * bit-deterministic), and the reconstruction-error stats that tell
+    * a user whether int8 is safe for their corpus. Everything is
+    * per-row HOF work — embarrassingly parallel, whole-stage codegen,
+    * no shuffle at all until the final output sort. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("vmin", array_min(col("v")))
+      .withColumn("vmax", array_max(col("v")))
+      .withColumn("scale", (col("vmax") - col("vmin")) / lit(255.0))
+      // degenerate all-constant vector: scale 0 → all codes 0
+      .withColumn("codes", transform(col("v"), x =>
+        when(col("scale") === 0.0, lit(0L)).otherwise(
+          least(lit(255L), floor((x - col("vmin")) / col("scale"))
+            .cast("long")))))
+      .withColumn("errs", zip_with(col("v"), col("codes"), (x, c) =>
+        abs(x - (col("vmin") +
+          (c.cast("double") + lit(0.5)) * col("scale")))))
+    e.select(col("vec_id"), col("label"),
+        size(col("v")).as("n_dims"), col("vmin"), col("vmax"),
+        md5(concat_ws(",", transform(col("codes"), c => c.cast("string"))))
+          .as("code_fp"),
+        array_max(col("errs")).as("max_abs_err"),
+        aggregate(col("errs"), lit(0.0), (acc, x) => acc + x * x)
+          .as("sse"))
+      .orderBy("vec_id")
+  }
 }

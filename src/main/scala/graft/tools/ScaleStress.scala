@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 import graft.util.{GraftSession, Tables}
-import graft.ops.{Dedup, TextAnalysis}
+import graft.ops.{CorpusStats, Dedup, QualitySignals, TextAnalysis}
 
 /** Scale-stress harness for the dedup family: runs the document
   * operators on 1×/3×/10× corpora derived from sf0.1 and reports how
@@ -50,7 +50,14 @@ object ScaleStress {
       "simhash_pairs" -> (d => Dedup.simhashPairs(spark, d).count()),
       "ngram_jaccard" -> (d => Dedup.ngramJaccard(spark, d).count()),
       "dedup_groups" -> (d => Dedup.dedupGroups(spark, d).count()),
-      "clean_corpus" -> (d => TextAnalysis.cleanCorpus(spark, d).count()))
+      "clean_corpus" -> (d => TextAnalysis.cleanCorpus(spark, d).count()),
+      "kmv_distinct" -> (d => CorpusStats.kmvDistinct(spark, d).count()),
+      "tfidf_top_terms" -> (d => CorpusStats.tfidfTopTerms(spark, d).count()),
+      "inverted_index" -> (d => CorpusStats.invertedIndex(spark, d).count()),
+      "bigram_novelty" -> (d => CorpusStats.bigramNovelty(spark, d).count()),
+      "ngram_repetition" -> (d => QualitySignals.ngramRepetition(spark, d).count()),
+      "decontaminate" -> (d => QualitySignals.decontaminate(spark, d).count()),
+      "zipf_spectrum" -> (d => QualitySignals.zipfSpectrum(spark, d).count()))
 
     println(f"${"op"}%-18s ${"scale"}%5s ${"docs"}%8s ${"rows"}%8s ${"sec"}%8s")
     val results = for {

@@ -9,6 +9,8 @@ import graft.SparkTestSession
 final case class Ev(ts: Timestamp, user_id: Long, event_type: String,
     value: Double)
 
+final case class DEv(ts: Timestamp, event_id: Long, user_id: Long)
+
 class StreamingSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestSession.spark
@@ -81,6 +83,30 @@ class StreamingSpec extends AnyFunSuite {
       // state survived: batch 2's user-1 row includes batch 1's events
       assert(last(1L) == UserTotal(1, 3, 7.0))
       assert(last(2L) == UserTotal(2, 1, 5.0))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate keys within and across micro-batches") {
+    import spark.implicits._
+    val input = MemoryStream[DEv](spark)
+    val q = StreamingOps.streamingDedup(input.toDF())
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      // in-batch duplicate (id 1) and a clean id 2
+      input.addData(Seq(
+        DEv(ts("2024-01-01T10:00:00Z"), 1, 10),
+        DEv(ts("2024-01-01T10:01:00Z"), 1, 11),
+        DEv(ts("2024-01-01T10:02:00Z"), 2, 12)))
+      q.processAllAvailable()
+      // cross-batch duplicate of id 2 (within the 2h horizon) + new id 3
+      input.addData(Seq(
+        DEv(ts("2024-01-01T10:30:00Z"), 2, 13),
+        DEv(ts("2024-01-01T10:31:00Z"), 3, 14)))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").select("event_id", "user_id")
+        .as[(Long, Long)].collect().toSet
+      assert(ids == Set((1L, 10L), (2L, 12L), (3L, 14L)))
     } finally q.stop()
   }
 
