@@ -792,10 +792,16 @@ object SparkEntry {
       WITH postings AS (SELECT DISTINCT doc_id,
           unnest(list_filter(string_split_regex(lower(text), '\s+'),
             x -> x <> '')) AS term
-        FROM documents)
-      SELECT term, count(*) AS df,
-        md5(array_to_string(list_sort(list(doc_id)), ',')) AS posting_fp
-      FROM postings GROUP BY 1 HAVING count(*) >= 20 ORDER BY term""")),
+        FROM documents),
+      h AS (SELECT term, doc_id,
+          CAST(list_sum(list_transform(range(1, 9), i ->
+            (strpos('0123456789abcdef',
+               substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+              * 16.0**(8 - i))) AS BIGINT) AS hv
+        FROM postings)
+      SELECT term, count(*) AS df, min(doc_id) AS min_doc,
+        max(doc_id) AS max_doc, bit_xor(hv) AS posting_fp
+      FROM h GROUP BY 1 HAVING count(*) >= 20 ORDER BY term""")),
 
     "bigram_novelty" -> Q((s, d) => CorpusStats.bigramNovelty(s, d), Some("""
       WITH d AS (SELECT doc_id,

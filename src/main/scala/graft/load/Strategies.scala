@@ -92,9 +92,15 @@ object Strategies {
           // (FInal/load_script.py:104-109). Same duplicate-merge-key
           // probe as the merge path: a first batch with duplicate
           // (pk, dt) rows would otherwise seed the table with a broken
-          // PK invariant that every later merge depends on.
-          requireUniqueMergeKeys(df, primaryKey :+ "dt")
-          clustered(df).write.mode("overwrite").partitionBy("dt").parquet(path)
+          // PK invariant that every later merge depends on. Cached:
+          // the probe and the write are two actions over the same
+          // (possibly CSV-parsing) source plan.
+          val cached = df.cache()
+          try {
+            requireUniqueMergeKeys(cached, primaryKey :+ "dt")
+            clustered(cached).write.mode("overwrite").partitionBy("dt")
+              .parquet(path)
+          } finally cached.unpersist()
         } else {
           upsertMerge(spark, clustered(df), path, primaryKey)
         }
@@ -145,15 +151,8 @@ object Strategies {
         .agg(count(lit(1)).as("__n"))
         .groupBy(col("dt")).agg(max(col("__n")).as("__maxn"))
         .collect()
-      if (dtStats.exists(_.getLong(1) > 1)) {
-        val offender = src.groupBy(keys.map(col): _*).count()
-          .filter(col("count") > 1).limit(1).collect()
-        throw new IllegalArgumentException(
-          "Upsert source contains duplicate rows for merge key " +
-            s"(${keys.mkString(", ")}), e.g. " +
-            offender.head.toSeq.init.mkString("[", ", ", "]") +
-            " — dedup the batch (e.g. keep-latest) before merging")
-      }
+      if (dtStats.exists(_.getLong(1) > 1))
+        requireUniqueMergeKeys(src, keys) // locates an offender, throws
       val touchedDts = dtStats.map(_.getString(0)).toSeq
       val target = spark.read.parquet(path)
         .filter(col("dt").isin(touchedDts: _*)) // partition-pruned scan

@@ -76,8 +76,13 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
+    // No broadcast hint on df: the vocabulary aggregate is one row per
+    // distinct term — corpus-scale, not dimension-scale. AQE broadcasts
+    // it when it measures small and falls back to a shuffle join when
+    // it doesn't; a forced hint would bypass that check and OOM the
+    // driver on a real corpus. Only the 1-row N is hint-broadcast.
     docTerm.filter(col("doc_id") % docMod === 0)
-      .join(broadcast(df), Seq("term"))
+      .join(df, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf").cast("double") *
@@ -89,24 +94,33 @@ object CorpusStats {
       .orderBy("doc_id", "rank")
   }
 
-  /** Inverted-index construction: per term, its document frequency and
-    * an md5 fingerprint of the full sorted posting list. A production
-    * index materializes (term, doc_id) postings partitioned by term —
-    * exactly the `docTerm` exchange here — so the fingerprint is a
-    * verification-friendly projection of the same build, bounding the
-    * oracle payload while still pinning every posting's presence AND
-    * order. Restricted to terms with `df ≥ minDf` (the head of the
-    * vocabulary; the long tail is size-bounded by definition). */
+  /** Inverted-index construction: per term, its document frequency,
+    * posting range, and a MERGEABLE membership fingerprint — the XOR
+    * of a 32-bit md5-derived hash of each posting. A production index
+    * materializes (term, doc_id) postings partitioned by term —
+    * exactly the `postings` exchange here — and the registered
+    * verification projects that build through constant-size
+    * aggregation buffers only: XOR is commutative/associative, so the
+    * partial aggregates combine map-side and a stop-word head term
+    * costs the same buffer as a tail term. (An earlier
+    * `md5(sorted collect_list)` fingerprint pinned posting ORDER too,
+    * but its buffer grew with df — precisely the head terms that
+    * survive the `minDf` filter — which is an executor OOM at corpus
+    * scale, not a plan detail.) */
   def invertedIndex(spark: SparkSession, dir: String,
       minDf: Int = 20): DataFrame = {
     val postings = fanOut(t(spark, dir, "documents"))
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
       .distinct()
-    postings.groupBy(col("term"))
+    postings
+      .withColumn("hv",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .groupBy(col("term"))
       .agg(count(lit(1)).as("df"),
-        md5(concat_ws(",",
-          transform(sort_array(collect_list(col("doc_id"))),
-            d => d.cast("string")))).as("posting_fp"))
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        expr("bit_xor(hv)").as("posting_fp"))
       .filter(col("df") >= minDf)
       .orderBy("term")
   }

@@ -222,9 +222,13 @@ object Dedup {
         Seq("doc_b", "g"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    // INNER join on the intersections, matching the paired oracle: a
+    // band-min can only be equal when the two docs share the shingle
+    // that produced it (absent an md5 collision), so every LSH pair has
+    // inter ≥ 1 and a zero-intersection row cannot exist in either
+    // engine.
     pairs
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("inter"))
+      .join(inter, Seq("doc_a", "doc_b"))
       .join(ns.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
         Seq("doc_a"))
       .join(ns.select(col("doc_id").as("doc_b"), col("n").as("n_b")),

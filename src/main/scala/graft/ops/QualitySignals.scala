@@ -59,12 +59,11 @@ object QualitySignals {
     * decontamination pipeline.
     *
     * Scale shape: the eval side is a distinct-shingle set orders of
-    * magnitude smaller than the corpus — broadcast it, so the train
-    * side never shuffles. Per-doc aggregation is map-side combined on
-    * doc-local keys. At 100 TB the eval set (a few benchmarks) still
-    * fits comfortably in a broadcast; if it ever didn't, the join key
-    * is an equi-join on `shingle` and degrades gracefully to a
-    * sort-merge join. */
+    * magnitude smaller than the corpus; AQE broadcasts it when it
+    * measures small (the normal case — a few benchmarks), so the train
+    * side never shuffles, and the equi-join on `shingle` degrades to a
+    * sort-merge join when it doesn't. Per-doc aggregation is map-side
+    * combined on doc-local keys. */
   def decontaminate(spark: SparkSession, dir: String, n: Int = 5,
       evalMod: Int = 97): DataFrame = {
     val shingled = fanOut(t(spark, dir, "documents"))
@@ -76,8 +75,13 @@ object QualitySignals {
         .as("shingle"))
     val evalShingles = shingled.filter(col("doc_id") % evalMod === 0)
       .select("shingle").distinct().withColumn("hit", lit(1))
+    // No broadcast hint: a real eval set (a few benchmarks) measures
+    // tiny and AQE broadcasts it on its own; the hint would force a
+    // driver collect even when the eval side is corpus-proportional
+    // (as it is under the %evalMod stand-in) and turn a graceful
+    // sort-merge fallback into an OOM.
     shingled.filter(col("doc_id") % evalMod =!= 0)
-      .join(broadcast(evalShingles), Seq("shingle"), "left")
+      .join(evalShingles, Seq("shingle"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("hit"), lit(0))).as("n_overlap"))

@@ -48,10 +48,7 @@ object IngestStream {
 
     val curatedPath = layout.curatedPath(sourceSystem, table)
     val landingPath = layout.landingPath(sourceSystem, table)
-    raw.writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.ProcessingTime(0))
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+    def ingestBatch(batch: org.apache.spark.sql.DataFrame): Unit = {
         if (!batch.isEmpty) {
           // Zone parity with the batch loader (W4, landing BEFORE
           // curated): raw pre-`dt` projection, unpartitioned, under the
@@ -83,6 +80,18 @@ object IngestStream {
             config.curatedLoadStrategy, config.primaryKey,
             config.sortColumns)
         }
+    }
+
+    raw.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (rawBatch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // Persist the micro-batch: emptiness probe, landing write, file
+        // list, and curated write are four separate actions — uncached,
+        // each would re-parse the batch's CSV files.
+        val batch = rawBatch.persist()
+        try ingestBatch(batch)
+        finally batch.unpersist()
       }
       .start()
   }

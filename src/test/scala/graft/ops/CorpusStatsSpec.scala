@@ -44,7 +44,7 @@ class CorpusStatsSpec extends AnyFunSuite {
       Seq("apple", "zebra", "common"))
   }
 
-  test("inverted-index fingerprint pins posting membership and order") {
+  test("inverted-index fingerprint is the xor-fold of posting hashes") {
     import spark.implicits._
     val out = CorpusStats.invertedIndex(spark, sf, minDf = 20)
     val row = out.filter(col("term") === "the").head()
@@ -54,10 +54,15 @@ class CorpusStatsSpec extends AnyFunSuite {
       .filter(col("t") === "the").select("doc_id").distinct()
       .as[Long].collect().sorted
     assert(row.getAs[Long]("df") == docs.length)
-    val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(docs.mkString(",").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    assert(row.getAs[String]("posting_fp") == fp)
+    assert(row.getAs[Long]("min_doc") == docs.min)
+    assert(row.getAs[Long]("max_doc") == docs.max)
+    val fp = docs.map { d =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }.reduce(_ ^ _)
+    assert(row.getAs[Long]("posting_fp") == fp)
   }
 
   test("bigram novelty: all-unique doc scores 1.0, cloned docs near 0") {
