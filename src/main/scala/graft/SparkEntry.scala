@@ -321,6 +321,57 @@ object SparkEntry {
         ${osum("e1")} AS sum_e1, ${osum("e2")} AS sum_e2
       FROM e GROUP BY 1 ORDER BY 1""")),
 
+    "q7_volume_shipping" -> Q((s, d) => Analytics.q7VolumeShipping(s, d),
+      Some(s"""
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+        ${osum("l.l_extendedprice*(1.0-l.l_discount)")} AS revenue,
+        count(*) AS n_items
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+         OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    "q10_returned_items" -> Q(Analytics.q10ReturnedItems, Some(s"""
+      SELECT c.c_custkey, c.c_name, n.n_name,
+        ${osum("l.l_extendedprice*(1.0-l.l_discount)")} AS revenue,
+        count(*) AS n_items
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    "q18_large_orders" -> Q((s, d) => Analytics.q18LargeOrders(s, d),
+      Some(s"""
+      WITH big AS (
+        SELECT l_orderkey, ${osum("l_quantity")} AS sum_qty
+        FROM lineitem GROUP BY 1
+        HAVING ${osum("l_quantity")} > 300.0)
+      SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        epoch_us(o.o_orderdate) AS o_orderdate_us,
+        o.o_totalprice, big.sum_qty
+      FROM big
+      JOIN orders o ON big.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      ORDER BY big.sum_qty DESC, o.o_orderkey""")),
+
+    // Salted two-phase aggregation: the oracle is the PLAIN group-by —
+    // decimal partials re-aggregate to exactly the direct sum, which is
+    // the whole point of the salting contract.
+    "skew_agg" -> Q((s, d) => Analytics.skewAgg(s, d), Some(s"""
+      SELECT event_type, ${osum("value")} AS sum_value,
+        count(*) AS n_events
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
     "embedding_quantize" -> Q(Similarity.quantizeInt8, Some("""
       WITH e AS (SELECT vec_id, label,
           CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -411,4 +411,111 @@ object Analytics {
         abs(col("o_totalprice") - lit(100000.0)).as("dist_100k"),
         floor(col("o_totalprice") / 1000.0).cast("long").as("price_kbin"))
       .orderBy("o_orderkey")
+
+  /** X7/X12 + 6-way join — bilateral shipping volume between two
+    * nations by year (TPC-H Q7 shape): lineitem⨝supplier⨝orders⨝
+    * customer, nation joined twice under different roles. Both nation
+    * joins broadcast (constant 25 rows at every SF); the nation-pair
+    * filter lands immediately after them so the wide join product
+    * never materializes beyond the two nations of interest; fact-side
+    * joins shuffle on their keys and are AQE-planned. */
+  def q7VolumeShipping(spark: SparkSession, dir: String,
+      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+    val supp = t(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val ord = t(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val cust = t(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val nation = t(spark, dir, "nation")
+    val sn = nation.select(col("n_nationkey").as("sn_key"),
+      col("n_name").as("supp_nation"))
+    val cn = nation.select(col("n_nationkey").as("cn_key"),
+      col("n_name").as("cust_nation"))
+    li.join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(sn), supp("s_nationkey") === col("sn_key"))
+      .join(broadcast(cn), cust("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB)
+        || (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** X6/X7 — top customers by revenue lost to returned items in one
+    * quarter (TPC-H Q10 shape). The returnflag and date filters push
+    * into the fact scans; final top-20 is TakeOrderedAndProject. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-04-01"))
+      .select("o_orderkey", "o_custkey")
+    val cust = t(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey")
+    val nation = t(spark, dir, "nation")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** X7 + group-filter-join-back — large-quantity orders (TPC-H Q18
+    * shape): aggregate lineitem by order, HAVING on the sum, then join
+    * the surviving (rare) orders back to their header and customer.
+    * The having-filtered aggregate is tiny relative to the fact table,
+    * so AQE broadcasts it into the join-back — the anti-pattern this
+    * replaces is joining FIRST and filtering after. */
+  def q18LargeOrders(spark: SparkSession, dir: String,
+      minQty: Double = 300.0): DataFrame = {
+    val big = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = t(spark, dir, "customer").select("c_custkey", "c_name")
+    big.join(ord, big("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        // parquet o_orderdate is TIMESTAMP_NTZ; session is pinned UTC,
+        // so the ltz cast is wall-clock identity (matches epoch_us)
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+  }
+
+  /** X7 under a hot key — two-phase salted aggregation over events
+    * (Skew.saltedAgg): partial sums per (event_type, salt) spread a
+    * hot event_type across reducers, then partials re-aggregate by the
+    * real key. Decimal accumulation keeps the regrouped sum EXACTLY
+    * equal to a direct one (decimal addition is associative — doubles
+    * aren't), so the salted plan is oracle-checked against the plain
+    * GROUP BY it replaces. */
+  def skewAgg(spark: SparkSession, dir: String, nSalts: Int = 16): DataFrame = {
+    import graft.util.{Skew, Tables}
+    Skew.saltedAgg(
+      t(spark, dir, "events").select(col("event_type"), col("value")),
+      keys = Seq("event_type"), nSalts = nSalts,
+      partialAggs = Seq(
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 8)))
+          .as("psum"),
+        count(lit(1)).as("pn")),
+      finalAggs = Seq(
+        Tables.decToDouble(sum(col("psum"))).as("sum_value"),
+        sum(col("pn")).as("n_events")))
+      .orderBy("event_type")
+  }
 }
