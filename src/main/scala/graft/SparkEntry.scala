@@ -372,6 +372,90 @@ object SparkEntry {
         count(*) AS n_events
       FROM events GROUP BY 1 ORDER BY 1""")),
 
+    "q13_order_dist" -> Q(Analytics.q13OrderDist, Some("""
+      WITH pc AS (
+        SELECT o_custkey, count(*) AS cnt FROM orders
+        WHERE o_orderpriority <> '1-URGENT' GROUP BY 1),
+      j AS (
+        SELECT COALESCE(pc.cnt, 0) AS c_count
+        FROM customer LEFT JOIN pc ON c_custkey = o_custkey)
+      SELECT c_count, count(*) AS custdist
+      FROM j GROUP BY 1 ORDER BY custdist DESC, c_count DESC""")),
+
+    "q22_dormant_rich" -> Q((s, d) => Analytics.q22DormantRich(s, d),
+      Some(s"""
+      WITH pos AS (
+        SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_pos,
+          CAST(count(*) AS DECIMAL(10,0)) AS n_pos
+        FROM customer WHERE c_acctbal > 0),
+      d AS (
+        SELECT c.c_nationkey, c.c_acctbal FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '1999-01-01'))
+      SELECT c_nationkey, count(*) AS n_cust,
+        ${osum("c_acctbal")} AS total_bal
+      FROM d, pos
+      WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n_pos > sum_pos
+      GROUP BY 1 ORDER BY 1""")),
+
+    // PII scrub over the committed fixture corpus (testdata documents
+    // have no PII-shaped strings) — both engines read the same CSV and
+    // apply the identical ordered regex chain; counts on original text.
+    "pii_redact" -> Q((s, d) => Privacy.piiRedact(s, d), Some {
+      val Seq(u, e, i, p) = Privacy.Rules.map(_._1)
+      s"""
+      WITH d AS (
+        SELECT doc_id, source, text FROM read_csv('${Privacy.FixtureCsv}',
+          header=true, columns={'doc_id':'BIGINT','source':'VARCHAR',
+          'text':'VARCHAR'}))
+      SELECT doc_id, source,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+          '$u', '<URL>', 'g'), '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'),
+          '$p', '<PHONE>', 'g') AS redacted,
+        CAST(len(regexp_extract_all(text, '$u')) AS BIGINT) AS n_url,
+        CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(text, '$i')) AS BIGINT) AS n_ip,
+        CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_phone
+      FROM d ORDER BY doc_id"""
+    }),
+
+    "seq_packing" -> Q((s, d) => Reshape.seqPacking(s, d), Some("""
+      WITH d AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '')) AS BIGINT) AS n_tok,
+          md5('pack:' || CAST(doc_id AS VARCHAR)) AS h,
+          CAST(CAST(('0x' || substring(
+            md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 8 AS INTEGER) AS shard
+        FROM documents),
+      c AS (
+        SELECT doc_id, shard, n_tok,
+          CAST(sum(n_tok) OVER (
+            PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS cum_tok
+        FROM d)
+      SELECT doc_id, shard,
+        CAST(floor((cum_tok - n_tok) / 512.0) AS BIGINT) AS pack_id,
+        n_tok, cum_tok
+      FROM c ORDER BY doc_id""")),
+
+    "domain_mix_sample" -> Q(Reshape.domainMixSample, Some {
+      val values = Reshape.MixRates
+        .map { case (src, r) => s"('$src', $r)" }.mkString(", ")
+      s"""
+      WITH r AS (SELECT * FROM (VALUES $values) AS t(source, rate)),
+      s AS (
+        SELECT d.doc_id, d.source, d.lang, r.rate,
+          CAST(CAST(('0x' || substring(
+            md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 100 AS INTEGER) AS bucket
+        FROM documents d JOIN r ON d.source = r.source)
+      SELECT doc_id, source, lang, bucket
+      FROM s WHERE bucket < rate ORDER BY doc_id"""
+    }),
+
     "embedding_quantize" -> Q(Similarity.quantizeInt8, Some("""
       WITH e AS (SELECT vec_id, label,
           CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

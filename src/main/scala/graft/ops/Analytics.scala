@@ -415,9 +415,13 @@ object Analytics {
   /** X7/X12 + 6-way join — bilateral shipping volume between two
     * nations by year (TPC-H Q7 shape): lineitem⨝supplier⨝orders⨝
     * customer, nation joined twice under different roles. Both nation
-    * joins broadcast (constant 25 rows at every SF); the nation-pair
-    * filter lands immediately after them so the wide join product
-    * never materializes beyond the two nations of interest; fact-side
+    * dims are pre-filtered to the two nations of interest and joined
+    * EARLY on their fact side (supplier before orders, customer right
+    * after its key appears), so the selective inner joins drop ~23/25
+    * of fact rows before the widest join runs — at 100 TB that is the
+    * difference between shuffling the full lineitem⨝orders product and
+    * ~8% of it. The residual pair filter only removes the (A,A)/(B,B)
+    * combos. Nation broadcasts are constant-size at every SF; fact-side
     * joins shuffle on their keys and are AQE-planned. */
   def q7VolumeShipping(spark: SparkSession, dir: String,
       nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
@@ -428,14 +432,15 @@ object Analytics {
     val ord = t(spark, dir, "orders").select("o_orderkey", "o_custkey")
     val cust = t(spark, dir, "customer").select("c_custkey", "c_nationkey")
     val nation = t(spark, dir, "nation")
+      .filter(col("n_name").isin(nationA, nationB))
     val sn = nation.select(col("n_nationkey").as("sn_key"),
       col("n_name").as("supp_nation"))
     val cn = nation.select(col("n_nationkey").as("cn_key"),
       col("n_name").as("cust_nation"))
     li.join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(sn), supp("s_nationkey") === col("sn_key"))
       .join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(cust, ord("o_custkey") === cust("c_custkey"))
-      .join(broadcast(sn), supp("s_nationkey") === col("sn_key"))
       .join(broadcast(cn), cust("c_nationkey") === col("cn_key"))
       .filter((col("supp_nation") === nationA && col("cust_nation") === nationB)
         || (col("supp_nation") === nationB && col("cust_nation") === nationA))
@@ -495,6 +500,59 @@ object Analytics {
         unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
         col("o_totalprice"), col("sum_qty"))
       .orderBy(col("sum_qty").desc, col("o_orderkey"))
+  }
+
+  /** X7 + outer join over pre-aggregation — customer order-count
+    * distribution (TPC-H Q13 shape). Orders are aggregated to
+    * (custkey, count) BEFORE the join, so the customer join sees one
+    * row per active customer instead of every order — at 100 TB the
+    * shuffle carries the pre-aggregated counts (map-side combined),
+    * not the fact table. Customers with no qualifying orders come back
+    * via the left join as count 0. Second aggregate (the distribution)
+    * groups a customer-sized input down to a handful of rows. */
+  def q13OrderDist(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"))
+    t(spark, dir, "customer").select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** X12 + scalar-subquery broadcast — dormant above-average customers
+    * by nation (TPC-H Q22 shape): customers whose balance exceeds the
+    * positive-balance average and who placed no orders on/after the
+    * cutoff. The global average is a 1-row aggregate cross-joined in
+    * (Catalyst broadcasts it — no shuffle); dormancy is a left-anti
+    * join against the date-filtered orders (the filter pushes into the
+    * orders scan, so the anti join's build side shrinks with the
+    * cutoff). The threshold compare is done in decimal with bounded
+    * precision — `bal * n_pos > sum_pos` instead of `bal > avg` — so
+    * no engine-specific decimal division exists to diverge: products
+    * and sums of DECIMAL(12,2)×DECIMAL(10,0) are exact in both
+    * engines. */
+  def q22DormantRich(spark: SparkSession, dir: String,
+      cutoff: String = "1999-01-01"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val pos = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(col("c_acctbal").cast(DecimalType(12, 2))).as("sum_pos"),
+        count(lit(1)).cast(DecimalType(10, 0)).as("n_pos"))
+    val active = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(cutoff))
+      .select(col("o_custkey"))
+    cust.join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(pos))
+      .filter(col("c_acctbal").cast(DecimalType(12, 2)) * col("n_pos")
+        > col("sum_pos"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy("c_nationkey")
   }
 
   /** X7 under a hot key — two-phase salted aggregation over events

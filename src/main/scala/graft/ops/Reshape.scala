@@ -142,4 +142,68 @@ object Reshape {
         col("sum_price"))
       .orderBy("event_id")
   }
+
+  /** Content-derived hash bucket in [0, mod) — the shared deterministic
+    * "coin flip" for sampling/sharding (DuckDB twin:
+    * `CAST(('0x' || substring(md5(salt || key), 1, 8)) AS BIGINT) % mod`).
+    */
+  private def hashBucket(salt: String, key: org.apache.spark.sql.Column,
+      mod: Int): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8),
+      16, 10).cast("long"), lit(mod))
+
+  /** Sequence packing for training: assign documents to fixed-token-
+    * budget packs the way an LLM data loader fills context windows.
+    * Documents are sharded by content hash (shards = the unit of
+    * parallelism — each worker packs its shard independently, which is
+    * how real pipelines do it; a single global ORDER BY + running sum
+    * would serialize the corpus through one partition at 100 TB), then
+    * packed greedily in deterministic hash order within the shard: a
+    * doc starts pack `floor(cum_tokens_before / budget)`. Token counts
+    * are whitespace tokens (the registered token-counting semantics).
+    * One shuffle (the window partition exchange); integer arithmetic
+    * throughout, so the oracle match is exact. */
+  def seqPacking(spark: SparkSession, dir: String, nShards: Int = 8,
+      budget: Long = 512L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("h", md5(concat(lit("pack:"), col("doc_id").cast("string"))))
+      .withColumn("shard", hashBucket("shard:", col("doc_id"), nShards)
+        .cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("pack_id",
+        floor((col("cum_tok") - col("n_tok")) / lit(budget)).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pack_id"), col("n_tok"),
+        col("cum_tok"))
+      .orderBy("doc_id")
+  }
+
+  /** Weighted domain-mix sampling: re-balance a corpus toward target
+    * per-source sampling rates (the "training mixture" step — e.g.
+    * up-sample curated sources, down-sample crawl). Rates live in a
+    * tiny dim table (broadcast join — never a shuffle of the corpus);
+    * membership is the content-derived hash coin, so the same doc is
+    * in or out on every run and every engine. Embarrassingly parallel:
+    * broadcast join + per-row filter, no corpus shuffle. */
+  def domainMixSample(spark: SparkSession, dir: String): DataFrame = {
+    val rates = MixRates.map { case (s, r) => (s, r) }.toSeq
+    val ratesDf = spark.createDataFrame(rates).toDF("source", "rate")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"))
+      .join(broadcast(ratesDf), Seq("source"))
+      .withColumn("bucket", hashBucket("mix:", col("doc_id"), 100).cast("int"))
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("source"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Target per-source sampling rates (percent). Deterministic spread
+    * across the synthetic src0..src19 sources; the oracle SQL's VALUES
+    * list is generated from this same map (single source of truth). */
+  val MixRates: Seq[(String, Int)] =
+    (0 until 20).map(i => (s"src$i", Seq(80, 35, 10, 55)(i % 4)))
 }
