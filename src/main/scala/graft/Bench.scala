@@ -12,10 +12,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
+    // Same session recipe as Verify: GraftSession conf + extensions
+    // (the SQL-registered native functions must resolve here too).
+    val spark = graft.util.GraftSession
+      .builder("graft-bench", Some(s"local[$cpus]"), Some(cpus.toInt))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

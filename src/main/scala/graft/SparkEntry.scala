@@ -476,6 +476,17 @@ object SparkEntry {
         list_sum(list_transform(errs, x -> x * x)) AS sse
       FROM er ORDER BY vec_id""")),
 
+    // Native expressions reached through SQL TEXT (FunctionRegistry via
+    // SparkSessionExtensions) — the resolution path a SQL-only user
+    // takes; float_dot is bit-identical to list_dot_product on doubles.
+    "sql_native_dot" -> Q(Similarity.sqlNativeDot, Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings)
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        list_dot_product(a.emb, b.emb) AS dot
+      FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+      ORDER BY a_id""")),
+
     // X17 Aggregator UDAF: float-sum order nondeterminism ⇒ no SQL
     // oracle; driver records rows-only (exploded to scalar columns so
     // the harness can sort), exact values verified against a Scala

@@ -10,10 +10,11 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
+    // GraftSession installs the engine conf INCLUDING the
+    // SparkSessionExtensions (sql_native_dot resolves float_dot from
+    // SQL text — a bare builder would have no such function).
+    val spark = graft.util.GraftSession
+      .builder("graft-verify", Some(s"local[$cpus]"), Some(cpus.toInt))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -311,4 +311,23 @@ object Similarity {
           .as("sse"))
       .orderBy("vec_id")
   }
+
+  /** The pure-SQL surface of the native expressions: adjacent-vector
+    * dot products computed by `float_dot(...)` resolved from SQL TEXT
+    * through the FunctionRegistry ([[graft.plans.GraftExtensions]] —
+    * installed by GraftSession via `spark.sql.extensions`), not the
+    * Column API. Same bit-exact double fold as the DuckDB
+    * `list_dot_product(CAST(.. AS DOUBLE[]))` oracle. The join is equi
+    * (`b.vec_id = a.vec_id + 1`) so the plan is a plain shuffle/
+    * broadcast hash join at any scale — the point here is the SQL
+    * resolution path, which a SQL-only user of the engine needs. */
+  def sqlNativeDot(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "embeddings").createOrReplaceTempView("graft_emb_sql")
+    spark.sql("""
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        float_dot(a.embedding, b.embedding) AS dot
+      FROM graft_emb_sql a
+      JOIN graft_emb_sql b ON b.vec_id = a.vec_id + 1
+      ORDER BY a_id""")
+  }
 }

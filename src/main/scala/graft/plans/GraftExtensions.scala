@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.expressions.{FloatDot, HyperplaneSigs}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * codegen expressions in the session FunctionRegistry so pure-SQL
+  * users reach them — `SELECT float_dot(a.embedding, b.embedding) …` —
+  * without touching the Scala Column API. Installed by
+  * [[graft.util.GraftSession.builder]] via `spark.sql.extensions`
+  * (the public extension mechanism; no private registry access).
+  *
+  *  - `float_dot(array<float>, array<float>) → double` — fused
+  *    whole-stage-codegen dot product ([[graft.expressions.FloatDot]]).
+  *  - `hyperplane_sigs(array<float>, nBits, nTables) → array<bigint>` —
+  *    all LSH signatures in one loop
+  *    ([[graft.expressions.HyperplaneSigs]]); `nBits`/`nTables` must be
+  *    integer literals because they shape the expression (and its
+  *    codegen) at plan time, exactly like the Column API's Int
+  *    parameters.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"float_dot expects 2 arguments, got ${children.size}")
+        FloatDot(children(0), children(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_sigs"),
+      new ExpressionInfo(classOf[HyperplaneSigs].getName, "hyperplane_sigs"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"hyperplane_sigs expects (embedding, nBits, nTables), " +
+            s"got ${children.size} arguments")
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"hyperplane_sigs: $what must be an INT literal, got $other")
+        }
+        HyperplaneSigs(children(0), intLit(children(1), "nBits"),
+          intLit(children(2), "nTables"))
+      }))
+  }
+}

@@ -17,7 +17,9 @@ import org.apache.spark.sql.SparkSession
   *  - UTC session TZ + nanos handling for deterministic timestamp
   *    semantics (see [[Tables.ensureSessionConf]]);
   *  - partition-column type inference off: `dt=2024-06-28` directory
-  *    values stay strings on read-back (the loader's contract).
+  *    values stay strings on read-back (the loader's contract);
+  *  - [[graft.plans.GraftExtensions]] installed, so the native codegen
+  *    functions (`float_dot`, `hyperplane_sigs`) resolve from SQL text.
   */
 object GraftSession {
 
@@ -27,6 +29,7 @@ object GraftSession {
     val cores = Runtime.getRuntime.availableProcessors()
     val b = SparkSession.builder()
       .appName(appName)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.shuffle.partitions",
