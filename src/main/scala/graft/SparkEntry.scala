@@ -372,6 +372,17 @@ object SparkEntry {
         count(*) AS n_events
       FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // Bucketed co-located join: pay the partitioning at write time,
+    // join with zero shuffle at read time (BucketingSpec pins the
+    // exchange-free plan); contents — and thus the oracle — are
+    // bucketing-invariant.
+    "bucketed_join" -> Q(Bucketing.bucketedJoin, Some(s"""
+      SELECT o_orderpriority, o_orderstatus, count(*) AS n_items,
+        ${osum("l_extendedprice*(1.0-l_discount)")} AS revenue,
+        ${osum("l_quantity")} AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     "q13_order_dist" -> Q(Analytics.q13OrderDist, Some("""
       WITH pc AS (
         SELECT o_custkey, count(*) AS cnt FROM orders
