@@ -118,16 +118,21 @@ object Strategies {
     * matched or not — is a malformed batch. Applied identically on the
     * merge path (fused with the dt-list aggregation there) and the
     * first-load path. */
-  private def requireUniqueMergeKeys(df: DataFrame, keys: Seq[String]): Unit = {
-    val offender = df.groupBy(keys.map(col): _*).count()
+  private def requireUniqueMergeKeys(df: DataFrame, keys: Seq[String]): Unit =
+    locateDuplicateMergeKey(df, keys).foreach(throwDuplicateMergeKey(keys, _))
+
+  private def locateDuplicateMergeKey(df: DataFrame,
+      keys: Seq[String]): Option[String] =
+    df.groupBy(keys.map(col): _*).count()
       .filter(col("count") > 1).limit(1).collect()
-    if (offender.nonEmpty)
-      throw new IllegalArgumentException(
-        "Upsert source contains duplicate rows for merge key " +
-          s"(${keys.mkString(", ")}), e.g. " +
-          offender.head.toSeq.init.mkString("[", ", ", "]") +
-          " — dedup the batch (e.g. keep-latest) before merging")
-  }
+      .headOption.map(_.toSeq.init.mkString("[", ", ", "]"))
+
+  private def throwDuplicateMergeKey(keys: Seq[String],
+      example: String): Nothing =
+    throw new IllegalArgumentException(
+      "Upsert source contains duplicate rows for merge key " +
+        s"(${keys.mkString(", ")}), e.g. $example" +
+        " — dedup the batch (e.g. keep-latest) before merging")
 
   /** J1/W5 — partition-scoped upsert merge into existing parquet target.
     * Merge keys are `primaryKey :+ dt` (the reference's condition always
@@ -152,7 +157,13 @@ object Strategies {
         .groupBy(col("dt")).agg(max(col("__n")).as("__maxn"))
         .collect()
       if (dtStats.exists(_.getLong(1) > 1))
-        requireUniqueMergeKeys(src, keys) // locates an offender, throws
+        // The probe already PROVED a duplicate exists — throw
+        // unconditionally. The second scan only decorates the error
+        // with an example key; if recomputation can't re-find one
+        // (evicted cache + unstable upstream), still fail.
+        throwDuplicateMergeKey(keys,
+          locateDuplicateMergeKey(src, keys)
+            .getOrElse("(offender not reproducible on re-scan)"))
       val touchedDts = dtStats.map(_.getString(0)).toSeq
       val target = spark.read.parquet(path)
         .filter(col("dt").isin(touchedDts: _*)) // partition-pruned scan

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.util.Tables.{t, fanOut}
+import graft.util.Tables.{t, fanOut, md5Long32}
 
 /** Corpus-level statistics a large-scale training-data pipeline needs
   * beyond per-document quality scores: cardinality sketches, term
@@ -34,7 +34,7 @@ object CorpusStats {
       .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("word"))
       .distinct()
     val hashed = words.select(col("lang"), col("word"),
-      conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long").as("hv"))
+      md5Long32(col("word")).as("hv"))
     // 32-bit prefix collisions are broken by the word itself so the
     // rank-K row is unique in both engines
     val w = Window.partitionBy(col("lang")).orderBy(col("hv"), col("word"))
@@ -114,8 +114,7 @@ object CorpusStats {
       .distinct()
     postings
       .withColumn("hv",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long"))
+        md5Long32(col("doc_id").cast("string")))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"),
         min(col("doc_id")).as("min_doc"),

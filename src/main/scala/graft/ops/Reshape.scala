@@ -96,10 +96,7 @@ object Reshape {
     * unverifiable cross-engine). Embarrassingly parallel: a pure
     * per-row filter, no shuffle. */
   def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(
-      conv(substring(md5(concat(lit("smpl:"),
-        col("c_custkey").cast("string"))), 1, 8), 16, 10).cast("long"),
-      lit(100))
+    val bucket = graft.util.Tables.md5Bucket("smpl:", col("c_custkey"), 100)
     val rate = when(col("c_mktsegment") === "BUILDING", 20).otherwise(5)
     t(spark, dir, "customer")
       .withColumn("bucket", bucket)
@@ -143,15 +140,6 @@ object Reshape {
       .orderBy("event_id")
   }
 
-  /** Content-derived hash bucket in [0, mod) — the shared deterministic
-    * "coin flip" for sampling/sharding (DuckDB twin:
-    * `CAST(('0x' || substring(md5(salt || key), 1, 8)) AS BIGINT) % mod`).
-    */
-  private def hashBucket(salt: String, key: org.apache.spark.sql.Column,
-      mod: Int): org.apache.spark.sql.Column =
-    pmod(conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8),
-      16, 10).cast("long"), lit(mod))
-
   /** Sequence packing for training: assign documents to fixed-token-
     * budget packs the way an LLM data loader fills context windows.
     * Documents are sharded by content hash (shards = the unit of
@@ -170,7 +158,7 @@ object Reshape {
       .select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
       .withColumn("h", md5(concat(lit("pack:"), col("doc_id").cast("string"))))
-      .withColumn("shard", hashBucket("shard:", col("doc_id"), nShards)
+      .withColumn("shard", graft.util.Tables.md5Bucket("shard:", col("doc_id"), nShards)
         .cast("int"))
     val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
     docs
@@ -190,12 +178,11 @@ object Reshape {
     * in or out on every run and every engine. Embarrassingly parallel:
     * broadcast join + per-row filter, no corpus shuffle. */
   def domainMixSample(spark: SparkSession, dir: String): DataFrame = {
-    val rates = MixRates.map { case (s, r) => (s, r) }.toSeq
-    val ratesDf = spark.createDataFrame(rates).toDF("source", "rate")
+    val ratesDf = spark.createDataFrame(MixRates).toDF("source", "rate")
     t(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("lang"))
       .join(broadcast(ratesDf), Seq("source"))
-      .withColumn("bucket", hashBucket("mix:", col("doc_id"), 100).cast("int"))
+      .withColumn("bucket", graft.util.Tables.md5Bucket("mix:", col("doc_id"), 100).cast("int"))
       .filter(col("bucket") < col("rate"))
       .select(col("doc_id"), col("source"), col("lang"), col("bucket"))
       .orderBy("doc_id")

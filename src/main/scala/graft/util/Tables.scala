@@ -95,4 +95,19 @@ object Tables {
     * (string-routed like [[dsum]]) — do NOT use DuckDB's avg() (double
     * accumulated in nondeterministic partition order). */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** 32-bit md5-prefix hash as a long — the engine's ONE deterministic
+    * cross-engine hash (sampling coins, KMV ranks, posting fingerprints
+    * all derive from it). Any change here must change every paired
+    * DuckDB oracle, whose twin is
+    * `CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT)`. */
+  def md5Long32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Salted deterministic bucket in [0, mod): the content-derived coin
+    * for reproducible sampling/sharding (never an RNG — the same row
+    * lands in the same bucket on every run, engine, and retry). DuckDB
+    * twin: `CAST(... md5('salt' || CAST(k AS VARCHAR)) ...) % mod`. */
+  def md5Bucket(salt: String, key: Column, mod: Int): Column =
+    pmod(md5Long32(concat(lit(salt), key.cast("string"))), lit(mod))
 }

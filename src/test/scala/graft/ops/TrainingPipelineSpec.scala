@@ -79,9 +79,14 @@ class TrainingPipelineSpec extends AnyFunSuite {
       .as[(Long, Long)].collect()
     val nCust = t(spark, dir, "customer").count()
     assert(dist.map(_._2).sum == nCust)
-    // zero-order bucket exists (some customers never order urgent-free)
-    assert(dist.map(_._1).contains(0L) ||
-      dist.map(_._1).min > 0L) // tolerate fully-active tiny SF
+    // the LEFT-join property directly: the zero bucket holds exactly
+    // the customers with no qualifying (non-urgent) order
+    val zeroExpected = t(spark, dir, "customer").join(
+      t(spark, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey")),
+      col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(dist.toMap.getOrElse(0L, 0L) == zeroExpected)
   }
 
   test("q22: every reported customer beats the positive-average bar") {
