@@ -65,6 +65,71 @@ object StreamingOps {
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n_events: Long, total: Double)
 
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp,
+      value: Double)
+  final case class OpenSession(startUs: Long, endUs: Long, n: Long,
+      sum: Double)
+  final case class ClosedSession(user_id: Long, sess_start_us: Long,
+      sess_end_us: Long, n_events: Long, sum_value: Double)
+
+  /** Custom sessionizer via `flatMapGroupsWithState` with
+    * EventTimeTimeout — the shape `session_window` cannot express:
+    * sessions CLOSE (and emit) either when a later event arrives past
+    * the gap, or when the WATERMARK passes the session end + gap (the
+    * timeout), so downstream consumers see a closed session exactly
+    * once, as soon as it is provably complete. State per user is one
+    * open session (two timestamps + two accumulators) — bounded
+    * regardless of stream length; keys partition across executors.
+    *
+    * Within a micro-batch, events are sorted by event time before
+    * folding (the iterator carries no order guarantee), so results are
+    * deterministic and match the batch gaps-and-islands semantics
+    * (StreamingSpec asserts parity with `session_window`). */
+  def sessionizeWithTimeout(events: Dataset[SessEvent],
+      gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[SessEvent],
+            state: GroupState[OpenSession]) =>
+          def close(s: OpenSession) =
+            ClosedSession(user, s.startUs, s.endUs, s.n, s.sum)
+          if (state.hasTimedOut) {
+            val closed = close(state.get)
+            state.remove()
+            Iterator(closed)
+          } else {
+            val sorted = batch.toArray.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val out = Seq.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              val tUs = e.ts.getTime * 1000L
+              open match {
+                case Some(s) if tUs - s.endUs <= gapUs =>
+                  open = Some(OpenSession(s.startUs, math.max(s.endUs, tUs),
+                    s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  out += close(s)
+                  open = Some(OpenSession(tUs, tUs, 1L, e.value))
+                case None =>
+                  open = Some(OpenSession(tUs, tUs, 1L, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // fire once the watermark proves no event can extend it
+              state.setTimeoutTimestamp((s.endUs + gapUs) / 1000L)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Custom per-key state via `mapGroupsWithState`: running per-user
     * totals that survive across micro-batches (the
     * KeyValueGroupedDataset custom-state surface). */

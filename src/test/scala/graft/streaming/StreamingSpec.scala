@@ -134,4 +134,56 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(native == islands)
   }
+
+  test("flatMapGroupsWithState sessionizer matches native session_window") {
+    import spark.implicits._
+    val input = MemoryStream[StreamingOps.SessEvent](spark)
+    val q = StreamingOps.sessionizeWithTimeout(input.toDS())
+      .writeStream.format("memory").queryName("fmgws_sess")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1.map(e =>
+        StreamingOps.SessEvent(e.user_id, e.ts, e.value)))
+      q.processAllAvailable()
+      // push the watermark far past every open session so timeouts fire
+      input.addData(Seq(StreamingOps.SessEvent(9L,
+        ts("2024-01-02T12:00:00Z"), 0.0)))
+      q.processAllAvailable()
+      val emitted = spark.table("fmgws_sess")
+        .filter(col("user_id") =!= 9L)
+        .as[StreamingOps.ClosedSession].collect()
+        .map(c => (c.user_id, c.sess_start_us, c.n_events, c.sum_value))
+        .toSet
+      // native session_window on the same batch input (session END in
+      // session_window is last_event + gap; ours is the last event
+      // itself, so compare on start/n/sum which mean the same thing)
+      val native = StreamingOps.sessionAgg(batch1.toDF())
+        .select("user_id", "sess_start_us", "n_events", "sum_value")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(emitted.nonEmpty)
+      assert(emitted == native)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState closes a session mid-stream when the gap passes") {
+    import spark.implicits._
+    val input = MemoryStream[StreamingOps.SessEvent](spark)
+    val q = StreamingOps.sessionizeWithTimeout(input.toDS())
+      .writeStream.format("memory").queryName("fmgws_midclose")
+      .outputMode("append").start()
+    try {
+      // batch 1: one event; batch 2: an event 31 minutes later for the
+      // SAME user — the first session must close with the old content
+      input.addData(Seq(StreamingOps.SessEvent(7L,
+        ts("2024-01-01T10:00:00Z"), 1.5)))
+      q.processAllAvailable()
+      input.addData(Seq(StreamingOps.SessEvent(7L,
+        ts("2024-01-01T10:31:00Z"), 2.5)))
+      q.processAllAvailable()
+      val afterSplit = spark.table("fmgws_midclose")
+        .as[StreamingOps.ClosedSession].collect().toSet
+      assert(afterSplit == Set(StreamingOps.ClosedSession(7L,
+        1704103200000000L, 1704103200000000L, 1L, 1.5)))
+    } finally q.stop()
+  }
 }
