@@ -37,6 +37,17 @@ object SparkEntry {
        epoch_us(TIMESTAMP '2024-07-01 00:00:00') AS updt_ts_us,
        'graft-spark' AS cret_nm, 'graft-spark' AS updt_nm"""
 
+  /** Shared oracle for the ORC / JSON roundtrip queries: the same
+    * aggregate over the original parquet — content preservation is the
+    * claim, so the oracle never sees the roundtripped files. */
+  private val formatOracle = s"""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        ${osum("o_totalprice")} AS sum_price,
+        min(epoch_us(o_orderdate)) AS min_date_us,
+        max(epoch_us(o_orderdate)) AS max_date_us,
+        CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+      FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Contents of an append of every fixture CSV — the shared oracle for
     * the compaction and backfill maintenance queries (both must be
     * contents-preserving no-ops relative to a plain append). */
@@ -371,6 +382,12 @@ object SparkEntry {
       SELECT event_type, ${osum("value")} AS sum_value,
         count(*) AS n_events
       FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // Format roundtrips: write orders through ORC / JSON-lines, read
+    // back, aggregate; oracle aggregates the ORIGINAL parquet — green
+    // means the format path preserved content exactly.
+    "orc_roundtrip" -> Q(Formats.orcRoundtrip, Some(formatOracle)),
+    "json_roundtrip" -> Q(Formats.jsonRoundtrip, Some(formatOracle)),
 
     // Bucketed co-located join: pay the partitioning at write time,
     // join with zero shuffle at read time (BucketingSpec pins the

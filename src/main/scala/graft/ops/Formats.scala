@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables.{t, dsum}
+
+/** Source/sink format surface beyond CSV+parquet: ORC and JSON-lines
+  * roundtrips. Each query WRITES the orders table through the format
+  * and reads it back before aggregating; the paired oracle runs the
+  * same aggregate on the ORIGINAL parquet — so a green row proves the
+  * format path is content-preserving (types, nulls, numeric fidelity),
+  * not just that the write succeeded.
+  *
+  * Timestamps cross the formats as `unix_micros` longs: JSON has no
+  * timestamp type (only strings, whose parsing round-trip is
+  * tz-fragile), and pinning the representation makes the two
+  * roundtrips directly comparable. Doubles survive JSON because Spark
+  * serializes them with Java's shortest-exact representation and
+  * parses them back correctly rounded.
+  *
+  * Scale: a format roundtrip is scan → write → scan, all distributed;
+  * the JSON read passes an explicit schema, so no inference job scans
+  * the data twice. Outputs land under `target/graft_formats/` (local
+  * scratch; a cluster deployment would point at the lake). */
+object Formats {
+
+  private def tag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Orders with the timestamp pinned to micros — the exchange schema
+    * for both formats. */
+  private def ordersFlat(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"),
+      col("o_orderpriority"))
+
+  private def roundtrip(spark: SparkSession, dir: String,
+      fmt: String): DataFrame = {
+    val out = s"target/graft_formats/${fmt}_${tag(dir)}"
+    val flat = ordersFlat(spark, dir)
+    flat.write.format(fmt).mode("overwrite").save(out)
+    // explicit schema: identical types back, and (for JSON) no
+    // schema-inference pre-pass over the written files
+    spark.read.format(fmt).schema(flat.schema).load(out)
+  }
+
+  private def summarize(df: DataFrame): DataFrame =
+    df.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        min(col("o_date_us")).as("min_date_us"),
+        max(col("o_date_us")).as("max_date_us"),
+        sum(col("o_custkey")).as("custkey_sum"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** ORC write → read → aggregate; oracle = same aggregate on parquet. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    summarize(roundtrip(spark, dir, "orc"))
+
+  /** JSON-lines write → read → aggregate; oracle likewise. */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    summarize(roundtrip(spark, dir, "json"))
+}
