@@ -15,15 +15,21 @@ import org.apache.spark.sql.functions.udaf
   * materialization of vectors. */
 final case class CentroidBuf(var sum: Array[Double], var n: Long)
 
+/** Input/output are primitive arrays, not `Seq`: the `Array[Float]`
+  * ExpressionEncoder deserializes each row with one bulk
+  * `UnsafeArrayData.toFloatArray` copy, where a `Seq[Float]` encoder
+  * builds a boxed wrapper per row — measurably slower across a
+  * whole-corpus aggregation (the round-3→4 `centroid_udaf` shave). */
 class CentroidAgg(dim: Int)
-    extends Aggregator[Seq[Float], CentroidBuf, Seq[Double]] {
+    extends Aggregator[Array[Float], CentroidBuf, Array[Double]] {
 
   override def zero: CentroidBuf = CentroidBuf(Array.fill(dim)(0.0), 0L)
 
-  override def reduce(b: CentroidBuf, a: Seq[Float]): CentroidBuf = {
+  override def reduce(b: CentroidBuf, a: Array[Float]): CentroidBuf = {
     if (a != null) {
+      val m = math.min(dim, a.length)
       var i = 0
-      while (i < dim && i < a.length) { b.sum(i) += a(i); i += 1 }
+      while (i < m) { b.sum(i) += a(i); i += 1 }
       b.n += 1
     }
     b
@@ -36,18 +42,18 @@ class CentroidAgg(dim: Int)
     x
   }
 
-  override def finish(b: CentroidBuf): Seq[Double] =
-    if (b.n == 0) Seq.empty else b.sum.map(_ / b.n).toSeq
+  override def finish(b: CentroidBuf): Array[Double] =
+    if (b.n == 0) Array.empty else b.sum.map(_ / b.n)
 
   override def bufferEncoder: Encoder[CentroidBuf] = Encoders.product
-  override def outputEncoder: Encoder[Seq[Double]] =
-    ExpressionEncoder[Seq[Double]]()
+  override def outputEncoder: Encoder[Array[Double]] =
+    ExpressionEncoder[Array[Double]]()
 }
 
 object CentroidAgg {
   /** Column function: `centroid(embeddingCol)`. */
   def centroid(dim: Int): Column => Column = {
-    val fn = udaf(new CentroidAgg(dim), ExpressionEncoder[Seq[Float]]())
+    val fn = udaf(new CentroidAgg(dim), ExpressionEncoder[Array[Float]]())
     c => fn(c)
   }
 }
