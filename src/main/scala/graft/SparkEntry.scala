@@ -428,6 +428,131 @@ object SparkEntry {
       WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n_pos > sum_pos
       GROUP BY 1 ORDER BY 1""")),
 
+    // Remaining TPC-H shapes over the trimmed schemas (QueryShapes
+    // scaladoc explains each adaptation; no partsupp table, lateness is
+    // l_shipdate vs o_orderdate). Oracles keep the spec's correlated /
+    // EXISTS formulations where the Spark side decorrelates, so a green
+    // row proves the rewrite, not just the arithmetic.
+    "q6_forecast" -> Q(QueryShapes.q6Forecast, Some(s"""
+      SELECT ${osum("l_extendedprice*l_discount")} AS revenue,
+        count(*) AS n_lines
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24""")),
+
+    "q4_priority_check" -> Q(QueryShapes.q4PriorityCheck, Some("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders o
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-07-01'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY 1 ORDER BY 1""")),
+
+    "q8_market_share" -> Q((s, d) => QueryShapes.q8MarketShare(s, d),
+      Some(s"""
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+        ${osum("CASE WHEN sn.n_name = 'NATION_2' " +
+          "THEN l.l_extendedprice*(1.0-l.l_discount) ELSE 0.0 END")}
+          / ${osum("l.l_extendedprice*(1.0-l.l_discount)")} AS mkt_share
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1 ORDER BY 1""")),
+
+    "q12_late_lines" -> Q(QueryShapes.q12LateLines, Some("""
+      SELECT l_returnflag,
+        count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT','2-HIGH'))
+          AS high_line_count,
+        count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH'))
+          AS low_line_count
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      GROUP BY 1 ORDER BY 1""")),
+
+    "q14_promo_effect" -> Q(QueryShapes.q14PromoEffect, Some(s"""
+      SELECT (100.0 * ${osum("CASE WHEN p.p_type = 'PROMO' " +
+          "THEN l.l_extendedprice*(1.0-l.l_discount) ELSE 0.0 END")})
+          / ${osum("l.l_extendedprice*(1.0-l.l_discount)")} AS promo_revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+        AND l.l_shipdate < TIMESTAMP '1997-04-01'""")),
+
+    "q15_top_supplier" -> Q(QueryShapes.q15TopSupplier, Some(s"""
+      WITH rev AS (
+        SELECT l_suppkey,
+          ${osum("l_extendedprice*(1.0-l_discount)")} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY 1)
+      SELECT s.s_suppkey, s.s_name, rev.total_revenue
+      FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+      WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+      ORDER BY s.s_suppkey""")),
+
+    // Oracle keeps the CORRELATED per-part average (threshold ordered
+    // (sum/count)*0.2 exactly like davg(qty)*0.2 on the Spark side).
+    "q17_small_qty" -> Q((s, d) => QueryShapes.q17SmallQty(s, d), Some(s"""
+      WITH brand_parts AS (
+        SELECT p_partkey FROM part
+        WHERE p_brand = 'Brand#1' AND p_size <= 25),
+      thr AS (
+        SELECT l_partkey,
+          (${osum("l_quantity")} / count(*)) * 0.2 AS qty_thr
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM brand_parts)
+        GROUP BY 1)
+      SELECT ${osum("l.l_extendedprice")} / 7.0 AS avg_yearly,
+        count(*) AS n_lines
+      FROM lineitem l
+      JOIN thr ON l.l_partkey = thr.l_partkey
+      WHERE l.l_quantity < thr.qty_thr""")),
+
+    "q19_disjunctive" -> Q(QueryShapes.q19Disjunctive, Some(s"""
+      SELECT ${osum("l.l_extendedprice*(1.0-l.l_discount)")} AS revenue,
+        count(*) AS n_lines
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+          AND l.l_quantity BETWEEN 1 AND 20)
+         OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 10 AND 25
+          AND l.l_quantity BETWEEN 10 AND 30)
+         OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 20 AND 40
+          AND l.l_quantity BETWEEN 20 AND 40)""")),
+
+    // Oracle keeps the spec's double correlated EXISTS / NOT EXISTS;
+    // the Spark side is the decorrelated grouped-pass rewrite.
+    "q21_waiting_supplier" -> Q(QueryShapes.q21WaitingSupplier, Some("""
+      SELECT s.s_name, count(*) AS numwait
+      FROM supplier s
+      JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l1.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 365 DAY)
+      GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""")),
+
     // PII scrub over the committed fixture corpus (testdata documents
     // have no PII-shaped strings) — both engines read the same CSV and
     // apply the identical ordered regex chain; counts on original text.

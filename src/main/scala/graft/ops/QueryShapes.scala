@@ -1,0 +1,266 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables.{t, dsum, davg}
+
+/** X32 (continued) — the remaining TPC-H query shapes expressible over
+  * the driver testdata (no `partsupp` table exists, so Q2/Q11/Q16/Q20
+  * are out of reach; the trimmed `lineitem` has no
+  * commitdate/receiptdate/shipmode, so Q4/Q12/Q21's lateness predicates
+  * are re-expressed against `l_shipdate` vs `o_orderdate`).
+  *
+  * Each query exists to pin ONE piece of distributed-join discipline:
+  *
+  *  - Q6: pure scan — every predicate reaches `PushedFilters`, no join,
+  *    no shuffle beyond the final single-row aggregate.
+  *  - Q4: EXISTS as a left-semi join with an extra non-equi residual —
+  *    never a count-distinct over an inner join.
+  *  - Q8: two roles for `nation` joined independently (customer side
+  *    routes through region, supplier side labels the share), and the
+  *    market-share division happens AFTER two decimal-exact sums.
+  *  - Q12: conditional aggregation (count_if) over one equi-join, so
+  *    the priority split costs no extra pass.
+  *  - Q14: broadcast dim + case-when percentage, division last.
+  *  - Q15: scalar-subquery max via a 1-row broadcast join back onto the
+  *    per-supplier aggregate — the aggregate is computed ONCE.
+  *  - Q17: correlated per-part average decorrelated into a pre-aggregate
+  *    restricted (semi-join) to the brand's parts before joining back.
+  *  - Q19: OR-of-ANDs where the join key is extracted and the per-side
+  *    envelope conjuncts (brand/size on part, quantity on lineitem) are
+  *    pushed into the scans; only the residual disjunction runs
+  *    post-join.
+  *  - Q21: double correlated EXISTS/NOT-EXISTS decorrelated into one
+  *    grouped pass over the fact table (per-(order,supplier) flags, then
+  *    per-order counts) — the oracle keeps the EXISTS form, proving the
+  *    rewrite.
+  *
+  * Reference semantics: the public TPC-H spec queries, re-shaped to the
+  * driver's trimmed schemas (TESTDATA.md). */
+object QueryShapes {
+
+  private val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** Q6 shape — forecasting revenue change: tight filters, no join.
+    * The point is the plan: all three predicates in `PushedFilters`,
+    * `ReadSchema` = the three columns, one partial+final agg. */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** Q4 shape — priority checking: orders in a window with at least one
+    * LATE line (shipped >60 days after the order date; the trimmed
+    * schema has no commit/receipt dates). EXISTS ⇒ left-semi join with
+    * the lateness residual attached to the join, so each order is
+    * counted once no matter how many late lines it has. */
+  def q4PriorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-07-01"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    // Envelope of the lateness residual: the earliest qualifying order
+    // is 1996-01-01, so no line shipped on/before 1996-03-01 can ever
+    // satisfy `shipdate > orderdate + 60d` — push that bound into the
+    // fact scan (the residual itself is join-time only).
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1996-03-01"))
+      .select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q8 shape — national market share: of all PROMO-part revenue sold
+    * to customers in ASIA-region nations during 1996–1997, the fraction
+    * supplied by NATION_2, per year. `nation` joins twice under
+    * different roles; both copies and `region` are broadcast. The share
+    * is a division of two decimal-exact sums (identical doubles on both
+    * engines, so the quotient is too). */
+  def q8MarketShare(spark: SparkSession, dir: String,
+      region: String = "ASIA", nation: String = "NATION_2"): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+    val promo = t(spark, dir, "part")
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = t(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val cn = t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region")
+        .filter(col("r_name") === region).select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val sn = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val supp = t(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    li.join(promo, li("l_partkey") === promo("p_partkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(cn), cust("c_nationkey") === col("cn_key"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(sn), supp("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg((dsum(when(col("supp_nation") === nation, revenue)
+          .otherwise(lit(0.0))) / dsum(revenue)).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** Q12 shape — late lines by return flag (stand-in for the absent
+    * `l_shipmode`): 1997 ship year, >30 days after the order date;
+    * conditional counts split urgent/high priority from the rest in the
+    * same aggregation pass. */
+  def q12LateLines(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select("l_orderkey", "l_shipdate", "l_returnflag")
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(when(hi, 1)).as("high_line_count"),
+        count(when(!hi, 1)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Q14 shape — promotion effect: percentage of one month's revenue
+    * from PROMO parts. The dim side is a bare key+type projection of
+    * `part`; the case-when split and the ×100 percentage happen after
+    * decimal-exact sums, division last. */
+  def q14PromoEffect(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-03-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val part = t(spark, dir, "part").select("p_partkey", "p_type")
+    li.join(part, li("l_partkey") === part("p_partkey"))
+      .agg(((lit(100.0) * dsum(when(col("p_type") === "PROMO", revenue)
+          .otherwise(lit(0.0)))) / dsum(revenue)).as("promo_revenue"))
+  }
+
+  /** Q15 shape — top supplier: per-supplier revenue for one quarter,
+    * then the supplier(s) hitting the maximum. The scalar subquery is a
+    * 1-row broadcast joined back onto the SAME aggregate (computed
+    * once); equality on the revenue double is exact because both sides
+    * of the comparison come from the same decimal-summed values. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(revenue).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    val supp = t(spark, dir, "supplier").select("s_suppkey", "s_name")
+    rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+      .join(supp, col("l_suppkey") === supp("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q17 shape — small-quantity revenue: lines of one brand's parts
+    * whose quantity is below 20% of that part's corpus-wide average.
+    * The correlated per-part average is decorrelated into a grouped
+    * pre-aggregate, and that pre-aggregate only scans the brand's
+    * lineitems (semi-join on the broadcast part list) — NOT the whole
+    * fact table, which is the difference between O(brand) and O(corpus)
+    * work at 100 TB. Threshold math is ordered identically to the
+    * oracle: (decimal-sum / count) * 0.2. */
+  def q17SmallQty(spark: SparkSession, dir: String,
+      brand: String = "Brand#1"): DataFrame = {
+    val parts = t(spark, dir, "part")
+      .filter(col("p_brand") === brand && col("p_size") <= 25)
+      .select("p_partkey")
+    val li = t(spark, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+    val thr = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((davg(col("l_quantity")) * lit(0.2)).as("qty_thr"))
+    li.join(thr, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("qty_thr"))
+      .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Q19 shape — disjunctive predicates: three (brand, size-range,
+    * quantity-range) bands OR-ed together. The equi key is extracted so
+    * one join serves all three bands; the per-side ENVELOPE conjuncts
+    * (union of brands/sizes on the part scan, union of quantity ranges
+    * on the lineitem scan) are applied before the join so both scans
+    * prune, and only the exact band disjunction runs on joined rows. */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part")
+      .filter(col("p_brand").isin("Brand#1", "Brand#13", "Brand#20") &&
+        col("p_size").between(1, 40))
+      .select("p_partkey", "p_brand", "p_size")
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_quantity").between(1, 40))
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val bands =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#13" && col("p_size").between(10, 25) &&
+        col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#20" && col("p_size").between(20, 40) &&
+        col("l_quantity").between(20, 40))
+    li.join(part, li("l_partkey") === part("p_partkey"))
+      .filter(bands)
+      .agg(dsum(revenue).as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
+  /** Q21 shape — suppliers who kept F-status orders waiting: the only
+    * LATE supplier (>365 days ship lag) on a multi-supplier order. The
+    * spec's correlated EXISTS + NOT-EXISTS pair is decorrelated into one
+    * grouped pass: per-(order, supplier) late flags and line counts,
+    * per-order supplier/late-supplier counts, then the survivors join
+    * `supplier` for names. numwait counts LATE LINES (matching the
+    * EXISTS form, where each late l1 row counts once). The oracle keeps
+    * the correlated form, so a green row proves the rewrite. */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val ordF = t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val li = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val flagged = li
+      .join(ordF, li("l_orderkey") === ordF("o_orderkey"))
+      .withColumn("late",
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 365 DAYS"))
+          .cast("int"))
+    val perSupp = flagged.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("supp_late"),
+        sum(col("late")).as("n_late_lines"))
+    // Per-order counts as WINDOWS over the per-supplier aggregate, not a
+    // second groupBy joined back: a groupBy branch gets column-pruned
+    // into a structurally different subplan, so ReuseExchange can't
+    // dedupe it and the fact table would be scanned and aggregated
+    // twice. The window reuses the one aggregate with a single extra
+    // order-keyed shuffle.
+    val perOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey"))
+    val supp = t(spark, dir, "supplier").select("s_suppkey", "s_name")
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(perOrd))
+      .withColumn("n_late_supp", sum(col("supp_late")).over(perOrd))
+      .filter(col("supp_late") === 1 &&
+        col("n_supp") > 1 && col("n_late_supp") === 1)
+      .join(supp, col("l_suppkey") === supp("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum(col("n_late_lines")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+}
