@@ -168,6 +168,26 @@ object SparkEntry {
       SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""")),
 
+    // Custom whole-operator extension (plans/TopKPerKey): per-key top-k
+    // with partition-local bounded heaps — the shuffle carries at most
+    // partitions×keys×k rows where the row_number oracle shuffles the
+    // whole table. Total order (price desc, orderkey) ⇒ deterministic.
+    "topk_per_key" -> Q((s, d) => {
+      import org.apache.spark.sql.functions.col
+      graft.plans.TopK.topKPerKey(
+          graft.util.Tables.t(s, d, "orders")
+            .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+          Seq(col("o_custkey")),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .orderBy("o_custkey", "o_orderkey")
+    }, Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 3
+      ORDER BY o_custkey, o_orderkey""")),
+
     "rollup_nation" -> Q(Analytics.rollupNation, Some(s"""
       SELECT r_name, n_name, count(*) AS n_cust,
         ${osum("c_acctbal")} AS sum_bal

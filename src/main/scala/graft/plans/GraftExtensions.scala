@@ -26,6 +26,10 @@ import graft.expressions.{FloatDot, HyperplaneSigs}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Whole-operator extension: plans graft.plans.TopKPerKey as
+    // partial→exchange→final bounded-heap top-k (see its scaladoc).
+    ext.injectPlannerStrategy(_ => TopKStrategy)
+
     ext.injectFunction((
       new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),

@@ -1,0 +1,97 @@
+package graft.plans
+
+import graft.SparkTestSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def orders = graft.util.Tables.t(spark, dir, "orders")
+    .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+
+  test("matches the window row_number formulation exactly (total order)") {
+    val native = TopK.topKPerKey(orders, Seq($"o_custkey"),
+        Seq($"o_totalprice".desc, $"o_orderkey"), 3)
+      .orderBy("o_custkey", "o_orderkey")
+      .collect().toSeq
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val viaWindow = orders.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3).drop("rn")
+      .orderBy("o_custkey", "o_orderkey")
+      .collect().toSeq
+    assert(native == viaWindow)
+  }
+
+  test("k larger than every group returns the whole input") {
+    val small = Seq((1, 10), (1, 20), (2, 30)).toDF("k", "v")
+    val out = TopK.topKPerKey(small, Seq($"k"), Seq($"v".desc), 99)
+      .orderBy("k", "v").collect().toSeq
+    assert(out == small.orderBy("k", "v").collect().toSeq)
+  }
+
+  test("empty input yields empty output") {
+    val empty = Seq.empty[(Int, Int)].toDF("k", "v")
+    assert(TopK.topKPerKey(empty, Seq($"k"), Seq($"v"), 2).count() == 0)
+  }
+
+  private def finalPlan(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+
+  test("plans as partial heap -> ONE exchange -> final heap") {
+    val df = TopK.topKPerKey(orders, Seq($"o_custkey"),
+      Seq($"o_totalprice".desc, $"o_orderkey"), 3)
+    val p = df.queryExecution.executedPlan
+    val execs = p.collect { case e: TopKPerKeyExec => e } ++ (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collect { case e: TopKPerKeyExec => e }
+      case _ => Nil
+    })
+    assert(execs.exists(_.partial) && execs.exists(!_.partial), p.toString)
+    val s = p.toString
+    assert("Exchange hashpartitioning\\(o_custkey".r.findAllIn(s).size == 1, s)
+    // partial below the exchange, final above it (toString prints the
+    // partial flag as the trailing boolean)
+    val lines = s.split("\n")
+    val iPartial = lines.indexWhere(l =>
+      l.contains("TopKPerKey") && l.trim.endsWith("true"))
+    val iFinal = lines.indexWhere(l =>
+      l.contains("TopKPerKey") && l.trim.endsWith("false"))
+    val iEx = lines.indexWhere(_.contains("Exchange hashpartitioning(o_custkey"))
+    assert(iFinal < iEx && iEx < iPartial,
+      s"expected final above exchange above partial:\n$s")
+  }
+
+  test("shuffle carries at most partitions*keys*k rows, not the fact table") {
+    // 4 input partitions, 5 keys, k=2: the partial phase must cut
+    // 10,000 rows to <= 4*5*2 before the exchange.
+    val big = spark.range(0, 10000, 1, 4)
+      .select(($"id" % 5).as("k"), $"id".as("v"))
+    val df = TopK.topKPerKey(big, Seq($"k"), Seq($"v".desc), 2)
+    val out = df.collect()
+    assert(out.length == 10) // 5 keys x top-2
+    // read the partial exec's numOutputRows metric after execution;
+    // AQE wraps each materialized stage in a QueryStageExec LEAF, so a
+    // plain collect stops at the shuffle boundary — recurse through
+    def collectAll(
+        p: org.apache.spark.sql.execution.SparkPlan): Seq[TopKPerKeyExec] =
+      p.collect { case e: TopKPerKeyExec => e } ++
+        p.collect {
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => s
+        }.flatMap(s => collectAll(s.plan))
+    val partial = collectAll(finalPlan(df)).filter(_.partial)
+    assert(partial.nonEmpty, finalPlan(df).toString)
+    val shuffled = partial.map(_.metrics("numOutputRows").value).sum
+    assert(shuffled > 0 && shuffled <= 4 * 5 * 2,
+      s"partial emitted $shuffled rows")
+  }
+}
