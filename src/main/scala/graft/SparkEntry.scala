@@ -409,6 +409,21 @@ object SparkEntry {
     "orc_roundtrip" -> Q(Formats.orcRoundtrip, Some(formatOracle)),
     "json_roundtrip" -> Q(Formats.jsonRoundtrip, Some(formatOracle)),
 
+    // Stream-stream interval-join twin, run in batch mode: same code,
+    // same plan shape (equi key + time residual), oracle = the interval
+    // self-join in SQL. StreamJoinSpec pins batch/stream parity.
+    "click_attribution" -> Q((s, d) =>
+      graft.streaming.StreamingOps
+        .clickViewAttribution(graft.util.Tables.t(s, d, "events"))
+        .orderBy("click_id", "view_id"),
+      Some("""
+      SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+        epoch_us(v.ts) - epoch_us(c.ts) AS lag_us, v.value AS view_value
+      FROM events c JOIN events v ON c.user_id = v.user_id
+      WHERE c.event_type = 'click' AND v.event_type = 'view'
+        AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 10 MINUTE
+      ORDER BY click_id, view_id""")),
+
     // Bucketed co-located join: pay the partitioning at write time,
     // join with zero shuffle at read time (BucketingSpec pins the
     // exchange-free plan); contents — and thus the oracle — are

@@ -46,6 +46,38 @@ object StreamingOps {
         unix_micros(col("w.end")).as("sess_end_us"), col("n_events"),
         col("sum_value"))
 
+  /** Stream-stream event-time interval join: attribute each VIEW to
+    * the CLICKs by the same user in the preceding `maxLag` window.
+    * Both sides carry watermarks and the time predicate is range-bound
+    * on both ends, which is exactly what lets Structured Streaming
+    * evict join state — an unbounded-time stream-stream join would
+    * buffer both streams forever. On a batch frame `withWatermark` is
+    * a no-op and the same code runs as an equi-join on `user_id` with
+    * a time residual (NOT a range-only join — the equi key keeps the
+    * shuffle hash-partitioned; the interval is a per-pair filter), so
+    * the registered batch query oracle-checks the identical plan the
+    * streaming twin runs (StreamJoinSpec pins batch/stream parity).
+    *
+    * Output lag is integer micros (exact in both engines). */
+  def clickViewAttribution(events: DataFrame,
+      maxLag: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "30 minutes")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"), col("value").as("view_value"))
+      .withWatermark("v_ts", "30 minutes")
+    clicks.join(views,
+        col("c_user") === col("v_user") &&
+          col("v_ts") >= col("c_ts") &&
+          col("v_ts") <= col("c_ts") + expr(s"INTERVAL $maxLag"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        (unix_micros(col("v_ts")) - unix_micros(col("c_ts"))).as("lag_us"),
+        col("view_value"))
+  }
+
   /** Streaming exact dedup — the ingestion-time twin of the batch
     * `Analytics.dedupExact`: drop events whose dedup key was already
     * seen, with `dropDuplicatesWithinWatermark` so the seen-keys state
