@@ -22,8 +22,7 @@ object Bucketing {
 
   /** Bucketed-table names are scoped by a dir tag so sf0.01 and sf0.1
     * runs never read each other's buckets. */
-  private def tag(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]", "_")
+  private def tag(dir: String): String = graft.util.Tables.pathTag(dir)
 
   /** Drop a managed table AND its warehouse location: the session
     * catalog is in-memory, so a table written by a previous JVM leaves

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.util.Tables.{t, dsum}
+import graft.util.Tables.{t, dsum, pathTag}
 
 /** Source/sink format surface beyond CSV+parquet: ORC and JSON-lines
   * roundtrips. Each query WRITES the orders table through the format
@@ -24,9 +24,6 @@ import graft.util.Tables.{t, dsum}
   * scratch; a cluster deployment would point at the lake). */
 object Formats {
 
-  private def tag(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]", "_")
-
   /** Orders with the timestamp pinned to micros — the exchange schema
     * for both formats. */
   private def ordersFlat(spark: SparkSession, dir: String): DataFrame =
@@ -38,7 +35,7 @@ object Formats {
 
   private def roundtrip(spark: SparkSession, dir: String,
       fmt: String): DataFrame = {
-    val out = s"target/graft_formats/${fmt}_${tag(dir)}"
+    val out = s"target/graft_formats/${fmt}_${pathTag(dir)}"
     val flat = ordersFlat(spark, dir)
     flat.write.format(fmt).mode("overwrite").save(out)
     // explicit schema: identical types back, and (for JSON) no

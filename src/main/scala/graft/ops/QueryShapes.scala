@@ -173,23 +173,29 @@ object QueryShapes {
 
   /** Q17 shape — small-quantity revenue: lines of one brand's parts
     * whose quantity is below 20% of that part's corpus-wide average.
-    * The correlated per-part average is decorrelated into a grouped
-    * pre-aggregate, and that pre-aggregate only scans the brand's
-    * lineitems (semi-join on the broadcast part list) — NOT the whole
-    * fact table, which is the difference between O(brand) and O(corpus)
-    * work at 100 TB. Threshold math is ordered identically to the
-    * oracle: (decimal-sum / count) * 0.2. */
+    * Two decorrelation steps: the per-part average only considers the
+    * brand's lineitems (semi-join on the broadcast part list, so the
+    * work is O(brand) not O(corpus)), and it is computed as a WINDOW
+    * over that one semi-joined scan — a grouped pre-aggregate joined
+    * back would reference the same scan from two column-pruned (hence
+    * structurally different) subtrees that ReuseExchange cannot dedupe,
+    * scanning the fact table twice. Threshold math is ordered
+    * identically to the oracle: (decimal-sum / count) * 0.2. */
   def q17SmallQty(spark: SparkSession, dir: String,
       brand: String = "Brand#1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
     val parts = t(spark, dir, "part")
       .filter(col("p_brand") === brand && col("p_size") <= 25)
       .select("p_partkey")
     val li = t(spark, dir, "lineitem")
       .select("l_partkey", "l_quantity", "l_extendedprice")
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
-    val thr = li.groupBy(col("l_partkey").as("t_partkey"))
-      .agg((davg(col("l_quantity")) * lit(0.2)).as("qty_thr"))
-    li.join(thr, col("l_partkey") === col("t_partkey"))
+    val perPart = Window.partitionBy(col("l_partkey"))
+    val qtyThr = (graft.util.Tables.decToDouble(
+        sum(col("l_quantity").cast(DecimalType(30, 8))).over(perPart)) /
+      count(lit(1)).over(perPart)) * lit(0.2)
+    li.withColumn("qty_thr", qtyThr)
       .filter(col("l_quantity") < col("qty_thr"))
       .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
         count(lit(1)).as("n_lines"))

@@ -9,8 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
   Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
-  Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples,
+  ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
@@ -79,9 +79,13 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       "number of output rows"))
 
   /** The final phase needs all rows of a key co-located; the partial
-    * phase runs wherever the child already is. */
+    * phase runs wherever the child already is. Empty `keys` = GLOBAL
+    * top-k: the final merge needs every partial survivor on one
+    * partition (AllTuples, like a global aggregate — and like one, the
+    * single final task only sees partitions×k rows, not the input). */
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
+    else if (keys.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(keys) :: Nil
 
   override def outputPartitioning = child.outputPartitioning
@@ -130,7 +134,9 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
 /** Public Column-API surface for the operator. */
 object TopK {
   /** Top `k` rows per `keyCols` group under `order` (use a total order
-    * — tie-break to uniqueness — for deterministic results). */
+    * — tie-break to uniqueness — for deterministic results). Empty
+    * `keyCols` = global top-k (ORDER BY ... LIMIT k without sorting
+    * more than partitions×k rows anywhere). */
   def topKPerKey(df: DataFrame, keyCols: Seq[Column], order: Seq[Column],
       k: Int): DataFrame = {
     val spark = df.sparkSession

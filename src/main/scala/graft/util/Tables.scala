@@ -84,6 +84,10 @@ object Tables {
     * triggered it. DuckDB twin: `CAST(CAST(x AS VARCHAR) AS DOUBLE)`. */
   def decToDouble(c: Column): Column = c.cast("string").cast("double")
 
+  /** Filesystem-safe tag of an sf dir, for scoping scratch table/path
+    * names per dataset (bucketed tables, format-roundtrip outputs). */
+  def pathTag(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+
   /** Exact (order-independent) sum of a double column: accumulate in
     * decimal, return double via [[decToDouble]]. DuckDB twin:
     * `CAST(CAST(sum(CAST(x AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)`. */

@@ -42,6 +42,9 @@ class QueryShapesSpec extends AnyFunSuite {
     val p = plan(QueryShapes.q17SmallQty(spark, dir))
     assert(p.contains("LeftSemi"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // threshold-as-window keeps it to ONE pass over the fact table
+    val scans = "lineitem\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$p")
   }
 
   test("q15 scalar max joins back without recomputing the aggregate per row") {

@@ -34,6 +34,15 @@ class TopKSpec extends AnyFunSuite {
     assert(out == small.orderBy("k", "v").collect().toSeq)
   }
 
+  test("empty keys = global top-k, matching orderBy.limit") {
+    val global = TopK.topKPerKey(orders, Seq.empty,
+        Seq($"o_totalprice".desc, $"o_orderkey"), 5)
+      .orderBy($"o_totalprice".desc, $"o_orderkey").collect().toSeq
+    val expected = orders.orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(5).collect().toSeq
+    assert(global == expected)
+  }
+
   test("empty input yields empty output") {
     val empty = Seq.empty[(Int, Int)].toDF("k", "v")
     assert(TopK.topKPerKey(empty, Seq($"k"), Seq($"v"), 2).count() == 0)
