@@ -409,6 +409,66 @@ object SparkEntry {
     "orc_roundtrip" -> Q(Formats.orcRoundtrip, Some(formatOracle)),
     "json_roundtrip" -> Q(Formats.jsonRoundtrip, Some(formatOracle)),
 
+    // Parquet schema evolution: two file generations (one without the
+    // o_totalprice column) merged by a mergeSchema read; oracle splits
+    // the ORIGINAL parquet the same even/odd way.
+    "schema_evolution" -> Q(Formats.schemaEvolution, Some(s"""
+      SELECT count(*) AS n_rows,
+        count(CASE WHEN o_orderkey % 2 <> 0 THEN o_totalprice END)
+          AS n_evolved,
+        CAST(sum(o_custkey) AS BIGINT) AS custkey_sum,
+        ${osum("CASE WHEN o_orderkey % 2 <> 0 THEN o_totalprice END")}
+          AS evolved_price_sum
+      FROM orders""")),
+
+    // CDC snapshot diff of the two committed fixture days: full-outer
+    // join on the pk, null-safe payload compare (id 11's NULL bal),
+    // insert/update/delete classification.
+    "snapshot_diff" -> Q(Inspect.fixtureDayDiff, Some(s"""
+      WITH o AS (SELECT id, name, city, bal
+          FROM read_csv('${Ingest.FixtureDir}/inbound/sap/customers/customers_20240628.csv',
+            header=true, columns={'id':'INTEGER','name':'VARCHAR',
+            'city':'VARCHAR','bal':'DOUBLE','junk':'VARCHAR'})),
+        n AS (SELECT id, name, city, bal
+          FROM read_csv('${Ingest.FixtureDir}/inbound/sap/customers/customers_20240629.csv',
+            header=true, columns={'id':'INTEGER','name':'VARCHAR',
+            'city':'VARCHAR','bal':'DOUBLE','junk':'VARCHAR'}))
+      SELECT coalesce(o.id, n.id) AS id,
+        CASE WHEN o.id IS NULL THEN 'insert'
+          WHEN n.id IS NULL THEN 'delete' ELSE 'update' END AS change_type,
+        o.name AS old_name, n.name AS new_name,
+        o.city AS old_city, n.city AS new_city,
+        o.bal AS old_bal, n.bal AS new_bal
+      FROM o FULL JOIN n ON o.id = n.id
+      WHERE o.id IS NULL OR n.id IS NULL
+        OR NOT (o.name IS NOT DISTINCT FROM n.name
+          AND o.city IS NOT DISTINCT FROM n.city
+          AND o.bal IS NOT DISTINCT FROM n.bal)
+      ORDER BY id""")),
+
+    // One-pass per-column table profile (exact distincts; min/max as
+    // strings — non-double columns only, engines render doubles
+    // differently).
+    "table_profile" -> Q(Inspect.ordersProfile, Some("""
+      SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+        count(*) - count(o_custkey) AS n_nulls,
+        count(DISTINCT o_custkey) AS n_distinct,
+        CAST(min(o_custkey) AS VARCHAR) AS min_val,
+        CAST(max(o_custkey) AS VARCHAR) AS max_val FROM orders
+      UNION ALL
+      SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+        count(DISTINCT o_orderkey), CAST(min(o_orderkey) AS VARCHAR),
+        CAST(max(o_orderkey) AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        count(DISTINCT o_orderpriority), min(o_orderpriority),
+        max(o_orderpriority) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        count(DISTINCT o_orderstatus), min(o_orderstatus),
+        max(o_orderstatus) FROM orders
+      ORDER BY column_name""")),
+
     // Stream-stream interval-join twin, run in batch mode: same code,
     // same plan shape (equi key + time residual), oracle = the interval
     // self-join in SQL. StreamJoinSpec pins batch/stream parity.

@@ -59,4 +59,30 @@ object Formats {
   /** JSON-lines write → read → aggregate; oracle likewise. */
   def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame =
     summarize(roundtrip(spark, dir, "json"))
+
+  /** Parquet schema EVOLUTION roundtrip: batch 1 writes (orderkey,
+    * custkey); batch 2 appends the same dir with an extra
+    * `o_totalprice` column; a `mergeSchema` read reconciles both file
+    * schemas (old files surface the new column as NULL). The aggregate
+    * separates the two generations via null-ness, and the oracle
+    * recomputes it from the ORIGINAL parquet with the same even/odd
+    * split — green proves the evolved read loses nothing. File sources
+    * don't validate appended schemas, which is exactly why mergeSchema
+    * (off by default: every footer must be read at planning time — at
+    * 100 TB turn it on per-read, not globally) exists. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"target/graft_formats/evolve_${pathTag(dir)}"
+    val ord = t(spark, dir, "orders")
+    val even = col("o_orderkey") % 2 === 0
+    // overwrite clears the dir, so re-runs are idempotent
+    ord.filter(even).select("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(out)
+    ord.filter(!even).select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("append").parquet(out)
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_totalprice")).as("n_evolved"),
+        sum(col("o_custkey")).as("custkey_sum"),
+        dsum(col("o_totalprice")).as("evolved_price_sum"))
+  }
 }

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables.t
+
+/** Data-inspection / change-capture operators a lake pipeline runs
+  * between loads:
+  *
+  *  - [[snapshotDiff]] — CDC-style diff of two keyed snapshots into
+  *    insert/update/delete rows. One full-outer sort-merge join on the
+  *    primary key; the change classification and the null-safe payload
+  *    comparison are per-row projections, so the whole operator is one
+  *    shuffle of each snapshot regardless of scale. This is the
+  *    building block for incremental downstream refresh (ship only the
+  *    diff) and for load-to-load regression checks.
+  *
+  *  - [[tableProfile]] — per-column stats (rows, nulls, exact distinct,
+  *    min/max) in ONE pass over the table: a single multi-distinct
+  *    aggregate (Spark plans it as one Expand + aggregation, not one
+  *    scan per column) whose wide result row is unpivoted to a row per
+  *    column. The lake-maintenance "what does this table look like"
+  *    primitive — schema drift, null regressions, key-cardinality
+  *    checks — without N scans for N columns.
+  *
+  * Reference semantics: generic lake maintenance over the reference's
+  * customers feed (`/root/reference/FInal/load_script.py:33-236`
+  * upserts day files; the diff of two day files is exactly what its
+  * merge applies). */
+object Inspect {
+
+  /** Diff `oldDf`→`newDf` on `pk`: rows keyed present-only-in-new are
+    * `insert`, present-only-in-old are `delete`, and present-in-both
+    * with any `compare` column differing (null-safe) are `update`;
+    * unchanged rows are dropped. Output: pk, change_type, then
+    * old_/new_ pairs of every compared column. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, pk: Seq[String],
+      compare: Seq[String]): DataFrame = {
+    val o = oldDf.select(pk.map(col) ++
+      compare.map(c => col(c).as(s"old_$c")) :+
+      lit(true).as("__in_old"): _*)
+    val n = newDf.select(pk.map(col) ++
+      compare.map(c => col(c).as(s"new_$c")) :+
+      lit(true).as("__in_new"): _*)
+    // using-column join coalesces the pk across sides, so the key is
+    // usable regardless of which side the row came from
+    val joined = o.join(n, pk, "full_outer")
+    val same: Column = compare
+      .map(c => col(s"old_$c") <=> col(s"new_$c"))
+      .reduce(_ && _)
+    joined
+      .withColumn("change_type",
+        when(col("__in_old").isNull, lit("insert"))
+          .when(col("__in_new").isNull, lit("delete"))
+          .otherwise(lit("update")))
+      .filter(col("change_type") =!= "update" || !same)
+      .select(pk.map(col) ++ Seq(col("change_type")) ++
+        compare.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+  }
+
+  /** Fixture customers day-file reader (explicit schema, quoted fields
+    * — mirrors the loader's declared-schema read). */
+  private def day(spark: SparkSession, file: String): DataFrame =
+    spark.read
+      .schema("id INT, name STRING, city STRING, bal DOUBLE, junk STRING")
+      .option("header", "true")
+      .csv(s"${Ingest.FixtureDir}/inbound/sap/customers/$file")
+
+  /** Registered diff of the two committed fixture days: 5 updates
+    * (ids 1-5, every payload column changed, including a NULL→value on
+    * bal), 5 inserts (26-30), 15 deletes (6-25). */
+  def fixtureDayDiff(spark: SparkSession, dir: String): DataFrame =
+    snapshotDiff(
+        day(spark, "customers_20240628.csv"),
+        day(spark, "customers_20240629.csv"),
+        Seq("id"), Seq("name", "city", "bal"))
+      .orderBy("id")
+
+  /** One-pass profile of named columns: (column_name, n_rows, n_nulls,
+    * n_distinct, min/max as strings). Exact distincts — at true scale
+    * swap `countDistinct` for `approx_count_distinct` per column; the
+    * plan shape (single Expand-based multi-distinct aggregate) is the
+    * same. Double columns are excluded by the caller when oracle parity
+    * matters: engines disagree on double→string rendering, not on the
+    * values themselves. */
+  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val wide = df.agg(
+      count(lit(1)).as("__n"),
+      (cols.flatMap(c => Seq(
+        (count(lit(1)) - count(col(c))).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c")))): _*)
+    val stacked = cols.map(c =>
+      s"'$c', __n, __nulls_$c, __nd_$c, __min_$c, __max_$c")
+      .mkString(", ")
+    wide.selectExpr(s"stack(${cols.size}, $stacked) AS " +
+        "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val)")
+      .orderBy("column_name")
+  }
+
+  /** Registered profile over the orders table's non-double columns
+    * (double min/max render differently across engines; their VALUES
+    * are exact — see q1's decimal sums — only the string form differs). */
+  def ordersProfile(spark: SparkSession, dir: String): DataFrame =
+    tableProfile(t(spark, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+}

@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class InspectSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("snapshotDiff classifies insert/update/delete and drops unchanged") {
+    val old = Seq((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, "d", 4.0))
+      .toDF("id", "s", "v")
+    val neu = Seq((1, "a", 1.0), (2, "B", 2.0), (3, "c", 9.0), (5, "e", 5.0))
+      .toDF("id", "s", "v")
+    val out = Inspect.snapshotDiff(old, neu, Seq("id"), Seq("s", "v"))
+      .select("id", "change_type").as[(Int, String)].collect().toSet
+    assert(out == Set((2, "update"), (3, "update"), (4, "delete"),
+      (5, "insert"))) // id 1 unchanged -> dropped
+  }
+
+  test("snapshotDiff payload compare is null-safe") {
+    val old = Seq((1, Option.empty[String]), (2, Option("x")))
+      .toDF("id", "s")
+    val neu = Seq((1, Option.empty[String]), (2, Option.empty[String]))
+      .toDF("id", "s")
+    val out = Inspect.snapshotDiff(old, neu, Seq("id"), Seq("s"))
+      .select("id", "change_type").as[(Int, String)].collect().toSet
+    // NULL <=> NULL is unchanged; value -> NULL is an update
+    assert(out == Set((2, "update")))
+  }
+
+  test("tableProfile runs ONE pass over the table") {
+    val df = graft.util.Tables.t(spark, "/root/testdata/sf0.001", "orders")
+    val prof = Inspect.tableProfile(df, Seq("o_orderkey", "o_orderstatus"))
+    val p = prof.queryExecution.executedPlan.toString
+    val scans = "orders\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 orders scan, got $scans:\n$p")
+    // multi-distinct via Expand, not one aggregation subtree per column
+    assert(p.contains("Expand"), p)
+    val rows = prof.collect()
+    assert(rows.length == 2)
+    val orderkeyRow = rows.find(_.getString(0) == "o_orderkey").get
+    assert(orderkeyRow.getLong(1) == df.count())   // n_rows
+    assert(orderkeyRow.getLong(2) == 0L)           // n_nulls
+    assert(orderkeyRow.getLong(3) == df.count())   // pk: all distinct
+  }
+}
