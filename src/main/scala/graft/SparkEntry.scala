@@ -446,6 +446,34 @@ object SparkEntry {
           AND o.bal IS NOT DISTINCT FROM n.bal)
       ORDER BY id""")),
 
+    // FK integrity audit: the oracle keeps one correlated NOT EXISTS
+    // per relation; the Spark side is the one-scan-per-fact-table
+    // flags-and-conditional-sums decorrelation.
+    "fk_violations" -> Q(Inspect.fkViolations, Some("""
+      SELECT 'lineitem->orders' AS relation, count(*) AS n_orphans
+      FROM lineitem l WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      UNION ALL
+      SELECT 'lineitem->part', count(*) FROM lineitem l
+      WHERE NOT EXISTS (
+        SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+      UNION ALL
+      SELECT 'lineitem->supplier', count(*) FROM lineitem l
+      WHERE NOT EXISTS (
+        SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+      UNION ALL
+      SELECT 'orders->customer', count(*) FROM orders o
+      WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      ORDER BY relation""")),
+
+    // Fixed-width histogram: floor of a double division buckets
+    // identically in both engines.
+    "price_histogram" -> Q(Inspect.priceHistogram, Some(s"""
+      SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+        count(*) AS n, ${osum("o_totalprice")} AS sum_value
+      FROM orders GROUP BY 1 ORDER BY 1""")),
+
     // One-pass per-column table profile (exact distincts; min/max as
     // strings — non-double columns only, engines render doubles
     // differently).

