@@ -446,6 +446,14 @@ object SparkEntry {
           AND o.bal IS NOT DISTINCT FROM n.bal)
       ORDER BY id""")),
 
+    // Incremental aggregate maintenance: three persisted merge steps;
+    // oracle = FULL recompute — green proves batch boundaries are
+    // invisible (decimal state makes the merge exactly associative).
+    "incremental_rollup" -> Q(Incremental.incrementalRollup, Some(s"""
+      SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
+        ${osum("value")} AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // FK integrity audit: the oracle keeps one correlated NOT EXISTS
     // per relation; the Spark side is the one-scan-per-fact-table
     // flags-and-conditional-sums decorrelation.
