@@ -153,19 +153,27 @@ object QueryShapes {
   }
 
   /** Q15 shape — top supplier: per-supplier revenue for one quarter,
-    * then the supplier(s) hitting the maximum. The scalar subquery is a
-    * 1-row broadcast joined back onto the SAME aggregate (computed
-    * once); equality on the revenue double is exact because both sides
-    * of the comparison come from the same decimal-summed values. */
+    * then the supplier(s) hitting the maximum. The scalar max is a
+    * WINDOW over the per-supplier aggregate, not a separate aggregate
+    * joined back: the join-back form re-derives the aggregate from a
+    * second full fact scan (column pruning makes the two branches
+    * structurally different, so ReuseExchange can't dedupe — same
+    * lesson as q17/q21; QueryShapesSpec pins the single scan). The
+    * constant-key window moves only the supplier-sized aggregate to
+    * one partition. Equality on the revenue double is exact because
+    * both sides come from the same decimal-summed values. */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val rev = t(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1997-01-01") &&
         col("l_shipdate") < lit("1997-04-01"))
       .groupBy(col("l_suppkey"))
       .agg(dsum(revenue).as("total_revenue"))
-    val mx = rev.agg(max(col("total_revenue")).as("mx"))
     val supp = t(spark, dir, "supplier").select("s_suppkey", "s_name")
-    rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+    rev
+      .withColumn("mx",
+        max(col("total_revenue")).over(Window.partitionBy(lit(0))))
+      .filter(col("total_revenue") === col("mx"))
       .join(supp, col("l_suppkey") === supp("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy("s_suppkey")

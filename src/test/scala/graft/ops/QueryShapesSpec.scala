@@ -47,10 +47,12 @@ class QueryShapesSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$p")
   }
 
-  test("q15 scalar max joins back without recomputing the aggregate per row") {
+  test("q15 scalar max reuses the one aggregate: single lineitem scan") {
     val p = plan(QueryShapes.q15TopSupplier(spark, dir))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
+    val scans = "lineitem\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$p")
     // sanity: the query returns the true max supplier(s)
     val rows = QueryShapes.q15TopSupplier(spark, dir).collect()
     assert(rows.nonEmpty)
