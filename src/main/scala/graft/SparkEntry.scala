@@ -1077,6 +1077,20 @@ object SparkEntry {
       FROM e ORDER BY vec_id"""
     }),
 
+    // Deterministic 80/10/10 split assignment: the oracle re-derives
+    // every doc's split from the same md5 bucket, so a green row pins
+    // the full assignment (not just the counts' plausibility).
+    "train_split" -> Q((s, d) => Reshape.trainSplit(s, d), Some("""
+      WITH b AS (SELECT source, n_chars,
+          CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)),
+            1, 8)) AS BIGINT) % 100 AS bucket
+        FROM documents)
+      SELECT source,
+        CASE WHEN bucket < 80 THEN 'train'
+          WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     "sample_stratified" -> Q(Reshape.sampleStratified, Some("""
       WITH s AS (SELECT c_custkey, c_mktsegment, c_acctbal,
           CAST(('0x' || substring(md5('smpl:' || CAST(c_custkey AS VARCHAR)),

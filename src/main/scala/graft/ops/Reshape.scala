@@ -170,6 +170,27 @@ object Reshape {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test split assignment — the dataset-level
+    * twin of [[sampleStratified]]'s row filter: every doc gets a split
+    * from its content-derived bucket (80/10/10), so the assignment is
+    * identical on every run, engine, and retry, and a re-shuffled or
+    * re-partitioned corpus never leaks rows across splits. Per-row
+    * projection, no shuffle; the registered query aggregates
+    * (source, split) counts so the oracle pins the whole assignment. */
+  def trainSplit(spark: SparkSession, dir: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = graft.util.Tables.md5Bucket("split:", col("doc_id"), 100)
+    t(spark, dir, "documents")
+      .withColumn("split",
+        when(bucket < trainPct, lit("train"))
+          .when(bucket < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source", "split")
+  }
+
   /** Weighted domain-mix sampling: re-balance a corpus toward target
     * per-source sampling rates (the "training mixture" step — e.g.
     * up-sample curated sources, down-sample crawl). Rates live in a
