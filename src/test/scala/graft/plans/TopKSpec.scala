@@ -80,6 +80,28 @@ class TopKSpec extends AnyFunSuite {
       s"expected final above exchange above partial:\n$s")
   }
 
+  test("property: matches a reference Scala top-k on random data, many shapes") {
+    // Deterministic pseudo-random corpus (seeded), multiple (n, k,
+    // nKeys, partitions) shapes — every row unique via idx so the
+    // total order makes the expected set exact.
+    val rnd = new scala.util.Random(42)
+    for {
+      (n, nKeys, k, parts) <- Seq((0, 3, 2, 3), (57, 1, 4, 5),
+        (200, 7, 1, 2), (500, 13, 3, 8), (300, 5, 100, 4))
+    } {
+      val data = (0 until n)
+        .map(i => (rnd.nextInt(nKeys), rnd.nextInt(50), i.toLong))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(data, parts))
+        .toDF("k", "v", "idx")
+      val got = TopK.topKPerKey(df, Seq($"k"), Seq($"v".desc, $"idx"), k)
+        .as[(Int, Int, Long)].collect().toSet
+      val want = data.groupBy(_._1).values.flatMap(g =>
+        g.sortBy(r => (-r._2, r._3)).take(k)).toSet
+      assert(got == want, s"shape n=$n nKeys=$nKeys k=$k parts=$parts")
+    }
+  }
+
   test("shuffle carries at most partitions*keys*k rows, not the fact table") {
     // 4 input partitions, 5 keys, k=2: the partial phase must cut
     // 10,000 rows to <= 4*5*2 before the exchange.
