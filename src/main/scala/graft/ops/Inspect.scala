@@ -45,9 +45,11 @@ object Inspect {
     // using-column join coalesces the pk across sides, so the key is
     // usable regardless of which side the row came from
     val joined = o.join(n, pk, "full_outer")
+    // empty compare list = keys-only diff: inserts/deletes still
+    // classify, matched keys count as unchanged
     val same: Column = compare
       .map(c => col(s"old_$c") <=> col(s"new_$c"))
-      .reduce(_ && _)
+      .reduceOption(_ && _).getOrElse(lit(true))
     joined
       .withColumn("change_type",
         when(col("__in_old").isNull, lit("insert"))
@@ -84,16 +86,21 @@ object Inspect {
     * matters: engines disagree on double→string rendering, not on the
     * values themselves. */
   def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // positional alias suffixes + escaped name literals: column names
+    // that aren't bare SQL identifiers (spaces, dots — common from CSV
+    // headers) must not reach the selectExpr parser unquoted
     val wide = df.agg(
       count(lit(1)).as("__n"),
-      (cols.flatMap(c => Seq(
-        (count(lit(1)) - count(col(c))).as(s"__nulls_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c")))): _*)
-    val stacked = cols.map(c =>
-      s"'$c', __n, __nulls_$c, __nd_$c, __min_$c, __max_$c")
-      .mkString(", ")
+      (cols.zipWithIndex.flatMap { case (c, i) => Seq(
+        (count(lit(1)) - count(col(c))).as(s"__nulls_$i"),
+        countDistinct(col(c)).as(s"__nd_$i"),
+        min(col(c)).cast("string").as(s"__min_$i"),
+        max(col(c)).cast("string").as(s"__max_$i"))
+      }): _*)
+    val stacked = cols.zipWithIndex.map { case (c, i) =>
+      val esc = c.replace("\\", "\\\\").replace("'", "\\'")
+      s"'$esc', __n, __nulls_$i, __nd_$i, __min_$i, __max_$i"
+    }.mkString(", ")
     wide.selectExpr(s"stack(${cols.size}, $stacked) AS " +
         "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val)")
       .orderBy("column_name")
@@ -119,13 +126,18 @@ object Inspect {
         col("l_partkey") === col("p_partkey"), "left")
       .join(keyOf("supplier", "s_suppkey", "__s"),
         col("l_suppkey") === col("s_suppkey"), "left")
-      .agg(sum(col("__o").isNull.cast("long")).as("li_orders"),
-        sum(col("__p").isNull.cast("long")).as("li_part"),
-        sum(col("__s").isNull.cast("long")).as("li_supplier"))
+      // coalesce: an EMPTY fact table must report 0 orphans (matching
+      // the NOT EXISTS oracle form), not sum()'s NULL-on-no-rows
+      .agg(coalesce(sum(col("__o").isNull.cast("long")), lit(0L))
+          .as("li_orders"),
+        coalesce(sum(col("__p").isNull.cast("long")), lit(0L)).as("li_part"),
+        coalesce(sum(col("__s").isNull.cast("long")), lit(0L))
+          .as("li_supplier"))
     val ord = t(spark, dir, "orders").select("o_custkey")
       .join(keyOf("customer", "c_custkey", "__c"),
         col("o_custkey") === col("c_custkey"), "left")
-      .agg(sum(col("__c").isNull.cast("long")).as("ord_customer"))
+      .agg(coalesce(sum(col("__c").isNull.cast("long")), lit(0L))
+        .as("ord_customer"))
     val wide = li.crossJoin(ord)
     wide.selectExpr("stack(4, " +
         "'lineitem->orders', li_orders, 'lineitem->part', li_part, " +

@@ -7,7 +7,11 @@ import graft.util.GraftSession
   * products, broadcast nested-loop joins, and repeated scans of the
   * same parquet source inside a single query plan (the
   * column-pruning-defeats-ReuseExchange double-scan class). Scratch
-  * tool — reads plans only, executes nothing. */
+  * tool. Caveats: building a registered DataFrame RUNS the
+  * side-effecting queries' setup (ingest_* scratch lakes, format
+  * roundtrip/bucketing/incremental writes), and only each query's
+  * FINAL READ plan is audited — the eagerly-executed write-stage plans
+  * are not. */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

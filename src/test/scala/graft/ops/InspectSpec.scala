@@ -29,6 +29,22 @@ class InspectSpec extends AnyFunSuite {
     assert(out == Set((2, "update")))
   }
 
+  test("snapshotDiff with empty compare list is a keys-only diff") {
+    val old = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    val neu = Seq((2, "CHANGED"), (3, "c")).toDF("id", "s")
+    val out = Inspect.snapshotDiff(old, neu, Seq("id"), Seq.empty)
+      .select("id", "change_type").as[(Int, String)].collect().toSet
+    // payload changes are invisible without compare columns
+    assert(out == Set((1, "delete"), (3, "insert")))
+  }
+
+  test("tableProfile handles non-identifier column names") {
+    val df = Seq((1, "x"), (2, "y")).toDF("order key", "mary's column")
+    val out = Inspect.tableProfile(df, Seq("order key", "mary's column"))
+      .collect()
+    assert(out.map(_.getString(0)).toSet == Set("order key", "mary's column"))
+  }
+
   test("fkViolations detects orphans (testdata is all-zero through the gate)") {
     val dir = "/root/testdata/sf0.001"
     val out = Inspect.fkViolations(spark, dir)
