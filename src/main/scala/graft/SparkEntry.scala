@@ -233,6 +233,15 @@ object SparkEntry {
         count(*) AS n_events, ${osum("value")} AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Sliding windows: every event covered by the 4 hop-aligned 1-hour
+    // windows; the oracle materializes the hops explicitly.
+    "sliding_window" -> Q(Analytics.slidingWindow, Some(s"""
+      SELECT epoch_us(time_bucket(INTERVAL 15 MINUTE, ts)
+          - k.k * INTERVAL 15 MINUTE) AS w_start_us,
+        event_type, count(*) AS n_events, ${osum("value")} AS sum_value
+      FROM events, (SELECT unnest(range(4)) AS k) k
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     "session_window" -> Q(Analytics.sessionWindow, Some(s"""
       WITH e AS (
         SELECT user_id, event_id, ts, value,

@@ -184,6 +184,22 @@ object Analytics {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("w_start_us", "event_type")
 
+  /** X10 — SLIDING (hopping) event-time windows: 1-hour windows every
+    * 15 minutes, so each event contributes to 4 overlapping windows.
+    * Spark's `window(ts, len, slide)` plans this as a generator (one
+    * row per covering window) feeding a normal partial+final aggregate
+    * — the 4× row expansion happens map-side, pre-combine, so the
+    * shuffle still carries only (window, type) partials. The oracle
+    * reproduces the expansion with an explicit 0..3 hop join. */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("w_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("w_start_us", "event_type")
+
   /** X10 — session windows via gaps-and-islands (30-minute gap): the
     * stateless batch formulation; the stateful streaming twin is
     * session_window() under Structured Streaming. Same SQL algorithm
