@@ -514,6 +514,13 @@ object SparkEntry {
         max(o_orderstatus) FROM orders
       ORDER BY column_name""")),
 
+    // HLL twin of table_profile — the 100 TB shape: same single-Expand
+    // one-pass plan, approx_count_distinct's constant-size mergeable
+    // sketch instead of exact distinct state. Rows-only (sketch
+    // estimates are engine-specific); InspectSpec bounds the error
+    // against the exact twin at <5%.
+    "table_profile_approx" -> Q(Inspect.ordersProfileApprox, None),
+
     // Stream-stream interval-join twin, run in batch mode: same code,
     // same plan shape (equi key + time residual), oracle = the interval
     // self-join in SQL. StreamJoinSpec pins batch/stream parity.

@@ -30,7 +30,10 @@ object Bucketing {
   private def dropStale(spark: SparkSession, tbl: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val p = new org.apache.hadoop.fs.Path(s"$wh/$tbl")
+    // saveAsTable lowercases identifiers; the warehouse dir is the
+    // lowercase name (a mixed-case tag would otherwise orphan the real
+    // directory and block the subsequent saveAsTable)
+    val p = new org.apache.hadoop.fs.Path(s"$wh/${tbl.toLowerCase}")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
   }

@@ -61,7 +61,13 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 /** Plans [[TopKPerKey]] as partial → (exchange by keys) → final. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, child) =>
+    case TopKPerKey(rawKeys, order, k, child) =>
+      // Grouping happens by raw UnsafeRow bytes of the key projection,
+      // so -0.0 vs 0.0 and distinct NaN bit patterns would split groups.
+      // Catalyst's NormalizeFloatingNumbers rule does this rewrite for
+      // Aggregate/Join/Window but doesn't know this node — apply the
+      // same normalization here (it is a no-op on non-FP keys).
+      val keys = rawKeys.map(PlanBridge.normalizeFloating)
       val partial =
         TopKPerKeyExec(keys, order, k, partial = true, planLater(child))
       TopKPerKeyExec(keys, order, k, partial = false, partial) :: Nil

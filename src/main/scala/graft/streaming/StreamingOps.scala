@@ -136,11 +136,17 @@ object StreamingOps {
             state.remove()
             Iterator(closed)
           } else {
-            val sorted = batch.toArray.sortBy(_.ts.getTime)
+            // Full-microsecond event time: getTime is millis-truncated;
+            // sub-ms digits live in getNanos. Matching unix_micros here
+            // keeps the asserted batch/stream parity exact for sub-ms
+            // timestamps (session boundaries are compared in micros).
+            def micros(ts: java.sql.Timestamp): Long =
+              ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+            val sorted = batch.toArray.sortBy(e => micros(e.ts))
             var open = state.getOption
             val out = Seq.newBuilder[ClosedSession]
             sorted.foreach { e =>
-              val tUs = e.ts.getTime * 1000L
+              val tUs = micros(e.ts)
               open match {
                 case Some(s) if tUs - s.endUs <= gapUs =>
                   open = Some(OpenSession(s.startUs, math.max(s.endUs, tUs),

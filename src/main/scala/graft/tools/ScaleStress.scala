@@ -31,7 +31,9 @@ object ScaleStress {
     def corpusDir(n: Int) = s"/root/repo/target/scale/x$n"
     scales.foreach { n =>
       val out = corpusDir(n)
-      if (!new java.io.File(s"$out/documents.parquet").exists()) {
+      // _SUCCESS marker, not the dir: a partially-written corpus from a
+      // crashed run would otherwise be reused and skew the measurements
+      if (!new java.io.File(s"$out/documents.parquet/_SUCCESS").exists()) {
         val base = Tables.t(spark, src, "documents")
         val copies = (0 until n).map { c =>
           if (c == 0) base

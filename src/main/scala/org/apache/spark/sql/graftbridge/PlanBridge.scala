@@ -23,4 +23,13 @@ object PlanBridge {
   def expression(spark: SparkSession,
       c: org.apache.spark.sql.Column): Expression =
     spark.asInstanceOf[classic.SparkSession].expression(c)
+
+  /** `private[sql]` NormalizeFloatingNumbers.normalize — rewrites -0.0
+    * to 0.0 and canonicalizes NaN bit patterns (no-op on non-FP types).
+    * Catalyst applies it to Aggregate/Join/Window grouping keys; a
+    * custom operator that groups by raw UnsafeRow bytes must apply the
+    * same rewrite to its keys itself. */
+  def normalizeFloating(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers
+      .normalize(e)
 }

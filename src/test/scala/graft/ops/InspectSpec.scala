@@ -85,4 +85,34 @@ class InspectSpec extends AnyFunSuite {
     assert(orderkeyRow.getLong(2) == 0L)           // n_nulls
     assert(orderkeyRow.getLong(3) == df.count())   // pk: all distinct
   }
+
+  test("tableProfileApprox matches the exact twin within 5% at sf0.1") {
+    val dir = "/root/testdata/sf0.1"
+    def byCol(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5))).toMap
+    val exact = byCol(Inspect.ordersProfile(spark, dir))
+    val approx = byCol(Inspect.ordersProfileApprox(spark, dir))
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (c, (nRows, nNulls, nd, mn, mx)) =>
+      val (aRows, aNulls, aNd, aMn, aMx) = approx(c)
+      // everything except the distinct estimate is computed exactly
+      assert(aRows == nRows && aNulls == nNulls && aMn == mn && aMx == mx, c)
+      val relErr = math.abs(aNd - nd).toDouble / math.max(1L, nd)
+      assert(relErr < 0.05, s"$c: approx $aNd vs exact $nd (err $relErr)")
+    }
+  }
+
+  test("tableProfileApprox is one pass with no exact-distinct state") {
+    val df = graft.util.Tables.t(spark, "/root/testdata/sf0.001", "orders")
+    val prof = Inspect.tableProfileApprox(df, Seq("o_orderkey", "o_orderstatus"))
+    val p = prof.queryExecution.executedPlan.toString
+    val scans = "orders\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 orders scan, got $scans:\n$p")
+    // HLL sketches aggregate directly — no Expand row-multiplication and
+    // no per-group exact-distinct state anywhere in the plan
+    assert(!p.contains("count(distinct"), p)
+    assert(p.contains("approx_count_distinct"), p)
+  }
 }

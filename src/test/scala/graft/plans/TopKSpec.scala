@@ -102,6 +102,25 @@ class TopKSpec extends AnyFunSuite {
     }
   }
 
+  test("float keys: -0.0/0.0 and all NaN bit patterns group together") {
+    // Raw UnsafeRow grouping would split these; the strategy normalizes
+    // keys like Catalyst's NormalizeFloatingNumbers does for Aggregate.
+    val nan1 = java.lang.Double.longBitsToDouble(0x7ff8000000000000L)
+    val nan2 = java.lang.Double.longBitsToDouble(0x7ff8000000000001L)
+    val data = Seq((0.0, 1L), (-0.0, 2L), (nan1, 3L), (nan2, 4L))
+    val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 2)).toDF("k", "v")
+    val got = TopK.topKPerKey(df, Seq($"k"), Seq($"v".desc), 1)
+      .as[(Double, Long)].collect().toSet
+    // two groups — {0.0,-0.0} and {NaN,NaN} — each keeping its max v
+    assert(got.map(_._2) == Set(2L, 4L), got.toString)
+    // parity with the row_number formulation (Spark normalizes there)
+    val w = Window.partitionBy($"k").orderBy($"v".desc)
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn").as[(Double, Long)].collect().toSet
+    assert(got.map(_._2) == viaWindow.map(_._2))
+  }
+
   test("shuffle carries at most partitions*keys*k rows, not the fact table") {
     // 4 input partitions, 5 keys, k=2: the partial phase must cut
     // 10,000 rows to <= 4*5*2 before the exchange.
