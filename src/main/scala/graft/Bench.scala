@@ -51,6 +51,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${allErr.size},"sf":"$sfDir"}""")
+    // Compact twin LAST: the full line above grows with the registry and
+    // a tail-window capture can truncate its head (where total lives) —
+    // this short total-first line survives any tail capture.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${allErr.size},"sf":"$sfDir"}""")
     spark.stop()
     if (allErr.nonEmpty) sys.exit(1)
   }

@@ -120,6 +120,22 @@ object SparkEntry {
     "ingest_compact" -> Q(Ingest.ingestCompact, Some(allFourCsvs)),
     "ingest_backfill" -> Q(Ingest.ingestBackfill, Some(allFourCsvs)),
 
+    // True-streaming twin of ingest_upsert: the same three files land in
+    // a WATCHED dir against a running StreamingQuery (one micro-batch
+    // each, foreachBatch -> the batch merge), so the gate itself
+    // exercises writeStream + checkpointed file discovery. Same oracle
+    // as ingest_upsert — the claim is byte-identical curated contents.
+    "ingest_stream" -> Q(Ingest.ingestStream, Some(s"""
+      WITH a AS (${ocsv("customers_20240628.csv", "2024-06-28")}),
+      b AS (${ocsv("customers_r2_20240628.csv", "2024-06-28")}),
+      c AS (${ocsv("customers_20240629.csv", "2024-06-29")}),
+      m1 AS (SELECT * FROM a ANTI JOIN b USING (id, dt)
+             UNION ALL SELECT * FROM b),
+      m2 AS (SELECT * FROM m1 ANTI JOIN c USING (id, dt)
+             UNION ALL SELECT * FROM c)
+      SELECT id, name, city, bal, dt, $oAudit
+      FROM m2 ORDER BY dt, id""")),
+
     "q1_pricing_summary" -> Q(Analytics.q1PricingSummary, Some(s"""
       SELECT l_returnflag, l_linestatus,
         ${osum("l_quantity")} AS sum_qty,
@@ -832,7 +848,8 @@ object SparkEntry {
       FROM d ORDER BY doc_id""")),
 
     "neardup_minhash" -> Q(
-      (s, d) => Dedup.nearDupPairs(s, d).orderBy("doc_a", "doc_b"), Some("""
+      (s, d) => Dedup.nearDupPairsCached(s, d).orderBy("doc_a", "doc_b"),
+      Some("""
       WITH tok AS (SELECT doc_id,
           list_filter(string_split_regex(lower(text), '\s+'),
             x -> x <> '') AS w

@@ -197,7 +197,17 @@ object Strategies {
     * swapped-in existence check succeed — a failure leaves both copies
     * on disk for recovery; no code path can destroy the only copy of a
     * partition. `dts` are RAW partition values; paths use the
-    * Hive-escaped form Spark writes. */
+    * Hive-escaped form Spark writes.
+    *
+    * Recovery runbook (StrategiesSpec exercises both crash points): a
+    * failure BEFORE any live dir moved leaves the table untouched —
+    * just delete the `__stage_*`/`__bak_*` leftovers and re-run the
+    * load. A failure mid-swap leaves the affected partition's previous
+    * copy under `<table>__bak_<run>/dt=*` and the new copy under
+    * `<table>__stage_<run>/dt=*`: move each bak dir back under the
+    * table path, delete both scratch dirs, and re-run — the merge
+    * recomputes from the restored target, so the re-run is idempotent
+    * for the same batch. */
   private def stagedPartitionSwap(spark: SparkSession, df: DataFrame,
       path: String, dts: Seq[String]): Unit = {
     val runId = java.util.UUID.randomUUID().toString.take(8)

@@ -198,9 +198,9 @@ object Dedup {
     * the paired oracle is unchanged. */
   def ngramJaccard(spark: SparkSession, dir: String, nBands: Int = 8,
       minBands: Int = 4): DataFrame = {
-    val pairs = nearDupPairs(spark, dir, nBands, minBands)
-      .localCheckpoint() // 2 consumers below; without this the whole
-                         // signature subplan would run twice
+    // memoized localCheckpoint: 2 consumers below (and other queries in
+    // the same session); without it the signature subplan runs twice
+    val pairs = nearDupPairsCached(spark, dir, nBands, minBands)
     val sh = fanOut(t(spark, dir, "documents"))
       .withColumn("w", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"),
@@ -256,9 +256,8 @@ object Dedup {
     * cliques (diameter 1–2), so the loop exits after 2–3 rounds. */
   def dedupGroups(spark: SparkSession, dir: String, nBands: Int = 8,
       minBands: Int = 4, maxIter: Int = 20): DataFrame = {
-    val pairs = nearDupPairs(spark, dir, nBands, minBands)
+    val pairs = nearDupPairsCached(spark, dir, nBands, minBands)
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
     val edges = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
@@ -295,6 +294,31 @@ object Dedup {
       .select(col("doc_id"), col("grp").as("group_id"), col("grp_size"))
       .orderBy("doc_id")
   }
+
+  /** Session-scoped memo of the candidate pair set. `neardup_minhash`,
+    * `ngram_jaccard` and `dedup_groups` all consume the SAME
+    * [[nearDupPairs]] subplan — the expensive part of each (full
+    * tokenize/shingle/signature pipeline over the corpus, ~2.2s fixed
+    * at sf0.1) — and within one session the result is deterministic
+    * for a given (dir, params), so each consumer after the first
+    * reuses the localCheckpoint'd pair set (pair-count-sized, tiny
+    * relative to the corpus) instead of recomputing the pipeline.
+    * Assumes input dirs are immutable within a session (true for this
+    * engine's lake layout: loads write new partitions, never rewrite a
+    * read path mid-session); [[clearPairsMemo]] resets after external
+    * changes — the scale-stress harness clears between timed runs so
+    * SCALE_NOTES measures the full pipeline, not a memo hit. Keyed by
+    * session identity so a new session never sees another's RDDs. */
+  private val pairsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, Int, Int, Int), DataFrame]()
+
+  def clearPairsMemo(): Unit = pairsMemo.clear()
+
+  def nearDupPairsCached(spark: SparkSession, dir: String,
+      nBands: Int = 8, minBands: Int = 4): DataFrame =
+    pairsMemo.computeIfAbsent(
+      (System.identityHashCode(spark), dir, nBands, minBands, 0),
+      _ => nearDupPairs(spark, dir, nBands, minBands).localCheckpoint())
 
   /** Candidate near-duplicate pairs: distinct (a < b) doc pairs sharing
     * a band bucket, kept when they agree on ≥ minBands of the bands.

@@ -191,6 +191,41 @@ object Ingest {
       .orderBy("dt", "id")
   }
 
+  /** Streaming twin of [[ingestUpsert]] THROUGH A REAL StreamingQuery:
+    * the same three fixture files land in a watched inbound dir while a
+    * `readStream`-driven [[graft.streaming.IngestStream]] is running —
+    * each file becomes its own micro-batch (processAllAvailable between
+    * copies), applied to the curated zone via foreachBatch + the batch
+    * merge. Shares ingest_upsert's oracle: the claim is that the
+    * streaming path lands byte-identical curated contents. The other
+    * streaming queries' CORRECTNESS rows run batch twins (parity pinned
+    * in specs); this row makes the gate itself exercise `writeStream`,
+    * checkpointed file discovery, and the per-micro-batch merge. */
+  def ingestStream(spark: SparkSession, dir: String): DataFrame = {
+    val layout = freshLayout("ingest_stream")
+    val base = s"/root/repo/target/ingest/ingest_stream"
+    val watch = s"$base/inbound"
+    Files.createDirectories(Paths.get(watch))
+    val cfg = TableConfig.fromFile(config("customers_upsert"))
+    def land(file: String): Unit = {
+      Files.copy(Paths.get(inbound(file)), Paths.get(s"$watch/$file"))
+      ()
+    }
+    land("customers_20240628.csv") // present before start: schema + batch 1
+    val q = graft.streaming.IngestStream.start(spark, watch, cfg, layout,
+      "sap", "customers_stream", s"$base/ckpt", clock = Some(Clock))
+    try {
+      q.processAllAvailable()
+      land("customers_r2_20240628.csv") // same-dt corrections micro-batch
+      q.processAllAvailable()
+      land("customers_20240629.csv") // new-dt micro-batch
+      q.processAllAvailable()
+    } finally q.stop()
+    curatedBack(spark, layout, "customers_stream",
+      Seq("id", "name", "city", "bal", "dt"))
+      .orderBy("dt", "id")
+  }
+
   /** J1/J2/W5 — upsert: first load (J2 overwrite), same-dt corrections
     * batch (matched rows updated, new keys inserted), then a new-dt batch
     * (all inserted — the merge key includes dt). */

@@ -1,57 +1,173 @@
 package graft.tools
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.{GraftSession, Tables}
-import graft.ops.{CorpusStats, Dedup, QualitySignals, TextAnalysis}
+import graft.ops.{CorpusStats, Dedup, QualitySignals, Similarity,
+  TextAnalysis}
 
-/** Scale-stress harness for the dedup family: runs the document
-  * operators on 1×/3×/10× corpora derived from sf0.1 and reports how
-  * cost and output grow with corpus size (results recorded in
-  * SCALE_NOTES.md).
+/** Scale-stress harness for the dedup + embedding families: runs the
+  * document and ANN operators on 1×/3×/10× corpora derived from sf0.1
+  * and reports how cost and output grow with corpus size (results
+  * recorded in SCALE_NOTES.md).
   *
-  * Corpus construction keeps the DUPLICATE RATE constant: copy `c`
-  * offsets every doc_id and suffixes every token with `c<c>`, so no
-  * shingle ever matches across copies — a 10× corpus has 10× the docs,
-  * 10× the true near-dup pairs, and (crucially) the same bucket-size
-  * distribution shape an organically-10×-larger corpus would have.
-  * Naively unioning unperturbed copies would instead make every doc a
-  * near-dup of its 9 clones and measure an artificial 45× pair blowup.
+  * Document corpus construction keeps the DUPLICATE RATE constant:
+  * copy `c` offsets every doc_id and suffixes every token with `c<c>`,
+  * so no shingle ever matches across copies — a 10× corpus has 10× the
+  * docs, 10× the true near-dup pairs, and (crucially) the same
+  * bucket-size distribution shape an organically-10×-larger corpus
+  * would have. Naively unioning unperturbed copies would instead make
+  * every doc a near-dup of its 9 clones and measure an artificial 45×
+  * pair blowup.
   *
-  * Usage: `runMain graft.tools.ScaleStress [scales...]` (default
-  * `1 3 10`); corpora are cached under target/scale/. */
+  * Embedding corpus construction ([[buildEmbeddingCorpus]]) follows the
+  * same principle with vector arithmetic — see its doc.
+  *
+  * Usage: `runMain graft.tools.ScaleStress [docs|emb|all] [scales...]`
+  * (default `all 1 3 10`); corpora are cached under target/scale/. */
 object ScaleStress {
+
+  /** Deterministic per-copy ±1 sign flip of every element — the
+    * "rotation" that separates copies: multiplying floats by ±1 is
+    * exact, so WITHIN-copy dot products (and therefore every cosine,
+    * LSH signature margin, and centroid up to sign) are bit-preserved,
+    * while CROSS-copy cosines collapse to the random band of the
+    * near-isotropic corpus (measured ≤ 0.61 at sf0.1 — see
+    * SCALE_NOTES). */
+  private def signFlip(c: Int, e: Column): Column =
+    zip_with(e, sequence(lit(0), size(e) - 1), (x, i) =>
+      when(pmod(xxhash64(lit(c), i), lit(2)) === 0, x).otherwise(-x))
+
+  /** Near-dup twin of a vector: ~1/16 of the dims (deterministic by
+    * index hash) zeroed. Zeroing is exact, and for the near-isotropic
+    * testdata the squared mass in the zeroed dims concentrates at
+    * ~1/16, so cos(x, twin) = sqrt(1 - f) ≈ 0.97 (measured min 0.816
+    * at sf0.1) — cleanly above the 0.8 detection threshold that the
+    * random band (≤0.61) never reaches. */
+  private def zeroTwin(e: Column): Column =
+    zip_with(e, sequence(lit(0), size(e) - 1), (x, i) =>
+      when(pmod(xxhash64(lit("twin"), i), lit(16)) === 0,
+        lit(0.0f)).otherwise(x))
+
+  /** Build an n× embedding corpus with a CONSTANT planted near-dup
+    * rate. The base table's pairs above 0.4 are pure random-geometry
+    * tail (the corpus is near-isotropic: rate 4.6e-4 ≈ the isotropic
+    * dim-64 expectation), so at low thresholds pair output inherently
+    * grows O(n²) for ANY corpus from this distribution — there is no
+    * "true near-dup set" to hold constant. A realistic near-dup
+    * workload is instead: a high-similarity band of true duplicates
+    * over a random-band background. So each copy is sign-flipped
+    * (cross-copy cosines stay in the random band) and 2% of vectors
+    * per copy get a planted zeroed-dims twin (cosine ≈ 0.97, id offset
+    * +5M within the copy's +10M·c id space; labels offset +1000·c so
+    * each copy keeps its own centroid cells). At detection threshold
+    * 0.8 the true-pair count grows exactly with n and recall is
+    * measurable at every scale. */
+  def buildEmbeddingCorpus(spark: SparkSession, srcDir: String,
+      out: String, n: Int): Unit = {
+    val base = Tables.t(spark, srcDir, "embeddings")
+    val copies = (0 until n).map { c =>
+      if (c == 0) base
+      else base
+        .withColumn("vec_id", col("vec_id") + lit(c * 10000000L))
+        .withColumn("label", col("label") + lit(c * 1000))
+        .withColumn("embedding", signFlip(c, col("embedding")))
+    }
+    val all = copies.reduce(_ unionByName _)
+    val twins = all
+      .filter(pmod(xxhash64(col("vec_id")), lit(50)) === 0)
+      .withColumn("vec_id", col("vec_id") + lit(5000000L))
+      .withColumn("embedding", zeroTwin(col("embedding")))
+    all.unionByName(twins)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  /** Build an n× TPC-H-shaped corpus with CONSTANT per-entity
+    * distributions: every data-scaled table is unioned n times with all
+    * primary AND foreign keys offset per copy (copy c's orders
+    * reference copy c's customers, etc.), so per-customer order counts,
+    * join fan-outs, and filter selectivities are exactly those of the
+    * base — the way TPC-H itself scales — while dimension tables
+    * (region, nation) stay fixed, as in the spec. */
+  def buildTpchCorpus(spark: SparkSession, srcDir: String,
+      out: String, n: Int): Unit = {
+    val OFF = 1000000000L
+    val keyCols: Seq[(String, Seq[String])] = Seq(
+      "customer" -> Seq("c_custkey"),
+      "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    Seq("region", "nation").foreach { tbl =>
+      Tables.t(spark, srcDir, tbl)
+        .write.mode("overwrite").parquet(s"$out/$tbl.parquet")
+    }
+    keyCols.foreach { case (tbl, keys) =>
+      val base = Tables.t(spark, srcDir, tbl)
+      (0 until n).map { c =>
+        keys.foldLeft(base)((df, k) =>
+          df.withColumn(k, col(k) + lit(c * OFF)))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$tbl.parquet")
+    }
+  }
+
+  private def buildDocCorpus(spark: SparkSession, srcDir: String,
+      out: String, n: Int): Unit = {
+    val base = Tables.t(spark, srcDir, "documents")
+    val copies = (0 until n).map { c =>
+      if (c == 0) base
+      else base
+        .withColumn("doc_id", col("doc_id") + lit(c * 10000000L))
+        .withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", s"$$1c$c"))
+    }
+    copies.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
-    val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 3, 10)
+    val (family, scaleArgs) = args.headOption match {
+      case Some(f) if !f.forall(_.isDigit) => (f, args.drop(1))
+      case _ => ("all", args)
+    }
+    val scales =
+      if (scaleArgs.nonEmpty) scaleArgs.map(_.toInt).toSeq else Seq(1, 3, 10)
     val src = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder("graft-scale-stress",
       master = Some(s"local[$cpus]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val runDocs = family == "docs" || family == "all"
+    val runEmb = family == "emb" || family == "all"
+    val runTpch = family == "tpch" || family == "all"
+
     def corpusDir(n: Int) = s"/root/repo/target/scale/x$n"
+    // _SUCCESS marker, not the dir: a partially-written corpus from a
+    // crashed run would otherwise be reused and skew the measurements
+    def ready(path: String) =
+      new java.io.File(s"$path/_SUCCESS").exists()
     scales.foreach { n =>
       val out = corpusDir(n)
-      // _SUCCESS marker, not the dir: a partially-written corpus from a
-      // crashed run would otherwise be reused and skew the measurements
-      if (!new java.io.File(s"$out/documents.parquet/_SUCCESS").exists()) {
-        val base = Tables.t(spark, src, "documents")
-        val copies = (0 until n).map { c =>
-          if (c == 0) base
-          else base
-            .withColumn("doc_id", col("doc_id") + lit(c * 10000000L))
-            .withColumn("text",
-              regexp_replace(col("text"), "(\\S+)", s"$$1c$c"))
-        }
-        copies.reduce(_ unionByName _)
-          .write.mode("overwrite").parquet(s"$out/documents.parquet")
-      }
+      if (runDocs && !ready(s"$out/documents.parquet"))
+        buildDocCorpus(spark, src, out, n)
+      if (runEmb && !ready(s"$out/embeddings.parquet"))
+        buildEmbeddingCorpus(spark, src, out, n)
+      if (runTpch && !ready(s"$out/lineitem.parquet"))
+        buildTpchCorpus(spark, src, out, n)
     }
 
-    val ops: Seq[(String, String => Long)] = Seq(
+    // clearPairsMemo before every pair-consumer run: the session memo
+    // would otherwise turn the 2nd+ runs into memo hits and the growth
+    // table would measure the incremental cost, not the pipeline
+    val docOps: Seq[(String, String => Long)] = Seq(
       "neardup_minhash" -> (d => Dedup.nearDupPairs(spark, d).count()),
       "simhash_pairs" -> (d => Dedup.simhashPairs(spark, d).count()),
-      "ngram_jaccard" -> (d => Dedup.ngramJaccard(spark, d).count()),
-      "dedup_groups" -> (d => Dedup.dedupGroups(spark, d).count()),
+      "ngram_jaccard" -> (d => {
+        Dedup.clearPairsMemo(); Dedup.ngramJaccard(spark, d).count() }),
+      "dedup_groups" -> (d => {
+        Dedup.clearPairsMemo(); Dedup.dedupGroups(spark, d).count() }),
       "clean_corpus" -> (d => TextAnalysis.cleanCorpus(spark, d).count()),
       "kmv_distinct" -> (d => CorpusStats.kmvDistinct(spark, d).count()),
       "tfidf_top_terms" -> (d => CorpusStats.tfidfTopTerms(spark, d).count()),
@@ -61,11 +177,47 @@ object ScaleStress {
       "decontaminate" -> (d => QualitySignals.decontaminate(spark, d).count()),
       "zipf_spectrum" -> (d => QualitySignals.zipfSpectrum(spark, d).count()))
 
-    println(f"${"op"}%-18s ${"scale"}%5s ${"docs"}%8s ${"rows"}%8s ${"sec"}%8s")
+    // ANN family, in its realistic regime: detection threshold 0.8 (the
+    // planted-dup band; the registered 0.4 default sits inside the
+    // random band, where output is inherently O(n²) — see
+    // buildEmbeddingCorpus). nBits grows with the corpus (+log2 n) to
+    // hold bucket occupancy constant — the knob a 100 TB deployment
+    // turns; recall at each scale is printed below.
+    def lshBits(d: String): Int = {
+      val n = "x(\\d+)$".r.findFirstMatchIn(d).map(_.group(1).toInt).getOrElse(1)
+      8 + math.round(math.log(n.toDouble) / math.log(2.0)).toInt
+    }
+    val embOps: Seq[(String, String => Long)] = Seq(
+      "similarity_topk" -> (d => Similarity.cosineTopK(spark, d).count()),
+      "ann_lsh_pairs" -> (d =>
+        Similarity.lshPairs(spark, d, threshold = 0.8,
+          nBits = lshBits(d)).count()),
+      "ann_ivf_topk" -> (d => Similarity.ivfTopK(spark, d).count()),
+      "cosine_pairs" -> (d =>
+        Similarity.cosinePairs(spark, d, threshold = 0.8).count()),
+      "embedding_quantize" -> (d => Similarity.quantizeInt8(spark, d).count()),
+      "centroid_udaf" -> (d =>
+        Similarity.centroidByLabelFlat(spark, d).count()))
+
+    // the registered TPC-H shapes verbatim (same code path the gate and
+    // bench run): at sf0.1 fixed overheads dominate, so broadcast-
+    // threshold flips and AQE plan changes only show at 10×
+    val tpchOps: Seq[(String, String => Long)] =
+      graft.SparkEntry.registry.collect {
+        case (name, q) if name.matches("q\\d+.*") =>
+          name -> ((d: String) => q.fn(spark, d).count())
+      }
+
+    val ops = (if (runDocs) docOps else Nil) ++
+      (if (runEmb) embOps else Nil) ++ (if (runTpch) tpchOps else Nil)
+    val countTable = if (runDocs) "documents"
+      else if (runEmb) "embeddings" else "lineitem"
+
+    println(f"${"op"}%-18s ${"scale"}%5s ${"rows_in"}%8s ${"rows"}%8s ${"sec"}%8s")
     val results = for {
       n <- scales
       dir = corpusDir(n)
-      docs = Tables.t(spark, dir, "documents").count()
+      rowsIn = Tables.t(spark, dir, countTable).count()
       (name, fn) <- ops
     } yield {
       fn(dir) // warmup (codegen + shuffle files)
@@ -76,7 +228,7 @@ object ScaleStress {
       }
       val sec = timed.map(_._1).min
       val rows = timed.head._2
-      println(f"$name%-18s $n%5d $docs%8d $rows%8d $sec%8.2f")
+      println(f"$name%-18s $n%5d $rowsIn%8d $rows%8d $sec%8.2f")
       (name, n, sec, rows)
     }
     // growth factors vs 1× (time and rows per op)
@@ -86,6 +238,32 @@ object ScaleStress {
     results.filter(_._2 != scales.min).foreach { case (name, n, sec, rows) =>
       val (b, br) = base(name)
       println(f"$name%-18s $n%5d ${sec / b}%9.2f ${rows.toDouble / math.max(1, br)}%11.2f")
+    }
+
+    // Recall vs exact ground truth per scale (embedding family): LSH
+    // pair recall against the O(n²) twin at the same 0.8 threshold, and
+    // IVF top-k recall against brute force with the same query set.
+    if (runEmb) {
+      println(f"${"scale"}%5s ${"lsh_recall"}%11s ${"ivf_recall"}%11s ${"true_pairs"}%11s")
+      scales.foreach { n =>
+        val dir = corpusDir(n)
+        val exact = Similarity.cosinePairs(spark, dir, threshold = 0.8)
+          .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val lsh = Similarity.lshPairs(spark, dir, threshold = 0.8,
+            nBits = lshBits(dir))
+          .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val brute = Similarity.cosineTopK(spark, dir)
+          .select("q_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val ivf = Similarity.ivfTopK(spark, dir)
+          .select("q_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val lshR = if (exact.isEmpty) 1.0
+          else exact.count(lsh.contains).toDouble / exact.size
+        val ivfR = if (brute.isEmpty) 1.0
+          else brute.count(ivf.contains).toDouble / brute.size
+        println(f"$n%5d $lshR%11.3f $ivfR%11.3f ${exact.size}%11d")
+      }
     }
     spark.stop()
   }

@@ -160,4 +160,114 @@ class StrategiesSpec extends AnyFunSuite {
     assert(back.columns.toSeq == Seq("id", "v")) // no dt: pre-derivation
     assert(back.count() == 1)
   }
+
+  /** Table path on the fault-injectable filesystem (same local disk,
+    * but every FileSystem call Strategies makes goes through FaultFS). */
+  private def faultTmp(): String = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faultfs.impl", classOf[FaultFS].getName)
+    "faultfs://" + tmp()
+  }
+
+  private def scratchDirs(p: String, kind: String): Seq[java.io.File] = {
+    val local = new java.io.File(new java.net.URI(p).getPath)
+    local.getParentFile.listFiles().toSeq
+      .filter(_.getName.contains(kind))
+  }
+
+  test("crash BEFORE any live dir moves: table untouched, plain re-run recovers") {
+    val p = faultTmp()
+    Strategies.writeCurated(spark, df((1, "a", "d1")), p, "upsert", Seq("id"))
+    // fail the FIRST rename of the swap (live -> backup): the staged
+    // write completed, nothing has moved yet
+    FaultFS.failRenameDst = ".*__bak_[^/]*/dt=d1"
+    try {
+      val ex = intercept[java.io.IOException] {
+        Strategies.writeCurated(spark,
+          df((1, "A", "d1"), (2, "b", "d1")), p, "upsert", Seq("id"))
+      }
+      assert(ex.getMessage.contains("injected"))
+    } finally FaultFS.failRenameDst = null
+    // live table is exactly the pre-merge state; the staged copy
+    // survives OUTSIDE the table path (readers can't see it)
+    assert(contents(p) == Set((1, "a", "d1")))
+    assert(scratchDirs(p, "__stage_").nonEmpty)
+    // recovery = delete leftovers, re-run the same batch
+    scratchDirs(p, "__stage_").foreach(
+      d => org.apache.commons.io.FileUtils.deleteDirectory(d))
+    scratchDirs(p, "__bak_").foreach(
+      d => org.apache.commons.io.FileUtils.deleteDirectory(d))
+    Strategies.writeCurated(spark,
+      df((1, "A", "d1"), (2, "b", "d1")), p, "upsert", Seq("id"))
+    assert(contents(p) == Set((1, "A", "d1"), (2, "b", "d1")))
+  }
+
+  test("crash MID-SWAP (live moved aside): both copies survive, runbook recovers") {
+    val p = faultTmp()
+    Strategies.writeCurated(spark, df((1, "a", "d1")), p, "upsert", Seq("id"))
+    // fail the SECOND rename (staged -> live), i.e. after the live dir
+    // was already moved aside — the worst crash point
+    FaultFS.failRenameDst = ".*/t/dt=d1"
+    try {
+      val ex = intercept[java.io.IOException] {
+        Strategies.writeCurated(spark,
+          df((1, "A", "d1"), (2, "b", "d1")), p, "upsert", Seq("id"))
+      }
+      assert(ex.getMessage.contains("injected"))
+    } finally FaultFS.failRenameDst = null
+    val local = new java.io.File(new java.net.URI(p).getPath)
+    // the live dir is gone (crashed mid-swap)...
+    assert(!new java.io.File(local, "dt=d1").exists())
+    // ...but BOTH copies survive on disk: the previous partition in the
+    // backup dir, the merged partition in the stage dir
+    val bak = scratchDirs(p, "__bak_")
+    val stage = scratchDirs(p, "__stage_")
+    assert(bak.size == 1 && stage.size == 1)
+    val oldRows = spark.read.parquet(s"${bak.head}/dt=d1")
+      .select("id", "v").as[(Int, String)].collect().toSet
+    assert(oldRows == Set((1, "a")))
+    val mergedRows = spark.read.parquet(s"${stage.head}/dt=d1")
+      .select("id", "v").as[(Int, String)].collect().toSet
+    assert(mergedRows == Set((1, "A"), (2, "b")))
+    // recovery runbook (Strategies.stagedPartitionSwap doc): restore the
+    // bak dir under the table path, drop scratch, re-run the batch
+    assert(new java.io.File(bak.head, "dt=d1")
+      .renameTo(new java.io.File(local, "dt=d1")))
+    org.apache.commons.io.FileUtils.deleteDirectory(bak.head)
+    org.apache.commons.io.FileUtils.deleteDirectory(stage.head)
+    assert(contents(p) == Set((1, "a", "d1"))) // restored pre-merge state
+    Strategies.writeCurated(spark,
+      df((1, "A", "d1"), (2, "b", "d1")), p, "upsert", Seq("id"))
+    assert(contents(p) == Set((1, "A", "d1"), (2, "b", "d1")))
+    // the recovered table keeps working for later loads
+    Strategies.writeCurated(spark, df((3, "c", "d1")), p, "upsert", Seq("id"))
+    assert(contents(p) ==
+      Set((1, "A", "d1"), (2, "b", "d1"), (3, "c", "d1")))
+  }
+}
+
+/** Test-only Hadoop filesystem (`faultfs://` scheme): a local
+  * filesystem whose `rename` throws when the destination path matches
+  * the armed regex — lets the spec drive Strategies through a mid-swap
+  * crash via the REAL code path (Spark committer renames included),
+  * not a simulation of the on-disk state. Extends RawLocalFileSystem
+  * (not LocalFileSystem): the checksum wrapper's INNER raw fs would
+  * reject faultfs:// paths in checkPath. Instantiated reflectively by
+  * Hadoop, hence top-level with a no-arg constructor; armed state lives
+  * in the companion so the cached FS instance sees updates. */
+class FaultFS extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "faultfs"
+  override def getUri: java.net.URI = java.net.URI.create("faultfs:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    val pat = FaultFS.failRenameDst
+    if (pat != null && dst.toUri.getPath.matches(pat))
+      throw new java.io.IOException(s"injected rename failure -> $dst")
+    super.rename(src, dst)
+  }
+}
+
+object FaultFS {
+  /** Regex over the rename DESTINATION path; null = disarmed. */
+  @volatile var failRenameDst: String = null
 }

@@ -122,6 +122,31 @@ class SimilaritySpec extends AnyFunSuite {
         s"(${lsh.length}/${exact.size}) — bucketing is broken, not just lossy")
   }
 
+  test("LSH keeps >=0.9 recall of planted near-dups on a 10x corpus (SCALE_NOTES)") {
+    import spark.implicits._
+    // 10× corpus from sf0.01 via the scale-stress generator: sign-flipped
+    // copies (cross-copy cosines stay in the random band, measured ≤0.61)
+    // + 2% planted zeroed-dims twins (cosine ≈ 0.97). At threshold 0.8
+    // the twins are the ONLY pairs, so recall is exact and the pair
+    // count scales with the corpus — the regime the 100 TB dedup path
+    // actually runs in.
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-emb-scale").toString
+    graft.tools.ScaleStress.buildEmbeddingCorpus(
+      spark, "/root/testdata/sf0.01", out, 10)
+    val exact = Similarity.cosinePairs(spark, out, threshold = 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // ~2% of 10×200 vectors get a twin; every twin pair must clear 0.8
+    assert(exact.size >= 20, s"only ${exact.size} planted pairs surfaced")
+    val lsh = Similarity.lshPairs(spark, out, threshold = 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
+    // precision is exact by construction: no LSH pair outside the twin set
+    assert(lsh.subsetOf(exact),
+      s"false positives: ${lsh.diff(exact).take(3)}")
+  }
+
   test("native FloatDot is bit-identical to the HOF fold (incl. null element)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
