@@ -121,21 +121,31 @@ object Similarity {
     // nTables signatures come from ONE fused codegen loop
     // ([[graft.expressions.HyperplaneSigs]], bit-identical to the HOF
     // [[signature]] — SimilaritySpec) instead of nBits × nTables
-    // interpreted lambda folds per row.
+    // interpreted lambda folds per row. The bucket stream carries ONLY
+    // ids: candidate fan-out is bucket-occupancy-quadratic, so vector
+    // payloads (dim×4B each) must ride the per-VECTOR relations, never
+    // the per-CANDIDATE stream — carrying embeddings through the pair
+    // join + dedup measured a 10×-corpus shuffle of ~3 GB vs ~10 MB for
+    // the id-only form (SCALE_NOTES round 5).
     val buckets = emb
-      .select(col("vec_id"), col("embedding"), col("nrm"),
+      .select(col("vec_id"),
         posexplode(graft.expressions.HyperplaneSigs(
           col("embedding"), nBits, nTables)).as(Seq("tb", "bucket")))
-    val a = buckets.select(col("tb"), col("bucket"),
-      col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
-    val b = buckets.select(col("tb"), col("bucket"),
-      col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(b, Seq("tb", "bucket")).filter(col("a") < col("b"))
+    val pairIds = buckets.select(col("tb"), col("bucket"),
+        col("vec_id").as("a"))
+      .join(buckets.select(col("tb"), col("bucket"), col("vec_id").as("b")),
+        Seq("tb", "bucket"))
+      .filter(col("a") < col("b"))
       // dedup pairs surfaced by several tables BEFORE scoring: one
       // shuffle on (a,b), each survivor scored exactly once
-      .groupBy(col("a"), col("b"))
-      .agg(first(col("ea")).as("ea"), first(col("eb")).as("eb"),
-        first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .select("a", "b").distinct()
+    // equi-join the vectors back per side (n-row shuffles of the
+    // embedding relation, candidate-count-independent) and score once
+    pairIds
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea"),
+        col("nrm").as("na")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), Seq("b"))
       .withColumn("score", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .select("a", "b", "score")
   }
