@@ -63,6 +63,20 @@ object SparkEntry {
       SELECT id, name, city, bal, dt, $oAudit
       FROM f ORDER BY dt, id"""
 
+  /** Shared oracle for the batch upsert and its true-streaming twin:
+    * three fixture batches merged on (id, dt), whichever engine path
+    * landed them. */
+  private lazy val upsertOracle = s"""
+      WITH a AS (${ocsv("customers_20240628.csv", "2024-06-28")}),
+      b AS (${ocsv("customers_r2_20240628.csv", "2024-06-28")}),
+      c AS (${ocsv("customers_20240629.csv", "2024-06-29")}),
+      m1 AS (SELECT * FROM a ANTI JOIN b USING (id, dt)
+             UNION ALL SELECT * FROM b),
+      m2 AS (SELECT * FROM m1 ANTI JOIN c USING (id, dt)
+             UNION ALL SELECT * FROM c)
+      SELECT id, name, city, bal, dt, $oAudit
+      FROM m2 ORDER BY dt, id"""
+
   val registry: Seq[(String, Q)] = Seq(
     "ingest_append" -> Q(Ingest.ingestAppend, Some(s"""
       WITH f AS (
@@ -79,16 +93,7 @@ object SparkEntry {
         header=true, all_varchar=true)
       ORDER BY id""")),
 
-    "ingest_upsert" -> Q(Ingest.ingestUpsert, Some(s"""
-      WITH a AS (${ocsv("customers_20240628.csv", "2024-06-28")}),
-      b AS (${ocsv("customers_r2_20240628.csv", "2024-06-28")}),
-      c AS (${ocsv("customers_20240629.csv", "2024-06-29")}),
-      m1 AS (SELECT * FROM a ANTI JOIN b USING (id, dt)
-             UNION ALL SELECT * FROM b),
-      m2 AS (SELECT * FROM m1 ANTI JOIN c USING (id, dt)
-             UNION ALL SELECT * FROM c)
-      SELECT id, name, city, bal, dt, $oAudit
-      FROM m2 ORDER BY dt, id""")),
+    "ingest_upsert" -> Q(Ingest.ingestUpsert, Some(upsertOracle)),
 
     // S2 hard mode: RFC-4180 doubled quotes, delimiters and NEWLINES
     // inside quoted fields, 3,000 rows — both engines parse the same
@@ -123,18 +128,9 @@ object SparkEntry {
     // True-streaming twin of ingest_upsert: the same three files land in
     // a WATCHED dir against a running StreamingQuery (one micro-batch
     // each, foreachBatch -> the batch merge), so the gate itself
-    // exercises writeStream + checkpointed file discovery. Same oracle
-    // as ingest_upsert — the claim is byte-identical curated contents.
-    "ingest_stream" -> Q(Ingest.ingestStream, Some(s"""
-      WITH a AS (${ocsv("customers_20240628.csv", "2024-06-28")}),
-      b AS (${ocsv("customers_r2_20240628.csv", "2024-06-28")}),
-      c AS (${ocsv("customers_20240629.csv", "2024-06-29")}),
-      m1 AS (SELECT * FROM a ANTI JOIN b USING (id, dt)
-             UNION ALL SELECT * FROM b),
-      m2 AS (SELECT * FROM m1 ANTI JOIN c USING (id, dt)
-             UNION ALL SELECT * FROM c)
-      SELECT id, name, city, bal, dt, $oAudit
-      FROM m2 ORDER BY dt, id""")),
+    // exercises writeStream + checkpointed file discovery. Shares the
+    // SAME oracle value — the claim is byte-identical curated contents.
+    "ingest_stream" -> Q(Ingest.ingestStream, Some(upsertOracle)),
 
     "q1_pricing_summary" -> Q(Analytics.q1PricingSummary, Some(s"""
       SELECT l_returnflag, l_linestatus,

@@ -307,18 +307,24 @@ object Dedup {
     * engine's lake layout: loads write new partitions, never rewrite a
     * read path mid-session); [[clearPairsMemo]] resets after external
     * changes — the scale-stress harness clears between timed runs so
-    * SCALE_NOTES measures the full pipeline, not a memo hit. Keyed by
-    * session identity so a new session never sees another's RDDs. */
-  private val pairsMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, Int, Int, Int), DataFrame]()
+    * SCALE_NOTES measures the full pipeline, not a memo hit. The outer
+    * map is WEAK-keyed by the session OBJECT: a stopped, dereferenced
+    * session's entries (whose checkpointed RDDs died with its context)
+    * are collected rather than pinned forever or — under an identity-
+    * hash collision — served to an unrelated new session. */
+  private val pairsMemo = new java.util.WeakHashMap[
+    SparkSession, collection.mutable.Map[(String, Int, Int), DataFrame]]()
 
-  def clearPairsMemo(): Unit = pairsMemo.clear()
+  def clearPairsMemo(): Unit = pairsMemo.synchronized { pairsMemo.clear() }
 
   def nearDupPairsCached(spark: SparkSession, dir: String,
       nBands: Int = 8, minBands: Int = 4): DataFrame =
-    pairsMemo.computeIfAbsent(
-      (System.identityHashCode(spark), dir, nBands, minBands, 0),
-      _ => nearDupPairs(spark, dir, nBands, minBands).localCheckpoint())
+    pairsMemo.synchronized {
+      pairsMemo.computeIfAbsent(spark,
+          _ => collection.mutable.Map.empty[(String, Int, Int), DataFrame])
+        .getOrElseUpdate((dir, nBands, minBands),
+          nearDupPairs(spark, dir, nBands, minBands).localCheckpoint())
+    }
 
   /** Candidate near-duplicate pairs: distinct (a < b) doc pairs sharing
     * a band bucket, kept when they agree on ≥ minBands of the bands.

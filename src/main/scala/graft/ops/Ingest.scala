@@ -35,10 +35,17 @@ object Ingest {
   val Clock: Timestamp =
     Timestamp.from(java.time.Instant.parse("2024-07-01T00:00:00Z"))
 
+  /** Scratch base for a named run — single source of truth for what
+    * [[freshLayout]] wipes, so callers placing extra state next to the
+    * lake (watch dir, stream checkpoint) are guaranteed to live inside
+    * the cleaned tree. */
+  private def scratchBase(name: String): String =
+    s"/root/repo/target/ingest/$name"
+
   /** Fresh scratch lake per invocation so queries are idempotent across
     * warmup/timed/verify runs. Lives under the repo's build scratch. */
   private def freshLayout(name: String): LakeLayout = {
-    val base = Paths.get(s"/root/repo/target/ingest/$name")
+    val base = Paths.get(scratchBase(name))
     if (Files.exists(base)) {
       Files.walk(base).sorted(Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(p => Files.delete(p))
@@ -203,12 +210,21 @@ object Ingest {
     * checkpointed file discovery, and the per-micro-batch merge. */
   def ingestStream(spark: SparkSession, dir: String): DataFrame = {
     val layout = freshLayout("ingest_stream")
-    val base = s"/root/repo/target/ingest/ingest_stream"
+    val base = scratchBase("ingest_stream")
     val watch = s"$base/inbound"
     Files.createDirectories(Paths.get(watch))
     val cfg = TableConfig.fromFile(config("customers_upsert"))
+    // ATOMIC placement: the file source lists the watch dir continuously
+    // (ProcessingTime(0)), so a plain copy could be listed — and its
+    // offset checkpointed — mid-write, permanently ingesting a truncated
+    // CSV. Stage the copy outside the watch dir, then move it in
+    // atomically (same filesystem), the documented file-source contract.
     def land(file: String): Unit = {
-      Files.copy(Paths.get(inbound(file)), Paths.get(s"$watch/$file"))
+      val tmp = Paths.get(s"$base/.staging_$file")
+      Files.copy(Paths.get(inbound(file)), tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.move(tmp, Paths.get(s"$watch/$file"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       ()
     }
     land("customers_20240628.csv") // present before start: schema + batch 1

@@ -112,6 +112,10 @@ object Similarity {
       .filter(col("score") > threshold)
       .orderBy("a", "b")
 
+  /** Precondition: `vec_id` is unique (it is the vector's key, as in
+    * the testdata) — the id-only pair dedup + join-back relies on it;
+    * duplicate ids would multiply pair rows where the payload-carrying
+    * form collapsed them with first(). */
   def lshCandidates(spark: SparkSession, dir: String, nBits: Int = 8,
       nTables: Int = 8): DataFrame = {
     val emb = fanOut(t(spark, dir, "embeddings"))

@@ -23,8 +23,9 @@ import graft.ops.{CorpusStats, Dedup, QualitySignals, Similarity,
   * Embedding corpus construction ([[buildEmbeddingCorpus]]) follows the
   * same principle with vector arithmetic — see its doc.
   *
-  * Usage: `runMain graft.tools.ScaleStress [docs|emb|all] [scales...]`
-  * (default `all 1 3 10`); corpora are cached under target/scale/. */
+  * Usage: `runMain graft.tools.ScaleStress [docs|emb|tpch|all]
+  * [scales...]` (default `all 1 3 10`); corpora are cached under
+  * target/scale/. */
 object ScaleStress {
 
   /** Deterministic per-copy ±1 sign flip of every element — the
@@ -131,6 +132,8 @@ object ScaleStress {
       case Some(f) if !f.forall(_.isDigit) => (f, args.drop(1))
       case _ => ("all", args)
     }
+    require(Set("docs", "emb", "tpch", "all")(family),
+      s"unknown family '$family' — expected docs|emb|tpch|all")
     val scales =
       if (scaleArgs.nonEmpty) scaleArgs.map(_.toInt).toSeq else Seq(1, 3, 10)
     val src = "/root/testdata/sf0.1"
@@ -208,17 +211,25 @@ object ScaleStress {
           name -> ((d: String) => q.fn(spark, d).count())
       }
 
-    val ops = (if (runDocs) docOps else Nil) ++
-      (if (runEmb) embOps else Nil) ++ (if (runTpch) tpchOps else Nil)
-    val countTable = if (runDocs) "documents"
-      else if (runEmb) "embeddings" else "lineitem"
+    // each op carries its family's input table so rows_in is right even
+    // under family=all (a single shared count table would report the
+    // documents count against embedding/TPC-H rows)
+    val ops: Seq[(String, String, String => Long)] =
+      (if (runDocs) docOps.map { case (n, f) => (n, "documents", f) }
+       else Nil) ++
+      (if (runEmb) embOps.map { case (n, f) => (n, "embeddings", f) }
+       else Nil) ++
+      (if (runTpch) tpchOps.map { case (n, f) => (n, "lineitem", f) }
+       else Nil)
+    val rowsInCache = collection.mutable.Map.empty[(String, String), Long]
 
     println(f"${"op"}%-18s ${"scale"}%5s ${"rows_in"}%8s ${"rows"}%8s ${"sec"}%8s")
     val results = for {
       n <- scales
       dir = corpusDir(n)
-      rowsIn = Tables.t(spark, dir, countTable).count()
-      (name, fn) <- ops
+      (name, countTable, fn) <- ops
+      rowsIn = rowsInCache.getOrElseUpdate((dir, countTable),
+        Tables.t(spark, dir, countTable).count())
     } yield {
       fn(dir) // warmup (codegen + shuffle files)
       val timed = (1 to 2).map { _ =>
