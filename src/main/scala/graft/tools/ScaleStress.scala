@@ -171,7 +171,8 @@ object ScaleStress {
         Dedup.clearPairsMemo(); Dedup.ngramJaccard(spark, d).count() }),
       "dedup_groups" -> (d => {
         Dedup.clearPairsMemo(); Dedup.dedupGroups(spark, d).count() }),
-      "clean_corpus" -> (d => TextAnalysis.cleanCorpus(spark, d).count()),
+      "clean_corpus" -> (d => {
+        Dedup.clearPairsMemo(); TextAnalysis.cleanCorpus(spark, d).count() }),
       "kmv_distinct" -> (d => CorpusStats.kmvDistinct(spark, d).count()),
       "tfidf_top_terms" -> (d => CorpusStats.tfidfTopTerms(spark, d).count()),
       "inverted_index" -> (d => CorpusStats.invertedIndex(spark, d).count()),
