@@ -256,7 +256,11 @@ object ScaleStress {
     // pair recall against the O(n²) twin at the same 0.8 threshold, and
     // IVF top-k recall against brute force with the same query set.
     if (runEmb) {
-      println(f"${"scale"}%5s ${"lsh_recall"}%11s ${"ivf_recall"}%11s ${"true_pairs"}%11s")
+      // ivf_scaled probes nProbe = 2·scale cells — constant probed MASS
+      // (2/5 of cells at every scale, since this corpus grows nCells
+      // with n): demonstrates recall is the nProbe knob's arithmetic,
+      // not a scale defect of the operator.
+      println(f"${"scale"}%5s ${"lsh_recall"}%11s ${"ivf_recall"}%11s ${"ivf_scaled"}%11s ${"true_pairs"}%11s")
       scales.foreach { n =>
         val dir = corpusDir(n)
         val exact = Similarity.cosinePairs(spark, dir, threshold = 0.8)
@@ -267,14 +271,16 @@ object ScaleStress {
         val brute = Similarity.cosineTopK(spark, dir)
           .select("q_id", "vec_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-        val ivf = Similarity.ivfTopK(spark, dir)
+        def ivfSet(nProbe: Int) = Similarity.ivfTopK(spark, dir, nProbe = nProbe)
           .select("q_id", "vec_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val ivf = ivfSet(2)
+        val ivfScaled = ivfSet(2 * n)
         val lshR = if (exact.isEmpty) 1.0
           else exact.count(lsh.contains).toDouble / exact.size
-        val ivfR = if (brute.isEmpty) 1.0
-          else brute.count(ivf.contains).toDouble / brute.size
-        println(f"$n%5d $lshR%11.3f $ivfR%11.3f ${exact.size}%11d")
+        def recall(s: Set[(Long, Long)]) = if (brute.isEmpty) 1.0
+          else brute.count(s.contains).toDouble / brute.size
+        println(f"$n%5d $lshR%11.3f ${recall(ivf)}%11.3f ${recall(ivfScaled)}%11.3f ${exact.size}%11d")
       }
     }
     spark.stop()
