@@ -1261,6 +1261,37 @@ object SparkEntry {
       SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, score
       FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""")),
 
+    // BM25-shaped retrieval (raw Lucene idf argument — no ln, which is
+    // not bit-identical cross-engine; tf saturation + length norm are
+    // standard k1=1.2, b=0.75). Both engines build the identical
+    // arithmetic tree per factor, and the per-doc sum goes through
+    // decimal so partition order can't change the hash.
+    "bm25_search" -> Q((s, d) => CorpusStats.bm25Search(s, d), Some("""
+      WITH tok AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      d AS (SELECT doc_id, len(w) AS dl, w FROM tok),
+      stats AS (SELECT count(*) AS n_docs,
+          CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
+      terms AS (SELECT doc_id, dl, u.term FROM d, unnest(w) AS u(term)
+        WHERE u.term IN ('join', 'window', 'dup')),
+      tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        FROM terms GROUP BY 1, 2, 3),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      scored AS (SELECT tf.doc_id,
+          ((CAST(n_docs - df AS DOUBLE) + 0.5) /
+            (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+          ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+            (CAST(tf AS DOUBLE) +
+              1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+          AS term_score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+      SELECT doc_id, count(*) AS n_matched,
+        CAST(CAST(sum(CAST(term_score AS DECIMAL(30,8))) AS VARCHAR)
+          AS DOUBLE) AS score
+      FROM scored GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""")),
+
     "inverted_index" -> Q((s, d) => CorpusStats.invertedIndex(s, d), Some("""
       WITH postings AS (SELECT DISTINCT doc_id,
           unnest(list_filter(string_split_regex(lower(text), '\s+'),

@@ -124,6 +124,55 @@ object CorpusStats {
       .orderBy("term")
   }
 
+  /** BM25-shaped retrieval over the corpus — the retrieval primitive a
+    * training-data pipeline runs for decontamination-by-retrieval and
+    * targeted corpus search. Classic Okapi BM25 with ONE deliberate
+    * change, following [[tfidfTopTerms]]: the idf log damping is
+    * omitted (`ln` is not guaranteed bit-identical across engines,
+    * while integer-derived double arithmetic is) — idf here is the raw
+    * Lucene idf argument `(N - df + 0.5)/(df + 0.5) + 1`, which ranks
+    * more aggressively toward rare terms; tf saturation and length
+    * normalization (`k1`, `b`) are standard.
+    *
+    * Scale shape: the exploded (doc, term) stream is filtered to the
+    * QUERY'S terms before any aggregation, so the tf groupBy touches
+    * query-term postings only — never the vocabulary; df is a
+    * query-term-sized aggregate; N/avgdl is a broadcast 1-row
+    * aggregate; the final top-k is a TakeOrderedAndProject (no global
+    * sort). Per-doc scores sum the per-term doubles in decimal
+    * ([[graft.util.Tables.dsum]]) so partition order can't change the
+    * result. The registered oracle inlines the default constants —
+    * keep them in sync when changing defaults. */
+  def bm25Search(spark: SparkSession, dir: String,
+      query: Seq[String] = Seq("join", "window", "dup"),
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    import graft.util.Tables.dsum
+    val docs = fanOut(t(spark, dir, "documents"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+      .withColumn("dl", size(col("w")))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val terms = docs
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .filter(col("term").isin(query: _*))
+    val tf = terms.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0)
+    val tfd = col("tf").cast("double")
+    val tfpart = (tfd * lit(k1 + 1.0)) /
+      (tfd + lit(k1) * (lit(1.0 - b) +
+        lit(b) * (col("dl").cast("double") / col("avgdl"))))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", idf * tfpart)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"), dsum(col("term_score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Per-document bigram novelty: what fraction of a doc's distinct
     * word bigrams appear in NO other document (`novelty`), and how
     * common its bigrams are on average (`mean_df`) — the cheap

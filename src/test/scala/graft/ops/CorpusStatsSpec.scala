@@ -83,4 +83,33 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(byId(3L) == ((0.0, 2.0)))
     assert(!byId.contains(4L))
   }
+
+  test("bm25 ranks rare-term docs first and matches a hand-computed score") {
+    import spark.implicits._
+    // rare term 'zebra' (df=1) must outrank the common 'shared' (df=3)
+    // despite lower tf; doc 4 matches nothing and must not appear
+    val docs = Seq(
+      (1L, "zebra shared alpha beta", "en", "s", 1),
+      (2L, "shared shared shared gamma", "en", "s", 1),
+      (3L, "shared delta epsilon eta theta iota", "en", "s", 1),
+      (4L, "unrelated words only here", "en", "s", 1))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-bm25-${System.nanoTime()}"
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = CorpusStats.bm25Search(spark, dir,
+        query = Seq("zebra", "shared"), topK = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L)) // rank order
+    assert(!out.exists(_._1 == 4L))
+    assert(out.find(_._1 == 1L).get._2 == 2L) // doc 1 matches both terms
+    // hand-computed doc 2 score: only 'shared' (tf=3, df=3, N=4,
+    // dl=4, avgdl=(4+4+6+4)/4=4.5), raw idf=(4-3+0.5)/(3+0.5)+1,
+    // sat=(3*2.2)/(3+1.2*(0.25+0.75*4/4.5)); dsum rounds to 8dp
+    val idf = (4 - 3 + 0.5) / (3 + 0.5) + 1.0
+    val sat = (3 * (1.2 + 1.0)) / (3 + 1.2 * (0.25 + 0.75 * (4 / 4.5)))
+    val expect = BigDecimal(idf * sat)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out.find(_._1 == 2L).get._3 - expect) < 1e-9,
+      s"${out.toSeq} vs $expect")
+  }
 }
