@@ -165,6 +165,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizer folds FULL-microsecond event times (sub-ms boundary)") {
+    import spark.implicits._
+    // Two events 30min + 501µs apart: a millisecond-truncated fold sees
+    // exactly 30min (<= gap, one merged session); the micros fold must
+    // SPLIT them — and the emitted boundaries must carry the µs digits.
+    val t1 = ts("2024-01-01T10:00:00.000123Z")
+    val t2 = ts("2024-01-01T10:30:00.000624Z")
+    val input = MemoryStream[StreamingOps.SessEvent](spark)
+    val q = StreamingOps.sessionizeWithTimeout(input.toDS())
+      .writeStream.format("memory").queryName("fmgws_subms")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        StreamingOps.SessEvent(1L, t1, 1.0),
+        StreamingOps.SessEvent(1L, t2, 2.0)))
+      q.processAllAvailable()
+      input.addData(Seq(StreamingOps.SessEvent(9L,
+        ts("2024-01-02T12:00:00Z"), 0.0))) // advance watermark past both
+      q.processAllAvailable()
+      val sessions = spark.table("fmgws_subms")
+        .filter(col("user_id") === 1L)
+        .as[StreamingOps.ClosedSession].collect().toSet
+      assert(sessions == Set(
+        StreamingOps.ClosedSession(1L, 1704103200000123L,
+          1704103200000123L, 1L, 1.0),
+        StreamingOps.ClosedSession(1L, 1704105000000624L,
+          1704105000000624L, 1L, 2.0)), sessions.toString)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState closes a session mid-stream when the gap passes") {
     import spark.implicits._
     val input = MemoryStream[StreamingOps.SessEvent](spark)
