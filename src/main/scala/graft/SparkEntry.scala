@@ -424,6 +424,33 @@ object SparkEntry {
         count(*) AS n_events
       FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // Salted join: the oracle is the PLAIN join against the same
+    // literal weights dim — the salting contract is exact result
+    // equivalence, whatever the key distribution.
+    "skew_join" -> Q((s, d) => Analytics.skewJoin(s, d), Some(s"""
+      WITH w(event_type, weight) AS (VALUES
+        ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+        ('signup', 5.0), ('error', 0.0))
+      SELECT e.event_type,
+        ${osum("e.value * w.weight")} AS weighted_value,
+        count(*) AS n_events
+      FROM events e JOIN w ON e.event_type = w.event_type
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Bloom-filter semi-join reduction: the oracle is the PLAIN
+    // region-filtered supplier join — bloom pre-filtering must be
+    // lossless (no false negatives; false positives die in the join).
+    "bloom_join" -> Q(JoinReduction.bloomJoin, Some(s"""
+      SELECT n.n_name,
+        ${osum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue,
+        count(*) AS n_lines
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY 1 ORDER BY 1""")),
+
     // Format roundtrips: write orders through ORC / JSON-lines, read
     // back, aggregate; oracle aggregates the ORIGINAL parquet — green
     // means the format path preserved content exactly.
@@ -1076,6 +1103,11 @@ object SparkEntry {
       UNION ALL
       SELECT l_returnflag, 'disc' AS metric, disc AS value FROM w
       ORDER BY l_returnflag, metric""")),
+
+    // Approx-percentile twin: rows-only (sketch internals differ
+    // across engines); ReshapeSpec bounds each estimate against the
+    // exact twin and pins min/max/count exact.
+    "percentiles_approx" -> Q((s, d) => Reshape.percentilesApprox(s, d), None),
 
     "percentiles" -> Q(Reshape.percentiles, Some("""
       SELECT l_returnflag,

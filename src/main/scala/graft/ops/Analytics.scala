@@ -592,4 +592,32 @@ object Analytics {
         sum(col("pn")).as("n_events")))
       .orderBy("event_type")
   }
+
+  /** Salted shuffle join (Skew.saltedJoin) registered end-to-end: the
+    * big side's rows get a content-derived salt, the small side is
+    * replicated once per salt, and the join runs on (key, salt) — a
+    * hot key's rows land on nSalts reducers instead of one. The
+    * fixture's event types are near-uniform (SkewSpec exercises the
+    * skewed case on synthetic data); what the oracle pins is the
+    * salting CONTRACT — the salted join's result is exactly the plain
+    * join's, so the mitigation can be dropped into any hot-key join
+    * without changing answers. The small side here is a 5-row literal
+    * weights dim, the worst case for replication cost (×nSalts of
+    * almost nothing). */
+  def skewJoin(spark: SparkSession, dir: String, nSalts: Int = 16): DataFrame = {
+    import spark.implicits._
+    val weights = Seq(
+      ("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+      ("signup", 5.0), ("error", 0.0))
+      .toDF("event_type", "weight")
+    val events = t(spark, dir, "events")
+      .select(col("event_type"), col("value"))
+    graft.util.Skew.saltedJoin(events, weights,
+        keys = Seq("event_type"), nSalts = nSalts)
+      .groupBy(col("event_type"))
+      .agg(
+        dsum(col("value") * col("weight")).as("weighted_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -48,6 +48,28 @@ object Reshape {
       .orderBy("l_returnflag", "metric")
   }
 
+  /** Approximate-percentile twin of [[percentiles]] — the shape that
+    * survives 100 TB. Exact percentiles hold every group's values as
+    * sort state; `approx_percentile` keeps a fixed-size mergeable
+    * KLL-style sketch per group (error ≤ 1/accuracy quantile units),
+    * so aggregate state is O(groups·accuracy) regardless of row count.
+    * Registered rows-only (sketch internals differ across engines);
+    * ReshapeSpec bounds it against the exact twin: min/max/count are
+    * exact, each percentile within the sketch's rank-error of the
+    * exact value on sf0.1. */
+  def percentilesApprox(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_percentile(col("l_quantity"), lit(0.5), lit(accuracy)).as("p50"),
+        approx_percentile(col("l_quantity"), lit(0.9), lit(accuracy)).as("p90"),
+        approx_percentile(col("l_quantity"), lit(0.99), lit(accuracy)).as("p99"),
+        min(col("l_quantity")).as("q_min"),
+        max(col("l_quantity")).as("q_max"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** Exact interpolated percentiles of l_quantity per return flag.
     * l_quantity is integer-valued, so the interpolation lands on exact
     * quarter/hundredth fractions representable in double — bit-identical

@@ -46,6 +46,28 @@ class ReshapeSpec extends AnyFunSuite {
       }
   }
 
+  test("percentilesApprox tracks the exact twin at sf0.1") {
+    import spark.implicits._
+    val big = "/root/testdata/sf0.1"
+    def byFlag(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Double, Double, Double, Double, Double, Long)]
+        .collect().map(r => r._1 -> r).toMap
+    val exact = byFlag(Reshape.percentiles(spark, big))
+    val approx = byFlag(Reshape.percentilesApprox(spark, big))
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (f, (_, e50, e90, e99, emn, emx, en)) =>
+      val (_, a50, a90, a99, amn, amx, an) = approx(f)
+      // min/max/count are computed exactly in both plans
+      assert(amn == emn && amx == emx && an == en, f)
+      // l_quantity is integer-valued in [1,50]: the sketch returns a
+      // data value within its rank error, the exact twin interpolates —
+      // they agree to within one quantity unit at accuracy=10000.
+      Seq((a50, e50), (a90, e90), (a99, e99)).foreach { case (a, e) =>
+        assert(math.abs(a - e) <= 1.0, s"$f: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("stratified sample is deterministic and near the configured rates") {
     import spark.implicits._
     val s1 = Reshape.sampleStratified(spark, dir)
