@@ -437,6 +437,39 @@ object SparkEntry {
       FROM events e JOIN w ON e.event_type = w.event_type
       GROUP BY 1 ORDER BY 1""")),
 
+    // Dynamic partition pruning: the Spark side reads a
+    // dt-partitioned store through a join whose partition list exists
+    // only in the dim's rows (LayoutSpec pins the dynamicpruning
+    // partition filter); the oracle runs the same semi-join on the
+    // raw table — green proves the pruned scan lost nothing.
+    "dpp_scan" -> Q(Layout.dppScan, Some(s"""
+      WITH hot AS (
+        SELECT dt FROM (
+          SELECT CAST(ts AS DATE) AS dt, ${osum("value")} AS revenue
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY 1 ORDER BY revenue DESC, dt LIMIT 3)
+        WHERE revenue > 0)
+      SELECT strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS day,
+        count(*) AS n_events, ${osum("e.value")} AS sum_value,
+        count(DISTINCT e.user_id) AS n_users
+      FROM events e JOIN hot ON CAST(e.ts AS DATE) = hot.dt
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Z-order clustered box scan: the Spark side prunes the
+    // z-clustered store to the quadtree cells the box intersects
+    // (LayoutSpec pins <=6 of 16 cells read); the oracle is the plain
+    // 2-D box WHERE on the raw table.
+    "zorder_box" -> Q(Layout.zorderBox, Some(s"""
+      WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0,
+        min(user_id) AS umin, max(user_id) AS umax FROM events)
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        count(*) AS n_events, ${osum("value")} AS sum_value
+      FROM events, b
+      WHERE user_id BETWEEN b.umin + (b.umax - b.umin + 1) // 4
+          AND b.umin + (b.umax - b.umin + 1) // 2 - 1
+        AND CAST(ts AS DATE) BETWEEN b.d0 + 9 AND b.d0 + 18
+      GROUP BY 1 ORDER BY 1""")),
+
     // Bloom-filter semi-join reduction: the oracle is the PLAIN
     // region-filtered supplier join — bloom pre-filtering must be
     // lossless (no false negatives; false positives die in the join).
