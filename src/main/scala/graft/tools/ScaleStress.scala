@@ -113,6 +113,25 @@ object ScaleStress {
     }
   }
 
+  /** n× events: per-copy event_id/user_id offsets (more users, same
+    * 30-day span — traffic grows per day, the realistic shape for the
+    * layout operators: dt-partition COUNT stays fixed while rows per
+    * partition scale; the z-order user quartile box keeps selecting
+    * ~25% of users at every scale). ts is written as an epoch-NANOS
+    * long so [[Tables.t]] reads the corpus exactly like the driver
+    * testdata. */
+  private def buildEventsCorpus(spark: SparkSession, srcDir: String,
+      out: String, n: Int): Unit = {
+    val base = Tables.t(spark, srcDir, "events")
+    (0 until n).map { c =>
+      base
+        .withColumn("event_id", col("event_id") + lit(c * 1000000000L))
+        .withColumn("user_id", col("user_id") + lit(c * 1000000L))
+    }.reduce(_ unionByName _)
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+  }
+
   private def buildDocCorpus(spark: SparkSession, srcDir: String,
       out: String, n: Int): Unit = {
     val base = Tables.t(spark, srcDir, "documents")
@@ -132,8 +151,8 @@ object ScaleStress {
       case Some(f) if !f.forall(_.isDigit) => (f, args.drop(1))
       case _ => ("all", args)
     }
-    require(Set("docs", "emb", "tpch", "all")(family),
-      s"unknown family '$family' — expected docs|emb|tpch|all")
+    require(Set("docs", "emb", "tpch", "events", "all")(family),
+      s"unknown family '$family' — expected docs|emb|tpch|events|all")
     val scales =
       if (scaleArgs.nonEmpty) scaleArgs.map(_.toInt).toSeq else Seq(1, 3, 10)
     val src = "/root/testdata/sf0.1"
@@ -145,6 +164,7 @@ object ScaleStress {
     val runDocs = family == "docs" || family == "all"
     val runEmb = family == "emb" || family == "all"
     val runTpch = family == "tpch" || family == "all"
+    val runEvents = family == "events" || family == "all"
 
     def corpusDir(n: Int) = s"/root/repo/target/scale/x$n"
     // _SUCCESS marker, not the dir: a partially-written corpus from a
@@ -159,6 +179,8 @@ object ScaleStress {
         buildEmbeddingCorpus(spark, src, out, n)
       if (runTpch && !ready(s"$out/lineitem.parquet"))
         buildTpchCorpus(spark, src, out, n)
+      if (runEvents && !ready(s"$out/events.parquet"))
+        buildEventsCorpus(spark, src, out, n)
     }
 
     // clearPairsMemo before every pair-consumer run: the session memo
@@ -208,20 +230,37 @@ object ScaleStress {
     // threshold flips and AQE plan changes only show at 10×
     val tpchOps: Seq[(String, String => Long)] =
       graft.SparkEntry.registry.collect {
-        case (name, q) if name.matches("q\\d+.*") =>
+        case (name, q) if name.matches("q\\d+.*") ||
+            Set("bloom_join", "percentiles", "percentiles_approx")(name) =>
           name -> ((d: String) => q.fn(spark, d).count())
+      }
+
+    // layout + skew queries over the scaled events corpus, verbatim
+    // from the registry (store writes are memoized per corpus dir, so
+    // the warmup pass pays the layout write and the timed passes
+    // measure the pruned reads — same accounting as bucketed_join)
+    val eventsOps: Seq[(String, String => Long)] =
+      Seq("skew_join", "dpp_scan", "zorder_box").map { name =>
+        val fn = graft.SparkEntry.queries(name)
+        name -> ((d: String) => fn(spark, d).count())
       }
 
     // each op carries its family's input table so rows_in is right even
     // under family=all (a single shared count table would report the
     // documents count against embedding/TPC-H rows)
+    // optional name filter: SPARK_GRAFT_OPS=a,b,c runs only those ops
+    val opFilter = sys.env.get("SPARK_GRAFT_OPS")
+      .map(_.split(",").map(_.trim).toSet)
     val ops: Seq[(String, String, String => Long)] =
-      (if (runDocs) docOps.map { case (n, f) => (n, "documents", f) }
-       else Nil) ++
-      (if (runEmb) embOps.map { case (n, f) => (n, "embeddings", f) }
-       else Nil) ++
-      (if (runTpch) tpchOps.map { case (n, f) => (n, "lineitem", f) }
-       else Nil)
+      ((if (runDocs) docOps.map { case (n, f) => (n, "documents", f) }
+        else Nil) ++
+       (if (runEmb) embOps.map { case (n, f) => (n, "embeddings", f) }
+        else Nil) ++
+       (if (runTpch) tpchOps.map { case (n, f) => (n, "lineitem", f) }
+        else Nil) ++
+       (if (runEvents) eventsOps.map { case (n, f) => (n, "events", f) }
+        else Nil))
+        .filter { case (n, _, _) => opFilter.forall(_.contains(n)) }
     val rowsInCache = collection.mutable.Map.empty[(String, String), Long]
 
     println(f"${"op"}%-18s ${"scale"}%5s ${"rows_in"}%8s ${"rows"}%8s ${"sec"}%8s")
