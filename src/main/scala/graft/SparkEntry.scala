@@ -865,6 +865,18 @@ object SparkEntry {
     // recomputation in SimilaritySpec.
     "centroid_udaf" -> Q(Similarity.centroidByLabelFlat, None),
 
+    // Sketch-guided exact heavy hitters: the oracle is the plain
+    // HAVING-threshold count — the CMS candidate pass must be
+    // output-invisible (no false negatives by construction).
+    "heavy_hitters" -> Q((s, d) => CorpusStats.heavyHitters(s, d), Some("""
+      WITH tok AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+          x -> x <> '')) AS word FROM documents),
+      tot AS (SELECT count(*) AS n FROM tok)
+      SELECT word, count(*) AS n FROM tok GROUP BY 1
+      HAVING count(*) > (SELECT n // 1000 FROM tot)
+      ORDER BY n DESC, word""")),
+
     "word_freq" -> Q((s, d) => TextAnalysis.wordFreq(s, d), Some("""
       SELECT word, count(*) AS n FROM (
         SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),

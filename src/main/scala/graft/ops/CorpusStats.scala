@@ -200,4 +200,44 @@ object CorpusStats {
           .as("mean_df"))
       .orderBy("doc_id")
   }
+
+  /** Sketch-guided EXACT heavy hitters: tokens with support
+    * > total/`supportDiv`. Pass 1 is a shuffle-free aggregate (a
+    * count-min sketch merges associatively map-side, plus the exact
+    * token total); pass 2 probes the broadcast sketch BEFORE the
+    * groupBy, so the exact-count shuffle carries only candidate
+    * tokens instead of the whole vocabulary — at 100 TB the long tail
+    * IS the vocabulary, and this is the difference between shuffling
+    * billions of distinct rare tokens and shuffling the handful of
+    * frequent ones. CMS never underestimates, so no true hitter is
+    * dropped (no false negatives); the exact count then discards the
+    * sketch's false positives — the registered result is EXACT and
+    * the DuckDB oracle pins it. CorpusStatsSpec proves the shuffle
+    * reduction on a synthetic long-tail vocabulary. */
+  def heavyHitters(spark: SparkSession, dir: String,
+      supportDiv: Long = 1000L): DataFrame = {
+    val tok = fanOut(t(spark, dir, "documents"))
+      .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+    heavyHittersOf(tok, supportDiv)
+  }
+
+  /** Core of [[heavyHitters]] over any single-column token frame —
+    * exposed for the long-tail spec. */
+  private[ops] def heavyHittersOf(tok: DataFrame,
+      supportDiv: Long): DataFrame = {
+    val spark = tok.sparkSession
+    val first = tok.agg(
+      expr("count_min_sketch(word, 0.001d, 0.99d, 42)").as("cms"),
+      count(lit(1)).as("total")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(first.getAs[Array[Byte]](0)))
+    val thr = first.getLong(1) / supportDiv
+    val bc = spark.sparkContext.broadcast(cms)
+    val maybeHitter = udf((w: String) => bc.value.estimateCount(w) > thr)
+    tok.filter(maybeHitter(col("word")))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > thr)
+      .orderBy(col("n").desc, col("word"))
+  }
 }

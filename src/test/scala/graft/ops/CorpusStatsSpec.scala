@@ -112,4 +112,37 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(math.abs(out.find(_._1 == 2L).get._3 - expect) < 1e-9,
       s"${out.toSeq} vs $expect")
   }
+
+  test("heavyHitters is exact and prunes a long-tail vocabulary " +
+      "before the shuffle") {
+    import spark.implicits._
+    // Synthetic corpus: 5 frequent words (1000 each) over a 20,000-word
+    // rare tail (1 each) — the 100 TB vocabulary shape in miniature.
+    val frequent = (1 to 5).flatMap(i => Seq.fill(1000)(s"hot$i"))
+    val tail = (1 to 20000).map(i => s"rare$i")
+    val tok = spark.sparkContext
+      .parallelize(scala.util.Random.shuffle(frequent ++ tail), 8)
+      .toDF("word")
+    // support 1/100 of 25,000 tokens = 250 → exactly the 5 hot words
+    val out = CorpusStats.heavyHittersOf(tok, supportDiv = 100L)
+      .as[(String, Long)].collect().toSeq
+    assert(out.map(_._1).sorted == (1 to 5).map(i => s"hot$i"),
+      out.toString)
+    assert(out.forall(_._2 == 1000L))
+    // The pruning claim: the CMS probe admits FAR fewer distinct words
+    // into the exact groupBy than the vocabulary holds. Bound the
+    // sketch's false-positive candidates: re-run the probe stage alone.
+    val first = tok.agg(
+      org.apache.spark.sql.functions.expr(
+        "count_min_sketch(word, 0.001d, 0.99d, 42)").as("cms"),
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("total")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(first.getAs[Array[Byte]](0)))
+    val thr = first.getLong(1) / 100L
+    val candidates = (frequent ++ tail).distinct
+      .count(w => cms.estimateCount(w) > thr)
+    assert(candidates < 100,
+      s"CMS admitted $candidates of 20,005 distinct words")
+  }
 }

@@ -50,6 +50,31 @@ class LayoutSpec extends AnyFunSuite {
       s"no z_cell partition filter in plan:\n$plan")
   }
 
+  test("selectCells never misses a cell containing an in-box point") {
+    // Property over random boxes on the 256×256 grid: every grid point
+    // inside the box must land in a selected cell — a false negative
+    // here would silently drop rows from the pruned scan.
+    val rnd = new scala.util.Random(42)
+    def cellOf(gx: Long, gy: Long): Int = {
+      val (qx, qy) = ((gx >> 6).toInt, (gy >> 6).toInt)
+      (qy >> 1) << 3 | (qx >> 1) << 2 | (qy & 1) << 1 | (qx & 1)
+    }
+    (1 to 200).foreach { _ =>
+      val (x1, x2) = (rnd.nextInt(256), rnd.nextInt(256))
+      val (y1, y2) = (rnd.nextInt(256), rnd.nextInt(256))
+      val (gxlo, gxhi) = (math.min(x1, x2).toLong, math.max(x1, x2).toLong)
+      val (gylo, gyhi) = (math.min(y1, y2).toLong, math.max(y1, y2).toLong)
+      val cells = Layout.selectCells(gxlo, gxhi, gylo, gyhi).toSet
+      (1 to 50).foreach { _ =>
+        val gx = gxlo + (rnd.nextLong().abs % (gxhi - gxlo + 1))
+        val gy = gylo + (rnd.nextLong().abs % (gyhi - gylo + 1))
+        assert(cells.contains(cellOf(gx, gy)),
+          s"point ($gx,$gy) of box [$gxlo,$gxhi]x[$gylo,$gyhi] " +
+            s"in cell ${cellOf(gx, gy)} not in $cells")
+      }
+    }
+  }
+
   test("zorderBox equals the raw-table box filter") {
     import spark.implicits._
     val clustered = Layout.zorderBox(spark, dir)
