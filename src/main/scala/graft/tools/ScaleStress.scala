@@ -195,6 +195,7 @@ object ScaleStress {
         Dedup.clearPairsMemo(); Dedup.dedupGroups(spark, d).count() }),
       "clean_corpus" -> (d => {
         Dedup.clearPairsMemo(); TextAnalysis.cleanCorpus(spark, d).count() }),
+      "heavy_hitters" -> (d => CorpusStats.heavyHitters(spark, d).count()),
       "kmv_distinct" -> (d => CorpusStats.kmvDistinct(spark, d).count()),
       "tfidf_top_terms" -> (d => CorpusStats.tfidfTopTerms(spark, d).count()),
       "inverted_index" -> (d => CorpusStats.invertedIndex(spark, d).count()),
