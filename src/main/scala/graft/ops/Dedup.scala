@@ -307,21 +307,25 @@ object Dedup {
     * engine's lake layout: loads write new partitions, never rewrite a
     * read path mid-session); [[clearPairsMemo]] resets after external
     * changes — the scale-stress harness clears between timed runs so
-    * SCALE_NOTES measures the full pipeline, not a memo hit. The outer
-    * map is WEAK-keyed by the session OBJECT: a stopped, dereferenced
-    * session's entries (whose checkpointed RDDs died with its context)
-    * are collected rather than pinned forever or — under an identity-
-    * hash collision — served to an unrelated new session. */
-  private val pairsMemo = new java.util.WeakHashMap[
-    SparkSession, collection.mutable.Map[(String, Int, Int), DataFrame]]()
+    * SCALE_NOTES measures the full pipeline, not a memo hit. Entries
+    * of STOPPED sessions (whose checkpointed RDDs died with the
+    * context) are evicted on every access: weak keying cannot do this
+    * — the memoized DataFrames strongly reference their own session
+    * (`df.sparkSession`), so a WeakHashMap's key would never become
+    * collectable and a long-lived JVM cycling sessions would pin one
+    * context's worth of state per session forever. */
+  private val pairsMemo = collection.mutable.Map.empty[
+    SparkSession, collection.mutable.Map[(String, Int, Int), DataFrame]]
 
   def clearPairsMemo(): Unit = pairsMemo.synchronized { pairsMemo.clear() }
 
   def nearDupPairsCached(spark: SparkSession, dir: String,
       nBands: Int = 8, minBands: Int = 4): DataFrame =
     pairsMemo.synchronized {
-      pairsMemo.computeIfAbsent(spark,
-          _ => collection.mutable.Map.empty[(String, Int, Int), DataFrame])
+      pairsMemo.filterInPlace((s, _) => !s.sparkContext.isStopped)
+      pairsMemo
+        .getOrElseUpdate(spark,
+          collection.mutable.Map.empty[(String, Int, Int), DataFrame])
         .getOrElseUpdate((dir, nBands, minBands),
           nearDupPairs(spark, dir, nBands, minBands).localCheckpoint())
     }
@@ -339,7 +343,8 @@ object Dedup {
     * pairs). */
   def nearDupPairs(spark: SparkSession, dir: String, nBands: Int = 8,
       minBands: Int = 4, maxBucket: Int = 0): DataFrame =
-    nearDupPairsFor(t(spark, dir, "documents"), nBands, minBands, maxBucket)
+    nearDupPairsFor(fanOut(t(spark, dir, "documents")), nBands, minBands,
+      maxBucket)
 
   /** Pair-generation variant over an arbitrary (doc_id, text) corpus. */
   def nearDupPairsFor(docs: DataFrame, nBands: Int = 8,

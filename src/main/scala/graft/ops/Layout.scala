@@ -38,14 +38,32 @@ object Layout {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Content fingerprint of the source table from the FILE LISTING
+    * (names, lengths, mtimes — no data scan, no Spark job). Embedded
+    * in every store path: the `target/` scratch outlives testdata
+    * refreshes, and a store laid out from a previous data generation
+    * must invalidate rather than silently serve stale rows. A listing
+    * fingerprint catches refreshes a row count or min/max bounds
+    * would miss (same-cardinality regeneration, shifted date spans). */
+  private def sourceTag(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).map(st =>
+      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+  }
+
   // ---------------------------------------------------------------
   // Dynamic partition pruning
   // ---------------------------------------------------------------
 
   /** Events re-laid-out partitioned by event date (30 directories).
-    * Returns the store path. */
+    * Returns the store path ([[sourceTag]]-keyed, self-invalidating). */
   private def eventsByDay(spark: SparkSession, dir: String): String = {
-    val out = s"$root/events_dt_${pathTag(dir)}"
+    val out = s"$root/events_dt_${pathTag(dir)}_${sourceTag(spark, dir)}"
     if (!exists(spark, out)) {
       t(spark, dir, "events")
         .withColumn("dt", to_date(col("ts")))
@@ -140,7 +158,10 @@ object Layout {
     * z-sorted within files. Written once per (session, dir). */
   private def eventsZOrdered(spark: SparkSession, dir: String,
       b: Bounds): String = {
-    val out = s"$root/events_z_${pathTag(dir)}"
+    // sourceTag covers the stored z16/z_cell validity too: bounds are
+    // a pure function of the data, so any refresh that could move them
+    // changes the listing fingerprint
+    val out = s"$root/events_z_${pathTag(dir)}_${sourceTag(spark, dir)}"
     if (!exists(spark, out)) {
       val gx = gridCoord(col("user_id") - lit(b.umin), b.umax - b.umin + 1)
       val gy = gridCoord(
@@ -194,7 +215,7 @@ object Layout {
     val b = bounds(spark, dir)
     val store = spark.read.parquet(eventsZOrdered(spark, dir, b))
     val (ulo, uhi) = boxU(b)
-    val cells = registeredCells(spark, dir)
+    val cells = cellsFor(b)
     val dt = to_date(col("ts"))
     store
       .filter(col("z_cell").isin(cells: _*))
@@ -206,10 +227,8 @@ object Layout {
       .orderBy(col("day"))
   }
 
-  /** The cell list the registered box prunes to (also the spec hook). */
-  private[ops] def registeredCells(spark: SparkSession,
-      dir: String): Seq[Int] = {
-    val b = bounds(spark, dir)
+  /** The cell list the registered box prunes to for these bounds. */
+  private def cellsFor(b: Bounds): Seq[Int] = {
     val uext = b.umax - b.umin + 1
     val (ulo, uhi) = boxU(b)
     selectCells(
@@ -218,4 +237,8 @@ object Layout {
       gridOf(math.min(BoxDLo, b.days - 1), b.days),
       gridOf(math.min(BoxDHi, b.days - 1), b.days))
   }
+
+  /** Spec hook: the registered box's cell list for a given sf dir. */
+  private[ops] def registeredCells(spark: SparkSession,
+      dir: String): Seq[Int] = cellsFor(bounds(spark, dir))
 }

@@ -160,8 +160,12 @@ object StreamingOps {
             }
             open.foreach { s =>
               state.update(s)
-              // fire once the watermark proves no event can extend it
-              state.setTimeoutTimestamp((s.endUs + gapUs) / 1000L)
+              // fire once the watermark proves no event can extend it —
+              // rounded UP to the ms grid: flooring would let the
+              // timeout fire up to 999µs early, closing a session an
+              // in-flight event at (endUs+gapUs-ε) could still extend
+              // (the sub-ms batch/stream parity case)
+              state.setTimeoutTimestamp((s.endUs + gapUs + 999L) / 1000L)
             }
             out.result().iterator
           }
