@@ -73,6 +73,19 @@ class JoinReductionSpec extends AnyFunSuite {
     assert(sloppy.count() == expected.count())
   }
 
+  test("bloomReduceJoin with an EMPTY dim returns an empty result") {
+    // bloom_filter_agg over zero rows yields a null filter;
+    // might_contain(null, ...) is null, the filter drops every fact
+    // row, and the join of nothing with nothing is empty — matching
+    // the plain join's answer for an empty dim.
+    val dim = t(spark, dir, "supplier")
+      .filter(col("s_suppkey") < 0).select(col("s_suppkey"))
+    val fact = t(spark, dir, "lineitem").select(col("l_suppkey"))
+    val joined = JoinReduction.bloomReduceJoin(
+      fact, dim, "l_suppkey", "s_suppkey", expectedItems = 10L)
+    assert(joined.count() == 0L)
+  }
+
   test("skewJoin equals the plain unsalted join") {
     import spark.implicits._
     val salted = Analytics.skewJoin(spark, dir)
