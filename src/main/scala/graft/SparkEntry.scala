@@ -593,6 +593,33 @@ object SparkEntry {
     // against the exact twin at <5%.
     "table_profile_approx" -> Q(Inspect.ordersProfileApprox, None),
 
+    // Declarative one-pass data-quality audit: six expectations over
+    // orders computed in a single aggregate; oracle recomputes every
+    // metric independently.
+    "dq_audit" -> Q(Inspect.ordersDqAudit, Some("""
+      WITH a AS (
+        SELECT
+          CASE WHEN count(*) >= 1 THEN 0 ELSE 1 END AS m_nonempty,
+          count(*) - count(DISTINCT o_orderkey) AS m_pk,
+          count(*) - count(o_totalprice) AS m_complete,
+          sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS m_pos,
+          sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+            AS m_status,
+          sum(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1990-01-01'
+            OR CAST(o_orderdate AS DATE) > DATE '2005-12-31'
+            THEN 1 ELSE 0 END) AS m_date
+        FROM orders),
+      u AS (
+        SELECT 'a_nonempty' AS check_name, CAST(m_nonempty AS DOUBLE) AS metric FROM a
+        UNION ALL SELECT 'b_pk_unique', CAST(m_pk AS DOUBLE) FROM a
+        UNION ALL SELECT 'c_price_complete', CAST(m_complete AS DOUBLE) FROM a
+        UNION ALL SELECT 'd_price_positive', CAST(m_pos AS DOUBLE) FROM a
+        UNION ALL SELECT 'e_status_domain', CAST(m_status AS DOUBLE) FROM a
+        UNION ALL SELECT 'f_date_envelope', CAST(m_date AS DOUBLE) FROM a)
+      SELECT check_name, metric, CAST(0 AS DOUBLE) AS threshold,
+        metric <= 0 AS pass
+      FROM u ORDER BY check_name""")),
+
     // Stream-stream interval-join twin, run in batch mode: same code,
     // same plan shape (equi key + time residual), oracle = the interval
     // self-join in SQL. StreamJoinSpec pins batch/stream parity.

@@ -203,4 +203,62 @@ object Inspect {
   def ordersProfileApprox(spark: SparkSession, dir: String): DataFrame =
     tableProfileApprox(t(spark, dir, "orders"),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+
+  /** One declarative data-quality expectation: `metric` must satisfy
+    * `metric <= threshold` (every common constraint — null ratio,
+    * out-of-domain count, duplicate count — normalizes to "violations
+    * ≤ bound", with 0 for hard constraints). */
+  final case class Expect(name: String, metric: Column, threshold: Double)
+
+  /** Declarative one-pass data-quality audit — the validation gate a
+    * pipeline runs before consuming a table. ALL expectation metrics
+    * are computed in a SINGLE aggregate over one scan (violation
+    * counts are conditional sums that fold into the same partial agg;
+    * the one `countDistinct` pins uniqueness via the standard Expand
+    * plan), then unpivoted to one row per expectation with its
+    * measured metric and pass/fail. At 100 TB this is one pass over
+    * the table however many expectations are declared — running each
+    * check as its own query would scan the lake once per rule.
+    * Metrics are exact integer counts carried as doubles (≤ 2^53), so
+    * the DuckDB oracle reproduces them bit-for-bit. */
+  def dqAudit(df: DataFrame, expects: Seq[Expect]): DataFrame = {
+    require(expects.nonEmpty, "dqAudit: no expectations given")
+    val wide = df.agg(
+      expects.head.metric.cast("double").as("__m_0"),
+      expects.tail.zipWithIndex.map { case (e, i) =>
+        e.metric.cast("double").as(s"__m_${i + 1}") }: _*)
+    val stacked = expects.zipWithIndex.map { case (e, i) =>
+      val esc = e.name.replace("\\", "\\\\").replace("'", "\\'")
+      s"'$esc', __m_$i, CAST(${e.threshold} AS DOUBLE)"
+    }.mkString(", ")
+    wide.selectExpr(s"stack(${expects.size}, $stacked) AS " +
+        "(check_name, metric, threshold)")
+      .withColumn("pass", col("metric") <= col("threshold"))
+      .orderBy("check_name")
+  }
+
+  /** Registered audit (`dq_audit`) over orders: row presence, pk
+    * uniqueness, completeness, value range, status domain, date
+    * envelope — the table's contract as one green/red frame. */
+  def ordersDqAudit(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    dqAudit(o, Seq(
+      // hard floor on volume: violations = max(0, 1 - n)
+      Expect("a_nonempty",
+        when(count(lit(1)) >= 1, lit(0L)).otherwise(lit(1L)), 0),
+      Expect("b_pk_unique",
+        count(lit(1)) - countDistinct(col("o_orderkey")), 0),
+      Expect("c_price_complete",
+        count(lit(1)) - count(col("o_totalprice")), 0),
+      Expect("d_price_positive",
+        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)), 0),
+      Expect("e_status_domain",
+        sum(when(not(col("o_orderstatus").isin("O", "F", "P")), 1L)
+          .otherwise(0L)), 0),
+      Expect("f_date_envelope",
+        sum(when(
+          col("o_orderdate").cast("date") < to_date(lit("1990-01-01")) ||
+          col("o_orderdate").cast("date") > to_date(lit("2005-12-31")), 1L)
+          .otherwise(0L)), 0)))
+  }
 }

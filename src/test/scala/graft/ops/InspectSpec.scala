@@ -115,4 +115,35 @@ class InspectSpec extends AnyFunSuite {
     assert(!p.contains("count(distinct"), p)
     assert(p.contains("approx_count_distinct"), p)
   }
+
+  test("dqAudit flags injected violations and passes the clean fixture") {
+    import org.apache.spark.sql.functions._
+    // dirty frame: duplicate pk (1), a null price, a negative price
+    val dirty = Seq((1, Some(10.0)), (1, Some(5.0)), (2, None),
+      (3, Some(-1.0))).toDF("pk", "price")
+    val out = Inspect.dqAudit(dirty, Seq(
+      Inspect.Expect("pk_unique",
+        count(lit(1)) - countDistinct(col("pk")), 0),
+      Inspect.Expect("price_complete",
+        count(lit(1)) - count(col("price")), 0),
+      Inspect.Expect("price_positive",
+        sum(when(col("price") <= 0.0, 1L).otherwise(0L)), 0)))
+      .as[(String, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("pk_unique")._2 == 1.0 && !out("pk_unique")._4)
+    assert(out("price_complete")._2 == 1.0 && !out("price_complete")._4)
+    assert(out("price_positive")._2 == 1.0 && !out("price_positive")._4)
+    // the committed fixture passes its whole contract
+    val clean = Inspect.ordersDqAudit(spark, "/root/testdata/sf0.001")
+      .as[(String, Double, Double, Boolean)].collect()
+    assert(clean.length == 6 && clean.forall(_._4), clean.toSeq.toString)
+  }
+
+  test("dqAudit computes every expectation in ONE scan") {
+    val df = graft.util.Tables.t(spark, "/root/testdata/sf0.001", "orders")
+    val audit = Inspect.ordersDqAudit(spark, "/root/testdata/sf0.001")
+    val p = audit.queryExecution.executedPlan.toString
+    val scans = "orders\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 orders scan, got $scans:\n$p")
+  }
 }
