@@ -232,7 +232,8 @@ object ScaleStress {
     val tpchOps: Seq[(String, String => Long)] =
       graft.SparkEntry.registry.collect {
         case (name, q) if name.matches("q\\d+.*") ||
-            Set("bloom_join", "percentiles", "percentiles_approx")(name) =>
+            Set("bloom_join", "percentiles", "percentiles_approx",
+              "dq_audit")(name) =>
           name -> ((d: String) => q.fn(spark, d).count())
       }
 
