@@ -1120,6 +1120,12 @@ object SparkEntry {
     // recall ≥ bound; ivf with all cells probed ≡ brute force exactly.
     "ann_lsh_pairs" -> Q((s, d) => Similarity.lshPairs(s, d), None),
     "ann_ivf_topk" -> Q((s, d) => Similarity.ivfTopK(s, d), None),
+    // Persisted-index serving split: build once (codebook +
+    // cell-partitioned vectors), probe by reading ONLY the routed cell
+    // directories. SimilaritySpec pins probe ≡ ann_ivf_topk
+    // row-for-row, which also transfers the all-cells≡brute-force
+    // anchor to the persisted path.
+    "ann_ivf_probe" -> Q((s, d) => Similarity.ivfProbeTopK(s, d), None),
 
     "token_counts" -> Q(TextAnalysis.tokenCounts, Some("""
       WITH d AS (SELECT doc_id, text,

@@ -38,23 +38,11 @@ object Layout {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Content fingerprint of the source table from the FILE LISTING
-    * (names, lengths, mtimes — no data scan, no Spark job). Embedded
-    * in every store path: the `target/` scratch outlives testdata
-    * refreshes, and a store laid out from a previous data generation
-    * must invalidate rather than silently serve stale rows. A listing
-    * fingerprint catches refreshes a row count or min/max bounds
-    * would miss (same-cardinality regeneration, shifted date spans). */
-  private def sourceTag(spark: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(p).map(st =>
-      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .sorted.mkString("|")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(parts.getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
-  }
+  /** Store paths embed the source's listing fingerprint
+    * ([[graft.util.Tables.listingTag]]) so a store from a previous
+    * data generation self-invalidates instead of being reused. */
+  private def sourceTag(spark: SparkSession, dir: String): String =
+    graft.util.Tables.listingTag(spark, s"$dir/events.parquet")
 
   // ---------------------------------------------------------------
   // Dynamic partition pruning

@@ -179,11 +179,7 @@ object Similarity {
     // codebook is downcast to float and scored with the codegen'd
     // [[dot]] loop instead of an interpreted HOF fold per (row, cell).
     // Returned top-k scores still use the exact double path below.
-    def cellDots(e: Column) = cells.map { case (id, c) =>
-      struct(
-        dot(e, typedLit(c.map(_.toFloat))).as("score"),
-        lit(id).as("cell"))
-    }
+    def cellDots(e: Column) = cellDotStructs(cells, e)
     val assignCell = greatest(cellDots(col("embedding")): _*).getField("cell")
     val probes = slice(
       array_sort(array(cellDots(col("q_emb")): _*)),
@@ -199,6 +195,104 @@ object Similarity {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id"))
     queries.join(emb, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score",
+        dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("score"),
+        col("rn").cast("int").as("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Per-cell (float-dot score, cell id) structs — the shared routing
+    * formula of [[ivfTopK]] and [[ivfBuildIndex]]: codebook downcast
+    * to float, scored by the codegen'd [[dot]] loop (a heuristic
+    * route, not a returned score). */
+  private def cellDotStructs(cells: Seq[(Int, Seq[Double])],
+      e: Column): Seq[Column] =
+    cells.map { case (id, c) =>
+      struct(
+        dot(e, typedLit(c.map(_.toFloat))).as("score"),
+        lit(id).as("cell"))
+    }
+
+  /** X4c-scale — persisted IVF index, the SERVING split of [[ivfTopK]].
+    * Build once: the codebook table plus every vector written
+    * PARTITIONED BY its assigned cell (with its precomputed norm).
+    * The assign-each-vector-to-a-cell routing term — the n×nCells
+    * cost that dominates ivfTopK's measured scale growth — is paid
+    * here ONCE and amortized over every probe. Returns the index
+    * path; `_SUCCESS`-gated per (sf dir, source fingerprint) like the
+    * layout stores, so a testdata refresh self-invalidates. */
+  def ivfBuildIndex(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val out = s"target/graft_ann/ivf_${graft.util.Tables.pathTag(dir)}_" +
+      graft.util.Tables.listingTag(spark, s"$dir/embeddings.parquet")
+    def ok(sub: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$out/$sub/_SUCCESS")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (!ok("codebook") || !ok("cells")) {
+      val cb = centroidByLabel(spark, dir).select("label", "centroid")
+      cb.write.mode("overwrite").parquet(s"$out/codebook")
+      val cells: Seq[(Int, Seq[Double])] =
+        cb.as[(Int, Seq[Double])].collect().toSeq
+      val assignCell =
+        greatest(cellDotStructs(cells, col("embedding")): _*).getField("cell")
+      fanOut(t(spark, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"),
+          l2norm(col("embedding")).as("nrm"))
+        .withColumn("cell", assignCell)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$out/cells")
+    }
+    out
+  }
+
+  /** Probe the persisted index: route the query batch against the
+    * collected codebook DRIVER-side (nQueries×nCells flops — the
+    * query set is driver-resident in any serving path), then read
+    * ONLY the probed cell directories (static partition pruning on
+    * `cell`) and score. Routing replicates the in-plan float-dot
+    * arithmetic of [[ivfTopK]] exactly (double accumulator over
+    * float products, ties by cell id), so SimilaritySpec can pin
+    * probe ≡ ivfTopK row-for-row. */
+  def ivfProbeTopK(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 8, nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val idx = ivfBuildIndex(spark, dir)
+    val cells: Seq[(Int, Seq[Double])] = spark.read
+      .parquet(s"$idx/codebook").select("label", "centroid")
+      .as[(Int, Seq[Double])].collect().toSeq
+    val probeN = math.min(nProbe, cells.size)
+    // query batch with exact in-plan norms (one bounded job)
+    val qs: Seq[(Long, Seq[Float], Double)] =
+      t(spark, dir, "embeddings").filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("embedding"),
+          l2norm(col("embedding")).as("nrm"))
+        .as[(Long, Seq[Float], Double)].collect().toSeq
+    // FloatDot semantics verbatim: double accumulator over
+    // float×float products, left to right
+    def routeDot(q: Seq[Float], c: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < q.length) {
+        acc += q(i).toDouble * c(i).toFloat.toDouble; i += 1
+      }
+      acc
+    }
+    val routes: Seq[(Long, Int)] = qs.flatMap { case (qId, qEmb, _) =>
+      cells.map { case (id, c) => (routeDot(qEmb, c), id) }
+        .sorted.takeRight(probeN).map { case (_, id) => (qId, id) }
+    }
+    val probedCells = routes.map(_._2).distinct
+    val store = spark.read.parquet(s"$idx/cells")
+      .filter(col("cell").isin(probedCells: _*))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    routes.toDF("q_id", "cell")
+      .join(qs.toDF("q_id", "q_emb", "q_nrm"), Seq("q_id"))
+      .join(store, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("score",
         dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))

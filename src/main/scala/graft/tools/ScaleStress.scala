@@ -220,6 +220,7 @@ object ScaleStress {
         Similarity.lshPairs(spark, d, threshold = 0.8,
           nBits = lshBits(d)).count()),
       "ann_ivf_topk" -> (d => Similarity.ivfTopK(spark, d).count()),
+      "ann_ivf_probe" -> (d => Similarity.ivfProbeTopK(spark, d).count()),
       "cosine_pairs" -> (d =>
         Similarity.cosinePairs(spark, d, threshold = 0.8).count()),
       "embedding_quantize" -> (d => Similarity.quantizeInt8(spark, d).count()),

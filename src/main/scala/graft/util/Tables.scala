@@ -88,6 +88,24 @@ object Tables {
     * names per dataset (bucketed tables, format-roundtrip outputs). */
   def pathTag(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** Content fingerprint of a source table from its FILE LISTING
+    * (names, lengths, mtimes — no data scan, no Spark job). Embed it
+    * in any memoized derived-store path: `target/` scratch outlives
+    * testdata refreshes, and a store derived from a previous data
+    * generation must self-invalidate rather than silently serve stale
+    * rows. Catches refreshes a row count or min/max fingerprint would
+    * miss (same-cardinality regeneration, shifted spans). */
+  def listingTag(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).map(st =>
+      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+  }
+
   /** Exact (order-independent) sum of a double column: accumulate in
     * decimal, return double via [[decToDouble]]. DuckDB twin:
     * `CAST(CAST(sum(CAST(x AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)`. */

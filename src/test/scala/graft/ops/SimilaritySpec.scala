@@ -89,6 +89,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf2.nonEmpty && recall > 0.0, s"recall=$recall")
   }
 
+  test("persisted-index IVF probe equals the inline ivfTopK row-for-row") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().toSeq
+    // same routes, same scores, same ranks — the build/probe split must
+    // be invisible in the result
+    val inline = rows(Similarity.ivfTopK(spark, dir, k = 5,
+      nQueries = 16, nProbe = 2))
+    val probed = rows(Similarity.ivfProbeTopK(spark, dir, k = 5,
+      nQueries = 16, nProbe = 2))
+    assert(probed == inline)
+    // and the probe scan is partition-pruned to the routed cells
+    val plan = Similarity.ivfProbeTopK(spark, dir, k = 5,
+      nQueries = 16, nProbe = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected a cell partition filter in:\n$plan")
+  }
+
   test("registered LSH pair query is a subset of its exact twin with bit-identical scores") {
     import spark.implicits._
     val exact = Similarity.cosinePairs(spark, dir, threshold = 0.4)
