@@ -892,6 +892,12 @@ object SparkEntry {
     // recomputation in SimilaritySpec.
     "centroid_udaf" -> Q(Similarity.centroidByLabelFlat, None),
 
+    // Distributed BPE merge training: iterative argmax-and-merge has
+    // no single-query SQL form — rows-only; BpeTrainSpec pins the
+    // merge sequence against an independent driver-side reference
+    // implementation over the same word frequencies.
+    "bpe_train" -> Q((s, d) => BpeTrain.bpeTrain(s, d), None),
+
     // Sketch-guided exact heavy hitters: the oracle is the plain
     // HAVING-threshold count — the CMS candidate pass must be
     // output-invisible (no false negatives by construction).

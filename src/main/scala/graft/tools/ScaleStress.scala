@@ -3,8 +3,8 @@ package graft.tools
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.{GraftSession, Tables}
-import graft.ops.{CorpusStats, Dedup, QualitySignals, Similarity,
-  TextAnalysis}
+import graft.ops.{BpeTrain, CorpusStats, Dedup, QualitySignals,
+  Similarity, TextAnalysis}
 
 /** Scale-stress harness for the dedup + embedding families: runs the
   * document and ANN operators on 1×/3×/10× corpora derived from sf0.1
@@ -196,6 +196,7 @@ object ScaleStress {
       "clean_corpus" -> (d => {
         Dedup.clearPairsMemo(); TextAnalysis.cleanCorpus(spark, d).count() }),
       "heavy_hitters" -> (d => CorpusStats.heavyHitters(spark, d).count()),
+      "bpe_train" -> (d => BpeTrain.bpeTrain(spark, d).count()),
       "kmv_distinct" -> (d => CorpusStats.kmvDistinct(spark, d).count()),
       "tfidf_top_terms" -> (d => CorpusStats.tfidfTopTerms(spark, d).count()),
       "inverted_index" -> (d => CorpusStats.invertedIndex(spark, d).count()),

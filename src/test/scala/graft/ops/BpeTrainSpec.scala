@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class BpeTrainSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Driver-side reference BPE: same pair counting, same tie-break
+    * (count desc, then (l, r) lexicographic), same greedy left-to-right
+    * merge — an independent implementation to pin the distributed one. */
+  private def referenceBpe(words: Seq[(Seq[String], Long)],
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = words
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var continue = true
+    while (rank <= nMerges && continue) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        val ((l, r), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((rank, l, r, cnt))
+        vocab = vocab.map { case (syms, f) =>
+          val acc = collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { x =>
+            if (acc.nonEmpty && acc.last == l && x == r) {
+              acc.remove(acc.length - 1); acc += (l + r)
+            } else acc += x
+          }
+          (acc.toSeq, f)
+        }
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  test("greedy merge handles overlapping pairs: aaa -> [aa, a]") {
+    import spark.implicits._
+    val vocab = Seq((Seq("a", "a", "a"), 5L)).toDF("syms", "freq")
+    val merges = BpeTrain.train(vocab, 1)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // one (a,a) pair merged left-to-right: weighted count is 2 pairs
+    // x freq 5 = 10, and a second round would see [aa, a]
+    assert(merges == Seq((1, "a", "a", "aa", 10L)))
+  }
+
+  test("distributed merges equal the driver-side reference on sf0.001") {
+    import spark.implicits._
+    val freqs = BpeTrain.wordFreqs(spark, dir)
+      .as[(Seq[String], Long)].collect().toSeq
+    val expect = referenceBpe(freqs, 12)
+    val got = BpeTrain.bpeTrain(spark, dir, nMerges = 12)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+      .map { case (rank, l, r, _, cnt) => (rank, l, r, cnt) }
+    assert(got == expect, s"\ngot:    $got\nexpect: $expect")
+    assert(got.nonEmpty)
+  }
+
+  test("training is deterministic across runs") {
+    import spark.implicits._
+    def run() = BpeTrain.bpeTrain(spark, dir, nMerges = 6)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(run() == run())
+  }
+}
