@@ -607,7 +607,8 @@ object SparkEntry {
             AS m_status,
           sum(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1990-01-01'
             OR CAST(o_orderdate AS DATE) > DATE '2005-12-31'
-            THEN 1 ELSE 0 END) AS m_date
+            THEN 1 ELSE 0 END) AS m_date,
+          count(*) - count(o_orderdate) AS m_date_complete
         FROM orders),
       u AS (
         SELECT 'a_nonempty' AS check_name, CAST(m_nonempty AS DOUBLE) AS metric FROM a
@@ -615,7 +616,8 @@ object SparkEntry {
         UNION ALL SELECT 'c_price_complete', CAST(m_complete AS DOUBLE) FROM a
         UNION ALL SELECT 'd_price_positive', CAST(m_pos AS DOUBLE) FROM a
         UNION ALL SELECT 'e_status_domain', CAST(m_status AS DOUBLE) FROM a
-        UNION ALL SELECT 'f_date_envelope', CAST(m_date AS DOUBLE) FROM a)
+        UNION ALL SELECT 'f_date_envelope', CAST(m_date AS DOUBLE) FROM a
+        UNION ALL SELECT 'g_date_complete', CAST(m_date_complete AS DOUBLE) FROM a)
       SELECT check_name, metric, CAST(0 AS DOUBLE) AS threshold,
         metric <= 0 AS pass
       FROM u ORDER BY check_name""")),

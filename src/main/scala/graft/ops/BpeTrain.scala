@@ -80,15 +80,22 @@ object BpeTrain {
         case None => done = true
         case Some((l, r, cnt)) =>
           merges += ((rank, l, r, l + r, cnt))
+          val prev = vocab
           vocab = vocab
             .select(applyMerge(col("syms"), l, r).as("syms"), col("freq"))
             .localCheckpoint()
+          // free the superseded checkpoint: without this each of the
+          // nMerges rounds pins a vocabulary-sized cached RDD for the
+          // session lifetime
+          prev.unpersist()
           rank += 1
       }
     }
-    merges.result()
+    val out = merges.result()
       .toDF("rank", "left", "right", "merged", "weighted_count")
       .orderBy("rank")
+    vocab.unpersist()
+    out
   }
 
   /** Registered query: 12 merges over the documents corpus. */

@@ -220,19 +220,30 @@ object Inspect {
     * the table however many expectations are declared — running each
     * check as its own query would scan the lake once per rule.
     * Metrics are exact integer counts carried as doubles (≤ 2^53), so
-    * the DuckDB oracle reproduces them bit-for-bit. */
+    * the DuckDB oracle reproduces them bit-for-bit.
+    *
+    * NULL-safety: a `sum(when(...))` metric over ZERO input rows is
+    * NULL, which would make the verdict neither green nor red —
+    * metrics coalesce to 0 ("no violations observed"), so an empty
+    * table fails only the expectations that exist to catch emptiness.
+    * The unpivot is built from struct LITERALS (no SQL-text
+    * interpolation), so names need no escaping and non-finite
+    * thresholds (NaN/±Inf) are legal values, not parse errors. */
   def dqAudit(df: DataFrame, expects: Seq[Expect]): DataFrame = {
     require(expects.nonEmpty, "dqAudit: no expectations given")
     val wide = df.agg(
-      expects.head.metric.cast("double").as("__m_0"),
+      coalesce(expects.head.metric.cast("double"), lit(0.0)).as("__m_0"),
       expects.tail.zipWithIndex.map { case (e, i) =>
-        e.metric.cast("double").as(s"__m_${i + 1}") }: _*)
-    val stacked = expects.zipWithIndex.map { case (e, i) =>
-      val esc = e.name.replace("\\", "\\\\").replace("'", "\\'")
-      s"'$esc', __m_$i, CAST(${e.threshold} AS DOUBLE)"
-    }.mkString(", ")
-    wide.selectExpr(s"stack(${expects.size}, $stacked) AS " +
-        "(check_name, metric, threshold)")
+        coalesce(e.metric.cast("double"), lit(0.0)).as(s"__m_${i + 1}")
+      }: _*)
+    val rows = expects.zipWithIndex.map { case (e, i) =>
+      struct(
+        lit(e.name).as("check_name"),
+        col(s"__m_$i").as("metric"),
+        lit(e.threshold).as("threshold"))
+    }
+    wide.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.check_name"), col("r.metric"), col("r.threshold"))
       .withColumn("pass", col("metric") <= col("threshold"))
       .orderBy("check_name")
   }
@@ -259,6 +270,10 @@ object Inspect {
         sum(when(
           col("o_orderdate").cast("date") < to_date(lit("1990-01-01")) ||
           col("o_orderdate").cast("date") > to_date(lit("2005-12-31")), 1L)
-          .otherwise(0L)), 0)))
+          .otherwise(0L)), 0),
+      // a NULL date passes the envelope comparisons vacuously — the
+      // range gate needs its own completeness expectation
+      Expect("g_date_complete",
+        count(lit(1)) - count(col("o_orderdate")), 0)))
   }
 }

@@ -33,10 +33,8 @@ object Layout {
 
   private def root = "target/graft_layout"
 
-  private def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def exists(spark: SparkSession, path: String): Boolean =
+    graft.util.Tables.successExists(spark, path)
 
   /** Store paths embed the source's listing fingerprint
     * ([[graft.util.Tables.listingTag]]) so a store from a previous

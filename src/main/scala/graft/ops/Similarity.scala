@@ -54,9 +54,19 @@ object Similarity {
         l2norm(col("embedding")).as("q_nrm"))
     val cands = emb.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("nrm"))
+    scoreTopK(cands.crossJoin(broadcast(queries)), k)
+  }
+
+  /** Shared scoring tail of the top-k family: exact cosine from the
+    * precomputed norms, per-query `row_number` ranking (ties by
+    * vec_id), keep k. ONE definition on purpose — the pinned
+    * ivfProbeTopK ≡ ivfTopK row-for-row parity depends on the
+    * tie-break and projection staying identical. Input needs columns
+    * (q_id, q_emb, q_nrm, vec_id, embedding, nrm). */
+  private def scoreTopK(cand: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id"))
-    cands.crossJoin(broadcast(queries))
+    cand
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("score",
         dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
@@ -166,10 +176,17 @@ object Similarity {
     * Correctness is anchored in SimilaritySpec: probing ALL cells must
     * reproduce the brute-force top-k exactly. */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 10,
-      nQueries: Int = 8, nProbe: Int = 2): DataFrame = {
+      nQueries: Int = 8, nProbe: Int = 2,
+      codebook: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     import spark.implicits._
-    val cells: Seq[(Int, Seq[Double])] = centroidByLabel(spark, dir)
-      .select("label", "centroid").as[(Int, Seq[Double])].collect().toSeq
+    // CentroidAgg's double-sum accumulates in task-merge order, so two
+    // computations of the codebook can differ by ulps — enough to flip
+    // a routing TIE. The optional `codebook` lets callers (the
+    // probe-parity spec) pin one realization; the registered query
+    // recomputes, which is the inline operator's contract.
+    val cells: Seq[(Int, Seq[Double])] = codebook.getOrElse(
+      centroidByLabel(spark, dir)
+        .select("label", "centroid").as[(Int, Seq[Double])].collect().toSeq)
     // nProbe beyond the cell count would make the probe slice start at
     // <=0 (error, or Spark's from-the-end semantics silently probing
     // ONE cell); clamp to "probe everything".
@@ -192,17 +209,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
       .withColumn("cell", explode(transform(probes, p => p.getField("cell"))))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("vec_id"))
-    queries.join(emb, Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("score",
-        dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("vec_id"), col("score"),
-        col("rn").cast("int").as("rn"))
-      .orderBy("q_id", "rn")
+    scoreTopK(queries.join(emb, Seq("cell")), k)
   }
 
   /** Per-cell (float-dot score, cell id) structs — the shared routing
@@ -229,10 +236,8 @@ object Similarity {
     import spark.implicits._
     val out = s"target/graft_ann/ivf_${graft.util.Tables.pathTag(dir)}_" +
       graft.util.Tables.listingTag(spark, s"$dir/embeddings.parquet")
-    def ok(sub: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(s"$out/$sub/_SUCCESS")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
+    def ok(sub: String): Boolean =
+      graft.util.Tables.successExists(spark, s"$out/$sub")
     if (!ok("codebook") || !ok("cells")) {
       val cb = centroidByLabel(spark, dir).select("label", "centroid")
       cb.write.mode("overwrite").parquet(s"$out/codebook")
@@ -288,19 +293,11 @@ object Similarity {
     val probedCells = routes.map(_._2).distinct
     val store = spark.read.parquet(s"$idx/cells")
       .filter(col("cell").isin(probedCells: _*))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("vec_id"))
-    routes.toDF("q_id", "cell")
-      .join(qs.toDF("q_id", "q_emb", "q_nrm"), Seq("q_id"))
-      .join(store, Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("score",
-        dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("vec_id"), col("score"),
-        col("rn").cast("int").as("rn"))
-      .orderBy("q_id", "rn")
+    scoreTopK(
+      routes.toDF("q_id", "cell")
+        .join(qs.toDF("q_id", "q_emb", "q_nrm"), Seq("q_id"))
+        .join(store, Seq("cell")),
+      k)
   }
 
   /** X4b — exhaustive embedding-cosine pair search above a threshold:

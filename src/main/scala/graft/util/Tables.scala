@@ -95,6 +95,14 @@ object Tables {
     * generation must self-invalidate rather than silently serve stale
     * rows. Catches refreshes a row count or min/max fingerprint would
     * miss (same-cardinality regeneration, shifted spans). */
+  /** `_SUCCESS`-marker probe for a memoized derived store — the
+    * companion of [[listingTag]]: gate every store reuse on the marker
+    * (a partially-written directory from a crashed run has none). */
+  def successExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   def listingTag(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

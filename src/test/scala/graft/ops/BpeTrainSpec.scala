@@ -27,7 +27,15 @@ class BpeTrainSpec extends AnyFunSuite {
       }
       if (counts.isEmpty) continue = false
       else {
-        val ((l, r), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        // tie-break in UTF-8 BYTE order, matching Spark's UTF8String
+        // binary comparison — Java String.compareTo (UTF-16 units)
+        // orders supplementary characters differently
+        import scala.math.Ordering.Implicits._
+        def u8(s: String): Seq[Int] =
+          s.getBytes("UTF-8").map(_ & 0xff).toSeq
+        val ((l, r), cnt) = counts.minBy {
+          case ((a, b), c) => (-c, u8(a), u8(b))
+        }
         out += ((rank, l, r, cnt))
         vocab = vocab.map { case (syms, f) =>
           val acc = collection.mutable.ArrayBuffer.empty[String]

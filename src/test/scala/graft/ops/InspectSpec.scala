@@ -136,11 +136,25 @@ class InspectSpec extends AnyFunSuite {
     // the committed fixture passes its whole contract
     val clean = Inspect.ordersDqAudit(spark, "/root/testdata/sf0.001")
       .as[(String, Double, Double, Boolean)].collect()
-    assert(clean.length == 6 && clean.forall(_._4), clean.toSeq.toString)
+    assert(clean.length == 7 && clean.forall(_._4), clean.toSeq.toString)
+  }
+
+  test("dqAudit over an EMPTY table yields verdicts, not NULLs") {
+    import org.apache.spark.sql.functions._
+    val empty = Seq.empty[(Int, Option[Double])].toDF("pk", "price")
+    val out = Inspect.dqAudit(empty, Seq(
+      Inspect.Expect("nonempty",
+        when(count(lit(1)) >= 1, lit(0L)).otherwise(lit(1L)), 0),
+      Inspect.Expect("price_positive",
+        sum(when(col("price") <= 0.0, 1L).otherwise(0L)), 0)))
+      .as[(String, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!out("nonempty")._4)                       // emptiness flagged
+    assert(out("price_positive")._2 == 0.0 &&
+      out("price_positive")._4)                       // vacuously green
   }
 
   test("dqAudit computes every expectation in ONE scan") {
-    val df = graft.util.Tables.t(spark, "/root/testdata/sf0.001", "orders")
     val audit = Inspect.ordersDqAudit(spark, "/root/testdata/sf0.001")
     val p = audit.queryExecution.executedPlan.toString
     val scans = "orders\\.parquet".r.findAllIn(p).size

@@ -93,10 +93,15 @@ class SimilaritySpec extends AnyFunSuite {
     import spark.implicits._
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.as[(Long, Long, Double, Int)].collect().toSeq
-    // same routes, same scores, same ranks — the build/probe split must
-    // be invisible in the result
+    // Parity is PER CODEBOOK: CentroidAgg's double sums merge in task
+    // order, so a recomputed codebook can differ by ulps and flip a
+    // routing tie — pin the persisted one on both sides, which is the
+    // split's actual contract (same index ⇒ same answers).
+    val idx = Similarity.ivfBuildIndex(spark, dir)
+    val codebook = spark.read.parquet(s"$idx/codebook")
+      .select("label", "centroid").as[(Int, Seq[Double])].collect().toSeq
     val inline = rows(Similarity.ivfTopK(spark, dir, k = 5,
-      nQueries = 16, nProbe = 2))
+      nQueries = 16, nProbe = 2, codebook = Some(codebook)))
     val probed = rows(Similarity.ivfProbeTopK(spark, dir, k = 5,
       nQueries = 16, nProbe = 2))
     assert(probed == inline)
