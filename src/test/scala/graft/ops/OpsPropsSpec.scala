@@ -62,4 +62,26 @@ class OpsPropsSpec extends AnyFunSuite {
       .select("o_orderkey").as[Long].head()
     assert(got == best._1)
   }
+
+  test("property: bloomReduceJoin == plain join on random key sets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      // random overlap profile per trial: fact keys from a wide space,
+      // dim keys a random mix of hits and misses, with duplicates on
+      // the fact side (a join multiplies them)
+      val factKeys = Seq.fill(500)(rnd.nextInt(200).toLong)
+      val dimKeys = rnd.shuffle((0L until 200L) ++ (1000L until 1200L))
+        .take(rnd.nextInt(60) + 1).distinct
+      val fact = factKeys.zipWithIndex.toDF("k", "payload")
+      val dim = dimKeys.toDF("dk")
+      val reduced = JoinReduction.bloomReduceJoin(
+        fact, dim, "k", "dk", expectedItems = 64, fpp = 0.2)
+        .select("k", "payload").as[(Long, Int)].collect().sorted.toSeq
+      val plain = fact.join(dim, col("k") === col("dk"))
+        .select("k", "payload").as[(Long, Int)].collect().sorted.toSeq
+      assert(reduced == plain, s"trial $trial diverged")
+    }
+  }
 }
