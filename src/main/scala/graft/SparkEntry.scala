@@ -489,6 +489,7 @@ object SparkEntry {
     // means the format path preserved content exactly.
     "orc_roundtrip" -> Q(Formats.orcRoundtrip, Some(formatOracle)),
     "json_roundtrip" -> Q(Formats.jsonRoundtrip, Some(formatOracle)),
+    "csv_roundtrip" -> Q(Formats.csvRoundtrip, Some(formatOracle)),
 
     // Parquet schema evolution: two file generations (one without the
     // o_totalprice column) merged by a mergeSchema read; oracle splits

@@ -60,6 +60,14 @@ object Formats {
   def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame =
     summarize(roundtrip(spark, dir, "json"))
 
+  /** CSV write → read → aggregate — completes the text-format matrix
+    * (the loader's INPUT format as a sink). Explicit schema on
+    * re-read (headerless, positional), so no inference pass; doubles
+    * survive because Spark writes shortest-exact representations and
+    * parses them back correctly rounded (same argument as JSON). */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    summarize(roundtrip(spark, dir, "csv"))
+
   /** Parquet schema EVOLUTION roundtrip: batch 1 writes (orderkey,
     * custkey); batch 2 appends the same dir with an extra
     * `o_totalprice` column; a `mergeSchema` read reconciles both file
