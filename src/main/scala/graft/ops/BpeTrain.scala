@@ -85,16 +85,20 @@ object BpeTrain {
             .select(applyMerge(col("syms"), l, r).as("syms"), col("freq"))
             .localCheckpoint()
           // free the superseded checkpoint: without this each of the
-          // nMerges rounds pins a vocabulary-sized cached RDD for the
-          // session lifetime
-          prev.unpersist()
+          // nMerges rounds pins a vocabulary-sized persisted RDD for
+          // the session lifetime. Dataset.unpersist is a NO-OP on
+          // checkpoint RDDs (CacheManager has no entry for them) —
+          // the bridge unpersists the underlying LogicalRDD directly.
+          org.apache.spark.sql.graftbridge.PlanBridge
+            .unpersistLocalCheckpoint(prev)
           rank += 1
       }
     }
     val out = merges.result()
       .toDF("rank", "left", "right", "merged", "weighted_count")
       .orderBy("rank")
-    vocab.unpersist()
+    org.apache.spark.sql.graftbridge.PlanBridge
+      .unpersistLocalCheckpoint(vocab)
     out
   }
 

@@ -239,10 +239,16 @@ object Similarity {
     def ok(sub: String): Boolean =
       graft.util.Tables.successExists(spark, s"$out/$sub")
     if (!ok("codebook") || !ok("cells")) {
-      val cb = centroidByLabel(spark, dir).select("label", "centroid")
-      cb.write.mode("overwrite").parquet(s"$out/codebook")
-      val cells: Seq[(Int, Seq[Double])] =
-        cb.as[(Int, Seq[Double])].collect().toSeq
+      centroidByLabel(spark, dir).select("label", "centroid")
+        .write.mode("overwrite").parquet(s"$out/codebook")
+      // Collect the codebook BACK FROM THE WRITTEN PARQUET, not by
+      // re-executing the aggregation: CentroidAgg's double sums merge
+      // in task order, so a second run can differ by ulps and assign a
+      // near-tie vector to a different cell than the persisted
+      // codebook (the one probes route with) would.
+      val cells: Seq[(Int, Seq[Double])] = spark.read
+        .parquet(s"$out/codebook").select("label", "centroid")
+        .as[(Int, Seq[Double])].collect().toSeq
       val assignCell =
         greatest(cellDotStructs(cells, col("embedding")): _*).getField("cell")
       fanOut(t(spark, dir, "embeddings"))

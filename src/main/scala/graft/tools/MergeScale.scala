@@ -36,10 +36,13 @@ object MergeScale {
       // seed table: ids 0..baseRows step 1, uniform over the 30 dts
       Strategies.writeCurated(spark, mkRows(baseRows, 1L, 0L), path,
         "upsert", Seq("id"))
-      // batch: step 15 → exactly 2 distinct dts; first half existing
-      // ids (updates), second half beyond the table (inserts)
+      // batch: step 15 → ids ≡ {0,15} (mod 30) → exactly 2 distinct
+      // dts; first half existing ids (updates), second half beyond the
+      // table (inserts). The insert offset must be ≡ 0 (mod 30) or the
+      // insert half lands in two OTHER dts and the batch touches 4.
+      val insertOffset = (baseRows * 2 / 30) * 30
       val batch = mkRows(1000, 15L, 0L)
-        .unionByName(mkRows(1000, 15L, baseRows * 2))
+        .unionByName(mkRows(1000, 15L, insertOffset))
       batch.count() // materialize plan costs outside the timed region
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

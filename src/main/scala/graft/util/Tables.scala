@@ -88,13 +88,6 @@ object Tables {
     * names per dataset (bucketed tables, format-roundtrip outputs). */
   def pathTag(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
 
-  /** Content fingerprint of a source table from its FILE LISTING
-    * (names, lengths, mtimes — no data scan, no Spark job). Embed it
-    * in any memoized derived-store path: `target/` scratch outlives
-    * testdata refreshes, and a store derived from a previous data
-    * generation must self-invalidate rather than silently serve stale
-    * rows. Catches refreshes a row count or min/max fingerprint would
-    * miss (same-cardinality regeneration, shifted spans). */
   /** `_SUCCESS`-marker probe for a memoized derived store — the
     * companion of [[listingTag]]: gate every store reuse on the marker
     * (a partially-written directory from a crashed run has none). */
@@ -103,6 +96,13 @@ object Tables {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Content fingerprint of a source table from its FILE LISTING
+    * (names, lengths, mtimes — no data scan, no Spark job). Embed it
+    * in any memoized derived-store path: `target/` scratch outlives
+    * testdata refreshes, and a store derived from a previous data
+    * generation must self-invalidate rather than silently serve stale
+    * rows. Catches refreshes a row count or min/max fingerprint would
+    * miss (same-cardinality regeneration, shifted spans). */
   def listingTag(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

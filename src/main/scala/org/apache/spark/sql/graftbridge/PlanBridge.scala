@@ -24,6 +24,20 @@ object PlanBridge {
       c: org.apache.spark.sql.Column): Expression =
     spark.asInstanceOf[classic.SparkSession].expression(c)
 
+  /** Unpersist the RDD behind a `localCheckpoint()`ed Dataset.
+    * `Dataset.unpersist` only consults the CacheManager, which has NO
+    * entry for checkpoint RDDs (they are persisted directly), so it is
+    * a silent no-op there — the checkpoint stays in block-manager
+    * storage until the ContextCleaner happens to GC the Dataset. This
+    * reaches the `LogicalRDD` the checkpointed plan wraps and
+    * unpersists it deterministically; a no-op for any other plan. */
+  def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+
   /** `private[sql]` NormalizeFloatingNumbers.normalize — rewrites -0.0
     * to 0.0 and canonicalizes NaN bit patterns (no-op on non-FP types).
     * Catalyst applies it to Aggregate/Join/Window grouping keys; a

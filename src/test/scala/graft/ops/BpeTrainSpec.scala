@@ -74,6 +74,16 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("training frees its checkpoints (no persisted-RDD leak)") {
+    // Dataset.unpersist is a no-op on localCheckpoint RDDs (no
+    // CacheManager entry) — train() must release them through the
+    // bridge, or every merge round pins a vocabulary-sized RDD
+    val before = spark.sparkContext.getPersistentRDDs.size
+    BpeTrain.bpeTrain(spark, dir, nMerges = 5).collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before, s"persisted RDDs grew: $before -> $after")
+  }
+
   test("training is deterministic across runs") {
     import spark.implicits._
     def run() = BpeTrain.bpeTrain(spark, dir, nMerges = 6)
