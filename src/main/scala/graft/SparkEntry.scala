@@ -623,6 +623,25 @@ object SparkEntry {
         metric <= 0 AS pass
       FROM u ORDER BY check_name""")),
 
+    // Per-window data-quality monitor, batch twin of the streaming
+    // form (StreamingSpec pins stream == batch); oracle recomputes the
+    // violation counts per hour window.
+    "dq_window" -> Q((s, d) =>
+      graft.streaming.StreamingOps
+        .dqWindow(graft.util.Tables.t(s, d, "events"))
+        .orderBy("w_start_us"),
+      Some(s"""
+      SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us,
+        count(*) AS n_events,
+        CAST(sum(CASE WHEN value <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_nonpositive,
+        CAST(sum(CASE WHEN event_type NOT IN
+          ('click','view','purchase','signup','error')
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_type,
+        CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_null_user
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
     // Stream-stream interval-join twin, run in batch mode: same code,
     // same plan shape (equi key + time residual), oracle = the interval
     // self-join in SQL. StreamJoinSpec pins batch/stream parity.

@@ -33,6 +33,31 @@ object StreamingOps {
       .select(unix_micros(col("w.start")).as("w_start_us"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Per-window data-quality monitor — the streaming form of the
+    * batch dq_audit: violation counts (non-positive values, unknown
+    * event types, null users) per 1-hour event-time window, so a bad
+    * upstream deploy shows up as a red window within the watermark
+    * delay instead of at the next batch audit. All metrics are
+    * conditional counts (associative partial aggs — streaming-state
+    * safe); the same code runs in batch for the oracle-paired
+    * `dq_window` gate entry, and StreamingSpec pins stream == batch. */
+  def dqWindow(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("value") <= 0.0, 1L).otherwise(0L))
+          .as("n_nonpositive"),
+        sum(when(not(col("event_type").isin(
+          "click", "view", "purchase", "signup", "error")), 1L)
+          .otherwise(0L)).as("n_bad_type"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L))
+          .as("n_null_user"))
+      .select(unix_micros(col("w.start")).as("w_start_us"),
+        col("n_events"), col("n_nonpositive"), col("n_bad_type"),
+        col("n_null_user"))
+
   /** Native stateful session windows (30-minute gap) per user — the
     * streaming-engine form of the batch gaps-and-islands query. */
   def sessionAgg(events: DataFrame): DataFrame =

@@ -44,6 +44,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dq window == batch dq window on same data") {
+    import spark.implicits._
+    // include actual violations so the parity is non-vacuous
+    val dirty = batch1 ++ Seq(
+      Ev(ts("2024-01-01T10:30:00Z"), 3, "bogus", 1.0),   // bad type
+      Ev(ts("2024-01-01T12:10:00Z"), 3, "click", 0.0))   // non-positive
+    val input = MemoryStream[Ev](spark)
+    val q = StreamingOps.dqWindow(input.toDF())
+      .writeStream.format("memory").queryName("dqw")
+      .outputMode("complete").start()
+    try {
+      input.addData(dirty)
+      q.processAllAvailable()
+      val streamed = spark.table("dqw")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val batch = StreamingOps.dqWindow(dirty.toDF())
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      // the planted violations are counted in their windows
+      assert(batch.exists(r => r._4 == 1L)) // bad type at 10:xx
+      assert(batch.exists(r => r._3 == 1L)) // non-positive at 12:xx
+    } finally q.stop()
+  }
+
   test("native session windows emit finalized sessions once watermark passes") {
     import spark.implicits._
     val input = MemoryStream[Ev](spark)
