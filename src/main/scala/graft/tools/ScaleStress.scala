@@ -244,7 +244,7 @@ object ScaleStress {
     // the warmup pass pays the layout write and the timed passes
     // measure the pruned reads — same accounting as bucketed_join)
     val eventsOps: Seq[(String, String => Long)] =
-      Seq("skew_join", "dpp_scan", "zorder_box").map { name =>
+      Seq("skew_join", "dpp_scan", "zorder_box", "dq_window").map { name =>
         val fn = graft.SparkEntry.queries(name)
         name -> ((d: String) => fn(spark, d).count())
       }
