@@ -84,4 +84,18 @@ object FloatDot {
   def apply(a: Column, b: Column): Column =
     ColumnBridge.column(
       FloatDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Driver-side evaluation of the SAME expression (its interpreted
+    * `nullSafeEval` loop) over two in-memory vectors. Exists so driver
+    * code that must replicate in-plan dot arithmetic exactly — e.g.
+    * [[graft.ops.Similarity.ivfProbeTopK]]'s query routing, whose
+    * probe ≡ inline parity is spec-pinned — has ONE source of truth
+    * instead of a hand-copied loop that could drift if this
+    * expression ever changes. */
+  def evalDot(a: Seq[Float], b: Seq[Float]): Double = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val at = ArrayType(FloatType)
+    FloatDot(Literal.create(a, at), Literal.create(b, at))
+      .eval().asInstanceOf[Double]
+  }
 }

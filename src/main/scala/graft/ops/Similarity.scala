@@ -167,17 +167,25 @@ object Similarity {
   /** X4c — IVF-style ANN: coarse-quantize vectors into centroid cells,
     * then search only the query's nProbe closest cells.
     *
-    * The coarse codebook here is the per-label centroid set (computed
-    * by the [[CentroidAgg]] UDAF and collected — nCells×dim doubles, a
-    * broadcast-sized model). Candidate generation is an equi-join on
-    * the cell id (probed cells exploded on the query side), so the
-    * shuffle is keyed and bounded by cell population — the IVF shape
-    * used at 100 TB, where nProbe/nCells is the recall/cost knob.
+    * The coarse codebook is BOUNDED at `maxCells` entries — the fixed
+    * serving constant every IVF deployment picks at build time — by
+    * folding labels into cells (`pmod(label, maxCells)`) before the
+    * [[CentroidAgg]] centroid pass ([[coarseCodebook]]). Bounding is
+    * what keeps the per-vector routing term (argmax over cell dots)
+    * O(n·maxCells) = O(n): with an unbounded per-label codebook a
+    * corpus whose label count grows with n makes routing n×nCells ∝ n²
+    * (measured 8.88× time growth on 10× data, SCALE_NOTES round 5 —
+    * bounding cleared it). nProbe/maxCells stays the recall/cost knob.
+    * Candidate generation is an equi-join on the cell id (probed cells
+    * exploded on the query side), so the shuffle is keyed and bounded
+    * by cell population — the IVF shape used at 100 TB.
     * Correctness is anchored in SimilaritySpec: probing ALL cells must
-    * reproduce the brute-force top-k exactly. */
+    * reproduce the brute-force top-k exactly (true for ANY codebook:
+    * every vector lands in exactly one cell). */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 10,
       nQueries: Int = 8, nProbe: Int = 2,
-      codebook: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+      codebook: Option[Seq[(Int, Seq[Double])]] = None,
+      maxCells: Int = 16): DataFrame = {
     import spark.implicits._
     // CentroidAgg's double-sum accumulates in task-merge order, so two
     // computations of the codebook can differ by ulps — enough to flip
@@ -185,8 +193,8 @@ object Similarity {
     // probe-parity spec) pin one realization; the registered query
     // recomputes, which is the inline operator's contract.
     val cells: Seq[(Int, Seq[Double])] = codebook.getOrElse(
-      centroidByLabel(spark, dir)
-        .select("label", "centroid").as[(Int, Seq[Double])].collect().toSeq)
+      coarseCodebook(spark, dir, maxCells)
+        .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSeq)
     // nProbe beyond the cell count would make the probe slice start at
     // <=0 (error, or Spark's from-the-end semantics silently probing
     // ONE cell); clamp to "probe everything".
@@ -224,6 +232,25 @@ object Similarity {
         lit(id).as("cell"))
     }
 
+  /** The bounded coarse codebook shared by [[ivfTopK]] and
+    * [[ivfBuildIndex]]: at most `maxCells` cells, ids
+    * `pmod(label, maxCells)`, one [[CentroidAgg]] centroid per cell.
+    * When distinct labels ≤ maxCells (the testdata's 10 labels) this
+    * is exactly the per-label codebook; past the bound, labels fold
+    * together and the centroid pass stays ONE corpus scan either way.
+    * The bound is the scale invariant: codebook size — and with it the
+    * per-vector routing cost and the `greatest(...)` expression tree
+    * fed to codegen — never grows with the corpus. Order-free agg +
+    * single-partition sort, same rationale as [[centroidCore]]. */
+  def coarseCodebook(spark: SparkSession, dir: String,
+      maxCells: Int): DataFrame = {
+    require(maxCells > 0, s"maxCells must be positive, got $maxCells")
+    t(spark, dir, "embeddings")
+      .groupBy(pmod(col("label"), lit(maxCells)).cast("int").as("cell"))
+      .agg(CentroidAgg.centroid(64)(col("embedding")).as("centroid"))
+      .coalesce(1).sortWithinPartitions("cell")
+  }
+
   /** X4c-scale — persisted IVF index, the SERVING split of [[ivfTopK]].
     * Build once: the codebook table plus every vector written
     * PARTITIONED BY its assigned cell (with its precomputed norm).
@@ -232,14 +259,19 @@ object Similarity {
     * here ONCE and amortized over every probe. Returns the index
     * path; `_SUCCESS`-gated per (sf dir, source fingerprint) like the
     * layout stores, so a testdata refresh self-invalidates. */
-  def ivfBuildIndex(spark: SparkSession, dir: String): String = {
+  def ivfBuildIndex(spark: SparkSession, dir: String,
+      maxCells: Int = 16): String = {
     import spark.implicits._
+    // maxCells is part of the index identity: two builds with different
+    // bounds produce different codebooks (and cell layouts), so they
+    // must never share a cache directory.
     val out = s"target/graft_ann/ivf_${graft.util.Tables.pathTag(dir)}_" +
-      graft.util.Tables.listingTag(spark, s"$dir/embeddings.parquet")
+      graft.util.Tables.listingTag(spark, s"$dir/embeddings.parquet") +
+      s"_c$maxCells"
     def ok(sub: String): Boolean =
       graft.util.Tables.successExists(spark, s"$out/$sub")
     if (!ok("codebook") || !ok("cells")) {
-      centroidByLabel(spark, dir).select("label", "centroid")
+      coarseCodebook(spark, dir, maxCells).select("cell", "centroid")
         .write.mode("overwrite").parquet(s"$out/codebook")
       // Collect the codebook BACK FROM THE WRITTEN PARQUET, not by
       // re-executing the aggregation: CentroidAgg's double sums merge
@@ -247,7 +279,7 @@ object Similarity {
       // near-tie vector to a different cell than the persisted
       // codebook (the one probes route with) would.
       val cells: Seq[(Int, Seq[Double])] = spark.read
-        .parquet(s"$out/codebook").select("label", "centroid")
+        .parquet(s"$out/codebook").select("cell", "centroid")
         .as[(Int, Seq[Double])].collect().toSeq
       val assignCell =
         greatest(cellDotStructs(cells, col("embedding")): _*).getField("cell")
@@ -270,11 +302,11 @@ object Similarity {
     * float products, ties by cell id), so SimilaritySpec can pin
     * probe ≡ ivfTopK row-for-row. */
   def ivfProbeTopK(spark: SparkSession, dir: String, k: Int = 10,
-      nQueries: Int = 8, nProbe: Int = 2): DataFrame = {
+      nQueries: Int = 8, nProbe: Int = 2, maxCells: Int = 16): DataFrame = {
     import spark.implicits._
-    val idx = ivfBuildIndex(spark, dir)
+    val idx = ivfBuildIndex(spark, dir, maxCells)
     val cells: Seq[(Int, Seq[Double])] = spark.read
-      .parquet(s"$idx/codebook").select("label", "centroid")
+      .parquet(s"$idx/codebook").select("cell", "centroid")
       .as[(Int, Seq[Double])].collect().toSeq
     val probeN = math.min(nProbe, cells.size)
     // query batch with exact in-plan norms (one bounded job)
@@ -283,18 +315,16 @@ object Similarity {
         .select(col("vec_id"), col("embedding"),
           l2norm(col("embedding")).as("nrm"))
         .as[(Long, Seq[Float], Double)].collect().toSeq
-    // FloatDot semantics verbatim: double accumulator over
-    // float×float products, left to right
-    def routeDot(q: Seq[Float], c: Seq[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < q.length) {
-        acc += q(i).toDouble * c(i).toFloat.toDouble; i += 1
-      }
-      acc
-    }
+    // FloatDot semantics by construction: the routing score IS the
+    // FloatDot expression evaluated driver-side ([[FloatDot.evalDot]],
+    // its interpreted nullSafeEval loop) over the same float-downcast
+    // codebook the in-plan route uses — one source of truth, so a
+    // FloatDot change can never silently break the spec-pinned
+    // probe ≡ inline parity.
     val routes: Seq[(Long, Int)] = qs.flatMap { case (qId, qEmb, _) =>
-      cells.map { case (id, c) => (routeDot(qEmb, c), id) }
-        .sorted.takeRight(probeN).map { case (_, id) => (qId, id) }
+      cells.map { case (id, c) =>
+        (graft.expressions.FloatDot.evalDot(qEmb, c.map(_.toFloat)), id)
+      }.sorted.takeRight(probeN).map { case (_, id) => (qId, id) }
     }
     val probedCells = routes.map(_._2).distinct
     val store = spark.read.parquet(s"$idx/cells")

@@ -17,6 +17,38 @@ class BucketingSpec extends AnyFunSuite {
       s"expected exchange-free bucketed join, got:\n$plan")
   }
 
+  test("mixed-case dir tag: stale lowercase warehouse dir is dropped, not orphaned") {
+    // saveAsTable lowercases identifiers, so the on-disk location of
+    // `li_bucketed_<MixedCaseTag>` is the LOWERCASE name. A previous
+    // JVM's table therefore leaves a lowercase dir that a
+    // case-preserving cleanup would miss — and the subsequent
+    // saveAsTable would fail on the existing location. Reproduce: an
+    // uppercase source dir (uppercase tag asserted), stale junk planted
+    // at both lowercase locations, then writeBucketed must recover.
+    val uc = java.nio.file.Files.createTempDirectory("GraftUC").toString
+    val tag = graft.util.Tables.pathTag(uc)
+    assert(tag.exists(_.isUpper), s"precondition: tag '$tag' not mixed-case")
+    Seq("lineitem", "orders").foreach { tbl =>
+      spark.read.parquet(s"$dir/$tbl.parquet")
+        .write.parquet(s"$uc/$tbl.parquet")
+    }
+    val hc = spark.sparkContext.hadoopConfiguration
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    Seq(s"li_bucketed_$tag", s"ord_bucketed_$tag").foreach { tbl =>
+      val stale = new org.apache.hadoop.fs.Path(s"$wh/${tbl.toLowerCase}")
+      val fs = stale.getFileSystem(hc)
+      fs.mkdirs(stale)
+      val junk = fs.create(new org.apache.hadoop.fs.Path(stale, "junk"))
+      junk.writeBytes("stale"); junk.close()
+    }
+    val (liTbl, ordTbl) = Bucketing.writeBucketed(spark, uc)
+    assert(spark.table(liTbl).count() ==
+      spark.read.parquet(s"$dir/lineitem.parquet").count())
+    assert(spark.table(ordTbl).count() ==
+      spark.read.parquet(s"$dir/orders.parquet").count())
+    Seq(liTbl, ordTbl).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("bucketed join contents equal the plain parquet join") {
     import spark.implicits._
     val bucketed = Bucketing.bucketedJoin(spark, dir)

@@ -78,6 +78,12 @@ class SimilaritySpec extends AnyFunSuite {
         nProbe = 10) // nProbe == nCells: no pruning, must match exactly
       .select("q_id", "vec_id", "rn").as[(Long, Long, Int)].collect().toSet
     assert(ivfAll == brute)
+    // same exactness with a codebook bound TIGHTER than the label count
+    // (labels fold together — all-cells probing is codebook-agnostic)
+    val ivfBounded = Similarity.ivfTopK(spark, dir, k = 5, nQueries = 16,
+        nProbe = 4, maxCells = 4)
+      .select("q_id", "vec_id", "rn").as[(Long, Long, Int)].collect().toSet
+    assert(ivfBounded == brute)
     // pruned probing returns a subset ranking over candidate cells only
     val ivf2 = Similarity.ivfTopK(spark, dir, k = 5, nQueries = 16,
         nProbe = 2)
@@ -99,7 +105,7 @@ class SimilaritySpec extends AnyFunSuite {
     // split's actual contract (same index ⇒ same answers).
     val idx = Similarity.ivfBuildIndex(spark, dir)
     val codebook = spark.read.parquet(s"$idx/codebook")
-      .select("label", "centroid").as[(Int, Seq[Double])].collect().toSeq
+      .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSeq
     val inline = rows(Similarity.ivfTopK(spark, dir, k = 5,
       nQueries = 16, nProbe = 2, codebook = Some(codebook)))
     val probed = rows(Similarity.ivfProbeTopK(spark, dir, k = 5,
