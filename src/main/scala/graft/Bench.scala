@@ -3,11 +3,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: one warmup pass (discarded — absorbs JVM/codegen
   * warmup so per-query numbers are comparable round-over-round), then
-  * TWO timed passes reporting the per-query MINIMUM (machine-wide noise
-  * on a shared box inflates single runs by 20%+; the minimum is the
-  * stable estimator). Prints ONE JSON line; failures are surfaced in an
-  * `errors` map and as value -1 for the failing query, never silently
-  * recorded as a fast run. */
+  * THREE timed passes reporting the per-query MINIMUM (this shared box
+  * shows 1-2s host-level noise spikes; two samples were not enough to
+  * reject one — same protocol ScaleStress settled on). Prints ONE JSON
+  * line; failures are surfaced in an `errors` map and as value -1 for
+  * the failing query, never silently recorded as a fast run. The full
+  * per-query map is ALSO written to `target/bench_full.json`, so a
+  * tail-window capture of stdout can never lose the head of the
+  * registry. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -37,10 +40,10 @@ object Bench {
           timedErr(n) = e.toString.take(300); n -> -1.0 }
       }
     }.toMap
-    val (p1, p2) = (timedPass(), timedPass())
+    val passes = Seq.fill(3)(timedPass())
     val results = names.map { n =>
-      val (a, b) = (p1(n), p2(n))
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val samples = passes.map(_(n))
+      n -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
     }
     val allErr = warmupErr ++ timedErr
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -50,7 +53,14 @@ object Bench {
     val errs = allErr.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${allErr.size},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${allErr.size},"sf":"$sfDir"}"""
+    // durable file artifact: stdout tail-truncation-proof record of the
+    // full per-query map (overwritten per run, committed per round)
+    val outFile = java.nio.file.Paths.get("target/bench_full.json")
+    java.nio.file.Files.createDirectories(outFile.getParent)
+    java.nio.file.Files.write(outFile,
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(line)
     // Compact twin LAST: the full line above grows with the registry and
     // a tail-window capture can truncate its head (where total lives) —
     // this short total-first line survives any tail capture.
