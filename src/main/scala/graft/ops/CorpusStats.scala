@@ -204,7 +204,7 @@ object CorpusStats {
   /** Sketch-guided EXACT heavy hitters: tokens with support
     * > total/`supportDiv`. Pass 1 is a shuffle-free aggregate (a
     * count-min sketch merges associatively map-side, plus the exact
-    * token total); pass 2 probes the broadcast sketch BEFORE the
+    * token total); pass 2 probes the plan-embedded sketch BEFORE the
     * groupBy, so the exact-count shuffle carries only candidate
     * tokens instead of the whole vocabulary — at 100 TB the long tail
     * IS the vocabulary, and this is the difference between shuffling
@@ -222,19 +222,18 @@ object CorpusStats {
   }
 
   /** Core of [[heavyHitters]] over any single-column token frame —
-    * exposed for the long-tail spec. */
+    * exposed for the long-tail spec. The candidate pre-filter is the
+    * codegen'd [[graft.expressions.CmsCountGreaterThan]] expression
+    * (sketch embedded in the plan, no UDF serialization boundary in
+    * the pass-2 scan and no broadcast to manage/destroy). */
   private[ops] def heavyHittersOf(tok: DataFrame,
       supportDiv: Long): DataFrame = {
-    val spark = tok.sparkSession
     val first = tok.agg(
       expr("count_min_sketch(word, 0.001d, 0.99d, 42)").as("cms"),
       count(lit(1)).as("total")).head()
-    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(first.getAs[Array[Byte]](0)))
     val thr = first.getLong(1) / supportDiv
-    val bc = spark.sparkContext.broadcast(cms)
-    val maybeHitter = udf((w: String) => bc.value.estimateCount(w) > thr)
-    tok.filter(maybeHitter(col("word")))
+    tok.filter(graft.expressions.CmsCountGreaterThan(
+        col("word"), first.getAs[Array[Byte]](0), thr))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > thr)

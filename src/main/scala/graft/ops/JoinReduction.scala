@@ -36,9 +36,13 @@ object JoinReduction {
   /** Pre-filter `fact` by a bloom filter of `dim`'s join keys, then
     * join. `expectedItems` sizes the filter (dim-side distinct keys);
     * `fpp` is the target false-positive rate — bits follow the
-    * standard m = -n·ln(p)/ln(2)² formula. NULL fact keys never match
-    * (as in the equi-join itself), because `might_contain` on a null
-    * hash yields null and the filter drops it. */
+    * standard m = -n·ln(p)/ln(2)² formula. NULL fact keys are dropped
+    * by an explicit `isNotNull` before the probe: `xxhash64` is
+    * null-SAFE (a null key hashes to the seed, never to null), so
+    * without the explicit filter a null-keyed row could collide with
+    * the seed-hash bucket and ride the shuffle all the way to the
+    * equi-join that finally drops it — on a null-heavy fact that is
+    * exactly the shuffle this operator exists to avoid. */
   def bloomReduceJoin(
       fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String,
@@ -61,7 +65,8 @@ object JoinReduction {
     val probe = BloomFilterMightContain(
       ScalarSubquery(bloomPlan),
       new XxHash64(Seq(ColumnBridge.expression(col(factKey)))))
-    fact.filter(ColumnBridge.column(probe))
+    fact.filter(col(factKey).isNotNull)
+      .filter(ColumnBridge.column(probe))
       .join(dim, col(factKey) === col(dimKey))
   }
 

@@ -131,11 +131,22 @@ object Layout {
   }
 
   /** Scale a value in [0, extent) to a DimBits-bit grid coordinate.
-    * Spark's `/` is double division; floor-then-cast is truncating
-    * division for these positive magnitudes (≪ 2^53), matching
-    * [[gridOf]]'s long arithmetic bit-for-bit. */
-  private def gridCoord(v: Column, extent: Long): Column =
+    * Spark's `/` is double division; floor-then-cast matches
+    * [[gridOf]]'s truncating long division bit-for-bit only while the
+    * quotient's double rounding can never cross an integer boundary.
+    * The quotient is ≤ 2^DimBits (=256, ~2^-45 relative error as a
+    * double), so its absolute error stays below 1 only for
+    * extent < ~2^45 — NOT 2^53: past that, a boundary row's cell could
+    * differ from the driver-side enumeration and rows would silently
+    * vanish from box scans. `require` pins the invariant (user-id
+    * spans and day counts are far inside it; a wider domain must remap
+    * to offsets first, as the callers already do). */
+  private def gridCoord(v: Column, extent: Long): Column = {
+    require(extent > 0 && extent < (1L << 45),
+      s"gridCoord extent $extent outside (0, 2^45): double-division " +
+        "floor no longer matches integer division bit-for-bit")
     floor(v * lit(1L << DimBits) / lit(extent)).cast("long")
+  }
 
   private def gridOf(v: Long, extent: Long): Long =
     v * (1L << DimBits) / extent

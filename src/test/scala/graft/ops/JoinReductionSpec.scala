@@ -73,6 +73,24 @@ class JoinReductionSpec extends AnyFunSuite {
     assert(sloppy.count() == expected.count())
   }
 
+  test("null fact keys die at the scan, and the result still equals the plain join") {
+    import spark.implicits._
+    // xxhash64 is null-safe (null hashes to the seed), so without the
+    // explicit isNotNull a null-keyed row could pass the bloom probe
+    // and ride to the equi-join. The contract: nulls never appear in
+    // the output (equi-join semantics) AND never survive the pre-filter.
+    val fact = Seq(Some(1L), Some(2L), None, None, Some(99L))
+      .toDF("fk")
+    val dim = Seq(1L, 2L, 3L).toDF("dk")
+    val joined = JoinReduction.bloomReduceJoin(
+      fact, dim, "fk", "dk", expectedItems = 10L)
+    assert(joined.select("fk").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // the scan-side reduction really drops the null rows pre-join
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("isnotnull(fk"),
+      s"expected an isnotnull(fk) scan filter in:\n$plan")
+  }
+
   test("bloomReduceJoin with an EMPTY dim returns an empty result") {
     // bloom_filter_agg over zero rows yields a null filter;
     // might_contain(null, ...) is null, the filter drops every fact
