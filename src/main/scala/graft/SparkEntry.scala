@@ -95,6 +95,19 @@ object SparkEntry {
 
     "ingest_upsert" -> Q(Ingest.ingestUpsert, Some(upsertOracle)),
 
+    // Snapshot time-travel (SnapshotLog): three upsert batches commit
+    // versions 1..3; the query returns the table AS OF VERSION 2, so
+    // the oracle is the upsert of the first TWO files only — reading
+    // the live (v3) state, a mis-retired copy, or a stale manifest all
+    // hash-fail. Ledger shape + v3≡live pinned by in-query requires.
+    "read_at_version" -> Q(Ingest.ingestTimeTravel, Some(s"""
+      WITH a AS (${ocsv("customers_20240628.csv", "2024-06-28")}),
+      b AS (${ocsv("customers_r2_20240628.csv", "2024-06-28")}),
+      m1 AS (SELECT * FROM a ANTI JOIN b USING (id, dt)
+             UNION ALL SELECT * FROM b)
+      SELECT id, name, city, bal, dt, $oAudit
+      FROM m1 ORDER BY dt, id""")),
+
     // S2 hard mode: RFC-4180 doubled quotes, delimiters and NEWLINES
     // inside quoted fields, 3,000 rows — both engines parse the same
     // bytes with their own CSV readers, so quote/newline handling is

@@ -1,0 +1,213 @@
+package graft.load
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+/** Versioned snapshot log for a curated table — read-at-version
+  * semantics over the loader's staged-atomic-swap merge, the
+  * Delta/Iceberg capability the reference CONFIGURES but never uses
+  * (`/root/reference/bootstrap.sh:60-64` installs the Delta jars; no
+  * script ever time-travels).
+  *
+  * Layout, all inside `<table>/_graft_log` (underscore-prefixed, so
+  * Spark's file index, `Strategies.tableExists`, and every plain
+  * reader ignore it):
+  *
+  *   _graft_log/v00000001.manifest      one per committed write
+  *   _graft_log/retired/v00000002/dt=X  the copy of dt=X superseded
+  *                                      BY version 2 (i.e. the copy
+  *                                      that was live at version 1)
+  *
+  * A manifest records, for each dt partition the commit touched, the
+  * data-file names now live in that partition and whether a previous
+  * copy was retired. Partitions NOT touched by a commit are inherited
+  * from earlier manifests at read time, so a commit's metadata cost is
+  * O(touched partitions) — never a full-table listing, the property
+  * that keeps commits metadata-cheap at 100 TB (a daily merge touches
+  * one dt). Manifests are written to a temp name and renamed in, and
+  * only AFTER every swap rename has succeeded: a crash mid-swap leaves
+  * no manifest, so the log still describes the last consistent
+  * version, and the swap's existing bak/stage recovery runbook
+  * (Strategies.stagedPartitionSwap) restores that state.
+  *
+  * Reading version V resolves each partition's last-touch ≤ V file
+  * list against its physical location: the LIVE dir if no later
+  * version replaced it, else `retired/vM` for the smallest toucher
+  * M > V (that retirement holds exactly the copy live at V, because no
+  * version in (V, M) touched the partition). File lists are explicit,
+  * so a partially-rewritten live dir can only fail loudly
+  * (file-not-found), never silently return mixed-version rows.
+  *
+  * Retention is the standard table-format trade: every merge retains
+  * the superseded partition copy until [[vacuum]] drops retired copies
+  * older than the keep horizon (manifests stay — they are tiny and
+  * later versions inherit file lists through them; a vacuumed
+  * version's read fails with an explicit error instead of wrong data).
+  *
+  * dt values are stored percent-encoded so adversarial partition
+  * values (`/`, `:`, `=`, whitespace — the ingest_escaped_dt family)
+  * round-trip through the line-oriented manifest format. */
+object SnapshotLog {
+
+  private def logDir(path: String) = s"$path/_graft_log"
+  private def manifestPath(path: String, v: Int) =
+    f"${logDir(path)}/v$v%08d.manifest"
+  private def retiredDir(path: String, v: Int) =
+    f"${logDir(path)}/retired/v$v%08d"
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+  private def escDt(dt: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(dt)
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** One touched partition in one manifest. */
+  final case class Entry(dt: String, files: Seq[String],
+      retiredPrev: Boolean)
+  final case class Manifest(version: Int, entries: Seq[Entry])
+
+  /** Committed versions, ascending (empty: table has no log — written
+    * before versioning, or by the non-swap strategies). */
+  def versions(spark: SparkSession, path: String): Seq[Int] = {
+    val fs = fsOf(spark, path)
+    val dir = new Path(logDir(path))
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d{8}\\.manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toInt }
+      .sorted
+  }
+
+  private def readManifest(fs: FileSystem, path: String,
+      v: Int): Manifest = {
+    val in = fs.open(new Path(manifestPath(path, v)))
+    val lines = try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    } finally in.close()
+    val touched = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Boolean, Vector[String])]
+    lines.filter(_.nonEmpty).foreach { line =>
+      line.split("\t", -1).toSeq match {
+        case Seq("dt", e, r) => touched(dec(e)) = (r == "1", Vector.empty)
+        case Seq("f", e, name) =>
+          val k = dec(e)
+          val (r, fsx) = touched(k)
+          touched(k) = (r, fsx :+ name)
+        case other => throw new java.io.IOException(
+          s"corrupt manifest v$v for $path: '$line'")
+      }
+    }
+    Manifest(v, touched.toSeq.map { case (dt, (r, f)) =>
+      Entry(dt, f, r) }.toVector)
+  }
+
+  /** List a live dt dir's DATA file names (metadata `_`/`.` entries
+    * excluded, matching what Spark reads). */
+  private def dataFiles(fs: FileSystem, dir: Path): Seq[String] =
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      .sorted
+
+  /** Record a committed swap: move each superseded copy from the
+    * swap's bak dir into this commit's retired dir, then write the
+    * manifest (temp + rename — the manifest's existence IS the
+    * commit). Called by [[Strategies.stagedPartitionSwap]] after every
+    * rename has succeeded; `touched` carries (raw dt, hadLiveCopy).
+    * Returns the new version. */
+  private[load] def commit(spark: SparkSession, path: String,
+      bak: String, touched: Seq[(String, Boolean)]): Int = {
+    val fs = fsOf(spark, path)
+    val v = versions(spark, path).lastOption.getOrElse(0) + 1
+    val retired = new Path(retiredDir(path, v))
+    if (touched.exists(_._2)) fs.mkdirs(retired)
+    touched.foreach { case (dt, hadLive) =>
+      if (hadLive) {
+        val from = new Path(s"$bak/dt=${escDt(dt)}")
+        if (!fs.rename(from, new Path(retired, s"dt=${escDt(dt)}")))
+          throw new java.io.IOException(
+            s"Failed to retire $from into $retired")
+      }
+    }
+    val body = touched.map { case (dt, hadLive) =>
+      val files = dataFiles(fs, new Path(s"$path/dt=${escDt(dt)}"))
+      (s"dt\t${enc(dt)}\t${if (hadLive) "1" else "0"}" +:
+        files.map(f => s"f\t${enc(dt)}\t$f")).mkString("\n")
+    }.mkString("", "\n", "\n")
+    val tmp = new Path(logDir(path), s".v$v.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new Path(manifestPath(path, v))))
+      throw new java.io.IOException(s"Failed to commit manifest v$v")
+    v
+  }
+
+  /** First-load commit: version 1 over everything the overwrite just
+    * wrote (listing is one directory scan of the partitions the write
+    * itself produced — a first load writes them all by definition). */
+  private[load] def commitInitial(spark: SparkSession,
+      path: String): Int = {
+    val fs = fsOf(spark, path)
+    val dts = fs.listStatus(new Path(path)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("dt="))
+      .map(s => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(s.getPath.getName.stripPrefix("dt=")))
+    commit(spark, path, bak = "", dts.map(_ -> false))
+  }
+
+  /** The table exactly as of `version`. Fails loudly on an unknown
+    * version and on a vacuumed one (retired copy gone) — never
+    * silently returns newer or partial data. */
+  def readAtVersion(spark: SparkSession, path: String,
+      version: Int): DataFrame = {
+    val fs = fsOf(spark, path)
+    val all = versions(spark, path)
+    require(all.contains(version),
+      s"version $version not in snapshot log for $path " +
+        s"(have: ${all.mkString(",")})")
+    val manifests = all.map(v => readManifest(fs, path, v))
+    // last touch ≤ version wins per partition (whole-dir swap semantics)
+    val lastTouch: Map[String, Entry] = manifests
+      .filter(_.version <= version)
+      .flatMap(m => m.entries.map(e => e.dt -> e)).toMap
+    val later = manifests.filter(_.version > version)
+    val perDt = lastTouch.toSeq.sortBy(_._1).map { case (dt, entry) =>
+      val supersededBy = later
+        .find(_.entries.exists(_.dt == dt)) // ascending → smallest
+        .map(_.version)
+      val loc = supersededBy match {
+        case Some(m) => s"${retiredDir(path, m)}/dt=${escDt(dt)}"
+        case None => s"$path/dt=${escDt(dt)}"
+      }
+      if (!fs.exists(new Path(loc)))
+        throw new java.io.IOException(
+          s"version $version of $path: partition dt=$dt copy at $loc " +
+            "is gone (vacuumed?) — cannot reconstruct this version")
+      spark.read.parquet(entry.files.map(f => s"$loc/$f"): _*)
+        .withColumn("dt", lit(dt))
+    }
+    require(perDt.nonEmpty, s"version $version of $path is empty")
+    perDt.reduce(_ unionByName _)
+  }
+
+  /** Drop retired partition copies for versions ≤ (latest − keepLast),
+    * bounding retention. Manifests are kept (tiny, and later versions
+    * inherit untouched-partition file lists through them); reads of
+    * vacuumed versions fail explicitly in [[readAtVersion]]. */
+  def vacuum(spark: SparkSession, path: String, keepLast: Int): Unit = {
+    require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
+    val fs = fsOf(spark, path)
+    val all = versions(spark, path)
+    if (all.isEmpty) return
+    val horizon = all.max - keepLast
+    all.filter(_ <= horizon).foreach { v =>
+      val dir = new Path(retiredDir(path, v))
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+  }
+}

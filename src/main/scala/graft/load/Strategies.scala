@@ -100,6 +100,9 @@ object Strategies {
             requireUniqueMergeKeys(cached, primaryKey :+ "dt")
             clustered(cached).write.mode("overwrite").partitionBy("dt")
               .parquet(path)
+            // version 1 of the table's snapshot log: every later merge
+            // swap commits a new version (read_at_version support)
+            SnapshotLog.commitInitial(spark, path)
           } finally cached.unpersist()
         } else {
           upsertMerge(spark, clustered(df), path, primaryKey)
@@ -220,6 +223,7 @@ object Strategies {
       if (!fs.rename(from, to))
         throw new java.io.IOException(s"Failed to rename $from -> $to")
     fs.mkdirs(new Path(bak))
+    val swapped = Seq.newBuilder[(String, Boolean)]
     dts.foreach { dt =>
       val dirName = s"dt=${escDt(dt)}"
       val live = new Path(s"$path/$dirName")
@@ -237,9 +241,19 @@ object Strategies {
       } else {
         if (hasLive) mv(live, new Path(s"$bak/$dirName"))
         mv(staged, live)
+        swapped += (dt -> hasLive)
       }
     }
-    // all partitions swapped — safe to drop both scratch dirs
+    // All partitions swapped. On a versioned table (snapshot log seeded
+    // by the first upsert load) the superseded copies RETIRE into the
+    // log — manifest write is the commit point, after every rename —
+    // instead of being deleted; an unversioned table (append/overwrite
+    // history, or pre-log) keeps the old drop-the-backup behavior. A
+    // crash before the manifest rename leaves no new version: the log
+    // still describes the last consistent state, and the bak/stage
+    // recovery runbook above restores it.
+    if (SnapshotLog.versions(spark, path).nonEmpty)
+      SnapshotLog.commit(spark, path, bak, swapped.result())
     fs.delete(new Path(stage), true)
     fs.delete(new Path(bak), true)
   }
@@ -289,5 +303,17 @@ object Strategies {
   def readCurated(spark: SparkSession, path: String): DataFrame = {
     ensureConf(spark)
     spark.read.parquet(path)
+  }
+
+  /** Read the curated table exactly as of a snapshot version — the
+    * time-travel surface over the merge's staged swaps (see
+    * [[SnapshotLog]] for the manifest/retirement model and its
+    * retention/vacuum trade). Versions exist for upsert-lifecycle
+    * tables (the first load seeds version 1; every merge or compaction
+    * swap commits the next). */
+  def readAtVersion(spark: SparkSession, path: String,
+      version: Int): DataFrame = {
+    ensureConf(spark)
+    SnapshotLog.readAtVersion(spark, path, version)
   }
 }

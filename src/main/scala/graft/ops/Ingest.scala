@@ -242,6 +242,40 @@ object Ingest {
       .orderBy("dt", "id")
   }
 
+  /** Snapshot time-travel over the upsert lifecycle: the same three
+    * batches as [[ingestUpsert]] commit versions 1..3 of the snapshot
+    * log ([[graft.load.SnapshotLog]]), then the table is read back AS
+    * OF VERSION 2 — after the same-dt corrections merge, before the
+    * new-dt batch. The oracle recomputes that intermediate state from
+    * the first two CSVs alone, so a wrong manifest, a mis-retired
+    * partition copy, or version-resolution reading the LIVE (v3)
+    * copy all hash-fail. In-query `require`s pin the ledger shape:
+    * exactly versions {1,2,3}, and version 3 ≡ the live read. */
+  def ingestTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.load.SnapshotLog
+    val layout = freshLayout("ingest_timetravel")
+    val cfg = TableConfig.fromFile(config("customers_upsert"))
+    load(spark, layout, "customers_tt", cfg, "customers_20240628.csv")
+    load(spark, layout, "customers_tt", cfg, "customers_r2_20240628.csv")
+    load(spark, layout, "customers_tt", cfg, "customers_20240629.csv")
+    val path = layout.curatedPath("sap", "customers_tt")
+    require(SnapshotLog.versions(spark, path) == Seq(1, 2, 3),
+      s"expected versions 1..3, got ${SnapshotLog.versions(spark, path)}")
+    val cols = Seq("id", "name", "city", "bal", "dt")
+    def canon(df: DataFrame): Seq[String] =
+      df.select(cols.map(col): _*).orderBy("dt", "id")
+        .collect().map(_.toSeq.mkString("|")).toSeq
+    require(canon(Strategies.readAtVersion(spark, path, 3)) ==
+      canon(Strategies.readCurated(spark, path)),
+      "latest version read must equal the live table")
+    Strategies.readAtVersion(spark, path, 2)
+      .select((cols.map(col) ++ Seq(
+        unix_micros(col("cret_ts")).as("cret_ts_us"),
+        unix_micros(col("updt_ts")).as("updt_ts_us"),
+        col("cret_nm"), col("updt_nm"))): _*)
+      .orderBy("dt", "id")
+  }
+
   /** J1/J2/W5 — upsert: first load (J2 overwrite), same-dt corrections
     * batch (matched rows updated, new keys inserted), then a new-dt batch
     * (all inserted — the merge key includes dt). */
