@@ -108,6 +108,32 @@ object SparkEntry {
       SELECT id, name, city, bal, dt, $oAudit
       FROM m1 ORDER BY dt, id""")),
 
+    // Version-to-version CDC (the change-data-feed shape): diff of the
+    // v1 and v3 snapshot reconstructions on (id, dt). The oracle
+    // rebuilds both states from the CSVs and classifies independently;
+    // the merge never deletes, so any 'delete' row hash-fails.
+    "version_changes" -> Q(Ingest.ingestVersionChanges, Some(s"""
+      WITH a AS (${ocsv("customers_20240628.csv", "2024-06-28")}),
+      b AS (${ocsv("customers_r2_20240628.csv", "2024-06-28")}),
+      c AS (${ocsv("customers_20240629.csv", "2024-06-29")}),
+      m1 AS (SELECT * FROM a ANTI JOIN b USING (id, dt)
+             UNION ALL SELECT * FROM b),
+      m2 AS (SELECT * FROM m1 ANTI JOIN c USING (id, dt)
+             UNION ALL SELECT * FROM c)
+      SELECT coalesce(a.id, m2.id) AS id,
+        coalesce(a.dt, m2.dt) AS dt,
+        CASE WHEN a.id IS NULL THEN 'insert'
+          WHEN m2.id IS NULL THEN 'delete' ELSE 'update' END AS change_type,
+        a.name AS old_name, m2.name AS new_name,
+        a.city AS old_city, m2.city AS new_city,
+        a.bal AS old_bal, m2.bal AS new_bal
+      FROM a FULL JOIN m2 ON a.id = m2.id AND a.dt = m2.dt
+      WHERE a.id IS NULL OR m2.id IS NULL
+        OR NOT (a.name IS NOT DISTINCT FROM m2.name
+          AND a.city IS NOT DISTINCT FROM m2.city
+          AND a.bal IS NOT DISTINCT FROM m2.bal)
+      ORDER BY dt, id""")),
+
     // S2 hard mode: RFC-4180 doubled quotes, delimiters and NEWLINES
     // inside quoted fields, 3,000 rows — both engines parse the same
     // bytes with their own CSV readers, so quote/newline handling is

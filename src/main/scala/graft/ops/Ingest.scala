@@ -276,6 +276,30 @@ object Ingest {
       .orderBy("dt", "id")
   }
 
+  /** Version-to-version CDC over the snapshot log (the Delta
+    * change-data-feed shape): the same three upsert batches commit
+    * versions 1..3, then [[Inspect.snapshotDiff]] runs over the
+    * version-1 and version-3 RECONSTRUCTIONS — inserts from the
+    * corrections and new-dt batches, updates where payloads changed,
+    * never a delete (the merge only upserts). Downstream consumers get
+    * "what changed between load N and load M" without either snapshot
+    * having been retained by the pipeline itself — the log's retired
+    * copies are the history. One keyed shuffle per side at any scale,
+    * same as the base diff operator. */
+  def ingestVersionChanges(spark: SparkSession, dir: String): DataFrame = {
+    val layout = freshLayout("ingest_version_changes")
+    val cfg = TableConfig.fromFile(config("customers_upsert"))
+    load(spark, layout, "customers_vc", cfg, "customers_20240628.csv")
+    load(spark, layout, "customers_vc", cfg, "customers_r2_20240628.csv")
+    load(spark, layout, "customers_vc", cfg, "customers_20240629.csv")
+    val path = layout.curatedPath("sap", "customers_vc")
+    Inspect.snapshotDiff(
+        Strategies.readAtVersion(spark, path, 1),
+        Strategies.readAtVersion(spark, path, 3),
+        pk = Seq("id", "dt"), compare = Seq("name", "city", "bal"))
+      .orderBy("dt", "id")
+  }
+
   /** J1/J2/W5 — upsert: first load (J2 overwrite), same-dt corrections
     * batch (matched rows updated, new keys inserted), then a new-dt batch
     * (all inserted — the merge key includes dt). */
