@@ -3,6 +3,7 @@ package graft.load
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
+import org.slf4j.LoggerFactory
 
 /** Versioned snapshot log for a curated table — read-at-version
   * semantics over the loader's staged-atomic-swap merge, the
@@ -49,6 +50,8 @@ import org.apache.spark.sql.functions.{col, lit}
   * values (`/`, `:`, `=`, whitespace — the ingest_escaped_dt family)
   * round-trip through the line-oriented manifest format. */
 object SnapshotLog {
+
+  private val log = LoggerFactory.getLogger(getClass)
 
   private def logDir(path: String) = s"$path/_graft_log"
   private def manifestPath(path: String, v: Int) =
@@ -97,7 +100,13 @@ object SnapshotLog {
         case Seq("dt", e, r) => touched(dec(e)) = (r == "1", Vector.empty)
         case Seq("f", e, name) =>
           val k = dec(e)
-          val (r, fsx) = touched(k)
+          // an `f` line whose `dt` declaration is missing is the same
+          // corruption class as an unparseable line — same loud error,
+          // not a bare NoSuchElementException
+          val (r, fsx) = touched.getOrElse(k,
+            throw new java.io.IOException(
+              s"corrupt manifest v$v for $path: file line for " +
+                s"undeclared partition '$line'"))
           touched(k) = (r, fsx :+ name)
         case other => throw new java.io.IOException(
           s"corrupt manifest v$v for $path: '$line'")
@@ -119,12 +128,44 @@ object SnapshotLog {
     * manifest (temp + rename — the manifest's existence IS the
     * commit). Called by [[Strategies.stagedPartitionSwap]] after every
     * rename has succeeded; `touched` carries (raw dt, hadLiveCopy).
-    * Returns the new version. */
+    * Returns the new version, or None when the table has no snapshot
+    * log (append/overwrite-history tables stay unversioned) — ONE
+    * log-dir listing serves both the versioned-probe and the
+    * next-version computation.
+    *
+    * Crash window: a death BETWEEN a retire rename and the manifest
+    * rename leaves an ORPHANED `retired/vN` (no `vN.manifest`) holding
+    * the crashed run's superseded copies — the swap itself succeeded,
+    * so the right recovery is roll-FORWARD (re-run the batch; the
+    * merge is idempotent). The next commit moves any such orphan
+    * aside to `retired/.orphan_vN_<run>` (dot-prefixed: invisible to
+    * version resolution, bytes preserved for manual inspection) so
+    * the version number can be reused cleanly instead of colliding. */
   private[load] def commit(spark: SparkSession, path: String,
-      bak: String, touched: Seq[(String, Boolean)]): Int = {
+      bak: String, touched: Seq[(String, Boolean)]): Option[Int] = {
     val fs = fsOf(spark, path)
-    val v = versions(spark, path).lastOption.getOrElse(0) + 1
+    val existing = versions(spark, path)
+    if (existing.isEmpty) return None
+    Some(commitNext(spark, fs, path, bak, touched,
+      existing.last + 1))
+  }
+
+  private def commitNext(spark: SparkSession, fs: FileSystem,
+      path: String, bak: String, touched: Seq[(String, Boolean)],
+      v: Int): Int = {
     val retired = new Path(retiredDir(path, v))
+    if (fs.exists(retired)) {
+      // orphan of a crashed previous commit at this version number
+      val aside = new Path(retired.getParent,
+        f".orphan_v$v%08d_" + java.util.UUID.randomUUID()
+          .toString.take(8))
+      if (!fs.rename(retired, aside))
+        throw new java.io.IOException(
+          s"Failed to move orphaned $retired aside to $aside")
+      log.warn("Moved orphaned retired dir {} (crashed commit, no " +
+        "manifest) aside to {} — superseded copies preserved there",
+        retired: Any, aside: Any)
+    }
     if (touched.exists(_._2)) fs.mkdirs(retired)
     touched.foreach { case (dt, hadLive) =>
       if (hadLive) {
@@ -147,9 +188,11 @@ object SnapshotLog {
     v
   }
 
-  /** First-load commit: version 1 over everything the overwrite just
-    * wrote (listing is one directory scan of the partitions the write
-    * itself produced — a first load writes them all by definition). */
+  /** First-load commit: seeds the log with version 1 over everything
+    * the overwrite just wrote (listing is one directory scan of the
+    * partitions the write itself produced — a first load writes them
+    * all by definition). Unlike [[commit]] this runs on a table with
+    * NO log yet — that is its job. */
   private[load] def commitInitial(spark: SparkSession,
       path: String): Int = {
     val fs = fsOf(spark, path)
@@ -157,7 +200,30 @@ object SnapshotLog {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("dt="))
       .map(s => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(s.getPath.getName.stripPrefix("dt=")))
-    commit(spark, path, bak = "", dts.map(_ -> false))
+    commitNext(spark, fs, path, bak = "", dts.map(_ -> false),
+      versions(spark, path).lastOption.getOrElse(0) + 1)
+  }
+
+  /** Invalidate the log: an append/overwrite write to a versioned
+    * table changes data OUTSIDE the manifest protocol, so keeping the
+    * log would let `readAtVersion(latest)` silently return stale rows
+    * — against this module's never-silently-wrong contract. The log
+    * dir is moved aside (dot-prefixed, bytes preserved), so every
+    * subsequent version read fails loudly with "no snapshot log". */
+  private[load] def invalidate(spark: SparkSession, path: String,
+      reason: String): Unit = {
+    val fs = fsOf(spark, path)
+    val dir = new Path(logDir(path))
+    if (!fs.exists(dir)) return
+    val aside = new Path(path,
+      "._graft_log_invalid_" +
+        java.util.UUID.randomUUID().toString.take(8))
+    if (!fs.rename(dir, aside))
+      throw new java.io.IOException(
+        s"Failed to invalidate snapshot log $dir ($reason)")
+    log.warn("Snapshot log for {} invalidated ({}) — moved aside to " +
+      "{}; read_at_version now fails loudly instead of returning " +
+      "stale data", path, reason, aside)
   }
 
   /** The table exactly as of `version`. Fails loudly on an unknown

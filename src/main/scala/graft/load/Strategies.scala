@@ -80,8 +80,13 @@ object Strategies {
         .sortWithinPartitions(sortColumns.map(col): _*)
     strategy match {
       case "append" =>
+        // append writes outside the manifest protocol: a versioned
+        // table's log would go silently stale — invalidate it instead
+        // (version reads then fail loudly; see SnapshotLog.invalidate)
+        SnapshotLog.invalidate(spark, path, "append write")
         clustered(df).write.mode("append").partitionBy("dt").parquet(path)
       case s if OverwriteNames(s) =>
+        SnapshotLog.invalidate(spark, path, "overwrite write")
         clustered(df).write.mode("overwrite").partitionBy("dt").parquet(path)
       case "upsert" =>
         if (primaryKey.isEmpty)
@@ -248,12 +253,15 @@ object Strategies {
     // by the first upsert load) the superseded copies RETIRE into the
     // log — manifest write is the commit point, after every rename —
     // instead of being deleted; an unversioned table (append/overwrite
-    // history, or pre-log) keeps the old drop-the-backup behavior. A
-    // crash before the manifest rename leaves no new version: the log
-    // still describes the last consistent state, and the bak/stage
-    // recovery runbook above restores it.
-    if (SnapshotLog.versions(spark, path).nonEmpty)
-      SnapshotLog.commit(spark, path, bak, swapped.result())
+    // history, or pre-log) keeps the old drop-the-backup behavior
+    // (commit itself probes the log with its single listing and
+    // returns None). A crash before the RETIRE renames leaves no new
+    // version and the bak/stage runbook above restores the logged
+    // state; a crash between retire and the manifest rename leaves an
+    // orphaned retired dir that the next commit moves aside — see
+    // SnapshotLog.commit's crash-window note (recovery there is
+    // roll-forward: the swap already applied, re-run the batch).
+    SnapshotLog.commit(spark, path, bak, swapped.result())
     fs.delete(new Path(stage), true)
     fs.delete(new Path(bak), true)
   }

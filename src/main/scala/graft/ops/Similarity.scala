@@ -204,10 +204,9 @@ object Similarity {
     // codebook is downcast to float and scored with the codegen'd
     // [[dot]] loop instead of an interpreted HOF fold per (row, cell).
     // Returned top-k scores still use the exact double path below.
-    def cellDots(e: Column) = cellDotStructs(cells, e)
-    val assignCell = greatest(cellDots(col("embedding")): _*).getField("cell")
+    val assignCell = argmaxCell(cells, col("embedding"))
     val probes = slice(
-      array_sort(array(cellDots(col("q_emb")): _*)),
+      array_sort(array(cellDotStructs(cells, col("q_emb")): _*)),
       lit(cells.size - probeN + 1), lit(probeN))
     val emb = fanOut(t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"),
@@ -231,6 +230,15 @@ object Similarity {
         dot(e, typedLit(c.map(_.toFloat))).as("score"),
         lit(id).as("cell"))
     }
+
+  /** Argmax cell id for a vector — `greatest` over the per-cell dot
+    * structs, except that `greatest` requires ≥2 arguments: a
+    * single-cell codebook (maxCells=1, or a corpus whose labels fold
+    * into one cell) degenerates to that cell unconditionally. */
+  private def argmaxCell(cells: Seq[(Int, Seq[Double])],
+      e: Column): Column =
+    if (cells.size == 1) lit(cells.head._1)
+    else greatest(cellDotStructs(cells, e): _*).getField("cell")
 
   /** The bounded coarse codebook shared by [[ivfTopK]] and
     * [[ivfBuildIndex]]: at most `maxCells` cells, ids
@@ -281,8 +289,7 @@ object Similarity {
       val cells: Seq[(Int, Seq[Double])] = spark.read
         .parquet(s"$out/codebook").select("cell", "centroid")
         .as[(Int, Seq[Double])].collect().toSeq
-      val assignCell =
-        greatest(cellDotStructs(cells, col("embedding")): _*).getField("cell")
+      val assignCell = argmaxCell(cells, col("embedding"))
       fanOut(t(spark, dir, "embeddings"))
         .select(col("vec_id"), col("embedding"),
           l2norm(col("embedding")).as("nrm"))
@@ -320,10 +327,13 @@ object Similarity {
     // its interpreted nullSafeEval loop) over the same float-downcast
     // codebook the in-plan route uses — one source of truth, so a
     // FloatDot change can never silently break the spec-pinned
-    // probe ≡ inline parity.
+    // probe ≡ inline parity. The downcast is hoisted out of the
+    // (query × cell) loop: one conversion per cell, not per pair.
+    val fcells: Seq[(Int, Seq[Float])] =
+      cells.map { case (id, c) => (id, c.map(_.toFloat)) }
     val routes: Seq[(Long, Int)] = qs.flatMap { case (qId, qEmb, _) =>
-      cells.map { case (id, c) =>
-        (graft.expressions.FloatDot.evalDot(qEmb, c.map(_.toFloat)), id)
+      fcells.map { case (id, fc) =>
+        (graft.expressions.FloatDot.evalDot(qEmb, fc), id)
       }.sorted.takeRight(probeN).map { case (_, id) => (qId, id) }
     }
     val probedCells = routes.map(_._2).distinct

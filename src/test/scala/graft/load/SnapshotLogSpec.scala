@@ -107,6 +107,67 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(at(p, 2) == Set((1, "A", "d1")))
   }
 
+  test("append to a versioned table invalidates the log instead of going stale") {
+    val p = tmp()
+    up(p, (1, "a", "d1"))
+    up(p, (1, "A", "d1"))
+    assert(SnapshotLog.versions(spark, p) == Seq(1, 2))
+    // an append writes outside the manifest protocol — keeping the log
+    // would let readAtVersion(2) silently MISS this row
+    Strategies.writeCurated(spark, df((9, "x", "d1")), p, "append", Nil)
+    assert(live(p) == Set((1, "A", "d1"), (9, "x", "d1")))
+    assert(SnapshotLog.versions(spark, p).isEmpty)
+    intercept[IllegalArgumentException](at(p, 2)) // loud, not stale
+  }
+
+  test("orphaned retired dir from a crashed commit is moved aside, not collided with") {
+    val p = tmp()
+    up(p, (1, "a", "d1"))
+    // simulate the commit crash window: retired/v2 exists (the crashed
+    // run's retire renames ran) but v2's manifest was never written
+    val orphan = new java.io.File(
+      new java.io.File(p, "_graft_log/retired"), "v00000002/dt=d1")
+    assert(orphan.mkdirs())
+    assert(new java.io.File(orphan, "stranded.parquet").createNewFile())
+    assert(SnapshotLog.versions(spark, p) == Seq(1)) // no v2 committed
+    up(p, (1, "A", "d1")) // roll forward: next commit reuses v2 cleanly
+    assert(SnapshotLog.versions(spark, p) == Seq(1, 2))
+    assert(at(p, 1) == Set((1, "a", "d1")))
+    assert(at(p, 2) == Set((1, "A", "d1")))
+    // the stranded copy was preserved aside, invisible to resolution
+    val aside = new java.io.File(p, "_graft_log/retired").listFiles()
+      .filter(_.getName.startsWith(".orphan_v00000002"))
+    assert(aside.length == 1)
+    assert(new java.io.File(aside.head, "dt=d1/stranded.parquet").exists())
+  }
+
+  test("randomized upsert sequence: every version replays its recorded state exactly") {
+    // model check: a deterministic pseudo-random sequence of merge
+    // batches over 3 dts; after each commit the expected table state is
+    // maintained independently in a driver-side map, and at the end
+    // EVERY version must reconstruct its recorded state — catches any
+    // drift in manifest inheritance, retirement resolution, or file
+    // listing across arbitrary touch patterns.
+    val p = tmp()
+    val rnd = new scala.util.Random(42)
+    val model = scala.collection.mutable.Map.empty[(Int, String), String]
+    val states = Seq.newBuilder[Set[(Int, String, String)]]
+    for (step <- 1 to 8) {
+      val batch = (0 until (1 + rnd.nextInt(4))).map { _ =>
+        (rnd.nextInt(6), s"v$step-${rnd.nextInt(100)}",
+          s"d${1 + rnd.nextInt(3)}")
+      }.groupBy(r => (r._1, r._3)).map(_._2.head).toSeq // unique (pk,dt)
+      Strategies.writeCurated(spark, df(batch: _*), p, "upsert", Seq("id"))
+      batch.foreach { case (id, v, dt) => model((id, dt)) = v }
+      states += model.map { case ((id, dt), v) => (id, v, dt) }.toSet
+    }
+    val recorded = states.result()
+    assert(SnapshotLog.versions(spark, p) == (1 to 8))
+    (1 to 8).foreach { v =>
+      assert(at(p, v) == recorded(v - 1), s"version $v diverged")
+    }
+  }
+
   test("vacuum drops old retired copies: old versions fail loudly, recent ones read") {
     val p = tmp()
     up(p, (1, "a", "d1"))

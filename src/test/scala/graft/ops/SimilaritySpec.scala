@@ -84,6 +84,13 @@ class SimilaritySpec extends AnyFunSuite {
         nProbe = 4, maxCells = 4)
       .select("q_id", "vec_id", "rn").as[(Long, Long, Int)].collect().toSet
     assert(ivfBounded == brute)
+    // degenerate single-cell codebook: every vector in one cell, one
+    // probe covers everything (greatest() needs >=2 args — the argmax
+    // must special-case this, not throw)
+    val ivfOne = Similarity.ivfTopK(spark, dir, k = 5, nQueries = 16,
+        nProbe = 1, maxCells = 1)
+      .select("q_id", "vec_id", "rn").as[(Long, Long, Int)].collect().toSet
+    assert(ivfOne == brute)
     // pruned probing returns a subset ranking over candidate cells only
     val ivf2 = Similarity.ivfTopK(spark, dir, k = 5, nQueries = 16,
         nProbe = 2)
