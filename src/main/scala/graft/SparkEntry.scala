@@ -881,6 +881,29 @@ object SparkEntry {
       FROM d ORDER BY doc_id"""
     }),
 
+    // Token-budget chunking with overlap (the splitting complement of
+    // seq_packing): same tokenization both engines, list_slice vs
+    // slice on identical integer boundaries — exact.
+    "doc_chunk" -> Q((s, d) => Reshape.docChunk(s, d), Some("""
+      WITH d AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS toks
+        FROM documents),
+      n AS (
+        SELECT doc_id, toks,
+          GREATEST(1, CAST(ceil((len(toks) - 8) / 56.0) AS BIGINT))
+            AS nchunks
+        FROM d),
+      e AS (
+        SELECT doc_id, toks, unnest(range(nchunks)) AS chunk_id FROM n)
+      SELECT doc_id, chunk_id,
+        CAST(len(list_slice(toks, chunk_id*56 + 1, chunk_id*56 + 64))
+          AS BIGINT) AS n_tokens,
+        array_to_string(list_slice(toks, chunk_id*56 + 1, chunk_id*56 + 64),
+          ' ') AS chunk_text
+      FROM e ORDER BY doc_id, chunk_id""")),
+
     "seq_packing" -> Q((s, d) => Reshape.seqPacking(s, d), Some("""
       WITH d AS (
         SELECT doc_id,

@@ -192,6 +192,46 @@ object Reshape {
       .orderBy("doc_id")
   }
 
+  /** Token-budget document chunking with overlap — the SPLITTING
+    * complement of [[seqPacking]]'s joining: long documents become
+    * fixed-size training windows (`chunkSize` tokens, consecutive
+    * chunks sharing `overlap` tokens so no span is ever cut without
+    * context), short documents pass through as one chunk. Chunk i
+    * covers token positions [i·stride, i·stride+chunkSize) with
+    * stride = chunkSize − overlap; the count is
+    * max(1, ⌈(n − overlap) / stride⌉), so the final chunk always has
+    * more than `overlap` tokens (never a pure-overlap tail).
+    *
+    * Everything is per-row HOF work — tokenize once, explode a
+    * chunk-index sequence, `slice` + `array_join` per chunk — no
+    * shuffle at all until the output sort: fan-out is proportional to
+    * each document's own token count, the embarrassingly-parallel
+    * shape that holds at 100 TB. Integer boundaries throughout (the
+    * one division's double rounding cannot cross an integer — operands
+    * are tiny), so the DuckDB oracle (list_slice on the same
+    * tokenization, proven bit-compatible by `seq_packing`) is exact. */
+  def docChunk(spark: SparkSession, dir: String, chunkSize: Int = 64,
+      overlap: Int = 8): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      s"need chunkSize > overlap >= 0, got $chunkSize/$overlap")
+    val stride = chunkSize - overlap
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("n_chunks",
+        greatest(lit(1L),
+          ceil((size(col("toks")) - lit(overlap)).cast("double") /
+            lit(stride.toDouble)).cast("long")))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("chunk_toks",
+        slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkSize)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk_toks")).cast("long").as("n_tokens"),
+        array_join(col("chunk_toks"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Deterministic train/val/test split assignment — the dataset-level
     * twin of [[sampleStratified]]'s row filter: every doc gets a split
     * from its content-derived bucket (80/10/10), so the assignment is

@@ -105,6 +105,45 @@ class ReshapeSpec extends AnyFunSuite {
     assert(bucketed == naive)
   }
 
+  test("docChunk covers every token, overlaps exactly, and reconstructs the doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lower, split}
+    val chunkSize = 64; val overlap = 8; val stride = chunkSize - overlap
+    val chunks = Reshape.docChunk(spark, dir, chunkSize, overlap)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val docs = graft.util.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("t"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, t) => id -> t.filter(_.nonEmpty) }.toMap
+    assert(chunks.keySet == docs.keySet)
+    docs.foreach { case (id, toks) =>
+      val cs = chunks(id)
+      // chunk ids are 0..n-1 with the spec'd count
+      val expectN = math.max(1L,
+        math.ceil((toks.length - overlap).toDouble / stride).toLong)
+      assert(cs.map(_._2).toSeq == (0L until expectN), s"doc $id ids")
+      cs.foreach { case (_, cid, nTok, text) =>
+        val expect = toks.slice((cid * stride).toInt,
+          (cid * stride).toInt + chunkSize)
+        assert(nTok == expect.length, s"doc $id chunk $cid size")
+        assert(text == expect.mkString(" "), s"doc $id chunk $cid text")
+      }
+      // stitching chunks back (dropping each successor's overlap)
+      // reconstructs the document exactly — no token lost or duplicated
+      val stitched = cs.zipWithIndex.flatMap { case ((_, _, _, text), i) =>
+        val ts = if (text.isEmpty) Seq.empty else text.split(" ").toSeq
+        if (i == 0) ts else ts.drop(overlap)
+      }
+      assert(stitched.toSeq == toks.toSeq, s"doc $id reconstruction")
+      // every non-final chunk is full; the final one exceeds the overlap
+      cs.init.foreach { case (_, cid, nTok, _) =>
+        assert(nTok == chunkSize, s"doc $id chunk $cid not full") }
+      if (toks.length > overlap)
+        assert(cs.last._3 > overlap, s"doc $id pure-overlap tail")
+    }
+  }
+
   test("dedup groups match a driver-side union-find over the same pairs") {
     import spark.implicits._
     val pairs = Dedup.nearDupPairs(spark, dir)
