@@ -1054,6 +1054,32 @@ object SparkEntry {
       SELECT doc_a, doc_b, n_bands FROM pairs
       WHERE n_bands >= 4 ORDER BY doc_a, doc_b""")),
 
+    // X3e — incremental near-dup: probe the doc_id%7==0 "incoming
+    // batch" against the persisted corpus signature index; only the
+    // batch is shingled, the corpus side is a broadcast-probed index
+    // scan. The oracle recomputes both sides' signatures and keeps
+    // cross (batch × corpus) pairs only.
+    "neardup_probe" -> Q(
+      (s, d) => Dedup.neardupProbe(s, d),
+      Some("""
+      WITH tok AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM tok WHERE len(w) >= 3),
+      sig AS (SELECT doc_id, b.band,
+          min(md5(b.band || ':' || shingle)) AS sig
+        FROM sh, (SELECT unnest(range(0, 8)) AS band) b GROUP BY 1, 2)
+      SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
+        count(*) AS n_bands
+      FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+      GROUP BY 1, 2 HAVING count(*) >= 4
+      ORDER BY new_doc, corpus_doc""")),
+
     "funnel" -> Q(Analytics.funnel, Some("""
       WITH e AS (
         SELECT user_id, event_id, ts, event_type,

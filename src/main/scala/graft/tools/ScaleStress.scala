@@ -188,6 +188,10 @@ object ScaleStress {
     // table would measure the incremental cost, not the pipeline
     val docOps: Seq[(String, String => Long)] = Seq(
       "neardup_minhash" -> (d => Dedup.nearDupPairs(spark, d).count()),
+      // serving split: index build lands in the warmup pass (memoized,
+      // _SUCCESS-gated), timed passes measure the PROBE — same
+      // treatment as ann_ivf_probe
+      "neardup_probe" -> (d => Dedup.neardupProbe(spark, d).count()),
       "simhash_pairs" -> (d => Dedup.simhashPairs(spark, d).count()),
       "ngram_jaccard" -> (d => {
         Dedup.clearPairsMemo(); Dedup.ngramJaccard(spark, d).count() }),

@@ -33,6 +33,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
   }
 
+  test("neardupProbe equals the cross-pair slice of full pair generation (X3e)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // ground truth: full self-pairing, restricted to (batch × corpus)
+    // cross pairs and reordered (batch side first) — signatures are
+    // per-doc, so the probe's band-agreement must match exactly
+    val full = Dedup.nearDupPairs(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    val expected = full.collect {
+      case (a, b, n) if a % 7 == 0 && b % 7 != 0 => (a, b, n)
+      case (a, b, n) if a % 7 != 0 && b % 7 == 0 => (b, a, n)
+    }.toSet
+    val probed = Dedup.neardupProbe(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(probed == expected)
+    assert(probed.forall { case (nw, cp, _) => nw % 7 == 0 && cp % 7 != 0 })
+  }
+
+  test("neardup index is built once and reused across probes (X3e)") {
+    val dir = "/root/testdata/sf0.001"
+    val idx = Dedup.neardupBuildIndex(spark, dir)
+    // plant a sentinel INSIDE the _SUCCESS-gated store: a rebuild
+    // (mode=overwrite) would wipe it, a gated reuse must keep it
+    val sentinel = java.nio.file.Paths.get(idx, "sentinel_keep")
+    java.nio.file.Files.write(sentinel, "x".getBytes)
+    val again = Dedup.neardupProbe(spark, dir)
+    again.collect()
+    assert(java.nio.file.Files.exists(sentinel),
+      "second probe rebuilt the _SUCCESS-gated signature index")
+    java.nio.file.Files.delete(sentinel)
+  }
+
   test("tokens splits on whitespace and drops empties") {
     import spark.implicits._
     val out = Seq("  Hello   world ").toDF("t")
