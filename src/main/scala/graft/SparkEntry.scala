@@ -66,6 +66,28 @@ object SparkEntry {
   /** Shared oracle for the batch upsert and its true-streaming twin:
     * three fixture batches merged on (id, dt), whichever engine path
     * landed them. */
+  /** Shared by `neardup_probe` (batch) and `neardup_stream` (the
+    * streaming probe-and-maintain form) — both must produce exactly
+    * the cross (batch × corpus) near-dup pairs. */
+  private lazy val neardupProbeOracle = """
+      WITH tok AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM tok WHERE len(w) >= 3),
+      sig AS (SELECT doc_id, b.band,
+          min(md5(b.band || ':' || shingle)) AS sig
+        FROM sh, (SELECT unnest(range(0, 8)) AS band) b GROUP BY 1, 2)
+      SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
+        count(*) AS n_bands
+      FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+      GROUP BY 1, 2 HAVING count(*) >= 4
+      ORDER BY new_doc, corpus_doc"""
+
   private lazy val upsertOracle = s"""
       WITH a AS (${ocsv("customers_20240628.csv", "2024-06-28")}),
       b AS (${ocsv("customers_r2_20240628.csv", "2024-06-28")}),
@@ -1060,25 +1082,17 @@ object SparkEntry {
     // scan. The oracle recomputes both sides' signatures and keeps
     // cross (batch × corpus) pairs only.
     "neardup_probe" -> Q(
-      (s, d) => Dedup.neardupProbe(s, d),
-      Some("""
-      WITH tok AS (SELECT doc_id,
-          list_filter(string_split_regex(lower(text), '\s+'),
-            x -> x <> '') AS w
-        FROM documents),
-      sh AS (SELECT DISTINCT doc_id,
-          unnest(list_transform(range(1, len(w) - 1),
-            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-        FROM tok WHERE len(w) >= 3),
-      sig AS (SELECT doc_id, b.band,
-          min(md5(b.band || ':' || shingle)) AS sig
-        FROM sh, (SELECT unnest(range(0, 8)) AS band) b GROUP BY 1, 2)
-      SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
-        count(*) AS n_bands
-      FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
-      WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
-      GROUP BY 1, 2 HAVING count(*) >= 4
-      ORDER BY new_doc, corpus_doc""")),
+      (s, d) => Dedup.neardupProbe(s, d), Some(neardupProbeOracle)),
+
+    // X57b — the STREAMING form: same probe semantics micro-batch by
+    // micro-batch through a real StreamingQuery, with the signature
+    // index MAINTAINED (batch signatures appended) as docs arrive;
+    // accumulated pairs must equal the batch probe, so the oracle is
+    // shared. The in-query require additionally pins the maintained
+    // index against a from-scratch rebuild.
+    "neardup_stream" -> Q(
+      (s, d) => graft.streaming.NeardupStream.neardupStreamQuery(s, d),
+      Some(neardupProbeOracle)),
 
     "funnel" -> Q(Analytics.funnel, Some("""
       WITH e AS (
@@ -1269,6 +1283,30 @@ object SparkEntry {
         hex(encode(substring(text, n_bytes // 2, 1))) AS frame_mid,
         hex(encode(substring(text, n_bytes, 1))) AS frame_last
       FROM m ORDER BY media_id""")),
+
+    // X16b — decode → embed → top-k media retrieval: the mapPartitions
+    // decode stage's fake embedding is reproduced in SQL (first 32 md5
+    // bits per feature, rounded through FLOAT exactly like the Scala
+    // side), so the whole multimodal pipeline is oracle-checked
+    // end-to-end, float rounding included.
+    "media_embed_topk" -> Q((s, d) => Multimodal.mediaEmbedTopK(s, d),
+      Some("""
+      WITH emb AS (SELECT doc_id AS media_id,
+          CAST(list_transform(range(0, 8), j ->
+            CAST(CAST(('0x' || substring(md5(text || ':' || j), 1, 8))
+                 AS BIGINT) AS DOUBLE) / 4294967296.0) AS FLOAT[]) AS fe
+        FROM documents),
+      e2 AS (SELECT media_id, CAST(fe AS DOUBLE[]) AS e FROM emb),
+      q AS (SELECT media_id AS q_id, e AS qe FROM e2 WHERE media_id < 4),
+      s AS (SELECT q_id, media_id AS vec_id,
+          list_dot_product(qe, e) /
+            (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e)))
+            AS score
+        FROM e2, q WHERE media_id <> q_id),
+      r AS (SELECT *, row_number() OVER (
+              PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM s)
+      SELECT q_id, vec_id, score, CAST(rn AS INTEGER) AS rn
+      FROM r WHERE rn <= 5 ORDER BY q_id, rn""")),
 
     "pivot_orders" -> Q(Reshape.pivotOrders, Some {
       def cnt(s: String) =

@@ -48,4 +48,78 @@ object Multimodal {
         hex(col("payload").substr(len, lit(1))).as("frame_last"))
       .orderBy("media_id")
   }
+
+  /** X16b — the typed `mapPartitions` DECODE STAGE: binary payloads in,
+    * fixed-dim embedding vectors out. This is the batch shape a real
+    * multimodal pipeline needs and codegen expressions can't provide —
+    * a per-PARTITION resource (codec handle, inference session) is
+    * initialized once and amortized across the partition's rows, with
+    * per-row work pure bytes-to-vector. The decode itself is the
+    * container-imposed stub ([[MediaDecoder]]); everything Spark-side —
+    * the `Dataset[(Long, Array[Byte])]` signature, the per-partition
+    * iterator, the schema of the output, the downstream reuse of the
+    * embedding by the similarity operators — is real and oracle-tested
+    * through [[mediaEmbedTopK]]. Embarrassingly parallel: no shuffle,
+    * scan-partitioned like the source. */
+  def mediaEmbedded(spark: SparkSession, dir: String,
+      dim: Int = 8): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // one "codec" per partition, reset per row — the resource
+        // lifecycle a real decoder (libjpeg handle, ONNX session)
+        // would use in exactly this position
+        val codec = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, payload) =>
+          (id, MediaDecoder.embed(codec, payload, dim))
+        }
+      }
+      .toDF("media_id", "embedding")
+  }
+
+  /** X16b — composed multimodal retrieval: decode → embed → exact
+    * cosine top-k, the media-similarity pipeline (dedup of
+    * re-encoded images, nearest-neighbor media search) end to end.
+    * Ranking reuses [[Similarity.scoreTopK]] — the SAME scoring tail
+    * as the `embeddings`-table operators, proving the decoded vectors
+    * are first-class citizens of the similarity family. Query side =
+    * the lowest `nQueries` media ids, broadcast; candidate side
+    * streams with no shuffle (see [[Similarity.cosineTopK]]). */
+  def mediaEmbedTopK(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 4): DataFrame = {
+    val emb = mediaEmbedded(spark, dir)
+    val queries = emb.filter(col("media_id") < nQueries)
+      .select(col("media_id").as("q_id"), col("embedding").as("q_emb"),
+        Similarity.l2norm(col("embedding")).as("q_nrm"))
+    val cands = emb.select(col("media_id").as("vec_id"), col("embedding"),
+      Similarity.l2norm(col("embedding")).as("nrm"))
+    Similarity.scoreTopK(cands.crossJoin(broadcast(queries)), k)
+  }
+}
+
+/** STUB DECODER — the container has no image/audio/video codecs, so
+  * "decode + feature-extract" is a deterministic fake: feature j is
+  * the first 32 bits of md5(payload ++ ":j") scaled into [0, 1).
+  * Deliberately reproducible in DuckDB SQL
+  * (`CAST(('0x' || substring(md5(text || ':' || j), 1, 8)) AS BIGINT)`)
+  * so the full decode→embed→top-k pipeline is cross-engine
+  * oracle-checked, float rounding included. A real deployment replaces
+  * ONLY this object's body (bytes in, float vector out); the
+  * mapPartitions plumbing above is unchanged. */
+object MediaDecoder {
+  def embed(codec: java.security.MessageDigest, payload: Array[Byte],
+      dim: Int): Array[Float] = {
+    (0 until dim).map { j =>
+      codec.reset()
+      codec.update(payload)
+      codec.update(s":$j".getBytes("UTF-8"))
+      val word = codec.digest().take(4).map("%02x".format(_)).mkString
+      // /2^32 is exact in double (power-of-two exponent shift); the
+      // one rounding step is the final toFloat — same IEEE
+      // round-to-nearest as DuckDB's CAST(double AS FLOAT)
+      (java.lang.Long.parseLong(word, 16).toDouble / 4294967296.0).toFloat
+    }.toArray
+  }
 }

@@ -62,8 +62,10 @@ object Similarity {
     * vec_id), keep k. ONE definition on purpose — the pinned
     * ivfProbeTopK ≡ ivfTopK row-for-row parity depends on the
     * tie-break and projection staying identical. Input needs columns
-    * (q_id, q_emb, q_nrm, vec_id, embedding, nrm). */
-  private def scoreTopK(cand: DataFrame, k: Int): DataFrame = {
+    * (q_id, q_emb, q_nrm, vec_id, embedding, nrm). Package-visible so
+    * [[Multimodal.mediaEmbedTopK]] ranks its decoded media embeddings
+    * with the SAME scoring tail. */
+  private[ops] def scoreTopK(cand: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id"))
     cand

@@ -1,0 +1,140 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.ops.Dedup
+
+/** X57b — STREAMING incremental near-dup: the continuous form of
+  * [[graft.ops.Dedup.neardupProbe]]. Incoming documents arrive as files
+  * in a watched directory; each micro-batch is shingled/minhashed
+  * (batch-sized work only), probed against the persisted corpus
+  * signature index, and then ACCEPTED — its signatures append to the
+  * index as new files, so the index stays current without ever
+  * recomputing an existing signature. This is the day-to-day loop of a
+  * 100 TB dedup deployment: backfill once ([[Dedup.nearDupPairs]]),
+  * then run this stream forever.
+  *
+  * Probe semantics are pinned to the batch operator: candidates come
+  * from the CORPUS portion of the index (same `doc_id % batchMod != 0`
+  * discriminator as the registered batch query), so the accumulated
+  * pair output over any file arrival order equals [[Dedup.neardupProbe]]
+  * — and shares its DuckDB oracle. Index maintenance is verified
+  * separately: after the run the index must equal a from-scratch
+  * signature build of corpus ∪ all streamed batches (in-query
+  * `require` + spec). */
+object NeardupStream {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  /** Start the probe-and-maintain stream over a watched parquet dir.
+    * Each micro-batch: probe against the index's corpus rows → append
+    * qualifying (new_doc, corpus_doc, n_bands) pairs to `pairsOut` →
+    * append the batch's own signatures to `indexDir`. */
+  def start(spark: SparkSession, watchDir: String, indexDir: String,
+      pairsOut: String, checkpoint: String, nBands: Int = 8,
+      minBands: Int = 4, batchMod: Int = 7): StreamingQuery = {
+    spark.readStream.schema(docSchema).parquet(watchDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+        // signatures feed BOTH the probe and the index append; persist
+        // so the shingle/minhash pipeline runs once per micro-batch
+        val sigs = Dedup.bandSignaturesFor(rawBatch, nBands).persist()
+        try {
+          if (!sigs.isEmpty) {
+            val corpusSigs = spark.read.parquet(indexDir)
+              .filter(pmod(col("doc_id"), lit(batchMod)) =!= 0)
+              .select(col("doc_id").as("corpus_doc"), col("band"),
+                col("sig"))
+            broadcast(sigs.select(col("doc_id").as("new_doc"),
+                col("band"), col("sig")))
+              .join(corpusSigs, Seq("band", "sig"))
+              .groupBy(col("new_doc"), col("corpus_doc"))
+              .agg(count(lit(1)).as("n_bands"))
+              .filter(col("n_bands") >= minBands)
+              .write.mode("append").parquet(pairsOut)
+            // MAINTAIN: accepted batch signatures become index files —
+            // append-only, no rewrite of existing signatures
+            sigs.write.mode("append").partitionBy("band").parquet(indexDir)
+          }
+        } finally { sigs.unpersist(); () }
+      }
+      .start()
+  }
+
+  /** Registered-query harness (gate row `neardup_stream`): seed a
+    * scratch index with the corpus signatures, stream the `batchMod`
+    * batch in TWO file arrivals through a real StreamingQuery, then
+    * return the accumulated pairs — byte-equal to [[Dedup.neardupProbe]]
+    * and checked by the same oracle. The in-query `require` pins the
+    * maintenance invariant: the post-stream index equals a full
+    * signature rebuild over every document. */
+  def neardupStreamQuery(spark: SparkSession, dir: String,
+      nBands: Int = 8, minBands: Int = 4, batchMod: Int = 7): DataFrame = {
+    val base = Paths.get("/root/repo/target/ingest/neardup_stream")
+    if (Files.exists(base)) {
+      Files.walk(base).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.delete(p))
+    }
+    val (watch, idx, out, ckpt) = (s"$base/watch", s"$base/index",
+      s"$base/pairs", s"$base/ckpt")
+    Files.createDirectories(Paths.get(watch))
+
+    val docs = graft.util.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    docs.filter(pmod(col("doc_id"), lit(batchMod)) =!= 0)
+      .transform(d => Dedup.bandSignaturesFor(d, nBands))
+      .write.partitionBy("band").parquet(idx)
+
+    // Two arrivals split by doc parity. Files are staged outside the
+    // watch dir and moved in ATOMICALLY (same contract as
+    // ingest_stream: the ProcessingTime(0) source lists continuously
+    // and a mid-write copy could checkpoint a truncated file).
+    def land(slice: DataFrame, name: String): Unit = {
+      val staged = s"$base/.staging_$name"
+      slice.coalesce(1).write.parquet(staged)
+      val files = Files.list(Paths.get(staged)).toArray.map(_.toString)
+        .filter(f => f.endsWith(".parquet") && !Paths.get(f).getFileName
+          .toString.startsWith("."))
+      files.zipWithIndex.foreach { case (f, i) =>
+        Files.move(Paths.get(f), Paths.get(s"$watch/${name}_$i.parquet"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      }
+    }
+    val batch = docs.filter(pmod(col("doc_id"), lit(batchMod)) === 0)
+    val q = start(spark, watch, idx, out, ckpt, nBands, minBands, batchMod)
+    try {
+      land(batch.filter(pmod(col("doc_id"), lit(2)) === 0), "arrival1")
+      q.processAllAvailable()
+      land(batch.filter(pmod(col("doc_id"), lit(2)) =!= 0), "arrival2")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // maintenance invariant: streamed index ≡ from-scratch rebuild
+    val rebuilt = Dedup.bandSignaturesFor(docs, nBands)
+    val maintained = spark.read.parquet(idx)
+      .select("doc_id", "band", "sig")
+    require(maintained.exceptAll(rebuilt.select("doc_id", "band", "sig"))
+        .isEmpty && rebuilt.select("doc_id", "band", "sig")
+        .exceptAll(maintained).isEmpty,
+      "post-stream index does not equal a full signature rebuild")
+
+    // explicit schema: a run whose micro-batches produced zero
+    // qualifying pairs leaves a part-file-less output dir that
+    // schema inference cannot read
+    val pairsSchema = StructType(Seq(
+      StructField("new_doc", LongType), StructField("corpus_doc", LongType),
+      StructField("n_bands", LongType)))
+    spark.read.schema(pairsSchema).parquet(out)
+      .orderBy("new_doc", "corpus_doc")
+  }
+}

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class MultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("mapPartitions decode stage embeds every media row at the fixed dim (X16b)") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = Multimodal.mediaEmbedded(spark, dir)
+    assert(emb.count() == docs.count())
+    val dims = emb.select(size(col("embedding"))).distinct()
+      .as[Int].collect().toSeq
+    assert(dims == Seq(8), s"expected uniform dim 8, got $dims")
+    // all features land in [0, 1) — the stub's documented range
+    val bad = emb.select(explode(col("embedding")).as("v"))
+      .filter(col("v") < 0.0f || col("v") >= 1.0f).count()
+    assert(bad == 0)
+  }
+
+  test("decoded embedding matches a driver-side re-derivation from the payload bytes (X16b)") {
+    import spark.implicits._
+    val sample = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .orderBy("doc_id").take(3)
+    val got = Multimodal.mediaEmbedded(spark, dir)
+      .filter(col("media_id") <= sample.map(_._1).max)
+      .select(col("media_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().map(r => r._1 -> r._2.toSeq).toMap
+    sample.foreach { case (id, text) =>
+      val codec = java.security.MessageDigest.getInstance("MD5")
+      val expect =
+        MediaDecoder.embed(codec, text.getBytes("UTF-8"), 8).toSeq
+      assert(got(id) == expect, s"doc $id decode mismatch")
+    }
+  }
+
+  test("media top-k ranks with the same scoring tail as the embeddings family (X16b)") {
+    import spark.implicits._
+    val topk = Multimodal.mediaEmbedTopK(spark, dir)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(topk.nonEmpty)
+    // per query: exactly k ranked rows, rn dense from 1, never self
+    topk.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to 5))
+      assert(rows.forall(_._2 != q))
+      // scores non-increasing in rank
+      val byRank = rows.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}

@@ -240,4 +240,24 @@ class StreamingSpec extends AnyFunSuite {
         1704103200000000L, 1704103200000000L, 1L, 1.5)))
     } finally q.stop()
   }
+
+  test("streaming neardup probe == batch probe, with the index maintained (X57b)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // the harness itself requires maintained-index ≡ full rebuild
+    val streamed = NeardupStream.neardupStreamQuery(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val batch = graft.ops.Dedup.neardupProbe(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(streamed == batch,
+      "accumulated streaming pairs differ from the batch probe")
+    // the maintained index is LIVE: a later ad-hoc probe of one
+    // streamed doc's signatures against it finds that doc's own rows
+    // (they were appended by the stream, not by any batch builder)
+    val idx = spark.read.parquet(
+      "/root/repo/target/ingest/neardup_stream/index")
+    val streamedDocRows = idx.filter(pmod(col("doc_id"), lit(7)) === 0)
+    assert(streamedDocRows.count() > 0,
+      "streamed batch signatures missing from the maintained index")
+  }
 }
