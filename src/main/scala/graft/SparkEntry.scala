@@ -1094,6 +1094,34 @@ object SparkEntry {
       (s, d) => graft.streaming.NeardupStream.neardupStreamQuery(s, d),
       Some(neardupProbeOracle)),
 
+    // X58 — exact repeated-span scrub: 8-token windows occurring more
+    // than once corpus-wide are dropped from every doc; output is the
+    // per-doc scrub accounting + md5 of the rebuilt text (full content
+    // check without corpus-sized result rows).
+    "span_scrub" -> Q((s, d) => Dedup.repeatedSpanScrub(s, d), Some("""
+      WITH tok AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      win AS (SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS win
+        FROM tok, unnest(range(1, len(w) - 6)) r(i)),
+      rep AS (SELECT win FROM win GROUP BY win HAVING count(*) > 1),
+      starts AS (SELECT doc_id, list(i) AS ss
+        FROM win JOIN rep USING (win) GROUP BY doc_id),
+      c AS (SELECT t.doc_id, t.w, COALESCE(s.ss, CAST([] AS BIGINT[])) AS ss
+        FROM tok t LEFT JOIN starts s USING (doc_id)),
+      k AS (SELECT doc_id, len(w) AS n_tokens,
+          list_transform(list_filter(range(1, len(w) + 1), i ->
+            len(list_filter(ss, s -> i >= s AND i < s + 8)) = 0),
+            i -> w[i]) AS kept
+        FROM c)
+      SELECT doc_id, n_tokens, CAST(len(kept) AS BIGINT) AS n_kept,
+        -- a fully-scrubbed doc has kept = [] and DuckDB's
+        -- array_to_string([]) is NULL where Spark's concat_ws is '' —
+        -- coalesce so both engines hash the empty string
+        md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_md5
+      FROM k ORDER BY doc_id""")),
+
     "funnel" -> Q(Analytics.funnel, Some("""
       WITH e AS (
         SELECT user_id, event_id, ts, event_type,

@@ -409,6 +409,65 @@ object Dedup {
       .orderBy("new_doc", "corpus_doc")
   }
 
+  /** X58 — repeated-span scrub: EXACT substring-level dedup (the
+    * "dedup repeated 50-token spans" pass of published training-data
+    * pipelines, at window size `w`): any `w`-token window occurring
+    * more than once ACROSS THE CORPUS is dropped from every document
+    * carrying it; the rest of each document survives. Doc-level dedup
+    * (X1–X3) can't see this redundancy — boilerplate headers, license
+    * blocks and quoted passages repeat inside otherwise-unique docs.
+    *
+    * Plan shape: window fan-out is one row per token (same cost class
+    * as the shingle pipelines); repeated-window detection is ONE
+    * groupBy(window) with map-side partial counts; hit positions join
+    * back on the window string and collapse to a per-doc sorted start
+    * list (repeated-hit-sized, small); the final scrub is per-row HOF
+    * work — each token's keep/drop decision scans only its own doc's
+    * hit list. Two keyed shuffles total at any corpus size.
+    *
+    * Output is (doc_id, n_tokens, n_kept, md5 of the scrubbed text) —
+    * the full cleaned corpus reduced to an oracle-comparable row per
+    * doc; a production pipeline would keep the rebuilt text column
+    * instead of hashing it. */
+  def repeatedSpanScrub(spark: SparkSession, dir: String,
+      w: Int = 8): DataFrame =
+    repeatedSpanScrubFor(fanOut(t(spark, dir, "documents")), w)
+
+  /** [[repeatedSpanScrub]] over an arbitrary (doc_id, text) corpus. */
+  def repeatedSpanScrubFor(docs: DataFrame, w: Int = 8): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+    // sequence(a, b) DESCENDS when a > b — guard short docs to an
+    // empty window set instead of a backwards one
+    val wins = tok
+      .select(col("doc_id"), explode(
+          when(size(col("w")) >= w,
+            sequence(lit(1), size(col("w")) - (w - 1)))
+            .otherwise(array())).as("i"),
+        col("w"))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ", slice(col("w"), col("i"), lit(w))).as("win"))
+    val rep = wins.groupBy(col("win")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("win")
+    val hitStarts = wins.join(rep, Seq("win"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("i"))).as("ss"))
+    tok.join(hitStarts, Seq("doc_id"), "left")
+      .withColumn("ss",
+        coalesce(col("ss"), array().cast("array<int>")))
+      .withColumn("kept", filter(
+        zip_with(col("w"), sequence(lit(1), size(col("w"))),
+          (t, i) => struct(t.as("t"), i.as("i"))),
+        p => !exists(col("ss"), s =>
+          p.getField("i") >= s && p.getField("i") < s + w)))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(concat_ws(" ",
+          transform(col("kept"), p => p.getField("t")))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Pair-generation variant over an arbitrary (doc_id, text) corpus. */
   def nearDupPairsFor(docs: DataFrame, nBands: Int = 8,
       minBands: Int = 4, maxBucket: Int = 0): DataFrame = {

@@ -65,6 +65,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     java.nio.file.Files.delete(sentinel)
   }
 
+  test("repeated-span scrub drops exactly the corpus-repeated windows (X58)") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      // doc 1: unique head + the shared span + unique tail
+      (1L, s"alpha beta gamma $span tail one"),
+      // doc 2: the same span inside different context
+      (2L, s"$span other words entirely here"),
+      // doc 3: fully unique, longer than the window
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+      // doc 4: shorter than the window — no windows, untouched
+      (4L, "tiny doc"),
+      // doc 5: SELF-repeat: the same window twice within one doc
+      (5L, s"$span filler filler $span")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpanScrubFor(docs, w = 8)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == 5)
+    // docs 1+2 lose exactly the 8 shared-span tokens (the only window
+    // repeated corpus-wide is the planted span itself)
+    assert(got(1L) == ((13L, 5L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((12L, 4L)), s"doc2: ${got(2L)}")
+    // unique and short docs are untouched
+    assert(got(3L) == ((10L, 10L)))
+    assert(got(4L) == ((2L, 2L)))
+    // self-repeated span is dropped at BOTH positions
+    assert(got(5L) == ((18L, 2L)), s"doc5: ${got(5L)}")
+  }
+
   test("tokens splits on whitespace and drops empties") {
     import spark.implicits._
     val out = Seq("  Hello   world ").toDF("t")
