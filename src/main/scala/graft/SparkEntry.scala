@@ -1285,6 +1285,13 @@ object SparkEntry {
     // anchor to the persisted path.
     "ann_ivf_probe" -> Q((s, d) => Similarity.ivfProbeTopK(s, d), None),
 
+    // X4d — IVF APPEND maintenance: vec_id%11==0 vectors join a
+    // freshly-built corpus index as appended cell files (codebook
+    // unmoved), then the appended store is probed. Rows-only like the
+    // other ANN paths; SimilaritySpec pins probe-of-appended ≡ inline
+    // ivfTopK over all vectors with the same persisted codebook.
+    "ann_ivf_append" -> Q((s, d) => Similarity.ivfAppend(s, d), None),
+
     "token_counts" -> Q(TextAnalysis.tokenCounts, Some("""
       WITH d AS (SELECT doc_id, text,
           list_filter(string_split_regex(lower(text), '\s+'),

