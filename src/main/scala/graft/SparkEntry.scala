@@ -63,9 +63,6 @@ object SparkEntry {
       SELECT id, name, city, bal, dt, $oAudit
       FROM f ORDER BY dt, id"""
 
-  /** Shared oracle for the batch upsert and its true-streaming twin:
-    * three fixture batches merged on (id, dt), whichever engine path
-    * landed them. */
   /** Shared by `neardup_probe` (batch) and `neardup_stream` (the
     * streaming probe-and-maintain form) — both must produce exactly
     * the cross (batch × corpus) near-dup pairs. */
@@ -88,6 +85,9 @@ object SparkEntry {
       GROUP BY 1, 2 HAVING count(*) >= 4
       ORDER BY new_doc, corpus_doc"""
 
+  /** Shared oracle for the batch upsert and its true-streaming twin:
+    * three fixture batches merged on (id, dt), whichever engine path
+    * landed them. */
   private lazy val upsertOracle = s"""
       WITH a AS (${ocsv("customers_20240628.csv", "2024-06-28")}),
       b AS (${ocsv("customers_r2_20240628.csv", "2024-06-28")}),

@@ -455,8 +455,14 @@ object Dedup {
     tok.join(hitStarts, Seq("doc_id"), "left")
       .withColumn("ss",
         coalesce(col("ss"), array().cast("array<int>")))
+      // same descending-sequence guard as the window set above: a
+      // ZERO-token doc would make sequence(1, 0) descend to [1, 0] and
+      // zip_with null-pad two phantom tokens into `kept`
+      .withColumn("idx",
+        when(size(col("w")) > 0, sequence(lit(1), size(col("w"))))
+          .otherwise(array().cast("array<int>")))
       .withColumn("kept", filter(
-        zip_with(col("w"), sequence(lit(1), size(col("w"))),
+        zip_with(col("w"), col("idx"),
           (t, i) => struct(t.as("t"), i.as("i"))),
         p => !exists(col("ss"), s =>
           p.getField("i") >= s && p.getField("i") < s + w)))

@@ -62,9 +62,16 @@ object Multimodal {
     * through [[mediaEmbedTopK]]. Embarrassingly parallel: no shuffle,
     * scan-partitioned like the source. */
   def mediaEmbedded(spark: SparkSession, dir: String,
-      dim: Int = 8): DataFrame = {
+      dim: Int = 8): DataFrame =
+    embedDf(mediaTable(spark, dir), dim)
+
+  /** The decode stage over an arbitrary (media_id, payload) frame —
+    * shared so [[mediaEmbedTopK]] can decode its tiny query batch
+    * separately instead of running the corpus decode pipeline twice. */
+  private def embedDf(media: DataFrame, dim: Int): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits._
-    mediaTable(spark, dir)
+    media
       .select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -89,19 +96,26 @@ object Multimodal {
     * streams with no shuffle (see [[Similarity.cosineTopK]]). */
   def mediaEmbedTopK(spark: SparkSession, dir: String, k: Int = 5,
       nQueries: Int = 4): DataFrame = {
-    val emb = mediaEmbedded(spark, dir)
-    val queries = emb.filter(col("media_id") < nQueries)
+    // the query batch is decoded SEPARATELY (nQueries rows, pushed-down
+    // scan filter) so the corpus-wide decode pipeline executes exactly
+    // once — both branches of an uncached shared subplan would re-run
+    // it, and with a real codec that doubles the expensive stage
+    val queries = embedDf(
+        mediaTable(spark, dir).filter(col("media_id") < nQueries), 8)
       .select(col("media_id").as("q_id"), col("embedding").as("q_emb"),
         Similarity.l2norm(col("embedding")).as("q_nrm"))
-    val cands = emb.select(col("media_id").as("vec_id"), col("embedding"),
-      Similarity.l2norm(col("embedding")).as("nrm"))
+    val cands = mediaEmbedded(spark, dir)
+      .select(col("media_id").as("vec_id"), col("embedding"),
+        Similarity.l2norm(col("embedding")).as("nrm"))
     Similarity.scoreTopK(cands.crossJoin(broadcast(queries)), k)
   }
 }
 
 /** STUB DECODER — the container has no image/audio/video codecs, so
   * "decode + feature-extract" is a deterministic fake: feature j is
-  * the first 32 bits of md5(payload ++ ":j") scaled into [0, 1).
+  * the first 32 bits of md5(payload ++ ":j") scaled into [0, 1] —
+  * closed at 1: words ≥ 2^32−128 are within half an ulp of 1 and the
+  * final toFloat rounds them to exactly 1.0f (~2^-25 per feature).
   * Deliberately reproducible in DuckDB SQL
   * (`CAST(('0x' || substring(md5(text || ':' || j), 1, 8)) AS BIGINT)`)
   * so the full decode→embed→top-k pipeline is cross-engine

@@ -238,9 +238,15 @@ object Similarity {
     * single-cell codebook (maxCells=1, or a corpus whose labels fold
     * into one cell) degenerates to that cell unconditionally. */
   private def argmaxCell(cells: Seq[(Int, Seq[Double])],
-      e: Column): Column =
+      e: Column): Column = {
+    // zero cells reaches greatest() with no args (AnalysisException) —
+    // reachable via ivfAppendedIndex when the corpus slice is empty
+    // (e.g. appendMod = 1); fail with the real cause instead
+    require(cells.nonEmpty,
+      "empty codebook: the corpus used to build it has no rows")
     if (cells.size == 1) lit(cells.head._1)
     else greatest(cellDotStructs(cells, e): _*).getField("cell")
+  }
 
   /** The bounded coarse codebook shared by [[ivfTopK]] and
     * [[ivfBuildIndex]]: at most `maxCells` cells, ids
@@ -398,7 +404,10 @@ object Similarity {
       maxCells: Int = 16, appendMod: Int = 11): String = {
     import spark.implicits._
     val out = "target/graft_ann/append_run"
-    val base = java.nio.file.Paths.get(s"/root/repo/$out")
+    // resolve the cleanup path FROM the relative write path (cwd-based,
+    // like every spark write in this family) so delete and write can
+    // never target different trees under an unexpected working dir
+    val base = java.nio.file.Paths.get(out).toAbsolutePath
     if (java.nio.file.Files.exists(base)) {
       java.nio.file.Files.walk(base)
         .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())

@@ -34,9 +34,18 @@ object NeardupStream {
     StructField("doc_id", LongType), StructField("text", StringType)))
 
   /** Start the probe-and-maintain stream over a watched parquet dir.
-    * Each micro-batch: probe against the index's corpus rows → append
-    * qualifying (new_doc, corpus_doc, n_bands) pairs to `pairsOut` →
-    * append the batch's own signatures to `indexDir`. */
+    * Each micro-batch: probe against the index's corpus rows → write
+    * qualifying (new_doc, corpus_doc, n_bands) pairs under `pairsOut`
+    * → write the batch's own signatures under `indexDir`.
+    *
+    * Both sinks are IDEMPOTENT under foreachBatch's at-least-once
+    * replay: each micro-batch OVERWRITES its own `batch_id=<id>`
+    * subdirectory rather than appending files to a shared one, so a
+    * crash-restart that re-runs the last un-checkpointed batch
+    * rewrites the same two directories instead of duplicating pairs
+    * and signatures. Both stores therefore carry a `batch_id`
+    * partition column (the seed corpus lives at `batch_id=seed`);
+    * readers select it away. */
   def start(spark: SparkSession, watchDir: String, indexDir: String,
       pairsOut: String, checkpoint: String, nBands: Int = 8,
       minBands: Int = 4, batchMod: Int = 7): StreamingQuery = {
@@ -44,7 +53,7 @@ object NeardupStream {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(0))
-      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
         // signatures feed BOTH the probe and the index append; persist
         // so the shingle/minhash pipeline runs once per micro-batch
         val sigs = Dedup.bandSignaturesFor(rawBatch, nBands).persist()
@@ -60,10 +69,12 @@ object NeardupStream {
               .groupBy(col("new_doc"), col("corpus_doc"))
               .agg(count(lit(1)).as("n_bands"))
               .filter(col("n_bands") >= minBands)
-              .write.mode("append").parquet(pairsOut)
+              .write.mode("overwrite")
+              .parquet(s"$pairsOut/batch_id=$batchId")
             // MAINTAIN: accepted batch signatures become index files —
-            // append-only, no rewrite of existing signatures
-            sigs.write.mode("append").partitionBy("band").parquet(indexDir)
+            // existing batches' signatures are never rewritten
+            sigs.write.mode("overwrite").partitionBy("band")
+              .parquet(s"$indexDir/batch_id=$batchId")
           }
         } finally { sigs.unpersist(); () }
       }
@@ -90,9 +101,12 @@ object NeardupStream {
 
     val docs = graft.util.Tables.t(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
+    // corpus seed lives in its own batch_id partition, giving the
+    // index ONE uniform layout with the stream's idempotent
+    // per-batch-subdir writes
     docs.filter(pmod(col("doc_id"), lit(batchMod)) =!= 0)
       .transform(d => Dedup.bandSignaturesFor(d, nBands))
-      .write.partitionBy("band").parquet(idx)
+      .write.partitionBy("band").parquet(s"$idx/batch_id=seed")
 
     // Two arrivals split by doc parity. Files are staged outside the
     // watch dir and moved in ATOMICALLY (same contract as
@@ -130,11 +144,13 @@ object NeardupStream {
 
     // explicit schema: a run whose micro-batches produced zero
     // qualifying pairs leaves a part-file-less output dir that
-    // schema inference cannot read
+    // schema inference cannot read. The discovered batch_id partition
+    // column is provenance only — selected away here.
     val pairsSchema = StructType(Seq(
       StructField("new_doc", LongType), StructField("corpus_doc", LongType),
       StructField("n_bands", LongType)))
     spark.read.schema(pairsSchema).parquet(out)
+      .select("new_doc", "corpus_doc", "n_bands")
       .orderBy("new_doc", "corpus_doc")
   }
 }

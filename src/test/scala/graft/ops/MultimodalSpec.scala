@@ -17,9 +17,10 @@ class MultimodalSpec extends AnyFunSuite {
     val dims = emb.select(size(col("embedding"))).distinct()
       .as[Int].collect().toSeq
     assert(dims == Seq(8), s"expected uniform dim 8, got $dims")
-    // all features land in [0, 1) — the stub's documented range
+    // all features land in [0, 1] — closed at 1: float rounding can
+    // carry words within half an ulp of 1 up to exactly 1.0f
     val bad = emb.select(explode(col("embedding")).as("v"))
-      .filter(col("v") < 0.0f || col("v") >= 1.0f).count()
+      .filter(col("v") < 0.0f || col("v") > 1.0f).count()
     assert(bad == 0)
   }
 

@@ -78,12 +78,15 @@ class TextAnalysisSpec extends AnyFunSuite {
       // doc 4: shorter than the window — no windows, untouched
       (4L, "tiny doc"),
       // doc 5: SELF-repeat: the same window twice within one doc
-      (5L, s"$span filler filler $span")
+      (5L, s"$span filler filler $span"),
+      // doc 6: ZERO tokens — sequence(1, 0) descends; must not
+      // fabricate phantom kept tokens (n_kept must be 0, not 2)
+      (6L, "   ")
     ).toDF("doc_id", "text")
     val got = Dedup.repeatedSpanScrubFor(docs, w = 8)
       .as[(Long, Long, Long, String)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(got.size == 5)
+    assert(got.size == 6)
     // docs 1+2 lose exactly the 8 shared-span tokens (the only window
     // repeated corpus-wide is the planted span itself)
     assert(got(1L) == ((13L, 5L)), s"doc1: ${got(1L)}")
@@ -93,6 +96,8 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(4L) == ((2L, 2L)))
     // self-repeated span is dropped at BOTH positions
     assert(got(5L) == ((18L, 2L)), s"doc5: ${got(5L)}")
+    // zero-token doc: no phantom tokens from the descending sequence
+    assert(got(6L) == ((0L, 0L)), s"doc6: ${got(6L)}")
   }
 
   test("tokens splits on whitespace and drops empties") {
