@@ -156,6 +156,19 @@ object SparkEntry {
           AND a.bal IS NOT DISTINCT FROM m2.bal)
       ORDER BY dt, id""")),
 
+    // CDC-driven incremental aggregate maintenance: the Spark side
+    // brings a v1 per-dt rollup to v3 by retract/apply over the change
+    // feed (never rescanning v3); the oracle aggregates the fully
+    // merged state DIRECTLY — so a wrong retraction or a premature
+    // double rounding hash-fails. Decimal-exact sums, string-routed
+    // to double on both sides.
+    "cdc_rollup" -> Q(Ingest.ingestCdcRollup, Some(s"""
+      SELECT dt, count(*) AS n_rows,
+        CAST(CAST(sum(CAST(bal AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+          AS sum_bal
+      FROM ($upsertOracle)
+      GROUP BY dt ORDER BY dt""")),
+
     // S2 hard mode: RFC-4180 doubled quotes, delimiters and NEWLINES
     // inside quoted fields, 3,000 rows — both engines parse the same
     // bytes with their own CSV readers, so quote/newline handling is

@@ -300,6 +300,55 @@ object Ingest {
       .orderBy("dt", "id")
   }
 
+  /** CDC-DRIVEN incremental aggregate maintenance (the materialized-
+    * view refresh shape): a per-dt rollup computed at version 1 is
+    * brought to version 3 by RETRACT/APPLY over the snapshot log's
+    * change feed — old values subtracted, new values added, insert and
+    * delete counts folded — without ever rescanning the v3 table. At
+    * 100 TB this is how a materialized aggregate follows a mutating
+    * table: the refresh cost is change-feed-sized, not table-sized.
+    *
+    * Arithmetic is decimal end-to-end (base sum and delta sum both
+    * accumulate in DECIMAL(30,8), added exactly, converted to double
+    * ONCE via the string route) so the result is bit-identical to a
+    * direct recompute — which is precisely what the oracle does: it
+    * aggregates the fully-merged state. A wrong retraction, a missed
+    * change row, or premature double rounding all hash-fail. */
+  def ingestCdcRollup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val layout = freshLayout("ingest_cdc_rollup")
+    val cfg = TableConfig.fromFile(config("customers_upsert"))
+    load(spark, layout, "customers_cdc", cfg, "customers_20240628.csv")
+    load(spark, layout, "customers_cdc", cfg, "customers_r2_20240628.csv")
+    load(spark, layout, "customers_cdc", cfg, "customers_20240629.csv")
+    val path = layout.curatedPath("sap", "customers_cdc")
+    val dec = DecimalType(30, 8)
+    val zero = lit(0).cast(dec)
+    val base = Strategies.readAtVersion(spark, path, 1)
+      .groupBy(col("dt"))
+      .agg(count(lit(1)).as("n0"), sum(col("bal").cast(dec)).as("s0"))
+    val delta = Inspect.snapshotDiff(
+        Strategies.readAtVersion(spark, path, 1),
+        Strategies.readAtVersion(spark, path, 3),
+        pk = Seq("id", "dt"), compare = Seq("bal"))
+      .groupBy(col("dt"))
+      .agg(
+        sum(when(col("change_type") === "insert", 1)
+          .when(col("change_type") === "delete", -1)
+          .otherwise(0)).as("dn"),
+        sum(coalesce(col("new_bal").cast(dec), zero) -
+          coalesce(col("old_bal").cast(dec), zero)).as("ds"))
+    base.join(delta, Seq("dt"), "full_outer")
+      .select(col("dt"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_rows"),
+        graft.util.Tables.decToDouble(
+          coalesce(col("s0"), zero) + coalesce(col("ds"), zero))
+          .as("sum_bal"))
+      .filter(col("n_rows") > 0)
+      .orderBy("dt")
+  }
+
   /** J1/J2/W5 — upsert: first load (J2 overwrite), same-dt corrections
     * batch (matched rows updated, new keys inserted), then a new-dt batch
     * (all inserted — the merge key includes dt). */

@@ -34,4 +34,26 @@ class IncrementalSpec extends AnyFunSuite {
     assert(runWith(2) == one)
     assert(runWith(7) == one)
   }
+
+  test("CDC-maintained rollup is bit-identical to a direct recompute at v3") {
+    import org.apache.spark.sql.types.DecimalType
+    // the registered query builds its own versioned lake, then
+    // retracts/applies the v1→v3 change feed over a v1 base
+    val cdc = Ingest.ingestCdcRollup(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).toSeq
+    assert(cdc.nonEmpty)
+    // direct recompute over the v3 reconstruction with the same
+    // decimal arithmetic — one string-routed double conversion
+    val path = "/root/repo/target/ingest/ingest_cdc_rollup/curated/sap/customers_cdc"
+    val direct = graft.load.Strategies
+      .readAtVersion(spark, path, 3)
+      .groupBy(col("dt"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+        graft.util.Tables.decToDouble(
+          org.apache.spark.sql.functions.sum(
+            col("bal").cast(DecimalType(30, 8)))).as("sum_bal"))
+      .orderBy("dt")
+      .collect().map(_.toString).toSeq
+    assert(cdc == direct)
+  }
 }

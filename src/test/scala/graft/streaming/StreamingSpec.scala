@@ -259,5 +259,17 @@ class StreamingSpec extends AnyFunSuite {
     val streamedDocRows = idx.filter(pmod(col("doc_id"), lit(7)) === 0)
     assert(streamedDocRows.count() > 0,
       "streamed batch signatures missing from the maintained index")
+    // EXACT set-equality twin of the harness's checksum invariant:
+    // maintained index rows == a from-scratch signature rebuild
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val rebuilt = graft.ops.Dedup.bandSignaturesFor(docs)
+      .select("doc_id", "band", "sig")
+      .as[(Long, Int, String)].collect().toSet
+    val maintained = idx.select(col("doc_id").cast("long"),
+        col("band").cast("int"), col("sig"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(maintained == rebuilt,
+      "maintained index differs from a full signature rebuild")
   }
 }
