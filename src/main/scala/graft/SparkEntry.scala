@@ -959,6 +959,36 @@ object SparkEntry {
         n_tok, cum_tok
       FROM c ORDER BY doc_id""")),
 
+    // Shard export + manifest: seq_packing written one dir per shard,
+    // manifest computed from the WRITTEN files — the oracle aggregates
+    // the same assignment directly, so the export roundtrip (layout,
+    // completeness, readback types) is what's being checked.
+    "shard_export" -> Q((s, d) => Reshape.shardExport(s, d), Some("""
+      WITH d AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '')) AS BIGINT) AS n_tok,
+          md5('pack:' || CAST(doc_id AS VARCHAR)) AS h,
+          CAST(CAST(('0x' || substring(
+            md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 8 AS INTEGER) AS shard
+        FROM documents),
+      c AS (
+        SELECT doc_id, shard, n_tok,
+          CAST(sum(n_tok) OVER (
+            PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS cum_tok
+        FROM d),
+      p AS (
+        SELECT doc_id, shard,
+          CAST(floor((cum_tok - n_tok) / 512.0) AS BIGINT) AS pack_id,
+          n_tok, cum_tok
+        FROM c)
+      SELECT shard, count(*) AS n_docs,
+        CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        CAST(max(cum_tok) AS BIGINT) AS max_cum_tok
+      FROM p GROUP BY shard ORDER BY shard""")),
+
     "domain_mix_sample" -> Q(Reshape.domainMixSample, Some {
       val values = Reshape.MixRates
         .map { case (src, r) => s"('$src', $r)" }.mkString(", ")

@@ -192,6 +192,37 @@ object Reshape {
       .orderBy("doc_id")
   }
 
+  /** Shard EXPORT + manifest — the last-mile step of the training-data
+    * pipeline: the [[seqPacking]] assignment is physically written as
+    * one partition directory per shard (what a data loader consumes),
+    * then the MANIFEST is computed from the WRITTEN files — doc, pack
+    * and token accounting per shard — so the registered query gates the
+    * full export roundtrip, not just the in-memory assignment. A wrong
+    * write layout, a dropped row, or a type-mangled readback all break
+    * the oracle match. One extra keyed shuffle over the packing plan;
+    * the write itself is shard-partitioned and embarrassingly parallel. */
+  def shardExport(spark: SparkSession, dir: String, nShards: Int = 8,
+      budget: Long = 512L): DataFrame = {
+    val out = "target/graft_shards/run"
+    val base = java.nio.file.Paths.get(out).toAbsolutePath
+    if (java.nio.file.Files.exists(base)) {
+      java.nio.file.Files.walk(base)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    seqPacking(spark, dir, nShards, budget)
+      .write.partitionBy("shard").parquet(out)
+    // shard comes back from the partition DIRECTORY — string under the
+    // engine session (inference off); cast before grouping
+    spark.read.parquet(out)
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("pack_id")).as("n_packs"),
+        sum(col("n_tok")).as("n_tokens"),
+        max(col("cum_tok")).as("max_cum_tok"))
+      .orderBy("shard")
+  }
+
   /** Token-budget document chunking with overlap — the SPLITTING
     * complement of [[seqPacking]]'s joining: long documents become
     * fixed-size training windows (`chunkSize` tokens, consecutive

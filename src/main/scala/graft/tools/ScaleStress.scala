@@ -207,6 +207,8 @@ object ScaleStress {
       "bigram_novelty" -> (d => CorpusStats.bigramNovelty(spark, d).count()),
       "doc_chunk" -> (d => graft.ops.Reshape.docChunk(spark, d).count()),
       "span_scrub" -> (d => Dedup.repeatedSpanScrub(spark, d).count()),
+      "media_embed_topk" ->
+        (d => graft.ops.Multimodal.mediaEmbedTopK(spark, d).count()),
       "ngram_repetition" -> (d => QualitySignals.ngramRepetition(spark, d).count()),
       "decontaminate" -> (d => QualitySignals.decontaminate(spark, d).count()),
       "zipf_spectrum" -> (d => QualitySignals.zipfSpectrum(spark, d).count()))

@@ -49,6 +49,28 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("shard_export: manifest from written files equals the in-memory assignment") {
+    import spark.implicits._
+    val manifest = Reshape.shardExport(spark, dir)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(manifest.nonEmpty)
+    // direct aggregate of the assignment, never touching the export
+    val direct = Reshape.seqPacking(spark, dir)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("pack_id")).as("n_packs"),
+        sum(col("n_tok")).as("n_tokens"),
+        max(col("cum_tok")).as("max_cum_tok"))
+      .orderBy("shard")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(manifest == direct)
+    // the export physically landed one directory per populated shard
+    val dirs = java.nio.file.Files.list(
+        java.nio.file.Paths.get("target/graft_shards/run").toAbsolutePath)
+      .toArray.map(_.toString).count(_.contains("shard="))
+    assert(dirs == manifest.size, s"$dirs dirs vs ${manifest.size} shards")
+  }
+
   test("domain_mix_sample: per-source rates are honored exactly") {
     import spark.implicits._
     val sampled = Reshape.domainMixSample(spark, dir)
