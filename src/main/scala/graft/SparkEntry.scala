@@ -435,6 +435,24 @@ object SparkEntry {
       SELECT q_id, vec_id, score, CAST(rn AS INTEGER) AS rn
       FROM r WHERE rn <= 10 ORDER BY q_id, rn""")),
 
+    // X4e — metadata-filtered vector search (pre-filter strategy:
+    // predicate pruned at the scan, exact scoring on the filtered
+    // set — never a post-filtered overfetch).
+    "filtered_topk" -> Q((s, d) => Similarity.filteredTopK(s, d), Some("""
+      WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+                 FROM embeddings WHERE vec_id < 8),
+      c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE label % 2 = 0),
+      s AS (SELECT q_id, vec_id,
+              list_dot_product(qe, e) /
+                (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e)))
+                AS score
+            FROM c, q WHERE vec_id <> q_id),
+      r AS (SELECT *, row_number() OVER (
+              PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM s)
+      SELECT q_id, vec_id, score, CAST(rn AS INTEGER) AS rn
+      FROM r WHERE rn <= 10 ORDER BY q_id, rn""")),
+
     "embedding_stats" -> Q(Similarity.embeddingStats, Some(s"""
       WITH e AS (SELECT label,
           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

@@ -434,6 +434,29 @@ object Similarity {
     out
   }
 
+  /** X4e — metadata-FILTERED vector search: top-k among only the
+    * candidates satisfying a metadata predicate (here `label` even —
+    * the "only English docs", "only licensed sources" serving mode).
+    * This is the PRE-FILTER strategy: the predicate prunes candidates
+    * AT THE SCAN (pushed down next to the column read), and the
+    * filtered set is scored exactly — correct at any selectivity,
+    * unlike post-filtering a top-k' overfetch, which silently returns
+    * fewer than k when the predicate is selective. Same broadcast
+    * query set / streamed candidate side / [[scoreTopK]] tail as the
+    * unfiltered operator; at 100 TB the filter composes with partition
+    * pruning and the IVF cell layout unchanged. */
+  def filteredTopK(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 8): DataFrame = {
+    val emb = fanOut(t(spark, dir, "embeddings"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        l2norm(col("embedding")).as("q_nrm"))
+    val cands = emb.filter(pmod(col("label"), lit(2)) === 0)
+      .select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+    scoreTopK(cands.crossJoin(broadcast(queries)), k)
+  }
+
   /** X4b — exhaustive embedding-cosine pair search above a threshold:
     * the VERIFICATION TWIN of the first-class [[lshPairs]] query. O(n²)
     * by construction, so it exists to pin exactness at verification

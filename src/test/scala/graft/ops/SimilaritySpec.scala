@@ -153,6 +153,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(probed == inline)
   }
 
+  test("filtered top-k equals the predicate-restricted re-rank of the full scoring (X4e)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val filtered = Similarity.filteredTopK(spark, dir, k = 5, nQueries = 8)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(filtered.nonEmpty)
+    // ground truth: rank the FULL candidate scoring (k = everything),
+    // drop odd-label candidates, re-rank per query, take 5
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), pmod(col("label"), lit(2)).as("p"))
+      .as[(Long, Long)].collect().toMap
+    val full = Similarity.cosineTopK(spark, dir, k = Int.MaxValue,
+        nQueries = 8)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val expected = full.filter(r => labels(r._2) == 0L)
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy(_._4).take(5).zipWithIndex.map { case (r, i) =>
+          (q, r._2, r._3, i + 1) }
+      }.sortBy(r => (r._1, r._4))
+    assert(filtered == expected)
+    // the predicate reaches the candidate scan (pre-filter, not a
+    // post-filtered overfetch)
+    val plan = Similarity.filteredTopK(spark, dir, k = 5, nQueries = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("pmod(label"),
+      s"expected the label predicate in the scan-side plan:\n$plan")
+  }
+
   test("registered LSH pair query is a subset of its exact twin with bit-identical scores") {
     import spark.implicits._
     val exact = Similarity.cosinePairs(spark, dir, threshold = 0.4)
