@@ -63,6 +63,32 @@ object SparkEntry {
       SELECT id, name, city, bal, dt, $oAudit
       FROM f ORDER BY dt, id"""
 
+  /** Shared CTE stack of `seq_packing` and `shard_export`: tokenize,
+    * content-hash shard assignment, within-shard running token count,
+    * pack rule — ONE definition, so a tokenizer or pack-rule change
+    * can never leave one oracle silently stale. Ends with CTE `p`
+    * = (doc_id, shard, pack_id, n_tok, cum_tok). */
+  private lazy val seqPackingOracleCte = """
+      WITH d AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '')) AS BIGINT) AS n_tok,
+          md5('pack:' || CAST(doc_id AS VARCHAR)) AS h,
+          CAST(CAST(('0x' || substring(
+            md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 8 AS INTEGER) AS shard
+        FROM documents),
+      c AS (
+        SELECT doc_id, shard, n_tok,
+          CAST(sum(n_tok) OVER (
+            PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS cum_tok
+        FROM d),
+      p AS (
+        SELECT doc_id, shard,
+          CAST(floor((cum_tok - n_tok) / 512.0) AS BIGINT) AS pack_id,
+          n_tok, cum_tok
+        FROM c)"""
+
   /** Shared by `neardup_probe` (batch) and `neardup_stream` (the
     * streaming probe-and-maintain form) — both must produce exactly
     * the cross (batch × corpus) near-dup pairs. */
@@ -957,50 +983,17 @@ object SparkEntry {
           ' ') AS chunk_text
       FROM e ORDER BY doc_id, chunk_id""")),
 
-    "seq_packing" -> Q((s, d) => Reshape.seqPacking(s, d), Some("""
-      WITH d AS (
-        SELECT doc_id,
-          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
-            x -> x <> '')) AS BIGINT) AS n_tok,
-          md5('pack:' || CAST(doc_id AS VARCHAR)) AS h,
-          CAST(CAST(('0x' || substring(
-            md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-            % 8 AS INTEGER) AS shard
-        FROM documents),
-      c AS (
-        SELECT doc_id, shard, n_tok,
-          CAST(sum(n_tok) OVER (
-            PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS cum_tok
-        FROM d)
-      SELECT doc_id, shard,
-        CAST(floor((cum_tok - n_tok) / 512.0) AS BIGINT) AS pack_id,
-        n_tok, cum_tok
-      FROM c ORDER BY doc_id""")),
+    "seq_packing" -> Q((s, d) => Reshape.seqPacking(s, d), Some(s"""
+      $seqPackingOracleCte
+      SELECT doc_id, shard, pack_id, n_tok, cum_tok
+      FROM p ORDER BY doc_id""")),
 
     // Shard export + manifest: seq_packing written one dir per shard,
     // manifest computed from the WRITTEN files — the oracle aggregates
     // the same assignment directly, so the export roundtrip (layout,
     // completeness, readback types) is what's being checked.
-    "shard_export" -> Q((s, d) => Reshape.shardExport(s, d), Some("""
-      WITH d AS (
-        SELECT doc_id,
-          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
-            x -> x <> '')) AS BIGINT) AS n_tok,
-          md5('pack:' || CAST(doc_id AS VARCHAR)) AS h,
-          CAST(CAST(('0x' || substring(
-            md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-            % 8 AS INTEGER) AS shard
-        FROM documents),
-      c AS (
-        SELECT doc_id, shard, n_tok,
-          CAST(sum(n_tok) OVER (
-            PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS cum_tok
-        FROM d),
-      p AS (
-        SELECT doc_id, shard,
-          CAST(floor((cum_tok - n_tok) / 512.0) AS BIGINT) AS pack_id,
-          n_tok, cum_tok
-        FROM c)
+    "shard_export" -> Q((s, d) => Reshape.shardExport(s, d), Some(s"""
+      $seqPackingOracleCte
       SELECT shard, count(*) AS n_docs,
         CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
         CAST(sum(n_tok) AS BIGINT) AS n_tokens,

@@ -46,10 +46,7 @@ object Ingest {
     * warmup/timed/verify runs. Lives under the repo's build scratch. */
   private def freshLayout(name: String): LakeLayout = {
     val base = Paths.get(scratchBase(name))
-    if (Files.exists(base)) {
-      Files.walk(base).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.delete(p))
-    }
+    graft.util.Scratch.deleteRecursive(base)
     LakeLayout(s"$base/landing", s"$base/config", s"$base/curated")
   }
 
@@ -324,12 +321,17 @@ object Ingest {
     val path = layout.curatedPath("sap", "customers_cdc")
     val dec = DecimalType(30, 8)
     val zero = lit(0).cast(dec)
-    val base = Strategies.readAtVersion(spark, path, 1)
+    val v1 = Strategies.readAtVersion(spark, path, 1)
+    val base = v1
       .groupBy(col("dt"))
-      .agg(count(lit(1)).as("n0"), sum(col("bal").cast(dec)).as("s0"))
+      .agg(count(lit(1)).as("n0"), sum(col("bal").cast(dec)).as("s0"),
+        count(col("bal")).as("nb0"))
+    // nb (count of NON-NULL bal) rides along so SQL NULL-sum semantics
+    // survive the CDC path: sum over a group with zero non-null values
+    // is NULL, not 0 — the oracle and a direct recompute both say so,
+    // and a coalesce-to-zero here would hash-fail on an all-NULL group
     val delta = Inspect.snapshotDiff(
-        Strategies.readAtVersion(spark, path, 1),
-        Strategies.readAtVersion(spark, path, 3),
+        v1, Strategies.readAtVersion(spark, path, 3),
         pk = Seq("id", "dt"), compare = Seq("bal"))
       .groupBy(col("dt"))
       .agg(
@@ -337,13 +339,18 @@ object Ingest {
           .when(col("change_type") === "delete", -1)
           .otherwise(0)).as("dn"),
         sum(coalesce(col("new_bal").cast(dec), zero) -
-          coalesce(col("old_bal").cast(dec), zero)).as("ds"))
+          coalesce(col("old_bal").cast(dec), zero)).as("ds"),
+        sum(when(col("new_bal").isNotNull, 1).otherwise(0) -
+          when(col("old_bal").isNotNull, 1).otherwise(0)).as("dnb"))
     base.join(delta, Seq("dt"), "full_outer")
       .select(col("dt"),
         (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
           .as("n_rows"),
-        graft.util.Tables.decToDouble(
-          coalesce(col("s0"), zero) + coalesce(col("ds"), zero))
+        when(coalesce(col("nb0"), lit(0L)) + coalesce(col("dnb"), lit(0L))
+            > 0,
+          graft.util.Tables.decToDouble(
+            coalesce(col("s0"), zero) + coalesce(col("ds"), zero)))
+          .otherwise(lit(null).cast("double"))
           .as("sum_bal"))
       .filter(col("n_rows") > 0)
       .orderBy("dt")

@@ -203,13 +203,13 @@ object Reshape {
     * the write itself is shard-partitioned and embarrassingly parallel. */
   def shardExport(spark: SparkSession, dir: String, nShards: Int = 8,
       budget: Long = 512L): DataFrame = {
-    val out = "target/graft_shards/run"
-    val base = java.nio.file.Paths.get(out).toAbsolutePath
-    if (java.nio.file.Files.exists(base)) {
-      java.nio.file.Files.walk(base)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.delete(p))
-    }
+    // absolute + dataset-scoped, per the scratch convention
+    // (Ingest.scratchBase / Tables.pathTag): sf0.01 and sf0.1 runs must
+    // not clobber each other's export, and the path must not depend on
+    // the harness's working directory
+    val out = "/root/repo/target/graft_shards/" +
+      graft.util.Tables.pathTag(dir)
+    graft.util.Scratch.deleteRecursive(java.nio.file.Paths.get(out))
     seqPacking(spark, dir, nShards, budget)
       .write.partitionBy("shard").parquet(out)
     // shard comes back from the partition DIRECTORY — string under the

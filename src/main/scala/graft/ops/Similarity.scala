@@ -42,18 +42,22 @@ object Similarity {
     * side. Top-k lands on a window over q_id (|Q| partitions). For
     * data-scaled query sets switch to [[lshCandidates]]. */
   def cosineTopK(spark: SparkSession, dir: String, k: Int = 10,
-      nQueries: Int = 8): DataFrame = {
+      nQueries: Int = 8,
+      candidatePred: Column = lit(true)): DataFrame = {
     val emb = fanOut(t(spark, dir, "embeddings"))
     // Norms are precomputed per ROW before the pair join — computing
     // them inside `cosine` would redo both 64-element folds once per
     // (query, candidate) pair, tripling the scoring work. Same
     // arithmetic per vector (sqrt of the same sequential fold), so
-    // scores stay bit-identical to the oracle's.
+    // scores stay bit-identical to the oracle's. `candidatePred`
+    // restricts the CANDIDATE side only (queries stay unfiltered) —
+    // the constant-true default folds away in the optimizer.
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         l2norm(col("embedding")).as("q_nrm"))
-    val cands = emb.select(col("vec_id"), col("embedding"),
-      l2norm(col("embedding")).as("nrm"))
+    val cands = emb.filter(candidatePred)
+      .select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
     scoreTopK(cands.crossJoin(broadcast(queries)), k)
   }
 
@@ -407,12 +411,8 @@ object Similarity {
     // resolve the cleanup path FROM the relative write path (cwd-based,
     // like every spark write in this family) so delete and write can
     // never target different trees under an unexpected working dir
-    val base = java.nio.file.Paths.get(out).toAbsolutePath
-    if (java.nio.file.Files.exists(base)) {
-      java.nio.file.Files.walk(base)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.delete(p))
-    }
+    graft.util.Scratch.deleteRecursive(
+      java.nio.file.Paths.get(out).toAbsolutePath)
     val all = t(spark, dir, "embeddings")
     val corpus = all.filter(pmod(col("vec_id"), lit(appendMod)) =!= 0)
     val incoming = all.filter(pmod(col("vec_id"), lit(appendMod)) === 0)
@@ -446,16 +446,9 @@ object Similarity {
     * unfiltered operator; at 100 TB the filter composes with partition
     * pruning and the IVF cell layout unchanged. */
   def filteredTopK(spark: SparkSession, dir: String, k: Int = 10,
-      nQueries: Int = 8): DataFrame = {
-    val emb = fanOut(t(spark, dir, "embeddings"))
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        l2norm(col("embedding")).as("q_nrm"))
-    val cands = emb.filter(pmod(col("label"), lit(2)) === 0)
-      .select(col("vec_id"), col("embedding"),
-        l2norm(col("embedding")).as("nrm"))
-    scoreTopK(cands.crossJoin(broadcast(queries)), k)
-  }
+      nQueries: Int = 8): DataFrame =
+    cosineTopK(spark, dir, k, nQueries,
+      candidatePred = pmod(col("label"), lit(2)) === 0)
 
   /** X4b — exhaustive embedding-cosine pair search above a threshold:
     * the VERIFICATION TWIN of the first-class [[lshPairs]] query. O(n²)

@@ -91,10 +91,7 @@ object NeardupStream {
   def neardupStreamQuery(spark: SparkSession, dir: String,
       nBands: Int = 8, minBands: Int = 4, batchMod: Int = 7): DataFrame = {
     val base = Paths.get("/root/repo/target/ingest/neardup_stream")
-    if (Files.exists(base)) {
-      Files.walk(base).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.delete(p))
-    }
+    graft.util.Scratch.deleteRecursive(base)
     val (watch, idx, out, ckpt) = (s"$base/watch", s"$base/index",
       s"$base/pairs", s"$base/ckpt")
     Files.createDirectories(Paths.get(watch))

@@ -156,7 +156,9 @@ class SimilaritySpec extends AnyFunSuite {
   test("filtered top-k equals the predicate-restricted re-rank of the full scoring (X4e)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}
-    val filtered = Similarity.filteredTopK(spark, dir, k = 5, nQueries = 8)
+    val filteredDf = Similarity.filteredTopK(spark, dir, k = 5,
+      nQueries = 8)
+    val filtered = filteredDf
       .as[(Long, Long, Double, Int)].collect().toSeq
     assert(filtered.nonEmpty)
     // ground truth: rank the FULL candidate scoring (k = everything),
@@ -175,8 +177,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(filtered == expected)
     // the predicate reaches the candidate scan (pre-filter, not a
     // post-filtered overfetch)
-    val plan = Similarity.filteredTopK(spark, dir, k = 5, nQueries = 8)
-      .queryExecution.executedPlan.toString
+    val plan = filteredDf.queryExecution.executedPlan.toString
     assert(plan.contains("pmod(label"),
       s"expected the label predicate in the scan-side plan:\n$plan")
   }

@@ -65,9 +65,12 @@ class TrainingPipelineSpec extends AnyFunSuite {
       .as[(Int, Long, Long, Long, Long)].collect().toSeq
     assert(manifest == direct)
     // the export physically landed one directory per populated shard
-    val dirs = java.nio.file.Files.list(
-        java.nio.file.Paths.get("target/graft_shards/run").toAbsolutePath)
-      .toArray.map(_.toString).count(_.contains("shard="))
+    val exportDir = java.nio.file.Paths.get(
+      "/root/repo/target/graft_shards/" + graft.util.Tables.pathTag(dir))
+    val listing = java.nio.file.Files.list(exportDir)
+    val dirs =
+      try listing.toArray.map(_.toString).count(_.contains("shard="))
+      finally listing.close()
     assert(dirs == manifest.size, s"$dirs dirs vs ${manifest.size} shards")
   }
 

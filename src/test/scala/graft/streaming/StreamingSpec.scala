@@ -263,12 +263,15 @@ class StreamingSpec extends AnyFunSuite {
     // maintained index rows == a from-scratch signature rebuild
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
+    // MULTISET compare (sorted seqs, not sets): a duplicated row from
+    // a non-idempotent replay must fail this exact twin, and toSet
+    // would dedup it away
     val rebuilt = graft.ops.Dedup.bandSignaturesFor(docs)
       .select("doc_id", "band", "sig")
-      .as[(Long, Int, String)].collect().toSet
+      .as[(Long, Int, String)].collect().toSeq.sorted
     val maintained = idx.select(col("doc_id").cast("long"),
         col("band").cast("int"), col("sig"))
-      .as[(Long, Int, String)].collect().toSet
+      .as[(Long, Int, String)].collect().toSeq.sorted
     assert(maintained == rebuilt,
       "maintained index differs from a full signature rebuild")
   }
