@@ -84,4 +84,52 @@ class OpsPropsSpec extends AnyFunSuite {
       assert(reduced == plain, s"trial $trial diverged")
     }
   }
+
+  test("property: span scrub matches an independent reference on random corpora") {
+    import spark.implicits._
+    val w = 4
+    // independent reimplementation of the scrub semantics — plain
+    // driver-side Scala, no Spark, no shared code with the operator
+    def reference(docs: Seq[(Long, String)])
+        : Map[Long, (Long, Long, String)] = {
+      def toks(s: String) =
+        s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val wins = docs.flatMap { case (id, text) =>
+        val t = toks(text)
+        if (t.size >= w)
+          (0 to t.size - w).map(i =>
+            (id, i + 1, t.slice(i, i + w).mkString(" ")))
+        else Nil
+      }
+      val repeated =
+        wins.groupBy(_._3).filter(_._2.size > 1).keySet
+      docs.map { case (id, text) =>
+        val t = toks(text)
+        val starts = wins.collect {
+          case (d, s, win) if d == id && repeated(win) => s }
+        val kept = t.zipWithIndex.collect {
+          case (tok, i0)
+            if !starts.exists(s => i0 + 1 >= s && i0 + 1 < s + w) => tok }
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(kept.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        id -> ((t.size.toLong, kept.size.toLong, hex))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(20260813)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    (1 to 3).foreach { trial =>
+      // tiny vocabulary forces genuine cross-doc window collisions;
+      // lengths 0..14 cover empty, short (< w) and long docs
+      val docs = (1L to 40L).map { id =>
+        id -> Seq.fill(rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      val got = Dedup.repeatedSpanScrubFor(docs.toDF("doc_id", "text"), w)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val expect = reference(docs)
+      assert(got == expect, s"trial $trial diverged")
+    }
+  }
 }
