@@ -41,6 +41,20 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("media top-k plan: one corpus decode, query side broadcast (X16b)") {
+    val df = Multimodal.mediaEmbedTopK(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the corpus-wide mapPartitions decode must appear exactly once on
+    // the candidate side (the query batch's own tiny decode is scan-
+    // filtered to nQueries rows); with a real codec a second corpus
+    // decode would double the pipeline's dominant cost
+    val decodes = "MapPartitions".r.findAllIn(plan).size
+    assert(decodes == 2, s"expected 2 decode stages (corpus + query " +
+      s"batch), got $decodes in:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the broadcast scoring join in:\n$plan")
+  }
+
   test("media top-k ranks with the same scoring tail as the embeddings family (X16b)") {
     import spark.implicits._
     val topk = Multimodal.mediaEmbedTopK(spark, dir)

@@ -51,6 +51,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(probed.forall { case (nw, cp, _) => nw % 7 == 0 && cp % 7 != 0 })
   }
 
+  test("neardupProbe plan: batch broadcast against the index, never a shuffled join (X3e)") {
+    val plan = Dedup.neardupProbe(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the serving claim is zero corpus-side shuffle: the batch
+    // signatures build a broadcast hash join; a fallback to
+    // SortMergeJoin would shuffle the whole signature index per probe
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast probe join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"index side must not be shuffle-joined:\n$plan")
+  }
+
   test("neardup index is built once and reused across probes (X3e)") {
     val dir = "/root/testdata/sf0.001"
     val idx = Dedup.neardupBuildIndex(spark, dir)
