@@ -1373,6 +1373,24 @@ object SparkEntry {
         hex(encode(substring(text, n_bytes, 1))) AS frame_last
       FROM m ORDER BY media_id""")),
 
+    // X16c — media resize: stride-4 byte decimation (the codec-free
+    // spatial-downsample stand-in); the oracle recomputes the exact
+    // resampled bytes and their sha256.
+    "media_resize" -> Q((s, d) => Multimodal.mediaResize(s, d), Some("""
+      WITH m AS (SELECT doc_id AS media_id, text,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents),
+      r AS (SELECT media_id, n_bytes,
+          array_to_string(list_transform(
+            range(1, CAST(ceil(n_bytes / 4.0) AS BIGINT) + 1),
+            i -> substring(text, CAST((i - 1) * 4 + 1 AS INTEGER), 1)),
+            '') AS rs
+        FROM m)
+      SELECT media_id, n_bytes,
+        CAST(octet_length(encode(rs)) AS BIGINT) AS resized_bytes,
+        sha256(rs) AS resized_sha
+      FROM r ORDER BY media_id""")),
+
     // X16b — decode → embed → top-k media retrieval: the mapPartitions
     // decode stage's fake embedding is reproduced in SQL (first 32 md5
     // bits per feature, rounded through FLOAT exactly like the Scala

@@ -49,6 +49,44 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** X16c — media RESIZE: deterministic stride-4 byte decimation, the
+    * codec-free stand-in for spatial downsampling (every real media
+    * pipeline's resize step: payload in, smaller payload out, metadata
+    * preserved). Per-row expression work on the payload — no shuffle,
+    * no UDF; with a real codec this becomes a [[mediaEmbedded]]-style
+    * `mapPartitions` stage of the same bytes→bytes signature. Output
+    * carries the size accounting and the content hash of the resized
+    * payload, so the oracle pins the exact resampled bytes. */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame =
+    mediaResizeFor(t(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), col("text")))
+
+  /** [[mediaResize]] over an arbitrary (media_id, text) frame. The
+    * testdata payloads are ASCII (pinned by `multimodal_media`'s
+    * oracle), so character decimation of `text` IS byte decimation of
+    * the payload — the same workaround that query uses for DuckDB's
+    * missing BLOB substring. */
+  def mediaResizeFor(media: DataFrame): DataFrame = {
+    val n = length(col("text"))
+    // sequence(a, b) DESCENDS when a > b — an empty payload must
+    // resize to an empty payload, not two phantom samples
+    val resized = when(n > 0,
+      array_join(transform(sequence(lit(1L), ceil(n / 4.0).cast("long")),
+        i => col("text").substr(((i - 1) * 4 + 1).cast("int"), lit(1))),
+        ""))
+      .otherwise(lit(""))
+    media
+      .select(col("media_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long")
+          .as("n_bytes"),
+        resized.as("rs"))
+      .select(col("media_id"), col("n_bytes"),
+        octet_length(encode(col("rs"), "UTF-8")).cast("long")
+          .as("resized_bytes"),
+        sha2(encode(col("rs"), "UTF-8"), 256).as("resized_sha"))
+      .orderBy("media_id")
+  }
+
   /** X16b — the typed `mapPartitions` DECODE STAGE: binary payloads in,
     * fixed-dim embedding vectors out. This is the batch shape a real
     * multimodal pipeline needs and codegen expressions can't provide —

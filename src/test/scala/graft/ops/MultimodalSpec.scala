@@ -41,6 +41,30 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("media resize decimates at stride 4 and survives empty/short payloads (X16c)") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "abcdefghij"), // 10 bytes -> positions 1,5,9 -> "aei"
+      (2L, "abcd"),       // 4 bytes  -> position 1      -> "a"
+      (3L, "xy"),         // shorter than stride          -> "x"
+      (4L, "")            // empty -> empty, no phantom samples
+    ).toDF("media_id", "text")
+    val got = Multimodal.mediaResizeFor(media)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((10L, 3L)))
+    assert(got(2L) == ((4L, 1L)))
+    assert(got(3L) == ((2L, 1L)))
+    assert(got(4L) == ((0L, 0L)))
+    // exact resampled content, pinned through the hash
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("aei".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val gotSha = Multimodal.mediaResizeFor(media)
+      .filter(col("media_id") === 1L)
+      .select("resized_sha").as[String].head()
+    assert(gotSha == sha)
+  }
+
   test("media top-k plan: one corpus decode, query side broadcast (X16b)") {
     val df = Multimodal.mediaEmbedTopK(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
