@@ -1346,6 +1346,15 @@ object SparkEntry {
     // ivfTopK over all vectors with the same persisted codebook.
     "ann_ivf_append" -> Q((s, d) => Similarity.ivfAppend(s, d), None),
 
+    // X4e over the serving path — metadata-filtered probe of the
+    // persisted IVF index: the label predicate prunes INSIDE the index
+    // scan, composing with the static cell partition pruning. Rows-only
+    // like the other ANN paths (codebook realization is
+    // nondeterministic); parity ≡ inline ivfTopK with the same
+    // persisted codebook + predicate pinned in SimilaritySpec.
+    "ann_filtered_probe" ->
+      Q((s, d) => Similarity.filteredProbeTopK(s, d), None),
+
     "token_counts" -> Q(TextAnalysis.tokenCounts, Some("""
       WITH d AS (SELECT doc_id, text,
           list_filter(string_split_regex(lower(text), '\s+'),

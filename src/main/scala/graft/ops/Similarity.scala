@@ -191,7 +191,8 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 10,
       nQueries: Int = 8, nProbe: Int = 2,
       codebook: Option[Seq[(Int, Seq[Double])]] = None,
-      maxCells: Int = 16): DataFrame = {
+      maxCells: Int = 16,
+      candidatePred: Column = lit(true)): DataFrame = {
     import spark.implicits._
     // CentroidAgg's double-sum accumulates in task-merge order, so two
     // computations of the codebook can differ by ulps — enough to flip
@@ -215,14 +216,17 @@ object Similarity {
       array_sort(array(cellDotStructs(cells, col("q_emb")): _*)),
       lit(cells.size - probeN + 1), lit(probeN))
     val emb = fanOut(t(spark, dir, "embeddings"))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("embedding"), col("label"),
         l2norm(col("embedding")).as("nrm"))
       .withColumn("cell", assignCell)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
       .withColumn("cell", explode(transform(probes, p => p.getField("cell"))))
-    scoreTopK(queries.join(emb, Seq("cell")), k)
+    // candidatePred restricts the CANDIDATE side only (queries stay
+    // unfiltered), mirroring cosineTopK — the filteredProbeTopK parity
+    // depends on both paths filtering identically
+    scoreTopK(queries.join(emb.filter(candidatePred), Seq("cell")), k)
   }
 
   /** Per-cell (float-dot score, cell id) structs — the shared routing
@@ -290,8 +294,12 @@ object Similarity {
     import spark.implicits._
     // maxCells is part of the index identity: two builds with different
     // bounds produce different codebooks (and cell layouts), so they
-    // must never share a cache directory.
-    val out = s"target/graft_ann/ivf_${graft.util.Tables.pathTag(dir)}_" +
+    // must never share a cache directory. The `v2` component versions
+    // the STORE SCHEMA (v2 carries the label metadata column for
+    // filtered probes) — the listing tag only tracks source changes,
+    // so a layout change must bump this or stale caches would serve
+    // the old schema.
+    val out = s"target/graft_ann/ivf_v2_${graft.util.Tables.pathTag(dir)}_" +
       graft.util.Tables.listingTag(spark, s"$dir/embeddings.parquet") +
       s"_c$maxCells"
     def ok(sub: String): Boolean =
@@ -308,8 +316,11 @@ object Similarity {
         .parquet(s"$out/codebook").select("cell", "centroid")
         .as[(Int, Seq[Double])].collect().toSeq
       val assignCell = argmaxCell(cells, col("embedding"))
+      // label rides along in the store: filtered probes prune on the
+      // metadata INSIDE the index scan (real filtered-ANN indexes
+      // carry their filterable attributes for exactly this reason)
       fanOut(t(spark, dir, "embeddings"))
-        .select(col("vec_id"), col("embedding"),
+        .select(col("vec_id"), col("embedding"), col("label"),
           l2norm(col("embedding")).as("nrm"))
         .withColumn("cell", assignCell)
         .write.mode("overwrite").partitionBy("cell")
@@ -332,11 +343,15 @@ object Similarity {
       nQueries, nProbe)
 
   /** The probe against an EXPLICIT index path — shared by
-    * [[ivfProbeTopK]] (the `_SUCCESS`-gated build cache) and
-    * [[ivfAppend]] (a per-run appended store), so both serve with
-    * byte-identical routing and scoring. */
+    * [[ivfProbeTopK]] (the `_SUCCESS`-gated build cache),
+    * [[ivfAppend]] (a per-run appended store) and
+    * [[filteredProbeTopK]] (metadata-filtered serving), so all serve
+    * with byte-identical routing and scoring. `candidatePred` is
+    * applied to the index scan AFTER the static cell pruning — the
+    * filter and the partition pruning compose. */
   def probeIndexPath(spark: SparkSession, idx: String, dir: String,
-      k: Int, nQueries: Int, nProbe: Int): DataFrame = {
+      k: Int, nQueries: Int, nProbe: Int,
+      candidatePred: Column = lit(true)): DataFrame = {
     import spark.implicits._
     val cells: Seq[(Int, Seq[Double])] = spark.read
       .parquet(s"$idx/codebook").select("cell", "centroid")
@@ -365,6 +380,7 @@ object Similarity {
     val probedCells = routes.map(_._2).distinct
     val store = spark.read.parquet(s"$idx/cells")
       .filter(col("cell").isin(probedCells: _*))
+      .filter(candidatePred)
     scoreTopK(
       routes.toDF("q_id", "cell")
         .join(qs.toDF("q_id", "q_emb", "q_nrm"), Seq("q_id"))
@@ -448,6 +464,21 @@ object Similarity {
   def filteredTopK(spark: SparkSession, dir: String, k: Int = 10,
       nQueries: Int = 8): DataFrame =
     cosineTopK(spark, dir, k, nQueries,
+      candidatePred = pmod(col("label"), lit(2)) === 0)
+
+  /** X4e over the SERVING path — metadata-filtered probe of the
+    * persisted IVF index: the predicate prunes candidates INSIDE the
+    * index scan (the store carries its filterable metadata), AFTER the
+    * static cell partition pruning — filter and partition pruning
+    * compose, which is the claim [[filteredTopK]]'s scaladoc makes for
+    * 100 TB. Same pre-filter correctness property: exact scoring over
+    * the filtered candidate set of the probed cells, never a
+    * post-filtered overfetch. Parity pinned in SimilaritySpec:
+    * ≡ [[ivfTopK]] with the same persisted codebook and predicate. */
+  def filteredProbeTopK(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 8, nProbe: Int = 2, maxCells: Int = 16): DataFrame =
+    probeIndexPath(spark, ivfBuildIndex(spark, dir, maxCells), dir, k,
+      nQueries, nProbe,
       candidatePred = pmod(col("label"), lit(2)) === 0)
 
   /** X4b — exhaustive embedding-cosine pair search above a threshold:

@@ -182,6 +182,27 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected the label predicate in the scan-side plan:\n$plan")
   }
 
+  test("filtered probe equals inline ivfTopK with the same codebook and predicate (X4e serving)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().toSeq
+    val idx = Similarity.ivfBuildIndex(spark, dir)
+    val codebook = spark.read.parquet(s"$idx/codebook")
+      .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSeq
+    val pred = pmod(col("label"), lit(2)) === 0
+    val probed = rows(Similarity.filteredProbeTopK(spark, dir, k = 5,
+      nQueries = 16, nProbe = 2))
+    val inline = rows(Similarity.ivfTopK(spark, dir, k = 5,
+      nQueries = 16, nProbe = 2, codebook = Some(codebook),
+      candidatePred = pred))
+    assert(probed.nonEmpty && probed == inline)
+    // every candidate passed the predicate (store-carried metadata)
+    val evenIds = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(pred).select("vec_id").as[Long].collect().toSet
+    assert(probed.forall(r => evenIds(r._2)))
+  }
+
   test("registered LSH pair query is a subset of its exact twin with bit-identical scores") {
     import spark.implicits._
     val exact = Similarity.cosinePairs(spark, dir, threshold = 0.4)
