@@ -1389,9 +1389,12 @@ object SparkEntry {
       WITH m AS (SELECT doc_id AS media_id, text,
           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM documents),
+      -- decimation positions are CHARACTER-based on both engines
+      -- (length(), not octet_length — they differ on non-ASCII text);
+      -- a NULL payload propagates to NULL, matching the Spark side
       r AS (SELECT media_id, n_bytes,
           array_to_string(list_transform(
-            range(1, CAST(ceil(n_bytes / 4.0) AS BIGINT) + 1),
+            range(1, CAST(ceil(length(text) / 4.0) AS BIGINT) + 1),
             i -> substring(text, CAST((i - 1) * 4 + 1 AS INTEGER), 1)),
             '') AS rs
         FROM m)

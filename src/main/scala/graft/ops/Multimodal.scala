@@ -49,7 +49,7 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  /** X16c — media RESIZE: deterministic stride-4 byte decimation, the
+  /** X16c — media RESIZE: deterministic stride-4 decimation, the
     * codec-free stand-in for spatial downsampling (every real media
     * pipeline's resize step: payload in, smaller payload out, metadata
     * preserved). Per-row expression work on the payload — no shuffle,
@@ -61,19 +61,23 @@ object Multimodal {
     mediaResizeFor(t(spark, dir, "documents")
       .select(col("doc_id").as("media_id"), col("text")))
 
-  /** [[mediaResize]] over an arbitrary (media_id, text) frame. The
-    * testdata payloads are ASCII (pinned by `multimodal_media`'s
-    * oracle), so character decimation of `text` IS byte decimation of
-    * the payload — the same workaround that query uses for DuckDB's
-    * missing BLOB substring. */
+  /** [[mediaResize]] over an arbitrary (media_id, text) frame.
+    * Decimation is defined over CHARACTERS (positions 1, 5, 9, … of
+    * `text`) in BOTH engines, so the semantics agree for any unicode
+    * payload; on the testdata's ASCII payloads (pinned by
+    * `multimodal_media`'s oracle) character decimation IS byte
+    * decimation of the binary — the workaround for DuckDB's missing
+    * BLOB substring. A NULL payload propagates to NULL output (SQL
+    * semantics, matching the oracle), never an empty resize. */
   def mediaResizeFor(media: DataFrame): DataFrame = {
     val n = length(col("text"))
     // sequence(a, b) DESCENDS when a > b — an empty payload must
     // resize to an empty payload, not two phantom samples
-    val resized = when(n > 0,
-      array_join(transform(sequence(lit(1L), ceil(n / 4.0).cast("long")),
-        i => col("text").substr(((i - 1) * 4 + 1).cast("int"), lit(1))),
-        ""))
+    val resized = when(col("text").isNull, lit(null).cast("string"))
+      .when(n > 0,
+        array_join(transform(sequence(lit(1L), ceil(n / 4.0).cast("long")),
+          i => col("text").substr(((i - 1) * 4 + 1).cast("int"), lit(1))),
+          ""))
       .otherwise(lit(""))
     media
       .select(col("media_id"),

@@ -305,6 +305,18 @@ object Similarity {
     def ok(sub: String): Boolean =
       graft.util.Tables.successExists(spark, s"$out/$sub")
     if (!ok("codebook") || !ok("cells")) {
+      // sweep superseded-schema stores (pre-v2 `ivf_<tag>`): nothing
+      // else ever deletes them, and each holds a full corpus copy
+      val annRoot = java.nio.file.Paths.get("target/graft_ann")
+      if (java.nio.file.Files.exists(annRoot)) {
+        val ls = java.nio.file.Files.list(annRoot)
+        try ls.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith("ivf_") && !n.startsWith("ivf_v2_")
+          }.foreach(graft.util.Scratch.deleteRecursive)
+        finally ls.close()
+      }
       coarseCodebook(spark, dir, maxCells).select("cell", "centroid")
         .write.mode("overwrite").parquet(s"$out/codebook")
       // Collect the codebook BACK FROM THE WRITTEN PARQUET, not by
@@ -440,8 +452,10 @@ object Similarity {
       .parquet(s"$out/codebook").select("cell", "centroid")
       .as[(Int, Seq[Double])].collect().toSeq
     val assignCell = argmaxCell(cells, col("embedding"))
+    // same v2 store schema as ivfBuildIndex (label rides along) so
+    // filtered probes work against appended stores too
     def routed(df: DataFrame) = fanOut(df)
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("embedding"), col("label"),
         l2norm(col("embedding")).as("nrm"))
       .withColumn("cell", assignCell)
     routed(corpus).write.partitionBy("cell").parquet(s"$out/cells")
@@ -461,10 +475,14 @@ object Similarity {
     * query set / streamed candidate side / [[scoreTopK]] tail as the
     * unfiltered operator; at 100 TB the filter composes with partition
     * pruning and the IVF cell layout unchanged. */
+  /** The ONE metadata predicate of the registered filtered-search
+    * queries — shared by [[filteredTopK]], [[filteredProbeTopK]] and
+    * their parity specs, which all depend on filtering IDENTICALLY. */
+  val evenLabelPred: Column = pmod(col("label"), lit(2)) === 0
+
   def filteredTopK(spark: SparkSession, dir: String, k: Int = 10,
       nQueries: Int = 8): DataFrame =
-    cosineTopK(spark, dir, k, nQueries,
-      candidatePred = pmod(col("label"), lit(2)) === 0)
+    cosineTopK(spark, dir, k, nQueries, candidatePred = evenLabelPred)
 
   /** X4e over the SERVING path — metadata-filtered probe of the
     * persisted IVF index: the predicate prunes candidates INSIDE the
@@ -478,8 +496,7 @@ object Similarity {
   def filteredProbeTopK(spark: SparkSession, dir: String, k: Int = 10,
       nQueries: Int = 8, nProbe: Int = 2, maxCells: Int = 16): DataFrame =
     probeIndexPath(spark, ivfBuildIndex(spark, dir, maxCells), dir, k,
-      nQueries, nProbe,
-      candidatePred = pmod(col("label"), lit(2)) === 0)
+      nQueries, nProbe, candidatePred = evenLabelPred)
 
   /** X4b — exhaustive embedding-cosine pair search above a threshold:
     * the VERIFICATION TWIN of the first-class [[lshPairs]] query. O(n²)

@@ -63,6 +63,18 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(col("media_id") === 1L)
       .select("resized_sha").as[String].head()
     assert(gotSha == sha)
+    // NULL payload propagates to NULL (SQL semantics, oracle-matching),
+    // and decimation is CHARACTER-based: 8 two-byte chars sample
+    // positions 1 and 5, regardless of the 16-byte payload
+    val edge = Seq((1L, null.asInstanceOf[String]), (2L, "éèêëéèêë"))
+      .toDF("media_id", "text")
+    val got2 = Multimodal.mediaResizeFor(edge).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(got2(1L) == ((None, None, None)))
+    val (nb, rb, _) = got2(2L)
+    assert(nb.contains(16L) && rb.contains(4L),
+      s"unicode decimation: ${got2(2L)}") // "éê" re-encodes to 4 bytes
   }
 
   test("media top-k plan: one corpus decode, query side broadcast (X16b)") {

@@ -151,6 +151,15 @@ class SimilaritySpec extends AnyFunSuite {
     val inline = rows(Similarity.ivfTopK(spark, dir, k = 5,
       nQueries = 16, nProbe = 2, codebook = Some(codebook)))
     assert(probed == inline)
+    // the features COMPOSE: a filtered probe against the APPENDED
+    // store (uniform v2 schema — the append path carries label too)
+    val filteredProbed = rows(Similarity.probeIndexPath(spark, idx, dir,
+      k = 5, nQueries = 16, nProbe = 2,
+      candidatePred = Similarity.evenLabelPred))
+    val filteredInline = rows(Similarity.ivfTopK(spark, dir, k = 5,
+      nQueries = 16, nProbe = 2, codebook = Some(codebook),
+      candidatePred = Similarity.evenLabelPred))
+    assert(filteredProbed == filteredInline)
   }
 
   test("filtered top-k equals the predicate-restricted re-rank of the full scoring (X4e)") {
