@@ -979,8 +979,13 @@ object SparkEntry {
       SELECT doc_id, chunk_id,
         CAST(len(list_slice(toks, chunk_id*56 + 1, chunk_id*56 + 64))
           AS BIGINT) AS n_tokens,
-        array_to_string(list_slice(toks, chunk_id*56 + 1, chunk_id*56 + 64),
-          ' ') AS chunk_text
+        -- array_to_string([]) is NULL in DuckDB but Spark's array_join
+        -- is '' — COALESCE only the empty case; a NULL token list (NULL
+        -- text) stays NULL to match array_join's NULL propagation
+        CASE WHEN toks IS NULL THEN NULL
+          ELSE COALESCE(array_to_string(
+            list_slice(toks, chunk_id*56 + 1, chunk_id*56 + 64), ' '), '')
+        END AS chunk_text
       FROM e ORDER BY doc_id, chunk_id""")),
 
     "seq_packing" -> Q((s, d) => Reshape.seqPacking(s, d), Some(s"""
@@ -1104,7 +1109,10 @@ object SparkEntry {
           list_filter(string_split_regex(lower(text), '\s+'),
             x -> x <> '') AS w
         FROM documents)
-      SELECT doc_id, md5(array_to_string(w, ' ')) AS fingerprint,
+      -- COALESCE('' on empty/NULL): Spark's concat_ws treats a NULL or
+      -- empty token array as '', while array_to_string([]) is NULL here
+      SELECT doc_id,
+        md5(COALESCE(array_to_string(w, ' '), '')) AS fingerprint,
         CAST(len(w) AS INTEGER) AS n_tokens
       FROM d ORDER BY doc_id""")),
 
@@ -1392,11 +1400,15 @@ object SparkEntry {
       -- decimation positions are CHARACTER-based on both engines
       -- (length(), not octet_length — they differ on non-ASCII text);
       -- a NULL payload propagates to NULL, matching the Spark side
+      -- the CASE keeps NULL→NULL exact while COALESCE maps the empty
+      -- payload's array_to_string([]) = NULL back to Spark's ''
       r AS (SELECT media_id, n_bytes,
-          array_to_string(list_transform(
-            range(1, CAST(ceil(length(text) / 4.0) AS BIGINT) + 1),
-            i -> substring(text, CAST((i - 1) * 4 + 1 AS INTEGER), 1)),
-            '') AS rs
+          CASE WHEN text IS NULL THEN NULL
+            ELSE COALESCE(array_to_string(list_transform(
+              range(1, CAST(ceil(length(text) / 4.0) AS BIGINT) + 1),
+              i -> substring(text, CAST((i - 1) * 4 + 1 AS INTEGER), 1)),
+              ''), '')
+          END AS rs
         FROM m)
       SELECT media_id, n_bytes,
         CAST(octet_length(encode(rs)) AS BIGINT) AS resized_bytes,
@@ -1580,8 +1592,10 @@ object SparkEntry {
         CAST(len(c) AS INTEGER) AS n_collapsed,
         CAST(len(w) - len(k) AS INTEGER) AS n_stopped,
         CAST(len(k) - len(c) AS INTEGER) AS n_repeats,
-        md5(array_to_string(c, ' ')) AS scrub_fp,
-        array_to_string(c[1:5], ' ') AS head5
+        -- COALESCE: concat_ws on the Spark side yields '' for an
+        -- all-stopword (empty/NULL) token list; array_to_string → NULL
+        md5(COALESCE(array_to_string(c, ' '), '')) AS scrub_fp,
+        COALESCE(array_to_string(c[1:5], ' '), '') AS head5
       FROM c ORDER BY doc_id""")),
 
     "scalar_suite" -> Q(Analytics.scalarSuite, Some("""

@@ -2,7 +2,7 @@ package graft.load
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.col
 import org.slf4j.LoggerFactory
 
 /** Versioned snapshot log for a curated table — read-at-version
@@ -48,7 +48,16 @@ import org.slf4j.LoggerFactory
   *
   * dt values are stored percent-encoded so adversarial partition
   * values (`/`, `:`, `=`, whitespace — the ingest_escaped_dt family)
-  * round-trip through the line-oriented manifest format. */
+  * round-trip through the line-oriented manifest format.
+  *
+  * SINGLE-WRITER assumption: commits are serialized by the caller (the
+  * loader runs one batch per table at a time, the reference's model —
+  * `generic_load_script.py` is invoked per-table per-arrival). The
+  * manifest rename carries a put-if-absent existence guard so a racing
+  * second writer fails loudly instead of silently replacing the winner
+  * (RawLocalFileSystem's rename(2) would otherwise clobber), but the
+  * check-then-rename pair is NOT atomic — true multi-writer commits
+  * need a coordinating lock service, exactly as Delta on S3 does. */
 object SnapshotLog {
 
   private val log = LoggerFactory.getLogger(getClass)
@@ -183,7 +192,15 @@ object SnapshotLog {
     val tmp = new Path(logDir(path), s".v$v.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, new Path(manifestPath(path, v))))
+    val dest = new Path(manifestPath(path, v))
+    // put-if-absent guard (see module scaladoc): a lost-race concurrent
+    // writer fails HERE instead of having its rename silently replace
+    // the winning commit's manifest on local rename(2) semantics
+    if (fs.exists(dest))
+      throw new java.io.IOException(
+        s"Concurrent commit detected: manifest v$v already exists for " +
+          s"$path (snapshot commits are single-writer)")
+    if (!fs.rename(tmp, dest))
       throw new java.io.IOException(s"Failed to commit manifest v$v")
     v
   }
@@ -242,23 +259,38 @@ object SnapshotLog {
       .filter(_.version <= version)
       .flatMap(m => m.entries.map(e => e.dt -> e)).toMap
     val later = manifests.filter(_.version > version)
-    val perDt = lastTouch.toSeq.sortBy(_._1).map { case (dt, entry) =>
-      val supersededBy = later
-        .find(_.entries.exists(_.dt == dt)) // ascending → smallest
-        .map(_.version)
-      val loc = supersededBy match {
-        case Some(m) => s"${retiredDir(path, m)}/dt=${escDt(dt)}"
-        case None => s"$path/dt=${escDt(dt)}"
+    // Group partitions by their physical ROOT — the live table dir, or
+    // one retired dir per superseding version — and issue ONE
+    // multi-path read per root with `basePath` partition discovery
+    // recovering `dt` from the directory names. Plan width is then
+    // bounded by VERSION count, never partition count: a 10k-dt table
+    // reconstructs through a handful of scan nodes instead of a
+    // 10k-way union of single-partition reads.
+    val byRoot = lastTouch.toSeq.sortBy(_._1)
+      .map { case (dt, entry) =>
+        val supersededBy = later
+          .find(_.entries.exists(_.dt == dt)) // ascending → smallest
+          .map(_.version)
+        val root = supersededBy.fold(path)(m => retiredDir(path, m))
+        (root, dt, entry)
       }
-      if (!fs.exists(new Path(loc)))
-        throw new java.io.IOException(
-          s"version $version of $path: partition dt=$dt copy at $loc " +
-            "is gone (vacuumed?) — cannot reconstruct this version")
-      spark.read.parquet(entry.files.map(f => s"$loc/$f"): _*)
-        .withColumn("dt", lit(dt))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    val perRoot = byRoot.map { case (root, dts) =>
+      val files = dts.flatMap { case (_, dt, entry) =>
+        val loc = s"$root/dt=${escDt(dt)}"
+        if (!fs.exists(new Path(loc)))
+          throw new java.io.IOException(
+            s"version $version of $path: partition dt=$dt copy at $loc " +
+              "is gone (vacuumed?) — cannot reconstruct this version")
+        entry.files.map(f => s"$loc/$f")
+      }
+      // cast pins dt to the log's string semantics even under a session
+      // with partition-type inference enabled (GraftSession disables it)
+      spark.read.option("basePath", root).parquet(files: _*)
+        .withColumn("dt", col("dt").cast("string"))
     }
-    require(perDt.nonEmpty, s"version $version of $path is empty")
-    perDt.reduce(_ unionByName _)
+    require(perRoot.nonEmpty, s"version $version of $path is empty")
+    perRoot.reduce(_ unionByName _)
   }
 
   /** Drop retired partition copies for versions ≤ (latest − keepLast),

@@ -25,7 +25,10 @@ import graft.transform.Derive
   */
 object Ingest {
 
-  val FixtureDir = "/root/repo/fixtures"
+  // cwd-relative (the harness runs from the repo root) so the operators
+  // survive a checkout at any path
+  val FixtureDir: String =
+    java.nio.file.Paths.get("fixtures").toAbsolutePath.normalize.toString
   private def inbound(f: String) = s"$FixtureDir/inbound/sap/customers/$f"
   private def config(table: String) =
     s"$FixtureDir/config/sap/$table/${table}_config.json"
@@ -40,7 +43,7 @@ object Ingest {
     * lake (watch dir, stream checkpoint) are guaranteed to live inside
     * the cleaned tree. */
   private def scratchBase(name: String): String =
-    s"/root/repo/target/ingest/$name"
+    graft.util.Scratch.under(s"ingest/$name").toString
 
   /** Fresh scratch lake per invocation so queries are idempotent across
     * warmup/timed/verify runs. Lives under the repo's build scratch. */

@@ -205,10 +205,10 @@ object Reshape {
       budget: Long = 512L): DataFrame = {
     // absolute + dataset-scoped, per the scratch convention
     // (Ingest.scratchBase / Tables.pathTag): sf0.01 and sf0.1 runs must
-    // not clobber each other's export, and the path must not depend on
-    // the harness's working directory
-    val out = "/root/repo/target/graft_shards/" +
-      graft.util.Tables.pathTag(dir)
+    // not clobber each other's export, and the resolved-once Scratch
+    // root keeps the path stable against a mid-run chdir
+    val out = graft.util.Scratch
+      .under("graft_shards/" + graft.util.Tables.pathTag(dir)).toString
     graft.util.Scratch.deleteRecursive(java.nio.file.Paths.get(out))
     seqPacking(spark, dir, nShards, budget)
       .write.partitionBy("shard").parquet(out)

@@ -90,7 +90,7 @@ object NeardupStream {
     * signature rebuild over every document. */
   def neardupStreamQuery(spark: SparkSession, dir: String,
       nBands: Int = 8, minBands: Int = 4, batchMod: Int = 7): DataFrame = {
-    val base = Paths.get("/root/repo/target/ingest/neardup_stream")
+    val base = graft.util.Scratch.under("ingest/neardup_stream")
     graft.util.Scratch.deleteRecursive(base)
     val (watch, idx, out, ckpt) = (s"$base/watch", s"$base/index",
       s"$base/pairs", s"$base/ckpt")
@@ -112,9 +112,14 @@ object NeardupStream {
     def land(slice: DataFrame, name: String): Unit = {
       val staged = s"$base/.staging_$name"
       slice.coalesce(1).write.parquet(staged)
-      val files = Files.list(Paths.get(staged)).toArray.map(_.toString)
-        .filter(f => f.endsWith(".parquet") && !Paths.get(f).getFileName
-          .toString.startsWith("."))
+      // Files.list holds an open directory handle — close it (same
+      // contract Scratch.deleteRecursive documents for Files.walk)
+      val listing = Files.list(Paths.get(staged))
+      val files =
+        try listing.toArray.map(_.toString)
+          .filter(f => f.endsWith(".parquet") && !Paths.get(f).getFileName
+            .toString.startsWith("."))
+        finally listing.close()
       files.zipWithIndex.foreach { case (f, i) =>
         Files.move(Paths.get(f), Paths.get(s"$watch/${name}_$i.parquet"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)

@@ -166,7 +166,7 @@ object ScaleStress {
     val runTpch = family == "tpch" || family == "all"
     val runEvents = family == "events" || family == "all"
 
-    def corpusDir(n: Int) = s"/root/repo/target/scale/x$n"
+    def corpusDir(n: Int) = graft.util.Scratch.under(s"scale/x$n").toString
     // _SUCCESS marker, not the dir: a partially-written corpus from a
     // crashed run would otherwise be reused and skew the measurements
     def ready(path: String) =

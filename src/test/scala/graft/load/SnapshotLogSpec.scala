@@ -168,6 +168,36 @@ class SnapshotLogSpec extends AnyFunSuite {
     }
   }
 
+  test("readAtVersion plan width is bounded by VERSION count, not partition count") {
+    // 64 dts across 4 versions: the reconstruction must group
+    // partitions by physical root (live + one retired dir per
+    // superseding version) into multi-path scans — not build a
+    // 64-way union of single-partition reads
+    val p = tmp()
+    val dts = (1 to 64).map(i => f"d$i%02d")
+    up(p, dts.zipWithIndex.map { case (dt, i) => (i, "a", dt) }: _*) // v1
+    up(p, (0, "A", "d01"))                                          // v2
+    up(p, (1, "B", "d02"), (2, "C", "d03"))                         // v3
+    up(p, (0, "Z", "d01"))                                          // v4
+    assert(SnapshotLog.versions(spark, p) == Seq(1, 2, 3, 4))
+    def scanCount(v: Int): Int =
+      Strategies.readAtVersion(spark, p, v).queryExecution.optimizedPlan
+        .collect {
+          case l: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => l
+        }.size
+    (1 to 4).foreach { v =>
+      assert(scanCount(v) <= 5, s"version $v plan has ${scanCount(v)} " +
+        "scans — width must be bounded by versions+1, not dt count")
+    }
+    // and the reconstruction stays exact, including inherited dts
+    assert(at(p, 1).size == 64)
+    assert(at(p, 1).contains((0, "a", "d01")))
+    assert(at(p, 2).contains((0, "A", "d01")))
+    assert(at(p, 2).contains((1, "a", "d02"))) // d02 still v1's copy at v2
+    assert(at(p, 4) == live(p))
+  }
+
   test("vacuum drops old retired copies: old versions fail loudly, recent ones read") {
     val p = tmp()
     up(p, (1, "a", "d1"))
