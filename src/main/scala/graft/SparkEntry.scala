@@ -89,6 +89,77 @@ object SparkEntry {
           n_tok, cum_tok
         FROM c)"""
 
+  /** Shared DuckDB oracle of the IVF family (`ann_ivf_topk`,
+    * `ann_ivf_probe`, `ann_ivf_append`, `ann_filtered_probe`): the
+    * oracle recomputes the WHOLE pipeline independently —
+    *
+    *  1. bounded coarse codebook: per-cell (`label % 16`) per-dim mean
+    *     over the codebook corpus (`cbWhere` restricts it for the
+    *     append query), float-downcast exactly like the engine's
+    *     routing (`Similarity.cellDotStructs` downcasts the collected
+    *     double centroids to float). The downcast is ALSO what makes
+    *     an independent recomputation exact: CentroidAgg's double sums
+    *     merge in task order and DuckDB's avg in scan order, so the
+    *     DOUBLE means can differ by ulps — but both land on the same
+    *     FLOAT with overwhelming probability, and routing only ever
+    *     sees the float-downcast codebook. Verified exact at sf0.01
+    *     and sf0.1 against both the inline and the persisted-index
+    *     realizations.
+    *  2. routing: `list_dot_product` (the same sequential double fold
+    *     as the codegen FloatDot) argmax over the ≤16 cells, ties to
+    *     the LARGER cell id — matching `argmaxCell`'s
+    *     greatest-over-(score, cell) structs and the probe slice of
+    *     `array_sort` + take-last; `crn = 1` is a vector's assigned
+    *     cell, `crn <= 2` a query's probed cells (nProbe = 2).
+    *  3. scoring: exact double cosine over the probed cells'
+    *     candidates (`candAnd` adds the metadata predicate for the
+    *     filtered query), `row_number` ties by vec_id, top-10 —
+    *     identical to the brute-force `similarity_topk` oracle tail.
+    *
+    * ONE definition for all four queries on purpose: inline, probe,
+    * append and filtered-probe must stay realizations of the same
+    * routing semantics (the parity specs in SimilaritySpec pin the
+    * Spark side of that claim; this pins the oracle side). */
+  private def ivfOracle(cbWhere: String = "", candAnd: String = ""): String =
+    s"""
+      WITH cbu AS (
+        SELECT CAST(label % 16 AS INTEGER) AS cell, r.i AS dim,
+               avg(CAST(embedding[r.i] AS DOUBLE)) AS c
+        FROM embeddings, range(1, 65) r(i)
+        $cbWhere
+        GROUP BY 1, 2),
+      cb AS (
+        SELECT cell,
+               list(CAST(CAST(c AS FLOAT) AS DOUBLE) ORDER BY dim)
+                 AS centroid
+        FROM cbu GROUP BY cell),
+      e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+      route AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY list_dot_product(e, centroid) DESC, cell DESC)
+                 AS crn
+        FROM e, cb),
+      assign AS (SELECT vec_id, cell FROM route WHERE crn = 1),
+      probes AS (SELECT vec_id AS q_id, cell FROM route
+                 WHERE vec_id < 8 AND crn <= 2),
+      q AS (SELECT vec_id AS q_id, e AS qe FROM e WHERE vec_id < 8),
+      s AS (
+        SELECT p.q_id, c.vec_id,
+               list_dot_product(q.qe, c.e) /
+                 (sqrt(list_dot_product(q.qe, q.qe)) *
+                  sqrt(list_dot_product(c.e, c.e))) AS score
+        FROM probes p
+        JOIN q ON q.q_id = p.q_id
+        JOIN assign a ON a.cell = p.cell
+        JOIN e c ON c.vec_id = a.vec_id
+        WHERE c.vec_id <> p.q_id $candAnd),
+      r AS (SELECT *, row_number() OVER (
+              PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM s)
+      SELECT q_id, vec_id, score, CAST(rn AS INTEGER) AS rn
+      FROM r WHERE rn <= 10 ORDER BY q_id, rn"""
+
   /** Shared by `neardup_probe` (batch) and `neardup_stream` (the
     * streaming probe-and-maintain form) — both must produce exactly
     * the cross (batch × corpus) near-dup pairs. */
@@ -1333,35 +1404,43 @@ object SparkEntry {
       ORDER BY a, b""")),
 
     // X4 scale paths — the ANN operators a 100 TB corpus actually runs.
-    // Registered rows-only (like centroid_udaf): the hyperplane hashes
-    // (xxhash64) and the UDAF-collected IVF codebook have no DuckDB
-    // equivalent. Exactness is anchored in SimilaritySpec instead:
-    // ann_lsh_pairs ⊆ cosine_pairs with bit-identical scores and
-    // recall ≥ bound; ivf with all cells probed ≡ brute force exactly.
+    // The IVF family carries the full shared [[ivfOracle]] (codebook
+    // recomputed independently, float-downcast routing, exact scoring);
+    // ann_lsh_pairs stays rows-only — its hyperplane hashes (xxhash64)
+    // have no DuckDB equivalent — anchored in SimilaritySpec instead:
+    // ⊆ cosine_pairs with bit-identical scores and recall ≥ bound.
     "ann_lsh_pairs" -> Q((s, d) => Similarity.lshPairs(s, d), None),
-    "ann_ivf_topk" -> Q((s, d) => Similarity.ivfTopK(s, d), None),
+    "ann_ivf_topk" -> Q((s, d) => Similarity.ivfTopK(s, d),
+      Some(ivfOracle())),
     // Persisted-index serving split: build once (codebook +
     // cell-partitioned vectors), probe by reading ONLY the routed cell
-    // directories. SimilaritySpec pins probe ≡ ann_ivf_topk
-    // row-for-row, which also transfers the all-cells≡brute-force
-    // anchor to the persisted path.
-    "ann_ivf_probe" -> Q((s, d) => Similarity.ivfProbeTopK(s, d), None),
+    // directories. Same oracle as the inline form — the cached index
+    // codebook is a different CentroidAgg realization, which the
+    // oracle's float-downcast routing absorbs; SimilaritySpec
+    // additionally pins probe ≡ ann_ivf_topk row-for-row.
+    "ann_ivf_probe" -> Q((s, d) => Similarity.ivfProbeTopK(s, d),
+      Some(ivfOracle())),
 
     // X4d — IVF APPEND maintenance: vec_id%11==0 vectors join a
     // freshly-built corpus index as appended cell files (codebook
-    // unmoved), then the appended store is probed. Rows-only like the
-    // other ANN paths; SimilaritySpec pins probe-of-appended ≡ inline
-    // ivfTopK over all vectors with the same persisted codebook.
-    "ann_ivf_append" -> Q((s, d) => Similarity.ivfAppend(s, d), None),
+    // unmoved), then the appended store is probed. The oracle builds
+    // its codebook from the PRE-APPEND corpus slice only — the append
+    // contract — and routes/scores ALL vectors with it, exactly the
+    // appended store's content; SimilaritySpec additionally pins
+    // probe-of-appended ≡ inline ivfTopK with the same codebook.
+    "ann_ivf_append" -> Q((s, d) => Similarity.ivfAppend(s, d),
+      Some(ivfOracle(cbWhere = "WHERE vec_id % 11 <> 0"))),
 
     // X4e over the serving path — metadata-filtered probe of the
     // persisted IVF index: the label predicate prunes INSIDE the index
-    // scan, composing with the static cell partition pruning. Rows-only
-    // like the other ANN paths (codebook realization is
-    // nondeterministic); parity ≡ inline ivfTopK with the same
-    // persisted codebook + predicate pinned in SimilaritySpec.
+    // scan, composing with the static cell partition pruning. The
+    // oracle applies the predicate to the probed cells' CANDIDATES
+    // only (queries stay unfiltered), the pre-filter strategy both
+    // engines implement; parity ≡ inline ivfTopK with the same
+    // persisted codebook + predicate stays pinned in SimilaritySpec.
     "ann_filtered_probe" ->
-      Q((s, d) => Similarity.filteredProbeTopK(s, d), None),
+      Q((s, d) => Similarity.filteredProbeTopK(s, d),
+        Some(ivfOracle(candAnd = "AND c.label % 2 = 0"))),
 
     "token_counts" -> Q(TextAnalysis.tokenCounts, Some("""
       WITH d AS (SELECT doc_id, text,
