@@ -10,8 +10,26 @@ import org.apache.spark.sql.SparkSession
   * the failing query, never silently recorded as a fast run. The full
   * per-query map is ALSO written to `target/bench_full.json`, so a
   * tail-window capture of stdout can never lose the head of the
-  * registry. */
+  * registry.
+  *
+  * Measurement protocol (BASELINE.md §protocol):
+  *  - every query is FULLY MATERIALIZED via [[graft.util.Exec]] —
+  *    `count()` let Catalyst prune per-row work and even whole join
+  *    subtrees out of the timed plan (round-7 finding; see Exec's doc),
+  *    so rounds ≤ 6 under-measured the count-prunable queries;
+  *  - the A/B REFERENCE SUBSET ([[abSubset]] — five stable queries
+  *    recorded since round 1) runs FIRST in every pass: round-over-round
+  *    totals drift 1.3–2× with box load, so cross-round comparisons must
+  *    re-time this subset in the same session and scale by ITS ratio
+  *    before reading anything into per-query drift. */
 object Bench {
+
+  /** Stable cross-round A/B anchors: aggregation, join, set-op, window
+    * and scan-heavy shapes from the round-1 recorded set, none
+    * count-prunable (their rounds ≤ 6 numbers stay comparable). */
+  val abSubset: Seq[String] = Seq("rollup_nation", "asof_join", "set_ops",
+    "dedup_exact", "q1_pricing_summary")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,12 +40,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = SparkEntry.registry.map(_._1)
+    val registryNames = SparkEntry.registry.map(_._1)
+    // A/B anchors first (same-session reference timings), then the rest
+    // in registry order
+    val names = abSubset ++ registryNames.filterNot(abSubset.contains)
     val fns = SparkEntry.queries
+    def run(n: String): Unit = {
+      graft.util.Exec.materialize(fns(n)(spark, sfDir)); ()
+    }
     // Warmup: run everything once, discard timings, remember failures so
     // the timed pass can skip (and report) queries that cannot run.
     val warmupErr: Map[String, String] = names.flatMap { n =>
-      try { fns(n)(spark, sfDir).count(); None }
+      try { run(n); None }
       catch { case e: Throwable => Some(n -> e.toString.take(300)) }
     }.toMap
     val timedErr = scala.collection.mutable.Map.empty[String, String]
@@ -35,7 +59,7 @@ object Bench {
       if (warmupErr.contains(n) || timedErr.contains(n)) n -> -1.0
       else {
         val t0 = System.nanoTime()
-        try { fns(n)(spark, sfDir).count(); n -> (System.nanoTime() - t0) / 1e9 }
+        try { run(n); n -> (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           timedErr(n) = e.toString.take(300); n -> -1.0 }
       }

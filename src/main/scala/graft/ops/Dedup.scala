@@ -419,11 +419,19 @@ object Dedup {
     *
     * Plan shape: window fan-out is one row per token (same cost class
     * as the shingle pipelines); repeated-window detection is ONE
-    * groupBy(window) with map-side partial counts; hit positions join
-    * back on the window string and collapse to a per-doc sorted start
-    * list (repeated-hit-sized, small); the final scrub is per-row HOF
+    * groupBy over a 128-BIT WINDOW HASH (two independent xxhash64
+    * longs) with map-side partial counts; hit positions join back on
+    * the same hash pair and collapse to a per-doc sorted start list
+    * (repeated-hit-sized, small); the final scrub is per-row HOF
     * work — each token's keep/drop decision scans only its own doc's
-    * hit list. Two keyed shuffles total at any corpus size.
+    * hit list. Two keyed shuffles total at any corpus size, and both
+    * carry ~16 bytes of key per row instead of the w-token window
+    * STRING (~w× the corpus text bytes on the wire at w=8 — the
+    * shuffle volume that dominates at 100 TB). The window string never
+    * leaves the map side. Exactness is up to a 128-bit collision —
+    * the same acceptance the MinHash family already makes for md5 —
+    * and the DuckDB oracle still compares TRUE window strings, so a
+    * hash regression hash-fails the gate rather than hiding.
     *
     * Output is (doc_id, n_tokens, n_kept, md5 of the scrubbed text) —
     * the full cleaned corpus reduced to an oracle-comparable row per
@@ -447,9 +455,15 @@ object Dedup {
         col("w"))
       .select(col("doc_id"), col("i"),
         concat_ws(" ", slice(col("w"), col("i"), lit(w))).as("win"))
-    val rep = wins.groupBy(col("win")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).select("win")
-    val hitStarts = wins.join(rep, Seq("win"))
+      // the two seeds make the halves independent; the string column
+      // is dropped here, BEFORE anything shuffles
+      .select(col("doc_id"), col("i"),
+        xxhash64(col("win")).as("h1"),
+        xxhash64(lit("graft:span:2"), col("win")).as("h2"))
+    val rep = wins.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h1", "h2")
+    val hitStarts = wins.join(rep, Seq("h1", "h2"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("i"))).as("ss"))
     tok.join(hitStarts, Seq("doc_id"), "left")

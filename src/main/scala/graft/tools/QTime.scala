@@ -6,8 +6,10 @@ import graft.util.GraftSession
 /** Time a subset of registered queries without running the full bench:
   * `runMain graft.tools.QTime q1 q2 ...` (all registry names when no
   * args). Same protocol as [[graft.Bench]] — one discarded warmup pass,
-  * then the minimum of two timed passes — so numbers are comparable
-  * with BENCH_r*.json entries. */
+  * then the minimum of two timed passes, FULL materialization via
+  * [[graft.util.Exec]] (never `count()`, which prunes work out of the
+  * timed plan) — so numbers are comparable with BENCH_r*.json entries
+  * from round 7 on. */
 object QTime {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -21,10 +23,10 @@ object QTime {
     names.foreach { n =>
       val fn = fns.getOrElse(n,
         sys.error(s"unknown query $n; known: ${fns.keys.mkString(", ")}"))
-      fn(spark, dir).count() // warmup
+      graft.util.Exec.materialize(fn(spark, dir)) // warmup
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        val rows = fn(spark, dir).count()
+        val rows = graft.util.Exec.materialize(fn(spark, dir))
         ((System.nanoTime() - t0) / 1e9, rows)
       }
       println(f"QTIME $n%-24s ${times.map(_._1).min}%8.3f s  rows=${times.head._2}")

@@ -183,35 +183,41 @@ object ScaleStress {
         buildEventsCorpus(spark, src, out, n)
     }
 
+    // full materialization for every timed op (graft.util.Exec doc:
+    // count() prunes per-row work and even whole join subtrees out of
+    // the timed plan — span_scrub's count optimized to a bare scan)
+    def m(df: org.apache.spark.sql.DataFrame): Long =
+      graft.util.Exec.materialize(df)
+
     // clearPairsMemo before every pair-consumer run: the session memo
     // would otherwise turn the 2nd+ runs into memo hits and the growth
     // table would measure the incremental cost, not the pipeline
     val docOps: Seq[(String, String => Long)] = Seq(
-      "neardup_minhash" -> (d => Dedup.nearDupPairs(spark, d).count()),
+      "neardup_minhash" -> (d => m(Dedup.nearDupPairs(spark, d))),
       // serving split: index build lands in the warmup pass (memoized,
       // _SUCCESS-gated), timed passes measure the PROBE — same
       // treatment as ann_ivf_probe
-      "neardup_probe" -> (d => Dedup.neardupProbe(spark, d).count()),
-      "simhash_pairs" -> (d => Dedup.simhashPairs(spark, d).count()),
+      "neardup_probe" -> (d => m(Dedup.neardupProbe(spark, d))),
+      "simhash_pairs" -> (d => m(Dedup.simhashPairs(spark, d))),
       "ngram_jaccard" -> (d => {
-        Dedup.clearPairsMemo(); Dedup.ngramJaccard(spark, d).count() }),
+        Dedup.clearPairsMemo(); m(Dedup.ngramJaccard(spark, d)) }),
       "dedup_groups" -> (d => {
-        Dedup.clearPairsMemo(); Dedup.dedupGroups(spark, d).count() }),
+        Dedup.clearPairsMemo(); m(Dedup.dedupGroups(spark, d)) }),
       "clean_corpus" -> (d => {
-        Dedup.clearPairsMemo(); TextAnalysis.cleanCorpus(spark, d).count() }),
-      "heavy_hitters" -> (d => CorpusStats.heavyHitters(spark, d).count()),
-      "bpe_train" -> (d => BpeTrain.bpeTrain(spark, d).count()),
-      "kmv_distinct" -> (d => CorpusStats.kmvDistinct(spark, d).count()),
-      "tfidf_top_terms" -> (d => CorpusStats.tfidfTopTerms(spark, d).count()),
-      "inverted_index" -> (d => CorpusStats.invertedIndex(spark, d).count()),
-      "bigram_novelty" -> (d => CorpusStats.bigramNovelty(spark, d).count()),
-      "doc_chunk" -> (d => graft.ops.Reshape.docChunk(spark, d).count()),
-      "span_scrub" -> (d => Dedup.repeatedSpanScrub(spark, d).count()),
+        Dedup.clearPairsMemo(); m(TextAnalysis.cleanCorpus(spark, d)) }),
+      "heavy_hitters" -> (d => m(CorpusStats.heavyHitters(spark, d))),
+      "bpe_train" -> (d => m(BpeTrain.bpeTrain(spark, d))),
+      "kmv_distinct" -> (d => m(CorpusStats.kmvDistinct(spark, d))),
+      "tfidf_top_terms" -> (d => m(CorpusStats.tfidfTopTerms(spark, d))),
+      "inverted_index" -> (d => m(CorpusStats.invertedIndex(spark, d))),
+      "bigram_novelty" -> (d => m(CorpusStats.bigramNovelty(spark, d))),
+      "doc_chunk" -> (d => m(graft.ops.Reshape.docChunk(spark, d))),
+      "span_scrub" -> (d => m(Dedup.repeatedSpanScrub(spark, d))),
       "media_embed_topk" ->
-        (d => graft.ops.Multimodal.mediaEmbedTopK(spark, d).count()),
-      "ngram_repetition" -> (d => QualitySignals.ngramRepetition(spark, d).count()),
-      "decontaminate" -> (d => QualitySignals.decontaminate(spark, d).count()),
-      "zipf_spectrum" -> (d => QualitySignals.zipfSpectrum(spark, d).count()))
+        (d => m(graft.ops.Multimodal.mediaEmbedTopK(spark, d))),
+      "ngram_repetition" -> (d => m(QualitySignals.ngramRepetition(spark, d))),
+      "decontaminate" -> (d => m(QualitySignals.decontaminate(spark, d))),
+      "zipf_spectrum" -> (d => m(QualitySignals.zipfSpectrum(spark, d))))
 
     // ANN family, in its realistic regime: detection threshold 0.8 (the
     // planted-dup band; the registered 0.4 default sits inside the
@@ -224,17 +230,17 @@ object ScaleStress {
       8 + math.round(math.log(n.toDouble) / math.log(2.0)).toInt
     }
     val embOps: Seq[(String, String => Long)] = Seq(
-      "similarity_topk" -> (d => Similarity.cosineTopK(spark, d).count()),
+      "similarity_topk" -> (d => m(Similarity.cosineTopK(spark, d))),
       "ann_lsh_pairs" -> (d =>
-        Similarity.lshPairs(spark, d, threshold = 0.8,
-          nBits = lshBits(d)).count()),
-      "ann_ivf_topk" -> (d => Similarity.ivfTopK(spark, d).count()),
-      "ann_ivf_probe" -> (d => Similarity.ivfProbeTopK(spark, d).count()),
+        m(Similarity.lshPairs(spark, d, threshold = 0.8,
+          nBits = lshBits(d)))),
+      "ann_ivf_topk" -> (d => m(Similarity.ivfTopK(spark, d))),
+      "ann_ivf_probe" -> (d => m(Similarity.ivfProbeTopK(spark, d))),
       "cosine_pairs" -> (d =>
-        Similarity.cosinePairs(spark, d, threshold = 0.8).count()),
-      "embedding_quantize" -> (d => Similarity.quantizeInt8(spark, d).count()),
+        m(Similarity.cosinePairs(spark, d, threshold = 0.8))),
+      "embedding_quantize" -> (d => m(Similarity.quantizeInt8(spark, d))),
       "centroid_udaf" -> (d =>
-        Similarity.centroidByLabelFlat(spark, d).count()))
+        m(Similarity.centroidByLabelFlat(spark, d))))
 
     // the registered TPC-H shapes verbatim (same code path the gate and
     // bench run): at sf0.1 fixed overheads dominate, so broadcast-
@@ -244,7 +250,7 @@ object ScaleStress {
         case (name, q) if name.matches("q\\d+.*") ||
             Set("bloom_join", "percentiles", "percentiles_approx",
               "dq_audit")(name) =>
-          name -> ((d: String) => q.fn(spark, d).count())
+          name -> ((d: String) => m(q.fn(spark, d)))
       }
     // rows_in overrides for ops whose input is NOT their family's
     // default count table (dq_audit scans orders, not lineitem)
@@ -257,7 +263,7 @@ object ScaleStress {
     val eventsOps: Seq[(String, String => Long)] =
       Seq("skew_join", "dpp_scan", "zorder_box", "dq_window").map { name =>
         val fn = graft.SparkEntry.queries(name)
-        name -> ((d: String) => fn(spark, d).count())
+        name -> ((d: String) => m(fn(spark, d)))
       }
 
     // each op carries its family's input table so rows_in is right even
