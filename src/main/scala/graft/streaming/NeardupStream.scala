@@ -18,7 +18,10 @@ import graft.ops.Dedup
   * index as new files, so the index stays current without ever
   * recomputing an existing signature. This is the day-to-day loop of a
   * 100 TB dedup deployment: backfill once ([[Dedup.nearDupPairs]]),
-  * then run this stream forever.
+  * run this stream forever, and fold the accumulated per-batch dirs
+  * with [[NeardupIndex.compact]] on whatever cadence keeps the live
+  * dir count small — both the on-disk dir count and the per-arrival
+  * listing cost are bounded by that cadence, never by stream age.
   *
   * Probe semantics are pinned to the batch operator: candidates come
   * from the CORPUS portion of the index (same `doc_id % batchMod != 0`
@@ -59,7 +62,11 @@ object NeardupStream {
         val sigs = Dedup.bandSignaturesFor(rawBatch, nBands).persist()
         try {
           if (!sigs.isEmpty) {
-            val corpusSigs = spark.read.parquet(indexDir)
+            // bounded index read (NeardupIndex): one root listing +
+            // the compaction log, never a recursive walk of every
+            // batch dir ever appended — the listing cost that made
+            // the un-compacted index grow per-micro-batch
+            val corpusSigs = NeardupIndex.read(spark, indexDir)
               .filter(pmod(col("doc_id"), lit(batchMod)) =!= 0)
               .select(col("doc_id").as("corpus_doc"), col("band"),
                 col("sig"))
@@ -135,6 +142,15 @@ object NeardupStream {
       q.processAllAvailable()
     } finally q.stop()
 
+    // RETENTION: fold the accumulated batch_id dirs (seed + one per
+    // micro-batch) into a single compacted generation — the "run
+    // forever" maintenance pass — BEFORE the invariant check below, so
+    // the gate proves compaction preserves the index bit-for-bit every
+    // round. Post-compaction the index is ONE live directory.
+    NeardupIndex.compact(spark, idx)
+    require(NeardupIndex.liveBatchDirs(spark, idx).size == 1,
+      "compaction must leave exactly one live index directory")
+
     // maintenance invariant: streamed index ≡ from-scratch rebuild.
     // Compared via (count, order-independent xxhash64 checksum) — one
     // tiny aggregate per side instead of two wide exceptAll shuffles
@@ -157,7 +173,7 @@ object NeardupStream {
     val rebuilt = fingerprint(Dedup.bandSignaturesFor(docs, nBands)
       .select(col("doc_id").cast("long"), col("band").cast("int"),
         col("sig")))
-    val maintained = fingerprint(spark.read.parquet(idx)
+    val maintained = fingerprint(NeardupIndex.read(spark, idx)
       .select(col("doc_id").cast("long"), col("band").cast("int"),
         col("sig")))
     require(maintained == rebuilt,

@@ -253,9 +253,14 @@ class StreamingSpec extends AnyFunSuite {
       "accumulated streaming pairs differ from the batch probe")
     // the maintained index is LIVE: a later ad-hoc probe of one
     // streamed doc's signatures against it finds that doc's own rows
-    // (they were appended by the stream, not by any batch builder)
-    val idx = spark.read.parquet(
-      "/root/repo/target/ingest/neardup_stream/index")
+    // (they were appended by the stream, not by any batch builder).
+    // Read through NeardupIndex — the harness compacted the index, so
+    // this also exercises the post-compaction reader contract.
+    val idxDir = graft.util.Scratch
+      .under("ingest/neardup_stream/index").toString
+    val idx = NeardupIndex.read(spark, idxDir)
+    assert(NeardupIndex.liveBatchDirs(spark, idxDir).size == 1,
+      "harness compaction must leave one live index directory")
     val streamedDocRows = idx.filter(pmod(col("doc_id"), lit(7)) === 0)
     assert(streamedDocRows.count() > 0,
       "streamed batch signatures missing from the maintained index")
@@ -274,5 +279,69 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Int, String)].collect().toSeq.sorted
     assert(maintained == rebuilt,
       "maintained index differs from a full signature rebuild")
+  }
+
+  test("neardup index compaction: bounded dirs, identical content, crash-safe visibility") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ndidx").toString
+    val idx = s"$base/index"
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def sigs(filter: org.apache.spark.sql.Column) =
+      graft.ops.Dedup.bandSignaturesFor(docs.filter(filter))
+    def fp(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, String)] =
+      df.select(col("doc_id").cast("long"), col("band").cast("int"),
+        col("sig")).as[(Long, Int, String)].collect().toSeq.sorted
+    // seed + three appended batches, the stream's layout
+    sigs(pmod(col("doc_id"), lit(4)) === 0)
+      .write.partitionBy("band").parquet(s"$idx/batch_id=seed")
+    (1 to 3).foreach { b =>
+      sigs(pmod(col("doc_id"), lit(4)) === b)
+        .write.partitionBy("band").parquet(s"$idx/batch_id=$b")
+    }
+    assert(NeardupIndex.liveBatchDirs(spark, idx).size == 4)
+    val before = fp(NeardupIndex.read(spark, idx))
+
+    NeardupIndex.compact(spark, idx)
+    assert(NeardupIndex.liveBatchDirs(spark, idx) ==
+      Seq("batch_id=compact1"))
+    // folded dirs physically gone — the on-disk dir count is bounded
+    val children = new java.io.File(idx).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSeq
+    assert(children == Seq("batch_id=compact1"))
+    // content identical, as a multiset
+    assert(fp(NeardupIndex.read(spark, idx)) == before,
+      "compaction changed the index content")
+    // idempotent: single live dir → no-op
+    NeardupIndex.compact(spark, idx)
+    assert(NeardupIndex.liveBatchDirs(spark, idx) ==
+      Seq("batch_id=compact1"))
+
+    // append AFTER compaction, then compact again → generation 2
+    sigs(col("doc_id") < 40)
+      .write.partitionBy("band").parquet(s"$idx/batch_id=99")
+    assert(NeardupIndex.liveBatchDirs(spark, idx).size == 2)
+    NeardupIndex.compact(spark, idx)
+    assert(NeardupIndex.liveBatchDirs(spark, idx) ==
+      Seq("batch_id=compact2"))
+    val after99 = fp(NeardupIndex.read(spark, idx))
+    assert(after99 == fp(sigs(pmod(col("doc_id"), lit(4)) < 4)
+      .unionByName(sigs(col("doc_id") < 40))),
+      "post-append compaction lost or duplicated rows")
+
+    // crash simulation: an UNLOGGED compact dir (consolidated written,
+    // commit rename never ran) must be invisible to readers
+    sigs(col("doc_id") < 8).write.partitionBy("band")
+      .parquet(s"$idx/batch_id=compact3")
+    assert(NeardupIndex.liveBatchDirs(spark, idx) ==
+      Seq("batch_id=compact2"),
+      "unlogged compaction generation must stay invisible")
+    assert(fp(NeardupIndex.read(spark, idx)) == after99)
+    // an in-flight append (no _SUCCESS yet) is invisible too
+    new java.io.File(s"$idx/batch_id=77").mkdirs()
+    assert(NeardupIndex.liveBatchDirs(spark, idx) ==
+      Seq("batch_id=compact2"))
   }
 }
