@@ -3,9 +3,9 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType}
 
-import graft.expressions.{FloatDot, HyperplaneSigs}
+import graft.expressions.{CmsCountGreaterThan, FloatDot, HyperplaneSigs}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * codegen expressions in the session FunctionRegistry so pure-SQL
@@ -22,6 +22,16 @@ import graft.expressions.{FloatDot, HyperplaneSigs}
   *    integer literals because they shape the expression (and its
   *    codegen) at plan time, exactly like the Column API's Int
   *    parameters.
+  *  - `cms_count_gt(item, sketch, threshold) → boolean` — count-min
+  *    probe ([[graft.expressions.CmsCountGreaterThan]]); `sketch` must
+  *    be a BINARY literal (a serialized sketch from Spark's
+  *    `count_min_sketch(...)` aggregate, e.g. `X'...'`) and `threshold`
+  *    a BIGINT/INT literal, both embedded in the expression at plan
+  *    time like the Column API's parameters.
+  *
+  * Also injects the [[AutoBloomJoin]] optimizer rule (off by default;
+  * `spark.graft.autoBloomJoin=true` turns plain selective-dim
+  * equi-joins into bloom-reduced joins engine-wide).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -29,6 +39,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Whole-operator extension: plans graft.plans.TopKPerKey as
     // partial→exchange→final bounded-heap top-k (see its scaladoc).
     ext.injectPlannerStrategy(_ => TopKStrategy)
+
+    // Engine-level join reduction (conf-gated, see AutoBloomJoin doc).
+    // Pre-CBO, not the operator-optimization fixed point: injected
+    // there, InferFiltersFromConstraints mirrors the probe across the
+    // equi-join onto the dim side — a per-dim-row bloom self-probe
+    // that is pure waste (a dim key is always in its own bloom).
+    ext.injectPreCBORule(spark => AutoBloomJoin(spark))
 
     ext.injectFunction((
       new FunctionIdentifier("float_dot"),
@@ -53,6 +70,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         HyperplaneSigs(children(0), intLit(children(1), "nBits"),
           intLit(children(2), "nTables"))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("cms_count_gt"),
+      new ExpressionInfo(classOf[CmsCountGreaterThan].getName,
+        "cms_count_gt"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"cms_count_gt expects (item, sketch, threshold), " +
+            s"got ${children.size} arguments")
+        val sketch = children(1) match {
+          case Literal(b: Array[Byte], BinaryType) => b
+          case other => throw new IllegalArgumentException(
+            s"cms_count_gt: sketch must be a BINARY literal, got $other")
+        }
+        val threshold = children(2) match {
+          case Literal(v: Long, LongType) => v
+          case Literal(v: Int, IntegerType) => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"cms_count_gt: threshold must be an integer literal, " +
+              s"got $other")
+        }
+        CmsCountGreaterThan(children(0), sketch, threshold)
       }))
   }
 }

@@ -42,6 +42,27 @@ class CmsExpressionSpec extends AnyFunSuite {
       s"degenerate filter (${got.size}/${words.length}) proves nothing")
   }
 
+  test("cms_count_gt resolves from SQL text through the FunctionRegistry") {
+    import spark.implicits._
+    // the SQL-parity story of the expression family (float_dot,
+    // hyperplane_sigs, cms_count_gt): a pure-SQL user passes the
+    // serialized sketch as a BINARY literal and an integer threshold
+    val hex = sketchBytes.map(b => f"$b%02x").mkString
+    tok.distinct().createOrReplaceTempView("graft_cms_sql")
+    val viaSql = spark.sql(
+      s"SELECT word FROM graft_cms_sql WHERE cms_count_gt(word, X'$hex', $thr)")
+      .as[String].collect().toSet
+    val viaColumn = tok.distinct()
+      .filter(CmsCountGreaterThan(col("word"), sketchBytes, thr))
+      .as[String].collect().toSet
+    assert(viaSql == viaColumn)
+    assert(viaSql.nonEmpty, "vacuous SQL-parity check")
+    // literal contract is enforced, not silently mis-planned
+    val err = intercept[Exception](spark.sql(
+      "SELECT cms_count_gt(word, word, 1) FROM graft_cms_sql").collect())
+    assert(err.getMessage.contains("BINARY literal"))
+  }
+
   test("expression survives codegen with fallback disabled; null word -> null") {
     import spark.implicits._
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
