@@ -19,13 +19,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must become a LOUD RED ROW, never a silently
+    // shrunk artifact: round 7's testdata drift made 16 queries error
+    // out and they simply vanished from CORRECTNESS (105 entries, zero
+    // recorded failures — green at a glance). Now a failure writes an
+    // error-marker parquet in the query's slot — one row, columns
+    // `__query_error__`/`__message__` — which can never match any
+    // oracle's schema, so the driver's compare records an explicit
+    // mismatch row; `_errors.json` aggregates the messages.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        errors(name) = msg
+        import spark.implicits._
+        Seq((name, msg)).toDF("__query_error__", "__message__")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,6 +61,12 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} QUERIES FAILED: " +
+        errors.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -117,9 +117,10 @@ object ScaleStress {
     * 30-day span — traffic grows per day, the realistic shape for the
     * layout operators: dt-partition COUNT stays fixed while rows per
     * partition scale; the z-order user quartile box keeps selecting
-    * ~25% of users at every scale). ts is written as an epoch-NANOS
-    * long so [[Tables.t]] reads the corpus exactly like the driver
-    * testdata. */
+    * ~25% of users at every scale). ts is written as a native Spark
+    * timestamp (parquet TIMESTAMP(MICROS)) — [[Tables.normalizeEventTs]]
+    * reads that back as a pass-through, and would equally accept the
+    * NANOS-long or NTZ encodings if the source ever drifts again. */
   private def buildEventsCorpus(spark: SparkSession, srcDir: String,
       out: String, n: Int): Unit = {
     val base = Tables.t(spark, srcDir, "events")
@@ -128,7 +129,6 @@ object ScaleStress {
         .withColumn("event_id", col("event_id") + lit(c * 1000000000L))
         .withColumn("user_id", col("user_id") + lit(c * 1000000L))
     }.reduce(_ unionByName _)
-      .withColumn("ts", expr("unix_micros(ts) * 1000"))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 

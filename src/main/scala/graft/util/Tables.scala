@@ -2,7 +2,7 @@ package graft.util
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Shared table readers + determinism helpers for oracle-paired queries.
   *
@@ -22,10 +22,12 @@ object Tables {
   /** Session invariants every oracle-paired query depends on. Applied on
     * every table read (idempotent) so behavior never depends on which
     * query ran first or on the harness having pre-set them:
-    *  - UTC session TZ: timestamp literals and unix_micros-over-NTZ casts
-    *    must agree with the DuckDB oracle regardless of host TZ;
-    *  - nanosAsLong: events.ts is parquet TIMESTAMP(NANOS), which Spark 4
-    *    refuses to read as a timestamp otherwise. */
+    *  - UTC session TZ: timestamp literals, NTZ→TZ casts, and
+    *    unix_micros must agree with the DuckDB oracle regardless of
+    *    host TZ;
+    *  - nanosAsLong: lets a parquet TIMESTAMP(NANOS) column read as a
+    *    BIGINT instead of failing the whole scan in Spark 4 (a no-op
+    *    for µs/ms-unit files); [[t]] then converts it adaptively. */
   def ensureSessionConf(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -33,14 +35,34 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     ensureSessionConf(spark)
-    if (name == "events") {
-      // Convert nanos→micros losslessly (testdata is µs-aligned; DIV keeps
-      // the math in integer space — ns epoch values exceed 2^53, double
-      // division would corrupt them).
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
   }
+
+  /** Normalize `events.ts` to session-TZ TimestampType whatever the
+    * parquet unit is — the driver has regenerated testdata across
+    * timestamp units before (NANOS through round 7, micros from round
+    * 8), and a hardwired conversion broke 16 queries when it flipped.
+    * By read schema:
+    *  - LongType: the NANOS file read under `nanosAsLong` — convert
+    *    nanos→micros in integer space (`DIV` not `/`: ns epochs exceed
+    *    2^53, double math would corrupt them; testdata is µs-aligned so
+    *    the DIV is lossless);
+    *  - TimestampNTZType: a µs/ms file with isAdjustedToUTC=false
+    *    (what pandas writes) — reinterpret as instant via NTZ→TZ cast,
+    *    identity on the epoch value under the UTC session;
+    *  - TimestampType: already an instant — pass through.
+    * DuckDB's `epoch_us(ts)` on the same file yields the same micros in
+    * every case, so oracles are unit-drift-proof. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts read as unsupported type $other — expected " +
+          "BIGINT (nanos), TIMESTAMP_NTZ, or TIMESTAMP")
+    }
 
   /** Spread a SCAN across the cluster before CPU-heavy per-row work.
     * A small parquet file is one row group, so Spark reads it as ONE

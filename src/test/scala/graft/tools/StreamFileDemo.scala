@@ -18,7 +18,7 @@ object StreamFileDemo {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchRaw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     def fix(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      graft.util.Tables.normalizeEventTs(df)
     val stream = spark.readStream.schema(batchRaw.schema).parquet(watch)
     val q = StreamingOps.tumblingCounts(fix(stream)).writeStream
       .format("memory").queryName("t").outputMode("complete").start()

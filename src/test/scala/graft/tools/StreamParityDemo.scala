@@ -13,7 +13,7 @@ object StreamParityDemo {
     val watch = java.nio.file.Files.createTempDirectory("parity").toString
     val batchRaw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     def fix(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      graft.util.Tables.normalizeEventTs(df)
     val q = StreamingOps.tumblingCounts(
         fix(spark.readStream.schema(batchRaw.schema).parquet(watch)))
       .writeStream.format("memory").queryName("p")
