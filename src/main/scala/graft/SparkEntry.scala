@@ -214,6 +214,26 @@ object SparkEntry {
 
     "ingest_upsert" -> Q(Ingest.ingestUpsert, Some(upsertOracle)),
 
+    // Declarative per-column timestamp normalization: the config (not
+    // loader code) declares each event-time column's source unit; the
+    // oracle recomputes the magnitude dispatch in DuckDB integer
+    // arithmetic (`//` = integer division — double math would corrupt
+    // the nano-epoch rows).
+    "ingest_ts_normalize" -> Q(Ingest.ingestTsNormalize, Some(s"""
+      SELECT id,
+        ev_ms * 1000 AS ev_ms_us,
+        CASE WHEN abs(ev_mixed) >= 100000000000000000 THEN ev_mixed // 1000
+             WHEN abs(ev_mixed) >= 100000000000000 THEN ev_mixed
+             WHEN abs(ev_mixed) >= 100000000000 THEN ev_mixed * 1000
+             ELSE ev_mixed * 1000000 END AS ev_mixed_us,
+        epoch_us(CAST(ev_iso AS TIMESTAMP)) AS ev_iso_us,
+        note, '2024-06-28' AS dt, $oAudit
+      FROM read_csv(
+        '${Ingest.FixtureDir}/inbound/sap/signals/signals_20240628.csv',
+        header=true, columns={'id':'INTEGER','ev_ms':'BIGINT',
+          'ev_mixed':'BIGINT','ev_iso':'VARCHAR','note':'VARCHAR'})
+      ORDER BY id""")),
+
     // Snapshot time-travel (SnapshotLog): three upsert batches commit
     // versions 1..3; the query returns the table AS OF VERSION 2, so
     // the oracle is the upsert of the first TWO files only — reading

@@ -24,7 +24,8 @@ final case class TableConfig(
     delimiter: String = ",",
     curatedScript: Option[String] = None,
     curatedTableName: Option[String] = None,
-    multiline: Boolean = false) {
+    multiline: Boolean = false,
+    timestampNormalize: Seq[(String, String)] = Nil) {
 
   /** Explicit read schema, when declared. Nullable fields, like the
     * reference's build_schema_from_dict (FInal/load_script.py:42-54). */
@@ -91,8 +92,29 @@ object TableConfig {
       // Opt-in per table: multiline quoted fields make the file
       // NON-SPLITTABLE (one scan task per file), so it must never be a
       // global default at 100 TB — tables that need it pay for it.
-      multiline = Option(n.get("multiline")).exists(_.asBoolean(false)))
+      multiline = Option(n.get("multiline")).exists(_.asBoolean(false)),
+      // `timestamp_normalize`: column → source unit
+      // (seconds|millis|micros|nanos|auto). Declares which curated
+      // columns are event times and what the feed encodes them as, so
+      // a source flipping its epoch unit is a CONFIG edit, not a code
+      // change — the lesson of the events.ts parquet-unit drift that
+      // broke 16 queries (Tables.normalizeEventTs is the read-side
+      // twin of this ingest-side capability). Validated eagerly: a
+      // typo'd unit fails at config parse, not mid-load.
+      timestampNormalize = Option(n.get("timestamp_normalize"))
+        .filter(_.isObject).map { o =>
+          o.properties().iterator().asScala
+            .map(e => e.getKey -> e.getValue.asText().toLowerCase).toSeq
+        }.getOrElse(Nil).map { case (c, u) =>
+          if (!TimestampUnits(u)) throw new IllegalArgumentException(
+            s"Unsupported timestamp unit: $u for column $c " +
+              s"(expected one of ${TimestampUnits.mkString("/")})")
+          c -> u
+        })
   }
+
+  val TimestampUnits: Set[String] =
+    Set("seconds", "millis", "micros", "nanos", "auto")
 
   def fromFile(path: String): TableConfig =
     fromJson(new String(java.nio.file.Files.readAllBytes(

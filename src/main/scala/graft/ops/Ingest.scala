@@ -177,6 +177,42 @@ object Ingest {
       .orderBy("dt", "id")
   }
 
+  /** Declarative timestamp normalization (TableConfig's
+    * `timestamp_normalize` map — the capability the events.ts
+    * parquet-unit drift motivated, as CONFIG rather than code): the
+    * signals feed carries three event-time spellings — epoch millis, a
+    * unit-DRIFTING epoch integer (seconds, millis, micros and nanos
+    * rows in the same column, as a source that changed encoding
+    * mid-feed would produce), and ISO strings — and the per-table
+    * config, not loader code, maps each to a curated TimestampType.
+    * The oracle recomputes the per-row magnitude dispatch in DuckDB
+    * integer arithmetic, so a unit misclassification or a double-math
+    * precision loss (nanos exceed 2^53) hash-fails. */
+  def ingestTsNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val layout = freshLayout("ingest_ts_normalize")
+    val cfg = TableConfig.fromFile(
+      s"$FixtureDir/config/sap/signals/signals_config.json")
+    GenericLoader.run(spark, LoadRun(
+      s"$FixtureDir/inbound/sap/signals/signals_20240628.csv",
+      "sap", "signals", cfg, layout, clock = Some(Clock)))
+    // Landing must remain RAW (normalization is curation-only): the
+    // epoch columns still read back as integers there.
+    val landing = spark.read.parquet(layout.landingPath("sap", "signals"))
+    require(landing.schema("ev_mixed").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "landing zone must keep the raw integer encoding")
+    Strategies.readCurated(spark, layout.curatedPath("sap", "signals"))
+      .select(col("id"),
+        unix_micros(col("ev_ms")).as("ev_ms_us"),
+        unix_micros(col("ev_mixed")).as("ev_mixed_us"),
+        unix_micros(col("ev_iso")).as("ev_iso_us"),
+        col("note"), col("dt"),
+        unix_micros(col("cret_ts")).as("cret_ts_us"),
+        unix_micros(col("updt_ts")).as("updt_ts_us"),
+        col("cret_nm"), col("updt_nm"))
+      .orderBy("id")
+  }
+
   /** Backfill replay (E3's catch-up companion): one [[graft.pipeline.Backfill]]
     * run replays the whole inbound dir in filename order through the
     * loader; a SECOND run must be a ledger-guarded no-op — the in-query

@@ -75,8 +75,13 @@ object GenericLoader {
     Strategies.writeLanding(landingDf, landingPath, cfg.landingLoadStrategy)
 
     val dt = Derive.dtFromFileName(lr.csvPath)
+    // Timestamp normalization is a CURATION concern: landing stays a
+    // raw byte-faithful copy of the feed; the curated zone gets typed
+    // event times per the config's timestamp_normalize declaration.
     val curated = Derive.withAudit(
-      Derive.withDt(projected, dt), lr.actor, lr.clock)
+      Derive.withDt(
+        Derive.normalizeTimestamps(projected, cfg.timestampNormalize),
+        dt), lr.actor, lr.clock)
 
     val curatedPath = lr.layout.curatedPath(lr.sourceSystem, lr.table)
     Strategies.writeCurated(spark, curated, curatedPath,

@@ -3,6 +3,8 @@ package graft.transform
 import java.sql.Timestamp
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, IntegerType, StringType,
+  TimestampNTZType, TimestampType}
 
 /** Row-level derivations P1–P5 (SURVEY.md §2.2). */
 object Derive {
@@ -30,6 +32,56 @@ object Derive {
     eight.map(d => s"${d.take(4)}-${d.slice(4, 6)}-${d.drop(6)}")
       .getOrElse("unknown")
   }
+
+  /** Declarative per-column timestamp normalization (TableConfig's
+    * `timestamp_normalize` map) — the ingest-side twin of
+    * `Tables.normalizeEventTs`. Each configured column becomes a
+    * session-TZ TimestampType in the CURATED zone (landing stays raw)
+    * whatever the feed encodes:
+    *  - integer columns: epoch in the declared unit
+    *    (seconds/millis/micros/nanos), converted in INTEGER space
+    *    (nanos exceed 2^53 — double math would corrupt them);
+    *  - `auto` on integers: per-row magnitude dispatch — epoch values
+    *    for 1973–2200 occupy disjoint decades per unit (seconds ~1e8..,
+    *    millis ~1e11.., micros ~1e14.., nanos ~1e17..), so a CASE over
+    *    abs(v) picks the unit; codegen'd `when` chain, no UDF, no
+    *    driver peek;
+    *  - string columns: SQL timestamp cast (ISO-8601 / `yyyy-MM-dd
+    *    HH:mm:ss`), which both engines parse identically under UTC;
+    *  - timestamp columns: NTZ reinterpreted as an instant (identity
+    *    under the UTC session), instants passed through.
+    * Unknown units are rejected at config parse (TableConfig). */
+  def normalizeTimestamps(df: DataFrame,
+      spec: Seq[(String, String)]): DataFrame =
+    spec.foldLeft(df) { case (acc, (name, unit)) =>
+      acc.schema(name).dataType match {
+        case TimestampType => acc
+        case TimestampNTZType | StringType =>
+          acc.withColumn(name, col(name).cast(TimestampType))
+        case LongType | IntegerType =>
+          // All integer-space (`DIV`, never `/`, which is DOUBLE
+          // division in Spark SQL — a nano epoch ~1.7e18 rounds to
+          // ±256 ns as a double, off-by-one micros after scaling).
+          // Widen FIRST: an IntegerType seconds epoch times 1000000
+          // would overflow in int arithmetic (non-ANSI = silent wrap).
+          val q = "CAST(`" + name.replace("`", "``") + "` AS BIGINT)"
+          val us = unit match {
+            case "seconds" => s"$q * 1000000"
+            case "millis"  => s"$q * 1000"
+            case "micros"  => q
+            case "nanos"   => s"$q DIV 1000"
+            case "auto"    => s"""CASE
+              WHEN abs($q) >= 100000000000000000 THEN $q DIV 1000
+              WHEN abs($q) >= 100000000000000 THEN $q
+              WHEN abs($q) >= 100000000000 THEN $q * 1000
+              ELSE $q * 1000000 END"""
+          }
+          acc.withColumn(name, expr(s"timestamp_micros($us)"))
+        case other => throw new IllegalArgumentException(
+          s"timestamp_normalize: column $name has unsupported source " +
+            s"type $other (expected integer epoch, string, or timestamp)")
+      }
+    }
 
   /** P2 — constant `dt` partition column (FInal/load_script.py:212). */
   def withDt(df: DataFrame, dt: String): DataFrame =

@@ -57,4 +57,21 @@ class TableConfigSpec extends AnyFunSuite {
     assert(TableConfig.typeFor("c", "DateType") == DateType)
     assert(TableConfig.typeFor("c", "TimestampType") == TimestampType)
   }
+
+  test("timestamp_normalize parses, lower-cases units, defaults empty") {
+    val cfg = TableConfig.fromJson("""{
+      "timestamp_normalize": {"ev_ms": "Millis", "ev": "AUTO"}}""")
+    assert(cfg.timestampNormalize ==
+      Seq("ev_ms" -> "millis", "ev" -> "auto"))
+    assert(TableConfig.fromJson("{}").timestampNormalize.isEmpty)
+  }
+
+  test("timestamp_normalize rejects unknown units at parse time") {
+    val ex = intercept[IllegalArgumentException] {
+      TableConfig.fromJson(
+        """{"timestamp_normalize": {"ev": "fortnights"}}""")
+    }
+    assert(ex.getMessage.contains("fortnights"))
+    assert(ex.getMessage.contains("ev"))
+  }
 }

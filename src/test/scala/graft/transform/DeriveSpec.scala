@@ -42,4 +42,43 @@ class DeriveSpec extends AnyFunSuite {
     assert(Derive.project(df, None).columns.toSeq == Seq("x", "y"))
     assert(Derive.project(df, Some(Seq("y"))).columns.toSeq == Seq("y"))
   }
+
+  test("normalizeTimestamps: every unit and auto-dispatch in int space") {
+    val spark = SparkTestSession.spark
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.unix_micros
+    val base = 1719561600123456L // 2024-06-28 08:00:00.123456 UTC in µs
+    // One row per unit through the SAME auto column — per-row dispatch,
+    // not a whole-column guess. Nanos value exceeds 2^53: a double-math
+    // implementation would round it and fail the exact equality.
+    val df = Seq(
+      ("s",  base / 1000000L,        (base / 1000000L) * 1000000L),
+      ("ms", base / 1000L,           (base / 1000L) * 1000L),
+      ("us", base,                   base),
+      ("ns", base * 1000L + 789L,    base)
+    ).toDF("unit", "v", "want_us")
+    val out = Derive.normalizeTimestamps(df, Seq("v" -> "auto"))
+    assert(out.schema("v").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(out.select(unix_micros($"v") === $"want_us")
+      .collect().forall(_.getBoolean(0)))
+    // Explicit units: millis on a long, string cast, int seconds (the
+    // widen-first guard: int*1000000 would overflow in int math).
+    val ms = Derive.normalizeTimestamps(
+      Seq(base / 1000L).toDF("t"), Seq("t" -> "millis"))
+    assert(ms.select(unix_micros($"t")).head.getLong(0) == (base / 1000L) * 1000L)
+    val iso = Derive.normalizeTimestamps(
+      Seq("2024-06-28 08:00:00").toDF("t"), Seq("t" -> "auto"))
+    assert(iso.select(unix_micros($"t")).head.getLong(0) == 1719561600000000L)
+    val sec = Derive.normalizeTimestamps(
+      Seq((base / 1000000L).toInt).toDF("t"), Seq("t" -> "seconds"))
+    assert(sec.select(unix_micros($"t")).head.getLong(0) ==
+      (base / 1000000L) * 1000000L)
+    // Unsupported source type names the column.
+    val ex = intercept[IllegalArgumentException] {
+      Derive.normalizeTimestamps(Seq(1.5).toDF("t"), Seq("t" -> "auto"))
+    }
+    assert(ex.getMessage.contains("t") && ex.getMessage.contains("Double"))
+  }
 }
