@@ -1126,7 +1126,9 @@ object SparkEntry {
           AS errs FROM c)
       SELECT vec_id, label, CAST(len(v) AS INTEGER) AS n_dims,
         vmin, vmax,
-        md5(array_to_string(codes, ',')) AS code_fp,
+        -- COALESCE: array_to_string([]) is NULL in DuckDB, '' for
+        -- Spark's concat_ws — a zero-dim/NULL vector would diverge
+        md5(COALESCE(array_to_string(codes, ','), '')) AS code_fp,
         list_max(errs) AS max_abs_err,
         list_sum(list_transform(errs, x -> x * x)) AS sse
       FROM er ORDER BY vec_id""")),
