@@ -75,7 +75,12 @@ object IngestStream {
           val projected = Derive.project(
             batch.withColumn("dt", dtExpr).drop("__file"),
             config.selectColumns.map(_ :+ "dt"))
-          val curated = Derive.withAudit(projected, actor, clock)
+          // Same curation-zone timestamp normalization as the batch
+          // loader (landing above stays raw) — the two paths must not
+          // drift on a per-column unit declaration.
+          val curated = Derive.withAudit(
+            Derive.normalizeTimestamps(projected, config.timestampNormalize),
+            actor, clock)
           Strategies.writeCurated(spark, curated, curatedPath,
             config.curatedLoadStrategy, config.primaryKey,
             config.sortColumns)

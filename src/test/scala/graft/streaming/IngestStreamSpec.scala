@@ -67,4 +67,44 @@ class IngestStreamSpec extends AnyFunSuite {
       assert(!landing.columns.contains("cret_ts"), "landing must be raw")
     } finally q.stop()
   }
+
+  test("streaming ingest applies timestamp_normalize like the batch loader") {
+    val base = Files.createTempDirectory("graft-ingest-ts").toString
+    val watch = s"$base/inbound"
+    Files.createDirectories(Paths.get(watch))
+    val layout = LakeLayout(s"$base/landing", s"$base/config", s"$base/curated")
+    val cfg = TableConfig.fromFile(
+      s"${Ingest.FixtureDir}/config/sap/signals/signals_config.json")
+    Files.copy(
+      Paths.get(s"${Ingest.FixtureDir}/inbound/sap/signals/signals_20240628.csv"),
+      Paths.get(s"$watch/signals_20240628.csv"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val q = IngestStream.start(spark, watch, cfg, layout, "sap", "signals",
+      s"$base/ckpt", clock = Some(Ingest.Clock))
+    try {
+      q.processAllAvailable()
+      val curated = Strategies.readCurated(spark,
+        layout.curatedPath("sap", "signals"))
+      // normalized columns are instants in the curated zone...
+      Seq("ev_ms", "ev_mixed", "ev_iso").foreach { c =>
+        assert(curated.schema(c).dataType ==
+          org.apache.spark.sql.types.TimestampType,
+          s"$c must normalize to TimestampType in the curated zone")
+      }
+      // ...with the same values the batch loader produces (the
+      // registered ingest_ts_normalize query, oracle-checked): row 2
+      // of ev_mixed is a nano epoch — exact equality catches any
+      // double-math rounding on the streaming path too.
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, unix_micros}
+      val mixed = curated.orderBy("id").select(unix_micros(col("ev_mixed")))
+        .as[Long].collect().toSeq
+      assert(mixed == Seq(1719561600123456L, 1719565200456789L,
+        1719568800000000L, 1719572400012000L, 1719576000345678L))
+      // landing stays raw: the epoch columns are still integers there
+      val landing = spark.read.parquet(layout.landingPath("sap", "signals"))
+      assert(landing.schema("ev_mixed").dataType ==
+        org.apache.spark.sql.types.LongType, "landing must keep raw encoding")
+    } finally q.stop()
+  }
 }
