@@ -33,9 +33,21 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # Verify writes _errors.json (+ an error-marker parquet per failed
+    # query slot): surface the real exception up front instead of the
+    # marker's schema mismatch.
+    try:
+        verify_errors = json.load(open(f"{outdir}/_errors.json"))
+    except Exception:
+        verify_errors = {}
     n_fail = 0
     for name in sorted(oracle):
         if only and name not in only:
+            continue
+        if name in verify_errors:
+            print(f"FAIL {name}: query threw during verify: "
+                  f"{verify_errors[name]}")
+            n_fail += 1
             continue
         sql = oracle[name]
         try:
