@@ -36,7 +36,16 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     ensureSessionConf(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeEventTs(df) else df
+    name match {
+      case "events" => normalizeEventTs(df)
+      // The TPC-H date columns face the same drift class as events.ts
+      // (the driver regenerates testdata between rounds): adapt any
+      // plausible encoding to the engine-facing naive timestamp. On
+      // today's files these are pass-throughs — bit-identical plans.
+      case "orders" => normalizeNaiveTs(df, "o_orderdate")
+      case "lineitem" => normalizeNaiveTs(df, "l_shipdate")
+      case _ => df
+    }
   }
 
   /** Normalize `events.ts` to session-TZ TimestampType whatever the
@@ -62,6 +71,28 @@ object Tables {
       case other => throw new IllegalStateException(
         s"events.ts read as unsupported type $other — expected " +
           "BIGINT (nanos), TIMESTAMP_NTZ, or TIMESTAMP")
+    }
+
+  /** Drift-proof a NAIVE-timestamp column (the TPC-H date columns —
+    * wall-clock dates with no instant semantics; queries compare them
+    * to unzoned literals, so the engine-facing type is TIMESTAMP_NTZ,
+    * today's on-disk encoding = pass-through). Adaptations mirror
+    * [[normalizeEventTs]]: a NANOS file reads as LongType under
+    * `nanosAsLong` (integer-space DIV); date32 and instant encodings
+    * cast to NTZ (identity on the wall-clock value under the UTC
+    * session). */
+  def normalizeNaiveTs(df: DataFrame, name: String): DataFrame =
+    df.schema(name).dataType match {
+      case TimestampNTZType => df
+      case LongType =>
+        val q = "`" + name + "`"
+        df.withColumn(name,
+          expr(s"timestamp_micros($q DIV 1000)").cast(TimestampNTZType))
+      case TimestampType | org.apache.spark.sql.types.DateType =>
+        df.withColumn(name, col(name).cast(TimestampNTZType))
+      case other => throw new IllegalStateException(
+        s"$name read as unsupported type $other — expected BIGINT " +
+          "(nanos), DATE, TIMESTAMP_NTZ, or TIMESTAMP")
     }
 
   /** Spread a SCAN across the cluster before CPU-heavy per-row work.

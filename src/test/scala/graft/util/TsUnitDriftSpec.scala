@@ -66,4 +66,37 @@ class TsUnitDriftSpec extends AnyFunSuite {
     val w = windowed("instant")
     assert(w.nonEmpty && windowed("ntz") == w && windowed("nanos") == w)
   }
+
+  test("naive date columns absorb the same drift class (orders.o_orderdate)") {
+    Tables.ensureSessionConf(spark)
+    import spark.implicits._
+    val base = Scratch.under("date_unit_drift")
+    Scratch.deleteRecursive(base)
+    val us = Seq(
+      (1L, 1719532800000000L), // 2024-06-28
+      (2L, 1719619200000000L)) // 2024-06-29
+    val src = us.toDF("o_orderkey", "us")
+    src.withColumn("o_orderdate", timestamp_micros($"us").cast("timestamp_ntz"))
+      .drop("us").write.parquet(s"$base/ntz/orders.parquet")
+    src.withColumn("o_orderdate", timestamp_micros($"us")).drop("us")
+      .write.parquet(s"$base/instant/orders.parquet")
+    src.withColumn("o_orderdate", $"us" * 1000L).drop("us")
+      .write.parquet(s"$base/nanos/orders.parquet")
+    src.withColumn("o_orderdate", timestamp_micros($"us").cast("date"))
+      .drop("us").write.parquet(s"$base/date/orders.parquet")
+    def readBack(variant: String) = {
+      val df = Tables.t(spark, s"$base/$variant", "orders")
+      assert(df.schema("o_orderdate").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType,
+        s"$variant: o_orderdate must normalize to TIMESTAMP_NTZ")
+      df.select($"o_orderkey",
+          unix_micros($"o_orderdate".cast("timestamp")).as("us"))
+        .orderBy("o_orderkey")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val ntz = readBack("ntz")
+    assert(ntz.map(_._2) == us.map(_._2), "ntz: micros drifted")
+    assert(readBack("instant") == ntz && readBack("nanos") == ntz &&
+      readBack("date") == ntz)
+  }
 }
