@@ -28,20 +28,6 @@ object Verify {
     // oracle's schema, so the driver's compare records an explicit
     // mismatch row; `_errors.json` aggregates the messages.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
-        System.err.println(s"[verify] $name FAILED: $msg")
-        errors(name) = msg
-        import spark.implicits._
-        Seq((name, msg)).toDF("__query_error__", "__message__")
-          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -54,6 +40,39 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Clear any stale error record up front: an interrupted prior run
+    // must not make a later compare FAIL slots that now hold fresh
+    // passing output. (The summary is also rewritten after every
+    // failure below, so even an interrupted run leaves it accurate.)
+    Files.deleteIfExists(Paths.get(s"$outDir/_errors.json"))
+    def writeErrors(): Unit = {
+      val json = errors
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/_errors.json"), json)
+    }
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        errors(name) = msg
+        writeErrors()
+        // Marker write is best-effort: if the environment is broken
+        // enough that even this write throws, the remaining queries
+        // must still run and the artifacts still land.
+        try {
+          import spark.implicits._
+          Seq((name, msg)).toDF("__query_error__", "__message__")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case m: Throwable =>
+          System.err.println(s"[verify] $name: marker write also " +
+            s"failed: ${m.getMessage}")
+        }
+      }
+    }
     // A filtered run writes only the filtered oracles: check.py iterates
     // oracle keys, so a full oracle file over a partial dump would
     // compare stale or missing parquet.
@@ -61,9 +80,7 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val errJson = errors
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    writeErrors()
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} QUERIES FAILED: " +
         errors.keys.mkString(", "))

@@ -78,7 +78,7 @@ object TableConfig {
       s.properties().iterator().asScala
         .map(e => e.getKey -> e.getValue.asText()).toSeq
     }
-    TableConfig(
+    val cfg = TableConfig(
       schema = schema,
       curatedLoadStrategy = str("curated_load_strategy", "append").toLowerCase,
       landingLoadStrategy = str("landing_load_strategy", "append").toLowerCase,
@@ -111,6 +111,18 @@ object TableConfig {
               s"(expected one of ${TimestampUnits.mkString("/")})")
           c -> u
         })
+    // Cross-field validation at parse time: with a declared schema, a
+    // normalize entry naming an unknown column is a config typo — fail
+    // here with the column named, not mid-load after the landing write.
+    for (cols <- cfg.schema) {
+      val known = cols.map(_._1).toSet
+      val missing = cfg.timestampNormalize.collect {
+        case (c, _) if !known(c) => c }
+      if (missing.nonEmpty) throw new IllegalArgumentException(
+        s"timestamp_normalize names columns absent from schema: " +
+          s"${missing.mkString(", ")}")
+    }
+    cfg
   }
 
   val TimestampUnits: Set[String] =

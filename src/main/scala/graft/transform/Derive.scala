@@ -54,29 +54,41 @@ object Derive {
   def normalizeTimestamps(df: DataFrame,
       spec: Seq[(String, String)]): DataFrame =
     spec.foldLeft(df) { case (acc, (name, unit)) =>
+      // Named early error: a typo'd/projected-away column would
+      // otherwise surface as Spark's generic schema error deep inside
+      // the load (after the landing write) or per-micro-batch.
+      if (!acc.columns.contains(name)) throw new IllegalArgumentException(
+        s"timestamp_normalize: column $name not present after " +
+          s"projection (available: ${acc.columns.mkString(", ")})")
+      // All integer-space (`DIV`, never `/`, which is DOUBLE division
+      // in Spark SQL — a nano epoch ~1.7e18 rounds to ±256 ns as a
+      // double, off-by-one micros after scaling). Widen FIRST: an
+      // IntegerType seconds epoch times 1000000 would overflow in int
+      // arithmetic (non-ANSI = silent wrap).
+      def usOf(q: String): String = unit match {
+        case "seconds" => s"$q * 1000000"
+        case "millis"  => s"$q * 1000"
+        case "micros"  => q
+        case "nanos"   => s"$q DIV 1000"
+        case "auto"    => graft.util.Tables.epochMicrosSql(q)
+      }
+      val esc = "`" + name.replace("`", "``") + "`"
       acc.schema(name).dataType match {
         case TimestampType => acc
-        case TimestampNTZType | StringType =>
+        case TimestampNTZType =>
           acc.withColumn(name, col(name).cast(TimestampType))
+        case StringType =>
+          // v1 all-string mode carries the SAME feed: a numeric string
+          // is an epoch in the declared unit (a plain timestamp cast
+          // would NULL it silently); anything else is a textual
+          // timestamp. TRY_CAST keeps the dispatch per-row.
+          acc.withColumn(name, expr(s"""CASE
+            WHEN TRY_CAST($esc AS BIGINT) IS NOT NULL
+            THEN timestamp_micros(${usOf(s"TRY_CAST($esc AS BIGINT)")})
+            ELSE CAST($esc AS TIMESTAMP) END"""))
         case LongType | IntegerType =>
-          // All integer-space (`DIV`, never `/`, which is DOUBLE
-          // division in Spark SQL — a nano epoch ~1.7e18 rounds to
-          // ±256 ns as a double, off-by-one micros after scaling).
-          // Widen FIRST: an IntegerType seconds epoch times 1000000
-          // would overflow in int arithmetic (non-ANSI = silent wrap).
-          val q = "CAST(`" + name.replace("`", "``") + "` AS BIGINT)"
-          val us = unit match {
-            case "seconds" => s"$q * 1000000"
-            case "millis"  => s"$q * 1000"
-            case "micros"  => q
-            case "nanos"   => s"$q DIV 1000"
-            case "auto"    => s"""CASE
-              WHEN abs($q) >= 100000000000000000 THEN $q DIV 1000
-              WHEN abs($q) >= 100000000000000 THEN $q
-              WHEN abs($q) >= 100000000000 THEN $q * 1000
-              ELSE $q * 1000000 END"""
-          }
-          acc.withColumn(name, expr(s"timestamp_micros($us)"))
+          acc.withColumn(name,
+            expr(s"timestamp_micros(${usOf(s"CAST($esc AS BIGINT)")})"))
         case other => throw new IllegalArgumentException(
           s"timestamp_normalize: column $name has unsupported source " +
             s"type $other (expected integer epoch, string, or timestamp)")

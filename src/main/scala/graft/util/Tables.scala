@@ -48,15 +48,29 @@ object Tables {
     }
   }
 
+  /** Per-row epoch-integer → micros SQL, shared by every adaptive
+    * reader and the ingest `auto` unit: epoch values for 1973–2200
+    * occupy disjoint decades per unit (seconds ~1e8.., millis ~1e11..,
+    * micros ~1e14.., nanos ~1e17..), so a CASE over abs(v) classifies
+    * the unit without a driver peek. All integer space (`DIV`, never
+    * `/` — a nano epoch ~1.7e18 exceeds 2^53 and double math would
+    * corrupt microseconds). `q` must be a BIGINT-typed SQL fragment. */
+  def epochMicrosSql(q: String): String = s"""CASE
+      WHEN abs($q) >= 100000000000000000 THEN $q DIV 1000
+      WHEN abs($q) >= 100000000000000 THEN $q
+      WHEN abs($q) >= 100000000000 THEN $q * 1000
+      ELSE $q * 1000000 END"""
+
   /** Normalize `events.ts` to session-TZ TimestampType whatever the
     * parquet unit is — the driver has regenerated testdata across
     * timestamp units before (NANOS through round 7, micros from round
     * 8), and a hardwired conversion broke 16 queries when it flipped.
     * By read schema:
-    *  - LongType: the NANOS file read under `nanosAsLong` — convert
-    *    nanos→micros in integer space (`DIV` not `/`: ns epochs exceed
-    *    2^53, double math would corrupt them; testdata is µs-aligned so
-    *    the DIV is lossless);
+    *  - LongType: a raw epoch column (the NANOS file read under
+    *    `nanosAsLong`, or a plain int64 epoch a future regeneration
+    *    could ship) — unit classified per row by [[epochMicrosSql]]'s
+    *    magnitude dispatch, so a nanos→micros-as-long drift cannot
+    *    silently misread by 1000×;
     *  - TimestampNTZType: a µs/ms file with isAdjustedToUTC=false
     *    (what pandas writes) — reinterpret as instant via NTZ→TZ cast,
     *    identity on the epoch value under the UTC session;
@@ -65,7 +79,8 @@ object Tables {
     * every case, so oracles are unit-drift-proof. */
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case LongType =>
+        df.withColumn("ts", expr(s"timestamp_micros(${epochMicrosSql("ts")})"))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType => df
       case other => throw new IllegalStateException(
@@ -87,7 +102,8 @@ object Tables {
       case LongType =>
         val q = "`" + name + "`"
         df.withColumn(name,
-          expr(s"timestamp_micros($q DIV 1000)").cast(TimestampNTZType))
+          expr(s"timestamp_micros(${epochMicrosSql(q)})")
+            .cast(TimestampNTZType))
       case TimestampType | org.apache.spark.sql.types.DateType =>
         df.withColumn(name, col(name).cast(TimestampNTZType))
       case other => throw new IllegalStateException(

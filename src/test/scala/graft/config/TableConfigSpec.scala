@@ -74,4 +74,17 @@ class TableConfigSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("fortnights"))
     assert(ex.getMessage.contains("ev"))
   }
+
+  test("timestamp_normalize naming a column absent from schema fails at parse") {
+    val ex = intercept[IllegalArgumentException] {
+      TableConfig.fromJson("""{
+        "schema": {"id": "IntegerType", "ev_ms": "LongType"},
+        "timestamp_normalize": {"ev_mss": "millis"}}""")
+    }
+    assert(ex.getMessage.contains("ev_mss"))
+    // schema-less (v1) configs defer the check to load time
+    assert(TableConfig.fromJson(
+      """{"timestamp_normalize": {"anything": "auto"}}""")
+      .timestampNormalize.nonEmpty)
+  }
 }

@@ -80,5 +80,20 @@ class DeriveSpec extends AnyFunSuite {
       Derive.normalizeTimestamps(Seq(1.5).toDF("t"), Seq("t" -> "auto"))
     }
     assert(ex.getMessage.contains("t") && ex.getMessage.contains("Double"))
+    // v1 all-string mode: a NUMERIC string honors the declared unit (a
+    // plain timestamp cast would silently NULL it) while textual
+    // timestamps in the same column still parse.
+    val strs = Derive.normalizeTimestamps(
+      Seq((base / 1000L).toString, "2024-06-28 08:00:00").toDF("t"),
+      Seq("t" -> "millis"))
+    assert(strs.select(unix_micros($"t")).collect().map(_.getLong(0)).toSeq ==
+      Seq((base / 1000L) * 1000L, 1719561600000000L))
+    // A spec entry naming an absent column fails with the column named,
+    // not Spark's generic schema error mid-load.
+    val missing = intercept[IllegalArgumentException] {
+      Derive.normalizeTimestamps(Seq(1L).toDF("t"), Seq("nope" -> "auto"))
+    }
+    assert(missing.getMessage.contains("nope") &&
+      missing.getMessage.contains("timestamp_normalize"))
   }
 }

@@ -41,6 +41,11 @@ class TsUnitDriftSpec extends AnyFunSuite {
     // nanosAsLong is byte-identical to this)
     src.withColumn("ts", $"us" * 1000L).drop("us")
       .write.parquet(s"$base/nanos/events.parquet")
+    // epoch-micros BIGINT: the long branch magnitude-dispatches the
+    // unit per row, so a plain int64-micros regeneration cannot be
+    // misread 1000× as nanos
+    src.withColumn("ts", $"us").drop("us")
+      .write.parquet(s"$base/uslong/events.parquet")
 
     def readBack(variant: String) = {
       val df = Tables.t(spark, s"$base/$variant", "events")
@@ -54,6 +59,7 @@ class TsUnitDriftSpec extends AnyFunSuite {
     assert(instant.map(_._2) == rows.map(_._2), "instant: micros drifted")
     assert(readBack("ntz") == instant, "NTZ encoding diverged")
     assert(readBack("nanos") == instant, "nanos encoding diverged")
+    assert(readBack("uslong") == instant, "micros-long encoding diverged")
 
     // And a derived aggregate (the shape the 16 broken queries share):
     // hourly tumbling counts must be encoding-invariant too.
