@@ -1144,11 +1144,25 @@ object SparkEntry {
       FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
       ORDER BY a_id""")),
 
-    // X17 Aggregator UDAF: float-sum order nondeterminism ⇒ no SQL
-    // oracle; driver records rows-only (exploded to scalar columns so
-    // the harness can sort), exact values verified against a Scala
-    // recomputation in SimilaritySpec.
-    "centroid_udaf" -> Q(Similarity.centroidByLabelFlat, None),
+    // X17 Aggregator UDAF, fixed-point (QuantizedCentroidAgg): each
+    // element floor-quantized to a long BEFORE summation, so the
+    // aggregate is order-independent and the oracle recomputes the
+    // identical multiply/floor/sum/divide chain over unnested arrays —
+    // bit-identical doubles, full hash gate. The double-path twin
+    // (CentroidAgg) stays pinned in SimilaritySpec.
+    "centroid_udaf" -> Q(Similarity.centroidByLabelFlat, Some("""
+      WITH q AS (
+        SELECT label, r.i - 1 AS dim,
+          CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000000000.0)
+            AS BIGINT) AS qv
+        FROM embeddings, range(1, 65) r(i)),
+      g AS (SELECT label, dim, CAST(sum(qv) AS BIGINT) AS s,
+              count(*) AS n
+            FROM q GROUP BY 1, 2)
+      SELECT label, CAST(dim AS INTEGER) AS dim,
+        CAST(s AS DOUBLE) / 1000000000.0 / n AS centroid_val,
+        n AS n_vecs
+      FROM g ORDER BY label, dim""")),
 
     // Distributed BPE merge training: iterative argmax-and-merge has
     // no single-query SQL form — rows-only; BpeTrainSpec pins the

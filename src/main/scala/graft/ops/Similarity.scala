@@ -545,21 +545,29 @@ object Similarity {
   def centroidByLabel(spark: SparkSession, dir: String): DataFrame =
     centroidCore(spark, dir).coalesce(1).sortWithinPartitions("label")
 
-  /** The registered form of [[centroidByLabel]]: the centroid array is
-    * exploded into one (label, dim, value) row per element so every
-    * column is a sortable scalar — the driver's rows-only
-    * canonicalization cannot sort an array column (pandas
-    * `unhashable type` on ndarray). Values rounded to 6dp purely for
-    * cross-run display stability; exactness lives in SimilaritySpec.
+  /** The registered form of the centroid family: the
+    * [[graft.functions.QuantizedCentroidAgg]] fixed-point Aggregator
+    * (order-independent integer state ⇒ bit-exact across runs AND
+    * engines — the DuckDB gate recomputes the same floor-quantized
+    * sums over unnested arrays), exploded into one (label, dim, value)
+    * row per element so every column is a sortable scalar — the
+    * driver's canonicalization cannot sort an array column (pandas
+    * `unhashable type` on ndarray). Raw doubles, no display rounding:
+    * the whole multiply/floor/sum/divide chain is IEEE-identical on
+    * both sides, so the values hash-match as-is.
     * Single-partition sort (labels × 64 dims rows, bounded): the
     * map-side partial aggregation keeps full scan parallelism, only the
     * tiny final-merge stage collapses to one task. */
   def centroidByLabelFlat(spark: SparkSession, dir: String): DataFrame =
-    centroidCore(spark, dir)
+    t(spark, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(
+        CentroidAgg.centroidQ(64)(col("embedding")).as("centroid"),
+        count(lit(1)).as("n_vecs"))
       .select(col("label"), col("n_vecs"),
         posexplode(col("centroid")).as(Seq("dim", "c")))
       .select(col("label"), col("dim").cast("int").as("dim"),
-        round(col("c"), 6).as("centroid_val"), col("n_vecs"))
+        col("c").as("centroid_val"), col("n_vecs"))
       .coalesce(1).sortWithinPartitions("label", "dim")
 
   /** X16 — higher-order-function stats over the embedding arrays

@@ -34,6 +34,36 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("quantized centroid equals a driver-side fixed-point recomputation EXACTLY") {
+    import spark.implicits._
+    val got = Similarity.centroidByLabelFlat(spark, dir)
+      .select("label", "dim", "centroid_val", "n_vecs")
+      .as[(Int, Int, Double, Long)].collect()
+    val raw = graft.util.Tables.t(spark, dir, "embeddings")
+      .select("label", "embedding")
+      .as[(Int, Seq[Float])].collect()
+    // The same multiply/floor/sum/divide chain QuantizedCentroidAgg
+    // (and the DuckDB oracle) runs — values must be BIT-identical,
+    // which is the whole point of the fixed-point aggregate.
+    val expect: Map[(Int, Int), (Double, Long)] =
+      raw.groupBy(_._1).toSeq.flatMap { case (l, rows) =>
+        val sums = Array.fill(64)(0L)
+        rows.foreach(_._2.zipWithIndex.foreach { case (v, i) =>
+          sums(i) += math.floor(v.toDouble * 1e9).toLong })
+        sums.zipWithIndex.toSeq.map { case (s, i) =>
+          (l, i) -> ((s.toDouble / 1e9 / rows.length, rows.length.toLong))
+        }
+      }.toMap
+    assert(got.length == expect.size)
+    got.foreach { case (l, d, v, n) =>
+      val (ev, en) = expect((l, d))
+      assert(n == en, s"n_vecs for label $l")
+      assert(java.lang.Double.doubleToLongBits(v) ==
+        java.lang.Double.doubleToLongBits(ev),
+        s"label $l dim $d: $v vs $ev (must be bit-identical)")
+    }
+  }
+
   test("flattened centroid query is all-scalar and consistent with the UDAF") {
     import spark.implicits._
     val flat = Similarity.centroidByLabelFlat(spark, dir)
