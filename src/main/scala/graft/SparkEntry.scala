@@ -1441,11 +1441,42 @@ object SparkEntry {
 
     // X4 scale paths — the ANN operators a 100 TB corpus actually runs.
     // The IVF family carries the full shared [[ivfOracle]] (codebook
-    // recomputed independently, float-downcast routing, exact scoring);
-    // ann_lsh_pairs stays rows-only — its hyperplane hashes (xxhash64)
-    // have no DuckDB equivalent — anchored in SimilaritySpec instead:
-    // ⊆ cosine_pairs with bit-identical scores and recall ≥ bound.
-    "ann_lsh_pairs" -> Q((s, d) => Similarity.lshPairs(s, d), None),
+    // recomputed independently, float-downcast routing, exact scoring).
+    // ann_lsh_pairs' md5-derived plane coefficients let the oracle
+    // replay the whole pipeline: coefficient matrix (the engine's
+    // md5Long32 twin), sequential-fold projections (list_dot_product —
+    // same IEEE order as the fused codegen loop), sign-bit buckets,
+    // banded candidate self-join, exact rescore. The recall-vs-brute
+    // bound stays pinned in SimilaritySpec as defense in depth.
+    "ann_lsh_pairs" -> Q((s, d) => Similarity.lshPairs(s, d), Some("""
+      WITH coef AS (
+        SELECT t.t, j.j, i.i,
+          CAST(CAST(('0x' || substring(
+              md5('hp:' || t.t || ':' || j.j || ':' || i.i), 1, 8))
+            AS BIGINT) % 1000000 AS DOUBLE) / 1000000.0 - 0.5 AS c
+        FROM range(0, 8) t(t), range(0, 8) j(j), range(0, 64) i(i)),
+      cv AS (SELECT t, j, list(c ORDER BY i) AS cs FROM coef
+             GROUP BY t, j),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings),
+      proj AS (SELECT e.vec_id, cv.t, cv.j,
+          list_dot_product(e.emb, cv.cs) AS p
+        FROM e, cv),
+      sig AS (SELECT vec_id, t,
+          sum(CASE WHEN p >= 0 THEN 1 << j ELSE 0 END) AS bucket
+        FROM proj GROUP BY vec_id, t),
+      pairs AS (SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+        FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id),
+      scored AS (SELECT p.a, p.b,
+          list_dot_product(ea.emb, eb.emb) /
+            (sqrt(list_dot_product(ea.emb, ea.emb)) *
+             sqrt(list_dot_product(eb.emb, eb.emb))) AS score
+        FROM pairs p
+        JOIN e ea ON ea.vec_id = p.a
+        JOIN e eb ON eb.vec_id = p.b)
+      SELECT a, b, score FROM scored WHERE score > 0.4
+      ORDER BY a, b""")),
     "ann_ivf_topk" -> Q((s, d) => Similarity.ivfTopK(s, d),
       Some(ivfOracle())),
     // Persisted-index serving split: build once (codebook +

@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -10,18 +10,28 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Native Catalyst expression: ALL `nTables` random-hyperplane LSH
   * signatures of an `array<float>` embedding in one fused loop —
-  * `result[t]` has bit `j` set iff
-  * `Σ_i x_i · (pmod(xxhash64(t, j, i), 1e6)/1e6 − 0.5) ≥ 0`.
+  * `result[t]` has bit `j` set iff `Σ_i x_i · coef(t,j,i) ≥ 0`, where
+  * `coef(t,j,i) = (md5_32("hp:t:j:i") mod 1e6)/1e6 − 0.5`
+  * ([[HyperplaneSigs.coefAt]] — the engine's one cross-engine hash,
+  * `graft.util.Tables.md5Long32`).
+  *
+  * The coefficients are ROW-INDEPENDENT constants (they depend only on
+  * table, bit, element index), so the whole plane matrix is computed
+  * once per expression instance and the per-row inner loop is a pure
+  * multiply-add over a cached `double[]` — no hashing in the hot path
+  * at all (the round-9 change; the previous xxhash64 formulation
+  * re-hashed every (element, plane) pair per ROW, and — being
+  * xxhash64 — had no DuckDB twin, which kept `ann_lsh_pairs`
+  * rows-only). md5-derived coefficients make the full signature →
+  * band → candidate → exact-verify pipeline recomputable in the
+  * DuckDB gate: `CAST(('0x' || substring(md5('hp:'||t||':'||j||':'||i),
+  * 1, 8)) AS BIGINT) % 1000000 / 1e6 - 0.5`, folded in list order by
+  * `list_dot_product` — the identical sequential IEEE sum.
   *
   * Semantically identical (bit-for-bit, asserted in SimilaritySpec) to
-  * the higher-order-function formulation [[graft.ops.Similarity.signature]]
-  * evaluated per table: same xxhash64 chaining (seed 42, int children),
-  * same coefficient arithmetic, same sequential element order. The
-  * difference is execution: the HOF form interprets nBits × nTables
-  * lambda folds per row (each re-walking the array and re-hashing per
-  * element); this expression runs one whole-stage-codegen loop with the
-  * (table, bit) hash prefixes precomputed once per query, so signature
-  * cost drops from the dominant term of the LSH query to noise.
+  * the higher-order-function formulation
+  * [[graft.ops.Similarity.signature]] evaluated per table: same
+  * coefficient derivation, same sequential element order.
   *
   * Null semantics match the HOF form: null array → null; a null ELEMENT
   * poisons every projection fold (acc + null stays null), whose
@@ -41,17 +51,26 @@ final case class HyperplaneSigs(child: Expression, nBits: Int, nTables: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_sigs"
 
-  /** Row-independent prefix hashes: preH(t*nBits + j) = the xxhash64
-    * chain state after (table, bit), so the per-element work is a single
-    * int-hash step. Computed once per (deserialized) expression. */
-  @transient private lazy val preH: Array[Long] = {
-    val a = new Array[Long](nTables * nBits)
-    var t = 0
-    while (t < nTables) {
-      val ht = XXH64.hashInt(t, 42L)
-      var j = 0
-      while (j < nBits) { a(t * nBits + j) = XXH64.hashInt(j, ht); j += 1 }
-      t += 1
+  /** The cached plane matrix, flattened [i * K + k] with
+    * k = t·nBits + j — element-major so the per-element inner k loop
+    * walks contiguous memory. Covers i < MaxCachedDim; wider vectors
+    * fall back to [[HyperplaneSigs.coefAt]] per element (correct,
+    * just unfused — embeddings here are 64-dim). */
+  @transient private lazy val coefs: Array[Double] = {
+    val k = nTables * nBits
+    val a = new Array[Double](HyperplaneSigs.MaxCachedDim * k)
+    var i = 0
+    while (i < HyperplaneSigs.MaxCachedDim) {
+      var t = 0
+      while (t < nTables) {
+        var j = 0
+        while (j < nBits) {
+          a(i * k + t * nBits + j) = HyperplaneSigs.coefAt(t, j, i)
+          j += 1
+        }
+        t += 1
+      }
+      i += 1
     }
     a
   }
@@ -59,7 +78,8 @@ final case class HyperplaneSigs(child: Expression, nBits: Int, nTables: Int)
   override def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
     val n = x.numElements()
-    val projs = new Array[Double](nTables * nBits)
+    val nK = nTables * nBits
+    val projs = new Array[Double](nK)
     var poisoned = false
     var i = 0
     while (i < n && !poisoned) {
@@ -67,11 +87,14 @@ final case class HyperplaneSigs(child: Expression, nBits: Int, nTables: Int)
       else {
         val xi = x.getFloat(i).toDouble
         var k = 0
-        while (k < projs.length) {
-          val h = XXH64.hashInt(i, preH(k))
-          val m = ((h % 1000000L) + 1000000L) % 1000000L
-          projs(k) += xi * (m.toDouble / 1000000.0 - 0.5)
-          k += 1
+        if (i < HyperplaneSigs.MaxCachedDim) {
+          val base = i * nK
+          while (k < nK) { projs(k) += xi * coefs(base + k); k += 1 }
+        } else {
+          while (k < nK) {
+            projs(k) += xi * HyperplaneSigs.coefAt(k / nBits, k % nBits, i)
+            k += 1
+          }
         }
       }
       i += 1
@@ -95,31 +118,37 @@ final case class HyperplaneSigs(child: Expression, nBits: Int, nTables: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x => {
-      val pre = ctx.addReferenceObj("preH", preH, "long[]")
-      val xxh = classOf[XXH64].getName
+      val cf = ctx.addReferenceObj("coefs", coefs, "double[]")
+      val cls = classOf[HyperplaneSigs].getName
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val k = ctx.freshName("k")
       val t = ctx.freshName("t")
       val j = ctx.freshName("j")
       val xi = ctx.freshName("xi")
-      val h = ctx.freshName("h")
-      val m = ctx.freshName("m")
+      val base = ctx.freshName("base")
       val projs = ctx.freshName("projs")
       val sigs = ctx.freshName("sigs")
       val sig = ctx.freshName("sig")
       val poisoned = ctx.freshName("poisoned")
+      val nK = nTables * nBits
       s"""
          |int $n = $x.numElements();
-         |double[] $projs = new double[${nTables * nBits}];
+         |double[] $projs = new double[$nK];
          |boolean $poisoned = false;
          |for (int $i = 0; $i < $n && !$poisoned; $i++) {
          |  if ($x.isNullAt($i)) { $poisoned = true; break; }
          |  double $xi = (double) $x.getFloat($i);
-         |  for (int $k = 0; $k < ${nTables * nBits}; $k++) {
-         |    long $h = $xxh.hashInt($i, $pre[$k]);
-         |    long $m = (($h % 1000000L) + 1000000L) % 1000000L;
-         |    $projs[$k] += $xi * (((double) $m) / 1000000.0 - 0.5);
+         |  if ($i < ${HyperplaneSigs.MaxCachedDim}) {
+         |    int $base = $i * $nK;
+         |    for (int $k = 0; $k < $nK; $k++) {
+         |      $projs[$k] += $xi * $cf[$base + $k];
+         |    }
+         |  } else {
+         |    for (int $k = 0; $k < $nK; $k++) {
+         |      $projs[$k] += $xi *
+         |        $cls.coefAt($k / $nBits, $k % $nBits, $i);
+         |    }
          |  }
          |}
          |long[] $sigs = new long[$nTables];
@@ -142,6 +171,24 @@ final case class HyperplaneSigs(child: Expression, nBits: Int, nTables: Int)
 }
 
 object HyperplaneSigs {
+  /** Coefficient cache width (element index). Embeddings beyond this
+    * dimension stay correct via the per-element fallback. */
+  val MaxCachedDim = 256
+
+  /** Plane coefficient for (table, bit, element): the first 32 md5
+    * bits of `"hp:t:j:i"` as an unsigned int, mod 1e6, mapped to
+    * [-0.5, 0.5). EXACTLY `graft.util.Tables.md5Long32` of the same
+    * string (the engine's one cross-engine hash) — any change here
+    * must change the `ann_lsh_pairs` oracle and the HOF
+    * [[graft.ops.Similarity.signature]] twin in lockstep. */
+  def coefAt(t: Int, j: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hp:$t:$j:$i".getBytes("UTF-8"))
+    val v = ((d(0) & 255L) << 24) | ((d(1) & 255L) << 16) |
+      ((d(2) & 255L) << 8) | (d(3) & 255L)
+    (v % 1000000L).toDouble / 1000000.0 - 0.5
+  }
+
   /** Column-level entry point: array of nTables signature longs. */
   def apply(e: Column, nBits: Int, nTables: Int): Column =
     ColumnBridge.column(

@@ -88,8 +88,10 @@ object Similarity {
     *
     * Signature for one table: bit j is the sign of a pseudo-random
     * projection whose "plane" coefficients derive from
-    * `xxhash64(table, j, element index)` — deterministic, no stored
-    * model, identical on every executor. Vectors are ANN candidates if
+    * `md5_32("hp:table:j:element index")` (`Tables.md5Long32` — the
+    * engine's one cross-engine hash, so the DuckDB gate recomputes the
+    * full pipeline) — deterministic, no stored model, identical on
+    * every executor. Vectors are ANN candidates if
     * they share a bucket in ANY of the `nTables` tables (OR-amplification
     * recovers the recall a single AND-of-bits table lacks); each table's
     * self-join is an equi shuffle on (table, bucket) with fan-out bounded
@@ -97,6 +99,7 @@ object Similarity {
     * asserted in SimilaritySpec; nBits (bucket granularity) × nTables
     * (recall) is the cost/recall knob. */
   def signature(e: Column, nBits: Int, table: Int = 0): Column = {
+    import graft.util.Tables.md5Long32
     val bits = (0 until nBits).map { j =>
       // projection_j = Σ_i coef(table,j,i) · e[i], coef in [-0.5, 0.5).
       // The index sequence is sized from the row's own array, so any
@@ -105,7 +108,8 @@ object Similarity {
       val proj = aggregate(
         zip_with(e, sequence(lit(0), size(e) - 1), (x, i) =>
           x.cast("double") *
-            ((pmod(xxhash64(lit(table), lit(j), i), lit(1000000L))
+            ((pmod(md5Long32(concat_ws(":", lit("hp"), lit(table),
+              lit(j), i)), lit(1000000L))
               .cast("double") / 1000000.0) - 0.5)),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
@@ -120,8 +124,10 @@ object Similarity {
     * brute-force twin, so the scores are bit-identical doubles — and the
     * only approximation is recall (pairs whose vectors never share a
     * bucket are missed), tuned by nBits × nTables and asserted against
-    * [[cosinePairs]] in SimilaritySpec. The plane hashes (xxhash64) have
-    * no DuckDB equivalent ⇒ registered rows-only, like `centroid_udaf`. */
+    * [[cosinePairs]] in SimilaritySpec. The md5-derived plane
+    * coefficients are DuckDB-recomputable, so the gate replays the
+    * whole pipeline (signatures → bands → candidates → exact verify)
+    * and this query is fully hash-checked. */
   def lshPairs(spark: SparkSession, dir: String, threshold: Double = 0.4,
       nBits: Int = 8, nTables: Int = 8): DataFrame =
     lshCandidates(spark, dir, nBits, nTables)
