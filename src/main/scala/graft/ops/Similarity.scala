@@ -504,29 +504,114 @@ object Similarity {
     probeIndexPath(spark, ivfBuildIndex(spark, dir, maxCells), dir, k,
       nQueries, nProbe, candidatePred = evenLabelPred)
 
-  /** X4b — exhaustive embedding-cosine pair search above a threshold:
-    * the VERIFICATION TWIN of the first-class [[lshPairs]] query. O(n²)
-    * by construction, so it exists to pin exactness at verification
-    * scale — a 100 TB corpus runs [[lshPairs]], whose output this twin
-    * bounds (subset with bit-identical scores, SimilaritySpec). Self
-    * cross-join bounded to a<b; each pair scored once by the codegen'd
-    * [[dot]] loop. */
+  /** X4b — EXACT embedding-cosine pair search above a threshold: the
+    * verification twin of the first-class [[lshPairs]] query, now with
+    * no cartesian anywhere in the plan (the round-9 change — the old
+    * form was a literal `crossJoin`).
+    *
+    * Design: metric-bound cell pruning + salted block equi-joins.
+    *  1. Vectors are routed to a BOUNDED codebook cell (the IVF
+    *     family's [[coarseCodebookFor]]/[[argmaxCell]], a serving
+    *     constant), and each cell gets an ANGULAR RADIUS — the max
+    *     angle of any member to the cell centroid (double-precision
+    *     fold, one broadcast join + one keyed agg).
+    *  2. Spherical triangle inequality: for a ∈ c1, b ∈ c2,
+    *     `angle(a,b) ≥ angle(μ1,μ2) − r1 − r2`. A cell pair whose
+    *     bound exceeds `arccos(threshold)` (+ an fp-safety margin)
+    *     cannot contain a qualifying pair and is pruned — provably no
+    *     false negatives; survivors are scored EXACTLY, so precision
+    *     is exact too and the DuckDB oracle is unchanged.
+    *  3. Surviving cell pairs execute as salted block EQUI-joins: each
+    *     cell splits into `nSalts` deterministic sub-blocks
+    *     (md5-bucketed), the unordered surviving block pairs become a
+    *     broadcast-sized key table, and the pair stream is two keyed
+    *     hash/merge joins — bounded tasks, skew-free, no
+    *     CartesianProduct node (pinned by a plan spec).
+    *
+    * 100 TB honesty: on a CLUSTERED corpus (the realistic case) the
+    * bound prunes most cell pairs and the work tracks the qualifying
+    * mass. On an isotropic corpus (this testdata: label clusters have
+    * ~90° radius) nothing prunes and the operator degrades to the
+    * blocked exact quadratic scan — the information-theoretic floor
+    * for an exact threshold join, with replication O(n·√tasks), the
+    * same I/O a cartesian pays, but evenly partitioned. The serving
+    * path at scale remains [[lshPairs]]; this twin exists to certify
+    * it. */
   def cosinePairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.4): DataFrame = {
-    // Per-row norm precomputation (see cosineTopK): the O(n²) pair loop
-    // pays ONE 64-element fold per pair instead of three.
+      threshold: Double = 0.4, maxCells: Int = 16,
+      nSalts: Int = 8): DataFrame = {
+    import spark.implicits._
     val emb = fanOut(t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
-    val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"),
-      col("nrm").as("na"))
-    val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"),
-      col("nrm").as("nb"))
-    a.crossJoin(b)
-      .filter(col("a") < col("b"))
-      .withColumn("score", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+    val cells: Seq[(Int, Seq[Double])] =
+      coarseCodebookFor(t(spark, dir, "embeddings"), maxCells)
+        .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSeq
+    if (cells.isEmpty)
+      return emb.select(col("vec_id").as("a"), col("vec_id").as("b"),
+        lit(0.0).as("score")).limit(0)
+    val blocked = emb
+      .withColumn("cell", argmaxCell(cells, col("embedding")))
+      .withColumn("salt",
+        graft.util.Tables.md5Bucket("cospair", col("vec_id"), nSalts))
+    // Per-cell angular radius vs the cell's own centroid. The radius
+    // fold is double-precision (dotHof casts both sides), so the only
+    // slack the bound needs is the eps margin below.
+    val cellsDf = cells.toDF("cell", "centroid")
+    val cosToCentroid =
+      dotHof(col("embedding"), col("centroid")) /
+        (col("nrm") * sqrt(dotHof(col("centroid"), col("centroid"))))
+    val ang = acos(least(lit(1.0), greatest(lit(-1.0), cosToCentroid)))
+    val radii: Map[Int, Double] = blocked
+      .join(broadcast(cellsDf), Seq("cell"))
+      .groupBy("cell").agg(max(ang).as("r"))
+      .as[(Int, Double)].collect().toMap
+      // a zero-norm member folds to NaN — treat as "unbounded cell",
+      // never as prunable (Spark max sorts NaN above all values, so a
+      // NaN radius would otherwise PRUNE via `NaN <= x` = false)
+      .map { case (c, r) => c -> (if (r.isNaN) math.Pi else r) }
+    val theta = math.acos(threshold)
+    val eps = 1e-4 // driver-side fp slack, ~0.006° — bound is in radians
+    def unit(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val units = cells.map { case (c, v) => c -> unit(v) }.toMap
+    def centAngle(c1: Int, c2: Int): Double = {
+      val d = units(c1).zip(units(c2)).map { case (x, y) => x * y }.sum
+      math.acos(math.max(-1.0, math.min(1.0, d)))
+    }
+    // Unordered surviving BLOCK pairs, (cell, salt) lexicographic —
+    // each unordered vector pair lands in exactly one block-pair task.
+    val live = radii.keySet.toSeq.sorted
+    val blockPairs = for {
+      c1 <- live; c2 <- live; if c1 <= c2
+      if centAngle(c1, c2) - radii(c1) - radii(c2) <= theta + eps
+      s1 <- 0 until nSalts; s2 <- 0 until nSalts
+      if c1 < c2 || s1 <= s2
+    } yield (c1, s1, c2, s2)
+    val pairsDf = blockPairs.toDF("c1", "s1", "c2", "s2")
+    val x = blocked.select(col("vec_id").as("xid"), col("embedding")
+      .as("xe"), col("nrm").as("xn"), col("cell").as("xc"),
+      col("salt").as("xs"))
+    val y = blocked.select(col("vec_id").as("yid"), col("embedding")
+      .as("ye"), col("nrm").as("yn"), col("cell").as("yc"),
+      col("salt").as("ys"))
+    x.join(broadcast(pairsDf),
+        col("xc") === col("c1") && col("xs") === col("s1"))
+      .join(y, col("yc") === col("c2") && col("ys") === col("s2"))
+      // same block: order the pair; cross-block: every pair arrives
+      // exactly once already (only the (g1 <= g2) block pair exists)
+      .filter((col("xc") =!= col("yc")) || (col("xs") =!= col("ys")) ||
+        (col("xid") < col("yid")))
+      // dot/norm products are IEEE-commutative, so scoring before the
+      // least/greatest normalization yields the bit-identical double
+      // the a<b form produced — the oracle is unchanged
+      .withColumn("score", dot(col("xe"), col("ye")) /
+        (col("xn") * col("yn")))
       .filter(col("score") > threshold)
-      .select("a", "b", "score")
+      .select(least(col("xid"), col("yid")).as("a"),
+        greatest(col("xid"), col("yid")).as("b"), col("score"))
       .orderBy("a", "b")
   }
 

@@ -242,6 +242,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(probed.forall(r => evenIds(r._2)))
   }
 
+  test("cosinePairs has no cartesian in its physical plan and misses no brute-force pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val sf01 = "/root/testdata/sf0.01"
+    val q = Similarity.cosinePairs(spark, sf01, threshold = 0.4)
+    // the round-9 contract: the exact pair search executes as keyed
+    // equi-joins (cell-bound pruning + salted block pairs), never as a
+    // CartesianProduct / BroadcastNestedLoopJoin
+    val physical = q.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct") &&
+      !physical.contains("BroadcastNestedLoopJoin"),
+      s"cartesian in cosinePairs plan:\n$physical")
+    val got = q.select("a", "b", "score").as[(Long, Long, Double)]
+      .collect().map { case (a, b, s) => (a, b) -> s }.toMap
+    // no-false-negatives + bit-identical scores vs an inline brute
+    // force (the shape the operator replaced)
+    val emb = graft.util.Tables.t(spark, sf01, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val brute = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(emb.select(col("vec_id").as("b"),
+        col("embedding").as("eb")))
+      .filter(col("a") < col("b"))
+      .withColumn("score", Similarity.dot(col("ea"), col("eb")) /
+        (Similarity.l2norm(col("ea")) * Similarity.l2norm(col("eb"))))
+      .filter(col("score") > 0.4)
+      .select("a", "b", "score").as[(Long, Long, Double)]
+      .collect().map { case (a, b, s) => (a, b) -> s }.toMap
+    assert(brute.nonEmpty, "brute force surfaced no pairs — bad fixture")
+    assert(got.keySet == brute.keySet,
+      s"missed: ${brute.keySet.diff(got.keySet).take(5)} " +
+        s"extra: ${got.keySet.diff(brute.keySet).take(5)}")
+    got.foreach { case (k, s) =>
+      assert(java.lang.Double.doubleToLongBits(s) ==
+        java.lang.Double.doubleToLongBits(brute(k)),
+        s"$k: $s vs ${brute(k)} (must be bit-identical)")
+    }
+  }
+
   test("registered LSH pair query is a subset of its exact twin with bit-identical scores") {
     import spark.implicits._
     val exact = Similarity.cosinePairs(spark, dir, threshold = 0.4)
