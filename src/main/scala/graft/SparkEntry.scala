@@ -796,12 +796,34 @@ object SparkEntry {
         max(o_orderstatus) FROM orders
       ORDER BY column_name""")),
 
-    // HLL twin of table_profile — the 100 TB shape: same single-Expand
-    // one-pass plan, approx_count_distinct's constant-size mergeable
-    // sketch instead of exact distinct state. Rows-only (sketch
-    // estimates are engine-specific); InspectSpec bounds the error
-    // against the exact twin at <5%.
-    "table_profile_approx" -> Q(Inspect.ordersProfileApprox, None),
+    // HLL twin of table_profile, gate form: the sketch estimate is
+    // engine-specific, but its ERROR CONTRACT is deterministic — the
+    // query computes exact distinct + sketch in one aggregate and
+    // emits the bound verdict as a boolean, so the oracle checks the
+    // exact profile AND that the sketch held its guarantee. The pure
+    // Expand-free serving form stays Inspect.ordersProfileApprox,
+    // error-bounded in InspectSpec.
+    "table_profile_approx" -> Q(Inspect.ordersProfileApproxGate, Some("""
+      SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+        count(*) - count(o_custkey) AS n_nulls,
+        count(DISTINCT o_custkey) AS n_distinct,
+        CAST(min(o_custkey) AS VARCHAR) AS min_val,
+        CAST(max(o_custkey) AS VARCHAR) AS max_val,
+        true AS approx_ok FROM orders
+      UNION ALL
+      SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+        count(DISTINCT o_orderkey), CAST(min(o_orderkey) AS VARCHAR),
+        CAST(max(o_orderkey) AS VARCHAR), true FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', count(*),
+        count(*) - count(o_orderpriority),
+        count(DISTINCT o_orderpriority), min(o_orderpriority),
+        max(o_orderpriority), true FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        count(DISTINCT o_orderstatus), min(o_orderstatus),
+        max(o_orderstatus), true FROM orders
+      ORDER BY column_name""")),
 
     // Declarative one-pass data-quality audit: six expectations over
     // orders computed in a single aggregate; oracle recomputes every
@@ -1613,10 +1635,19 @@ object SparkEntry {
       SELECT l_returnflag, 'disc' AS metric, disc AS value FROM w
       ORDER BY l_returnflag, metric""")),
 
-    // Approx-percentile twin: rows-only (sketch internals differ
-    // across engines); ReshapeSpec bounds each estimate against the
-    // exact twin and pins min/max/count exact.
-    "percentiles_approx" -> Q((s, d) => Reshape.percentilesApprox(s, d), None),
+    // Approx-percentile twin, gate form: the GK sketch value is
+    // engine-specific, but its rank-error contract is audited
+    // in-engine (rank interval of the returned element vs
+    // p·n ± n/accuracy) and emitted as booleans next to exact
+    // min/max/count — every column DuckDB-reproducible. The pure
+    // one-pass serving form stays Reshape.percentilesApprox,
+    // error-bounded in ReshapeSpec.
+    "percentiles_approx" ->
+      Q((s, d) => Reshape.percentilesApproxGate(s, d), Some("""
+      SELECT l_returnflag, min(l_quantity) AS q_min,
+        max(l_quantity) AS q_max, count(*) AS n,
+        true AS p50_ok, true AS p90_ok, true AS p99_ok
+      FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
     "percentiles" -> Q(Reshape.percentiles, Some("""
       SELECT l_returnflag,

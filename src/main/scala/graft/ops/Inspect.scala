@@ -135,6 +135,49 @@ object Inspect {
       .orderBy("column_name")
   }
 
+  /** The REGISTERED gate form of [[tableProfileApprox]]: the HLL
+    * estimate is engine-specific, but its error contract is checkable
+    * in-engine — compute the exact distinct AND the sketch in one
+    * aggregate and emit a deterministic `approx_ok` boolean
+    * (|approx − exact| ≤ max(1, relTol·exact); relTol = 5σ of the
+    * sketch's rsd). The emitted row is the exact profile + the
+    * boolean, all DuckDB-reproducible, so a sketch drifting out of its
+    * guarantee turns the gate row red. The exact-distinct Expand is
+    * paid deliberately: this is the verification harness; the 100 TB
+    * serving shape remains the Expand-free [[tableProfileApprox]]. */
+  def tableProfileApproxGate(df: DataFrame, cols: Seq[String],
+      rsd: Double = 0.015, relTol: Double = 0.075): DataFrame = {
+    val wide = df.agg(
+      count(lit(1)).as("__n"),
+      (cols.zipWithIndex.flatMap { case (c, i) => Seq(
+        (count(lit(1)) - count(col(c))).as(s"__nulls_$i"),
+        countDistinct(col(c)).as(s"__nd_$i"),
+        approx_count_distinct(col(c), rsd).as(s"__and_$i"),
+        min(col(c)).cast("string").as(s"__min_$i"),
+        max(col(c)).cast("string").as(s"__max_$i"))
+      }): _*)
+    val flagged = cols.indices.foldLeft(wide) { (d, i) =>
+      d.withColumn(s"__ok_$i",
+        abs(col(s"__and_$i") - col(s"__nd_$i")).cast("double") <=
+          greatest(lit(1.0), lit(relTol) * col(s"__nd_$i").cast("double")))
+    }
+    val stacked = cols.zipWithIndex.map { case (c, i) =>
+      val esc = c.replace("\\", "\\\\").replace("'", "\\'")
+      s"'$esc', __n, __nulls_$i, __nd_$i, __min_$i, __max_$i, __ok_$i"
+    }.mkString(", ")
+    flagged.selectExpr(s"stack(${cols.size}, $stacked) AS " +
+        "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val, " +
+        "approx_ok)")
+      .orderBy("column_name")
+  }
+
+  /** Registered gate twin of [[ordersProfile]] — exact profile plus the
+    * in-engine-audited HLL bound boolean (see
+    * [[tableProfileApproxGate]]). */
+  def ordersProfileApproxGate(spark: SparkSession, dir: String): DataFrame =
+    tableProfileApproxGate(t(spark, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+
   /** Referential-integrity audit across the star schema: orphan counts
     * for every FK relation, in ONE pass per fact table. The correlated
     * NOT-EXISTS form (which the oracle keeps) would be one anti-join —

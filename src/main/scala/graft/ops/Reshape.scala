@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.Tables.{t, dsum}
 
@@ -69,6 +69,58 @@ object Reshape {
         max(col("l_quantity")).as("q_max"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
+
+  /** The REGISTERED gate form of [[percentilesApprox]]: the sketch's
+    * rank-error guarantee, audited in-engine and emitted as a
+    * deterministic boolean per percentile. The raw sketch estimate is
+    * engine-specific (DuckDB has no GK twin), but the sketch's
+    * CONTRACT — the returned element's exact rank is within
+    * `n/accuracy` of the target rank — is checkable against the exact
+    * data: join the per-group estimates back, count `< v` / `≤ v`
+    * (the element's exact rank interval), and test interval overlap
+    * with `p·n ± (n/accuracy + 1)`. The emitted row is exact anchors
+    * (min/max/count) + the three booleans — all DuckDB-reproducible
+    * (oracle: the exact side + literal true), so a sketch that ever
+    * violated its bound turns the row red in the gate, not just in a
+    * spec. Two scans by design: this is the verification harness; the
+    * 100 TB serving shape remains the one-pass [[percentilesApprox]]. */
+  def percentilesApproxGate(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"))
+    val approx = li.groupBy(col("l_returnflag")).agg(
+      approx_percentile(col("l_quantity"), lit(0.5), lit(accuracy))
+        .as("a50"),
+      approx_percentile(col("l_quantity"), lit(0.9), lit(accuracy))
+        .as("a90"),
+      approx_percentile(col("l_quantity"), lit(0.99), lit(accuracy))
+        .as("a99"))
+    val ranked = li.join(broadcast(approx), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag")).agg(
+        min(col("l_quantity")).as("q_min"),
+        max(col("l_quantity")).as("q_max"),
+        count(lit(1)).as("n"),
+        sum((col("l_quantity") < col("a50")).cast("long")).as("lt50"),
+        sum((col("l_quantity") <= col("a50")).cast("long")).as("le50"),
+        sum((col("l_quantity") < col("a90")).cast("long")).as("lt90"),
+        sum((col("l_quantity") <= col("a90")).cast("long")).as("le90"),
+        sum((col("l_quantity") < col("a99")).cast("long")).as("lt99"),
+        sum((col("l_quantity") <= col("a99")).cast("long")).as("le99"))
+    def ok(p: Double, lt: Column, le: Column): Column = {
+      val target = lit(p) * col("n")
+      // GK guarantee: rank error ≤ n/accuracy; +1 absorbs the
+      // integer-rank boundary convention
+      val e = col("n").cast("double") / lit(accuracy.toDouble) + lit(1.0)
+      ((lt + lit(1)).cast("double") <= target + e) &&
+        (le.cast("double") >= target - e)
+    }
+    ranked.select(col("l_returnflag"), col("q_min"), col("q_max"),
+        col("n"),
+        ok(0.5, col("lt50"), col("le50")).as("p50_ok"),
+        ok(0.9, col("lt90"), col("le90")).as("p90_ok"),
+        ok(0.99, col("lt99"), col("le99")).as("p99_ok"))
+      .orderBy("l_returnflag")
+  }
 
   /** Exact interpolated percentiles of l_quantity per return flag.
     * l_quantity is integer-valued, so the interpolation lands on exact
