@@ -120,6 +120,62 @@ object SparkEntry {
     * append and filtered-probe must stay realizations of the same
     * routing semantics (the parity specs in SimilaritySpec pin the
     * Spark side of that claim; this pins the oracle side). */
+  /** Generated chained-CTE oracle for `bpe_train`: replays the full
+    * iterative argmax-and-merge in DuckDB, one (pairs → best → merged
+    * vocab) CTE triple per merge rank. Two key mechanics:
+    *  - words ride as DOUBLE-SPACE-joined symbol strings
+    *    (`' a  b  c '`): a merge is then ONE plain `replace` of
+    *    `' l  r '` with `' lr '`, and because replace scans
+    *    left-to-right continuing AFTER each replacement, its
+    *    semantics are EXACTLY the engine's greedy fold
+    *    ([[graft.ops.BpeTrain]] `applyMerge`, incl. the odd/even
+    *    run cases aaa→[aa,a], aaaa→[aa,aa]) — the single-space
+    *    encoding would consume the shared separator and miss every
+    *    second merge of a run, and regex lookahead is unavailable
+    *    (DuckDB is RE2). Tokens are whitespace-split so symbols can
+    *    never contain the separator.
+    *  - every CTE is MATERIALIZED: `w{k}` is referenced twice (pair
+    *    count + next merge), and DuckDB's default inlining would
+    *    re-evaluate the whole chain per reference — 2^nMerges blowup
+    *    (measured: the inlined form never finishes at 12 merges; the
+    *    materialized form runs in ~0.5s).
+    * Tie-break matches the engine: `ORDER BY cnt DESC, l, r` over
+    * binary-collated strings. */
+  private def bpeOracle(nMerges: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += """w0 AS MATERIALIZED (
+        SELECT ' ' || array_to_string(string_split(word, ''), '  ')
+            || ' ' AS s,
+          count(*) AS freq
+        FROM (SELECT unnest(list_filter(
+            string_split_regex(lower(text), '\s+'), x -> x <> ''))
+            AS word FROM documents)
+        GROUP BY 1)"""
+    for (k <- 1 to nMerges) {
+      parts += s"""p$k AS MATERIALIZED (
+        SELECT l, r, cnt FROM (
+          SELECT p.l AS l, p.r AS r,
+            CAST(sum(freq) AS BIGINT) AS cnt FROM (
+            SELECT freq, unnest(list_transform(range(1, len(syms)),
+              i -> struct_pack(l := syms[i], r := syms[i+1]))) AS p
+            FROM (SELECT string_split(trim(s), '  ') AS syms, freq
+                  FROM w${k - 1}))
+          GROUP BY 1, 2)
+        ORDER BY cnt DESC, l, r LIMIT 1)"""
+      if (k < nMerges)
+        parts += s"""w$k AS MATERIALIZED (
+        SELECT replace(s, ' ' || p.l || '  ' || p.r || ' ',
+                          ' ' || p.l || p.r || ' ') AS s, freq
+        FROM w${k - 1}, p$k p)"""
+    }
+    val sel = (1 to nMerges).map { k =>
+      s"""SELECT $k AS rank, l AS "left", r AS "right",
+         l || r AS merged, cnt AS weighted_count FROM p$k"""
+    }.mkString(" UNION ALL ")
+    "WITH " + parts.result().mkString(",\n") + "\n" + sel +
+      " ORDER BY rank"
+  }
+
   private def ivfOracle(cbWhere: String = "", candAnd: String = ""): String =
     s"""
       WITH cbu AS (
@@ -1186,11 +1242,14 @@ object SparkEntry {
         n AS n_vecs
       FROM g ORDER BY label, dim""")),
 
-    // Distributed BPE merge training: iterative argmax-and-merge has
-    // no single-query SQL form — rows-only; BpeTrainSpec pins the
-    // merge sequence against an independent driver-side reference
-    // implementation over the same word frequencies.
-    "bpe_train" -> Q((s, d) => BpeTrain.bpeTrain(s, d), None),
+    // Distributed BPE merge training: the iterative argmax-and-merge
+    // IS SQL-expressible — as a generated chain of materialized CTEs,
+    // one (pair-count → argmax → merge) triple per rank (see
+    // [[bpeOracle]]) — so the full 12-merge sequence is hash-checked.
+    // BpeTrainSpec's driver-side reference implementation stays as
+    // defense in depth.
+    "bpe_train" -> Q((s, d) => BpeTrain.bpeTrain(s, d),
+      Some(bpeOracle(12))),
 
     // Sketch-guided exact heavy hitters: the oracle is the plain
     // HAVING-threshold count — the CMS candidate pass must be
