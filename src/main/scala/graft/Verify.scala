@@ -40,16 +40,33 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // A FILTERED re-run first carries over the existing record for
+    // queries OUTSIDE the filter: their error-marker parquets still
+    // occupy their slots, and dropping their entries would downgrade
+    // a later full check.py from the recorded exception to a generic
+    // schema mismatch. Entries for the queries being re-run are
+    // dropped (they're about to be refreshed either way).
+    if (only.nonEmpty) {
+      val p = Paths.get(s"$outDir/_errors.json")
+      if (Files.exists(p)) try {
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readValue(Files.readString(p),
+            classOf[java.util.LinkedHashMap[String, String]])
+        m.forEach((k, v) => if (!only(k)) errors(k) = v)
+      } catch { case _: Throwable => () } // unreadable → start clean
+    }
     // Clear any stale error record up front: an interrupted prior run
     // must not make a later compare FAIL slots that now hold fresh
-    // passing output. (The summary is also rewritten after every
-    // failure below, so even an interrupted run leaves it accurate.)
+    // passing output. (The summary is rewritten after every failure
+    // below — and once at the end if carried-over entries remain — so
+    // even an interrupted run leaves it accurate.)
     Files.deleteIfExists(Paths.get(s"$outDir/_errors.json"))
     def writeErrors(): Unit = {
       val json = errors
         .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/_errors.json"), json)
     }
+    if (errors.nonEmpty) writeErrors()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

@@ -101,6 +101,12 @@ object TableConfig {
       // broke 16 queries (Tables.normalizeEventTs is the read-side
       // twin of this ingest-side capability). Validated eagerly: a
       // typo'd unit fails at config parse, not mid-load.
+      // DOMAIN of `auto`: the per-row magnitude dispatch assumes
+      // epochs in 1973–2200 (the units' decades are disjoint there) —
+      // a pre-1973 millis value classifies as seconds, and numeric
+      // strings that aren't epochs at all (e.g. yyyymmdd) classify as
+      // seconds too. Feeds with such values must declare the explicit
+      // unit instead of `auto`.
       timestampNormalize = Option(n.get("timestamp_normalize"))
         .filter(_.isObject).map { o =>
           o.properties().iterator().asScala

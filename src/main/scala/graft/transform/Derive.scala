@@ -60,16 +60,19 @@ object Derive {
       if (!acc.columns.contains(name)) throw new IllegalArgumentException(
         s"timestamp_normalize: column $name not present after " +
           s"projection (available: ${acc.columns.mkString(", ")})")
-      // All integer-space (`DIV`, never `/`, which is DOUBLE division
-      // in Spark SQL — a nano epoch ~1.7e18 rounds to ±256 ns as a
+      // All integer-space (never `/`, which is DOUBLE division in
+      // Spark SQL — a nano epoch ~1.7e18 rounds to ±256 ns as a
       // double, off-by-one micros after scaling). Widen FIRST: an
       // IntegerType seconds epoch times 1000000 would overflow in int
-      // arithmetic (non-ANSI = silent wrap).
+      // arithmetic (non-ANSI = silent wrap). The nanos branch is
+      // FLOOR division (mod-correction), not `DIV`: DuckDB's `//`
+      // floors, so negative sub-micro nano epochs would otherwise
+      // land 1 µs apart across engines; identical for epochs ≥ 0.
       def usOf(q: String): String = unit match {
         case "seconds" => s"$q * 1000000"
         case "millis"  => s"$q * 1000"
         case "micros"  => q
-        case "nanos"   => s"$q DIV 1000"
+        case "nanos"   => s"($q - ((($q % 1000) + 1000) % 1000)) DIV 1000"
         case "auto"    => graft.util.Tables.epochMicrosSql(q)
       }
       val esc = "`" + name.replace("`", "``") + "`"

@@ -52,11 +52,20 @@ object Tables {
     * reader and the ingest `auto` unit: epoch values for 1973–2200
     * occupy disjoint decades per unit (seconds ~1e8.., millis ~1e11..,
     * micros ~1e14.., nanos ~1e17..), so a CASE over abs(v) classifies
-    * the unit without a driver peek. All integer space (`DIV`, never
-    * `/` — a nano epoch ~1.7e18 exceeds 2^53 and double math would
-    * corrupt microseconds). `q` must be a BIGINT-typed SQL fragment. */
+    * the unit without a driver peek. The magnitude dispatch therefore
+    * ASSUMES epochs in 1973–2200 — a pre-1973 millis value (~6e10)
+    * reads as seconds; that domain is stated at the config surface
+    * (TableConfig `timestamp_normalize` docs) as well as here. All
+    * integer space (never `/` — a nano epoch ~1.7e18 exceeds 2^53 and
+    * double math would corrupt microseconds), and the nanos branch is
+    * FLOOR division (the mod-correction below), not `DIV`'s
+    * truncate-toward-zero: DuckDB's `//` floors, so a negative
+    * (pre-1970) nano epoch not divisible by 1000 would otherwise
+    * diverge by 1 µs between the engines. Identical to `DIV` for
+    * non-negative epochs. `q` must be a BIGINT-typed SQL fragment. */
   def epochMicrosSql(q: String): String = s"""CASE
-      WHEN abs($q) >= 100000000000000000 THEN $q DIV 1000
+      WHEN abs($q) >= 100000000000000000
+        THEN ($q - ((($q % 1000) + 1000) % 1000)) DIV 1000
       WHEN abs($q) >= 100000000000000 THEN $q
       WHEN abs($q) >= 100000000000 THEN $q * 1000
       ELSE $q * 1000000 END"""
