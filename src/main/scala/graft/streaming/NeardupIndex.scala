@@ -72,7 +72,7 @@ object NeardupIndex {
     * invisible), (b) is not folded by a committed compaction, and
     * (c) if it is a `compact*` dir, is itself committed (an unlogged
     * one is a crashed attempt). */
-  private[streaming] def liveBatchDirs(spark: SparkSession,
+  private[graft] def liveBatchDirs(spark: SparkSession,
       dir: String): Seq[String] = {
     val fs = fsOf(spark, dir)
     val cs = committed(fs, dir)

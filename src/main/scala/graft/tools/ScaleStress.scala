@@ -132,7 +132,7 @@ object ScaleStress {
       .write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 
-  private def buildDocCorpus(spark: SparkSession, srcDir: String,
+  private[tools] def buildDocCorpus(spark: SparkSession, srcDir: String,
       out: String, n: Int): Unit = {
     val base = Tables.t(spark, srcDir, "documents")
     val copies = (0 until n).map { c =>
