@@ -522,10 +522,12 @@ object Similarity {
     *     false negatives; survivors are scored EXACTLY, so precision
     *     is exact too and the DuckDB oracle is unchanged.
     *  3. Surviving cell pairs execute as salted block EQUI-joins: each
-    *     cell splits into `nSalts` deterministic sub-blocks
-    *     (md5-bucketed), the unordered surviving block pairs become a
-    *     broadcast-sized key table, and the pair stream is two keyed
-    *     hash/merge joins — bounded tasks, skew-free, no
+    *     cell splits into ADAPTIVELY many deterministic sub-blocks
+    *     (md5-bucketed, ~`targetBlockRows` rows each, capped at
+    *     `maxSaltsPerCell`), the unordered surviving block pairs
+    *     become a broadcast-sized key table, and the pair stream is
+    *     two keyed hash/merge joins — per-task pair work and
+    *     replication both bounded by constants, skew-free, no
     *     CartesianProduct node (pinned by a plan spec).
     *
     * 100 TB honesty: on a CLUSTERED corpus (the realistic case) the
@@ -539,7 +541,7 @@ object Similarity {
     * it. */
   def cosinePairs(spark: SparkSession, dir: String,
       threshold: Double = 0.4, maxCells: Int = 16,
-      nSalts: Int = 8): DataFrame = {
+      targetBlockRows: Int = 2048, maxSaltsPerCell: Int = 64): DataFrame = {
     import spark.implicits._
     val emb = fanOut(t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"),
@@ -550,26 +552,45 @@ object Similarity {
     if (cells.isEmpty)
       return emb.select(col("vec_id").as("a"), col("vec_id").as("b"),
         lit(0.0).as("score")).limit(0)
-    val blocked = emb
-      .withColumn("cell", argmaxCell(cells, col("embedding")))
-      .withColumn("salt",
-        graft.util.Tables.md5Bucket("cospair", col("vec_id"), nSalts))
-    // Per-cell angular radius vs the cell's own centroid. The radius
-    // fold is double-precision (dotHof casts both sides), so the only
-    // slack the bound needs is the eps margin below.
+    val celled = emb.withColumn("cell", argmaxCell(cells, col("embedding")))
+    // Per-cell angular radius vs the cell's own centroid (the pruning
+    // bound) and per-cell COUNT (the salting input), one keyed agg.
+    // The radius fold is double-precision (dotHof casts both sides),
+    // so the only slack the bound needs is the eps margin below.
     val cellsDf = cells.toDF("cell", "centroid")
     val cosToCentroid =
       dotHof(col("embedding"), col("centroid")) /
         (col("nrm") * sqrt(dotHof(col("centroid"), col("centroid"))))
     val ang = acos(least(lit(1.0), greatest(lit(-1.0), cosToCentroid)))
-    val radii: Map[Int, Double] = blocked
+    val cellStats: Map[Int, (Double, Long)] = celled
       .join(broadcast(cellsDf), Seq("cell"))
-      .groupBy("cell").agg(max(ang).as("r"))
-      .as[(Int, Double)].collect().toMap
+      .groupBy("cell").agg(max(ang).as("r"), count(lit(1)).as("n"))
+      .as[(Int, Double, Long)].collect()
       // a zero-norm member folds to NaN — treat as "unbounded cell",
       // never as prunable (Spark max sorts NaN above all values, so a
       // NaN radius would otherwise PRUNE via `NaN <= x` = false)
-      .map { case (c, r) => c -> (if (r.isNaN) math.Pi else r) }
+      .map { case (c, r, n) =>
+        c -> ((if (r.isNaN) math.Pi else r, n)) }.toMap
+    val radii = cellStats.view.mapValues(_._1).toMap
+    // ADAPTIVE salting: each cell splits into ~count/targetBlockRows
+    // sub-blocks, so block size — and with it both per-task pair work
+    // AND the replication factor — is bounded by a constant, not by
+    // cell occupancy. A fixed salt count is wrong at both ends: it
+    // over-replicates small corpora (8× the shuffle at sf0.1 for
+    // nothing) and under-splits the billion-row cell of a skewed
+    // 100 TB corpus. maxSaltsPerCell caps the block-pair table at
+    // broadcastable size; raise it in lockstep with cluster size.
+    val salts: Map[Int, Int] = cellStats.view.mapValues { case (_, n) =>
+      math.min(maxSaltsPerCell.toLong,
+        math.max(1L, (n + targetBlockRows - 1) / targetBlockRows)).toInt
+    }.toMap
+    val saltOf = salts.toSeq.foldLeft(lit(1)) { case (acc, (c, s)) =>
+      when(col("cell") === c, lit(s)).otherwise(acc)
+    }
+    val blocked = celled.withColumn("salt",
+      pmod(graft.util.Tables.md5Long32(
+          concat(lit("cospair"), col("vec_id").cast("string"))),
+        saltOf.cast("long")).cast("int"))
     val theta = math.acos(threshold)
     val eps = 1e-4 // driver-side fp slack, ~0.006° — bound is in radians
     def unit(v: Seq[Double]): Seq[Double] = {
@@ -583,11 +604,11 @@ object Similarity {
     }
     // Unordered surviving BLOCK pairs, (cell, salt) lexicographic —
     // each unordered vector pair lands in exactly one block-pair task.
-    val live = radii.keySet.toSeq.sorted
+    val live = cellStats.keySet.toSeq.sorted
     val blockPairs = for {
       c1 <- live; c2 <- live; if c1 <= c2
       if centAngle(c1, c2) - radii(c1) - radii(c2) <= theta + eps
-      s1 <- 0 until nSalts; s2 <- 0 until nSalts
+      s1 <- 0 until salts(c1); s2 <- 0 until salts(c2)
       if c1 < c2 || s1 <= s2
     } yield (c1, s1, c2, s2)
     val pairsDf = blockPairs.toDF("c1", "s1", "c2", "s2")
