@@ -73,4 +73,32 @@ class TablesSchemaSpec extends AnyFunSuite {
     }
     assert(drift.isEmpty, "\nTESTDATA SCHEMA DRIFT:\n" + drift.mkString("\n"))
   }
+
+  test("testdata value invariants the oracles lean on hold (dims, ASCII)") {
+    import org.apache.spark.sql.functions._
+    // Embedding dimensionality: the quantized-centroid aggregator, its
+    // DuckDB oracle (range(1,65)) and the LSH coefficient oracle all
+    // assume EXACTLY 64 dims. A wider regeneration would otherwise
+    // TRUNCATE silently on both sides and still hash-match — this
+    // canary makes a dim drift loud and named instead.
+    val dims = Tables.t(spark, dir, "embeddings")
+      .agg(min(size(col("embedding"))).as("lo"),
+        max(size(col("embedding"))).as("hi"))
+      .collect().head
+    assert(dims.getInt(0) == 64 && dims.getInt(1) == 64,
+      s"embedding dims drifted to [${dims.getInt(0)}, ${dims.getInt(1)}] " +
+        "— update CentroidAgg.centroidQ(64), the centroid_udaf oracle " +
+        "(range(1,65)) and the ann_lsh_pairs coefficient oracle " +
+        "(range(0,64)) together")
+    // documents.text ASCII-ness: the bpe_train oracle splits words into
+    // chars with DuckDB string_split('') (code points) while Spark
+    // split("") yields UTF-16 units — identical only for ASCII; the
+    // multimodal_media oracle's byte-slicing makes the same assumption.
+    val nonAscii = Tables.t(spark, dir, "documents")
+      .filter(not(col("text").rlike("^[\\x00-\\x7F]*$"))).count()
+    assert(nonAscii == 0,
+      s"$nonAscii documents contain non-ASCII text — the bpe_train and " +
+        "multimodal_media oracles assume ASCII (UTF-16 unit vs code " +
+        "point split parity); revisit both before trusting the gate")
+  }
 }
