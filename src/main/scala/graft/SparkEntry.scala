@@ -1762,6 +1762,38 @@ object SparkEntry {
       WHERE bucket < CASE WHEN c_mktsegment = 'BUILDING' THEN 20 ELSE 5 END
       ORDER BY c_custkey""")),
 
+    // X20b — exact-k deterministic stratified take (the eval-set /
+    // few-shot-pool shape): exactly min(k, |stratum|) docs per lang by
+    // content-derived md5 rank — rate-based sample_stratified's
+    // exact-count sibling. Rank + window both md5Long32-twinnable.
+    "take_stratified" -> Q((s, d) => Reshape.takeStratified(s, d), Some("""
+      WITH r AS (SELECT lang, doc_id, n_chars,
+          row_number() OVER (PARTITION BY lang ORDER BY
+            CAST(('0x' || substring(
+              md5('take:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+            doc_id) AS rn
+        FROM documents)
+      SELECT lang, CAST(rn AS INTEGER) AS rn, doc_id, n_chars
+      FROM r WHERE rn <= 25 ORDER BY lang, rn""")),
+
+    // X36b — cumulative-share coverage selection: the minimal prefix
+    // of sources (by token mass) covering >= 90% of corpus tokens —
+    // the corpus-audit decision domain_mix_sample acts on. Window
+    // state is source-cardinality-sized, never corpus-sized.
+    "coverage_select" -> Q((s, d) => Reshape.coverageSelect(s, d), Some("""
+      WITH s AS (SELECT source,
+          CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> ''))) AS BIGINT) AS tokens
+        FROM documents GROUP BY 1),
+      c AS (SELECT source, tokens,
+          sum(tokens) OVER (ORDER BY tokens DESC, source
+            ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+          sum(tokens) OVER () AS total FROM s)
+      SELECT source, tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      FROM c
+      WHERE CAST(cum_tokens - tokens AS DOUBLE) < 0.9 * CAST(total AS DOUBLE)
+      ORDER BY tokens DESC, source""")),
+
     "range_join" -> Q(Reshape.rangeJoinBucketed, Some(s"""
       WITH m AS (
         SELECT e.event_id, count(*) AS n_orders,

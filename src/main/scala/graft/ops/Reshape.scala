@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Tables.{t, dsum}
 
@@ -178,6 +179,61 @@ object Reshape {
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
         col("bucket").cast("int").as("bucket"))
       .orderBy("c_custkey")
+  }
+
+  /** Exact-k deterministic stratified TAKE: exactly `min(k, |stratum|)`
+    * documents per language, chosen by a content-derived md5 rank —
+    * the "give me 200 eval docs per language, same 200 every run,
+    * every engine, every retry" pipeline shape. [[sampleStratified]]
+    * is its rate-based sibling (expected fraction, binomial count
+    * jitter); eval sets and few-shot pools need exact counts, which
+    * an RNG-free rank + `row_number` window delivers. One shuffle on
+    * the stratum key; the per-stratum sort state is stratum-sized —
+    * at 100 TB, k ≪ stratum, so a rank-filter pre-pass (keep hash <
+    * headroom·k/|stratum| quantile) can bound it; at the registered
+    * scale the plain window is the right plan. Ties are impossible
+    * short of an md5 collision on distinct doc_ids, so the order — and
+    * the gate hash — is total. */
+  def takeStratified(spark: SparkSession, dir: String,
+      k: Int = 25): DataFrame = {
+    val rank = graft.util.Tables.md5Long32(
+      concat(lit("take:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("lang")).orderBy(rank, col("doc_id"))
+    t(spark, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("rn").cast("int").as("rn"), col("doc_id"),
+        col("n_chars"))
+      .orderBy("lang", "rn")
+  }
+
+  /** Cumulative-share COVERAGE selection: the smallest prefix of
+    * sources (ranked by token mass) whose running total reaches
+    * `share` of the corpus — "which domains make up 90% of my tokens",
+    * the pruning/licensing decision every corpus audit starts with.
+    * A source is kept iff the mass BEFORE it is still short of the
+    * target, so the result is exactly the minimal covering prefix.
+    * Plan: one tokenize+agg pass (map-side combined), then a window
+    * over the SOURCE-level table — group-count-sized, so the window
+    * state is bounded by source cardinality, not corpus size. All
+    * integer token counts; the share threshold multiplies a bigint
+    * total in double — exact for totals < 2^53. */
+  def coverageSelect(spark: SparkSession, dir: String,
+      share: Double = 0.9): DataFrame = {
+    val perSource = t(spark, dir, "documents")
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("toks"))
+      .groupBy("source").agg(sum(col("toks")).as("tokens"))
+    val w = Window.orderBy(col("tokens").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = Window.partitionBy()
+    perSource
+      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .withColumn("__total", sum(col("tokens")).over(total))
+      .filter((col("cum_tokens") - col("tokens")).cast("double") <
+        lit(share) * col("__total").cast("double"))
+      .select(col("source"), col("tokens"), col("cum_tokens"))
+      .orderBy(col("tokens").desc, col("source"))
   }
 
   /** Range join, bucket-accelerated: for each event, the user's orders

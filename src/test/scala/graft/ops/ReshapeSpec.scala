@@ -9,6 +9,53 @@ class ReshapeSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("takeStratified returns exactly min(k, stratum size) rows per stratum, deterministically") {
+    import spark.implicits._
+    val k = 7
+    val got = Reshape.takeStratified(spark, dir, k)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+    val strata = graft.util.Tables.t(spark, dir, "documents")
+      .groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val byLang = got.groupBy(_._1)
+    assert(byLang.keySet == strata.keySet)
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length == math.min(k.toLong, strata(lang)),
+        s"$lang: ${rows.length} rows for stratum of ${strata(lang)}")
+    }
+    // content-derived rank ⇒ identical selection on re-run
+    val again = Reshape.takeStratified(spark, dir, k)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+    assert(got.sortBy(identity).sameElements(again.sortBy(identity)))
+  }
+
+  test("coverageSelect keeps the MINIMAL source prefix reaching the share") {
+    import spark.implicits._
+    val share = 0.9
+    val kept = Reshape.coverageSelect(spark, dir, share)
+      .select("source", "tokens").as[(String, Long)].collect()
+    assert(kept.nonEmpty)
+    val all = graft.util.Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.size(
+          TextAnalysis.tokens(org.apache.spark.sql.functions.col("text")))
+          .cast("long").as("t"))
+      .groupBy("source").sum("t").as[(String, Long)].collect().toMap
+    val total = all.values.sum
+    val keptMass = kept.map(_._2).sum
+    // coverage: the kept prefix reaches the share
+    assert(keptMass.toDouble >= share * total,
+      s"kept $keptMass of $total < $share")
+    // minimality: dropping the last (smallest) kept source falls short
+    val withoutLast = keptMass - kept.map(_._2).min
+    assert(withoutLast.toDouble < share * total,
+      s"prefix not minimal: $withoutLast still covers $share of $total")
+    // and the kept set is exactly the top-|kept| sources by mass
+    val topK = all.toSeq.sortBy { case (s, t) => (-t, s) }
+      .take(kept.length).map(_._1).toSet
+    assert(kept.map(_._1).toSet == topK)
+  }
+
   test("pivot cell counts reconcile with the plain groupBy") {
     import spark.implicits._
     val pivoted = Reshape.pivotOrders(spark, dir)
