@@ -756,6 +756,19 @@ object SparkEntry {
     "json_roundtrip" -> Q(Formats.jsonRoundtrip, Some(formatOracle)),
     "csv_roundtrip" -> Q(Formats.csvRoundtrip, Some(formatOracle)),
 
+    // S6 — binaryFile source: per-document fixture files written
+    // executor-side, read back through the binary-directory scan,
+    // featurized as (id-from-path, byte length, content md5). Oracle
+    // recomputes both from the documents table — green proves the
+    // write → binary scan round trip is byte-exact (testdata text is
+    // ASCII, pinned by TablesSchemaSpec, so octet_length(encode()) is
+    // the exact byte count).
+    "binary_ingest" -> Q(Formats.binaryIngest, Some("""
+      SELECT doc_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS length,
+        md5(text) AS content_md5
+      FROM documents ORDER BY doc_id""")),
+
     // Parquet schema evolution: two file generations (one without the
     // o_totalprice column) merged by a mergeSchema read; oracle splits
     // the ORIGINAL parquet the same even/odd way.

@@ -68,6 +68,45 @@ object Formats {
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame =
     summarize(roundtrip(spark, dir, "csv"))
 
+  /** S6 — BINARY-DIRECTORY source (`binaryFile`): the entry path of a
+    * multimodal lake — a directory of opaque per-asset files (images,
+    * audio, here one file per document's bytes) read as
+    * (path, length, content) rows, featurized without ever parsing
+    * content as text. The harness materializes the fixture files
+    * executor-side (`foreachPartition`, parallel, never a driver
+    * collect — on a cluster the target would be shared storage), then
+    * reads them back through the real source and emits per-asset
+    * (id-from-path, byte length, content md5). The oracle recomputes
+    * length/md5 from the documents table directly, so the gate proves
+    * the file write → binary scan round trip is byte-exact. At 100 TB
+    * the source's partition-parallel listing + `pathGlobFilter`/
+    * recursive lookup are the standard corpus-crawl knobs; content
+    * rides as an opaque binary column exactly like
+    * [[Multimodal]]'s payloads. */
+  def binaryIngest(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Paths
+      .get(s"target/graft_formats/binary_${pathTag(dir)}").toAbsolutePath
+    graft.util.Scratch.deleteRecursive(out)
+    java.nio.file.Files.createDirectories(out)
+    val outStr = out.toString
+    t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$outStr/doc_${r.getLong(0)}.bin"),
+            r.getString(1).getBytes("UTF-8"))
+          ()
+        }
+      }
+    spark.read.format("binaryFile").load(outStr)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+        col("length"),
+        md5(col("content")).as("content_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Parquet schema EVOLUTION roundtrip: batch 1 writes (orderkey,
     * custkey); batch 2 appends the same dir with an extra
     * `o_totalprice` column; a `mergeSchema` read reconciles both file
