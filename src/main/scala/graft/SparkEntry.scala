@@ -1241,12 +1241,21 @@ object SparkEntry {
     // identical multiply/floor/sum/divide chain over unnested arrays —
     // bit-identical doubles, full hash gate. The double-path twin
     // (CentroidAgg) stays pinned in SimilaritySpec.
+    // The WHERE guard makes corpus drift loud: the aggregator SKIPS a
+    // NULL embedding row (n not incremented) and truncates a short
+    // array via min(dim, len), while an unguarded count(*) oracle
+    // would count the NULL row and sum-skip the short one — a drifted
+    // corpus could then diverge semi-silently. Guarded, any NULL or
+    // non-64-len row is excluded from the oracle while the engine
+    // still counts the short one → rows/hash mismatch, named query.
+    // (TablesSchemaSpec pins the healthy invariant at every sf dir.)
     "centroid_udaf" -> Q(Similarity.centroidByLabelFlat, Some("""
       WITH q AS (
         SELECT label, r.i - 1 AS dim,
           CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000000000.0)
             AS BIGINT) AS qv
-        FROM embeddings, range(1, 65) r(i)),
+        FROM embeddings, range(1, 65) r(i)
+        WHERE embedding IS NOT NULL AND len(embedding) = 64),
       g AS (SELECT label, dim, CAST(sum(qv) AS BIGINT) AS s,
               count(*) AS n
             FROM q GROUP BY 1, 2)

@@ -45,14 +45,19 @@ object Verify {
     // occupy their slots, and dropping their entries would downgrade
     // a later full check.py from the recorded exception to a generic
     // schema mismatch. Entries for the queries being re-run are
-    // dropped (they're about to be refreshed either way).
+    // dropped (they're about to be refreshed either way) — and so are
+    // keys no longer in the registry: a stale entry for a renamed or
+    // removed query would otherwise feed check.py's no-oracle-slot
+    // loop a spurious FAIL that no re-run of existing queries clears.
     if (only.nonEmpty) {
+      val registered = SparkEntry.registry.map(_._1).toSet
       val p = Paths.get(s"$outDir/_errors.json")
       if (Files.exists(p)) try {
         val m = new com.fasterxml.jackson.databind.ObjectMapper()
           .readValue(Files.readString(p),
             classOf[java.util.LinkedHashMap[String, String]])
-        m.forEach((k, v) => if (!only(k)) errors(k) = v)
+        m.forEach((k, v) =>
+          if (!only(k) && registered(k)) errors(k) = v)
       } catch { case _: Throwable => () } // unreadable → start clean
     }
     // Clear any stale error record up front: an interrupted prior run

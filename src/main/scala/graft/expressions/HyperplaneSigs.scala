@@ -53,26 +53,45 @@ final case class HyperplaneSigs(child: Expression, nBits: Int, nTables: Int)
 
   /** The cached plane matrix, flattened [i * K + k] with
     * k = t·nBits + j — element-major so the per-element inner k loop
-    * walks contiguous memory. Covers i < MaxCachedDim; wider vectors
-    * fall back to [[HyperplaneSigs.coefAt]] per element (correct,
-    * just unfused — embeddings here are 64-dim). */
-  @transient private lazy val coefs: Array[Double] = {
-    val k = nTables * nBits
-    val a = new Array[Double](HyperplaneSigs.MaxCachedDim * k)
-    var i = 0
-    while (i < HyperplaneSigs.MaxCachedDim) {
-      var t = 0
-      while (t < nTables) {
-        var j = 0
-        while (j < nBits) {
-          a(i * k + t * nBits + j) = HyperplaneSigs.coefAt(t, j, i)
-          j += 1
+    * walks contiguous memory. Covers i < MaxCachedDim eagerly; a wider
+    * vector triggers a one-time geometric regrow via [[coefsFor]] —
+    * the per-row loop is ALWAYS a pure multiply-add over a cached
+    * array, never per-(plane, element) md5 (that fallback was a silent
+    * ~1000× per-row cliff for wide embeddings: nK digests per element
+    * per row). */
+  @transient private lazy val coefs: Array[Double] =
+    HyperplaneSigs.buildCoefs(nTables, nBits, HyperplaneSigs.MaxCachedDim)
+
+  /** Wide-vector extension of [[coefs]], grown geometrically on first
+    * observation of a longer array and reused by every later row.
+    * Volatile + synchronized regrow: the expression instance can be
+    * shared across a local-mode stage's task threads, and the regrow
+    * is idempotent (coefAt is a pure function), so the worst race
+    * cost is one redundant build. The steady-state per-row cost is
+    * one volatile read. */
+  @transient @volatile private var wideCoefs: Array[Double] = null
+
+  /** Coefficient matrix covering at least `n` elements. Public only
+    * for the generated code's per-row call. */
+  def coefsFor(n: Int): Array[Double] = {
+    if (n <= HyperplaneSigs.MaxCachedDim) coefs
+    else {
+      val k = nTables * nBits
+      var w = wideCoefs
+      if (w == null || w.length < n * k) {
+        synchronized {
+          w = wideCoefs
+          if (w == null || w.length < n * k) {
+            val dim = math.max(n,
+              math.max(HyperplaneSigs.MaxCachedDim,
+                if (w == null) 0 else w.length / k) * 2)
+            w = HyperplaneSigs.buildCoefs(nTables, nBits, dim)
+            wideCoefs = w
+          }
         }
-        t += 1
       }
-      i += 1
+      w
     }
-    a
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -80,22 +99,16 @@ final case class HyperplaneSigs(child: Expression, nBits: Int, nTables: Int)
     val n = x.numElements()
     val nK = nTables * nBits
     val projs = new Array[Double](nK)
+    val cm = coefsFor(n)
     var poisoned = false
     var i = 0
     while (i < n && !poisoned) {
       if (x.isNullAt(i)) poisoned = true
       else {
         val xi = x.getFloat(i).toDouble
+        val base = i * nK
         var k = 0
-        if (i < HyperplaneSigs.MaxCachedDim) {
-          val base = i * nK
-          while (k < nK) { projs(k) += xi * coefs(base + k); k += 1 }
-        } else {
-          while (k < nK) {
-            projs(k) += xi * HyperplaneSigs.coefAt(k / nBits, k % nBits, i)
-            k += 1
-          }
-        }
+        while (k < nK) { projs(k) += xi * cm(base + k); k += 1 }
       }
       i += 1
     }
@@ -118,8 +131,12 @@ final case class HyperplaneSigs(child: Expression, nBits: Int, nTables: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x => {
-      val cf = ctx.addReferenceObj("coefs", coefs, "double[]")
-      val cls = classOf[HyperplaneSigs].getName
+      // the expression instance itself rides along so the generated
+      // code shares the SAME growing coefficient cache as interpreted
+      // eval — one virtual call per row, never per-element hashing
+      val self = ctx.addReferenceObj("hyperplaneSigs", this,
+        classOf[HyperplaneSigs].getName)
+      val cf = ctx.freshName("cf")
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val k = ctx.freshName("k")
@@ -134,21 +151,15 @@ final case class HyperplaneSigs(child: Expression, nBits: Int, nTables: Int)
       val nK = nTables * nBits
       s"""
          |int $n = $x.numElements();
+         |double[] $cf = $self.coefsFor($n);
          |double[] $projs = new double[$nK];
          |boolean $poisoned = false;
          |for (int $i = 0; $i < $n && !$poisoned; $i++) {
          |  if ($x.isNullAt($i)) { $poisoned = true; break; }
          |  double $xi = (double) $x.getFloat($i);
-         |  if ($i < ${HyperplaneSigs.MaxCachedDim}) {
-         |    int $base = $i * $nK;
-         |    for (int $k = 0; $k < $nK; $k++) {
-         |      $projs[$k] += $xi * $cf[$base + $k];
-         |    }
-         |  } else {
-         |    for (int $k = 0; $k < $nK; $k++) {
-         |      $projs[$k] += $xi *
-         |        $cls.coefAt($k / $nBits, $k % $nBits, $i);
-         |    }
+         |  int $base = $i * $nK;
+         |  for (int $k = 0; $k < $nK; $k++) {
+         |    $projs[$k] += $xi * $cf[$base + $k];
          |  }
          |}
          |long[] $sigs = new long[$nTables];
@@ -171,9 +182,34 @@ final case class HyperplaneSigs(child: Expression, nBits: Int, nTables: Int)
 }
 
 object HyperplaneSigs {
-  /** Coefficient cache width (element index). Embeddings beyond this
-    * dimension stay correct via the per-element fallback. */
+  /** Eager coefficient cache width (element index). Wider embeddings
+    * regrow the cache once ([[HyperplaneSigs.coefsFor]]) — still a
+    * cached multiply-add per row, never per-row hashing. */
   val MaxCachedDim = 256
+
+  /** Plane matrix for element indices [0, dim), flattened
+    * [i * nK + t * nBits + j] — element-major so the per-element
+    * inner loop walks contiguous memory. Pure function of the
+    * (nTables, nBits, dim) triple; called once per cache (re)build. */
+  private[expressions] def buildCoefs(nTables: Int, nBits: Int,
+      dim: Int): Array[Double] = {
+    val k = nTables * nBits
+    val a = new Array[Double](dim * k)
+    var i = 0
+    while (i < dim) {
+      var t = 0
+      while (t < nTables) {
+        var j = 0
+        while (j < nBits) {
+          a(i * k + t * nBits + j) = coefAt(t, j, i)
+          j += 1
+        }
+        t += 1
+      }
+      i += 1
+    }
+    a
+  }
 
   /** Plane coefficient for (table, bit, element): the first 32 md5
     * bits of `"hp:t:j:i"` as an unsigned int, mod 1e6, mapped to

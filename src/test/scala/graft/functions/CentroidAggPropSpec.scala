@@ -53,6 +53,33 @@ class CentroidAggPropSpec extends AnyFunSuite {
     agg.finish(merged)
   }
 
+  /** Split rows at the given cut points and combine the partition
+    * buffers by RANDOM ADJACENT PAIR-MERGES — a full merge TREE (e.g.
+    * merge(merge(b2,b3), merge(b0,b1))), the shape a cluster's
+    * partial/final aggregation actually produces, which the
+    * left-linear [[viaPartitions]] fold never exercises. The pairing
+    * order (and per-step argument order) is driven by the seeded
+    * stream, so 60 seeds cover many distinct tree shapes. */
+  private def viaMergeTree(rows: List[Array[Float]],
+      cuts: List[Int], seed: Long): Array[Double] = {
+    val parts: Vector[Seq[Array[Float]]] = {
+      val sorted = (0 :: rows.length :: cuts.map(c =>
+        math.min(rows.length, math.max(0, c)))).distinct.sorted
+      sorted.zip(sorted.tail).map { case (a, b) => rows.slice(a, b) }
+        .toVector
+    }
+    val rnd = new scala.util.Random(seed)
+    var bufs = parts.map(bufOf)
+    while (bufs.length > 1) {
+      val j = rnd.nextInt(bufs.length - 1)
+      val merged =
+        if (rnd.nextBoolean()) agg.merge(bufs(j), bufs(j + 1))
+        else agg.merge(bufs(j + 1), bufs(j))
+      bufs = (bufs.take(j) :+ merged) ++ bufs.drop(j + 2)
+    }
+    agg.finish(bufs.headOption.getOrElse(agg.zero))
+  }
+
   test("quantized centroid is bit-identical under any split and merge order") {
     (1L to 60L).foreach { seed =>
       val rows = sample(genRows, seed)
@@ -61,11 +88,19 @@ class CentroidAggPropSpec extends AnyFunSuite {
         seed + 1000)
       val order = sample(Gen.listOfN(6, Gen.choose(0, 10)), seed + 2000)
       val split = viaPartitions(rows, cuts, order)
+      val tree = viaMergeTree(rows, cuts, seed + 3000)
       assert(single.length == split.length, s"seed $seed: length")
+      assert(single.length == tree.length, s"seed $seed: tree length")
       single.zip(split).zipWithIndex.foreach { case ((a, b), i) =>
         assert(java.lang.Double.doubleToLongBits(a) ==
           java.lang.Double.doubleToLongBits(b),
           s"seed $seed dim $i: $a vs $b (must be bit-identical)")
+      }
+      single.zip(tree).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(java.lang.Double.doubleToLongBits(a) ==
+          java.lang.Double.doubleToLongBits(b),
+          s"seed $seed dim $i (merge tree): $a vs $b " +
+            "(must be bit-identical)")
       }
     }
   }

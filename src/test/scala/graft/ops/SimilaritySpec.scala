@@ -388,6 +388,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nSigs == Seq(0L, 0L, 0L) && hSig == 0L)
   }
 
+  test("HyperplaneSigs stays bit-identical past MaxCachedDim (cache regrow path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 300 dims > MaxCachedDim (256): the round-10 growing cache must
+    // produce the same coefficients the HOF form derives per element —
+    // this is the only test that reaches the regrown region.
+    val wideDim = graft.expressions.HyperplaneSigs.MaxCachedDim + 44
+    val vecs = (0 until 8).map { v =>
+      (v.toLong, (0 until wideDim).map(i =>
+        math.sin(v * 131 + i).toFloat).toArray.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "e")
+    val native = df.select(col("vec_id"),
+      graft.expressions.HyperplaneSigs(col("e"), 10, 3).as("sigs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    (0 until 3).foreach { t =>
+      val hof = df.select(col("vec_id"),
+        Similarity.signature(col("e"), 10, t).as("sig"))
+        .as[(Long, Long)].collect().toMap
+      vecs.foreach { case (v, _) =>
+        assert(native(v)(t) == hof(v), s"vec $v table $t")
+      }
+    }
+  }
+
   test("LSH signature is deterministic across evaluations and salted per table") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
