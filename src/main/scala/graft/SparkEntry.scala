@@ -1669,13 +1669,45 @@ object SparkEntry {
     // bits per feature, rounded through FLOAT exactly like the Scala
     // side), so the whole multimodal pipeline is oracle-checked
     // end-to-end, float rounding included.
+    // Real-decode multimodal retrieval (round 10): the engine writes
+    // one PPM (P6) asset per document — raster = the doc's ASCII
+    // bytes repeated cyclically over a per-doc geometry (w = 8 +
+    // id % 9, h = 8 + (id/9) % 7) — reads it back through binaryFile,
+    // PARSES the header+raster for real (PpmCodec) and embeds pixel
+    // statistics. The oracle replays the identical feature chain from
+    // the generating text: per-channel integer sums/maxima over the
+    // same cyclic raster (ord() of the ASCII char = the pixel byte —
+    // ASCII-ness pinned by TablesSchemaSpec), one double division +
+    // one float rounding per feature, then the same cosine top-k tail.
     "media_embed_topk" -> Q((s, d) => Multimodal.mediaEmbedTopK(s, d),
       Some("""
-      WITH emb AS (SELECT doc_id AS media_id,
-          CAST(list_transform(range(0, 8), j ->
-            CAST(CAST(('0x' || substring(md5(text || ':' || j), 1, 8))
-                 AS BIGINT) AS DOUBLE) / 4294967296.0) AS FLOAT[]) AS fe
+      WITH dims AS (SELECT doc_id AS media_id, text,
+          CAST(8 + doc_id % 9 AS INT) AS w,
+          CAST(8 + (doc_id // 9) % 7 AS INT) AS h
         FROM documents),
+      pb AS (SELECT media_id, w, h, CAST(i % 3 AS INT) AS ch,
+          ord(substring(text, CAST(i % len(text) AS INT) + 1, 1)) AS b
+        FROM (SELECT media_id, w, h, text,
+                unnest(range(0, w * h * 3)) AS i
+              FROM dims)),
+      fs AS (SELECT media_id, w, h,
+          sum(CASE WHEN ch = 0 THEN b END) AS s0,
+          sum(CASE WHEN ch = 1 THEN b END) AS s1,
+          sum(CASE WHEN ch = 2 THEN b END) AS s2,
+          max(CASE WHEN ch = 0 THEN b END) AS x0,
+          max(CASE WHEN ch = 1 THEN b END) AS x1,
+          max(CASE WHEN ch = 2 THEN b END) AS x2,
+          sum(b) AS st
+        FROM pb GROUP BY 1, 2, 3),
+      emb AS (SELECT media_id, CAST([
+          CAST(CAST(s0 AS DOUBLE) / (w * h) AS FLOAT),
+          CAST(CAST(s1 AS DOUBLE) / (w * h) AS FLOAT),
+          CAST(CAST(s2 AS DOUBLE) / (w * h) AS FLOAT),
+          CAST(x0 AS FLOAT), CAST(x1 AS FLOAT), CAST(x2 AS FLOAT),
+          CAST(CAST(w AS DOUBLE) / h AS FLOAT),
+          CAST(CAST(st AS DOUBLE) / (3 * w * h) AS FLOAT)]
+          AS FLOAT[]) AS fe
+        FROM fs),
       e2 AS (SELECT media_id, CAST(fe AS DOUBLE[]) AS e FROM emb),
       q AS (SELECT media_id AS q_id, e AS qe FROM e2 WHERE media_id < 4),
       s AS (SELECT q_id, media_id AS vec_id,

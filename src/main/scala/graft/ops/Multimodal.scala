@@ -91,91 +91,132 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Image geometry of the generated asset for a document: the PPM
+    * dimensions VARY per asset (8–16 × 8–14) so the decoded header is
+    * load-bearing — every downstream feature depends on the w/h the
+    * decoder parsed, not on a constant. Shared with the
+    * `media_embed_topk` oracle (`8 + doc_id % 9`,
+    * `8 + (doc_id // 9) % 7` in DuckDB) and MultimodalSpec's
+    * independent re-derivation. */
+  def assetWidth(id: Long): Int = (8 + id % 9).toInt
+  def assetHeight(id: Long): Int = (8 + (id / 9) % 7).toInt
+
+  /** The asset STORE for `dir`: one real PPM (P6) image per document,
+    * raster = the document's ASCII bytes repeated cyclically over a
+    * per-doc-varying geometry. Files are materialized executor-side
+    * (`foreachPartition`, parallel — on a cluster the target would be
+    * shared storage, same posture as [[Formats.binaryIngest]]) and
+    * `_SUCCESS`-gated per (sf dir, source listing fingerprint) so a
+    * testdata refresh self-invalidates the store instead of serving
+    * stale pixels. Returns the directory path. */
+  def mediaAssetDir(spark: SparkSession, dir: String): String = {
+    val tag = graft.util.Tables.pathTag(dir)
+    val out = java.nio.file.Paths.get("target/graft_media/" +
+      s"ppm_${tag}_" +
+      graft.util.Tables.listingTag(spark, s"$dir/documents.parquet"))
+      .toAbsolutePath
+    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+      // sweep superseded generations of the SAME sf dir (stale
+      // listing tags): nothing else deletes them, and each holds a
+      // full per-document file tree
+      val root = java.nio.file.Paths.get("target/graft_media")
+      if (java.nio.file.Files.exists(root)) {
+        val ls = java.nio.file.Files.list(root)
+        try ls.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith(s"ppm_${tag}_") && p.toAbsolutePath != out
+          }.foreach(graft.util.Scratch.deleteRecursive)
+        finally ls.close()
+      }
+      graft.util.Scratch.deleteRecursive(out)
+      java.nio.file.Files.createDirectories(out)
+      val outStr = out.toString
+      t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          it.foreach { r =>
+            val id = r.getLong(0)
+            val tb = r.getString(1).getBytes("US-ASCII")
+            val w = assetWidth(id); val h = assetHeight(id)
+            val raster = new Array[Byte](w * h * 3)
+            var i = 0
+            while (i < raster.length) {
+              raster(i) = tb(i % tb.length); i += 1
+            }
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$outStr/doc_$id.ppm"),
+              PpmCodec.encode(w, h, raster))
+            ()
+          }
+        }
+      java.nio.file.Files.write(out.resolve("_SUCCESS"),
+        Array.emptyByteArray)
+    }
+    out.toString
+  }
+
+  /** The asset store read back through the real `binaryFile` source:
+    * (media_id from the file name, payload = the raw PPM bytes). */
+  def mediaAssets(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(mediaAssetDir(spark, dir))
+      .filter(col("path").endsWith(".ppm"))
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.ppm$", 1)
+          .cast("long").as("media_id"),
+        col("content").as("payload"))
+
   /** X16b — the typed `mapPartitions` DECODE STAGE: binary payloads in,
     * fixed-dim embedding vectors out. This is the batch shape a real
     * multimodal pipeline needs and codegen expressions can't provide —
-    * a per-PARTITION resource (codec handle, inference session) is
-    * initialized once and amortized across the partition's rows, with
-    * per-row work pure bytes-to-vector. The decode itself is the
-    * container-imposed stub ([[MediaDecoder]]); everything Spark-side —
-    * the `Dataset[(Long, Array[Byte])]` signature, the per-partition
-    * iterator, the schema of the output, the downstream reuse of the
-    * embedding by the similarity operators — is real and oracle-tested
-    * through [[mediaEmbedTopK]]. Embarrassingly parallel: no shuffle,
-    * scan-partitioned like the source. */
-  def mediaEmbedded(spark: SparkSession, dir: String,
-      dim: Int = 8): DataFrame =
-    embedDf(mediaTable(spark, dir), dim)
+    * per-row work is genuine bytes→pixels→features ([[PpmCodec]]
+    * parses the P6 header and raster and throws on malformed input),
+    * and the per-partition closure is where a heavier codec (libjpeg
+    * handle, ONNX session) would initialize once and amortize.
+    * Embarrassingly parallel: no shuffle, scan-partitioned like the
+    * source; the embedding is reused downstream by the similarity
+    * operators unchanged. */
+  def mediaEmbedded(spark: SparkSession, dir: String): DataFrame =
+    embedDf(mediaAssets(spark, dir))
 
   /** The decode stage over an arbitrary (media_id, payload) frame —
     * shared so [[mediaEmbedTopK]] can decode its tiny query batch
     * separately instead of running the corpus decode pipeline twice. */
-  private def embedDf(media: DataFrame, dim: Int): DataFrame = {
+  private def embedDf(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media
       .select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // one "codec" per partition, reset per row — the resource
-        // lifecycle a real decoder (libjpeg handle, ONNX session)
-        // would use in exactly this position
-        val codec = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, payload) =>
-          (id, MediaDecoder.embed(codec, payload, dim))
+          (id, PpmCodec.features(PpmCodec.decode(payload)))
         }
       }
       .toDF("media_id", "embedding")
   }
 
-  /** X16b — composed multimodal retrieval: decode → embed → exact
-    * cosine top-k, the media-similarity pipeline (dedup of
-    * re-encoded images, nearest-neighbor media search) end to end.
-    * Ranking reuses [[Similarity.scoreTopK]] — the SAME scoring tail
-    * as the `embeddings`-table operators, proving the decoded vectors
-    * are first-class citizens of the similarity family. Query side =
-    * the lowest `nQueries` media ids, broadcast; candidate side
-    * streams with no shuffle (see [[Similarity.cosineTopK]]). */
+  /** X16b — composed multimodal retrieval: real file ingest → real
+    * PPM decode → feature embed → exact cosine top-k, the
+    * media-similarity pipeline (dedup of re-encoded images,
+    * nearest-neighbor media search) end to end. Ranking reuses
+    * [[Similarity.scoreTopK]] — the SAME scoring tail as the
+    * `embeddings`-table operators, proving the decoded vectors are
+    * first-class citizens of the similarity family. Query side = the
+    * lowest `nQueries` media ids, broadcast; candidate side streams
+    * with no shuffle (see [[Similarity.cosineTopK]]). */
   def mediaEmbedTopK(spark: SparkSession, dir: String, k: Int = 5,
       nQueries: Int = 4): DataFrame = {
-    // the query batch is decoded SEPARATELY (nQueries rows, pushed-down
-    // scan filter) so the corpus-wide decode pipeline executes exactly
-    // once — both branches of an uncached shared subplan would re-run
-    // it, and with a real codec that doubles the expensive stage
+    // the query batch is decoded SEPARATELY (filtered to nQueries rows
+    // BEFORE the decode stage) so the corpus-wide decode pipeline
+    // executes exactly once — both branches of an uncached shared
+    // subplan would re-run it, doubling the dominant stage
     val queries = embedDf(
-        mediaTable(spark, dir).filter(col("media_id") < nQueries), 8)
+        mediaAssets(spark, dir).filter(col("media_id") < nQueries))
       .select(col("media_id").as("q_id"), col("embedding").as("q_emb"),
         Similarity.l2norm(col("embedding")).as("q_nrm"))
     val cands = mediaEmbedded(spark, dir)
       .select(col("media_id").as("vec_id"), col("embedding"),
         Similarity.l2norm(col("embedding")).as("nrm"))
     Similarity.scoreTopK(cands.crossJoin(broadcast(queries)), k)
-  }
-}
-
-/** STUB DECODER — the container has no image/audio/video codecs, so
-  * "decode + feature-extract" is a deterministic fake: feature j is
-  * the first 32 bits of md5(payload ++ ":j") scaled into [0, 1] —
-  * closed at 1: words ≥ 2^32−128 are within half an ulp of 1 and the
-  * final toFloat rounds them to exactly 1.0f (~2^-25 per feature).
-  * Deliberately reproducible in DuckDB SQL
-  * (`CAST(('0x' || substring(md5(text || ':' || j), 1, 8)) AS BIGINT)`)
-  * so the full decode→embed→top-k pipeline is cross-engine
-  * oracle-checked, float rounding included. A real deployment replaces
-  * ONLY this object's body (bytes in, float vector out); the
-  * mapPartitions plumbing above is unchanged. */
-object MediaDecoder {
-  def embed(codec: java.security.MessageDigest, payload: Array[Byte],
-      dim: Int): Array[Float] = {
-    (0 until dim).map { j =>
-      codec.reset()
-      codec.update(payload)
-      codec.update(s":$j".getBytes("UTF-8"))
-      val word = codec.digest().take(4).map("%02x".format(_)).mkString
-      // /2^32 is exact in double (power-of-two exponent shift); the
-      // one rounding step is the final toFloat — same IEEE
-      // round-to-nearest as DuckDB's CAST(double AS FLOAT)
-      (java.lang.Long.parseLong(word, 16).toDouble / 4294967296.0).toFloat
-    }.toArray
   }
 }

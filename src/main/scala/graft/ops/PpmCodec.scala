@@ -1,0 +1,136 @@
+package graft.ops
+
+/** Pure-JVM PPM (P6) image codec — the REAL decoder behind the
+  * multimodal decode stage ([[Multimodal.mediaEmbedded]]).
+  *
+  * PPM "raw" P6 is an actually-parseable raster format with no codec
+  * dependency: an ASCII header (`P6`, width, height, maxval, each
+  * separated by whitespace and/or `#` comments per the Netpbm spec)
+  * followed by exactly one whitespace byte and `width*height*3` bytes
+  * of RGB raster. [[decode]] parses that header for real — the decoded
+  * width/height drive the feature geometry, a malformed magic, an
+  * overflowing dimension, a non-255 maxval, or a truncated raster all
+  * throw — so the decode→embed pipeline downstream is exercising
+  * genuine bytes-to-pixels work, not a hash of the payload (the
+  * pre-round-10 stand-in).
+  *
+  * [[features]] is the "feature extract" half: fixed-dim image
+  * statistics computed from the decoded pixels — per-channel means and
+  * maxima, aspect ratio, global brightness. All integer sums before a
+  * single double division + float rounding, so the exact values are
+  * reproducible in DuckDB SQL from the same bytes (the
+  * `media_embed_topk` oracle) with IEEE-identical rounding. */
+object PpmCodec {
+
+  /** Encode an RGB raster as a P6 image. */
+  def encode(w: Int, h: Int, raster: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    require(raster.length == w * h * 3,
+      s"raster length ${raster.length} != ${w}x$h*3")
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + raster.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(raster, 0, out, header.length, raster.length)
+    out
+  }
+
+  /** A decoded image: header-parsed dimensions + the RGB raster
+    * (interleaved, row-major, 3 bytes per pixel). */
+  final case class Image(width: Int, height: Int, raster: Array[Byte])
+
+  /** Decode a P6 image. Strict: throws `IllegalArgumentException` on
+    * anything malformed — wrong magic, missing/overflowing header
+    * ints, maxval ≠ 255 (the 1-byte-per-sample contract), or a raster
+    * shorter than `width*height*3`. Trailing bytes beyond the raster
+    * are rejected too: in this pipeline every payload is exactly one
+    * image, and silent tolerance would mask generator bugs. Netpbm
+    * `#` comments (to end-of-line) are honored anywhere whitespace is
+    * allowed in the header, per the spec. */
+  def decode(bytes: Array[Byte]): Image = {
+    var pos = 0
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"malformed PPM: $msg")
+    def skipSpace(): Unit = {
+      var in = true
+      while (in && pos < bytes.length) {
+        val b = bytes(pos)
+        if (b == ' ' || b == '\n' || b == '\r' || b == '\t' ||
+          b == '\f' || b == 0x0b) pos += 1
+        else if (b == '#') {
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        } else in = false
+      }
+    }
+    def readInt(what: String): Int = {
+      skipSpace()
+      val start = pos
+      var v = 0L
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0')
+        if (v > Int.MaxValue) fail(s"$what overflows")
+        pos += 1
+      }
+      if (pos == start) fail(s"expected $what digit at offset $pos")
+      v.toInt
+    }
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6')
+      fail("magic is not P6")
+    pos = 2
+    val w = readInt("width")
+    val h = readInt("height")
+    val maxval = readInt("maxval")
+    if (w <= 0 || h <= 0) fail(s"non-positive dimensions ${w}x$h")
+    if (maxval != 255) fail(s"unsupported maxval $maxval (need 255)")
+    // exactly ONE whitespace byte separates maxval from the raster
+    if (pos >= bytes.length || !isSpace(bytes(pos)))
+      fail("missing whitespace before raster")
+    pos += 1
+    val n = w.toLong * h * 3
+    if (n > Int.MaxValue - pos) fail(s"raster ${w}x$h too large")
+    if (bytes.length - pos < n)
+      fail(s"raster truncated: need $n bytes, have ${bytes.length - pos}")
+    if (bytes.length - pos > n)
+      fail(s"trailing garbage: ${bytes.length - pos - n.toInt} bytes " +
+        "past the raster")
+    val raster = java.util.Arrays.copyOfRange(bytes, pos, pos + n.toInt)
+    Image(w, h, raster)
+  }
+
+  private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f' ||
+      b == 0x0b
+
+  /** Fixed-dim (8) feature vector from decoded pixels:
+    * `[meanR, meanG, meanB, maxR, maxG, maxB, width/height,
+    * brightness]` — per-channel mean and max over the raster, the
+    * header aspect ratio, and the all-channel mean. Integer channel
+    * sums (exact), then one double division per feature and one float
+    * rounding — the identical chain the DuckDB oracle replays
+    * (`CAST(CAST(sum AS DOUBLE)/n AS FLOAT)`), so values are
+    * bit-reproducible cross-engine. */
+  def features(img: Image): Array[Float] = {
+    val sums = new Array[Long](3)
+    val maxs = new Array[Int](3)
+    var i = 0
+    while (i < img.raster.length) {
+      val v = img.raster(i) & 0xff
+      val c = i % 3
+      sums(c) += v
+      if (v > maxs(c)) maxs(c) = v
+      i += 1
+    }
+    val n = img.width * img.height
+    Array(
+      (sums(0).toDouble / n).toFloat,
+      (sums(1).toDouble / n).toFloat,
+      (sums(2).toDouble / n).toFloat,
+      maxs(0).toFloat,
+      maxs(1).toFloat,
+      maxs(2).toFloat,
+      (img.width.toDouble / img.height).toFloat,
+      ((sums(0) + sums(1) + sums(2)).toDouble / (3L * n)).toFloat)
+  }
+
+  /** Feature dimensionality of [[features]]. */
+  val FeatureDim = 8
+}

@@ -17,14 +17,19 @@ class MultimodalSpec extends AnyFunSuite {
     val dims = emb.select(size(col("embedding"))).distinct()
       .as[Int].collect().toSeq
     assert(dims == Seq(8), s"expected uniform dim 8, got $dims")
-    // all features land in [0, 1] — closed at 1: float rounding can
-    // carry words within half an ulp of 1 up to exactly 1.0f
+    // decoded-pixel features are bounded by construction: channel
+    // means/maxima in [0, 255] (ASCII payload bytes are 0x00–0x7F, so
+    // actually ≤ 127), aspect = w/h within the generator's geometry
+    // envelope (8–16 × 8–14)
     val bad = emb.select(explode(col("embedding")).as("v"))
-      .filter(col("v") < 0.0f || col("v") > 1.0f).count()
+      .filter(col("v") < 0.0f || col("v") > 255.0f).count()
     assert(bad == 0)
+    val aspects = emb.select(element_at(col("embedding"), 7).as("a"))
+      .filter(col("a") < 0.5f || col("a") > 2.0f).count()
+    assert(aspects == 0, "aspect feature outside the geometry envelope")
   }
 
-  test("decoded embedding matches a driver-side re-derivation from the payload bytes (X16b)") {
+  test("decoded embedding matches an independent re-derivation from the source text (X16b)") {
     import spark.implicits._
     val sample = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -33,11 +38,48 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(col("media_id") <= sample.map(_._1).max)
       .select(col("media_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().map(r => r._1 -> r._2.toSeq).toMap
+    // deliberately NOT PpmCodec: the expected features are rebuilt
+    // from the generating text with spec-local arithmetic (the same
+    // chain the DuckDB oracle runs), so an encode/decode bug cannot
+    // cancel itself out
     sample.foreach { case (id, text) =>
-      val codec = java.security.MessageDigest.getInstance("MD5")
-      val expect =
-        MediaDecoder.embed(codec, text.getBytes("UTF-8"), 8).toSeq
+      val tb = text.getBytes("US-ASCII")
+      val w = (8 + id % 9).toInt
+      val h = (8 + (id / 9) % 7).toInt
+      val n = w * h
+      val sums = new Array[Long](3); val maxs = new Array[Int](3)
+      (0 until n * 3).foreach { i =>
+        val v = tb(i % tb.length) & 0xff
+        sums(i % 3) += v
+        if (v > maxs(i % 3)) maxs(i % 3) = v
+      }
+      val expect = Seq(
+        (sums(0).toDouble / n).toFloat, (sums(1).toDouble / n).toFloat,
+        (sums(2).toDouble / n).toFloat, maxs(0).toFloat,
+        maxs(1).toFloat, maxs(2).toFloat, (w.toDouble / h).toFloat,
+        ((sums(0) + sums(1) + sums(2)).toDouble / (3L * n)).toFloat)
       assert(got(id) == expect, s"doc $id decode mismatch")
+    }
+  }
+
+  test("asset store holds genuine parseable PPMs and the decoder trusts only the header (X16b)") {
+    val assetDir = Multimodal.mediaAssetDir(spark, dir)
+    val files = new java.io.File(assetDir).listFiles()
+      .filter(_.getName.endsWith(".ppm")).sortBy(_.getName)
+    assert(files.length ==
+      spark.read.parquet(s"$dir/documents.parquet").count())
+    val bytes = java.nio.file.Files.readAllBytes(files.head.toPath)
+    // a real P6: magic + parseable header + exact raster length
+    val img = PpmCodec.decode(bytes)
+    assert(img.raster.length == img.width * img.height * 3)
+    val id = files.head.getName
+      .stripPrefix("doc_").stripSuffix(".ppm").toLong
+    assert(img.width == Multimodal.assetWidth(id) &&
+      img.height == Multimodal.assetHeight(id))
+    // corrupting the header dimensions must change what decode
+    // reports (it parses, not assumes) — and a truncated raster throws
+    intercept[IllegalArgumentException] {
+      PpmCodec.decode(bytes.dropRight(1))
     }
   }
 
