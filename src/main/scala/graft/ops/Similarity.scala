@@ -541,17 +541,45 @@ object Similarity {
     * it. */
   def cosinePairs(spark: SparkSession, dir: String,
       threshold: Double = 0.4, maxCells: Int = 16,
-      targetBlockRows: Int = 2048, maxSaltsPerCell: Int = 64): DataFrame = {
+      targetBlockRows: Int = 2048, maxSaltsPerCell: Int = 64): DataFrame =
+    cosinePairsFor(t(spark, dir, "embeddings"), threshold, maxCells,
+      targetBlockRows, maxSaltsPerCell)._1
+
+  /** Cell-pair pruning statistics of one [[cosinePairsFor]] plan:
+    * how many unordered cell pairs existed, how many survived the
+    * angular bound, and how many salted block-pair tasks they fanned
+    * into. The spec contract (`CosinePruneSpec`) asserts the bound
+    * actually FIRES on a clustered corpus — surviving ≪ total — and
+    * this record is how a caller (or a capacity planner sizing the
+    * 100 TB run) observes the prune rate without re-deriving it. */
+  final case class PairPruneStats(liveCells: Int, totalCellPairs: Int,
+      survivingCellPairs: Int, blockPairs: Int) {
+    def pruneFraction: Double =
+      if (totalCellPairs == 0) 0.0
+      else 1.0 - survivingCellPairs.toDouble / totalCellPairs
+  }
+
+  /** [[cosinePairs]] over an arbitrary (vec_id, label, embedding)
+    * corpus, returning the pair stream AND the pruning stats of the
+    * plan it built. `pruneCells = false` disables the angular bound
+    * (every live cell pair executes) — the measured control for the
+    * prune-rate scale table in SCALE_NOTES, and exactly the degraded
+    * regime an isotropic corpus forces. */
+  def cosinePairsFor(corpus: DataFrame,
+      threshold: Double = 0.4, maxCells: Int = 16,
+      targetBlockRows: Int = 2048, maxSaltsPerCell: Int = 64,
+      pruneCells: Boolean = true): (DataFrame, PairPruneStats) = {
+    val spark = corpus.sparkSession
     import spark.implicits._
-    val emb = fanOut(t(spark, dir, "embeddings"))
+    val emb = fanOut(corpus)
       .select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
     val cells: Seq[(Int, Seq[Double])] =
-      coarseCodebookFor(t(spark, dir, "embeddings"), maxCells)
+      coarseCodebookFor(corpus, maxCells)
         .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSeq
     if (cells.isEmpty)
-      return emb.select(col("vec_id").as("a"), col("vec_id").as("b"),
-        lit(0.0).as("score")).limit(0)
+      return (emb.select(col("vec_id").as("a"), col("vec_id").as("b"),
+        lit(0.0).as("score")).limit(0), PairPruneStats(0, 0, 0, 0))
     val celled = emb.withColumn("cell", argmaxCell(cells, col("embedding")))
     // Per-cell angular radius vs the cell's own centroid (the pruning
     // bound) and per-cell COUNT (the salting input), one keyed agg.
@@ -605,12 +633,20 @@ object Similarity {
     // Unordered surviving BLOCK pairs, (cell, salt) lexicographic —
     // each unordered vector pair lands in exactly one block-pair task.
     val live = cellStats.keySet.toSeq.sorted
-    val blockPairs = for {
+    val liveCellPairs = for {
       c1 <- live; c2 <- live; if c1 <= c2
-      if centAngle(c1, c2) - radii(c1) - radii(c2) <= theta + eps
+    } yield (c1, c2)
+    val survivingCellPairs = liveCellPairs.filter { case (c1, c2) =>
+      !pruneCells ||
+        centAngle(c1, c2) - radii(c1) - radii(c2) <= theta + eps
+    }
+    val blockPairs = for {
+      (c1, c2) <- survivingCellPairs
       s1 <- 0 until salts(c1); s2 <- 0 until salts(c2)
       if c1 < c2 || s1 <= s2
     } yield (c1, s1, c2, s2)
+    val stats = PairPruneStats(live.size, liveCellPairs.size,
+      survivingCellPairs.size, blockPairs.size)
     val pairsDf = blockPairs.toDF("c1", "s1", "c2", "s2")
     val x = blocked.select(col("vec_id").as("xid"), col("embedding")
       .as("xe"), col("nrm").as("xn"), col("cell").as("xc"),
@@ -618,7 +654,7 @@ object Similarity {
     val y = blocked.select(col("vec_id").as("yid"), col("embedding")
       .as("ye"), col("nrm").as("yn"), col("cell").as("yc"),
       col("salt").as("ys"))
-    x.join(broadcast(pairsDf),
+    val pairs = x.join(broadcast(pairsDf),
         col("xc") === col("c1") && col("xs") === col("s1"))
       .join(y, col("yc") === col("c2") && col("ys") === col("s2"))
       // same block: order the pair; cross-block: every pair arrives
@@ -634,6 +670,7 @@ object Similarity {
       .select(least(col("xid"), col("yid")).as("a"),
         greatest(col("xid"), col("yid")).as("b"), col("score"))
       .orderBy("a", "b")
+    (pairs, stats)
   }
 
   /** X17 — per-label centroid aggregation WITHOUT an output ordering:
