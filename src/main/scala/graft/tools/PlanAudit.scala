@@ -13,14 +13,30 @@ import graft.util.GraftSession
   * FINAL READ plan is audited — the eagerly-executed write-stage plans
   * are not. */
 object PlanAudit {
+  /** KEYED shuffle-exchange count in a physical plan STRING:
+    * `Exchange hashpartitioning/rangepartitioning/SinglePartition`
+    * nodes — the environment-independent data movements a query's
+    * semantics force. Deliberately excluded: BroadcastExchange (not a
+    * shuffle), ReusedExchange (costs nothing), and RoundRobin
+    * repartitions (the `Tables.fanOut` scan-scaling knob, whose
+    * presence depends on source partition count vs local parallelism
+    * and which vanishes on a real cluster's many-split scans).
+    * Shared with PlanAuditSpec's per-query exchange budgets. */
+  def keyedExchanges(plan: String): Int =
+    ("(?<![A-Za-z])Exchange (hashpartitioning|rangepartitioning|" +
+      "SinglePartition)").r
+      .findAllIn(plan).size
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val printExch = args.contains("exch")
     val spark = GraftSession.builder("graft-planaudit",
       master = Some("local[8]")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.registry.foreach { case (name, q) =>
       try {
         val p = q.fn(spark, dir).queryExecution.executedPlan.toString
+        if (printExch) println(s"EXCH $name: ${keyedExchanges(p)}")
         val cart = "CartesianProduct".r.findAllIn(p).size
         val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
         val scans = "file:[^,\\]]*?([a-z_0-9]+\\.(?:parquet|csv|csv\\.gz))".r

@@ -57,6 +57,63 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  /** Per-query KEYED-exchange budgets (VERDICT r9 item 2): the
+    * expected number of hash/range/single-partition exchanges in the
+    * static physical plan at sf0.001. RoundRobin repartitions are
+    * excluded on purpose — they are `Tables.fanOut`'s scan-scaling
+    * knob, present only when the local source has fewer splits than
+    * cores (see `tools.PlanAudit.keyedExchanges`). The pin is EXACT
+    * in both directions: a regression that sneaks an extra shuffle in
+    * fails here instead of hiding as bench drift, and an optimization
+    * that removes one must update the budget so the table stays the
+    * plan of record. Budgets with their decomposition:
+    *  - q1_pricing_summary 2  = agg partial→final + output sort
+    *  - q5_revenue_by_nation 2 = final agg key + output sort (dims
+    *    broadcast)
+    *  - topk_per_key 2        = per-key shuffle into the custom
+    *    operator + output sort
+    *  - dedup_exact 2         = key-hash dedup + output sort
+    *  - window_events 2       = user_id window key + output sort
+    *  - tumbling_window 2     = window-start agg key + output sort
+    *  - asof_join 2           = user_id window key (the union trick's
+    *    ONE shuffle — the join adds none) + output sort
+    *  - bucketed_join 2       = agg + output sort; the JOIN itself is
+    *    exchange-free (bucketed SMJ both sides, the operator's point)
+    *  - neardup_minhash 1     = output sort only at this sf (the band
+    *    self-join's build side broadcasts; at scale it degrades to
+    *    one keyed shuffle, never all-pairs)
+    *  - span_scrub 3          = the scaladoc's two keyed shuffles
+    *    (window-hash group, doc_id regroup) + output sort
+    *  - cosine_pairs 1        = output sort only (block-pair key
+    *    table broadcasts; block sides co-partitioned at this sf)
+    *  - ann_lsh_pairs 2       = band-bucket join key + output sort
+    *  - dedup_groups 3        = pair stream + component propagation +
+    *    output sort
+    *  - ngram_jaccard 8       = candidate pairs, two signature
+    *    attach joins, intersection agg, union-size join, jaccard agg,
+    *    semi-join prune + output sort (the round-4 rework's shape) */
+  private val exchangeBudgets: Map[String, Int] = Map(
+    "q1_pricing_summary" -> 2, "q5_revenue_by_nation" -> 2,
+    "topk_per_key" -> 2, "dedup_exact" -> 2, "window_events" -> 2,
+    "tumbling_window" -> 2, "asof_join" -> 2, "bucketed_join" -> 2,
+    "neardup_minhash" -> 1, "span_scrub" -> 3, "cosine_pairs" -> 1,
+    "ann_lsh_pairs" -> 2, "dedup_groups" -> 3, "ngram_jaccard" -> 8)
+
+  test("keyed exchange counts match the pinned per-query budgets") {
+    val bad = exchangeBudgets.toSeq.sortBy(_._1).flatMap {
+      case (name, budget) =>
+        val q = graft.SparkEntry.registry.find(_._1 == name)
+          .getOrElse(fail(s"budgeted query $name is not registered"))._2
+        val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
+        val got = graft.tools.PlanAudit.keyedExchanges(plan)
+        if (got == budget) None
+        else Some(s"$name: $got keyed exchanges, budget $budget" +
+          (if (got > budget) " — a shuffle regressed into the plan"
+           else " — plan improved; move the budget down with it"))
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("BNLJ allowlist stays tight: allowlisted queries do plan a BNLJ") {
     // an entry that stops planning a BNLJ should be REMOVED — a stale
     // allowlist row is a latent hole, not a convenience

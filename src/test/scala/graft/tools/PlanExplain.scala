@@ -3,8 +3,8 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Prints explain(formatted) for selected registered queries — the
-  * scale/plan audit harness (run: sbt "Test/runMain graft.tools.PlanAudit q1_pricing_summary ..."). */
-object PlanAudit {
+  * scale/plan audit harness (run: sbt "Test/runMain graft.tools.PlanExplain q1_pricing_summary ..."). */
+object PlanExplain {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
