@@ -15,11 +15,14 @@ class AutoBloomJoinSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
+  /** Count might_contain EXPRESSIONS, not Filter nodes: two probes
+    * pushed down to the same scan merge into one Filter (q8's
+    * l_partkey + l_orderkey probes both land on lineitem). */
   private def probes(df: DataFrame): Int =
     df.queryExecution.optimizedPlan.collect {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
-        if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) => f
-    }.size
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.collect { case b: BloomFilterMightContain => b }.size
+    }.sum
 
   /** Plain selective-dim equi-join, written as any user would. */
   private def plainJoin(): DataFrame = {
@@ -67,6 +70,76 @@ class AutoBloomJoinSpec extends AnyFunSuite {
     }
     // disabled (default): plain join stays plain
     assert(probes(plainJoin()) == 0)
+  }
+
+  /** TPC-H q-family coverage audit (round-10 task): with the rule on,
+    * each registered q-plan must carry EXACTLY the probes its shape
+    * warrants — firing where a selective, simple, small dim exists,
+    * staying out where it doesn't — and never change results. The
+    * expected counts were measured and reviewed plan-by-plan:
+    *  - q3 (customer.mktsegment dim → orders), q9/q14 (filtered part →
+    *    lineitem), q7 (BOTH nation dims — the per-key idempotence
+    *    guard must not block the second), q8 (part, filtered orders,
+    *    region — three dims), q12/q21 (filtered lineitem → orders; at
+    *    sf0.001 lineitem sits under the 10 MB creation-side threshold,
+    *    at real scale the threshold retires these two) all fire;
+    *  - q5 has NO selective filter anywhere (broadcast dims are
+    *    unfiltered) — a bloom could only add cost, so zero probes;
+    *  - q10's first join is selective on BOTH sides (returnflag ⋈
+    *    date-window) and every later dim candidate carries a join —
+    *    zero probes (the round-9 rule would have bloomed
+    *    lineitem⋈orders to prune the customer scan: the exact
+    *    recompute-the-expensive-part-to-save-the-cheap-part failure
+    *    the simplicity gate exists for);
+    *  - q1/q6 are single-table, q4/q13/q22 use semi/anti or outer
+    *    joins (rule is Inner-only), q15/q17/q18/q19 join through
+    *    aggregates or unfiltered sides — zero probes. */
+  private val expectedProbes = Map(
+    "q1_pricing_summary" -> 0, "q3_top_revenue" -> 1,
+    "q5_revenue_by_nation" -> 0, "q9_nation_brand" -> 1,
+    "q7_volume_shipping" -> 2, "q10_returned_items" -> 0,
+    "q18_large_orders" -> 0, "q13_order_dist" -> 0,
+    "q22_dormant_rich" -> 0, "q6_forecast" -> 0,
+    "q4_priority_check" -> 0, "q8_market_share" -> 3,
+    "q12_late_lines" -> 1, "q14_promo_effect" -> 1,
+    "q15_top_supplier" -> 0, "q17_small_qty" -> 0,
+    "q19_disjunctive" -> 0, "q21_waiting_supplier" -> 1)
+
+  test("q-family audit: probes exactly where the shape warrants one, never elsewhere") {
+    val qnames = graft.SparkEntry.registry.map(_._1).filter(_.startsWith("q"))
+    assert(qnames.toSet == expectedProbes.keySet,
+      "q-family registry drifted — re-audit the expected probe map")
+    val fns = graft.SparkEntry.queries
+    withRule(on = true) {
+      for (n <- qnames) {
+        val got = probes(fns(n)(spark, dir))
+        assert(got == expectedProbes(n),
+          s"$n: expected ${expectedProbes(n)} bloom probes, planned $got")
+      }
+    }
+  }
+
+  test("q-family audit: injection never changes results (firing plans, on vs off)") {
+    val fns = graft.SparkEntry.queries
+    for ((n, c) <- expectedProbes if c > 0) {
+      val off = withRule(on = false)(
+        fns(n)(spark, dir).collect().map(_.toString).sorted.toSeq)
+      val on = withRule(on = true)(
+        fns(n)(spark, dir).collect().map(_.toString).sorted.toSeq)
+      assert(on == off, s"$n: bloom injection changed the result")
+    }
+  }
+
+  test("creation-side threshold retires every probe when no dim is 'small'") {
+    withRule(on = true) {
+      spark.conf.set(AutoBloomJoin.ThresholdKey, "1")
+      try {
+        val fns = graft.SparkEntry.queries
+        for (n <- Seq("q7_volume_shipping", "q3_top_revenue"))
+          assert(probes(fns(n)(spark, dir)) == 0,
+            s"$n: a 1-byte creation-side threshold must retire all probes")
+      } finally spark.conf.unset(AutoBloomJoin.ThresholdKey)
+    }
   }
 
   test("explicit bloomReduceJoin composes: already-probed fact is not double-injected") {
