@@ -207,6 +207,19 @@ object Strategies {
     * partition. `dts` are RAW partition values; paths use the
     * Hive-escaped form Spark writes.
     *
+    * READER VISIBILITY (SwapReaderSpec pins all three): a concurrent
+    * plain-path reader gets NO snapshot isolation across partitions —
+    * mid-swap it can see a per-partition MIX (one dt new, another
+    * still old) and, inside a single partition's two renames, a brief
+    * absence window. That is inherent to whole-dir renames without an
+    * atomic multi-dir commit (the guarantee class of Hive/Spark
+    * dynamic partition overwrite). Within one partition there is never
+    * a torn old/new file blend — the unit of motion is the dt dir.
+    * Readers needing a consistent snapshot use
+    * [[Strategies.readAtVersion]]: mid-swap it fails loudly (explicit
+    * file lists cannot silently mix versions), and from the commit on,
+    * every logged version reads exactly again.
+    *
     * Recovery runbook (StrategiesSpec exercises both crash points): a
     * failure BEFORE any live dir moved leaves the table untouched —
     * just delete the `__stage_*`/`__bak_*` leftovers and re-run the

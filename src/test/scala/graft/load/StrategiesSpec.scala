@@ -263,11 +263,30 @@ class FaultFS extends org.apache.hadoop.fs.RawLocalFileSystem {
     val pat = FaultFS.failRenameDst
     if (pat != null && dst.toUri.getPath.matches(pat))
       throw new java.io.IOException(s"injected rename failure -> $dst")
-    super.rename(src, dst)
+    val ok = super.rename(src, dst)
+    if (ok) {
+      val ppat = FaultFS.probeRenameDst
+      if (ppat != null && dst.toUri.getPath.matches(ppat)) {
+        // one-shot, and disarmed BEFORE the probe runs: the probe
+        // itself reads through this filesystem (that is its point)
+        FaultFS.probeRenameDst = null
+        val p = FaultFS.probe
+        FaultFS.probe = null
+        if (p != null) p()
+      }
+    }
+    ok
   }
 }
 
 object FaultFS {
   /** Regex over the rename DESTINATION path; null = disarmed. */
   @volatile var failRenameDst: String = null
+
+  /** One-shot probe: [[probe]] runs immediately AFTER the first
+    * successful rename whose destination matches this regex — the
+    * "concurrent reader at exactly this instant" seam the
+    * [[SwapReaderSpec]] visibility tests are built on. */
+  @volatile var probeRenameDst: String = null
+  @volatile var probe: () => Unit = null
 }
