@@ -30,6 +30,50 @@ object Bench {
   val abSubset: Seq[String] = Seq("rollup_nation", "asof_join", "set_ops",
     "dedup_exact", "q1_pricing_summary")
 
+  /** BASELINE v1 — the 17 queries recorded in round 1 (BENCH_r01), as
+    * recorded: count()-era timing, so `q1_pricing_summary`,
+    * `window_events` and `scalar_suite` UNDER-measure (Catalyst pruned
+    * their per-row work out of the timed plan — BASELINE.md protocol
+    * note). Kept verbatim because every historical vs-baseline ratio
+    * was computed against these numbers. */
+  val baselineV1: Map[String, Double] = Map(
+    "rollup_nation" -> 6.273966653, "json_extract" -> 0.933592472,
+    "cube_orders" -> 0.692977417, "asof_join" -> 4.096021203,
+    "semi_join" -> 1.855792941, "set_ops" -> 2.418956474,
+    "anti_join" -> 0.721093396, "q3_top_revenue" -> 1.379230861,
+    "session_window" -> 1.239274057, "dedup_keep_latest" -> 0.560658153,
+    "dedup_exact" -> 1.196746961, "scalar_suite" -> 0.26912767,
+    "tumbling_window" -> 0.439433625, "window_events" -> 0.426600224,
+    "q5_revenue_by_nation" -> 1.984991026, "topk_orders" -> 0.203791304,
+    "q1_pricing_summary" -> 0.381163351)
+
+  /** BASELINE v2 — the same 17 queries RE-ANCHORED in round 10 under
+    * the round-7 protocol (full `Exec.materialize`, min of 3 timed
+    * passes after warmup, sf0.1, local[32]): apples-to-apples against
+    * every round ≥ 7 bench, which v1 is not for the count-prunable
+    * three. Recorded in BASELINE.md §"Re-anchor (round 10)" together
+    * with the same-session anchor values that date the measurement. */
+  val baselineV2: Map[String, Double] = Map(
+    "rollup_nation" -> 0.497, "json_extract" -> 0.514,
+    "cube_orders" -> 0.656, "asof_join" -> 0.842,
+    "semi_join" -> 0.357, "set_ops" -> 0.381,
+    "anti_join" -> 0.340, "q3_top_revenue" -> 0.880,
+    "session_window" -> 0.928, "dedup_keep_latest" -> 0.568,
+    "dedup_exact" -> 1.716, "scalar_suite" -> 0.268,
+    "tumbling_window" -> 0.500, "window_events" -> 0.801,
+    "q5_revenue_by_nation" -> 1.548, "topk_orders" -> 0.141,
+    "q1_pricing_summary" -> 1.344)
+
+  /** Sum-ratio of this run's timings over a recorded baseline,
+    * restricted to the baseline's queries; NaN if any of them failed
+    * (a missing query must not silently shrink both sums). */
+  def baselineRatio(results: Map[String, Double],
+      baseline: Map[String, Double]): Double = {
+    val cur = baseline.keys.map(k => results.getOrElse(k, -1.0)).toSeq
+    if (cur.exists(_ < 0)) Double.NaN
+    else cur.sum / baseline.values.sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -77,7 +121,15 @@ object Bench {
     val errs = allErr.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${allErr.size},"sf":"$sfDir"}"""
+    // both baseline ratios (BASELINE.md: v1 = round-1 recorded numbers,
+    // v2 = round-10 re-anchor under the materialize protocol) — emitted
+    // in every bench line so cross-round comparisons stop tripping on
+    // the count()-era v1 values of the three prunable queries
+    val resultMap = results.toMap
+    def jnum(d: Double) = if (d.isNaN) "\"NaN\"" else d.toString
+    val rv1 = jnum(baselineRatio(resultMap, baselineV1))
+    val rv2 = jnum(baselineRatio(resultMap, baselineV2))
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${allErr.size},"baseline_ratio_v1":$rv1,"baseline_ratio_v2":$rv2,"sf":"$sfDir"}"""
     // durable file artifact: stdout tail-truncation-proof record of the
     // full per-query map (overwritten per run, committed per round)
     val outFile = java.nio.file.Paths.get("target/bench_full.json")
