@@ -141,7 +141,40 @@ object SparkEntry {
     *    materialized form runs in ~0.5s).
     * Tie-break matches the engine: `ORDER BY cnt DESC, l, r` over
     * binary-collated strings. */
-  private def bpeOracle(nMerges: Int): String = {
+  private def bpeOracle(nMerges: Int): String =
+    "WITH " + bpeCtes(nMerges, finalVocab = false).mkString(",\n") +
+      "\n" +
+      (1 to nMerges).map { k =>
+        s"""SELECT $k AS rank, l AS "left", r AS "right",
+           l || r AS merged, cnt AS weighted_count FROM p$k"""
+      }.mkString(" UNION ALL ") + " ORDER BY rank"
+
+  /** Oracle for `bpe_encode`: the SAME materialized merge chain as
+    * [[bpeOracle]], extended through the final vocabulary state
+    * w{nMerges}; the word → n_symbols map is then read straight off it
+    * (strip the separators to recover the word — symbols can never
+    * contain a space — and count the double-space-split symbols), and
+    * every document's exploded words join to it for the per-doc token
+    * stats. One CTE generator for train AND encode on purpose: a
+    * tokenizer-semantics change can never leave one oracle silently
+    * stale. */
+  private def bpeEncodeOracle(nMerges: Int): String =
+    "WITH " + bpeCtes(nMerges, finalVocab = true).mkString(",\n") + s""",
+      enc AS (SELECT replace(trim(s), ' ', '') AS word,
+          CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sym
+        FROM w$nMerges),
+      dw AS (SELECT doc_id, unnest(list_filter(
+          string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+          AS word FROM documents)
+      SELECT doc_id, count(*) AS n_words,
+        CAST(sum(e.n_sym) AS BIGINT) AS n_tokens,
+        CAST(sum(length(dw.word)) AS BIGINT) AS n_chars_alpha,
+        CAST(sum(length(dw.word)) AS DOUBLE) / sum(e.n_sym)
+          AS chars_per_token
+      FROM dw JOIN enc e USING (word)
+      GROUP BY doc_id ORDER BY doc_id"""
+
+  private def bpeCtes(nMerges: Int, finalVocab: Boolean): Seq[String] = {
     val parts = Seq.newBuilder[String]
     parts += """w0 AS MATERIALIZED (
         SELECT ' ' || array_to_string(string_split(word, ''), '  ')
@@ -162,23 +195,23 @@ object SparkEntry {
                   FROM w${k - 1}))
           GROUP BY 1, 2)
         ORDER BY cnt DESC, l, r LIMIT 1)"""
-      if (k < nMerges)
+      if (k < nMerges || finalVocab)
         parts += s"""w$k AS MATERIALIZED (
         SELECT replace(s, ' ' || p.l || '  ' || p.r || ' ',
                           ' ' || p.l || p.r || ' ') AS s, freq
         FROM w${k - 1}, p$k p)"""
     }
-    val sel = (1 to nMerges).map { k =>
-      s"""SELECT $k AS rank, l AS "left", r AS "right",
-         l || r AS merged, cnt AS weighted_count FROM p$k"""
-    }.mkString(" UNION ALL ")
-    "WITH " + parts.result().mkString(",\n") + "\n" + sel +
-      " ORDER BY rank"
+    parts.result()
   }
 
-  private def ivfOracle(cbWhere: String = "", candAnd: String = ""): String =
-    s"""
-      WITH cbu AS (
+  /** Shared codebook + routing CTE prefix of the IVF family oracle
+    * AND the `semdedup` oracle: per-cell float-downcast centroids,
+    * per-vector argmax routing (`assign`). Factored so the semantic
+    * dedup oracle can never drift from the routing the four IVF
+    * queries have already proven exact. Yields CTEs
+    * cbu/cb/e/route/assign (no leading WITH). */
+  private def ivfRouteCtes(cbWhere: String = ""): String = s"""
+      cbu AS (
         SELECT CAST(label % 16 AS INTEGER) AS cell, r.i AS dim,
                avg(CAST(embedding[r.i] AS DOUBLE)) AS c
         FROM embeddings, range(1, 65) r(i)
@@ -197,7 +230,11 @@ object SparkEntry {
                  ORDER BY list_dot_product(e, centroid) DESC, cell DESC)
                  AS crn
         FROM e, cb),
-      assign AS (SELECT vec_id, cell FROM route WHERE crn = 1),
+      assign AS (SELECT vec_id, cell FROM route WHERE crn = 1)"""
+
+  private def ivfOracle(cbWhere: String = "", candAnd: String = ""): String =
+    s"""
+      WITH ${ivfRouteCtes(cbWhere)},
       probes AS (SELECT vec_id AS q_id, cell FROM route
                  WHERE vec_id < 8 AND crn <= 2),
       q AS (SELECT vec_id AS q_id, e AS qe FROM e WHERE vec_id < 8),
@@ -1273,6 +1310,13 @@ object SparkEntry {
     "bpe_train" -> Q((s, d) => BpeTrain.bpeTrain(s, d),
       Some(bpeOracle(12))),
 
+    // X63 — encode with the trained tokenizer: per-doc token stats
+    // from applying the 12 learned merges. Oracle = the same
+    // materialized CTE chain extended through the final vocabulary
+    // (see [[bpeEncodeOracle]]), so train and encode can never drift.
+    "bpe_encode" -> Q((s, d) => BpeTrain.bpeEncode(s, d),
+      Some(bpeEncodeOracle(12))),
+
     // Sketch-guided exact heavy hitters: the oracle is the plain
     // HAVING-threshold count — the CMS candidate pass must be
     // output-invisible (no false negatives by construction).
@@ -1528,6 +1572,34 @@ object SparkEntry {
       JOIN sizes sb ON sb.doc_id = p.doc_b
       ORDER BY p.doc_a, p.doc_b""")),
 
+    // X62 — EXACT set-similarity self-join (prefix-filtered AllPairs/
+    // PPJoin shape). The oracle is the BRUTE-FORCE shingle join — no
+    // prefix logic on purpose: the engine's prefix filter claims
+    // losslessness, so the gate checks it against ground truth every
+    // run. Candidate pruning on the engine side can therefore never
+    // hide a miss.
+    "jaccard_prefix_join" ->
+      Q((s, d) => Dedup.jaccardPrefixJoin(s, d), Some("""
+      WITH tok AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        FROM tok WHERE len(w) >= 3),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          count(*) AS inter
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, inter, sa.n AS n_a, sb.n AS n_b,
+        CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      FROM i JOIN sz sa ON sa.doc_id = doc_a
+             JOIN sz sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+      ORDER BY doc_a, doc_b""")),
+
     "cosine_pairs" -> Q((s, d) => Similarity.cosinePairs(s, d), Some("""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         FROM embeddings)
@@ -1580,6 +1652,28 @@ object SparkEntry {
         JOIN e eb ON eb.vec_id = p.b)
       SELECT a, b, score FROM scored WHERE score > 0.4
       ORDER BY a, b""")),
+    // X61 — SemDeDup-style semantic dedup: coarse-codebook routing
+    // (the proven IVF `assign` CTE, shared via [[ivfRouteCtes]]) +
+    // exact within-cell cosine, drop-if-lower-id-neighbor. One row
+    // per corpus vector with its keep/drop verdict.
+    "semdedup" -> Q((s, d) => Similarity.semDedup(s, d), Some(s"""
+      WITH ${ivfRouteCtes()},
+      p AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM assign a
+        JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE list_dot_product(ea.e, eb.e) /
+              (sqrt(list_dot_product(ea.e, ea.e)) *
+               sqrt(list_dot_product(eb.e, eb.e))) > 0.4),
+      d AS (SELECT b_id AS vec_id, min(a_id) AS dup_of,
+            count(*) AS n_near FROM p GROUP BY 1)
+      SELECT s.vec_id, s.cell, d.dup_of IS NULL AS kept, d.dup_of,
+        CAST(COALESCE(d.n_near, 0) AS BIGINT) AS n_near
+      FROM assign s LEFT JOIN d USING (vec_id)
+      ORDER BY s.vec_id""")),
+
     "ann_ivf_topk" -> Q((s, d) => Similarity.ivfTopK(s, d),
       Some(ivfOracle())),
     // Persisted-index serving split: build once (codebook +

@@ -106,4 +106,67 @@ object BpeTrain {
   def bpeTrain(spark: SparkSession, dir: String,
       nMerges: Int = 12): DataFrame =
     train(wordFreqs(spark, dir), nMerges)
+
+  /** X63 — ENCODE with the trained tokenizer: apply the learned merge
+    * sequence to every document and report per-doc token statistics —
+    * the step that turns bpe_train's artifact into the token counts
+    * the packing/chunking/budgeting operators consume.
+    *
+    * Scale shape mirrors training's word-frequency reduction: encoding
+    * is a pure function of the WORD, so the merges are applied to the
+    * (vocabulary-sized) distinct-word table — `nMerges` greedy HOF
+    * folds, lineage cut every 4 rounds — never to the corpus. The
+    * corpus is touched twice: once to build the word list, once to
+    * join each document's exploded words to the word → n_symbols map
+    * (a keyed shuffle on the word, broadcastable when the vocabulary
+    * is small) and aggregate per doc. The driver holds the merge list
+    * (nMerges rows) and nothing else.
+    *
+    * Output per doc: word count, encoded token count, alpha chars
+    * (sum of word lengths = the pre-merge symbol count), and the
+    * chars-per-token compression ratio — integer counts plus one
+    * exact double division, so the DuckDB oracle (which replays the
+    * merge chain through the bpe_train CTE stack and re-derives the
+    * same word → n_symbols map) hash-matches bit-for-bit. */
+  def bpeEncode(spark: SparkSession, dir: String,
+      nMerges: Int = 12): DataFrame = {
+    import spark.implicits._
+    val merges = train(wordFreqs(spark, dir), nMerges)
+      .select("left", "right").as[(String, String)].collect()
+    val words = fanOut(t(spark, dir, "documents"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("word"))
+    var vocab = words.select("word").distinct()
+      .withColumn("syms", split(col("word"), ""))
+    // Cut the nested-lambda lineage periodically: 12 stacked
+    // aggregate() folds blow past the codegen method-size limit and
+    // fall back to interpreted evaluation on the whole chain. The
+    // LAST checkpoint stays persisted — the returned plan reads from
+    // it (vocabulary-sized, the same residency the memoized signature
+    // caches accept); superseded ones are freed eagerly.
+    var lastCkpt: Option[DataFrame] = None
+    var applied = 0
+    for ((l, r) <- merges) {
+      vocab = vocab.select(col("word"),
+        applyMerge(col("syms"), l, r).as("syms"))
+      applied += 1
+      if (applied % 4 == 0) {
+        vocab = vocab.localCheckpoint()
+        lastCkpt.foreach(org.apache.spark.sql.graftbridge.PlanBridge
+          .unpersistLocalCheckpoint)
+        lastCkpt = Some(vocab)
+      }
+    }
+    val enc = vocab.select(col("word"),
+      size(col("syms")).cast("long").as("n_sym"),
+      length(col("word")).cast("long").as("n_chars_word"))
+    words.join(enc, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).as("n_tokens"),
+        sum(col("n_chars_word")).as("n_chars_alpha"))
+      .withColumn("chars_per_token",
+        col("n_chars_alpha").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+  }
 }

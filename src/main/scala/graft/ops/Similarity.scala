@@ -673,6 +673,97 @@ object Similarity {
     (pairs, stats)
   }
 
+  /** X61 — SemDeDup-style semantic near-duplicate pruning (the
+    * embedding-space dedup step of an LLM data pipeline, after the
+    * token-level MinHash families have run): route every vector to its
+    * bounded coarse-codebook cell (the clustering step — same
+    * [[coarseCodebook]]/[[argmaxCell]] routing the IVF family uses,
+    * collected ONCE so routing ties cannot flip between the pair pass
+    * and the output pass), score EXACT double cosine between SAME-CELL
+    * pairs only, and drop each vector that has a lower-vec_id same-cell
+    * neighbor with score > tau — greedy keep-first, deterministic and
+    * order-free. Output: one row per corpus vector
+    * (vec_id, cell, kept, dup_of = min qualifying lower id or NULL,
+    * n_near = count of qualifying lower-id neighbors).
+    *
+    * Scale shape: the quadratic is confined WITHIN cells — the SemDeDup
+    * reduction (cluster first, pairwise-cosine only inside a cluster) —
+    * and each cell's pair mass executes as salted block equi-joins
+    * exactly like [[cosinePairsFor]]: vectors split into deterministic
+    * md5 sub-blocks of ~`targetBlockRows` rows, the unordered same-cell
+    * block pairs become a broadcast key table, and per-task pair work /
+    * replication stay constant-bounded regardless of cell occupancy
+    * (no CartesianProduct — pinned by PlanAuditSpec like every other
+    * registered plan). At 100 TB the knobs are maxCells (more, tighter
+    * cells ⇒ less within-cell quadratic mass; the codebook stays
+    * driver-bounded) and targetBlockRows/maxSaltsPerCell exactly as in
+    * the exact-pairs twin. The final keep/drop pass is one keyed
+    * aggregate over the (output-sized) qualifying-pair stream plus a
+    * left join back to the corpus — nothing driver-side scales with
+    * the data. */
+  def semDedup(spark: SparkSession, dir: String,
+      tau: Double = 0.4, maxCells: Int = 16,
+      targetBlockRows: Int = 2048, maxSaltsPerCell: Int = 64): DataFrame = {
+    import spark.implicits._
+    val cells: Seq[(Int, Seq[Double])] =
+      coarseCodebook(spark, dir, maxCells)
+        .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSeq
+    val celled = fanOut(t(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      .withColumn("cell", argmaxCell(cells, col("embedding")))
+    // Adaptive per-cell salting, same rationale as [[cosinePairsFor]]:
+    // block size bounds both per-task pair work and replication.
+    val counts: Map[Int, Long] = celled.groupBy("cell")
+      .agg(count(lit(1)).as("n")).as[(Int, Long)].collect().toMap
+    val salts: Map[Int, Int] = counts.view.mapValues { n =>
+      math.min(maxSaltsPerCell.toLong,
+        math.max(1L, (n + targetBlockRows - 1) / targetBlockRows)).toInt
+    }.toMap
+    val saltOf = salts.toSeq.foldLeft(lit(1)) { case (acc, (c, s)) =>
+      when(col("cell") === c, lit(s)).otherwise(acc)
+    }
+    val blocked = celled.withColumn("salt",
+      pmod(graft.util.Tables.md5Long32(
+          concat(lit("semdedup"), col("vec_id").cast("string"))),
+        saltOf.cast("long")).cast("int"))
+    // Unordered SAME-CELL block pairs only — the structural difference
+    // from cosinePairsFor, which crosses cells.
+    val blockPairs = for {
+      c <- counts.keySet.toSeq.sorted
+      s1 <- 0 until salts(c); s2 <- s1 until salts(c)
+    } yield (c, s1, s2)
+    val pairsDf = blockPairs.toDF("c", "s1", "s2")
+    val x = blocked.select(col("vec_id").as("xid"), col("embedding")
+      .as("xe"), col("nrm").as("xn"), col("cell").as("xc"),
+      col("salt").as("xs"))
+    val y = blocked.select(col("vec_id").as("yid"), col("embedding")
+      .as("ye"), col("nrm").as("yn"), col("cell").as("yc"),
+      col("salt").as("ys"))
+    val qualifying = x.join(broadcast(pairsDf),
+        col("xc") === col("c") && col("xs") === col("s1"))
+      .join(y, col("yc") === col("c") && col("ys") === col("s2"))
+      // same block: order the pair; cross-block (s1 < s2): every
+      // unordered pair arrives exactly once already
+      .filter((col("xs") =!= col("ys")) || (col("xid") < col("yid")))
+      // dot/norm products are IEEE-commutative, so scoring before the
+      // least/greatest normalization matches the oracle's a<b form
+      .withColumn("score", dot(col("xe"), col("ye")) /
+        (col("xn") * col("yn")))
+      .filter(col("score") > tau)
+      .select(least(col("xid"), col("yid")).as("a_id"),
+        greatest(col("xid"), col("yid")).as("b_id"))
+    val dup = qualifying.groupBy(col("b_id"))
+      .agg(min(col("a_id")).as("dup_of"), count(lit(1)).as("n_near"))
+      .select(col("b_id").as("vec_id"), col("dup_of"), col("n_near"))
+    celled.select(col("vec_id"), col("cell"))
+      .join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("dup_of").isNull.as("kept"), col("dup_of"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy("vec_id")
+  }
+
   /** X17 — per-label centroid aggregation WITHOUT an output ordering:
     * the shared subplan for both public forms. Kept order-free because a
     * global orderBy over an aggregate range-samples its child — running

@@ -262,6 +262,9 @@ object QueryDocs {
     "ngram_jaccard" -> m("X3", D,
       "Exact n-gram Jaccard similarity on LSH-survivor pairs",
       "ops/Dedup.scala"),
+    "jaccard_prefix_join" -> m("X62", D,
+      "Exact set-similarity self-join via lossless prefix filtering (AllPairs/PPJoin)",
+      "ops/Dedup.scala"),
     "dedup_groups" -> m("X22", D,
       "Connected components over the near-dup pair graph (iterative min-label propagation)",
       "ops/Dedup.scala"),
@@ -269,6 +272,9 @@ object QueryDocs {
       "Repeated-span scrub: excise long char spans shared across documents",
       "ops/Dedup.scala"),
 
+    "semdedup" -> m("X61", S,
+      "SemDeDup semantic dedup: cell-clustered exact cosine, greedy keep-first verdicts",
+      "ops/Similarity.scala"),
     "similarity_topk" -> m("X4", S,
       "Brute-force cosine top-k over embeddings (exact baseline)",
       "ops/Similarity.scala"),
@@ -359,6 +365,9 @@ object QueryDocs {
       "ops/CorpusStats.scala"),
     "bpe_train" -> m("X54", T,
       "Distributed BPE merge-rule training (vocab-bounded driver iterations)",
+      "ops/BpeTrain.scala"),
+    "bpe_encode" -> m("X63", T,
+      "Tokenizer application: per-doc token counts from the trained BPE merges",
       "ops/BpeTrain.scala"),
     "decontaminate" -> m("X29", T,
       "Eval-set decontamination: drop training docs sharing n-grams with eval",

@@ -201,6 +201,16 @@ object ScaleStress {
       "simhash_pairs" -> (d => m(Dedup.simhashPairs(spark, d))),
       "ngram_jaccard" -> (d => {
         Dedup.clearPairsMemo(); m(Dedup.ngramJaccard(spark, d)) }),
+      // X62 exact prefix-filtered join: per-copy token suffixes keep
+      // qualifying pairs within-copy, so output grows exactly with n
+      // while the prefix filter has to survive an n×-larger shingle
+      // df table and candidate space
+      "jaccard_prefix_join" ->
+        (d => m(Dedup.jaccardPrefixJoin(spark, d))),
+      // X63 encode: vocabulary (and therefore merge-application work)
+      // grows with n — the scale claim is that the CORPUS cost stays
+      // the two scans + one keyed join
+      "bpe_encode" -> (d => m(BpeTrain.bpeEncode(spark, d))),
       "dedup_groups" -> (d => {
         Dedup.clearPairsMemo(); m(Dedup.dedupGroups(spark, d)) }),
       "clean_corpus" -> (d => {
@@ -225,10 +235,13 @@ object ScaleStress {
     // buildEmbeddingCorpus). nBits grows with the corpus (+log2 n) to
     // hold bucket occupancy constant — the knob a 100 TB deployment
     // turns; recall at each scale is printed below.
-    def lshBits(d: String): Int = {
-      val n = "x(\\d+)$".r.findFirstMatchIn(d).map(_.group(1).toInt).getOrElse(1)
-      8 + math.round(math.log(n.toDouble) / math.log(2.0)).toInt
-    }
+    def scaleOf(d: String): Int =
+      "x(\\d+)$".r.findFirstMatchIn(d).map(_.group(1).toInt).getOrElse(1)
+    def nextPrime(n: Int): Int =
+      Iterator.from(n).find(p => p > 1 &&
+        (2 to math.sqrt(p.toDouble).toInt).forall(p % _ != 0)).get
+    def lshBits(d: String): Int =
+      8 + math.round(math.log(scaleOf(d).toDouble) / math.log(2.0)).toInt
     val embOps: Seq[(String, String => Long)] = Seq(
       "similarity_topk" -> (d => m(Similarity.cosineTopK(spark, d))),
       "ann_lsh_pairs" -> (d =>
@@ -239,6 +252,18 @@ object ScaleStress {
       "cosine_pairs" -> (d =>
         m(Similarity.cosinePairs(spark, d, threshold = 0.8))),
       "embedding_quantize" -> (d => m(Similarity.quantizeInt8(spark, d))),
+      // X61 in its realistic regime: detection threshold 0.8 (planted
+      // twin band — the registered 0.4 sits in the random band, where
+      // within-cell output is inherently quadratic) and maxCells
+      // scaled with the corpus, the SemDeDup 100 TB knob: cluster
+      // count grows so per-cell quadratic mass stays ~constant. A
+      // PRIME cell count, because the stress corpus offsets labels by
+      // +1000·copy: gcd(1000, 16n) > 1 would alias many copies onto
+      // the same label-fold cells and fake a quadratic blowup the
+      // operator doesn't have
+      "semdedup" -> (d =>
+        m(Similarity.semDedup(spark, d, tau = 0.8,
+          maxCells = nextPrime(16 * scaleOf(d))))),
       "centroid_udaf" -> (d =>
         m(Similarity.centroidByLabelFlat(spark, d))))
 

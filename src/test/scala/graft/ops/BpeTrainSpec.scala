@@ -84,6 +84,57 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(after <= before, s"persisted RDDs grew: $before -> $after")
   }
 
+  test("bpeEncode equals a driver-side reference encode (X63)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = graft.util.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val allWords = docs.flatMap(d => toks(d._2))
+    val freqs: Seq[(Seq[String], Long)] = allWords.groupBy(identity)
+      .map { case (w, g) =>
+        (w.map(_.toString): Seq[String], g.length.toLong) }.toSeq
+    val merges = referenceBpe(freqs, 12).map { case (_, l, r, _) => (l, r) }
+    def encode(word: String): Int =
+      merges.foldLeft(word.map(_.toString): Seq[String]) {
+        case (syms, (l, r)) =>
+          val acc = collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { x =>
+            if (acc.nonEmpty && acc.last == l && x == r) {
+              acc.remove(acc.length - 1); acc += (l + r)
+            } else acc += x
+          }
+          acc.toSeq
+      }.length
+    val encLen: Map[String, Int] =
+      allWords.distinct.map(w => w -> encode(w)).toMap
+    val expect = docs.toSeq.flatMap { case (id, tx) =>
+      val ws = toks(tx)
+      if (ws.isEmpty) None
+      else {
+        val nTok = ws.map(encLen(_).toLong).sum
+        val nCh = ws.map(_.length.toLong).sum
+        Some((id, ws.length.toLong, nTok, nCh, nCh.toDouble / nTok))
+      }
+    }.sortBy(_._1)
+    val got = BpeTrain.bpeEncode(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == expect)
+    // merging actually compressed something (degenerate-test guard)
+    assert(got.exists(r => r._3 < r._4))
+  }
+
+  test("bpeEncode with zero merges counts characters") {
+    import spark.implicits._
+    val out = BpeTrain.bpeEncode(spark, dir, nMerges = 0)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, _, nTok, nChars, cpt) =>
+      assert(nTok == nChars); assert(cpt == 1.0)
+    }
+  }
+
   test("training is deterministic across runs") {
     import spark.implicits._
     def run() = BpeTrain.bpeTrain(spark, dir, nMerges = 6)

@@ -413,6 +413,46 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semDedup keep/drop equals a driver-side within-cell recomputation (X61)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Similarity.semDedup(spark, dir)
+      .as[(Long, Int, Boolean, Option[Long], Long)].collect().toSeq
+    val vecs: Map[Long, Seq[Double]] =
+      graft.util.Tables.t(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toMap
+        .view.mapValues(_.map(_.toDouble)).toMap
+    assert(out.map(_._1).toSet == vecs.keySet, "one row per vector")
+    // cells from the output itself (routing exactness is pinned by the
+    // IVF parity specs + the shared-assign DuckDB oracle); the DROP
+    // RULE is what this spec recomputes independently
+    val cellOf = out.map(r => r._1 -> r._2).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    out.foreach { case (v, cell, kept, dupOf, nNear) =>
+      val lowerNear = vecs.keys.toSeq.sorted
+        .filter(u => u < v && cellOf(u) == cell && cos(vecs(u), vecs(v)) > 0.4)
+      assert(kept == lowerNear.isEmpty, s"vec $v kept flag")
+      assert(dupOf == lowerNear.headOption, s"vec $v dup_of")
+      assert(nNear == lowerNear.size.toLong, s"vec $v n_near")
+    }
+    assert(out.exists(!_._3), "degenerate test: nothing was dropped")
+  }
+
+  test("semDedup is invariant under block salting (X61 scale path)") {
+    import spark.implicits._
+    def run(tbr: Int) = Similarity.semDedup(spark, dir,
+        targetBlockRows = tbr)
+      .as[(Long, Int, Boolean, Option[Long], Long)].collect().toSeq
+    // 32-row blocks force every ~50-vector cell onto the multi-block
+    // (salted) pair path; output must be identical to the default
+    assert(run(32) == run(2048))
+  }
+
   test("LSH signature is deterministic across evaluations and salted per table") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

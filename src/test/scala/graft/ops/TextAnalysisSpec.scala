@@ -112,6 +112,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(6L) == ((0L, 0L)), s"doc6: ${got(6L)}")
   }
 
+  test("jaccardPrefixJoin equals brute force at two thresholds — the prefix filter is lossless (X62)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.util.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def shingleSet(text: String): Set[String] = {
+      val w = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (w.length < 3) Set.empty[String]
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, tx) => (id, shingleSet(tx)) }
+      .filter(_._2.nonEmpty).sortBy(_._1)
+    // 0.5 = the registered form; 0.3 exercises longer prefixes (more
+    // candidates, more of the verification path)
+    for (minJ <- Seq(0.5, 0.3)) {
+      val expect = (for {
+        i <- sets.indices; j <- (i + 1) until sets.length
+        (ida, sa) = sets(i)
+        (idb, sb) = sets(j)
+        inter = (sa & sb).size
+        if inter > 0
+        jac = inter.toDouble / (sa.size + sb.size - inter)
+        if jac >= minJ
+      } yield (ida, idb, inter.toLong, sa.size.toLong,
+        sb.size.toLong, jac)).toSeq
+      val got = Dedup.jaccardPrefixJoin(spark, dir, minJ)
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+      assert(got == expect, s"minJaccard=$minJ")
+      assert(got.nonEmpty, s"degenerate test: no pairs at $minJ")
+    }
+  }
+
   test("tokens splits on whitespace and drops empties") {
     import spark.implicits._
     val out = Seq("  Hello   world ").toDF("t")
