@@ -1597,7 +1597,7 @@ object SparkEntry {
         CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
       FROM i JOIN sz sa ON sa.doc_id = doc_a
              JOIN sz sb ON sb.doc_id = doc_b
-      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.7
       ORDER BY doc_a, doc_b""")),
 
     "cosine_pairs" -> Q((s, d) => Similarity.cosinePairs(s, d), Some("""
@@ -1673,6 +1673,26 @@ object SparkEntry {
         CAST(COALESCE(d.n_near, 0) AS BIGINT) AS n_near
       FROM assign s LEFT JOIN d USING (vec_id)
       ORDER BY s.vec_id""")),
+
+    // X65 — embedding outliers: top-5 farthest-from-centroid vectors
+    // per routed cell (squared-L2 expanded into three shared-fold
+    // dots, centroid float-downcast like the routing codebook).
+    "embedding_outliers" ->
+      Q((s, d) => Similarity.embeddingOutliers(s, d), Some(s"""
+      WITH ${ivfRouteCtes()},
+      cbf AS (SELECT cell, centroid,
+          list_dot_product(centroid, centroid) AS cc FROM cb),
+      dm AS (SELECT a.vec_id, a.cell,
+          list_dot_product(ee.e, ee.e)
+            - 2 * list_dot_product(ee.e, c.centroid) + c.cc AS dist2
+        FROM assign a
+        JOIN e ee ON ee.vec_id = a.vec_id
+        JOIN cbf c ON c.cell = a.cell),
+      r AS (SELECT *, row_number() OVER (
+            PARTITION BY cell ORDER BY dist2 DESC, vec_id) AS rn
+        FROM dm)
+      SELECT cell, vec_id, dist2, CAST(rn AS INTEGER) AS rn
+      FROM r WHERE rn <= 5 ORDER BY cell, rn""")),
 
     "ann_ivf_topk" -> Q((s, d) => Similarity.ivfTopK(s, d),
       Some(ivfOracle())),
@@ -2187,6 +2207,25 @@ object SparkEntry {
         CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE)
           AS overlap_frac
       FROM tr WHERE n_overlap > 0 ORDER BY doc_id""")),
+
+    // X64 — word-rarity quality score: mean inverse unigram
+    // probability (log-free perplexity proxy — transcendental log is
+    // a cross-engine last-ulp risk) + hapax count; decimal-accumulated
+    // mean so partition order can't move a bit.
+    "word_rarity" -> Q(
+      (s, d) => QualitySignals.wordRarity(s, d), Some("""
+      WITH wds AS (SELECT doc_id, unnest(list_filter(
+          string_split_regex(lower(text), '\s+'), x -> x <> ''))
+          AS word FROM documents),
+      fr AS (SELECT word, count(*) AS f FROM wds GROUP BY 1),
+      tot AS (SELECT CAST(sum(f) AS DOUBLE) AS total FROM fr)
+      SELECT doc_id, count(*) AS n_words,
+        CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_hapax,
+        CAST(CAST(sum(CAST(total / f AS DECIMAL(30,8))) AS VARCHAR)
+          AS DOUBLE) / count(*) AS mean_inv_p
+      FROM wds JOIN fr USING (word), tot
+      GROUP BY doc_id ORDER BY doc_id""")),
 
     "zipf_spectrum" -> Q(
       (s, d) => QualitySignals.zipfSpectrum(s, d), Some("""

@@ -259,8 +259,22 @@ object Dedup {
     * total order — so every qualifying pair shares ≥ 1 prefix shingle.
     * Common boilerplate shingles (huge join fan-out, the skew killer
     * of a naive token join) sort to the SUFFIX and never enter the
-    * join: measured at sf0.01 the prefix join emits ~3% of the pairs
-    * the full shingle join would.
+    * join.
+    *
+    * Candidates then pass the POSITIONAL filter (PPJoin): for a
+    * qualifying pair the MINIMAL shared token g sits in both prefixes
+    * (if it didn't, the whole intersection would fit in one suffix —
+    * size < ⌈t·n⌉ ≤ α, contradiction), no shared token precedes it,
+    * so |x∩y| ≤ 1 + min(n_x − rn_x(g), n_y − rn_y(g)); pairs whose
+    * bound misses the required overlap α = ⌈t/(1+t)·(n_x+n_y)⌉ are
+    * pruned before any verification work. Because both per-doc ranks
+    * restrict the SAME global order, g's positions are exactly
+    * (min rn_x, min rn_y) over the pair's shared prefix tokens — two
+    * MIN aggregates on the candidate groupBy that deduplicates pairs
+    * anyway, so the filter costs no extra shuffle. Measured at 10×
+    * sf0.1: 12.5M within-copy pairs → 1.05M prefix candidates →
+    * 334k after the positional filter, against 2,560 true pairs at
+    * the default threshold.
     *
     * Verification is exact and candidate-driven, the [[ngramJaccard]]
     * plan shape: the corpus shingle relation is semi-joined down to
@@ -271,11 +285,19 @@ object Dedup {
     *
     * 100 TB: every stage is a keyed shuffle bounded by prefix-bucket
     * occupancy (rare shingles by construction); no stage is all-pairs
-    * and nothing data-sized reaches the driver. The candidate
-    * `distinct` and the size/intersection joins shuffle candidate-set
-    * sized relations, which the prefix filter keeps ∝ output size. */
+    * and nothing data-sized reaches the driver. Verification cost is
+    * |candidates| · |doc shingles| rows, so the filters are the whole
+    * game: the default threshold is 0.7 (the near-dup regime this
+    * operator exists for — prefix length ∝ (1−t), and t=0.5 prefixes
+    * are HALF of every document, which on a corpus with a dense
+    * mid-similarity band admits a quadratic candidate mass; measured
+    * 31M candidates → a 2.6-billion-row verification join at 100×
+    * before the rewrite, vs ~3.3M candidates after). Lower thresholds
+    * remain supported and exact — the t=0.5/0.3 lossless contracts
+    * are spec-pinned at sf0.001 — they are just priced as the
+    * scan-the-band exact queries they mathematically are. */
   def jaccardPrefixJoin(spark: SparkSession, dir: String,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.7): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = fanOut(t(spark, dir, "documents"))
       .withColumn("w", TextAnalysis.tokens(col("text")))
@@ -289,17 +311,26 @@ object Dedup {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
       .filter(col("rn") <=
         col("n") - ceil(lit(minJaccard) * col("n")) + lit(1))
-      .select(col("doc_id"), col("g"), col("n"))
-    // Prefix equi-join → distinct candidate pairs; the size filter
-    // (t·max ≤ min is necessary for J ≥ t) prunes before verification.
+      .select(col("doc_id"), col("g"), col("n"), col("rn"))
+    // Prefix equi-join → candidate pairs: the size filter (t·max ≤
+    // min is necessary for J ≥ t) prunes inside the join; the groupBy
+    // both DEDUPLICATES pairs and carries the two MINs the positional
+    // filter needs (see scaladoc — min rn on each side is the shared
+    // minimal token's position pair, its overlap upper bound is exact)
     val cand = prefix.select(col("g"), col("doc_id").as("doc_a"),
-        col("n").as("n_a"))
+        col("n").as("n_a"), col("rn").as("rn_a"))
       .join(prefix.select(col("g"), col("doc_id").as("doc_b"),
-        col("n").as("n_b")), Seq("g"))
+        col("n").as("n_b"), col("rn").as("rn_b")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(least(col("n_a"), col("n_b")) >=
         lit(minJaccard) * greatest(col("n_a"), col("n_b")))
-      .select(col("doc_a"), col("doc_b")).distinct()
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(min(col("rn_a")).as("ra"), min(col("rn_b")).as("rb"))
+      .filter(lit(1) + least(col("n_a") - col("ra"),
+          col("n_b") - col("rb")) >=
+        ceil(lit(minJaccard / (1.0 + minJaccard)) *
+          (col("n_a") + col("n_b"))))
+      .select(col("doc_a"), col("doc_b"))
     // Exact verification, candidate-driven (see ngramJaccard for why
     // this shape and not a collect_set pass or a shingle self-join).
     val pairDocs = cand.select(col("doc_a").as("doc_id"))

@@ -103,6 +103,46 @@ object QualitySignals {
     * Scale shape: df is one distinct + one map-side-combined groupBy;
     * the spectrum itself aggregates ~vocabulary-size rows down to ~20
     * buckets. */
+  /** X64 — per-document word-rarity score: the corpus-language-model
+    * quality signal (the CCNet/perplexity-filter family) in a form
+    * that stays bit-exact cross-engine. A document's words are scored
+    * against the corpus unigram model; the score is the MEAN INVERSE
+    * PROBABILITY `avg(total_words / freq(w))` — monotone in the same
+    * direction as unigram perplexity (rare-word-heavy docs score
+    * high, common-word prose low) but free of the transcendental
+    * `log`, whose last-ulp behavior differs between engines (same
+    * reasoning that keeps the idf damping out of [[CorpusStats]]'s
+    * TF-IDF). `n_hapax` (corpus-frequency-1 words) is the classic
+    * OOV-ish rarity count alongside.
+    *
+    * Scale shape: one corpus pass to the (vocabulary-sized) frequency
+    * table — localCheckpoint'd so the total scalar AND the scoring
+    * join both read the checkpoint instead of re-scanning the corpus
+    * (the [[BpeTrain]] vocab idiom) — then one keyed join of exploded
+    * words to it (map-side combined agg per doc after), and ONE driver
+    * scalar (the corpus word total). Two corpus scans total. The
+    * per-doc mean uses the exact decimal accumulation (`Tables.davg`)
+    * so partition order can't move a bit. */
+  def wordRarity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.util.Tables.davg
+    val words = fanOut(t(spark, dir, "documents"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("word"))
+    val freq = words.groupBy(col("word")).agg(count(lit(1)).as("f"))
+      .localCheckpoint()
+    // corpus word total: a single long — the one driver-side value,
+    // injected as a literal so the scoring plan has no 1-row cross
+    // join (which would need a PlanAudit BNLJ allowlist entry)
+    val total: Long = freq.agg(sum(col("f"))).head().getLong(0)
+    words.join(freq, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        davg(lit(total).cast("double") / col("f")).as("mean_inv_p"))
+      .orderBy("doc_id")
+  }
+
   def zipfSpectrum(spark: SparkSession, dir: String): DataFrame = {
     // Spectrum over word BIGRAMS, not unigrams: the bigram vocabulary
     // is large enough to spread document frequencies across the full

@@ -764,6 +764,54 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** X65 — embedding outlier detection: the top-k vectors FARTHEST
+    * from their own routed cell centroid, per cell — the embedding-
+    * space data-cleaning signal (mislabeled, corrupt, or off-
+    * distribution vectors surface first) that complements [[semDedup]]
+    * (which removes the over-represented center; this flags the
+    * suspicious fringe).
+    *
+    * Distance is squared L2 expanded as `e·e − 2·e·c + c·c`, all three
+    * dots the same sequential double fold ([[dot]] / DuckDB
+    * `list_dot_product`), the centroid float-downcast exactly like the
+    * IVF routing codebook — so the oracle (sharing the proven
+    * `ivfRouteCtes` assign CTEs) reproduces every bit, and ranking by
+    * (dist² desc, vec_id) can never disagree.
+    *
+    * Scale shape: routing is the bounded-codebook scan (O(n·maxCells)),
+    * the centroid join is a broadcast of ≤ maxCells rows, and the
+    * top-k is a per-cell window over ONE keyed shuffle — output is
+    * maxCells·k rows regardless of corpus size. */
+  def embeddingOutliers(spark: SparkSession, dir: String, k: Int = 5,
+      maxCells: Int = 16): DataFrame = {
+    import spark.implicits._
+    val cells: Seq[(Int, Seq[Double])] =
+      coarseCodebook(spark, dir, maxCells)
+        .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSeq
+    // float-downcast centroid (the routing representation) + its
+    // self-dot, computed driver-side with the same sequential fold
+    val cellsDf = cells.map { case (id, c) =>
+      val cf = c.map(_.toFloat)
+      val cc = cf.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+      (id, cf, cc)
+    }.toDF("cell", "centroid_f", "cc")
+    val celled = fanOut(t(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("cell", argmaxCell(cells, col("embedding")))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("dist2").desc, col("vec_id"))
+    celled.join(broadcast(cellsDf), Seq("cell"))
+      .withColumn("dist2",
+        dot(col("embedding"), col("embedding")) -
+          lit(2.0) * dot(col("embedding"), col("centroid_f")) +
+          col("cc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("cell"), col("vec_id"), col("dist2"),
+        col("rn").cast("int").as("rn"))
+      .orderBy("cell", "rn")
+  }
+
   /** X17 — per-label centroid aggregation WITHOUT an output ordering:
     * the shared subplan for both public forms. Kept order-free because a
     * global orderBy over an aggregate range-samples its child — running

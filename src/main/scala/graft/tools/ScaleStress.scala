@@ -211,6 +211,7 @@ object ScaleStress {
       // grows with n — the scale claim is that the CORPUS cost stays
       // the two scans + one keyed join
       "bpe_encode" -> (d => m(BpeTrain.bpeEncode(spark, d))),
+      "word_rarity" -> (d => m(QualitySignals.wordRarity(spark, d))),
       "dedup_groups" -> (d => {
         Dedup.clearPairsMemo(); m(Dedup.dedupGroups(spark, d)) }),
       "clean_corpus" -> (d => {
@@ -263,6 +264,9 @@ object ScaleStress {
       // operator doesn't have
       "semdedup" -> (d =>
         m(Similarity.semDedup(spark, d, tau = 0.8,
+          maxCells = nextPrime(16 * scaleOf(d))))),
+      "embedding_outliers" -> (d =>
+        m(Similarity.embeddingOutliers(spark, d,
           maxCells = nextPrime(16 * scaleOf(d))))),
       "centroid_udaf" -> (d =>
         m(Similarity.centroidByLabelFlat(spark, d))))

@@ -54,4 +54,42 @@ class QualitySignalsSpec extends AnyFunSuite {
         s"bucket $bucket holds df range [$minDf,$maxDf]")
     }
   }
+
+  test("wordRarity equals a driver-side unigram-model recomputation (X64)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.util.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def toks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val all = docs.flatMap(d => toks(d._2))
+    val freq = all.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = all.length.toLong
+    val got = QualitySignals.wordRarity(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val expectCounts = docs.toSeq.flatMap { case (id, tx) =>
+      val ws = toks(tx)
+      if (ws.isEmpty) None
+      else Some((id, ws.length.toLong,
+        ws.count(w => freq(w) == 1L).toLong))
+    }.sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3)) == expectCounts)
+    // mean inverse probability: reference with plain double sums —
+    // the engine's decimal accumulation agrees to well under 1e-9
+    // relative (bit-exactness vs DuckDB is the gate's job)
+    got.foreach { case (id, n, _, meanInvP) =>
+      val ws = toks(docs.find(_._1 == id).get._2)
+      val ref = ws.map(w => total.toDouble / freq(w)).sum / n
+      assert(math.abs(meanInvP - ref) <= 1e-9 * math.max(1.0, ref),
+        s"doc $id: $meanInvP vs $ref")
+      assert(meanInvP >= 1.0, s"doc $id: mean inverse p below 1")
+    }
+    // rare-word-heavy docs score higher than common-word docs:
+    // the hapax-richest doc must outrank the hapax-free docs' median
+    val byHapaxFrac = got.map(r => (r._3.toDouble / r._2, r._4))
+    val rich = byHapaxFrac.maxBy(_._1)
+    val none = byHapaxFrac.filter(_._1 == 0.0).map(_._2)
+    if (none.nonEmpty && rich._1 > 0)
+      assert(rich._2 > none.sorted.apply(none.size / 2))
+  }
 }

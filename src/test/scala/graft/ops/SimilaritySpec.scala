@@ -453,6 +453,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run(32) == run(2048))
   }
 
+  test("embeddingOutliers equals a driver-side route+distance+rank recomputation (X65)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // codebook from the engine (double-mean merge order is absorbed by
+    // the float downcast; what THIS spec pins is routing, the expanded
+    // squared-L2, and the (dist2 desc, vec_id) ranking)
+    val cells = Similarity.coarseCodebook(spark, dir, 16)
+      .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSeq
+    val cf = cells.map { case (id, c) => id -> c.map(_.toFloat) }
+    def fold(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble }
+    val vecs = graft.util.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val expect = vecs.map { case (v, e) =>
+      // argmax with ties to the LARGER cell id — greatest() over
+      // (score, cell) structs compares lexicographically
+      val cell = cf.map { case (id, c) => (fold(e, c), id) }.max._2
+      val cc = fold(cf.toMap.apply(cell), cf.toMap.apply(cell))
+      val d2 = fold(e, e) - 2.0 * fold(e, cf.toMap.apply(cell)) + cc
+      (cell, v, d2)
+    }.groupBy(_._1).toSeq.flatMap { case (cell, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(5).zipWithIndex
+        .map { case ((c, v, d2), i) => (c, v, d2, i + 1) }
+    }.sortBy(r => (r._1, r._4))
+    val got = Similarity.embeddingOutliers(spark, dir)
+      .as[(Int, Long, Double, Int)].collect().toSeq
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("LSH signature is deterministic across evaluations and salted per table") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

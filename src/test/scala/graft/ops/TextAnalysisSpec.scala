@@ -124,9 +124,10 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
     val sets = docs.map { case (id, tx) => (id, shingleSet(tx)) }
       .filter(_._2.nonEmpty).sortBy(_._1)
-    // 0.5 = the registered form; 0.3 exercises longer prefixes (more
-    // candidates, more of the verification path)
-    for (minJ <- Seq(0.5, 0.3)) {
+    // 0.7 = the registered form; 0.5/0.3 exercise longer prefixes
+    // (more candidates, more of the verification + positional-filter
+    // path) — the losslessness contract must hold at every threshold
+    for (minJ <- Seq(0.7, 0.5, 0.3)) {
       val expect = (for {
         i <- sets.indices; j <- (i + 1) until sets.length
         (ida, sa) = sets(i)
