@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // recursive Column→Expression conversion (Spark 4 ColumnNode walk)
+  // overflows the default ~1MB stack on deep plans (e.g. wide unions
+  // carrying per-branch lambda expressions) well before any real
+  // resource limit — give driver-side analysis generous headroom
+  "-Xss64m",
 )

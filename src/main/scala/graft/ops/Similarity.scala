@@ -250,7 +250,12 @@ object Similarity {
   /** Argmax cell id for a vector — `greatest` over the per-cell dot
     * structs, except that `greatest` requires ≥2 arguments: a
     * single-cell codebook (maxCells=1, or a corpus whose labels fold
-    * into one cell) degenerates to that cell unconditionally. */
+    * into one cell) degenerates to that cell unconditionally. Past
+    * [[graft.expressions.CellRoute.MaxExprCells]] cells the composed
+    * form's plan size (one dot-struct subtree per cell) starts to
+    * dominate — optimizer max-iteration warnings, codegen bloat — so
+    * large codebooks route through the native [[graft.expressions
+    * .CellRoute]] fused loop instead (bit-identical; spec-pinned). */
   private def argmaxCell(cells: Seq[(Int, Seq[Double])],
       e: Column): Column = {
     // zero cells reaches greatest() with no args (AnalysisException) —
@@ -259,7 +264,9 @@ object Similarity {
     require(cells.nonEmpty,
       "empty codebook: the corpus used to build it has no rows")
     if (cells.size == 1) lit(cells.head._1)
-    else greatest(cellDotStructs(cells, e): _*).getField("cell")
+    else if (cells.size <= graft.expressions.CellRoute.MaxExprCells)
+      greatest(cellDotStructs(cells, e): _*).getField("cell")
+    else graft.expressions.CellRoute(e, cells)
   }
 
   /** The bounded coarse codebook shared by [[ivfTopK]] and
@@ -612,9 +619,12 @@ object Similarity {
       math.min(maxSaltsPerCell.toLong,
         math.max(1L, (n + targetBlockRows - 1) / targetBlockRows)).toInt
     }.toMap
-    val saltOf = salts.toSeq.foldLeft(lit(1)) { case (acc, (c, s)) =>
-      when(col("cell") === c, lit(s)).otherwise(acc)
-    }
+    // ONE map-literal lookup, not a when-chain: a per-cell CASE WHEN
+    // is O(cells) in plan size AND — after projection collapse inlines
+    // the routing expression into every branch — blows generated code
+    // past the codegen limit at large codebooks
+    val saltOf = coalesce(
+      element_at(typedLit(salts), col("cell")), lit(1))
     val blocked = celled.withColumn("salt",
       pmod(graft.util.Tables.md5Long32(
           concat(lit("cospair"), col("vec_id").cast("string"))),
@@ -720,9 +730,9 @@ object Similarity {
       math.min(maxSaltsPerCell.toLong,
         math.max(1L, (n + targetBlockRows - 1) / targetBlockRows)).toInt
     }.toMap
-    val saltOf = salts.toSeq.foldLeft(lit(1)) { case (acc, (c, s)) =>
-      when(col("cell") === c, lit(s)).otherwise(acc)
-    }
+    // map-literal lookup, not a when-chain — see [[cosinePairsFor]]
+    val saltOf = coalesce(
+      element_at(typedLit(salts), col("cell")), lit(1))
     val blocked = celled.withColumn("salt",
       pmod(graft.util.Tables.md5Long32(
           concat(lit("semdedup"), col("vec_id").cast("string"))),
@@ -780,7 +790,13 @@ object Similarity {
     *
     * Scale shape: routing is the bounded-codebook scan (O(n·maxCells)),
     * the centroid join is a broadcast of ≤ maxCells rows, and the
-    * top-k is a per-cell window over ONE keyed shuffle — output is
+    * per-cell top-k runs through the X40 partial-heap operator
+    * ([[graft.plans.TopK.topKPerKey]]) AFTER the embedding column is
+    * projected away — the one keyed exchange carries at most
+    * partitions×maxCells×k (cell, vec_id, dist2) triples, where the
+    * window formulation would shuffle (and per-cell sort) every vector
+    * row into ≤ maxCells reducers. The rank column is a window over
+    * the ≤ maxCells·k survivors — output-sized, free. Output is
     * maxCells·k rows regardless of corpus size. */
   def embeddingOutliers(spark: SparkSession, dir: String, k: Int = 5,
       maxCells: Int = 16): DataFrame = {
@@ -798,17 +814,18 @@ object Similarity {
     val celled = fanOut(t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"))
       .withColumn("cell", argmaxCell(cells, col("embedding")))
-    val w = Window.partitionBy(col("cell"))
-      .orderBy(col("dist2").desc, col("vec_id"))
-    celled.join(broadcast(cellsDf), Seq("cell"))
+    val scored = celled.join(broadcast(cellsDf), Seq("cell"))
       .withColumn("dist2",
         dot(col("embedding"), col("embedding")) -
           lit(2.0) * dot(col("embedding"), col("centroid_f")) +
           col("cc"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("cell"), col("vec_id"), col("dist2"),
-        col("rn").cast("int").as("rn"))
+      .select(col("cell"), col("vec_id"), col("dist2"))
+    val top = graft.plans.TopK.topKPerKey(scored, Seq(col("cell")),
+      Seq(col("dist2").desc, col("vec_id")), k)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("dist2").desc, col("vec_id"))
+    top.withColumn("rn", row_number().over(w).cast("int"))
+      .select(col("cell"), col("vec_id"), col("dist2"), col("rn"))
       .orderBy("cell", "rn")
   }
 

@@ -1,5 +1,7 @@
 package graft.tools
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.{GraftSession, Tables}
@@ -27,6 +29,16 @@ import graft.ops.{BpeTrain, CorpusStats, Dedup, QualitySignals,
   * [scales...]` (default `all 1 3 10`); corpora are cached under
   * target/scale/. */
 object ScaleStress {
+
+  /** Balanced unionByName — O(log n) plan depth. The left-deep
+    * `reduce(_ unionByName _)` form builds a depth-n Column tree whose
+    * recursive conversion overflows the default JVM stack around
+    * n=100 when each copy also carries per-copy lambda expressions
+    * (the embedding corpus' signFlip zip_with). */
+  private def treeUnion(dfs: Seq[DataFrame]): DataFrame =
+    if (dfs.size == 1) dfs.head
+    else treeUnion(dfs.grouped(2).map(g =>
+      if (g.size == 1) g.head else g(0).unionByName(g(1))).toSeq)
 
   /** Deterministic per-copy ±1 sign flip of every element — the
     * "rotation" that separates copies: multiplying floats by ±1 is
@@ -74,7 +86,7 @@ object ScaleStress {
         .withColumn("label", col("label") + lit(c * 1000))
         .withColumn("embedding", signFlip(c, col("embedding")))
     }
-    val all = copies.reduce(_ unionByName _)
+    val all = treeUnion(copies)
     val twins = all
       .filter(pmod(xxhash64(col("vec_id")), lit(50)) === 0)
       .withColumn("vec_id", col("vec_id") + lit(5000000L))
@@ -108,7 +120,7 @@ object ScaleStress {
       (0 until n).map { c =>
         keys.foldLeft(base)((df, k) =>
           df.withColumn(k, col(k) + lit(c * OFF)))
-      }.reduce(_ unionByName _)
+      }.pipe(treeUnion)
         .write.mode("overwrite").parquet(s"$out/$tbl.parquet")
     }
   }
@@ -128,7 +140,7 @@ object ScaleStress {
       base
         .withColumn("event_id", col("event_id") + lit(c * 1000000000L))
         .withColumn("user_id", col("user_id") + lit(c * 1000000L))
-    }.reduce(_ unionByName _)
+    }.pipe(treeUnion)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 
@@ -142,7 +154,7 @@ object ScaleStress {
         .withColumn("text",
           regexp_replace(col("text"), "(\\S+)", s"$$1c$c"))
     }
-    copies.reduce(_ unionByName _)
+    treeUnion(copies)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
   }
 
