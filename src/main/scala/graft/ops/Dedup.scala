@@ -299,19 +299,36 @@ object Dedup {
   def jaccardPrefixJoin(spark: SparkSession, dir: String,
       minJaccard: Double = 0.7): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The shingle relation has SEVEN downstream consumers (df/size
+    // aggs, both prefix-join sides, the semi-join, both intersection
+    // sides); lineage branching re-derived the whole
+    // scan→tokenize→shingle→explode pipeline per consumer — 34 corpus
+    // scans in the physical plan, zero ReuseExchange (column pruning
+    // specializes each branch's scan). localCheckpoint pins it ONCE;
+    // same treatment for the derived relations consumed more than
+    // once (sz ×3, prefix ×2, cand ×3), each at most
+    // prefix-/pair-sized. One corpus scan total.
     val sh = fanOut(t(spark, dir, "documents"))
       .withColumn("w", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"),
         explode(array_distinct(shingles3(col("w")))).as("g"))
+      // DISK_ONLY: this one is corpus-shingle-sized — heap-cached it
+      // competes with the downstream joins' shuffle buffers (OOM'd the
+      // 100× stress at 8g); streamed from local disk it behaves like a
+      // shuffle spill, which is what this materialization morally is
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // Rarity rank + per-doc set size in one cascade of keyed aggs.
     val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val prefix = sh.join(dfreq, Seq("g")).join(sz, Seq("doc_id"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
       .filter(col("rn") <=
         col("n") - ceil(lit(minJaccard) * col("n")) + lit(1))
       .select(col("doc_id"), col("g"), col("n"), col("rn"))
+      .localCheckpoint()
     // Prefix equi-join → candidate pairs: the size filter (t·max ≤
     // min is necessary for J ≥ t) prunes inside the join; the groupBy
     // both DEDUPLICATES pairs and carries the two MINs the positional
@@ -331,6 +348,7 @@ object Dedup {
         ceil(lit(minJaccard / (1.0 + minJaccard)) *
           (col("n_a") + col("n_b"))))
       .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
     // Exact verification, candidate-driven (see ngramJaccard for why
     // this shape and not a collect_set pass or a shingle self-join).
     val pairDocs = cand.select(col("doc_a").as("doc_id"))

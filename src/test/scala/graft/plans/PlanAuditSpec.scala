@@ -91,13 +91,28 @@ class PlanAuditSpec extends AnyFunSuite {
     *    output sort
     *  - ngram_jaccard 8       = candidate pairs, two signature
     *    attach joins, intersection agg, union-size join, jaccard agg,
-    *    semi-join prune + output sort (the round-4 rework's shape) */
+    *    semi-join prune + output sort (the round-4 rework's shape)
+    *  - jaccard_prefix_join 6 = the FINAL plan over the four
+    *    checkpointed relations: semi-join prune, two intersection
+    *    attach joins, intersection agg, size joins, output sort (the
+    *    checkpoint jobs' own exchanges run once at build; pre-fix the
+    *    un-checkpointed plan held 37 exchanges and 34 corpus scans)
+    *  - semdedup 3            = per-cell count agg feeding the salt
+    *    map, verdict agg, output sort (block pairs broadcast)
+    *  - embedding_outliers 2  = the X40 partial→final top-k shuffle
+    *    + output sort (centroids broadcast)
+    *  - word_rarity 2         = per-doc agg after the freq-checkpoint
+    *    join + output sort
+    *  - bpe_encode 2          = word→n_symbols join key + per-doc agg
+    *    (vocab folds are checkpoint-local) */
   private val exchangeBudgets: Map[String, Int] = Map(
     "q1_pricing_summary" -> 2, "q5_revenue_by_nation" -> 2,
     "topk_per_key" -> 2, "dedup_exact" -> 2, "window_events" -> 2,
     "tumbling_window" -> 2, "asof_join" -> 2, "bucketed_join" -> 2,
     "neardup_minhash" -> 1, "span_scrub" -> 3, "cosine_pairs" -> 1,
-    "ann_lsh_pairs" -> 2, "dedup_groups" -> 3, "ngram_jaccard" -> 8)
+    "ann_lsh_pairs" -> 2, "dedup_groups" -> 3, "ngram_jaccard" -> 8,
+    "jaccard_prefix_join" -> 6, "semdedup" -> 3,
+    "embedding_outliers" -> 2, "word_rarity" -> 2, "bpe_encode" -> 2)
 
   test("keyed exchange counts match the pinned per-query budgets") {
     val bad = exchangeBudgets.toSeq.sortBy(_._1).flatMap {
