@@ -209,7 +209,12 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     // AQE broadcasts pairDocs when small; degrades to a shuffle
     // semi-join (not a broadcast of the corpus) when it isn't.
+    // localCheckpoint: THREE consumers below (ns + both intersection
+    // sides) would each re-derive the corpus scan→shingle→semi-join
+    // lineage; shc is candidate-doc-sized, so pinning it cuts the
+    // plan from 3 corpus scans to this one.
     val shc = sh.join(pairDocs, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val ns = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // Pair-DRIVEN intersection: attach A's shingles to each pair, then
     // equi-join on (doc_b, shingle). Work is |pairs|·|doc| rows — a

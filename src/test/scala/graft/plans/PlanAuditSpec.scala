@@ -37,17 +37,28 @@ class PlanAuditSpec extends AnyFunSuite {
     "similarity_topk", "filtered_topk", "media_embed_topk",
     "fk_violations", "q22_dormant_rich", "tfidf_top_terms", "bm25_search")
 
+  /** Every registered query's physical-plan STRING, built once and
+    * shared by all audits (building a plan runs the side-effecting
+    * queries' setup, so one walk instead of one per test also keeps
+    * the suite's wall time flat as audits accumulate). Build failures
+    * are carried as Left and surfaced by the first test. */
+  private lazy val plans: Seq[(String, Either[String, String])] =
+    graft.SparkEntry.registry.map { case (name, q) =>
+      name -> (try Right(q.fn(spark, dir).queryExecution.executedPlan
+          .toString)
+        catch { case e: Throwable =>
+          Left(String.valueOf(e.getMessage).take(120)) })
+    }
+  private def plan(name: String): String =
+    plans.find(_._1 == name)
+      .getOrElse(fail(s"query $name is not registered"))
+      ._2.fold(e => fail(s"$name: plan build failed: $e"), identity)
+
   test("no registered plan contains a cartesian; BNLJ only on bounded broadcast sides") {
     val bad = Seq.newBuilder[String]
-    graft.SparkEntry.registry.foreach { case (name, q) =>
-      val plan =
-        try q.fn(spark, dir).queryExecution.executedPlan.toString
-        catch {
-          case e: Throwable =>
-            bad += s"$name: plan build failed: " +
-              String.valueOf(e.getMessage).take(120)
-            ""
-        }
+    plans.foreach { case (name, p) =>
+      val plan = p.fold(e => { bad += s"$name: plan build failed: $e"; "" },
+        identity)
       if (plan.contains("CartesianProduct"))
         bad += s"$name: CartesianProduct in physical plan"
       if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
@@ -89,9 +100,10 @@ class PlanAuditSpec extends AnyFunSuite {
     *  - ann_lsh_pairs 2       = band-bucket join key + output sort
     *  - dedup_groups 3        = pair stream + component propagation +
     *    output sort
-    *  - ngram_jaccard 8       = candidate pairs, two signature
-    *    attach joins, intersection agg, union-size join, jaccard agg,
-    *    semi-join prune + output sort (the round-4 rework's shape)
+    *  - ngram_jaccard 4       = two intersection attach joins,
+    *    intersection agg, size join + output sort over the
+    *    checkpointed pair/shingle relations (was 8 before the shc
+    *    checkpoint absorbed the semi-join prune + signature side)
     *  - jaccard_prefix_join 6 = the FINAL plan over the four
     *    checkpointed relations: semi-join prune, two intersection
     *    attach joins, intersection agg, size joins, output sort (the
@@ -110,17 +122,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "topk_per_key" -> 2, "dedup_exact" -> 2, "window_events" -> 2,
     "tumbling_window" -> 2, "asof_join" -> 2, "bucketed_join" -> 2,
     "neardup_minhash" -> 1, "span_scrub" -> 3, "cosine_pairs" -> 1,
-    "ann_lsh_pairs" -> 2, "dedup_groups" -> 3, "ngram_jaccard" -> 8,
+    "ann_lsh_pairs" -> 2, "dedup_groups" -> 3, "ngram_jaccard" -> 4,
     "jaccard_prefix_join" -> 6, "semdedup" -> 3,
     "embedding_outliers" -> 2, "word_rarity" -> 2, "bpe_encode" -> 2)
 
   test("keyed exchange counts match the pinned per-query budgets") {
     val bad = exchangeBudgets.toSeq.sortBy(_._1).flatMap {
       case (name, budget) =>
-        val q = graft.SparkEntry.registry.find(_._1 == name)
-          .getOrElse(fail(s"budgeted query $name is not registered"))._2
-        val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
-        val got = graft.tools.PlanAudit.keyedExchanges(plan)
+        val got = graft.tools.PlanAudit.keyedExchanges(plan(name))
         if (got == budget) None
         else Some(s"$name: $got keyed exchanges, budget $budget" +
           (if (got > budget) " — a shuffle regressed into the plan"
@@ -132,12 +141,69 @@ class PlanAuditSpec extends AnyFunSuite {
   test("BNLJ allowlist stays tight: allowlisted queries do plan a BNLJ") {
     // an entry that stops planning a BNLJ should be REMOVED — a stale
     // allowlist row is a latent hole, not a convenience
-    val stale = bnljAllowed.filter { name =>
-      val q = graft.SparkEntry.registry.find(_._1 == name)
-        .getOrElse(fail(s"allowlisted query $name is not registered"))._2
-      !q.fn(spark, dir).queryExecution.executedPlan.toString
-        .contains("BroadcastNestedLoopJoin")
-    }
+    val stale = bnljAllowed.filter(name =>
+      !plan(name).contains("BroadcastNestedLoopJoin"))
     assert(stale.isEmpty, s"allowlist rows no longer needed: $stale")
+  }
+
+  /** Tables whose size scales with the corpus — a repeated FileScan of
+    * one of these is a repeated 100 TB pass, the regression class the
+    * round-10 jaccard_prefix_join audit caught (34 scans of
+    * `documents` in one plan: lineage branching re-derives the scan
+    * per consumer, and column pruning specializes each branch's scan
+    * so ReuseExchange never fires). `nation`/`region` are fixed-size
+    * dims and exempt. */
+  private val scaledTables = Set("lineitem", "orders", "events",
+    "customer", "part", "supplier", "documents", "embeddings")
+
+  /** Exact pins for every query whose plan scans some data-scaled
+    * table more than once (the plan of record, measured at sf0.001);
+    * unlisted queries must stay at ≤ 1. Checkpoint-backed queries
+    * (jaccard_prefix_join, ngram_jaccard, bpe_*) show 0 here — their
+    * one corpus scan runs at checkpoint build. Multi-scan
+    * decompositions:
+    *  - set_ops 4            = 4 customer slices through
+    *    union/intersect/exceptAll — the operator's semantics
+    *  - ngram_repetition, bigram_novelty, decontaminate, kmv_distinct,
+    *    dpp_scan, range_join, click_attribution, except_all,
+    *    table_profile_approx, percentiles_approx, neardup_probe,
+    *    cosine_pairs, sql_native_dot, similarity_topk, filtered_topk,
+    *    ann_ivf_topk 2       = two-slice / probe-vs-corpus /
+    *    exact-vs-sketch-twin shapes
+    *  - span_scrub, clean_corpus, tfidf_top_terms, bm25_search 3;
+    *    ann_lsh_pairs 4; semdedup 3 = signature/score build + both
+    *    verification attach sides; the ≤1-scan path at 100 TB is the
+    *    corresponding SERVING split (neardup_probe / ann_ivf_probe /
+    *    the persisted LSH index), which is why these inline forms pin
+    *    rather than chase checkpoints */
+  private val multiScanBudgets: Map[String, Int] = Map(
+    "set_ops" -> 4, "ann_lsh_pairs" -> 4,
+    "span_scrub" -> 3, "clean_corpus" -> 3, "tfidf_top_terms" -> 3,
+    "bm25_search" -> 3, "semdedup" -> 3, "bloom_join" -> 3,
+    "q22_dormant_rich" -> 2,
+    "except_all" -> 2, "similarity_topk" -> 2, "filtered_topk" -> 2,
+    "dpp_scan" -> 2, "table_profile_approx" -> 2,
+    "click_attribution" -> 2, "sql_native_dot" -> 2,
+    "neardup_probe" -> 2, "cosine_pairs" -> 2, "ann_ivf_topk" -> 2,
+    "percentiles_approx" -> 2, "range_join" -> 2, "kmv_distinct" -> 2,
+    "bigram_novelty" -> 2, "ngram_repetition" -> 2,
+    "decontaminate" -> 2, "fk_violations" -> 2)
+
+  test("data-scaled tables are not re-scanned beyond the pinned multi-scan budgets") {
+    val scanRe = "file:[^,\\]]*?([a-z_0-9]+)\\.(?:parquet|csv|csv\\.gz)".r
+    val bad = plans.flatMap { case (name, p) =>
+      val worst = scanRe.findAllMatchIn(p.getOrElse(""))
+        .map(_.group(1)).toSeq.filter(scaledTables)
+        .groupBy(identity).map(_._2.size).maxOption.getOrElse(0)
+      val budget = multiScanBudgets.getOrElse(name, 1)
+      if (worst <= budget && (worst > 1 || !multiScanBudgets.contains(name)))
+        None
+      else if (worst > budget)
+        Some(s"$name: a data-scaled table is scanned $worst times, " +
+          s"budget $budget — a corpus re-read regressed into the plan")
+      else Some(s"$name: scans $worst ≤ 1 — plan improved; drop its " +
+        "multiScanBudgets row so the pin stays tight")
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
   }
 }
