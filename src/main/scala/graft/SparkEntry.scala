@@ -1694,6 +1694,33 @@ object SparkEntry {
       SELECT cell, vec_id, dist2, CAST(rn AS INTEGER) AS rn
       FROM r WHERE rn <= 5 ORDER BY cell, rn""")),
 
+    // X66 — semantic eval-set decontamination: deterministic 2% eval
+    // slice, best cell-local cosine match per remaining vector, flag
+    // at tau. Shares the proven IVF routing CTEs; the md5 slice coin
+    // is the engine's standard reproducible-bucket idiom.
+    "semantic_decon" -> Q(
+      (s, d) => Similarity.semanticDecontaminate(s, d), Some(s"""
+      WITH ${ivfRouteCtes()},
+      coin AS (SELECT vec_id,
+          CAST(('0x' || substring(md5('sdecon:' ||
+            CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 50 AS b
+        FROM embeddings),
+      ev AS (SELECT a.vec_id AS eval_id, a.cell, ee.e AS ee
+        FROM assign a JOIN e ee ON ee.vec_id = a.vec_id
+        JOIN coin c ON c.vec_id = a.vec_id WHERE c.b = 0),
+      tr AS (SELECT a.vec_id, a.cell, ee.e
+        FROM assign a JOIN e ee ON ee.vec_id = a.vec_id
+        JOIN coin c ON c.vec_id = a.vec_id WHERE c.b <> 0),
+      s AS (SELECT t.vec_id, v.eval_id,
+          list_dot_product(t.e, v.ee) /
+            (sqrt(list_dot_product(t.e, t.e)) *
+             sqrt(list_dot_product(v.ee, v.ee))) AS score
+        FROM tr t JOIN ev v ON v.cell = t.cell),
+      r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY score DESC, eval_id) AS rn FROM s)
+      SELECT vec_id, eval_id, score, score >= 0.6 AS contaminated
+      FROM r WHERE rn = 1 ORDER BY vec_id""")),
+
     "ann_ivf_topk" -> Q((s, d) => Similarity.ivfTopK(s, d),
       Some(ivfOracle())),
     // Persisted-index serving split: build once (codebook +

@@ -829,6 +829,67 @@ object Similarity {
       .orderBy("cell", "rn")
   }
 
+  /** X66 — SEMANTIC eval-set decontamination: the embedding-space twin
+    * of [[QualitySignals.decontaminate]] (X29's n-gram form misses
+    * paraphrased or re-worded eval leakage; this catches anything the
+    * embedding model maps near an eval item). A deterministic
+    * content-hash slice of the corpus plays the eval set
+    * (`md5Bucket`, the engine's standard reproducible coin); every
+    * remaining vector is scored against the eval vectors ROUTED TO ITS
+    * OWN CELL (the shared bounded-codebook routing the IVF family +
+    * [[semDedup]] have proven), and its best match is reported —
+    * (vec_id, eval_id, score, contaminated) with `contaminated =
+    * score ≥ tau`, one row per training vector that shares a cell
+    * with at least one eval vector (the full report: the decision
+    * threshold stays a downstream choice, and the gate hashes real
+    * scores instead of an empty set on a corpus with no genuine
+    * leakage).
+    *
+    * Cell-local comparison makes this approximate in the same sense —
+    * and with the same knob — as SemDeDup/IVF: recall is bounded by
+    * routing agreement, and maxCells is what a 100 TB deployment
+    * raises (cells ∝ √corpus balances the n·eval/c join mass against
+    * the n·c routing term, exactly the [[semDedup]] trade). The
+    * per-train best-match is a groupBy max over one keyed exchange
+    * (partial agg — never a per-train window sort); the eval side of
+    * the cell join is eval-fraction-sized and broadcasts under AQE
+    * until it genuinely doesn't fit.
+    *
+    * Cosine is the IVF family's exact arithmetic: [[dot]] folds with
+    * sqrt-norm division, bit-reproduced by the oracle's
+    * `list_dot_product`/`sqrt` chain; ties on score break to the
+    * SMALLER eval_id (the max-struct carries a negated id), matching
+    * the oracle's `ORDER BY score DESC, eval_id` rank. */
+  def semanticDecontaminate(spark: SparkSession, dir: String,
+      tau: Double = 0.6, maxCells: Int = 16,
+      evalMod: Int = 50): DataFrame = {
+    import spark.implicits._
+    val cells: Seq[(Int, Seq[Double])] =
+      coarseCodebook(spark, dir, maxCells)
+        .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSeq
+    val emb = fanOut(t(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("cell", argmaxCell(cells, col("embedding")))
+      .withColumn("is_eval",
+        graft.util.Tables.md5Bucket("sdecon:", col("vec_id"), evalMod)
+          === 0)
+    val eval = emb.filter(col("is_eval"))
+      .select(col("cell"), col("vec_id").as("eval_id"),
+        col("embedding").as("ee"))
+    val best = emb.filter(!col("is_eval")).join(eval, Seq("cell"))
+      .withColumn("score",
+        dot(col("embedding"), col("ee")) /
+          (l2norm(col("embedding")) * l2norm(col("ee"))))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("score"), (-col("eval_id")).as("neg")))
+        .as("m"))
+    best
+      .select(col("vec_id"), (-col("m.neg")).as("eval_id"),
+        col("m.score").as("score"),
+        (col("m.score") >= tau).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   /** X17 — per-label centroid aggregation WITHOUT an output ordering:
     * the shared subplan for both public forms. Kept order-free because a
     * global orderBy over an aggregate range-samples its child — running

@@ -280,6 +280,9 @@ object ScaleStress {
       "embedding_outliers" -> (d =>
         m(Similarity.embeddingOutliers(spark, d,
           maxCells = nextPrime(16 * scaleOf(d))))),
+      "semantic_decon" -> (d =>
+        m(Similarity.semanticDecontaminate(spark, d,
+          maxCells = nextPrime(16 * scaleOf(d))))),
       "centroid_udaf" -> (d =>
         m(Similarity.centroidByLabelFlat(spark, d))))
 

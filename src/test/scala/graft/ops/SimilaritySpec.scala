@@ -485,6 +485,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("semanticDecontaminate equals a driver-side route+score+argmax recomputation (X66)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cells = Similarity.coarseCodebook(spark, dir, 16)
+      .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSeq
+    val cf = cells.map { case (id, c) => id -> c.map(_.toFloat) }
+    def fold(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble }
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sdecon:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map(b => f"$b%02x").mkString, 16) % 50
+    }
+    val vecs = graft.util.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val routed = vecs.map { case (v, e) =>
+      (v, e, cf.map { case (id, c) => (fold(e, c), id) }.max._2)
+    }
+    val evals = routed.filter(r => bucket(r._1) == 0)
+    val trains = routed.filter(r => bucket(r._1) != 0)
+    assert(evals.nonEmpty && trains.nonEmpty)
+    val expect = trains.flatMap { case (v, e, cell) =>
+      val matches = evals.filter(_._3 == cell).map { case (ev, ee, _) =>
+        (fold(e, ee) / (math.sqrt(fold(e, e)) * math.sqrt(fold(ee, ee))),
+          ev)
+      }
+      // best score, ties to the SMALLER eval id (oracle rank order)
+      if (matches.isEmpty) None
+      else Some {
+        val (s, id) = matches.maxBy { case (sc, ev) => (sc, -ev) }
+        (v, id, s, s >= 0.6)
+      }
+    }.sortBy(_._1)
+    val got = Similarity.semanticDecontaminate(spark, dir)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(got == expect)
+    // the report must be non-trivial: trains in eval-free cells are
+    // absent, everything else present exactly once
+    assert(got.size == expect.size && got.nonEmpty)
+    assert(got.map(_._1).distinct.size == got.size)
+  }
+
   test("LSH signature is deterministic across evaluations and salted per table") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

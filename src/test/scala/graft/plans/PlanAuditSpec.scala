@@ -185,6 +185,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "dpp_scan" -> 2, "table_profile_approx" -> 2,
     "click_attribution" -> 2, "sql_native_dot" -> 2,
     "neardup_probe" -> 2, "cosine_pairs" -> 2, "ann_ivf_topk" -> 2,
+    "semantic_decon" -> 2,
     "percentiles_approx" -> 2, "range_join" -> 2, "kmv_distinct" -> 2,
     "bigram_novelty" -> 2, "ngram_repetition" -> 2,
     "decontaminate" -> 2, "fk_violations" -> 2)
