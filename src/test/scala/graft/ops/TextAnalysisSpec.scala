@@ -145,6 +145,84 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix and positional filters are STAGE-level lossless and actually prune (X62)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.util.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def shingleSet(text: String): Set[String] = {
+      val w = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (w.length < 3) Set.empty[String]
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, tx) => (id, shingleSet(tx)) }
+      .filter(_._2.nonEmpty).sortBy(_._1)
+    // the operator's global rarity order: (df asc, g asc)
+    val df = sets.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length).toMap
+    val rarity: Ordering[String] =
+      Ordering.by((g: String) => (df(g), g))
+    var positionalPruned = false
+    for (minJ <- Seq(0.7, 0.5)) {
+      // per-doc prefix (rarest |s| - ceil(t|s|) + 1 shingles) and the
+      // 1-based rank of each prefix shingle in the doc's sorted order
+      val prefixes: Map[Long, Map[String, Int]] = sets.map {
+        case (id, s) =>
+          val sorted = s.toSeq.sorted(rarity)
+          val pLen = s.size - math.ceil(minJ * s.size).toInt + 1
+          id -> sorted.take(pLen).zipWithIndex
+            .map { case (g, i) => g -> (i + 1) }.toMap
+      }.toMap
+      val size = sets.map { case (id, s) => id -> s.size }.toMap
+      val truePairs = (for {
+        i <- sets.indices; j <- (i + 1) until sets.length
+        (ida, sa) = sets(i); (idb, sb) = sets(j)
+        inter = (sa & sb).size
+        if inter > 0 &&
+          inter.toDouble / (sa.size + sb.size - inter) >= minJ
+      } yield (ida, idb)).toSet
+      assert(truePairs.nonEmpty)
+      // stage 1 — prefix-filter lemma: every true pair shares >= 1
+      // PREFIX shingle (and passes the size bound)
+      val candidates = (for {
+        i <- sets.indices; j <- (i + 1) until sets.length
+        a = sets(i)._1; b = sets(j)._1
+        shared = prefixes(a).keySet & prefixes(b).keySet
+        if shared.nonEmpty &&
+          math.min(size(a), size(b)) >=
+            minJ * math.max(size(a), size(b))
+      } yield (a, b)).toSet
+      truePairs.foreach(p => assert(candidates(p),
+        s"prefix filter dropped true pair $p at t=$minJ"))
+      // stage 2 — positional bound: 1 + min(n_a - ra, n_b - rb) >=
+      // ceil(t/(1+t) * (n_a+n_b)) keeps every true pair (ra/rb = min
+      // prefix rank over the pair's SHARED prefix shingles)
+      val positional = candidates.filter { case (a, b) =>
+        val shared = prefixes(a).keySet & prefixes(b).keySet
+        val ra = shared.map(prefixes(a)).min
+        val rb = shared.map(prefixes(b)).min
+        1 + math.min(size(a) - ra, size(b) - rb) >=
+          math.ceil(minJ / (1.0 + minJ) * (size(a) + size(b)))
+      }
+      truePairs.foreach(p => assert(positional(p),
+        s"positional filter dropped true pair $p at t=$minJ"))
+      // and the funnel actually funnels: each stage must discard
+      // something on this corpus, or the claim is vacuous here
+      val allSharing = (for {
+        i <- sets.indices; j <- (i + 1) until sets.length
+        if (sets(i)._2 & sets(j)._2).nonEmpty
+      } yield 1).size
+      assert(candidates.size < allSharing,
+        s"t=$minJ: prefix stage pruned nothing ($allSharing pairs)")
+      // at t=0.7 this tiny corpus's candidates are nearly all true
+      // pairs (nothing left to prune); the positional stage must show
+      // its teeth at SOME tested threshold or the claim is vacuous
+      if (positional.size < candidates.size) positionalPruned = true
+    }
+    assert(positionalPruned,
+      "positional stage pruned nothing at any tested threshold")
+  }
+
   test("tokens splits on whitespace and drops empties") {
     import spark.implicits._
     val out = Seq("  Hello   world ").toDF("t")
