@@ -1600,6 +1600,31 @@ object SparkEntry {
       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.7
       ORDER BY doc_a, doc_b""")),
 
+    // X67 — exact containment join: the oracle is the BRUTE-FORCE
+    // shingle join over ORDERED pairs, so the prefix machinery's
+    // losslessness for the asymmetric relation is gate-checked too.
+    "containment_join" ->
+      Q((s, d) => Dedup.containmentJoin(s, d), Some("""
+      WITH tok AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        FROM tok WHERE len(w) >= 3),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          count(*) AS inter
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, inter, sa.n AS n_a, sb.n AS n_b,
+        CAST(inter AS DOUBLE) / sa.n AS containment
+      FROM i JOIN sz sa ON sa.doc_id = doc_a
+             JOIN sz sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / sa.n >= 0.9
+      ORDER BY doc_a, doc_b""")),
+
     "cosine_pairs" -> Q((s, d) => Similarity.cosinePairs(s, d), Some("""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         FROM embeddings)

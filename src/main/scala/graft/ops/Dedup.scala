@@ -378,6 +378,83 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** X67 — exact CONTAINMENT join: all ordered pairs (a, b) with
+    * `|A∩B| / |A| ≥ t` over 3-shingle sets — the ASYMMETRIC near-dup
+    * relation [[jaccardPrefixJoin]]'s symmetric Jaccard cannot see: a
+    * quote, excerpt, or boilerplate-wrapped page is ~fully contained
+    * in its source while the Jaccard of the pair is tiny (a 50-shingle
+    * excerpt of a 5000-shingle source has C ≈ 1.0 but J ≈ 0.01). The
+    * standard pipeline use is stripping subset pages before near-dup
+    * clustering.
+    *
+    * Same lossless prefix machinery, containment-adapted. Only the
+    * CONTAINED side is prefixed: if `|A∩B| ≥ ⌈t·n_a⌉`, fewer than
+    * `n_a − ⌈t·n_a⌉ + 1` of A's tokens are outside the intersection,
+    * so A's rarity prefix of that length must share a token with B —
+    * B joins with its FULL shingle relation (fan-out stays bounded:
+    * prefixes hold each doc's globally RAREST shingles, so prefix
+    * buckets are small by construction). The positional bound carries
+    * over exactly: the minimal shared token is always in A's prefix
+    * (any rarer shared token would itself be a prefix token), so
+    * `|A∩B| ≤ 1 + (n_a − ra)` with ra = min A-rank over shared prefix
+    * tokens — one MIN on the dedup groupBy, no extra shuffle — plus
+    * the size necessity `n_b ≥ ⌈t·n_a⌉`. Verification is the exact
+    * candidate-driven intersection of [[jaccardPrefixJoin]], with the
+    * same checkpoint structure (ONE corpus scan; the audit class that
+    * operator documents).
+    *
+    * 100 TB: candidate mass is prefix-bucket-bounded exactly as in
+    * the symmetric join; t defaults high (0.9) because containment is
+    * a dedup decision, not a ranking — and prefix length ∝ (1−t)
+    * keeps the per-doc join surface a sliver of its shingles. */
+  def containmentJoin(spark: SparkSession, dir: String,
+      minContain: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = fanOut(t(spark, dir, "documents"))
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles3(col("w")))).as("g"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val prefixA = sh.join(dfreq, Seq("g")).join(sz, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+      .filter(col("rn") <=
+        col("n") - ceil(lit(minContain) * col("n")) + lit(1))
+      .select(col("g"), col("doc_id").as("doc_a"),
+        col("n").as("n_a"), col("rn"))
+    val cand = prefixA
+      .join(sh.select(col("g"), col("doc_id").as("doc_b")), Seq("g"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"))
+      .agg(min(col("rn")).as("ra"))
+      .filter(lit(1) + col("n_a") - col("ra") >=
+        ceil(lit(minContain) * col("n_a")))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        Seq("doc_b"))
+      .filter(col("n_b") >= ceil(lit(minContain) * col("n_a")))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .localCheckpoint()
+    val pairDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shc = sh.join(pairDocs, Seq("doc_id"), "left_semi")
+    cand
+      .join(shc.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
+      .join(shc.select(col("doc_id").as("doc_b"), col("g")),
+        Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("n_a"))
+      .filter(col("containment") >= minContain)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"),
+        col("n_b"), col("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** X3d — near-dup GROUP assignment: connected components over the
     * MinHash candidate pairs, labels = min doc_id per component. This
     * is the step that turns pairwise candidates into dedup decisions

@@ -219,6 +219,8 @@ object ScaleStress {
       // df table and candidate space
       "jaccard_prefix_join" ->
         (d => m(Dedup.jaccardPrefixJoin(spark, d))),
+      "containment_join" ->
+        (d => m(Dedup.containmentJoin(spark, d))),
       // X63 encode: vocabulary (and therefore merge-application work)
       // grows with n — the scale claim is that the CORPUS cost stays
       // the two scans + one keyed join

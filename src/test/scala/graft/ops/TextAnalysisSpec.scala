@@ -145,6 +145,56 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("containmentJoin equals brute force and is genuinely asymmetric (X67)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.util.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def shingleSet(text: String): Set[String] = {
+      val w = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (w.length < 3) Set.empty[String]
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, tx) => (id, shingleSet(tx)) }
+      .filter(_._2.nonEmpty).sortBy(_._1)
+    for (minC <- Seq(0.9, 0.7)) {
+      val expect = (for {
+        (ida, sa) <- sets; (idb, sb) <- sets
+        if ida != idb
+        inter = (sa & sb).size
+        if inter > 0 && inter.toDouble / sa.size >= minC
+      } yield (ida, idb, inter.toLong, sa.size.toLong,
+        sb.size.toLong, inter.toDouble / sa.size)).toSeq
+        .sortBy(r => (r._1, r._2))
+      val got = Dedup.containmentJoin(spark, dir, minC)
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+      assert(got == expect, s"minContain=$minC")
+      assert(got.nonEmpty, s"degenerate test: no pairs at $minC")
+    }
+    // asymmetry must be observable — this corpus' natural near-dups
+    // are all similar-sized (mutual), so PLANT an excerpt: a doc made
+    // of the first 40% of the longest doc's words is fully contained
+    // in its source (C≈1) while the reverse direction is far below
+    // 0.9. Jaccard of the pair is ~0.4 — invisible to X62 at its
+    // threshold, which is the operator's reason to exist.
+    val (srcId, srcText) = docs.maxBy(_._2.split("\\s+").length)
+    val w = srcText.split("\\s+").filter(_.nonEmpty)
+    val exId = docs.map(_._1).max + 1
+    val excerpt = w.take(math.max(5, (w.length * 2) / 5)).mkString(" ")
+    val tmp = "target/tmp_containment"
+    graft.util.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((exId, excerpt)).toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val planted = Dedup.containmentJoin(spark, tmp, 0.9)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2)).toSet
+    assert(planted((exId, srcId)),
+      "planted excerpt not reported as contained in its source")
+    assert(!planted((srcId, exId)),
+      "source wrongly reported as contained in its own excerpt")
+  }
+
   test("prefix and positional filters are STAGE-level lossless and actually prune (X62)") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"

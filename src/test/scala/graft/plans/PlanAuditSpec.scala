@@ -108,7 +108,9 @@ class PlanAuditSpec extends AnyFunSuite {
     *    checkpointed relations: semi-join prune, two intersection
     *    attach joins, intersection agg, size joins, output sort (the
     *    checkpoint jobs' own exchanges run once at build; pre-fix the
-    *    un-checkpointed plan held 37 exchanges and 34 corpus scans)
+    *    un-checkpointed plan held 37 exchanges and 34 corpus scans).
+    *    containment_join 6 = the identical structure, one-sided
+    *    prefix
     *  - semdedup 3            = per-cell count agg feeding the salt
     *    map, verdict agg, output sort (block pairs broadcast)
     *  - embedding_outliers 2  = the X40 partial→final top-k shuffle
@@ -123,7 +125,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "tumbling_window" -> 2, "asof_join" -> 2, "bucketed_join" -> 2,
     "neardup_minhash" -> 1, "span_scrub" -> 3, "cosine_pairs" -> 1,
     "ann_lsh_pairs" -> 2, "dedup_groups" -> 3, "ngram_jaccard" -> 4,
-    "jaccard_prefix_join" -> 6, "semdedup" -> 3,
+    "jaccard_prefix_join" -> 6, "containment_join" -> 6,
+    "semdedup" -> 3,
     "embedding_outliers" -> 2, "word_rarity" -> 2, "bpe_encode" -> 2)
 
   test("keyed exchange counts match the pinned per-query budgets") {
