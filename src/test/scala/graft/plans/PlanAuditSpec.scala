@@ -118,7 +118,16 @@ class PlanAuditSpec extends AnyFunSuite {
     *  - word_rarity 2         = per-doc agg after the freq-checkpoint
     *    join + output sort
     *  - bpe_encode 2          = word→n_symbols join key + per-doc agg
-    *    (vocab folds are checkpoint-local) */
+    *    (vocab folds are checkpoint-local)
+    *  - the FULL TPC-H q-family, one row per registered shape: every
+    *    dim is broadcast and every agg partial/final, so the whole
+    *    count is final-agg keys + output sorts (+ the decorrelated
+    *    subquery's own agg where one exists: q13's outer join
+    *    regroup, q15's revenue-view reuse, q21's multi-flag regroup,
+    *    q22's customer re-agg). TopN shapes (q3/q10) plan
+    *    TakeOrderedAndProject — no range exchange at all. A
+    *    broadcast-threshold or AQE change that flips any join to a
+    *    shuffle lands HERE, not in bench noise */
   private val exchangeBudgets: Map[String, Int] = Map(
     "q1_pricing_summary" -> 2, "q5_revenue_by_nation" -> 2,
     "topk_per_key" -> 2, "dedup_exact" -> 2, "window_events" -> 2,
@@ -127,7 +136,15 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_lsh_pairs" -> 2, "dedup_groups" -> 3, "ngram_jaccard" -> 4,
     "jaccard_prefix_join" -> 6, "containment_join" -> 6,
     "semdedup" -> 3,
-    "embedding_outliers" -> 2, "word_rarity" -> 2, "bpe_encode" -> 2)
+    "embedding_outliers" -> 2, "word_rarity" -> 2, "bpe_encode" -> 2,
+    "q3_top_revenue" -> 1, "q4_priority_check" -> 2, "q6_forecast" -> 1,
+    "q7_volume_shipping" -> 2, "q8_market_share" -> 2,
+    "q9_nation_brand" -> 2, "q10_returned_items" -> 1,
+    "q12_late_lines" -> 2, "q13_order_dist" -> 3,
+    "q14_promo_effect" -> 1, "q15_top_supplier" -> 2,
+    "q17_small_qty" -> 2, "q18_large_orders" -> 2,
+    "q19_disjunctive" -> 1, "q21_waiting_supplier" -> 3,
+    "q22_dormant_rich" -> 3)
 
   test("keyed exchange counts match the pinned per-query budgets") {
     val bad = exchangeBudgets.toSeq.sortBy(_._1).flatMap {
