@@ -1730,9 +1730,10 @@ object SparkEntry {
           CAST(('0x' || substring(md5('sdecon:' ||
             CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 50 AS b
         FROM embeddings),
-      ev AS (SELECT a.vec_id AS eval_id, a.cell, ee.e AS ee
-        FROM assign a JOIN e ee ON ee.vec_id = a.vec_id
-        JOIN coin c ON c.vec_id = a.vec_id WHERE c.b = 0),
+      ev AS (SELECT r.vec_id AS eval_id, r.cell, ee.e AS ee
+        FROM route r JOIN e ee ON ee.vec_id = r.vec_id
+        JOIN coin c ON c.vec_id = r.vec_id
+        WHERE c.b = 0 AND r.crn <= 2),
       tr AS (SELECT a.vec_id, a.cell, ee.e
         FROM assign a JOIN e ee ON ee.vec_id = a.vec_id
         JOIN coin c ON c.vec_id = a.vec_id WHERE c.b <> 0),

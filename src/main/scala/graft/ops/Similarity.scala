@@ -850,10 +850,18 @@ object Similarity {
     * routing agreement, and maxCells is what a 100 TB deployment
     * raises (cells ∝ √corpus balances the n·eval/c join mass against
     * the n·c routing term, exactly the [[semDedup]] trade). The
-    * per-train best-match is a groupBy max over one keyed exchange
-    * (partial agg — never a per-train window sort); the eval side of
-    * the cell join is eval-fraction-sized and broadcasts under AQE
-    * until it genuinely doesn't fit.
+    * boundary case — a leaked pair whose two vectors straddle a cell
+    * boundary — is half-closed the way [[ivfProbeTopK]] closes it: the
+    * EVAL
+    * side (the small side) is listed under its top-`nProbe` cells
+    * (rank by (score desc, cell desc), the oracle route CTE's `crn ≤
+    * nProbe`), so a train vector is compared against every eval item
+    * that considers the train's cell first OR second. Eval fan-out is
+    * |eval|·nProbe rows — still the small side. The per-train
+    * best-match is a groupBy max over one keyed exchange (partial agg
+    * — never a per-train window sort); the eval side of the cell join
+    * is eval-fraction-sized and broadcasts under AQE until it
+    * genuinely doesn't fit.
     *
     * Cosine is the IVF family's exact arithmetic: [[dot]] folds with
     * sqrt-norm division, bit-reproduced by the oracle's
@@ -861,22 +869,36 @@ object Similarity {
     * SMALLER eval_id (the max-struct carries a negated id), matching
     * the oracle's `ORDER BY score DESC, eval_id` rank. */
   def semanticDecontaminate(spark: SparkSession, dir: String,
-      tau: Double = 0.6, maxCells: Int = 16,
-      evalMod: Int = 50): DataFrame = {
+      tau: Double = 0.6, maxCells: Int = 16, evalMod: Int = 50,
+      nProbe: Int = 2): DataFrame = {
     import spark.implicits._
     val cells: Seq[(Int, Seq[Double])] =
       coarseCodebook(spark, dir, maxCells)
         .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSeq
     val emb = fanOut(t(spark, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"))
-      .withColumn("cell", argmaxCell(cells, col("embedding")))
       .withColumn("is_eval",
         graft.util.Tables.md5Bucket("sdecon:", col("vec_id"), evalMod)
           === 0)
+    // eval side under its top-nProbe cells: per-cell scores via an
+    // EXPLODED codebook literal (no join, no BNLJ — the codebook is a
+    // plan constant) ranked by the oracle route CTE's (score desc,
+    // cell desc) order. |eval|·nProbe rows out.
+    val cellLit = typedLit(cells.map { case (id, c) =>
+      (id, c.map(_.toFloat)) })
+    val evalW = Window.partitionBy(col("eval_id"))
+      .orderBy(col("s").desc, col("cell").desc)
     val eval = emb.filter(col("is_eval"))
-      .select(col("cell"), col("vec_id").as("eval_id"),
-        col("embedding").as("ee"))
-    val best = emb.filter(!col("is_eval")).join(eval, Seq("cell"))
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ee"),
+        explode(cellLit).as("c"))
+      .select(col("eval_id"), col("ee"), col("c._1").as("cell"),
+        dot(col("ee"), col("c._2")).as("s"))
+      .withColumn("crn", row_number().over(evalW))
+      .filter(col("crn") <= nProbe)
+      .select(col("cell"), col("eval_id"), col("ee"))
+    val best = emb.filter(!col("is_eval"))
+      .withColumn("cell", argmaxCell(cells, col("embedding")))
+      .join(eval, Seq("cell"))
       .withColumn("score",
         dot(col("embedding"), col("ee")) /
           (l2norm(col("embedding")) * l2norm(col("ee"))))

@@ -503,17 +503,23 @@ class SimilaritySpec extends AnyFunSuite {
     val vecs = graft.util.Tables.t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])].collect().toSeq
-    val routed = vecs.map { case (v, e) =>
+    // train side: argmax cell; eval side: TOP-2 cells by
+    // (score desc, cell desc) — the oracle route CTE's crn <= 2
+    val trains = vecs.filter(v => bucket(v._1) != 0).map { case (v, e) =>
       (v, e, cf.map { case (id, c) => (fold(e, c), id) }.max._2)
     }
-    val evals = routed.filter(r => bucket(r._1) == 0)
-    val trains = routed.filter(r => bucket(r._1) != 0)
+    val evals = vecs.filter(v => bucket(v._1) == 0).map { case (v, e) =>
+      val top2 = cf.map { case (id, c) => (fold(e, c), id) }
+        .sortBy { case (s, id) => (-s, -id) }.take(2).map(_._2).toSet
+      (v, e, top2)
+    }
     assert(evals.nonEmpty && trains.nonEmpty)
     val expect = trains.flatMap { case (v, e, cell) =>
-      val matches = evals.filter(_._3 == cell).map { case (ev, ee, _) =>
-        (fold(e, ee) / (math.sqrt(fold(e, e)) * math.sqrt(fold(ee, ee))),
-          ev)
-      }
+      val matches = evals.filter(_._3.contains(cell))
+        .map { case (ev, ee, _) =>
+          (fold(e, ee) /
+            (math.sqrt(fold(e, e)) * math.sqrt(fold(ee, ee))), ev)
+        }
       // best score, ties to the SMALLER eval id (oracle rank order)
       if (matches.isEmpty) None
       else Some {
