@@ -21,10 +21,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * ordering), ties broken to the LARGER cell id. A null ELEMENT
   * poisons every score identically, so the struct-max falls through
   * to the id tiebreak — the largest cell id — and this expression
-  * reproduces that too. (A null embedding COLUMN returns null here;
-  * the greatest form would route it to the largest id, but no corpus
-  * in this repo carries null embeddings and the composed form is
-  * never planned past [[CellRoute.MaxExprCells]] cells anyway.)
+  * reproduces that too. A null embedding COLUMN takes the same poison
+  * route (every per-cell score is null under the greatest form, so it
+  * also lands on the largest id): the expression is non-nullable and
+  * returns maxId, keeping the two forms bit-identical on EVERY input,
+  * not just the non-null ones today's corpora happen to carry.
   *
   * Why it exists: the `greatest` chain materializes one dot-struct
   * subtree PER CELL, so the expression tree — and with it analysis,
@@ -69,13 +70,18 @@ final case class CellRoute(child: Expression, ids: Seq[Int],
   }
   /** Cell ids, index-aligned with [[matrix]]. Public for codegen. */
   @transient lazy val cellIds: Array[Int] = ids.toArray
-  /** max id — the element-null poison route (see class doc). */
+  /** max id — the null poison route (element OR column, class doc). */
   @transient private lazy val maxId: Int = ids.max
+
+  override def nullable: Boolean = false
 
   /** One row: route. Shared verbatim by interpreted eval and (via a
     * reference-object call) generated code — one source of truth for
-    * the fold order and tie rule. */
+    * the fold order and tie rule. A null input takes the null-poison
+    * route (class doc): the composed greatest-of-structs form scores
+    * every cell null and falls through to the largest-id tiebreak. */
   def route(x: ArrayData): Int = {
+    if (x == null) return maxId
     val n = math.min(x.numElements(), dim)
     var i = 0
     while (i < n) { // element-null poison: all scores null -> max id
@@ -111,19 +117,27 @@ final case class CellRoute(child: Expression, ids: Seq[Int],
     bestId
   }
 
-  override def nullSafeEval(input: Any): Any =
-    route(input.asInstanceOf[ArrayData])
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    route(child.eval(input).asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, x => {
-      // the expression instance rides along; one virtual call per row
-      // into the same route() the interpreted path runs — the loop is
-      // monomorphic and JIT-compiles tight, and the generated method
-      // stays O(1) in codebook size
-      val self = ctx.addReferenceObj("cellRoute", this,
-        classOf[CellRoute].getName)
-      s"${ev.value} = $self.route($x);"
-    })
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the expression instance rides along; one virtual call per row
+    // into the same route() the interpreted path runs — the loop is
+    // monomorphic and JIT-compiles tight, and the generated method
+    // stays O(1) in codebook size. Hand-rolled (not nullSafeCodeGen):
+    // a null child VALUE routes to maxId instead of propagating null,
+    // so the output is never null.
+    val self = ctx.addReferenceObj("cellRoute", this,
+      classOf[CellRoute].getName)
+    val c = child.genCode(ctx)
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    ev.copy(
+      code = c.code + code"""
+        int ${ev.value} = $self.route(${c.isNull} ? null : ${c.value});
+        """,
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): CellRoute =
     copy(child = newChild)

@@ -209,12 +209,15 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     // AQE broadcasts pairDocs when small; degrades to a shuffle
     // semi-join (not a broadcast of the corpus) when it isn't.
-    // localCheckpoint: THREE consumers below (ns + both intersection
-    // sides) would each re-derive the corpus scan→shingle→semi-join
-    // lineage; shc is candidate-doc-sized, so pinning it cuts the
-    // plan from 3 corpus scans to this one.
-    val shc = sh.join(pairDocs, Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+    // memoized localCheckpoint: THREE consumers below (ns + both
+    // intersection sides) would each re-derive the corpus
+    // scan→shingle→semi-join lineage; shc is candidate-doc-sized, so
+    // pinning it cuts the plan from 3 corpus scans to this one, and
+    // the memo keeps repeat invocations from stacking pinned blocks.
+    val shc = graft.util.CkptMemo.of(spark, "ngram_shc", dir, nBands,
+        minBands) {
+      sh.join(pairDocs, Seq("doc_id"), "left_semi").localCheckpoint()
+    }
     val ns = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // Pair-DRIVEN intersection: attach A's shingles to each pair, then
     // equi-join on (doc_b, shingle). Work is |pairs|·|doc| rows — a
@@ -244,6 +247,36 @@ object Dedup {
         (col("n_a") + col("n_b") - col("inter")))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Corpus 3-shingle relation (doc_id, g) — the shared input of the
+    * exact set-similarity family ([[jaccardPrefixJoin]],
+    * [[containmentJoin]], the probe index build) — checkpointed ONCE
+    * per session via [[graft.util.CkptMemo]].
+    *
+    * DISK_ONLY: this relation is corpus-shingle-sized — heap-cached it
+    * competes with the downstream joins' shuffle buffers (OOM'd the
+    * 100× stress at 8g); streamed from local disk it behaves like a
+    * shuffle spill, which is what this materialization morally is. */
+  private[graft] def shingleRelation(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.util.CkptMemo.of(spark, "shingles", dir) {
+      fanOut(t(spark, dir, "documents"))
+        .withColumn("w", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"),
+          explode(array_distinct(shingles3(col("w")))).as("g"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    }
+
+  /** Per-doc shingle-set sizes over [[shingleRelation]], memoized
+    * (doc-count-sized). */
+  private[graft] def shingleSizes(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.util.CkptMemo.of(spark, "shingle_sz", dir) {
+      shingleRelation(spark, dir)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+    }
 
   /** X62 — EXACT set-similarity self-join via prefix filtering (the
     * AllPairs/PPJoin family): every document pair whose shingle-set
@@ -303,57 +336,55 @@ object Dedup {
     * scan-the-band exact queries they mathematically are. */
   def jaccardPrefixJoin(spark: SparkSession, dir: String,
       minJaccard: Double = 0.7): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // The shingle relation has SEVEN downstream consumers (df/size
     // aggs, both prefix-join sides, the semi-join, both intersection
     // sides); lineage branching re-derived the whole
     // scan→tokenize→shingle→explode pipeline per consumer — 34 corpus
     // scans in the physical plan, zero ReuseExchange (column pruning
-    // specializes each branch's scan). localCheckpoint pins it ONCE;
-    // same treatment for the derived relations consumed more than
-    // once (sz ×3, prefix ×2, cand ×3), each at most
-    // prefix-/pair-sized. One corpus scan total.
-    val sh = fanOut(t(spark, dir, "documents"))
-      .withColumn("w", TextAnalysis.tokens(col("text")))
-      .select(col("doc_id"),
-        explode(array_distinct(shingles3(col("w")))).as("g"))
-      // DISK_ONLY: this one is corpus-shingle-sized — heap-cached it
-      // competes with the downstream joins' shuffle buffers (OOM'd the
-      // 100× stress at 8g); streamed from local disk it behaves like a
-      // shuffle spill, which is what this materialization morally is
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // specializes each branch's scan). The memoized checkpoints
+    // ([[shingleRelation]]/[[shingleSizes]]/CkptMemo) pin each ONCE
+    // PER SESSION — repeated invocation reuses them instead of
+    // stacking fresh pinned RDD blocks (ADVICE r10) — and the derived
+    // relations consumed more than once (prefix ×2, cand ×3) are
+    // memoized per (dir, threshold), each at most prefix-/pair-sized.
+    // One corpus scan total.
+    val sh = shingleRelation(spark, dir)
+    val sz = shingleSizes(spark, dir)
     // Rarity rank + per-doc set size in one cascade of keyed aggs.
-    val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      .localCheckpoint()
-    val prefix = sh.join(dfreq, Seq("g")).join(sz, Seq("doc_id"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
-      .filter(col("rn") <=
-        col("n") - ceil(lit(minJaccard) * col("n")) + lit(1))
-      .select(col("doc_id"), col("g"), col("n"), col("rn"))
-      .localCheckpoint()
+    val prefix = graft.util.CkptMemo.of(spark, "jp_prefix", dir,
+        minJaccard) {
+      import org.apache.spark.sql.expressions.Window
+      val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      sh.join(dfreq, Seq("g")).join(sz, Seq("doc_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+        .filter(col("rn") <=
+          col("n") - ceil(lit(minJaccard) * col("n")) + lit(1))
+        .select(col("doc_id"), col("g"), col("n"), col("rn"))
+        .localCheckpoint()
+    }
     // Prefix equi-join → candidate pairs: the size filter (t·max ≤
     // min is necessary for J ≥ t) prunes inside the join; the groupBy
     // both DEDUPLICATES pairs and carries the two MINs the positional
     // filter needs (see scaladoc — min rn on each side is the shared
     // minimal token's position pair, its overlap upper bound is exact)
-    val cand = prefix.select(col("g"), col("doc_id").as("doc_a"),
-        col("n").as("n_a"), col("rn").as("rn_a"))
-      .join(prefix.select(col("g"), col("doc_id").as("doc_b"),
-        col("n").as("n_b"), col("rn").as("rn_b")), Seq("g"))
-      .filter(col("doc_a") < col("doc_b"))
-      .filter(least(col("n_a"), col("n_b")) >=
-        lit(minJaccard) * greatest(col("n_a"), col("n_b")))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-      .agg(min(col("rn_a")).as("ra"), min(col("rn_b")).as("rb"))
-      .filter(lit(1) + least(col("n_a") - col("ra"),
-          col("n_b") - col("rb")) >=
-        ceil(lit(minJaccard / (1.0 + minJaccard)) *
-          (col("n_a") + col("n_b"))))
-      .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
+    val cand = graft.util.CkptMemo.of(spark, "jp_cand", dir, minJaccard) {
+      prefix.select(col("g"), col("doc_id").as("doc_a"),
+          col("n").as("n_a"), col("rn").as("rn_a"))
+        .join(prefix.select(col("g"), col("doc_id").as("doc_b"),
+          col("n").as("n_b"), col("rn").as("rn_b")), Seq("g"))
+        .filter(col("doc_a") < col("doc_b"))
+        .filter(least(col("n_a"), col("n_b")) >=
+          lit(minJaccard) * greatest(col("n_a"), col("n_b")))
+        .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+        .agg(min(col("rn_a")).as("ra"), min(col("rn_b")).as("rb"))
+        .filter(lit(1) + least(col("n_a") - col("ra"),
+            col("n_b") - col("rb")) >=
+          ceil(lit(minJaccard / (1.0 + minJaccard)) *
+            (col("n_a") + col("n_b"))))
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+    }
     // Exact verification, candidate-driven (see ngramJaccard for why
     // this shape and not a collect_set pass or a shingle self-join).
     val pairDocs = cand.select(col("doc_a").as("doc_id"))
@@ -410,15 +441,9 @@ object Dedup {
   def containmentJoin(spark: SparkSession, dir: String,
       minContain: Double = 0.9): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = fanOut(t(spark, dir, "documents"))
-      .withColumn("w", TextAnalysis.tokens(col("text")))
-      .select(col("doc_id"),
-        explode(array_distinct(shingles3(col("w")))).as("g"))
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val sh = shingleRelation(spark, dir)
+    val sz = shingleSizes(spark, dir)
     val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      .localCheckpoint()
     val prefixA = sh.join(dfreq, Seq("g")).join(sz, Seq("doc_id"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
@@ -426,18 +451,20 @@ object Dedup {
         col("n") - ceil(lit(minContain) * col("n")) + lit(1))
       .select(col("g"), col("doc_id").as("doc_a"),
         col("n").as("n_a"), col("rn"))
-    val cand = prefixA
-      .join(sh.select(col("g"), col("doc_id").as("doc_b")), Seq("g"))
-      .filter(col("doc_a") =!= col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"))
-      .agg(min(col("rn")).as("ra"))
-      .filter(lit(1) + col("n_a") - col("ra") >=
-        ceil(lit(minContain) * col("n_a")))
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
-        Seq("doc_b"))
-      .filter(col("n_b") >= ceil(lit(minContain) * col("n_a")))
-      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-      .localCheckpoint()
+    val cand = graft.util.CkptMemo.of(spark, "cj_cand", dir, minContain) {
+      prefixA
+        .join(sh.select(col("g"), col("doc_id").as("doc_b")), Seq("g"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("n_a"))
+        .agg(min(col("rn")).as("ra"))
+        .filter(lit(1) + col("n_a") - col("ra") >=
+          ceil(lit(minContain) * col("n_a")))
+        .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+          Seq("doc_b"))
+        .filter(col("n_b") >= ceil(lit(minContain) * col("n_a")))
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+        .localCheckpoint()
+    }
     val pairDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val shc = sh.join(pairDocs, Seq("doc_id"), "left_semi")
@@ -532,7 +559,13 @@ object Dedup {
   private val pairsMemo = collection.mutable.Map.empty[
     SparkSession, collection.mutable.Map[(String, Int, Int), DataFrame]]
 
-  def clearPairsMemo(): Unit = pairsMemo.synchronized { pairsMemo.clear() }
+  def clearPairsMemo(): Unit = {
+    pairsMemo.synchronized { pairsMemo.clear() }
+    // the derived-checkpoint memo shares the same immutable-input
+    // assumption and the same reset points (testdata refresh, timed
+    // scale-stress runs) — one hook clears both
+    graft.util.CkptMemo.clear()
+  }
 
   def nearDupPairsCached(spark: SparkSession, dir: String,
       nBands: Int = 8, minBands: Int = 4): DataFrame =

@@ -128,8 +128,12 @@ object QualitySignals {
     val words = fanOut(t(spark, dir, "documents"))
       .select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("word"))
-    val freq = words.groupBy(col("word")).agg(count(lit(1)).as("f"))
-      .localCheckpoint()
+    // memoized (CkptMemo): repeat invocations reuse the pinned
+    // vocabulary-sized block instead of stacking fresh ones
+    val freq = graft.util.CkptMemo.of(spark, "rarity_freq", dir) {
+      words.groupBy(col("word")).agg(count(lit(1)).as("f"))
+        .localCheckpoint()
+    }
     // corpus word total: a single long — the one driver-side value,
     // injected as a literal so the scoring plan has no 1-row cross
     // join (which would need a PlanAudit BNLJ allowlist entry)

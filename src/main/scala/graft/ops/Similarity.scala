@@ -690,9 +690,17 @@ object Similarity {
     * [[coarseCodebook]]/[[argmaxCell]] routing the IVF family uses,
     * collected ONCE so routing ties cannot flip between the pair pass
     * and the output pass), score EXACT double cosine between SAME-CELL
-    * pairs only, and drop each vector that has a lower-vec_id same-cell
-    * neighbor with score > tau — greedy keep-first, deterministic and
-    * order-free. Output: one row per corpus vector
+    * pairs only, and drop each vector that has ANY lower-vec_id
+    * same-cell neighbor with score > tau — deterministic and
+    * order-free. NOTE the retention rule precisely: a vector is
+    * dropped even when its qualifying lower-id neighbor was ITSELF
+    * dropped, so chains over-prune relative to true greedy/SemDeDup
+    * keep-first semantics (a~b, b~c, a≁c drops both b and c; greedy
+    * against the kept set would keep c). Engine, oracle, and spec all
+    * pin this same drop-if-any-lower-id-neighbor rule — the stronger
+    * prune is the cheaper one (no sequential dependence on the kept
+    * set, which would serialize within a cell) and errs toward
+    * removing near-duplicates. Output: one row per corpus vector
     * (vec_id, cell, kept, dup_of = min qualifying lower id or NULL,
     * n_near = count of qualifying lower-id neighbors).
     *

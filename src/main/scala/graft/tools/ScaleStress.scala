@@ -36,7 +36,11 @@ object ScaleStress {
     * n=100 when each copy also carries per-copy lambda expressions
     * (the embedding corpus' signFlip zip_with). */
   private def treeUnion(dfs: Seq[DataFrame]): DataFrame =
-    if (dfs.size == 1) dfs.head
+    // fail fast on an empty Seq — grouped(2) of Nil yields nothing and
+    // the recursion would spin forever on another empty Seq
+    if (dfs.isEmpty)
+      throw new IllegalArgumentException("treeUnion: empty input")
+    else if (dfs.size == 1) dfs.head
     else treeUnion(dfs.grouped(2).map(g =>
       if (g.size == 1) g.head else g(0).unionByName(g(1))).toSeq)
 

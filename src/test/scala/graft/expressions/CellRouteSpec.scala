@@ -84,6 +84,24 @@ class CellRouteSpec extends AnyFunSuite {
     assert(got.getInt(0) == 11 && got.getInt(1) == 11)
   }
 
+  test("a null embedding COLUMN routes to the max cell id, matching the composed form") {
+    // ADVICE r10: the composed greatest-of-structs form scores every
+    // cell null on a null input column and falls through to the
+    // largest-id tiebreak; CellRoute must take the same poison route
+    // (and be non-null doing it) so behavior cannot depend on whether
+    // the codebook size crosses MaxExprCells.
+    val schema = StructType(Seq(StructField("embedding",
+      ArrayType(FloatType, containsNull = true), nullable = true)))
+    val rows = java.util.Arrays.asList(Row(null))
+    val df = spark.createDataFrame(rows, schema)
+    val cells = Seq((3, Seq(1.0, 1.0, 1.0)), (11, Seq(2.0, 0.5, 1.0)),
+      (7, Seq(0.0, 1.0, 0.0)))
+    val got = df.select(
+      CellRoute(col("embedding"), cells).as("c"),
+      composed(cells, col("embedding")).as("g")).head()
+    assert(!got.isNullAt(0) && got.getInt(0) == 11 && got.getInt(1) == 11)
+  }
+
   test("interpreted eval matches the planned (codegen) path") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import spark.implicits._
