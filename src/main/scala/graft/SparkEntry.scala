@@ -2280,6 +2280,241 @@ object SparkEntry {
       FROM wds JOIN fr USING (word), tot
       GROUP BY doc_id ORDER BY doc_id""")),
 
+    // X68 — hashed-n-gram linear quality scorer (fastText-style
+    // inference architecture, deterministic md5-derived weights so
+    // the oracle replays the whole scorer: unigram+bigram features →
+    // md5 bucket → fixed weight → decimal-accumulated mean margin →
+    // keep verdict).
+    "quality_score" -> Q(
+      (s, d) => QualitySignals.qualityScore(s, d), Some("""
+      WITH tok AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      g AS (
+        SELECT doc_id, unnest(w) AS g FROM tok
+        UNION ALL
+        SELECT doc_id, unnest(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS g
+        FROM tok WHERE len(w) >= 2),
+      wt AS (SELECT doc_id,
+          (CAST(('0x' || substring(md5('qw:' || CAST(
+              CAST(('0x' || substring(md5('qf:' || g), 1, 8)) AS BIGINT)
+                % 1024 AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000)
+            / 1000.0 AS wgt
+        FROM g)
+      SELECT doc_id, count(*) AS n_feats,
+        CAST(CAST(sum(CAST(wgt AS DECIMAL(30,8))) AS VARCHAR)
+          AS DOUBLE) / count(*) AS margin,
+        CAST(CAST(sum(CAST(wgt AS DECIMAL(30,8))) AS VARCHAR)
+          AS DOUBLE) / count(*) >= 0.0 AS keep
+      FROM wt GROUP BY doc_id ORDER BY doc_id""")),
+
+    // X69 — the COMPOSED end-to-end corpus pipeline (VERDICT r10 item
+    // 1): quality gate → exact dedup → near-dup CC → span scrub →
+    // containment strip → n-gram + semantic decontamination →
+    // semdedup → rarity + classifier filters → chunk → pack → shard
+    // export, each stage over the previous stage's survivors (and,
+    // post-scrub, its token state). Output = one accounting row per
+    // stage + the written-shard manifest, so the oracle pins every
+    // stage boundary and the physical export in one hash. The oracle
+    // replays the ENTIRE chain in DuckDB — near-dup groups via a
+    // recursive transitive closure, containment via the brute-force
+    // shingle join (gate-checking the engine's prefix filter under
+    // composition), the semantic stages via the proven IVF route CTEs.
+    "corpus_pipeline" -> Q(
+      (s, d) => CorpusPipeline.corpusPipeline(s, d), Some(s"""
+      WITH RECURSIVE tok AS MATERIALIZED (
+        SELECT doc_id, list_filter(string_split_regex(lower(text),
+          '\\s+'), x -> x <> '') AS w
+        FROM documents),
+      s1 AS MATERIALIZED (SELECT doc_id, w FROM tok
+        WHERE len(w) >= 20
+          AND CAST(len(list_distinct(w)) AS DOUBLE)
+            / NULLIF(len(w), 0) >= 0.35),
+      s2 AS MATERIALIZED (SELECT doc_id, w FROM (
+          SELECT doc_id, w, row_number() OVER (
+            PARTITION BY md5(array_to_string(w, ' '))
+            ORDER BY doc_id) AS rn
+          FROM s1) WHERE rn = 1),
+      sh2 AS MATERIALIZED (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        FROM s2 WHERE len(w) >= 3),
+      sig2 AS MATERIALIZED (SELECT doc_id, b.band, min(md5(b.band || ':' || g)) AS sig
+        FROM sh2, (SELECT unnest(range(0, 8)) AS band) b GROUP BY 1, 2),
+      pr3 AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig2 a JOIN sig2 b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 4),
+      edges AS MATERIALIZED (SELECT doc_a AS x, doc_b AS y FROM pr3
+        UNION SELECT doc_b, doc_a FROM pr3),
+      reach(src, dst) AS (
+        SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+        UNION
+        SELECT r.src, e2.y FROM reach r JOIN edges e2 ON e2.x = r.dst),
+      lab AS MATERIALIZED (SELECT src AS doc_id, min(dst) AS grp FROM reach
+        GROUP BY 1),
+      s3 AS MATERIALIZED (SELECT s2.doc_id, s2.w FROM s2 LEFT JOIN lab USING (doc_id)
+        WHERE lab.grp IS NULL OR lab.grp = s2.doc_id),
+      win4 AS MATERIALIZED (SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS win
+        FROM s3, unnest(range(1, len(w) - 6)) r(i)),
+      rep4 AS MATERIALIZED (SELECT win FROM win4 GROUP BY win HAVING count(*) > 1),
+      st4 AS MATERIALIZED (SELECT doc_id, list(i) AS ss FROM win4 JOIN rep4
+        USING (win) GROUP BY doc_id),
+      s4 AS MATERIALIZED (SELECT s3.doc_id,
+          list_transform(list_filter(range(1, len(w) + 1),
+            i -> len(list_filter(COALESCE(st4.ss, CAST([] AS BIGINT[])),
+              s -> i >= s AND i < s + 8)) = 0),
+            i -> w[i]) AS w
+        FROM s3 LEFT JOIN st4 USING (doc_id)),
+      sh4 AS MATERIALIZED (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        FROM s4 WHERE len(w) >= 3),
+      sz4 AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh4 GROUP BY 1),
+      cp AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          count(*) AS inter
+        FROM sh4 a JOIN sh4 b ON a.g = b.g AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2),
+      cdrop AS MATERIALIZED (SELECT DISTINCT doc_a AS doc_id
+        FROM cp JOIN sz4 ON sz4.doc_id = cp.doc_a
+        WHERE CAST(inter AS DOUBLE) / sz4.n >= 0.9),
+      s5 AS MATERIALIZED (SELECT s4.doc_id, s4.w FROM s4 ANTI JOIN cdrop
+        USING (doc_id)),
+      sh5 AS MATERIALIZED (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 3),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                 w[i+3] || ' ' || w[i+4])) AS g
+        FROM s5 WHERE len(w) >= 5),
+      ev6 AS MATERIALIZED (SELECT DISTINCT g FROM sh5 WHERE doc_id % 97 = 0),
+      ndrop AS MATERIALIZED (SELECT DISTINCT s.doc_id FROM sh5 s
+        JOIN ev6 USING (g) WHERE s.doc_id % 97 <> 0),
+      s6 AS MATERIALIZED (SELECT s5.doc_id, s5.w FROM s5 ANTI JOIN ndrop
+        USING (doc_id) WHERE s5.doc_id % 97 <> 0),
+      ${ivfRouteCtes()},
+      sem7 AS MATERIALIZED (SELECT DISTINCT a.vec_id
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND b.vec_id < a.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        JOIN s6 sa ON sa.doc_id = a.vec_id
+        JOIN s6 sb ON sb.doc_id = b.vec_id
+        WHERE list_dot_product(ea.e, eb.e) /
+          (sqrt(list_dot_product(ea.e, ea.e)) *
+           sqrt(list_dot_product(eb.e, eb.e))) > 0.4),
+      s7 AS MATERIALIZED (SELECT s6.doc_id, s6.w FROM s6
+        ANTI JOIN sem7 ON s6.doc_id = sem7.vec_id),
+      coin AS MATERIALIZED (SELECT vec_id,
+          CAST(('0x' || substring(md5('sdecon:' ||
+            CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 50 AS b
+        FROM embeddings),
+      ev8 AS MATERIALIZED (SELECT r.vec_id AS eval_id, r.cell, ee.e AS ee
+        FROM route r JOIN e ee ON ee.vec_id = r.vec_id
+        JOIN coin c ON c.vec_id = r.vec_id
+        WHERE c.b = 0 AND r.crn <= 2),
+      sc8 AS MATERIALIZED (SELECT t.vec_id,
+          max(list_dot_product(te.e, v.ee) /
+            (sqrt(list_dot_product(te.e, te.e)) *
+             sqrt(list_dot_product(v.ee, v.ee)))) AS best
+        FROM assign t JOIN e te ON te.vec_id = t.vec_id
+        JOIN coin c ON c.vec_id = t.vec_id
+        JOIN s7 s ON s.doc_id = t.vec_id
+        JOIN ev8 v ON v.cell = t.cell
+        WHERE c.b <> 0 GROUP BY 1),
+      sdrop AS MATERIALIZED (
+        SELECT vec_id FROM sc8 WHERE best >= 0.6
+        UNION SELECT c.vec_id FROM coin c
+          JOIN s7 s ON s.doc_id = c.vec_id WHERE c.b = 0),
+      s8 AS MATERIALIZED (SELECT s7.doc_id, s7.w FROM s7
+        ANTI JOIN sdrop ON s7.doc_id = sdrop.vec_id),
+      wrd AS MATERIALIZED (SELECT doc_id, unnest(w) AS word FROM s8),
+      fr AS MATERIALIZED (SELECT word, count(*) AS f FROM wrd GROUP BY 1),
+      tot AS MATERIALIZED (SELECT CAST(sum(f) AS DOUBLE) AS total FROM fr),
+      rar AS MATERIALIZED (SELECT doc_id,
+          CAST(CAST(sum(CAST(total / f AS DECIMAL(30,8))) AS VARCHAR)
+            AS DOUBLE) / count(*) AS mip
+        FROM wrd JOIN fr USING (word), tot GROUP BY doc_id),
+      s9 AS MATERIALIZED (SELECT s8.doc_id, s8.w FROM s8 LEFT JOIN rar
+        USING (doc_id) WHERE rar.mip IS NULL OR rar.mip <= 40.0),
+      qg AS MATERIALIZED (
+        SELECT doc_id, unnest(w) AS g FROM s9
+        UNION ALL
+        SELECT doc_id, unnest(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS g
+        FROM s9 WHERE len(w) >= 2),
+      qw AS MATERIALIZED (SELECT doc_id,
+          (CAST(('0x' || substring(md5('qw:' || CAST(
+              CAST(('0x' || substring(md5('qf:' || g), 1, 8)) AS BIGINT)
+                % 1024 AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000)
+            / 1000.0 AS wgt
+        FROM qg),
+      qs AS MATERIALIZED (SELECT doc_id,
+          CAST(CAST(sum(CAST(wgt AS DECIMAL(30,8))) AS VARCHAR)
+            AS DOUBLE) / count(*) AS margin
+        FROM qw GROUP BY 1),
+      s10 AS MATERIALIZED (SELECT s9.doc_id, s9.w FROM s9 LEFT JOIN qs
+        USING (doc_id) WHERE qs.margin IS NULL OR qs.margin >= -0.12),
+      nch AS MATERIALIZED (SELECT doc_id, w,
+          GREATEST(1, CAST(ceil((len(w) - 8) / 56.0) AS BIGINT))
+            AS nchunks
+        FROM s10),
+      ch AS MATERIALIZED (SELECT doc_id, unnest(range(nchunks)) AS chunk_id, w
+        FROM nch),
+      ch2 AS MATERIALIZED (SELECT doc_id, chunk_id,
+          CAST(len(list_slice(w, chunk_id*56 + 1, chunk_id*56 + 64))
+            AS BIGINT) AS n_tok
+        FROM ch),
+      pk AS MATERIALIZED (SELECT doc_id, chunk_id, n_tok,
+          CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_id AS VARCHAR)
+            AS key
+        FROM ch2),
+      pk2 AS MATERIALIZED (SELECT doc_id, chunk_id, n_tok,
+          md5('pack:' || key) AS h,
+          CAST(CAST(('0x' || substring(md5('shard:' || key), 1, 8))
+            AS BIGINT) % 8 AS INTEGER) AS shard
+        FROM pk),
+      pk3 AS MATERIALIZED (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY shard
+          ORDER BY h, doc_id, chunk_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_tok FROM pk2),
+      pk4 AS MATERIALIZED (SELECT *,
+          CAST(floor((cum_tok - n_tok) / 512.0) AS BIGINT) AS pack_id
+        FROM pk3),
+      acc AS MATERIALIZED (
+        SELECT '00_ingest' AS stage, count(*) AS n_docs,
+          COALESCE(CAST(sum(len(w)) AS BIGINT), 0) AS n_tokens FROM tok
+        UNION ALL SELECT '01_quality', count(*),
+          COALESCE(CAST(sum(len(w)) AS BIGINT), 0) FROM s1
+        UNION ALL SELECT '02_exact', count(*),
+          COALESCE(CAST(sum(len(w)) AS BIGINT), 0) FROM s2
+        UNION ALL SELECT '03_neardup', count(*),
+          COALESCE(CAST(sum(len(w)) AS BIGINT), 0) FROM s3
+        UNION ALL SELECT '04_spanscrub', count(*),
+          COALESCE(CAST(sum(len(w)) AS BIGINT), 0) FROM s4
+        UNION ALL SELECT '05_contain', count(*),
+          COALESCE(CAST(sum(len(w)) AS BIGINT), 0) FROM s5
+        UNION ALL SELECT '06_decon_ngram', count(*),
+          COALESCE(CAST(sum(len(w)) AS BIGINT), 0) FROM s6
+        UNION ALL SELECT '07_semdedup', count(*),
+          COALESCE(CAST(sum(len(w)) AS BIGINT), 0) FROM s7
+        UNION ALL SELECT '08_decon_sem', count(*),
+          COALESCE(CAST(sum(len(w)) AS BIGINT), 0) FROM s8
+        UNION ALL SELECT '09_rarity', count(*),
+          COALESCE(CAST(sum(len(w)) AS BIGINT), 0) FROM s9
+        UNION ALL SELECT '10_quality_score', count(*),
+          COALESCE(CAST(sum(len(w)) AS BIGINT), 0) FROM s10
+        UNION ALL SELECT '11_chunk', count(*),
+          COALESCE(CAST(sum(n_tok) AS BIGINT), 0) FROM ch2)
+      SELECT stage, CAST(-1 AS INTEGER) AS shard, n_docs,
+        CAST(0 AS BIGINT) AS n_packs, n_tokens FROM acc
+      UNION ALL
+      SELECT '12_shard' AS stage, shard, count(*) AS n_docs,
+        CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+        CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM pk4 GROUP BY 2
+      ORDER BY stage, shard""")),
+
     "zipf_spectrum" -> Q(
       (s, d) => QualitySignals.zipfSpectrum(s, d), Some("""
       WITH d AS (SELECT doc_id,

@@ -49,9 +49,17 @@ object Dedup {
   /** Signature variant over an arbitrary (doc_id, text) DataFrame —
     * lets composed pipelines (cleanCorpus) restrict the expensive
     * shingle/signature work to an already-filtered corpus. */
-  def bandSignaturesFor(docs: DataFrame, nBands: Int = 8): DataFrame = {
+  def bandSignaturesFor(docs: DataFrame, nBands: Int = 8): DataFrame =
+    bandSignaturesTok(
+      docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w")),
+      nBands)
+
+  /** [[bandSignaturesFor]] over an ALREADY-TOKENIZED (doc_id, w)
+    * corpus — the corpus-pipeline form, where one tokenization pass
+    * feeds every stage. */
+  private[graft] def bandSignaturesTok(docs: DataFrame,
+      nBands: Int = 8): DataFrame = {
     val sh = docs
-      .withColumn("w", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"),
         explode(array_distinct(shingles3(col("w")))).as("shingle"))
     // NOTE: a numeric 32-bit minhash (conv(substring(md5,1,8),16,10))
@@ -482,6 +490,47 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** [[containmentJoin]]'s DROP SET over an arbitrary (doc_id, g)
+    * shingle relation — the composable corpus-pipeline stage: the
+    * distinct docs ≥ `minContain` contained in some OTHER doc of the
+    * SAME relation (the excerpt/quote side, stripped before near-dup
+    * clustering). Identical lossless one-sided prefix machinery and
+    * candidate-driven exact verification as the registered operator,
+    * reduced to the contained-side ids. The caller should checkpoint
+    * `sh` — it feeds five subtrees here. */
+  private[graft] def containmentDrops(sh: DataFrame,
+      minContain: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val prefixA = sh.join(dfreq, Seq("g")).join(sz, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+      .filter(col("rn") <=
+        col("n") - ceil(lit(minContain) * col("n")) + lit(1))
+      .select(col("g"), col("doc_id").as("doc_a"),
+        col("n").as("n_a"), col("rn"))
+    val cand = prefixA
+      .join(sh.select(col("g"), col("doc_id").as("doc_b")), Seq("g"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"))
+      .agg(min(col("rn")).as("ra"))
+      .filter(lit(1) + col("n_a") - col("ra") >=
+        ceil(lit(minContain) * col("n_a")))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        Seq("doc_b"))
+      .filter(col("n_b") >= ceil(lit(minContain) * col("n_a")))
+      .select(col("doc_a"), col("doc_b"), col("n_a"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("g")),
+        Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast("double") / col("n_a") >= minContain)
+      .select(col("doc_a").as("doc_id")).distinct()
+  }
+
   /** X3d — near-dup GROUP assignment: connected components over the
     * MinHash candidate pairs, labels = min doc_id per component. This
     * is the step that turns pairwise candidates into dedup decisions
@@ -500,6 +549,20 @@ object Dedup {
       minBands: Int = 4, maxIter: Int = 20): DataFrame = {
     val pairs = nearDupPairsCached(spark, dir, nBands, minBands)
       .select(col("doc_a"), col("doc_b"))
+    val labels = minLabelComponents(pairs, maxIter)
+    val sizes = labels.groupBy(col("grp")).agg(count(lit(1)).as("grp_size"))
+    labels.join(sizes, Seq("grp"))
+      .select(col("doc_id"), col("grp").as("group_id"), col("grp_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Min-label connected components over an undirected (doc_a, doc_b)
+    * pair set — the iterative-propagation core of [[dedupGroups]],
+    * shared with the corpus-pipeline's near-dup-group stage. Returns
+    * (doc_id, grp) for every doc appearing in a pair; grp = the
+    * component's minimal doc_id (when converged — see the warn). */
+  private[graft] def minLabelComponents(pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
     val edges = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
@@ -528,13 +591,10 @@ object Dedup {
     // Truncated propagation is silent data corruption at scale (chained
     // near-dup corpora can exceed any fixed diameter) — make it loud.
     if (!converged) log.warn(
-      s"dedupGroups: label propagation did NOT converge after $maxIter " +
-        "iterations; components with larger diameter carry truncated " +
-        "(non-minimal) group labels. Raise maxIter for this corpus.")
-    val sizes = labels.groupBy(col("grp")).agg(count(lit(1)).as("grp_size"))
-    labels.join(sizes, Seq("grp"))
-      .select(col("doc_id"), col("grp").as("group_id"), col("grp_size"))
-      .orderBy("doc_id")
+      s"minLabelComponents: label propagation did NOT converge after " +
+        s"$maxIter iterations; components with larger diameter carry " +
+        "truncated (non-minimal) group labels. Raise maxIter.")
+    labels
   }
 
   /** Session-scoped memo of the candidate pair set. `neardup_minhash`,
@@ -738,8 +798,20 @@ object Dedup {
 
   /** Pair-generation variant over an arbitrary (doc_id, text) corpus. */
   def nearDupPairsFor(docs: DataFrame, nBands: Int = 8,
-      minBands: Int = 4, maxBucket: Int = 0): DataFrame = {
-    val buckets = bandSignaturesFor(docs, nBands)
+      minBands: Int = 4, maxBucket: Int = 0): DataFrame =
+    pairsFromSigs(bandSignaturesFor(docs, nBands), minBands, maxBucket)
+
+  /** [[nearDupPairsFor]] over an already-tokenized (doc_id, w) corpus
+    * (corpus-pipeline form). */
+  private[graft] def nearDupPairsTok(docs: DataFrame, nBands: Int = 8,
+      minBands: Int = 4, maxBucket: Int = 0): DataFrame =
+    pairsFromSigs(bandSignaturesTok(docs, nBands), minBands, maxBucket)
+
+  /** Bucket-local candidate-pair generation over a (doc_id, band, sig)
+    * signature relation — the shared tail of both pair generators. */
+  private def pairsFromSigs(sigs: DataFrame, minBands: Int,
+      maxBucket: Int): DataFrame = {
+    val buckets = sigs
       .groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) > 1)

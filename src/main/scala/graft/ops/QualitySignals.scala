@@ -147,6 +147,70 @@ object QualitySignals {
       .orderBy("doc_id")
   }
 
+  /** X68 — corpus-quality classifier INFERENCE: a hashed-n-gram
+    * linear scorer, the fastText-style architecture of published
+    * corpus quality filters (e.g. the CCNet/GPT-3 "looks like
+    * reference text" classifiers): unigram + bigram features,
+    * feature-hashed into `nBuckets` buckets with the engine's
+    * cross-engine md5 hash, each bucket carrying a FIXED weight, and
+    * the document's margin = the MEAN bucket weight over its feature
+    * occurrences (averaged bag-of-features — exactly fastText
+    * inference with a 1-dim output). `keep = margin ≥ threshold` is
+    * the filter verdict a pipeline consumes.
+    *
+    * The weight vector is a deterministic md5-derived stand-in for
+    * trained weights (`w[j] = (md5_32("qw:"+j) mod 2001 − 1000) /
+    * 1000 ∈ [−1, 1]`): no trained artifact could be shipped or
+    * cross-engine-verified here, but the ARCHITECTURE — tokenize →
+    * n-gram → hash → weight lookup → mean → threshold — is the
+    * production shape, swap-in ready for real weights. Every step is
+    * integer arithmetic or exactly-rounded double division, and the
+    * mean accumulates in decimal ([[graft.util.Tables.davg]]), so the
+    * DuckDB oracle replays the whole scorer bit-for-bit.
+    *
+    * Scale shape: embarrassingly parallel feature fan-out (rows ∝
+    * each doc's own token count), then ONE map-side-combined groupBy
+    * on doc_id — no joins, no broadcast state, nothing driver-side;
+    * the weight "table" is pure hash arithmetic, so there is no model
+    * object to distribute at 100 TB (the real-weights variant would
+    * broadcast an nBuckets-sized float array). Docs with zero tokens
+    * have no features and are absent in both engines. */
+  def qualityScore(spark: SparkSession, dir: String,
+      nBuckets: Int = 1024, threshold: Double = 0.0): DataFrame =
+    qualityScoreFor(fanOut(t(spark, dir, "documents")), nBuckets,
+      threshold)
+
+  /** [[qualityScore]] over an arbitrary (doc_id, text) corpus. */
+  def qualityScoreFor(docs: DataFrame, nBuckets: Int = 1024,
+      threshold: Double = 0.0): DataFrame =
+    qualityScoreTok(
+      docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w")),
+      nBuckets, threshold)
+
+  /** [[qualityScore]] over an already-tokenized (doc_id, w) corpus —
+    * the corpus-pipeline form. */
+  private[graft] def qualityScoreTok(docs: DataFrame,
+      nBuckets: Int = 1024, threshold: Double = 0.0): DataFrame = {
+    import graft.util.Tables.davg
+    val grams = docs
+      .select(col("doc_id"), explode(concat(col("w"),
+        when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1), i =>
+            concat_ws(" ", element_at(col("w"), i),
+              element_at(col("w"), i + 1))))
+          .otherwise(array()))).as("g"))
+    val bucket = graft.util.Tables.md5Bucket("qf:", col("g"), nBuckets)
+    val weight =
+      (graft.util.Tables.md5Long32(
+          concat(lit("qw:"), bucket.cast("string"))) % 2001 - 1000)
+        .cast("double") / 1000.0
+    grams.select(col("doc_id"), weight.as("wgt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), davg(col("wgt")).as("margin"))
+      .withColumn("keep", col("margin") >= threshold)
+      .orderBy("doc_id")
+  }
+
   def zipfSpectrum(spark: SparkSession, dir: String): DataFrame = {
     // Spectrum over word BIGRAMS, not unigrams: the bigram vocabulary
     // is large enough to spread document frequencies across the full

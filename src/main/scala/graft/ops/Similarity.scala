@@ -730,6 +730,29 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
       .withColumn("cell", argmaxCell(cells, col("embedding")))
+    val qualifying =
+      semDedupQualifying(spark, celled, tau, targetBlockRows,
+        maxSaltsPerCell)
+    val dup = qualifying.groupBy(col("b_id"))
+      .agg(min(col("a_id")).as("dup_of"), count(lit(1)).as("n_near"))
+      .select(col("b_id").as("vec_id"), col("dup_of"), col("n_near"))
+    celled.select(col("vec_id"), col("cell"))
+      .join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("dup_of").isNull.as("kept"), col("dup_of"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy("vec_id")
+  }
+
+  /** The qualifying-pair core of [[semDedup]] over an already-routed
+    * (vec_id, embedding, nrm, cell) relation: every same-cell pair
+    * with exact cosine > tau, as ordered (a_id < b_id) rows, via the
+    * salted block equi-joins the class doc describes. Shared by the
+    * registered full-corpus form and the corpus-pipeline's
+    * survivor-restricted stage ([[semDedupDrops]]). */
+  private def semDedupQualifying(spark: SparkSession, celled: DataFrame,
+      tau: Double, targetBlockRows: Int, maxSaltsPerCell: Int): DataFrame = {
+    import spark.implicits._
     // Adaptive per-cell salting, same rationale as [[cosinePairsFor]]:
     // block size bounds both per-task pair work and replication.
     val counts: Map[Int, Long] = celled.groupBy("cell")
@@ -758,7 +781,7 @@ object Similarity {
     val y = blocked.select(col("vec_id").as("yid"), col("embedding")
       .as("ye"), col("nrm").as("yn"), col("cell").as("yc"),
       col("salt").as("ys"))
-    val qualifying = x.join(broadcast(pairsDf),
+    x.join(broadcast(pairsDf),
         col("xc") === col("c") && col("xs") === col("s1"))
       .join(y, col("yc") === col("c") && col("ys") === col("s2"))
       // same block: order the pair; cross-block (s1 < s2): every
@@ -771,15 +794,33 @@ object Similarity {
       .filter(col("score") > tau)
       .select(least(col("xid"), col("yid")).as("a_id"),
         greatest(col("xid"), col("yid")).as("b_id"))
-    val dup = qualifying.groupBy(col("b_id"))
-      .agg(min(col("a_id")).as("dup_of"), count(lit(1)).as("n_near"))
-      .select(col("b_id").as("vec_id"), col("dup_of"), col("n_near"))
-    celled.select(col("vec_id"), col("cell"))
-      .join(dup, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"),
-        col("dup_of").isNull.as("kept"), col("dup_of"),
-        coalesce(col("n_near"), lit(0L)).as("n_near"))
-      .orderBy("vec_id")
+  }
+
+  /** [[semDedup]]'s DROP SET restricted to a survivor sub-corpus — the
+    * composable corpus-pipeline stage form of X61. `survivors`
+    * (vec_id) names the docs still alive; they are routed with the
+    * FULL-corpus codebook (the fixed routing artifact an operating
+    * pipeline shares across stages and days — survivors must not move
+    * centroids), pairs are scored among survivors only, and the
+    * returned (vec_id) rows are the survivors with at least one
+    * lower-id same-cell neighbor above tau (the registered rule).
+    * Docs without an embedding row never appear (they cannot be
+    * semantic duplicates of anything). */
+  def semDedupDrops(spark: SparkSession, dir: String,
+      survivors: DataFrame, tau: Double = 0.4, maxCells: Int = 16,
+      targetBlockRows: Int = 2048, maxSaltsPerCell: Int = 64): DataFrame = {
+    import spark.implicits._
+    val cells: Seq[(Int, Seq[Double])] =
+      coarseCodebook(spark, dir, maxCells)
+        .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSeq
+    val celled = fanOut(t(spark, dir, "embeddings"))
+      .join(survivors.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      .withColumn("cell", argmaxCell(cells, col("embedding")))
+    semDedupQualifying(spark, celled, tau, targetBlockRows,
+        maxSaltsPerCell)
+      .select(col("b_id").as("vec_id")).distinct()
   }
 
   /** X65 — embedding outlier detection: the top-k vectors FARTHEST
@@ -878,7 +919,22 @@ object Similarity {
     * the oracle's `ORDER BY score DESC, eval_id` rank. */
   def semanticDecontaminate(spark: SparkSession, dir: String,
       tau: Double = 0.6, maxCells: Int = 16, evalMod: Int = 50,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2): DataFrame =
+    semanticDeconBest(spark, dir, None, maxCells, evalMod, nProbe)
+      .select(col("vec_id"), col("eval_id"), col("score"),
+        (col("score") >= tau).as("contaminated"))
+      .orderBy("vec_id")
+
+  /** The best-eval-match core of [[semanticDecontaminate]]: one
+    * (vec_id, eval_id, score) row per train vector sharing a probed
+    * cell with an eval vector. `restrict` (vec_id) narrows the TRAIN
+    * side (the corpus-pipeline form — eval stays the full-corpus
+    * slice: the benchmark stands outside the pipeline and is not
+    * subject to its filters); None is the registered full-corpus
+    * query. */
+  private def semanticDeconBest(spark: SparkSession, dir: String,
+      restrict: Option[DataFrame], maxCells: Int, evalMod: Int,
+      nProbe: Int): DataFrame = {
     import spark.implicits._
     val cells: Seq[(Int, Seq[Double])] =
       coarseCodebook(spark, dir, maxCells)
@@ -904,7 +960,10 @@ object Similarity {
       .withColumn("crn", row_number().over(evalW))
       .filter(col("crn") <= nProbe)
       .select(col("cell"), col("eval_id"), col("ee"))
-    val best = emb.filter(!col("is_eval"))
+    val trainBase = emb.filter(!col("is_eval"))
+    val train = restrict.fold(trainBase)(s =>
+      trainBase.join(s.select(col("vec_id")), Seq("vec_id"), "left_semi"))
+    train
       .withColumn("cell", argmaxCell(cells, col("embedding")))
       .join(eval, Seq("cell"))
       .withColumn("score",
@@ -913,11 +972,30 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(max(struct(col("score"), (-col("eval_id")).as("neg")))
         .as("m"))
-    best
       .select(col("vec_id"), (-col("m.neg")).as("eval_id"),
-        col("m.score").as("score"),
-        (col("m.score") >= tau).as("contaminated"))
-      .orderBy("vec_id")
+        col("m.score").as("score"))
+  }
+
+  /** [[semanticDecontaminate]]'s DROP SET for a survivor sub-corpus
+    * (the composable corpus-pipeline stage form of X66): survivors
+    * that are themselves in the deterministic eval slice (eval items
+    * never train), plus survivors whose best top-nProbe-cell eval
+    * match scores ≥ tau. Docs without an embedding row never appear
+    * (nothing semantic can flag them). */
+  def semanticDeconDrops(spark: SparkSession, dir: String,
+      survivors: DataFrame, tau: Double = 0.6, maxCells: Int = 16,
+      evalMod: Int = 50, nProbe: Int = 2): DataFrame = {
+    val evalIds = fanOut(t(spark, dir, "embeddings"))
+      .select(col("vec_id"))
+      .filter(graft.util.Tables.md5Bucket("sdecon:", col("vec_id"),
+        evalMod) === 0)
+      .join(survivors.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    val contaminated =
+      semanticDeconBest(spark, dir, Some(survivors), maxCells, evalMod,
+          nProbe)
+        .filter(col("score") >= tau)
+        .select(col("vec_id"))
+    evalIds.union(contaminated).distinct()
   }
 
   /** X17 — per-label centroid aggregation WITHOUT an output ordering:

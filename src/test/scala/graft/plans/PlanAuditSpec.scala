@@ -137,6 +137,16 @@ class PlanAuditSpec extends AnyFunSuite {
     "jaccard_prefix_join" -> 6, "containment_join" -> 6,
     "semdedup" -> 3,
     "embedding_outliers" -> 2, "word_rarity" -> 2, "bpe_encode" -> 2,
+    "quality_score" -> 2,
+    // corpus_pipeline's FINAL plan: 13 accounting/manifest branches
+    // over the session-memoized checkpoints (raw + scrubbed token
+    // states, per-stage drop lists), each branch = its stage's
+    // anti-join cascade + one partial/final agg, plus the manifest
+    // readback agg and the output sort. Every one of these exchanges
+    // carries doc-id-sized or 1-row relations — the corpus-sized
+    // shuffles ran ONCE at checkpoint build (the documented
+    // PlanAudit caveat for checkpoint-backed queries).
+    "corpus_pipeline" -> 42,
     "q3_top_revenue" -> 1, "q4_priority_check" -> 2, "q6_forecast" -> 1,
     "q7_volume_shipping" -> 2, "q8_market_share" -> 2,
     "q9_nation_brand" -> 2, "q10_returned_items" -> 1,
