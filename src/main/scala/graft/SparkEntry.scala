@@ -1625,6 +1625,59 @@ object SparkEntry {
       WHERE CAST(inter AS DOUBLE) / sa.n >= 0.9
       ORDER BY doc_a, doc_b""")),
 
+    // X62b — incremental Jaccard probe against the persisted
+    // set-similarity index: the doc_id%7==0 "incoming batch" vs the
+    // rest; only the batch is shingled, the index streams. Oracle is
+    // the BRUTE-FORCE cross-pair join — the one-sided prefix filter's
+    // losslessness is gate-checked every run.
+    "jaccard_probe" -> Q((s, d) => Dedup.jaccardProbe(s, d), Some("""
+      WITH tok AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        FROM tok WHERE len(w) >= 3),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      i AS (SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
+          count(*) AS inter
+        FROM sh a JOIN sh b ON a.g = b.g
+        WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+        GROUP BY 1, 2)
+      SELECT new_doc, corpus_doc, inter, sa.n AS n_a, sb.n AS n_b,
+        CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      FROM i JOIN sz sa ON sa.doc_id = new_doc
+             JOIN sz sb ON sb.doc_id = corpus_doc
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.7
+      ORDER BY new_doc, corpus_doc""")),
+
+    // X67b — incremental containment probe: batch docs ≥ 0.9 contained
+    // in a corpus doc, via the same persisted index. Brute-force
+    // cross-pair oracle again.
+    "containment_probe" ->
+      Q((s, d) => Dedup.containmentProbe(s, d), Some("""
+      WITH tok AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        FROM tok WHERE len(w) >= 3),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      i AS (SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
+          count(*) AS inter
+        FROM sh a JOIN sh b ON a.g = b.g
+        WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+        GROUP BY 1, 2)
+      SELECT new_doc, corpus_doc, inter, sa.n AS n_a, sb.n AS n_b,
+        CAST(inter AS DOUBLE) / sa.n AS containment
+      FROM i JOIN sz sa ON sa.doc_id = new_doc
+             JOIN sz sb ON sb.doc_id = corpus_doc
+      WHERE CAST(inter AS DOUBLE) / sa.n >= 0.9
+      ORDER BY new_doc, corpus_doc""")),
+
     "cosine_pairs" -> Q((s, d) => Similarity.cosinePairs(s, d), Some("""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         FROM embeddings)

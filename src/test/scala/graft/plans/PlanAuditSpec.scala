@@ -138,6 +138,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "semdedup" -> 3,
     "embedding_outliers" -> 2, "word_rarity" -> 2, "bpe_encode" -> 2,
     "quality_score" -> 2,
+    // the set-similarity probes: batch-sized rank window, prefix
+    // dedup-groupBy, verification agg, batch-size agg + output sort —
+    // every exchange carries batch- or pair-sized rows; the index
+    // side streams through broadcast hash joins with ZERO shuffle
+    "jaccard_probe" -> 5, "containment_probe" -> 5,
     // corpus_pipeline's FINAL plan: 13 accounting/manifest branches
     // over the session-memoized checkpoints (raw + scrubbed token
     // states, per-stage drop lists), each branch = its stage's
