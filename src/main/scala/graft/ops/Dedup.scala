@@ -358,41 +358,7 @@ object Dedup {
     // One corpus scan total.
     val sh = shingleRelation(spark, dir)
     val sz = shingleSizes(spark, dir)
-    // Rarity rank + per-doc set size in one cascade of keyed aggs.
-    val prefix = graft.util.CkptMemo.of(spark, "jp_prefix", dir,
-        minJaccard) {
-      import org.apache.spark.sql.expressions.Window
-      val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      sh.join(dfreq, Seq("g")).join(sz, Seq("doc_id"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
-        .filter(col("rn") <=
-          col("n") - ceil(lit(minJaccard) * col("n")) + lit(1))
-        .select(col("doc_id"), col("g"), col("n"), col("rn"))
-        .localCheckpoint()
-    }
-    // Prefix equi-join → candidate pairs: the size filter (t·max ≤
-    // min is necessary for J ≥ t) prunes inside the join; the groupBy
-    // both DEDUPLICATES pairs and carries the two MINs the positional
-    // filter needs (see scaladoc — min rn on each side is the shared
-    // minimal token's position pair, its overlap upper bound is exact)
-    val cand = graft.util.CkptMemo.of(spark, "jp_cand", dir, minJaccard) {
-      prefix.select(col("g"), col("doc_id").as("doc_a"),
-          col("n").as("n_a"), col("rn").as("rn_a"))
-        .join(prefix.select(col("g"), col("doc_id").as("doc_b"),
-          col("n").as("n_b"), col("rn").as("rn_b")), Seq("g"))
-        .filter(col("doc_a") < col("doc_b"))
-        .filter(least(col("n_a"), col("n_b")) >=
-          lit(minJaccard) * greatest(col("n_a"), col("n_b")))
-        .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-        .agg(min(col("rn_a")).as("ra"), min(col("rn_b")).as("rb"))
-        .filter(lit(1) + least(col("n_a") - col("ra"),
-            col("n_b") - col("rb")) >=
-          ceil(lit(minJaccard / (1.0 + minJaccard)) *
-            (col("n_a") + col("n_b"))))
-        .select(col("doc_a"), col("doc_b"))
-        .localCheckpoint()
-    }
+    val cand = jaccardCandidatePairs(spark, dir, minJaccard)
     // Exact verification, candidate-driven (see ngramJaccard for why
     // this shape and not a collect_set pass or a shingle self-join).
     val pairDocs = cand.select(col("doc_a").as("doc_id"))
@@ -415,6 +381,51 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"),
         col("n_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** The prefix-filtered CANDIDATE pair set of [[jaccardPrefixJoin]]
+    * (pre-verification), memoized per (dir, threshold) — named so the
+    * candidate-mass gate (CandidateMassSpec) can measure |candidates|
+    * against |output| directly: the "candidate mass is output-shaped
+    * at t ≥ 0.7" scale claim is spec-pinned, not just a SCALE_NOTES
+    * measurement. Rarity rank + per-doc set size in one cascade of
+    * keyed aggs; the groupBy both DEDUPLICATES pairs and carries the
+    * two MINs the positional filter needs (min rn on each side is the
+    * shared minimal token's position pair — its overlap upper bound
+    * is exact; see [[jaccardPrefixJoin]]'s scaladoc for the lemma). */
+  private[graft] def jaccardCandidatePairs(spark: SparkSession,
+      dir: String, minJaccard: Double): DataFrame = {
+    val sh = shingleRelation(spark, dir)
+    val sz = shingleSizes(spark, dir)
+    val prefix = graft.util.CkptMemo.of(spark, "jp_prefix", dir,
+        minJaccard) {
+      import org.apache.spark.sql.expressions.Window
+      val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      sh.join(dfreq, Seq("g")).join(sz, Seq("doc_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+        .filter(col("rn") <=
+          col("n") - ceil(lit(minJaccard) * col("n")) + lit(1))
+        .select(col("doc_id"), col("g"), col("n"), col("rn"))
+        .localCheckpoint()
+    }
+    graft.util.CkptMemo.of(spark, "jp_cand", dir, minJaccard) {
+      prefix.select(col("g"), col("doc_id").as("doc_a"),
+          col("n").as("n_a"), col("rn").as("rn_a"))
+        .join(prefix.select(col("g"), col("doc_id").as("doc_b"),
+          col("n").as("n_b"), col("rn").as("rn_b")), Seq("g"))
+        .filter(col("doc_a") < col("doc_b"))
+        .filter(least(col("n_a"), col("n_b")) >=
+          lit(minJaccard) * greatest(col("n_a"), col("n_b")))
+        .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+        .agg(min(col("rn_a")).as("ra"), min(col("rn_b")).as("rb"))
+        .filter(lit(1) + least(col("n_a") - col("ra"),
+            col("n_b") - col("rb")) >=
+          ceil(lit(minJaccard / (1.0 + minJaccard)) *
+            (col("n_a") + col("n_b"))))
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+    }
   }
 
   /** X67 — exact CONTAINMENT join: all ordered pairs (a, b) with
@@ -448,31 +459,8 @@ object Dedup {
     * keeps the per-doc join surface a sliver of its shingles. */
   def containmentJoin(spark: SparkSession, dir: String,
       minContain: Double = 0.9): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = shingleRelation(spark, dir)
-    val sz = shingleSizes(spark, dir)
-    val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val prefixA = sh.join(dfreq, Seq("g")).join(sz, Seq("doc_id"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
-      .filter(col("rn") <=
-        col("n") - ceil(lit(minContain) * col("n")) + lit(1))
-      .select(col("g"), col("doc_id").as("doc_a"),
-        col("n").as("n_a"), col("rn"))
-    val cand = graft.util.CkptMemo.of(spark, "cj_cand", dir, minContain) {
-      prefixA
-        .join(sh.select(col("g"), col("doc_id").as("doc_b")), Seq("g"))
-        .filter(col("doc_a") =!= col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"), col("n_a"))
-        .agg(min(col("rn")).as("ra"))
-        .filter(lit(1) + col("n_a") - col("ra") >=
-          ceil(lit(minContain) * col("n_a")))
-        .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
-          Seq("doc_b"))
-        .filter(col("n_b") >= ceil(lit(minContain) * col("n_a")))
-        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-        .localCheckpoint()
-    }
+    val cand = containmentCandidatePairs(spark, dir, minContain)
     val pairDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val shc = sh.join(pairDocs, Seq("doc_id"), "left_semi")
@@ -488,6 +476,38 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"),
         col("n_b"), col("containment"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** The one-sided-prefix CANDIDATE pair set of [[containmentJoin]]
+    * (pre-verification), memoized per (dir, threshold) — named for
+    * the candidate-mass gate, like [[jaccardCandidatePairs]]. */
+  private[graft] def containmentCandidatePairs(spark: SparkSession,
+      dir: String, minContain: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleRelation(spark, dir)
+    val sz = shingleSizes(spark, dir)
+    val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val prefixA = sh.join(dfreq, Seq("g")).join(sz, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+      .filter(col("rn") <=
+        col("n") - ceil(lit(minContain) * col("n")) + lit(1))
+      .select(col("g"), col("doc_id").as("doc_a"),
+        col("n").as("n_a"), col("rn"))
+    graft.util.CkptMemo.of(spark, "cj_cand", dir, minContain) {
+      prefixA
+        .join(sh.select(col("g"), col("doc_id").as("doc_b")), Seq("g"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("n_a"))
+        .agg(min(col("rn")).as("ra"))
+        .filter(lit(1) + col("n_a") - col("ra") >=
+          ceil(lit(minContain) * col("n_a")))
+        .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+          Seq("doc_b"))
+        .filter(col("n_b") >= ceil(lit(minContain) * col("n_a")))
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+        .localCheckpoint()
+    }
   }
 
   /** [[containmentJoin]]'s DROP SET over an arbitrary (doc_id, g)

@@ -167,8 +167,8 @@ object ScaleStress {
       case Some(f) if !f.forall(_.isDigit) => (f, args.drop(1))
       case _ => ("all", args)
     }
-    require(Set("docs", "emb", "tpch", "events", "all")(family),
-      s"unknown family '$family' — expected docs|emb|tpch|events|all")
+    require(Set("docs", "emb", "tpch", "events", "semrec", "all")(family),
+      s"unknown family '$family' — expected docs|emb|tpch|events|semrec|all")
     val scales =
       if (scaleArgs.nonEmpty) scaleArgs.map(_.toInt).toSeq else Seq(1, 3, 10)
     val src = "/root/testdata/sf0.1"
@@ -179,6 +179,7 @@ object ScaleStress {
 
     val runDocs = family == "docs" || family == "all"
     val runEmb = family == "emb" || family == "all"
+    val runSemrec = family == "semrec"
     val runTpch = family == "tpch" || family == "all"
     val runEvents = family == "events" || family == "all"
 
@@ -191,7 +192,7 @@ object ScaleStress {
       val out = corpusDir(n)
       if (runDocs && !ready(s"$out/documents.parquet"))
         buildDocCorpus(spark, src, out, n)
-      if (runEmb && !ready(s"$out/embeddings.parquet"))
+      if ((runEmb || runSemrec) && !ready(s"$out/embeddings.parquet"))
         buildEmbeddingCorpus(spark, src, out, n)
       if (runTpch && !ready(s"$out/lineitem.parquet"))
         buildTpchCorpus(spark, src, out, n)
@@ -401,6 +402,92 @@ object ScaleStress {
         println(f"$n%5d $lshR%11.3f ${recall(ivf)}%11.3f ${recall(ivfScaled)}%11.3f ${exact.size}%11d")
       }
     }
+
+    // MEASURED recall for the top-2-cell probe family (VERDICT r10
+    // item 3): the planted zeroed-dims twins are exhaustive ground
+    // truth (cos ≈ 0.97, far above both thresholds), so recall here is
+    // against TRUE pairs, not against an oracle sharing the engine's
+    // cell approximation. Split by routing agreement: same-cell recall
+    // is the within-cell-exactness contract (must be 1.0), straddle
+    // recall is what the approximation family actually loses —
+    // semdedup has no probing (straddlers are its documented miss
+    // class), semantic_decon's eval-side top-2 listing recovers the
+    // straddlers whose eval vector ranks the train's cell second.
+    if (runSemrec) {
+      println(f"${"scale"}%5s ${"family"}%-15s ${"planted"}%8s ${"recall"}%7s ${"same_cell"}%10s ${"sc_recall"}%10s ${"straddle"}%9s ${"str_recall"}%10s")
+      scales.foreach { n =>
+        val dir = corpusDir(n)
+        val mc = nextPrime(16 * n)
+        semanticRecall(spark, dir, mc).foreach { r =>
+          println(f"$n%5d ${r.family}%-15s ${r.planted}%8d ${r.recall}%7.3f ${r.sameCell}%10d ${r.sameCellRecall}%10.3f ${r.straddle}%9d ${r.straddleRecall}%10.3f")
+        }
+      }
+    }
     spark.stop()
+  }
+
+  /** One planted-pair recall measurement row; `misses` lists the
+    * undetected pairs so a spec can assert every miss is a straddler
+    * (NaN recalls mean the slice was empty). */
+  final case class RecallRow(family: String, planted: Int,
+      recall: Double, sameCell: Int, sameCellRecall: Double,
+      straddle: Int, straddleRecall: Double,
+      misses: Seq[(Long, Long)], straddlePairs: Seq[(Long, Long)])
+
+  /** First-8-hex-chars md5 mod — the JVM twin of
+    * [[graft.util.Tables.md5Bucket]], for classifying planted ids
+    * driver-side without a Spark job. */
+  private def md5Mod(s: String, mod: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % mod
+  }
+
+  /** Planted-twin recall of `semdedup` and `semantic_decon` on a
+    * [[buildEmbeddingCorpus]] corpus: planted pairs are (o, o+5M)
+    * with both ids present (the builder's structural id layout —
+    * independent of the engine's routing); a pair is caught when the
+    * twin is dropped (semdedup) / the train side of an eval-crossing
+    * pair is flagged contaminated (semantic_decon, eval = the
+    * `sdecon` md5 coin slice). */
+  private[tools] def semanticRecall(spark: SparkSession, dir: String,
+      maxCells: Int, sdTau: Double = 0.8, deconTau: Double = 0.6,
+      evalMod: Int = 50): Seq[RecallRow] = {
+    import spark.implicits._
+    val sd = Similarity.semDedup(spark, dir, tau = sdTau,
+        maxCells = maxCells)
+      .select("vec_id", "cell", "kept").as[(Long, Int, Boolean)]
+      .collect()
+    val cellOf = sd.map(r => r._1 -> r._2).toMap
+    val keptOf = sd.map(r => r._1 -> r._3).toMap
+    val ids = cellOf.keySet
+    val pairs = sd.map(_._1)
+      .filter(id => (id % 10000000L) < 5000000L &&
+        ids.contains(id + 5000000L))
+      .map(id => (id, id + 5000000L)).toSeq.sorted
+    def row(fam: String, ps: Seq[(Long, Long)],
+        caught: ((Long, Long)) => Boolean): RecallRow = {
+      val (same, strad) = ps.partition { case (a, b) =>
+        cellOf(a) == cellOf(b) }
+      def rec(s: Seq[(Long, Long)]) =
+        if (s.isEmpty) Double.NaN
+        else s.count(caught).toDouble / s.size
+      RecallRow(fam, ps.size, rec(ps), same.size, rec(same),
+        strad.size, rec(strad), ps.filterNot(caught), strad)
+    }
+    val sdRow = row("semdedup", pairs, p => !keptOf(p._2))
+    val flagged = Similarity.semanticDecontaminate(spark, dir,
+        tau = deconTau, maxCells = maxCells, evalMod = evalMod)
+      .filter(org.apache.spark.sql.functions.col("contaminated"))
+      .select("vec_id").as[Long].collect().toSet
+    def coin(id: Long) = md5Mod(s"sdecon:$id", evalMod) == 0
+    val evPairs = pairs.flatMap { case (o, t) =>
+      if (coin(o) && !coin(t)) Some((o, t))
+      else if (coin(t) && !coin(o)) Some((t, o))
+      else None
+    } // (eval side, train side)
+    val dcRow = row("semantic_decon", evPairs, p => flagged(p._2))
+    Seq(sdRow, dcRow)
   }
 }

@@ -127,39 +127,153 @@ class PlanAuditSpec extends AnyFunSuite {
     *    q22's customer re-agg). TopN shapes (q3/q10) plan
     *    TakeOrderedAndProject — no range exchange at all. A
     *    broadcast-threshold or AQE change that flips any join to a
-    *    shuffle lands HERE, not in bench noise */
+    *    shuffle lands HERE, not in bench noise.
+    *
+    * Since round 11 (VERDICT r10 item 4) the table covers EVERY
+    * registered query — the multi-scan audit's default-1 treatment,
+    * applied to exchanges as exact pins: a plan-shape flip on ANY
+    * query now fails the build instead of surfacing as bench drift.
+    * The full map is generated from `tools.PlanAudit exch` output at
+    * sf0.001 and hand-audited; update an entry ONLY together with the
+    * plan change that moves it. */
   private val exchangeBudgets: Map[String, Int] = Map(
-    "q1_pricing_summary" -> 2, "q5_revenue_by_nation" -> 2,
-    "topk_per_key" -> 2, "dedup_exact" -> 2, "window_events" -> 2,
-    "tumbling_window" -> 2, "asof_join" -> 2, "bucketed_join" -> 2,
-    "neardup_minhash" -> 1, "span_scrub" -> 3, "cosine_pairs" -> 1,
-    "ann_lsh_pairs" -> 2, "dedup_groups" -> 3, "ngram_jaccard" -> 4,
-    "jaccard_prefix_join" -> 6, "containment_join" -> 6,
-    "semdedup" -> 3,
-    "embedding_outliers" -> 2, "word_rarity" -> 2, "bpe_encode" -> 2,
-    "quality_score" -> 2,
-    // the set-similarity probes: batch-sized rank window, prefix
-    // dedup-groupBy, verification agg, batch-size agg + output sort —
-    // every exchange carries batch- or pair-sized rows; the index
-    // side streams through broadcast hash joins with ZERO shuffle
-    "jaccard_probe" -> 5, "containment_probe" -> 5,
-    // corpus_pipeline's FINAL plan: 13 accounting/manifest branches
-    // over the session-memoized checkpoints (raw + scrubbed token
-    // states, per-stage drop lists), each branch = its stage's
-    // anti-join cascade + one partial/final agg, plus the manifest
-    // readback agg and the output sort. Every one of these exchanges
-    // carries doc-id-sized or 1-row relations — the corpus-sized
-    // shuffles ran ONCE at checkpoint build (the documented
-    // PlanAudit caveat for checkpoint-backed queries).
+    "agg_distinct" -> 3,
+    "ann_filtered_probe" -> 2,
+    "ann_ivf_append" -> 2,
+    "ann_ivf_probe" -> 2,
+    "ann_ivf_topk" -> 2,
+    "ann_lsh_pairs" -> 2,
+    "anti_join" -> 1,
+    "array_suite" -> 1,
+    "asof_join" -> 2,
+    "bigram_novelty" -> 3,
+    "binary_ingest" -> 1,
+    "bloom_join" -> 4,
+    "bm25_search" -> 5,
+    "bpe_encode" -> 2,
+    "bpe_train" -> 1,
+    "bucketed_join" -> 2,
+    "cdc_rollup" -> 5,
+    "centroid_udaf" -> 1,
+    "clean_corpus" -> 2,
+    "click_attribution" -> 1,
+    "containment_join" -> 6,
+    "containment_probe" -> 5,
     "corpus_pipeline" -> 42,
-    "q3_top_revenue" -> 1, "q4_priority_check" -> 2, "q6_forecast" -> 1,
-    "q7_volume_shipping" -> 2, "q8_market_share" -> 2,
-    "q9_nation_brand" -> 2, "q10_returned_items" -> 1,
-    "q12_late_lines" -> 2, "q13_order_dist" -> 3,
-    "q14_promo_effect" -> 1, "q15_top_supplier" -> 2,
-    "q17_small_qty" -> 2, "q18_large_orders" -> 2,
-    "q19_disjunctive" -> 1, "q21_waiting_supplier" -> 3,
-    "q22_dormant_rich" -> 3)
+    "cosine_pairs" -> 1,
+    "coverage_select" -> 2,
+    "csv_roundtrip" -> 2,
+    "cube_orders" -> 2,
+    "decontaminate" -> 3,
+    "dedup_exact" -> 2,
+    "dedup_groups" -> 3,
+    "dedup_keep_latest" -> 2,
+    "doc_chunk" -> 1,
+    "doc_fingerprint" -> 1,
+    "domain_mix_sample" -> 1,
+    "dpp_scan" -> 5,
+    "dq_audit" -> 2,
+    "dq_window" -> 2,
+    "embedding_outliers" -> 2,
+    "embedding_quantize" -> 1,
+    "embedding_stats" -> 2,
+    "except_all" -> 2,
+    "filtered_topk" -> 2,
+    "fk_violations" -> 6,
+    "funnel" -> 2,
+    "grouping_sets" -> 2,
+    "heavy_hitters" -> 2,
+    "incremental_rollup" -> 1,
+    "ingest_append" -> 1,
+    "ingest_backfill" -> 1,
+    "ingest_compact" -> 1,
+    "ingest_escaped_dt" -> 1,
+    "ingest_multiline" -> 1,
+    "ingest_overwrite" -> 1,
+    "ingest_stream" -> 1,
+    "ingest_ts_normalize" -> 1,
+    "ingest_upsert" -> 1,
+    "inverted_index" -> 3,
+    "jaccard_prefix_join" -> 6,
+    "jaccard_probe" -> 5,
+    "json_extract" -> 2,
+    "json_functions" -> 2,
+    "json_roundtrip" -> 2,
+    "kmv_distinct" -> 5,
+    "lang_stats" -> 3,
+    "media_embed_topk" -> 2,
+    "media_resize" -> 1,
+    "multimodal_media" -> 1,
+    "neardup_minhash" -> 1,
+    "neardup_probe" -> 4,
+    "neardup_stream" -> 1,
+    "ngram_jaccard" -> 4,
+    "ngram_repetition" -> 5,
+    "orc_roundtrip" -> 2,
+    "percentiles" -> 2,
+    "percentiles_approx" -> 3,
+    "pii_redact" -> 1,
+    "pivot_orders" -> 3,
+    "price_histogram" -> 2,
+    "q10_returned_items" -> 1,
+    "q12_late_lines" -> 2,
+    "q13_order_dist" -> 3,
+    "q14_promo_effect" -> 1,
+    "q15_top_supplier" -> 2,
+    "q17_small_qty" -> 2,
+    "q18_large_orders" -> 2,
+    "q19_disjunctive" -> 1,
+    "q1_pricing_summary" -> 2,
+    "q21_waiting_supplier" -> 3,
+    "q22_dormant_rich" -> 3,
+    "q3_top_revenue" -> 1,
+    "q4_priority_check" -> 2,
+    "q5_revenue_by_nation" -> 2,
+    "q6_forecast" -> 1,
+    "q7_volume_shipping" -> 2,
+    "q8_market_share" -> 2,
+    "q9_nation_brand" -> 2,
+    "quality_score" -> 2,
+    "range_join" -> 3,
+    "read_at_version" -> 1,
+    "rollup_nation" -> 2,
+    "sample_stratified" -> 1,
+    "scalar_suite" -> 1,
+    "schema_evolution" -> 1,
+    "scrub_normalize" -> 1,
+    "semantic_decon" -> 3,
+    "semdedup" -> 3,
+    "semi_join" -> 1,
+    "seq_packing" -> 2,
+    "session_window" -> 2,
+    "set_ops" -> 3,
+    "shard_export" -> 3,
+    "simhash_pairs" -> 4,
+    "similarity_topk" -> 2,
+    "skew_agg" -> 3,
+    "skew_join" -> 2,
+    "sliding_window" -> 2,
+    "snapshot_diff" -> 3,
+    "span_scrub" -> 3,
+    "sql_native_dot" -> 1,
+    "table_profile" -> 2,
+    "table_profile_approx" -> 3,
+    "take_stratified" -> 2,
+    "text_quality" -> 1,
+    "tfidf_top_terms" -> 6,
+    "token_counts" -> 1,
+    "topk_orders" -> 0,
+    "topk_per_key" -> 2,
+    "train_split" -> 2,
+    "tumbling_window" -> 2,
+    "unpivot_metrics" -> 2,
+    "version_changes" -> 3,
+    "window_events" -> 2,
+    "word_freq" -> 1,
+    "word_rarity" -> 2,
+    "zipf_spectrum" -> 3,
+    "zorder_box" -> 2
+  )
 
   test("keyed exchange counts match the pinned per-query budgets") {
     val bad = exchangeBudgets.toSeq.sortBy(_._1).flatMap {
