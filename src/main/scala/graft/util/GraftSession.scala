@@ -32,8 +32,17 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // SPARK_GRAFT_SHUFFLE_PARTITIONS overrides the =cores local
+      // default without a code change — the knob the heap/partition
+      // scaling rule turns at high data volume (SCALE_NOTES round 11:
+      // partition COUNT, not heap, is what must scale with volume;
+      // =cores partitions at sf10 puts ~2M rows in every join/agg
+      // task and OOMs an 8g driver that 512 partitions run fine in)
       .config("spark.sql.shuffle.partitions",
-        shufflePartitions.getOrElse(cores).toString)
+        shufflePartitions
+          .orElse(sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+            .map(_.toInt))
+          .getOrElse(cores).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")

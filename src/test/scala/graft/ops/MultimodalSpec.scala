@@ -16,7 +16,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(emb.count() == docs.count())
     val dims = emb.select(size(col("embedding"))).distinct()
       .as[Int].collect().toSeq
-    assert(dims == Seq(8), s"expected uniform dim 8, got $dims")
+    assert(dims == Seq(PpmCodec.FeatureDim),
+      s"expected uniform dim ${PpmCodec.FeatureDim}, got $dims")
     // decoded-pixel features are bounded by construction: channel
     // means/maxima in [0, 255] (ASCII payload bytes are 0x00–0x7F, so
     // actually ≤ 127), aspect = w/h within the generator's geometry
@@ -48,16 +49,22 @@ class MultimodalSpec extends AnyFunSuite {
       val h = (8 + (id / 9) % 7).toInt
       val n = w * h
       val sums = new Array[Long](3); val maxs = new Array[Int](3)
+      val tsums = new Array[Long](12); val tcnt = new Array[Long](4)
       (0 until n * 3).foreach { i =>
         val v = tb(i % tb.length) & 0xff
-        sums(i % 3) += v
-        if (v > maxs(i % 3)) maxs(i % 3) = v
+        val c = i % 3; val px = i / 3
+        val t = (2 * (px / w) / h) * 2 + (2 * (px % w) / w)
+        sums(c) += v
+        tsums(t * 3 + c) += v
+        if (c == 0) tcnt(t) += 1
+        if (v > maxs(c)) maxs(c) = v
       }
       val expect = Seq(
         (sums(0).toDouble / n).toFloat, (sums(1).toDouble / n).toFloat,
         (sums(2).toDouble / n).toFloat, maxs(0).toFloat,
         maxs(1).toFloat, maxs(2).toFloat, (w.toDouble / h).toFloat,
-        ((sums(0) + sums(1) + sums(2)).toDouble / (3L * n)).toFloat)
+        ((sums(0) + sums(1) + sums(2)).toDouble / (3L * n)).toFloat) ++
+        (0 until 12).map(j => (tsums(j).toDouble / tcnt(j / 3)).toFloat)
       assert(got(id) == expect, s"doc $id decode mismatch")
     }
   }

@@ -59,5 +59,21 @@ class PpmCodecSpec extends AnyFunSuite {
     assert(f(3) == 50.0f && f(4) == 200.0f && f(5) == 30.0f) // maxima
     assert(f(6) == 2.0f) // aspect 2/1
     assert(f(7) == ((10 + 20 + 30 + 50 + 200 + 0) / 6.0).toFloat)
+    // 2x2 tile means, tile-major channel-minor: pixel 0 -> tile (0,0),
+    // pixel 1 -> tile (0,1); the h=1 bottom tile row is empty -> 0.0f
+    assert(f.slice(8, 11).toSeq == Seq(10.0f, 20.0f, 30.0f))
+    assert(f.slice(11, 14).toSeq == Seq(50.0f, 200.0f, 0.0f))
+    assert(f.slice(14, 20).forall(_ == 0.0f))
+  }
+
+  test("patch features separate layouts that global statistics cannot") {
+    // same multiset of pixels, mirrored layout: global stats identical,
+    // tile means must differ — the point of the round-11 extension
+    val a = PpmCodec.features(PpmCodec.Image(2, 2,
+      Array[Byte](100, 0, 0, 0, 0, 0, 0, 0, 0, 100, 0, 0)))
+    val b = PpmCodec.features(PpmCodec.Image(2, 2,
+      Array[Byte](0, 0, 0, 100, 0, 0, 100, 0, 0, 0, 0, 0)))
+    assert(a.take(8).toSeq == b.take(8).toSeq, "global stats equal")
+    assert(a.drop(8).toSeq != b.drop(8).toSeq, "patch stats differ")
   }
 }
