@@ -96,7 +96,17 @@ object CorpusPipeline {
   val NShards = 8
   val PackBudget = 512L
 
-  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+  /** `semTau`/`semCells` parameterize the two embedding-space stages
+    * for the scale harness (threshold 0.8 / cells ∝ corpus — the
+    * planted-twin regime; the registered defaults sit partly in the
+    * random cosine band, which is inherently quadratic on an
+    * isotropic corpus and would measure geometry, not the operator).
+    * The registered query always runs the defaults; every memo key
+    * downstream of stage 7 carries both knobs so differently-
+    * parameterized invocations cannot share survivor checkpoints. */
+  def corpusPipeline(spark: SparkSession, dir: String,
+      semTau: Double = SemTau, semCells: Int = MaxCells,
+      rarityMax: Double = RarityMax): DataFrame = {
     def ntok = sum(size(col("w")).cast("long"))
     def acct(stage: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_docs"),
@@ -199,24 +209,25 @@ object CorpusPipeline {
       .join(drop6, Seq("doc_id"), "left_anti")
 
     // ---- stage 7: SemDeDup among survivor vectors ----
-    val drop7 = CkptMemo.of(spark, "cp_drop7", dir) {
+    val drop7 = CkptMemo.of(spark, "cp_drop7", dir, semTau, semCells) {
       Similarity.semDedupDrops(spark, dir,
-          s6.select(col("doc_id").as("vec_id")), SemTau, MaxCells)
+          s6.select(col("doc_id").as("vec_id")), semTau, semCells)
         .select(col("vec_id").as("doc_id")).localCheckpoint()
     }
     val s7 = s6.join(drop7, Seq("doc_id"), "left_anti")
 
     // ---- stage 8: semantic decontamination ----
-    val drop8 = CkptMemo.of(spark, "cp_drop8", dir) {
+    val drop8 = CkptMemo.of(spark, "cp_drop8", dir, semTau, semCells) {
       Similarity.semanticDeconDrops(spark, dir,
-          s7.select(col("doc_id").as("vec_id")), SdTau, MaxCells,
+          s7.select(col("doc_id").as("vec_id")), SdTau, semCells,
           SdEvalMod)
         .select(col("vec_id").as("doc_id")).localCheckpoint()
     }
     val s8 = s7.join(drop8, Seq("doc_id"), "left_anti")
 
     // ---- stage 9: word-rarity filter over the survivor model ----
-    val drop9 = CkptMemo.of(spark, "cp_drop9", dir) {
+    val drop9 = CkptMemo.of(spark, "cp_drop9", dir, semTau, semCells,
+        rarityMax) {
       val words = s8.select(col("doc_id"), explode(col("w")).as("word"))
       val freq = words.groupBy(col("word")).agg(count(lit(1)).as("f"))
         .localCheckpoint()
@@ -225,7 +236,7 @@ object CorpusPipeline {
       val d = words.join(freq, Seq("word"))
         .groupBy(col("doc_id"))
         .agg(davg(lit(total).cast("double") / col("f")).as("mip"))
-        .filter(col("mip") > RarityMax).select(col("doc_id"))
+        .filter(col("mip") > rarityMax).select(col("doc_id"))
         .localCheckpoint()
       // freq only feeds the (now materialized) drop list — free it
       org.apache.spark.sql.graftbridge.PlanBridge
@@ -235,7 +246,8 @@ object CorpusPipeline {
     val s9 = s8.join(drop9, Seq("doc_id"), "left_anti")
 
     // ---- stage 10: hashed-n-gram quality classifier ----
-    val drop10 = CkptMemo.of(spark, "cp_drop10", dir) {
+    val drop10 = CkptMemo.of(spark, "cp_drop10", dir, semTau,
+        semCells, rarityMax) {
       QualitySignals.qualityScoreTok(s9, threshold = QsMinMargin)
         .filter(!col("keep")).select(col("doc_id"))
         .localCheckpoint()
@@ -274,7 +286,10 @@ object CorpusPipeline {
       .under("graft_pipeline/" + graft.util.Tables.pathTag(dir)).toString
     graft.util.Scratch.deleteRecursive(java.nio.file.Paths.get(out))
     packed.write.partitionBy("shard").parquet(out)
-    val manifest = spark.read.parquet(out)
+    // explicit schema on the read-back: a fully-filtered corpus writes
+    // an EMPTY dataset (just _SUCCESS, no footers) and schema
+    // inference would throw where "0 shards" is the correct answer
+    val manifest = spark.read.schema(packed.schema).parquet(out)
       .groupBy(col("shard").cast("int").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("pack_id")).as("n_packs"),

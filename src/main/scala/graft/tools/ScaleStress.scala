@@ -167,8 +167,11 @@ object ScaleStress {
       case Some(f) if !f.forall(_.isDigit) => (f, args.drop(1))
       case _ => ("all", args)
     }
-    require(Set("docs", "emb", "tpch", "events", "semrec", "all")(family),
-      s"unknown family '$family' — expected docs|emb|tpch|events|semrec|all")
+    require(
+      Set("docs", "emb", "tpch", "events", "semrec", "pipeline", "all")(
+        family),
+      s"unknown family '$family' — expected " +
+        "docs|emb|tpch|events|semrec|pipeline|all")
     val scales =
       if (scaleArgs.nonEmpty) scaleArgs.map(_.toInt).toSeq else Seq(1, 3, 10)
     val src = "/root/testdata/sf0.1"
@@ -180,6 +183,7 @@ object ScaleStress {
     val runDocs = family == "docs" || family == "all"
     val runEmb = family == "emb" || family == "all"
     val runSemrec = family == "semrec"
+    val runPipeline = family == "pipeline"
     val runTpch = family == "tpch" || family == "all"
     val runEvents = family == "events" || family == "all"
 
@@ -190,9 +194,10 @@ object ScaleStress {
       new java.io.File(s"$path/_SUCCESS").exists()
     scales.foreach { n =>
       val out = corpusDir(n)
-      if (runDocs && !ready(s"$out/documents.parquet"))
+      if ((runDocs || runPipeline) && !ready(s"$out/documents.parquet"))
         buildDocCorpus(spark, src, out, n)
-      if ((runEmb || runSemrec) && !ready(s"$out/embeddings.parquet"))
+      if ((runEmb || runSemrec || runPipeline) &&
+          !ready(s"$out/embeddings.parquet"))
         buildEmbeddingCorpus(spark, src, out, n)
       if (runTpch && !ready(s"$out/lineitem.parquet"))
         buildTpchCorpus(spark, src, out, n)
@@ -311,6 +316,27 @@ object ScaleStress {
     // from the registry (store writes are memoized per corpus dir, so
     // the warmup pass pays the layout write and the timed passes
     // measure the pruned reads — same accounting as bucketed_join)
+    // the COMPOSED corpus pipeline (X69) — the round-11 composition
+    // curve: every stage checkpoint is rebuilt per timed invocation
+    // (clearPairsMemo clears CkptMemo too), so the number is the full
+    // chain cost, not a memo hit
+    // semantic stages in the planted-twin regime (tau 0.8, cells ∝
+    // corpus) — the same knobs the standalone semdedup stress turns;
+    // the registered defaults would measure the random cosine band's
+    // inherent quadratic, not the composition
+    // rarityMax scales with n: this corpus construction (per-copy
+    // token suffixes) keeps per-word frequency CONSTANT while the
+    // corpus total grows n× — so mean inverse probability grows n×
+    // for every doc, and the fixed registered threshold would wipe
+    // the corpus at 10×+ (a real corpus grows frequencies with
+    // volume; the registered threshold is calibrated for that)
+    val pipelineOps: Seq[(String, String => Long)] = Seq(
+      "corpus_pipeline" -> (d => {
+        Dedup.clearPairsMemo()
+        m(graft.ops.CorpusPipeline.corpusPipeline(spark, d,
+          semTau = 0.8, semCells = nextPrime(16 * scaleOf(d)),
+          rarityMax = 40.0 * scaleOf(d))) }))
+
     val eventsOps: Seq[(String, String => Long)] =
       Seq("skew_join", "dpp_scan", "zorder_box", "dq_window").map { name =>
         val fn = graft.SparkEntry.queries(name)
@@ -332,6 +358,9 @@ object ScaleStress {
          (n, countTableOverride.getOrElse(n, "lineitem"), f) }
         else Nil) ++
        (if (runEvents) eventsOps.map { case (n, f) => (n, "events", f) }
+        else Nil) ++
+       (if (runPipeline) pipelineOps.map { case (n, f) =>
+         (n, "documents", f) }
         else Nil))
         .filter { case (n, _, _) => opFilter.forall(_.contains(n)) }
     val rowsInCache = collection.mutable.Map.empty[(String, String), Long]

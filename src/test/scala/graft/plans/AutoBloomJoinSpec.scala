@@ -106,7 +106,10 @@ class AutoBloomJoinSpec extends AnyFunSuite {
     "q19_disjunctive" -> 0, "q21_waiting_supplier" -> 1)
 
   test("q-family audit: probes exactly where the shape warrants one, never elsewhere") {
-    val qnames = graft.SparkEntry.registry.map(_._1).filter(_.startsWith("q"))
+    // the TPC-H q-family only: qNN_… — a bare startsWith("q") also
+    // caught quality_score once it registered
+    val qnames = graft.SparkEntry.registry.map(_._1)
+      .filter(_.matches("q\\d+.*"))
     assert(qnames.toSet == expectedProbes.keySet,
       "q-family registry drifted — re-audit the expected probe map")
     val fns = graft.SparkEntry.queries
