@@ -631,7 +631,7 @@ object Dedup {
       .withColumn("rn_seen",
         row_number().over(wDoc.orderBy(col("df"), col("g"))))
       .withColumn("n_seen", count(lit(1)).over(wDoc))
-    val prefix = seen.join(broadcast(sizes), Seq("doc_id"))
+    val prefix = seen.join(sizes, Seq("doc_id"))
       .withColumn("rn", col("n_a") - col("n_seen") + col("rn_seen"))
       .filter(col("rn") <=
         col("n_a") - ceil(lit(prefixT) * col("n_a")) + lit(1))
@@ -641,7 +641,7 @@ object Dedup {
       .filter(pmod(col("doc_id"), lit(batchMod)) =!= 0)
       .select(col("doc_id").as("corpus_doc"), col("g"),
         col("n").as("n_b"))
-    corpusSh.join(broadcast(prefix), Seq("g"))
+    corpusSh.join(prefix, Seq("g"))
       .groupBy(col("new_doc"), col("corpus_doc"), col("n_a"),
         col("n_b"))
       .agg(min(col("rn")).as("ra"))
@@ -658,7 +658,7 @@ object Dedup {
       col("g")), Seq("new_doc"))
     spark.read.parquet(s"$idx/sh")
       .select(col("doc_id").as("corpus_doc"), col("g"))
-      .join(broadcast(candB), Seq("corpus_doc", "g"))
+      .join(candB, Seq("corpus_doc", "g"))
       .groupBy(col("new_doc"), col("corpus_doc"), col("n_a"),
         col("n_b"))
       .agg(count(lit(1)).as("inter"))

@@ -231,6 +231,25 @@ object ScaleStress {
         (d => m(Dedup.jaccardPrefixJoin(spark, d))),
       "containment_join" ->
         (d => m(Dedup.containmentJoin(spark, d))),
+      // X62b/X67b serving splits: index build lands in the warmup pass
+      // (_SUCCESS-gated per corpus), timed passes measure the PROBE —
+      // same accounting as neardup_probe/ann_ivf_probe
+      "jaccard_probe" -> (d => m(Dedup.jaccardProbe(spark, d))),
+      "containment_probe" ->
+        (d => m(Dedup.containmentProbe(spark, d))),
+      // the SERVING regime: batchMod ∝ scale keeps the incoming batch
+      // a CONSTANT ~714 docs while the indexed corpus grows n× — the
+      // daily-increment shape whose near-flat curve is the split's
+      // whole point (the plain probe rows above scale the batch WITH
+      // the corpus and so measure batch growth, not serving cost)
+      "jaccard_probe_fb" -> (d => {
+        val n = "x(\\d+)$".r.findFirstMatchIn(d)
+          .map(_.group(1).toInt).getOrElse(1)
+        m(Dedup.jaccardProbe(spark, d, batchMod = 7 * n)) }),
+      "containment_probe_fb" -> (d => {
+        val n = "x(\\d+)$".r.findFirstMatchIn(d)
+          .map(_.group(1).toInt).getOrElse(1)
+        m(Dedup.containmentProbe(spark, d, batchMod = 7 * n)) }),
       // X63 encode: vocabulary (and therefore merge-application work)
       // grows with n — the scale claim is that the CORPUS cost stays
       // the two scans + one keyed join

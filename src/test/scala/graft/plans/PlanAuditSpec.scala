@@ -158,7 +158,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "clean_corpus" -> 2,
     "click_attribution" -> 1,
     "containment_join" -> 6,
-    "containment_probe" -> 5,
+    "containment_probe" -> 3,
     "corpus_pipeline" -> 42,
     "cosine_pairs" -> 1,
     "coverage_select" -> 2,
@@ -195,7 +195,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ingest_upsert" -> 1,
     "inverted_index" -> 3,
     "jaccard_prefix_join" -> 6,
-    "jaccard_probe" -> 5,
+    "jaccard_probe" -> 3,
     "json_extract" -> 2,
     "json_functions" -> 2,
     "json_roundtrip" -> 2,
