@@ -1752,6 +1752,31 @@ object SparkEntry {
       FROM assign s LEFT JOIN d USING (vec_id)
       ORDER BY s.vec_id""")),
 
+    // X61b — semdedup with MULTI-PROBE pair generation: both sides
+    // listed under their top-2 cells (crn <= 2 — the shared route
+    // CTE's contract), pairs deduped before the verdict agg; reported
+    // cell stays the crn-1 assignment. Closes semdedup's measured
+    // straddle-miss class (recall table, SCALE_NOTES round 11).
+    "semdedup_probe" -> Q(
+      (s, d) => Similarity.semDedupProbe(s, d), Some(s"""
+      WITH ${ivfRouteCtes()},
+      a2 AS (SELECT vec_id, cell FROM route WHERE crn <= 2),
+      p AS (
+        SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM a2 a
+        JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE list_dot_product(ea.e, eb.e) /
+              (sqrt(list_dot_product(ea.e, ea.e)) *
+               sqrt(list_dot_product(eb.e, eb.e))) > 0.4),
+      d AS (SELECT b_id AS vec_id, min(a_id) AS dup_of,
+            count(*) AS n_near FROM p GROUP BY 1)
+      SELECT s.vec_id, s.cell, d.dup_of IS NULL AS kept, d.dup_of,
+        CAST(COALESCE(d.n_near, 0) AS BIGINT) AS n_near
+      FROM assign s LEFT JOIN d USING (vec_id)
+      ORDER BY s.vec_id""")),
+
     // X65 — embedding outliers: top-5 farthest-from-centroid vectors
     // per routed cell (squared-L2 expanded into three shared-fold
     // dots, centroid float-downcast like the routing codebook).

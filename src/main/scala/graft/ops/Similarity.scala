@@ -796,6 +796,54 @@ object Similarity {
         greatest(col("xid"), col("yid")).as("b_id"))
   }
 
+  /** X61b — [[semDedup]] with MULTI-PROBE pair generation: every
+    * vector is LISTED under its top-`nProbe` cells for candidate
+    * generation (the `crn ≤ nProbe` contract of [[ivfProbeTopK]] and
+    * [[semanticDecontaminate]]'s eval side, here applied to BOTH pair
+    * sides), so a near-dup pair straddling one cell boundary is still
+    * compared whenever either vector ranks the other's cell within
+    * its top-nProbe. Verdict rule and output schema are exactly
+    * [[semDedup]]'s (the reported `cell` is the assigned crn-1 cell);
+    * pairs surfaced via several shared cells deduplicate before the
+    * verdict aggregate, so `n_near` counts distinct lower-id
+    * neighbors.
+    *
+    * Measured on planted twins (SCALE_NOTES round 11): straddle
+    * recall 0 → ~0.5–0.7 at nProbe = 2 for ~nProbe× listed rows —
+    * the missing half of the maxCells dial the recall table
+    * quantified. Routing is the fused
+    * [[graft.expressions.CellRouteTopK]] loop — one projection, no
+    * shuffle, O(1) plan size at any codebook (an
+    * explode-codebook + per-vector rank window would shuffle n·cells
+    * rows, quadratic once cells scale with the corpus). */
+  def semDedupProbe(spark: SparkSession, dir: String,
+      tau: Double = 0.4, maxCells: Int = 16, nProbe: Int = 2,
+      targetBlockRows: Int = 2048, maxSaltsPerCell: Int = 64): DataFrame = {
+    import spark.implicits._
+    val cells: Seq[(Int, Seq[Double])] =
+      coarseCodebook(spark, dir, maxCells)
+        .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSeq
+    val base = fanOut(t(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      .withColumn("cells",
+        graft.expressions.CellRouteTopK(col("embedding"), cells, nProbe))
+    val listed = base.select(col("vec_id"), col("embedding"),
+      col("nrm"), explode(col("cells")).as("cell"))
+    val qualifying =
+      semDedupQualifying(spark, listed, tau, targetBlockRows,
+        maxSaltsPerCell).distinct()
+    val dup = qualifying.groupBy(col("b_id"))
+      .agg(min(col("a_id")).as("dup_of"), count(lit(1)).as("n_near"))
+      .select(col("b_id").as("vec_id"), col("dup_of"), col("n_near"))
+    base.select(col("vec_id"), element_at(col("cells"), 1).as("cell"))
+      .join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("dup_of").isNull.as("kept"), col("dup_of"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy("vec_id")
+  }
+
   /** [[semDedup]]'s DROP SET restricted to a survivor sub-corpus — the
     * composable corpus-pipeline stage form of X61. `survivors`
     * (vec_id) names the docs still alive; they are routed with the

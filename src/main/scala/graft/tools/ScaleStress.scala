@@ -525,6 +525,13 @@ object ScaleStress {
         strad.size, rec(strad), ps.filterNot(caught), strad)
     }
     val sdRow = row("semdedup", pairs, p => !keptOf(p._2))
+    // X61b: same planted set through the multi-probe variant — the
+    // straddle-recall lift is the measurement that motivated it
+    val keptProbe = Similarity.semDedupProbe(spark, dir, tau = sdTau,
+        maxCells = maxCells)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect()
+      .map(r => r._1 -> r._2).toMap
+    val spRow = row("semdedup_probe", pairs, p => !keptProbe(p._2))
     val flagged = Similarity.semanticDecontaminate(spark, dir,
         tau = deconTau, maxCells = maxCells, evalMod = evalMod)
       .filter(org.apache.spark.sql.functions.col("contaminated"))
@@ -536,6 +543,6 @@ object ScaleStress {
       else None
     } // (eval side, train side)
     val dcRow = row("semantic_decon", evPairs, p => flagged(p._2))
-    Seq(sdRow, dcRow)
+    Seq(sdRow, spRow, dcRow)
   }
 }

@@ -243,6 +243,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "scrub_normalize" -> 1,
     "semantic_decon" -> 3,
     "semdedup" -> 3,
+    "semdedup_probe" -> 4,
     "semi_join" -> 1,
     "seq_packing" -> 2,
     "session_window" -> 2,
@@ -328,7 +329,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val multiScanBudgets: Map[String, Int] = Map(
     "set_ops" -> 4, "ann_lsh_pairs" -> 4,
     "span_scrub" -> 3, "clean_corpus" -> 3, "tfidf_top_terms" -> 3,
-    "bm25_search" -> 3, "semdedup" -> 3, "bloom_join" -> 3,
+    "bm25_search" -> 3, "semdedup" -> 3, "semdedup_probe" -> 3, "bloom_join" -> 3,
     "q22_dormant_rich" -> 2,
     "except_all" -> 2, "similarity_topk" -> 2, "filtered_topk" -> 2,
     "dpp_scan" -> 2, "table_profile_approx" -> 2,

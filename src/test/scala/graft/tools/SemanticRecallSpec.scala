@@ -43,6 +43,20 @@ class SemanticRecallSpec extends AnyFunSuite {
     assert(sd.misses.toSet.subsetOf(sd.straddlePairs.toSet),
       s"non-straddle misses: ${sd.misses.toSet -- sd.straddlePairs.toSet}")
 
+    // X61b: the multi-probe variant exists to close semdedup's
+    // straddle-miss class — on the planted set it must keep the
+    // exact-within-cell contract AND strictly beat the single-cell
+    // form on straddlers (measured 0 → ~0.9, SCALE_NOTES)
+    val sp = rows.find(_.family == "semdedup_probe").get
+    assert(sp.sameCellRecall == 1.0)
+    assert(sp.planted == sd.planted && sp.straddle == sd.straddle,
+      "probe variant must see the same planted geometry")
+    if (sp.straddle > 0)
+      assert(sp.straddleRecall > sd.straddleRecall,
+        s"probing must lift straddle recall: ${sp.straddleRecall} vs " +
+          s"${sd.straddleRecall}")
+    assert(sp.recall >= sd.recall)
+
     val dc = rows.find(_.family == "semantic_decon").get
     assert(dc.planted > 0,
       "eval-crossing planted pairs must exist at evalMod=5")
