@@ -992,21 +992,17 @@ object Similarity {
       .withColumn("is_eval",
         graft.util.Tables.md5Bucket("sdecon:", col("vec_id"), evalMod)
           === 0)
-    // eval side under its top-nProbe cells: per-cell scores via an
-    // EXPLODED codebook literal (no join, no BNLJ — the codebook is a
-    // plan constant) ranked by the oracle route CTE's (score desc,
-    // cell desc) order. |eval|·nProbe rows out.
-    val cellLit = typedLit(cells.map { case (id, c) =>
-      (id, c.map(_.toFloat)) })
-    val evalW = Window.partitionBy(col("eval_id"))
-      .orderBy(col("s").desc, col("cell").desc)
+    // eval side under its top-nProbe cells via the fused
+    // [[graft.expressions.CellRouteTopK]] loop — one projection, no
+    // shuffle, O(1) plan size; bit-identical to the previous
+    // explode-codebook + rank-window formulation (CellRouteTopKSpec
+    // pins the (score desc, cell desc) order parity), which shuffled
+    // |eval|·cells rows through a per-vector sort — the piece that
+    // went quadratic once cells scale with the corpus.
     val eval = emb.filter(col("is_eval"))
       .select(col("vec_id").as("eval_id"), col("embedding").as("ee"),
-        explode(cellLit).as("c"))
-      .select(col("eval_id"), col("ee"), col("c._1").as("cell"),
-        dot(col("ee"), col("c._2")).as("s"))
-      .withColumn("crn", row_number().over(evalW))
-      .filter(col("crn") <= nProbe)
+        explode(graft.expressions.CellRouteTopK(col("embedding"),
+          cells, nProbe)).as("cell"))
       .select(col("cell"), col("eval_id"), col("ee"))
     val trainBase = emb.filter(!col("is_eval"))
     val train = restrict.fold(trainBase)(s =>

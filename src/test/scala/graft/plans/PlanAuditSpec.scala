@@ -241,7 +241,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "scalar_suite" -> 1,
     "schema_evolution" -> 1,
     "scrub_normalize" -> 1,
-    "semantic_decon" -> 3,
+    "semantic_decon" -> 2,
     "semdedup" -> 3,
     "semdedup_probe" -> 4,
     "semi_join" -> 1,
