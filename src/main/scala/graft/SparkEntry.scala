@@ -2489,8 +2489,12 @@ object SparkEntry {
       s6 AS MATERIALIZED (SELECT s5.doc_id, s5.w FROM s5 ANTI JOIN ndrop
         USING (doc_id) WHERE s5.doc_id % 97 <> 0),
       ${ivfRouteCtes()},
+      -- stage 7 pairs via the crn <= 2 MULTI-PROBE listing (X61b) —
+      -- both sides listed under their top-2 cells
+      a2p AS MATERIALIZED (SELECT vec_id, cell FROM route
+        WHERE crn <= 2),
       sem7 AS MATERIALIZED (SELECT DISTINCT a.vec_id
-        FROM assign a JOIN assign b
+        FROM a2p a JOIN a2p b
           ON a.cell = b.cell AND b.vec_id < a.vec_id
         JOIN e ea ON ea.vec_id = a.vec_id
         JOIN e eb ON eb.vec_id = b.vec_id

@@ -39,7 +39,9 @@ import graft.util.Tables.{t, fanOut, davg}
   *     eval stand-ins leave the corpus, any overlap drops the train
   *     doc ([[QualitySignals.decontaminate]]'s relation, X29).
   *  7. `07_semdedup` — SemDeDup drop rule among survivor vectors,
-  *     full-corpus codebook ([[Similarity.semDedupDrops]], X61). Docs
+  *     full-corpus codebook, MULTI-PROBE pair generation (both sides
+  *     listed under their top-2 cells — X61b's measured straddle
+  *     recall lift; [[Similarity.semDedupDrops]] at nProbe 2). Docs
   *     without an embedding row pass through.
   *  8. `08_decon_sem` — semantic decontamination: the deterministic
   *     md5 eval slice leaves the corpus, survivors whose best
@@ -87,6 +89,9 @@ object CorpusPipeline {
   val DeconEvalMod = 97
   val SemTau = 0.4
   val MaxCells = 16
+  /** Stage-7 multi-probe listing depth (X61b — both pair sides under
+    * their top-2 cells; straddle recall 0 → ~0.9 on planted twins). */
+  val SemProbe = 2
   val SdTau = 0.6
   val SdEvalMod = 50
   val RarityMax = 40.0
@@ -211,7 +216,8 @@ object CorpusPipeline {
     // ---- stage 7: SemDeDup among survivor vectors ----
     val drop7 = CkptMemo.of(spark, "cp_drop7", dir, semTau, semCells) {
       Similarity.semDedupDrops(spark, dir,
-          s6.select(col("doc_id").as("vec_id")), semTau, semCells)
+          s6.select(col("doc_id").as("vec_id")), semTau, semCells,
+          nProbe = SemProbe)
         .select(col("vec_id").as("doc_id")).localCheckpoint()
     }
     val s7 = s6.join(drop7, Seq("doc_id"), "left_anti")

@@ -852,20 +852,31 @@ object Similarity {
     * centroids), pairs are scored among survivors only, and the
     * returned (vec_id) rows are the survivors with at least one
     * lower-id same-cell neighbor above tau (the registered rule).
-    * Docs without an embedding row never appear (they cannot be
-    * semantic duplicates of anything). */
+    * `nProbe > 1` switches pair generation to the [[semDedupProbe]]
+    * multi-probe listing (both sides under their top-nProbe cells via
+    * the fused CellRouteTopK loop) — the straddle-recall lift the
+    * planted measurement quantified (0 → ~0.9 at nProbe 2); the drop
+    * set is distinct vec_ids either way. Docs without an embedding
+    * row never appear (they cannot be semantic duplicates of
+    * anything). */
   def semDedupDrops(spark: SparkSession, dir: String,
       survivors: DataFrame, tau: Double = 0.4, maxCells: Int = 16,
-      targetBlockRows: Int = 2048, maxSaltsPerCell: Int = 64): DataFrame = {
+      targetBlockRows: Int = 2048, maxSaltsPerCell: Int = 64,
+      nProbe: Int = 1): DataFrame = {
     import spark.implicits._
     val cells: Seq[(Int, Seq[Double])] =
       coarseCodebook(spark, dir, maxCells)
         .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSeq
-    val celled = fanOut(t(spark, dir, "embeddings"))
+    val base = fanOut(t(spark, dir, "embeddings"))
       .join(survivors.select(col("vec_id")), Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
-      .withColumn("cell", argmaxCell(cells, col("embedding")))
+    val celled =
+      if (nProbe <= 1)
+        base.withColumn("cell", argmaxCell(cells, col("embedding")))
+      else base.select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(graft.expressions.CellRouteTopK(col("embedding"),
+          cells, nProbe)).as("cell"))
     semDedupQualifying(spark, celled, tau, targetBlockRows,
         maxSaltsPerCell)
       .select(col("b_id").as("vec_id")).distinct()
