@@ -2615,6 +2615,227 @@ object SparkEntry {
       FROM pk4 GROUP BY 2
       ORDER BY stage, shard""")),
 
+    // X70 — the INCREMENTAL (daily-batch) pipeline: the doc_id%7==0
+    // batch flows through every cleaning stage against the EXISTING
+    // corpus's serving artifacts (canonical hashes, signature index,
+    // set-similarity index, listed cells, frequency model) — the
+    // composition of the round's probe splits. The oracle replays
+    // each stage with brute-force batch×corpus relations.
+    "corpus_pipeline_incr" -> Q(
+      (s, d) => CorpusPipeline.corpusPipelineIncr(s, d), Some(s"""
+      WITH itok AS MATERIALIZED (
+        SELECT doc_id, list_filter(string_split_regex(lower(text),
+          '\\s+'), x -> x <> '') AS w
+        FROM documents),
+      bt AS MATERIALIZED (SELECT doc_id, w FROM itok
+        WHERE doc_id % 7 = 0),
+      ct AS MATERIALIZED (SELECT doc_id, w FROM itok
+        WHERE doc_id % 7 <> 0),
+      ib1 AS MATERIALIZED (SELECT doc_id, w FROM bt
+        WHERE len(w) >= 20
+          AND CAST(len(list_distinct(w)) AS DOUBLE)
+            / NULLIF(len(w), 0) >= 0.35),
+      chash AS MATERIALIZED (
+        SELECT DISTINCT md5(array_to_string(w, ' ')) AS k FROM ct),
+      ib2 AS MATERIALIZED (SELECT doc_id, w FROM (
+          SELECT doc_id, w, md5(array_to_string(w, ' ')) AS k,
+            row_number() OVER (
+              PARTITION BY md5(array_to_string(w, ' '))
+              ORDER BY doc_id) AS rn
+          FROM ib1)
+        WHERE rn = 1 AND k NOT IN (SELECT k FROM chash)),
+      shB AS MATERIALIZED (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        FROM ib2 WHERE len(w) >= 3),
+      shC AS MATERIALIZED (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        FROM ct WHERE len(w) >= 3),
+      sigB AS MATERIALIZED (SELECT doc_id, b.band,
+          min(md5(b.band || ':' || g)) AS sig
+        FROM shB, (SELECT unnest(range(0, 8)) AS band) b GROUP BY 1, 2),
+      sigC AS MATERIALIZED (SELECT doc_id, b.band,
+          min(md5(b.band || ':' || g)) AS sig
+        FROM shC, (SELECT unnest(range(0, 8)) AS band) b GROUP BY 1, 2),
+      nd3x AS MATERIALIZED (SELECT a.doc_id, b.doc_id AS cd
+        FROM sigB a JOIN sigC b ON a.band = b.band AND a.sig = b.sig
+        GROUP BY 1, 2 HAVING count(*) >= 4),
+      nd3w AS MATERIALIZED (SELECT a.doc_id AS da, b.doc_id AS db
+        FROM sigB a JOIN sigB b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 4),
+      id3 AS MATERIALIZED (SELECT DISTINCT doc_id FROM (
+        SELECT doc_id FROM nd3x UNION ALL SELECT db FROM nd3w)),
+      ib3 AS MATERIALIZED (SELECT ib2.doc_id, ib2.w FROM ib2
+        ANTI JOIN id3 USING (doc_id)),
+      shB3 AS MATERIALIZED (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        FROM ib3 WHERE len(w) >= 3),
+      szB3 AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM shB3
+        GROUP BY 1),
+      c4x AS MATERIALIZED (SELECT a.doc_id, b.doc_id AS cd,
+          count(*) AS inter
+        FROM shB3 a JOIN shC b ON a.g = b.g GROUP BY 1, 2),
+      id4x AS MATERIALIZED (SELECT DISTINCT c4x.doc_id
+        FROM c4x JOIN szB3 s ON s.doc_id = c4x.doc_id
+        WHERE CAST(inter AS DOUBLE) / s.n >= 0.9),
+      c4w AS MATERIALIZED (SELECT a.doc_id, b.doc_id AS cd,
+          count(*) AS inter
+        FROM shB3 a JOIN shB3 b ON a.g = b.g AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2),
+      id4w AS MATERIALIZED (SELECT DISTINCT c4w.doc_id
+        FROM c4w JOIN szB3 s ON s.doc_id = c4w.doc_id
+        WHERE CAST(inter AS DOUBLE) / s.n >= 0.9),
+      ib4 AS MATERIALIZED (SELECT ib3.doc_id, ib3.w FROM ib3
+        WHERE doc_id NOT IN (SELECT doc_id FROM id4x)
+          AND doc_id NOT IN (SELECT doc_id FROM id4w)),
+      evsh AS MATERIALIZED (SELECT DISTINCT
+          unnest(list_transform(range(1, len(w) - 3),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                 w[i+3] || ' ' || w[i+4])) AS g
+        FROM itok WHERE doc_id % 97 = 0 AND len(w) >= 5),
+      g5b AS MATERIALIZED (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 3),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                 w[i+3] || ' ' || w[i+4])) AS g
+        FROM ib4 WHERE len(w) >= 5),
+      id5 AS MATERIALIZED (SELECT DISTINCT doc_id FROM g5b
+        SEMI JOIN evsh USING (g) WHERE doc_id % 97 <> 0),
+      ib5 AS MATERIALIZED (SELECT ib4.doc_id, ib4.w FROM ib4
+        ANTI JOIN id5 USING (doc_id) WHERE ib4.doc_id % 97 <> 0),
+      ${ivfRouteCtes()},
+      ili AS MATERIALIZED (SELECT vec_id, cell FROM route
+        WHERE crn <= 2),
+      id6 AS MATERIALIZED (SELECT DISTINCT x.vec_id AS doc_id
+        FROM ili x JOIN ili y
+          ON x.cell = y.cell AND x.vec_id <> y.vec_id
+        JOIN ib5 sx ON sx.doc_id = x.vec_id
+        JOIN e ex ON ex.vec_id = x.vec_id
+        JOIN e ey ON ey.vec_id = y.vec_id
+        LEFT JOIN ib5 sy ON sy.doc_id = y.vec_id
+        WHERE (y.vec_id % 7 <> 0
+            OR (sy.doc_id IS NOT NULL AND y.vec_id < x.vec_id))
+          AND list_dot_product(ex.e, ey.e) /
+            (sqrt(list_dot_product(ex.e, ex.e)) *
+             sqrt(list_dot_product(ey.e, ey.e))) > 0.4),
+      ib6 AS MATERIALIZED (SELECT ib5.doc_id, ib5.w FROM ib5
+        ANTI JOIN id6 USING (doc_id)),
+      icoin AS MATERIALIZED (SELECT vec_id,
+          CAST(('0x' || substring(md5('sdecon:' ||
+            CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 50 AS b
+        FROM embeddings),
+      iev AS MATERIALIZED (SELECT r.vec_id AS eval_id, r.cell,
+          ee.e AS ee
+        FROM route r JOIN e ee ON ee.vec_id = r.vec_id
+        JOIN icoin c ON c.vec_id = r.vec_id
+        WHERE c.b = 0 AND r.crn <= 2),
+      isc AS MATERIALIZED (SELECT t.vec_id,
+          max(list_dot_product(te.e, v.ee) /
+            (sqrt(list_dot_product(te.e, te.e)) *
+             sqrt(list_dot_product(v.ee, v.ee)))) AS best
+        FROM assign t JOIN e te ON te.vec_id = t.vec_id
+        JOIN icoin c ON c.vec_id = t.vec_id
+        JOIN ib6 s ON s.doc_id = t.vec_id
+        JOIN iev v ON v.cell = t.cell
+        WHERE c.b <> 0 GROUP BY 1),
+      id7 AS MATERIALIZED (
+        SELECT vec_id FROM isc WHERE best >= 0.6
+        UNION SELECT c.vec_id FROM icoin c
+          JOIN ib6 s ON s.doc_id = c.vec_id WHERE c.b = 0),
+      ib7 AS MATERIALIZED (SELECT ib6.doc_id, ib6.w FROM ib6
+        ANTI JOIN id7 ON ib6.doc_id = id7.vec_id),
+      cfr AS MATERIALIZED (SELECT word, count(*) AS f FROM (
+          SELECT unnest(w) AS word FROM ct) GROUP BY 1),
+      ictot AS MATERIALIZED (SELECT CAST(sum(f) AS DOUBLE) AS total
+        FROM cfr),
+      irar AS MATERIALIZED (SELECT doc_id,
+          CAST(CAST(sum(CAST(total / f AS DECIMAL(30,8))) AS VARCHAR)
+            AS DOUBLE) / count(*) AS mip
+        FROM (SELECT doc_id, unnest(w) AS word FROM ib7)
+        JOIN cfr USING (word), ictot GROUP BY doc_id),
+      ib8 AS MATERIALIZED (SELECT ib7.doc_id, ib7.w FROM ib7
+        LEFT JOIN irar USING (doc_id)
+        WHERE irar.mip IS NULL OR irar.mip <= 40.0),
+      iqg AS MATERIALIZED (
+        SELECT doc_id, unnest(w) AS g FROM ib8
+        UNION ALL
+        SELECT doc_id, unnest(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS g
+        FROM ib8 WHERE len(w) >= 2),
+      iqw AS MATERIALIZED (SELECT doc_id,
+          (CAST(('0x' || substring(md5('qw:' || CAST(
+              CAST(('0x' || substring(md5('qf:' || g), 1, 8)) AS BIGINT)
+                % 1024 AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000)
+            / 1000.0 AS wgt
+        FROM iqg),
+      iqs AS MATERIALIZED (SELECT doc_id,
+          CAST(CAST(sum(CAST(wgt AS DECIMAL(30,8))) AS VARCHAR)
+            AS DOUBLE) / count(*) AS margin
+        FROM iqw GROUP BY 1),
+      ib9 AS MATERIALIZED (SELECT ib8.doc_id, ib8.w FROM ib8
+        LEFT JOIN iqs USING (doc_id)
+        WHERE iqs.margin IS NULL OR iqs.margin >= -0.12),
+      inch AS MATERIALIZED (SELECT doc_id, w,
+          GREATEST(1, CAST(ceil((len(w) - 8) / 56.0) AS BIGINT))
+            AS nchunks
+        FROM ib9),
+      ich AS MATERIALIZED (SELECT doc_id,
+          unnest(range(nchunks)) AS chunk_id, w
+        FROM inch),
+      ich2 AS MATERIALIZED (SELECT doc_id, chunk_id,
+          CAST(len(list_slice(w, chunk_id*56 + 1, chunk_id*56 + 64))
+            AS BIGINT) AS n_tok
+        FROM ich),
+      ipk AS MATERIALIZED (SELECT doc_id, chunk_id, n_tok,
+          CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_id AS VARCHAR)
+            AS key
+        FROM ich2),
+      ipk2 AS MATERIALIZED (SELECT doc_id, chunk_id, n_tok,
+          md5('pack:' || key) AS h,
+          CAST(CAST(('0x' || substring(md5('shard:' || key), 1, 8))
+            AS BIGINT) % 8 AS INTEGER) AS shard
+        FROM ipk),
+      ipk3 AS MATERIALIZED (SELECT *, CAST(sum(n_tok) OVER (
+          PARTITION BY shard ORDER BY h, doc_id, chunk_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_tok FROM ipk2),
+      ipk4 AS MATERIALIZED (SELECT *,
+          CAST(floor((cum_tok - n_tok) / 512.0) AS BIGINT) AS pack_id
+        FROM ipk3),
+      iacc AS MATERIALIZED (
+        SELECT '00_batch' AS stage, count(*) AS n_docs,
+          COALESCE(CAST(sum(len(w)) AS BIGINT), 0) AS n_tokens FROM bt
+        UNION ALL SELECT '01_quality', count(*),
+          COALESCE(CAST(sum(len(w)) AS BIGINT), 0) FROM ib1
+        UNION ALL SELECT '02_exact', count(*),
+          COALESCE(CAST(sum(len(w)) AS BIGINT), 0) FROM ib2
+        UNION ALL SELECT '03_neardup', count(*),
+          COALESCE(CAST(sum(len(w)) AS BIGINT), 0) FROM ib3
+        UNION ALL SELECT '04_contain', count(*),
+          COALESCE(CAST(sum(len(w)) AS BIGINT), 0) FROM ib4
+        UNION ALL SELECT '05_decon_ngram', count(*),
+          COALESCE(CAST(sum(len(w)) AS BIGINT), 0) FROM ib5
+        UNION ALL SELECT '06_semdedup', count(*),
+          COALESCE(CAST(sum(len(w)) AS BIGINT), 0) FROM ib6
+        UNION ALL SELECT '07_decon_sem', count(*),
+          COALESCE(CAST(sum(len(w)) AS BIGINT), 0) FROM ib7
+        UNION ALL SELECT '08_rarity', count(*),
+          COALESCE(CAST(sum(len(w)) AS BIGINT), 0) FROM ib8
+        UNION ALL SELECT '09_quality_score', count(*),
+          COALESCE(CAST(sum(len(w)) AS BIGINT), 0) FROM ib9
+        UNION ALL SELECT '10_chunk', count(*),
+          COALESCE(CAST(sum(n_tok) AS BIGINT), 0) FROM ich2)
+      SELECT stage, CAST(-1 AS INTEGER) AS shard, n_docs,
+        CAST(0 AS BIGINT) AS n_packs, n_tokens FROM iacc
+      UNION ALL
+      SELECT '11_shard' AS stage, shard, count(*) AS n_docs,
+        CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+        CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM ipk4 GROUP BY 2
+      ORDER BY stage, shard""")),
+
     "zipf_spectrum" -> Q(
       (s, d) => QualitySignals.zipfSpectrum(s, d), Some("""
       WITH d AS (SELECT doc_id,

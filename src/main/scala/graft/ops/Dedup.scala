@@ -611,15 +611,28 @@ object Dedup {
     * `|x∩y| ≤ 1 + n_a − min(rn)` prunes before verification.
     * Returns (new_doc, corpus_doc, n_a, n_b, ra) candidates. */
   private def probeCandidates(spark: SparkSession, dir: String,
-      idx: String, batchMod: Int, prefixT: Double): DataFrame = {
+      idx: String, batchMod: Int, prefixT: Double): DataFrame =
+    probeCandidatesFor(spark, idx,
+      probeBatchShingles(spark, dir, batchMod),
+      pmod(col("doc_id"), lit(batchMod)) =!= 0, prefixT)
+
+  /** [[probeCandidates]] over an ARBITRARY (doc_id, g) batch-shingle
+    * relation — the incremental-pipeline form; `corpusFilter` selects
+    * the index rows standing in for the already-ingested corpus. */
+  private[graft] def probeCandidatesFor(spark: SparkSession,
+      idx: String, bsh: DataFrame,
+      corpusFilter: org.apache.spark.sql.Column,
+      prefixT: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bsh = probeBatchShingles(spark, dir, batchMod)
     val sizes = bsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
     val dfStats = spark.read.parquet(s"$idx/df")
     val wDoc = Window.partitionBy(col("doc_id"))
-    // INNER broadcast join, build side = the batch (a LEFT-outer here
-    // would need a broadcast-LEFT build Spark cannot plan, and would
-    // shuffle the vocabulary-sized df table instead). Batch shingles
+    // INNER join, the batch side the expected build under AQE (a
+    // LEFT-outer here would need a broadcast-LEFT build Spark cannot
+    // plan, and would unconditionally shuffle the vocabulary-sized df
+    // table; a FORCED broadcast hint would collect a
+    // corpus-proportional "batch" to the driver — the maxResultSize
+    // failure the 100× stress hit). Batch shingles
     // ABSENT from the index sort rarest under the (df, g) order (df 0
     // precedes every real df) and cannot be shared with any corpus
     // doc, so the implied total order puts them at the front of the
@@ -627,7 +640,7 @@ object Dedup {
     // the seen tokens' ranks are offset by the per-doc unseen count
     // to stay faithful to that order, keeping the lemma and the
     // positional bound exact.
-    val seen = dfStats.join(broadcast(bsh), Seq("g"))
+    val seen = dfStats.join(bsh, Seq("g"))
       .withColumn("rn_seen",
         row_number().over(wDoc.orderBy(col("df"), col("g"))))
       .withColumn("n_seen", count(lit(1)).over(wDoc))
@@ -638,7 +651,7 @@ object Dedup {
       .select(col("doc_id").as("new_doc"), col("g"), col("n_a"),
         col("rn"))
     val corpusSh = spark.read.parquet(s"$idx/sh")
-      .filter(pmod(col("doc_id"), lit(batchMod)) =!= 0)
+      .filter(corpusFilter)
       .select(col("doc_id").as("corpus_doc"), col("g"),
         col("n").as("n_b"))
     corpusSh.join(prefix, Seq("g"))
@@ -652,8 +665,13 @@ object Dedup {
     * intersection against ONE streaming pass of the index, return
     * (new_doc, corpus_doc, n_a, n_b, inter). */
   private def probeVerify(spark: SparkSession, dir: String, idx: String,
-      batchMod: Int, cand: DataFrame): DataFrame = {
-    val bsh = probeBatchShingles(spark, dir, batchMod)
+      batchMod: Int, cand: DataFrame): DataFrame =
+    probeVerifyFor(spark, idx,
+      probeBatchShingles(spark, dir, batchMod), cand)
+
+  /** [[probeVerify]] over an arbitrary batch-shingle relation. */
+  private[graft] def probeVerifyFor(spark: SparkSession, idx: String,
+      bsh: DataFrame, cand: DataFrame): DataFrame = {
     val candB = cand.join(bsh.select(col("doc_id").as("new_doc"),
       col("g")), Seq("new_doc"))
     spark.read.parquet(s"$idx/sh")
@@ -994,7 +1012,7 @@ object Dedup {
 
   /** Bucket-local candidate-pair generation over a (doc_id, band, sig)
     * signature relation — the shared tail of both pair generators. */
-  private def pairsFromSigs(sigs: DataFrame, minBands: Int,
+  private[graft] def pairsFromSigs(sigs: DataFrame, minBands: Int,
       maxBucket: Int): DataFrame = {
     val buckets = sigs
       .groupBy(col("band"), col("sig"))

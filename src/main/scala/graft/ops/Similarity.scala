@@ -1031,6 +1031,50 @@ object Similarity {
         col("m.score").as("score"))
   }
 
+  /** X61-incremental — the DROP SET of the daily-batch semantic dedup
+    * stage ([[graft.ops.CorpusPipeline.corpusPipelineIncr]]): a batch
+    * survivor is dropped when it has (a) ANY corpus-side neighbor
+    * (vec_id % batchMod ≠ 0 — the already-deduped corpus wins
+    * regardless of id order) or (b) a LOWER-id batch-survivor
+    * neighbor, above `tau` within a shared top-`nProbe`-listed cell
+    * (the X61b multi-probe contract on both sides). Both sides list
+    * through the fused CellRouteTopK loop; the batch side is
+    * increment-sized, so the per-cell joins broadcast it under AQE —
+    * the corpus listing streams (in production it is the persisted
+    * cell index the full rebuild maintains). */
+  def semDedupIncrDrops(spark: SparkSession, dir: String,
+      survivors: DataFrame, batchMod: Int, tau: Double = 0.4,
+      maxCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val cells: Seq[(Int, Seq[Double])] =
+      coarseCodebook(spark, dir, maxCells)
+        .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSeq
+    val emb = fanOut(t(spark, dir, "embeddings"))
+    def listed(df: DataFrame, pre: String) = df
+      .select(col("vec_id").as(s"${pre}id"),
+        col("embedding").as(s"${pre}e"),
+        l2norm(col("embedding")).as(s"${pre}n"),
+        explode(graft.expressions.CellRouteTopK(col("embedding"),
+          cells, nProbe)).as("cell"))
+    val batchL = listed(
+      emb.join(survivors.select(col("vec_id")), Seq("vec_id"),
+        "left_semi"), "x")
+    val corpusL = listed(
+      emb.filter(pmod(col("vec_id"), lit(batchMod)) =!= 0), "y")
+    val withinL = listed(
+      emb.join(survivors.select(col("vec_id")), Seq("vec_id"),
+        "left_semi"), "y")
+    def qualified(pairs: DataFrame) = pairs
+      .withColumn("score", dot(col("xe"), col("ye")) /
+        (col("xn") * col("yn")))
+      .filter(col("score") > tau)
+      .select(col("xid").as("vec_id"))
+    val cross = qualified(batchL.join(corpusL, Seq("cell")))
+    val within = qualified(batchL.join(withinL, Seq("cell"))
+      .filter(col("yid") < col("xid")))
+    cross.union(within).distinct()
+  }
+
   /** [[semanticDecontaminate]]'s DROP SET for a survivor sub-corpus
     * (the composable corpus-pipeline stage form of X66): survivors
     * that are themselves in the deterministic eval slice (eval items

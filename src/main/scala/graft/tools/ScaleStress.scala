@@ -350,6 +350,13 @@ object ScaleStress {
     // the corpus at 10×+ (a real corpus grows frequencies with
     // volume; the registered threshold is calibrated for that)
     val pipelineOps: Seq[(String, String => Long)] = Seq(
+      // X70 serving regime: batchMod ∝ scale keeps the increment a
+      // constant ~714 docs while the corpus (and its indexes) grow n×
+      "corpus_pipeline_incr" -> (d => {
+        val n = scaleOf(d)
+        Dedup.clearPairsMemo()
+        m(graft.ops.CorpusPipeline.corpusPipelineIncr(spark, d,
+          batchMod = 7 * n, rarityMax = 40.0 * n)) }),
       "corpus_pipeline" -> (d => {
         Dedup.clearPairsMemo()
         m(graft.ops.CorpusPipeline.corpusPipeline(spark, d,

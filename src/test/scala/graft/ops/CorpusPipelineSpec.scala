@@ -72,4 +72,51 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .map((Row5.apply _).tupled)
     assert(again == rows)
   }
+
+  // ---- X70: the incremental (daily-batch) form ----
+
+  private lazy val incrRows: Seq[Row5] = {
+    import spark.implicits._
+    CorpusPipeline.corpusPipelineIncr(spark, dir)
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+      .map((Row5.apply _).tupled)
+  }
+  private def istage(s: String): Row5 = incrRows.find(_.stage == s)
+    .getOrElse(fail(s"missing incr stage row $s"))
+
+  test("incremental: batch counts are non-increasing and something filters") {
+    val order = Seq("00_batch", "01_quality", "02_exact", "03_neardup",
+      "04_contain", "05_decon_ngram", "06_semdedup", "07_decon_sem",
+      "08_rarity", "09_quality_score")
+    val st = order.map(istage)
+    st.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(b.nDocs <= a.nDocs, s"${b.stage} grew docs vs ${a.stage}")
+        assert(b.nTokens <= a.nTokens,
+          s"${b.stage} grew tokens vs ${a.stage}")
+      case _ =>
+    }
+    assert(st.last.nDocs < st.head.nDocs)
+  }
+
+  test("incremental: shard manifest conserves the chunk stage; deterministic") {
+    import spark.implicits._
+    val ch = istage("10_chunk")
+    val shards = incrRows.filter(_.stage == "11_shard")
+    assert(shards.map(_.nDocs).sum == ch.nDocs)
+    assert(shards.map(_.nTokens).sum == ch.nTokens)
+    val again = CorpusPipeline.corpusPipelineIncr(spark, dir)
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+      .map((Row5.apply _).tupled)
+    assert(again == incrRows)
+  }
+
+  test("incremental: the batch slice is exactly the full corpus's batchMod stand-in") {
+    // restriction semantics against an independent count — stage 0
+    // must equal the doc_id % 7 == 0 slice of the raw corpus
+    import org.apache.spark.sql.functions._
+    val expected = graft.util.Tables.t(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(7)) === 0).count()
+    assert(istage("00_batch").nDocs == expected)
+  }
 }

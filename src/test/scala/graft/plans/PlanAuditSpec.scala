@@ -160,6 +160,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "containment_join" -> 6,
     "containment_probe" -> 3,
     "corpus_pipeline" -> 42,
+    // the incremental twin: 12 accounting branches over the batch
+    // checkpoints + probe candidate/verify aggs — batch- or
+    // pair-sized rows throughout (index sides stream)
+    "corpus_pipeline_incr" -> 49,
     "cosine_pairs" -> 1,
     "coverage_select" -> 2,
     "csv_roundtrip" -> 2,
