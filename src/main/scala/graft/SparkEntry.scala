@@ -1678,6 +1678,24 @@ object SparkEntry {
       WHERE CAST(inter AS DOUBLE) / sa.n >= 0.9
       ORDER BY new_doc, corpus_doc""")),
 
+    // X69 — exact edit-distance self-join (PassJoin partition filter).
+    // The oracle is the BRUTE-FORCE levenshtein join (length prefilter
+    // only, which is trivially lossless) — the engine's segment/
+    // pigeonhole candidate filter claims losslessness, so the gate
+    // checks it against ground truth every run, exactly like the
+    // Jaccard prefix filter's contract.
+    "edit_distance_join" ->
+      Q((s, d) => EditDistance.editDistanceJoin(s, d), Some("""
+      WITH d AS (SELECT doc_id, text, length(text) AS len
+        FROM documents)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(a.len AS BIGINT) AS len_a, CAST(b.len AS BIGINT) AS len_b,
+        CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+      FROM d a JOIN d b
+        ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 8
+      WHERE levenshtein(a.text, b.text) <= 8
+      ORDER BY doc_a, doc_b""")),
+
     "cosine_pairs" -> Q((s, d) => Similarity.cosinePairs(s, d), Some("""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         FROM embeddings)
