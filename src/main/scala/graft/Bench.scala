@@ -99,15 +99,27 @@ object Bench {
       catch { case e: Throwable => Some(n -> e.toString.take(300)) }
     }.toMap
     val timedErr = scala.collection.mutable.Map.empty[String, String]
-    def timedPass(): Map[String, Double] = names.map { n =>
-      if (warmupErr.contains(n) || timedErr.contains(n)) n -> -1.0
-      else {
-        val t0 = System.nanoTime()
-        try { run(n); n -> (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          timedErr(n) = e.toString.take(300); n -> -1.0 }
-      }
-    }.toMap
+    // Cold-checkpoint protocol (VERDICT r11 item 3): the warmup pass
+    // above built every CkptMemo-memoized checkpoint, and without a
+    // clear the timed passes would reuse them — the ~10
+    // checkpoint-backed queries would exclude their checkpoint build
+    // and read round-over-round as phantom improvements (round 11's
+    // jaccard_prefix_join 3.81→1.40s was exactly this). Clearing
+    // before EACH timed pass makes every pass time the cold build,
+    // comparable to rounds ≤ 10 and to ScaleStress (which adopted the
+    // same discipline in round 11). BASELINE.md §protocol item 3.
+    def timedPass(): Map[String, Double] = {
+      graft.util.CkptMemo.clear()
+      names.map { n =>
+        if (warmupErr.contains(n) || timedErr.contains(n)) n -> -1.0
+        else {
+          val t0 = System.nanoTime()
+          try { run(n); n -> (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            timedErr(n) = e.toString.take(300); n -> -1.0 }
+        }
+      }.toMap
+    }
     val passes = Seq.fill(3)(timedPass())
     val results = names.map { n =>
       val samples = passes.map(_(n))

@@ -1678,7 +1678,7 @@ object SparkEntry {
       WHERE CAST(inter AS DOUBLE) / sa.n >= 0.9
       ORDER BY new_doc, corpus_doc""")),
 
-    // X69 — exact edit-distance self-join (PassJoin partition filter).
+    // X71 — exact edit-distance self-join (PassJoin partition filter).
     // The oracle is the BRUTE-FORCE levenshtein join (length prefilter
     // only, which is trivially lossless) — the engine's segment/
     // pigeonhole candidate filter claims losslessness, so the gate
@@ -1695,6 +1695,25 @@ object SparkEntry {
         ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 8
       WHERE levenshtein(a.text, b.text) <= 8
       ORDER BY doc_a, doc_b""")),
+
+    // X71b — incremental edit-distance probe against the persisted
+    // segment index (batch = doc_id%7==0, the probe convention).
+    // Brute-force cross-pair oracle, same losslessness contract as
+    // the self-join — both probe directions (corpus-shorter via the
+    // persisted segments, batch-shorter via on-the-fly corpus
+    // windows) are gate-checked against ground truth every run.
+    "edit_distance_probe" ->
+      Q((s, d) => EditDistance.editDistanceProbe(s, d), Some("""
+      WITH d AS (SELECT doc_id, text, length(text) AS len
+        FROM documents)
+      SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
+        CAST(a.len AS BIGINT) AS len_a, CAST(b.len AS BIGINT) AS len_b,
+        CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+      FROM d a JOIN d b
+        ON a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+          AND abs(a.len - b.len) <= 8
+      WHERE levenshtein(a.text, b.text) <= 8
+      ORDER BY new_doc, corpus_doc""")),
 
     "cosine_pairs" -> Q((s, d) => Similarity.cosinePairs(s, d), Some("""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
@@ -1795,6 +1814,52 @@ object SparkEntry {
       FROM assign s LEFT JOIN d USING (vec_id)
       ORDER BY s.vec_id""")),
 
+    // X61c — TRUE greedy keep-first semdedup (the paper's retention
+    // semantics; the registered semdedup rule transitively
+    // over-prunes). The oracle REPLAYS the sequential greedy
+    // recurrence one vertex per recursion step, carrying the kept set
+    // as a list — an independent serial implementation of the
+    // id-order schedule the engine runs as parallel rounds, so the
+    // round algorithm's equivalence to the greedy definition is
+    // gate-checked on real data every run.
+    "semdedup_greedy" -> Q(
+      (s, d) => Similarity.semDedupGreedy(s, d), Some(s"""
+      WITH RECURSIVE ${ivfRouteCtes()},
+      p AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM assign a
+        JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE list_dot_product(ea.e, eb.e) /
+              (sqrt(list_dot_product(ea.e, ea.e)) *
+               sqrt(list_dot_product(eb.e, eb.e))) > 0.4),
+      pv AS (SELECT v, row_number() OVER (ORDER BY v) AS rn
+        FROM (SELECT a_id AS v FROM p UNION SELECT b_id FROM p)),
+      greedy AS (
+        SELECT 0 AS step, CAST([] AS BIGINT[]) AS kept
+        UNION ALL
+        SELECT g.step + 1,
+          CASE WHEN EXISTS (SELECT 1 FROM p JOIN pv o
+                ON p.b_id = o.v AND o.rn = g.step + 1
+              WHERE list_contains(g.kept, p.a_id))
+            THEN g.kept
+            ELSE list_append(g.kept,
+              (SELECT v FROM pv WHERE rn = g.step + 1)) END
+        FROM greedy g WHERE g.step < (SELECT count(*) FROM pv)),
+      fin AS (SELECT kept FROM greedy
+        WHERE step = (SELECT count(*) FROM pv)),
+      d AS (SELECT p.b_id AS vec_id, min(p.a_id) AS dup_of,
+            count(*) AS n_near
+        FROM p, fin
+        WHERE list_contains(fin.kept, p.a_id)
+          AND NOT list_contains(fin.kept, p.b_id)
+        GROUP BY 1)
+      SELECT s.vec_id, s.cell, d.dup_of IS NULL AS kept, d.dup_of,
+        CAST(COALESCE(d.n_near, 0) AS BIGINT) AS n_near
+      FROM assign s LEFT JOIN d USING (vec_id)
+      ORDER BY s.vec_id""")),
+
     // X65 — embedding outliers: top-5 farthest-from-centroid vectors
     // per routed cell (squared-L2 expanded into three shared-fold
     // dots, centroid float-downcast like the routing codebook).
@@ -1833,6 +1898,35 @@ object SparkEntry {
       tr AS (SELECT a.vec_id, a.cell, ee.e
         FROM assign a JOIN e ee ON ee.vec_id = a.vec_id
         JOIN coin c ON c.vec_id = a.vec_id WHERE c.b <> 0),
+      s AS (SELECT t.vec_id, v.eval_id,
+          list_dot_product(t.e, v.ee) /
+            (sqrt(list_dot_product(t.e, t.e)) *
+             sqrt(list_dot_product(v.ee, v.ee))) AS score
+        FROM tr t JOIN ev v ON v.cell = t.cell),
+      r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY score DESC, eval_id) AS rn FROM s)
+      SELECT vec_id, eval_id, score, score >= 0.6 AS contaminated
+      FROM r WHERE rn = 1 ORDER BY vec_id""")),
+
+    // X66b — semantic decon with BOTH-SIDES top-2 probing: the train
+    // side lists under crn <= 2 like the eval side (duplicate pair
+    // rows from doubly-shared cells collapse in the rank/max), the
+    // straddle-recall fix the round-11 measurement motivated.
+    "semantic_decon_probe" -> Q(
+      (s, d) => Similarity.semanticDeconProbe(s, d), Some(s"""
+      WITH ${ivfRouteCtes()},
+      coin AS (SELECT vec_id,
+          CAST(('0x' || substring(md5('sdecon:' ||
+            CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 50 AS b
+        FROM embeddings),
+      ev AS (SELECT r.vec_id AS eval_id, r.cell, ee.e AS ee
+        FROM route r JOIN e ee ON ee.vec_id = r.vec_id
+        JOIN coin c ON c.vec_id = r.vec_id
+        WHERE c.b = 0 AND r.crn <= 2),
+      tr AS (SELECT r.vec_id, r.cell, ee.e
+        FROM route r JOIN e ee ON ee.vec_id = r.vec_id
+        JOIN coin c ON c.vec_id = r.vec_id
+        WHERE c.b <> 0 AND r.crn <= 2),
       s AS (SELECT t.vec_id, v.eval_id,
           list_dot_product(t.e, v.ee) /
             (sqrt(list_dot_product(t.e, t.e)) *

@@ -101,6 +101,17 @@ object CorpusPipeline {
   val NShards = 8
   val PackBudget = 512L
 
+  /** Per-invocation scratch discriminator (ADVICE r11): the shard
+    * export is written at DataFrame-construction time and read back
+    * LAZILY by the returned manifest branch — on a shared path, a
+    * second invocation's delete-and-rewrite would race a
+    * still-unconsumed earlier result (and concurrent invocations each
+    * other). A monotone per-JVM counter keys each invocation's subdir
+    * instead; the rewrite-in-place delete is gone. Scratch growth is
+    * bounded by invocations-per-JVM of a heavy pipeline query (the
+    * bench's handful), each export doc-id-sized. */
+  private val invocation = new java.util.concurrent.atomic.AtomicLong
+
   /** `semTau`/`semCells` parameterize the two embedding-space stages
     * for the scale harness (threshold 0.8 / cells ∝ corpus — the
     * planted-twin regime; the registered defaults sit partly in the
@@ -289,9 +300,12 @@ object CorpusPipeline {
       .select(col("doc_id"), col("chunk_id"), col("shard"),
         col("pack_id"), col("n_tok"), col("cum_tok"))
     val out = graft.util.Scratch
-      .under("graft_pipeline/" + graft.util.Tables.pathTag(dir)).toString
-    graft.util.Scratch.deleteRecursive(java.nio.file.Paths.get(out))
-    packed.write.partitionBy("shard").parquet(out)
+      .under("graft_pipeline/" + graft.util.Tables.pathTag(dir) +
+        "/run_" + invocation.incrementAndGet()).toString
+    // overwrite: the counter restarts per JVM, so run_N may exist from
+    // a PREVIOUS process — dead, safe to replace; live same-JVM
+    // invocations never share a counter value
+    packed.write.mode("overwrite").partitionBy("shard").parquet(out)
     // explicit schema on the read-back: a fully-filtered corpus writes
     // an EMPTY dataset (just _SUCCESS, no footers) and schema
     // inference would throw where "0 shards" is the correct answer
@@ -540,10 +554,10 @@ object CorpusPipeline {
       .select(col("doc_id"), col("chunk_id"), col("shard"),
         col("pack_id"), col("n_tok"), col("cum_tok"))
     val out = graft.util.Scratch
-      .under("graft_pipeline_incr/" + graft.util.Tables.pathTag(dir))
+      .under("graft_pipeline_incr/" + graft.util.Tables.pathTag(dir) +
+        "/run_" + invocation.incrementAndGet())
       .toString
-    graft.util.Scratch.deleteRecursive(java.nio.file.Paths.get(out))
-    packed.write.partitionBy("shard").parquet(out)
+    packed.write.mode("overwrite").partitionBy("shard").parquet(out)
     val manifest = spark.read.schema(packed.schema).parquet(out)
       .groupBy(col("shard").cast("int").as("shard"))
       .agg(count(lit(1)).as("n_docs"),

@@ -844,6 +844,91 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** X61c — TRUE greedy keep-first SemDeDup: the paper's retention
+    * semantics, offered alongside the registered [[semDedup]] rule
+    * (drop-if-ANY-lower-id-neighbor, which transitively over-prunes:
+    * a~b, b~c, a≁c drops both b and c). Greedy keeps a vector unless
+    * it has a KEPT lower-id neighbor above tau — on that chain it
+    * keeps c, because c's only qualifying lower neighbor b was itself
+    * dropped. Kept set is therefore always a SUPERSET of the
+    * registered rule's (SemDedupGreedySpec pins both facts).
+    *
+    * The sequential-looking recurrence (kept(v) = ¬∃ kept u < v with
+    * cos(u,v) > tau) parallelizes as rounds of the classic
+    * greedy-MIS-in-id-order schedule over the qualifying-pair graph:
+    * each round, every pair-graph vertex with NO undecided lower-id
+    * neighbor is decided KEPT (the graph's global minimum always
+    * qualifies, so progress is guaranteed), its higher partners are
+    * decided DROPPED, and all decided vertices leave the graph — a
+    * vertex whose lower neighbors were all dropped surfaces as a
+    * later root. Rounds = longest blocking chain (near-dup graphs
+    * are shallow cliques: 2–3), each round two keyed
+    * distinct/anti-join passes over the PAIR stream (output-sized,
+    * never corpus-sized), lineage truncated per round exactly like
+    * [[graft.ops.Dedup.dedupGroups]]'s label propagation; the driver
+    * holds one undecided-count scalar. Output schema/columns are
+    * [[semDedup]]'s, with `dup_of`/`n_near` counting KEPT lower-id
+    * neighbors (the survivor a dropped vector duplicates). */
+  def semDedupGreedy(spark: SparkSession, dir: String,
+      tau: Double = 0.4, maxCells: Int = 16,
+      targetBlockRows: Int = 2048, maxSaltsPerCell: Int = 64,
+      maxIter: Int = 50): DataFrame = {
+    import spark.implicits._
+    val cells: Seq[(Int, Seq[Double])] =
+      coarseCodebook(spark, dir, maxCells)
+        .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSeq
+    val celled = fanOut(t(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("nrm"))
+      .withColumn("cell", argmaxCell(cells, col("embedding")))
+    val qualifying = semDedupQualifying(spark, celled, tau,
+      targetBlockRows, maxSaltsPerCell).localCheckpoint()
+    var undecided = qualifying
+    var kept = Seq.empty[Long].toDF("vec_id")
+    var remaining = undecided.count()
+    var iter = 0
+    while (remaining > 0 && iter < maxIter) {
+      val verts = undecided.select(col("a_id").as("vec_id"))
+        .union(undecided.select(col("b_id").as("vec_id"))).distinct()
+      val blocked = undecided.select(col("b_id").as("vec_id")).distinct()
+      val roots = verts.join(blocked, Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+      kept = kept.union(roots).localCheckpoint()
+      val dropped = undecided
+        .join(roots.select(col("vec_id").as("a_id")), Seq("a_id"),
+          "left_semi")
+        .select(col("b_id").as("vec_id")).distinct()
+      val decided = roots.union(dropped)
+      undecided = undecided
+        .join(decided.select(col("vec_id").as("a_id")), Seq("a_id"),
+          "left_anti")
+        .join(decided.select(col("vec_id").as("b_id")), Seq("b_id"),
+          "left_anti")
+        .localCheckpoint()
+      remaining = undecided.count()
+      iter += 1
+    }
+    require(remaining == 0,
+      s"semDedupGreedy: $remaining undecided pairs after $maxIter rounds")
+    // dup_of / n_near against the FINAL kept set: every pair-graph
+    // vertex is decided, so "not kept" ⟺ dropped ⟺ has a kept
+    // lower-id neighbor — dup below is exactly the dropped set
+    val dup = qualifying
+      .join(kept.select(col("vec_id").as("a_id")), Seq("a_id"),
+        "left_semi")
+      .join(kept.select(col("vec_id").as("b_id")), Seq("b_id"),
+        "left_anti")
+      .groupBy(col("b_id"))
+      .agg(min(col("a_id")).as("dup_of"), count(lit(1)).as("n_near"))
+      .select(col("b_id").as("vec_id"), col("dup_of"), col("n_near"))
+    celled.select(col("vec_id"), col("cell"))
+      .join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("dup_of").isNull.as("kept"), col("dup_of"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy("vec_id")
+  }
+
   /** [[semDedup]]'s DROP SET restricted to a survivor sub-corpus — the
     * composable corpus-pipeline stage form of X61. `survivors`
     * (vec_id) names the docs still alive; they are routed with the
@@ -984,6 +1069,31 @@ object Similarity {
         (col("score") >= tau).as("contaminated"))
       .orderBy("vec_id")
 
+  /** X66b — [[semanticDecontaminate]] with BOTH-SIDES multi-probe
+    * listing (the X61b pattern applied to decontamination — VERDICT
+    * r11 item 4): the eval side was already listed under its top-
+    * `nProbe` cells, but a straddling leaked pair whose TRAIN vector
+    * ranks the eval's cell second was still missed when the eval
+    * vector didn't reciprocate (measured straddle recall 0.52 at
+    * 100×, SCALE_NOTES r11). Here the train side lists under its
+    * top-`nProbe` cells too (one more fused [[graft.expressions
+    * .CellRouteTopK]] projection — no shuffle, O(1) plan size), so a
+    * pair is compared whenever ANY of the two top-2 listings
+    * intersect. A pair surfacing via several shared cells contributes
+    * duplicate (vec_id, eval_id, score) rows, which the per-train
+    * best-match max-aggregate absorbs without a distinct. Train
+    * fan-out is nProbe× listed rows — the linear-side cost the
+    * semdedup_probe measurement already priced. Output schema and
+    * semantics are [[semanticDecontaminate]]'s. */
+  def semanticDeconProbe(spark: SparkSession, dir: String,
+      tau: Double = 0.6, maxCells: Int = 16, evalMod: Int = 50,
+      nProbe: Int = 2): DataFrame =
+    semanticDeconBest(spark, dir, None, maxCells, evalMod, nProbe,
+        trainProbe = nProbe)
+      .select(col("vec_id"), col("eval_id"), col("score"),
+        (col("score") >= tau).as("contaminated"))
+      .orderBy("vec_id")
+
   /** The best-eval-match core of [[semanticDecontaminate]]: one
     * (vec_id, eval_id, score) row per train vector sharing a probed
     * cell with an eval vector. `restrict` (vec_id) narrows the TRAIN
@@ -993,7 +1103,7 @@ object Similarity {
     * query. */
   private def semanticDeconBest(spark: SparkSession, dir: String,
       restrict: Option[DataFrame], maxCells: Int, evalMod: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int, trainProbe: Int = 1): DataFrame = {
     import spark.implicits._
     val cells: Seq[(Int, Seq[Double])] =
       coarseCodebook(spark, dir, maxCells)
@@ -1018,8 +1128,13 @@ object Similarity {
     val trainBase = emb.filter(!col("is_eval"))
     val train = restrict.fold(trainBase)(s =>
       trainBase.join(s.select(col("vec_id")), Seq("vec_id"), "left_semi"))
-    train
-      .withColumn("cell", argmaxCell(cells, col("embedding")))
+    val trainCelled =
+      if (trainProbe <= 1)
+        train.withColumn("cell", argmaxCell(cells, col("embedding")))
+      else train.withColumn("cell",
+        explode(graft.expressions.CellRouteTopK(col("embedding"),
+          cells, trainProbe)))
+    trainCelled
       .join(eval, Seq("cell"))
       .withColumn("score",
         dot(col("embedding"), col("ee")) /

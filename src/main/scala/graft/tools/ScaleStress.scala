@@ -5,8 +5,8 @@ import scala.util.chaining._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.{GraftSession, Tables}
-import graft.ops.{BpeTrain, CorpusStats, Dedup, QualitySignals,
-  Similarity, TextAnalysis}
+import graft.ops.{BpeTrain, CorpusStats, Dedup, EditDistance,
+  QualitySignals, Similarity, TextAnalysis}
 
 /** Scale-stress harness for the dedup + embedding families: runs the
   * document and ANN operators on 1×/3×/10× corpora derived from sf0.1
@@ -168,10 +168,10 @@ object ScaleStress {
       case _ => ("all", args)
     }
     require(
-      Set("docs", "emb", "tpch", "events", "semrec", "pipeline", "all")(
-        family),
+      Set("docs", "emb", "tpch", "events", "semrec", "pipeline",
+        "incrsweep", "all")(family),
       s"unknown family '$family' — expected " +
-        "docs|emb|tpch|events|semrec|pipeline|all")
+        "docs|emb|tpch|events|semrec|pipeline|incrsweep|all")
     val scales =
       if (scaleArgs.nonEmpty) scaleArgs.map(_.toInt).toSeq else Seq(1, 3, 10)
     val src = "/root/testdata/sf0.1"
@@ -184,6 +184,7 @@ object ScaleStress {
     val runEmb = family == "emb" || family == "all"
     val runSemrec = family == "semrec"
     val runPipeline = family == "pipeline"
+    val runIncrSweep = family == "incrsweep"
     val runTpch = family == "tpch" || family == "all"
     val runEvents = family == "events" || family == "all"
 
@@ -194,9 +195,10 @@ object ScaleStress {
       new java.io.File(s"$path/_SUCCESS").exists()
     scales.foreach { n =>
       val out = corpusDir(n)
-      if ((runDocs || runPipeline) && !ready(s"$out/documents.parquet"))
+      if ((runDocs || runPipeline || runIncrSweep) &&
+          !ready(s"$out/documents.parquet"))
         buildDocCorpus(spark, src, out, n)
-      if ((runEmb || runSemrec || runPipeline) &&
+      if ((runEmb || runSemrec || runPipeline || runIncrSweep) &&
           !ready(s"$out/embeddings.parquet"))
         buildEmbeddingCorpus(spark, src, out, n)
       if (runTpch && !ready(s"$out/lineitem.parquet"))
@@ -250,6 +252,24 @@ object ScaleStress {
         val n = "x(\\d+)$".r.findFirstMatchIn(d)
           .map(_.group(1).toInt).getOrElse(1)
         m(Dedup.containmentProbe(spark, d, batchMod = 7 * n)) }),
+      // X71 exact edit-distance join: per-copy token suffixes push
+      // cross-copy pairs far beyond tau, so output grows exactly with
+      // n while the segment filter survives an n×-larger
+      // substring/segment space. Cold checkpoint per timed run (the
+      // Bench r12 protocol)
+      "edit_distance_join" -> (d => {
+        Dedup.clearPairsMemo(); m(EditDistance.editDistanceJoin(spark, d)) }),
+      // X71b serving split: index build lands in the warmup pass
+      // (_SUCCESS-gated per corpus), timed passes measure the PROBE
+      "edit_distance_probe" ->
+        (d => m(EditDistance.editDistanceProbe(spark, d))),
+      // the SERVING regime: batchMod ∝ scale keeps the incoming batch
+      // constant while the indexed corpus grows n× (the jaccard/_fb
+      // accounting)
+      "edit_distance_probe_fb" -> (d => {
+        val n = "x(\\d+)$".r.findFirstMatchIn(d)
+          .map(_.group(1).toInt).getOrElse(1)
+        m(EditDistance.editDistanceProbe(spark, d, batchMod = 7 * n)) }),
       // X63 encode: vocabulary (and therefore merge-application work)
       // grows with n — the scale claim is that the CORPUS cost stays
       // the two scans + one keyed join
@@ -458,6 +478,50 @@ object ScaleStress {
       }
     }
 
+    // X70 BATCH sweep (VERDICT r11 item 8): the daily-increment curve
+    // above holds the batch CONSTANT while the corpus grows; an
+    // operator also schedules by the OTHER axis — how incremental cost
+    // grows with batch size at a fixed large corpus, and where it
+    // crosses the full rebuild (the number that decides "accumulate
+    // K days of increments vs rebuild"). Corpus fixed at scales.max
+    // (pass 100 explicitly for the SCALE_NOTES table); batch size
+    // swept ×1/×3/×10 via batchMod ∝ 1/B; full-rebuild reference
+    // measured in the same session. Cold checkpoints per invocation,
+    // warmup builds the _SUCCESS-gated serving indexes.
+    if (runIncrSweep) {
+      val n = scales.max
+      val dir = corpusDir(n)
+      def timed2(f: => Long): (Double, Long) = {
+        val samples = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val rows = f
+          ((System.nanoTime() - t0) / 1e9, rows)
+        }
+        (samples.map(_._1).min, samples.head._2)
+      }
+      def rebuildRun(): Long = {
+        Dedup.clearPairsMemo()
+        m(graft.ops.CorpusPipeline.corpusPipeline(spark, dir,
+          semTau = 0.8, semCells = nextPrime(16 * n),
+          rarityMax = 40.0 * n))
+      }
+      rebuildRun() // warmup: codegen + index stores
+      val (rebuildSec, _) = timed2(rebuildRun())
+      println(f"corpus x$n%d full rebuild: $rebuildSec%8.2f s")
+      println(f"${"batch_x"}%7s ${"batchMod"}%8s ${"rows"}%8s ${"sec"}%8s ${"vs_rebuild"}%10s")
+      Seq(1, 3, 10).foreach { b =>
+        val mod = math.max(1, 7 * n / b)
+        def run(): Long = {
+          Dedup.clearPairsMemo()
+          m(graft.ops.CorpusPipeline.corpusPipelineIncr(spark, dir,
+            batchMod = mod, rarityMax = 40.0 * n))
+        }
+        run() // warmup
+        val (sec, rows) = timed2(run())
+        println(f"$b%7d $mod%8d $rows%8d $sec%8.2f ${sec / rebuildSec}%10.2f")
+      }
+    }
+
     // MEASURED recall for the top-2-cell probe family (VERDICT r10
     // item 3): the planted zeroed-dims twins are exhaustive ground
     // truth (cos ≈ 0.97, far above both thresholds), so recall here is
@@ -550,6 +614,15 @@ object ScaleStress {
       else None
     } // (eval side, train side)
     val dcRow = row("semantic_decon", evPairs, p => flagged(p._2))
-    Seq(sdRow, spRow, dcRow)
+    // X66b: the both-sides-probed variant through the same planted
+    // eval-crossing pairs — the train-side straddle-recall lift is
+    // the measurement that motivated it (VERDICT r11 item 4)
+    val flaggedProbe = Similarity.semanticDeconProbe(spark, dir,
+        tau = deconTau, maxCells = maxCells, evalMod = evalMod)
+      .filter(org.apache.spark.sql.functions.col("contaminated"))
+      .select("vec_id").as[Long].collect().toSet
+    val dpRow = row("semantic_decon_probe", evPairs,
+      p => flaggedProbe(p._2))
+    Seq(sdRow, spRow, dcRow, dpRow)
   }
 }

@@ -28,27 +28,52 @@ import org.apache.spark.sql.graftbridge.PlanBridge
   * decision at the call site. */
 object CkptMemo {
 
+  // One lazy holder per (session, key): the global lock only installs
+  // or looks up the holder (O(1)); the BUILD — full Spark jobs
+  // checkpointing corpus-sized relations — evaluates OUTSIDE it, on
+  // the holder's own lazy-val latch (ADVICE r11: holding the global
+  // lock through a build serialized every unrelated concurrent query
+  // in the JVM). Two concurrent callers of the SAME key still
+  // coordinate (lazy val's per-instance monitor — one builds, one
+  // waits), which is the wanted semantics: the checkpoint must be
+  // built exactly once.
+  private final class Holder(build: () => DataFrame) {
+    @volatile var built = false
+    lazy val df: DataFrame = { val d = build(); built = true; d }
+  }
+
   private val memo = collection.mutable.Map.empty[
-    SparkSession, collection.mutable.Map[Seq[Any], DataFrame]]
+    SparkSession, collection.mutable.Map[Seq[Any], Holder]]
 
   /** Memoized build: returns the cached checkpointed relation for
     * (spark, key), building it once per session. */
-  def of(spark: SparkSession, key: Any*)(build: => DataFrame): DataFrame =
-    memo.synchronized {
+  def of(spark: SparkSession, key: Any*)(build: => DataFrame): DataFrame = {
+    val holder = memo.synchronized {
       memo.filterInPlace((s, _) => !s.sparkContext.isStopped)
       memo.getOrElseUpdate(spark,
-          collection.mutable.Map.empty[Seq[Any], DataFrame])
-        .getOrElseUpdate(key.toSeq, build)
+          collection.mutable.Map.empty[Seq[Any], Holder])
+        .getOrElseUpdate(key.toSeq, new Holder(() => build))
     }
+    holder.df
+  }
 
   /** Drop every memo entry and unpersist its checkpoint RDD. Call
     * after external input changes (testdata refresh) or between timed
-    * scale-stress runs so measurements see cold builds. */
-  def clear(): Unit = memo.synchronized {
-    memo.values.iterator.flatMap(_.values).foreach { df =>
-      if (!df.sparkSession.sparkContext.isStopped)
-        PlanBridge.unpersistLocalCheckpoint(df)
+    * scale-stress runs so measurements see cold builds. Only holders
+    * whose build actually completed are unpersisted — an in-flight
+    * build's entry is dropped from the map (its owner still holds the
+    * Holder reference and completes normally). */
+  def clear(): Unit = {
+    val holders = memo.synchronized {
+      val hs = memo.values.flatMap(_.values).toSeq
+      memo.clear()
+      hs
     }
-    memo.clear()
+    holders.foreach { h =>
+      // peek via the explicit flag, never by forcing the lazy val:
+      // clearing must not trigger a build
+      if (h.built && !h.df.sparkSession.sparkContext.isStopped)
+        PlanBridge.unpersistLocalCheckpoint(h.df)
+    }
   }
 }

@@ -41,7 +41,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions",
         shufflePartitions
           .orElse(sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
-            .map(_.toInt))
+            .map(v => try v.trim.toInt catch {
+              case _: NumberFormatException => throw new
+                  IllegalArgumentException(
+                "SPARK_GRAFT_SHUFFLE_PARTITIONS must be an integer, " +
+                  s"got '$v'")
+            }))
           .getOrElse(cores).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

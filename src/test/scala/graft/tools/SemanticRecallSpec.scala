@@ -65,5 +65,18 @@ class SemanticRecallSpec extends AnyFunSuite {
         s"probed-cell detection must be exact, got ${dc.sameCellRecall}")
     assert(dc.misses.toSet.subsetOf(dc.straddlePairs.toSet),
       s"non-straddle misses: ${dc.misses.toSet -- dc.straddlePairs.toSet}")
+
+    // X66b: both-sides probing exists to close the TRAIN-side
+    // straddle-miss class — same planted geometry, never worse, and
+    // its residual misses stay inside the straddle class
+    val dp = rows.find(_.family == "semantic_decon_probe").get
+    assert(dp.planted == dc.planted,
+      "probe variant must see the same planted eval-crossing pairs")
+    if (dp.sameCell > 0) assert(dp.sameCellRecall == 1.0)
+    assert(dp.recall >= dc.recall,
+      s"both-sides probing must not lose recall: ${dp.recall} vs " +
+        s"${dc.recall}")
+    assert(dp.misses.toSet.subsetOf(dp.straddlePairs.toSet),
+      s"non-straddle misses: ${dp.misses.toSet -- dp.straddlePairs.toSet}")
   }
 }
