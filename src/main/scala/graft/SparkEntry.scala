@@ -1358,6 +1358,37 @@ object SparkEntry {
         count(DISTINCT source) AS n_sources
       FROM documents GROUP BY 1 ORDER BY 1""")),
 
+    // X73 — declared-vs-detected language audit. The langIdScore
+    // argmax (greatest over (score, lang) structs, 'und' at zero) is
+    // replayed by DuckDB's max over struct_pack — struct comparison
+    // is field-order lexicographic in both engines. The VALUES list
+    // mirrors TextAnalysis.LangMarkers.
+    "lang_mismatch" -> Q(TextAnalysis.langMismatch, Some("""
+      WITH d AS (SELECT doc_id, source, lang,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      sc AS (SELECT d.doc_id, d.source, d.lang, m.lg,
+          len(list_filter(d.w, x -> list_contains(m.ws, x))) AS s
+        FROM d, (VALUES
+          ('de', ['der','die','das','und','ist']),
+          ('en', ['the','a','of','and','to']),
+          ('es', ['el','los','las','y','es']),
+          ('fr', ['le','la','les','et','est']),
+          ('zh', ['的','是','在','了','不'])) m(lg, ws)),
+      best AS (SELECT doc_id, source, lang,
+          max(struct_pack(s := s, lg := lg)) AS b
+        FROM sc GROUP BY 1, 2, 3),
+      p AS (SELECT doc_id, source, lang,
+          CASE WHEN b.s > 0 THEN b.lg ELSE 'und' END AS pred
+        FROM best)
+      SELECT source, lang, count(*) AS n_docs,
+        CAST(sum(CASE WHEN pred <> lang THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_mismatch,
+        CAST(sum(CASE WHEN pred <> lang THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*) AS mismatch_rate
+      FROM p GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     "doc_fingerprint" -> Q(TextAnalysis.docFingerprint, Some("""
       WITH d AS (SELECT doc_id,
           list_filter(string_split_regex(lower(text), '\s+'),
@@ -2179,6 +2210,49 @@ object SparkEntry {
           WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
         count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM b GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // X72 — leakage-safe split: the train/val/test coin keyed by the
+    // NEAR-DUP GROUP label (dedup_groups' components; singletons =
+    // own id), so near-duplicates can never straddle the train/eval
+    // boundary. Oracle = the proven dedup_groups recursive-CTE
+    // component chain + the md5 split coin over the group label; the
+    // full per-doc assignment is pinned row-for-row.
+    "leakage_safe_split" ->
+      Q((s, d) => Reshape.leakageSafeSplit(s, d), Some("""
+      WITH RECURSIVE tok AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM tok WHERE len(w) >= 3),
+      sig AS (SELECT doc_id, b.band,
+          min(md5(b.band || ':' || shingle)) AS sig
+        FROM sh, (SELECT unnest(range(0, 8)) AS band) b GROUP BY 1, 2),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 4),
+      edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      walk AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT w.s, e.d FROM walk w JOIN edges e ON w.d = e.s),
+      lbl AS (SELECT s AS doc_id, least(s, min(d)) AS group_id
+        FROM walk GROUP BY s),
+      g AS (SELECT d.doc_id,
+          COALESCE(l.group_id, d.doc_id) AS group_id
+        FROM documents d LEFT JOIN lbl l USING (doc_id)),
+      b AS (SELECT doc_id, group_id,
+          CAST(('0x' || substring(md5('lsplit:' ||
+            CAST(group_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        FROM g)
+      SELECT doc_id, group_id,
+        CASE WHEN bucket < 80 THEN 'train'
+          WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      FROM b ORDER BY doc_id""")),
 
     "sample_stratified" -> Q(Reshape.sampleStratified, Some("""
       WITH s AS (SELECT c_custkey, c_mktsegment, c_acctbal,

@@ -392,6 +392,48 @@ object Reshape {
       .orderBy("source", "split")
   }
 
+  /** X72 — LEAKAGE-SAFE train/val/test split: [[trainSplit]]'s
+    * deterministic assignment keyed by the NEAR-DUP GROUP instead of
+    * the document. A doc-keyed split can put two near-duplicates on
+    * opposite sides of the train/eval boundary — the eval set then
+    * contains lightly-edited copies of training documents and the
+    * benchmark leaks (the split-time counterpart of
+    * [[graft.ops.QualitySignals.decontaminate]], which can only catch
+    * leakage against a KNOWN eval set). Here every document hashes by
+    * its connected-component label over the MinHash candidate pairs
+    * ([[Dedup.nearDupPairsCached]] → [[Dedup.minLabelComponents]], the
+    * dedup_groups machinery; singletons label as themselves), so an
+    * entire near-dup group lands on one side by construction.
+    *
+    * Output is the full per-doc assignment (doc_id, group_id, split)
+    * — the oracle pins every row, and the leakage property
+    * (∀ near-dup pair: same split) is pinned by ReshapeSpec directly.
+    *
+    * Scale shape: the pair graph + label propagation are dedup_groups'
+    * (pair-stream-sized rounds, driver holds a convergence flag); the
+    * split itself is a broadcast-or-keyed left join of the label
+    * relation onto the corpus plus a per-row md5 — no new corpus
+    * shuffle class. At 100 TB the label relation is pair-participant-
+    * sized (≪ corpus), so the join broadcasts under AQE or shuffles
+    * doc-id-sized rows at worst. */
+  def leakageSafeSplit(spark: SparkSession, dir: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val pairs = Dedup.nearDupPairsCached(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = Dedup.minLabelComponents(pairs)
+    val bucket =
+      graft.util.Tables.md5Bucket("lsplit:", col("group_id"), 100)
+    t(spark, dir, "documents").select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("grp"), col("doc_id")))
+      .withColumn("split",
+        when(bucket < trainPct, lit("train"))
+          .when(bucket < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("group_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
   /** Weighted domain-mix sampling: re-balance a corpus toward target
     * per-source sampling rates (the "training mixture" step — e.g.
     * up-sample curated sources, down-sample crawl). Rates live in a

@@ -172,11 +172,15 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Language-ID heuristic (no oracle — verified in TextAnalysisSpec):
-    * scores text against per-language marker-word lists and picks the
-    * argmax, falling back to 'und'. A real pipeline would swap in
+  /** Language-ID heuristic: scores text against per-language
+    * marker-word lists and picks the argmax (ties break to the
+    * lexically-larger language code — `greatest` over (score, lang)
+    * structs), falling back to 'und'. A real pipeline would swap in
     * fastText-style n-gram profiles; the Spark-side shape (per-row
-    * scoring over a broadcast profile, no shuffle) is the real thing. */
+    * scoring over a broadcast profile, no shuffle) is the real thing.
+    * Spec-verified in TextAnalysisSpec; oracle-gated end-to-end
+    * through [[langMismatch]] (the greatest-over-structs argmax is
+    * bit-replayed by DuckDB's max over struct_pack). */
   def langIdScore(text: Column, markers: Map[String, Seq[String]]): Column = {
     val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(
@@ -186,4 +190,39 @@ object TextAnalysis {
     val best = greatest(scored: _*)
     when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
   }
+
+  /** The registered marker profile for [[langMismatch]] — a fixed,
+    * deterministic stand-in for trained language profiles (the oracle
+    * SQL's VALUES list mirrors it; single source of truth is here). */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "zh" -> Seq("的", "是", "在", "了", "不"))
+
+  /** X73 — declared-vs-detected language audit: run [[langIdScore]]
+    * over every document and roll up disagreement with the DECLARED
+    * `lang` column per (source, lang) — the metadata-trust signal a
+    * crawl pipeline routes on (a source whose declared language
+    * disagrees with detection is mislabeled, machine-translated, or
+    * boilerplate; its documents poison language-filtered training
+    * mixes silently). Detection is per-row scoring against the
+    * broadcast [[LangMarkers]] profile — no shuffle before the
+    * (source, lang)-keyed rollup; mismatch counts are integers, the
+    * rate an exact int/int division, so the oracle replays the whole
+    * audit bit-for-bit (the argmax via max over (score, lang)
+    * structs). */
+  def langMismatch(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("pred", langIdScore(col("text"), LangMarkers))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pred") =!= col("lang"), lit(1L)).otherwise(lit(0L)))
+          .as("n_mismatch"),
+        (sum(when(col("pred") =!= col("lang"), lit(1L))
+            .otherwise(lit(0L))).cast("double") / count(lit(1)))
+          .as("mismatch_rate"))
+      .orderBy("source", "lang")
 }

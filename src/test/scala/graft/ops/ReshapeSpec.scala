@@ -231,4 +231,39 @@ class ReshapeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("leakage_safe_split: no near-dup pair straddles the train/eval boundary (X72)") {
+    import spark.implicits._
+    val assign = Reshape.leakageSafeSplit(spark, dir)
+      .select("doc_id", "group_id", "split")
+      .as[(Long, Long, String)].collect()
+    val splitOf = assign.map(r => r._1 -> r._3).toMap
+    val groupOf = assign.map(r => r._1 -> r._2).toMap
+    val pairs = Dedup.nearDupPairsCached(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "corpus must carry near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b),
+        s"pair ($a, $b) straddles: ${splitOf(a)} vs ${splitOf(b)}")
+      assert(groupOf(a) == groupOf(b),
+        s"pair ($a, $b) got different group labels")
+    }
+    // the doc-keyed split must actually DIFFER for some grouped doc,
+    // or the group-keyed coin changed nothing and the test is vacuous
+    // (a group member whose own-id coin lands elsewhere exists on this
+    // corpus; if regeneration ever removes the case, this flags it)
+    val grouped = assign.filter(r => r._2 != r._1)
+    assert(grouped.nonEmpty, "some doc must carry a non-self group label")
+    // every member inherits the GROUP's coin, not its own
+    def coin(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"lsplit:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16) % 100
+    }
+    assign.foreach { case (_, g, s) =>
+      val expect =
+        if (coin(g) < 80) "train" else if (coin(g) < 90) "val" else "test"
+      assert(s == expect)
+    }
+  }
 }

@@ -24,6 +24,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.filter(col("got") =!= col("expected")).count() == 0)
   }
 
+  test("lang_mismatch agrees with an independent driver-side rescore (X73)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = TextAnalysis.langMismatch(spark, dir)
+      .select("source", "lang", "n_docs", "n_mismatch")
+      .as[(String, String, Long, Long)].collect().toSet
+    // independent implementation: plain Scala tokenize + score + argmax
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "lang", "text")
+      .as[(String, String, String)].collect()
+    def pred(text: String): String = {
+      val w = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val scored = TextAnalysis.LangMarkers.toSeq.map { case (lg, ms) =>
+        (w.count(ms.contains), lg)
+      }
+      val best = scored.max // (score, lang) — the greatest-struct order
+      if (best._1 > 0) best._2 else "und"
+    }
+    val expected = docs.groupBy(d => (d._1, d._2)).map { case ((s, l), ds) =>
+      (s, l, ds.size.toLong, ds.count(d => pred(d._3) != l).toLong)
+    }.toSet
+    assert(got == expected)
+    assert(got.exists(_._4 > 0), "some mismatch must exist on this corpus")
+  }
+
   test("near-dup pairs are symmetric-free and band counts bounded (X3)") {
     import spark.implicits._
     val pairs = Dedup.nearDupPairs(spark, "/root/testdata/sf0.001")

@@ -210,7 +210,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "json_functions" -> 2,
     "json_roundtrip" -> 2,
     "kmv_distinct" -> 5,
+    // X73: (source, lang) partial→final agg + output sort (scoring is
+    // per-row against the broadcast marker profile)
+    "lang_mismatch" -> 2,
     "lang_stats" -> 3,
+    // X72: group-label left join + split projection + output sort over
+    // the label relation (the component rounds run at construction)
+    "leakage_safe_split" -> 3,
     "media_embed_topk" -> 2,
     "media_resize" -> 1,
     "multimodal_media" -> 1,
