@@ -2592,6 +2592,42 @@ object SparkEntry {
           AS DOUBLE) / count(*) >= 0.0 AS keep
       FROM wt GROUP BY doc_id ORDER BY doc_id""")),
 
+    // X74 — quality-weighted sampling: keep probability clamp(0.5 +
+    // X68 margin, 0, 1) against the md5 coin — every arithmetic step
+    // (decimal margin, double add, least/greatest clamp, /1e6) is
+    // bit-identical cross-engine, so the oracle pins the exact kept
+    // set, not a rate.
+    "weighted_sample" -> Q(
+      (s, d) => Reshape.weightedSample(s, d), Some("""
+      WITH tok AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      g AS (
+        SELECT doc_id, unnest(w) AS g FROM tok
+        UNION ALL
+        SELECT doc_id, unnest(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS g
+        FROM tok WHERE len(w) >= 2),
+      wt AS (SELECT doc_id,
+          (CAST(('0x' || substring(md5('qw:' || CAST(
+              CAST(('0x' || substring(md5('qf:' || g), 1, 8)) AS BIGINT)
+                % 1024 AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000)
+            / 1000.0 AS wgt
+        FROM g),
+      sc AS (SELECT doc_id,
+          CAST(CAST(sum(CAST(wgt AS DECIMAL(30,8))) AS VARCHAR)
+            AS DOUBLE) / count(*) AS margin
+        FROM wt GROUP BY doc_id),
+      s AS (SELECT doc_id, margin,
+          least(1.0, greatest(0.0, 0.5 + margin)) AS keep_p,
+          CAST(CAST(('0x' || substring(md5('wsmp:' ||
+            CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+            AS DOUBLE) / 1000000.0 AS coin
+        FROM sc)
+      SELECT doc_id, margin, keep_p, coin FROM s
+      WHERE coin < keep_p ORDER BY doc_id""")),
+
     // X69 — the COMPOSED end-to-end corpus pipeline (VERDICT r10 item
     // 1): quality gate → exact dedup → near-dup CC → span scrub →
     // containment strip → n-gram + semantic decontamination →

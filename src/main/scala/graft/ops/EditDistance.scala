@@ -186,13 +186,15 @@ object EditDistance {
         greatest(col("id_a"), col("id_b")).as("id_b"))
   }
 
-  /** Exact Levenshtein self-join: pairs with ed(text_a, text_b) ≤ tau.
-    * Output one row per unordered pair, doc_a < doc_b. */
-  def editDistanceJoin(spark: SparkSession, dir: String,
-      tau: Int = 8): DataFrame = {
+  /** Pre-verification candidate pairs (id_a < id_b): segment-path
+    * collisions ∪ the short bucket, deduplicated — exposed
+    * package-private for the candidate-mass gate (CandidateMassSpec:
+    * the "collisions are output-shaped" scale claim must be a failing
+    * test, not a notes table). */
+  private[graft] def editDistanceCandidatePairs(spark: SparkSession,
+      dir: String, tau: Int): DataFrame = {
     require(tau >= 1, s"tau must be >= 1, got $tau")
     val docs = docsCkpt(spark, dir)
-
     // ---- segment path: both strings >= tau+1 chars ----------------
     val idx = segmentsOf(docs, tau)
     val probe = probeSubstrings(docs, tau)
@@ -203,12 +205,17 @@ object EditDistance {
       .select(least(col("s_id"), col("r_id")).as("id_a"),
         greatest(col("s_id"), col("r_id")).as("id_b"))
       .distinct()
-
     // ---- short bucket: pairs whose shorter string is ≤ tau chars --
-    val candShort = shortStringPairs(docs, tau)
+    candLong.unionByName(shortStringPairs(docs, tau))
+  }
 
+  /** Exact Levenshtein self-join: pairs with ed(text_a, text_b) ≤ tau.
+    * Output one row per unordered pair, doc_a < doc_b. */
+  def editDistanceJoin(spark: SparkSession, dir: String,
+      tau: Int = 8): DataFrame = {
+    val docs = docsCkpt(spark, dir)
     // ---- exact verification on the candidates ---------------------
-    candLong.unionByName(candShort)
+    editDistanceCandidatePairs(spark, dir, tau)
       .join(docs.select(col("doc_id").as("id_a"), col("text").as("ta"),
         col("len").as("la")), Seq("id_a"))
       .join(docs.select(col("doc_id").as("id_b"), col("text").as("tb"),

@@ -457,4 +457,36 @@ object Reshape {
     * list is generated from this same map (single source of truth). */
   val MixRates: Seq[(String, Int)] =
     (0 until 20).map(i => (s"src$i", Seq(80, 35, 10, 55)(i % 4)))
+
+  /** X74 — QUALITY-WEIGHTED deterministic sampling: keep each document
+    * with probability p = clamp(0.5 + margin, 0, 1), margin the X68
+    * classifier's decimal-exact score — the soft companion of
+    * `quality_score`'s hard threshold (published pipelines sample
+    * proportionally to classifier confidence rather than cliff-edge
+    * filtering, so borderline text survives at reduced rate instead
+    * of vanishing). Membership is the content-derived md5 coin
+    * ([[graft.util.Tables.md5Bucket]] mod 10^6, scaled to [0,1)), so
+    * the sample is identical on every run, engine, and retry — a
+    * rand()-based sampler could never be oracle-gated or reproduced.
+    * Every arithmetic step (decimal-accumulated margin, double add,
+    * clamp via least/greatest, exact /10^6 division) is bit-identical
+    * in DuckDB, so the oracle pins the exact kept set.
+    *
+    * Scale shape: the classifier's one map-side-combined agg plus a
+    * per-row coin + filter — no joins, no new shuffle class; output
+    * is the kept slice with its audit columns (margin, keep_p, coin). */
+  def weightedSample(spark: SparkSession, dir: String,
+      nBuckets: Int = 1024): DataFrame = {
+    val scored = QualitySignals.qualityScore(spark, dir, nBuckets)
+      .select(col("doc_id"), col("margin"))
+    val keepP = least(lit(1.0), greatest(lit(0.0), lit(0.5) + col("margin")))
+    val coin = graft.util.Tables
+      .md5Bucket("wsmp:", col("doc_id"), 1000000)
+      .cast("double") / 1000000.0
+    scored
+      .withColumn("keep_p", keepP)
+      .withColumn("coin", coin)
+      .filter(col("coin") < col("keep_p"))
+      .orderBy("doc_id")
+  }
 }

@@ -328,6 +328,12 @@ object ScaleStress {
       "semdedup" -> (d =>
         m(Similarity.semDedup(spark, d, tau = 0.8,
           maxCells = nextPrime(16 * scaleOf(d))))),
+      // X61c: the iterative greedy form in the same regime — the
+      // extra axis vs semdedup is the round count (longest blocking
+      // chain), which planted-twin cliques keep at 2-3
+      "semdedup_greedy" -> (d =>
+        m(Similarity.semDedupGreedy(spark, d, tau = 0.8,
+          maxCells = nextPrime(16 * scaleOf(d))))),
       "embedding_outliers" -> (d =>
         m(Similarity.embeddingOutliers(spark, d,
           maxCells = nextPrime(16 * scaleOf(d))))),

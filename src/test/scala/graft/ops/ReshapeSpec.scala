@@ -232,6 +232,35 @@ class ReshapeSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted_sample keeps exactly the docs whose coin clears the margin-derived rate (X74)") {
+    import spark.implicits._
+    val kept = Reshape.weightedSample(spark, dir)
+      .select("doc_id", "margin", "keep_p", "coin")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(kept.nonEmpty, "some doc must survive")
+    def coin(id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"wsmp:$id".getBytes("UTF-8"))
+      (java.lang.Long.parseLong(
+        d.take(4).map(b => f"$b%02x").mkString, 16) % 1000000) / 1000000.0
+    }
+    kept.foreach { case (id, m, p, c) =>
+      assert(p == math.min(1.0, math.max(0.0, 0.5 + m)))
+      assert(c == coin(id) && c < p, s"doc $id kept with coin $c >= $p")
+    }
+    // and the complement is genuinely rejected: every scored doc
+    // absent from the sample must FAIL the coin test
+    val keptIds = kept.map(_._1).toSet
+    val rejected = QualitySignals.qualityScore(spark, dir)
+      .select("doc_id", "margin").as[(Long, Double)].collect()
+      .filterNot(r => keptIds(r._1))
+    assert(rejected.nonEmpty, "some doc must be sampled out")
+    rejected.foreach { case (id, m) =>
+      val p = math.min(1.0, math.max(0.0, 0.5 + m))
+      assert(coin(id) >= p, s"doc $id rejected but coin ${coin(id)} < $p")
+    }
+  }
+
   test("leakage_safe_split: no near-dup pair straddles the train/eval boundary (X72)") {
     import spark.implicits._
     val assign = Reshape.leakageSafeSplit(spark, dir)

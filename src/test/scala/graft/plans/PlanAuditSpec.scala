@@ -289,6 +289,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "train_split" -> 2,
     "tumbling_window" -> 2,
     "unpivot_metrics" -> 2,
+    // X74: the X68 classifier's one agg + output sort (coin + clamp
+    // are per-row)
+    "weighted_sample" -> 2,
     "version_changes" -> 3,
     "window_events" -> 2,
     "word_freq" -> 1,

@@ -43,4 +43,15 @@ class CandidateMassSpec extends AnyFunSuite {
     assert(cand <= 50L * out + 50L,
       s"candidate mass $cand not output-shaped (output $out)")
   }
+
+  test("edit-distance segment candidates are output-shaped at tau=8") {
+    val cand = graft.ops.EditDistance
+      .editDistanceCandidatePairs(spark, dir, 8).count()
+    val out = graft.ops.EditDistance
+      .editDistanceJoin(spark, dir, 8).count()
+    info(s"edit distance tau=8: candidates=$cand output=$out")
+    assert(out > 0, "planted corpus must carry qualifying pairs")
+    assert(cand <= 50L * out + 50L,
+      s"candidate mass $cand not output-shaped (output $out)")
+  }
 }
