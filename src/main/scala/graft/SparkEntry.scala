@@ -1239,6 +1239,40 @@ object SparkEntry {
       FROM s WHERE bucket < rate ORDER BY doc_id"""
     }),
 
+    // X75 — token-budget domain mix: per-source greedy selection in
+    // md5-coin order until the TOKEN budget fills (crossing doc
+    // included). The engine runs the two-phase bucketed form (no
+    // source-wide sort partition); the oracle replays the naive
+    // one-window prefix — same integers, so the equality gate-checks
+    // the decomposition every run.
+    "token_budget_mix" -> Q(
+      (s, d) => Reshape.tokenBudgetMix(s, d), Some {
+      val values = Reshape.TokenBudgets
+        .map { case (src, b) => s"('$src', $b)" }.mkString(", ")
+      s"""
+      WITH tok AS (SELECT doc_id, source,
+          list_filter(string_split_regex(lower(text), '\\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      d AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tok,
+          CAST(('0x' || substring(md5('tbm:' ||
+            CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+            AS coin
+        FROM tok),
+      -- CAST: DuckDB's windowed sum(BIGINT) widens to HUGEINT, which
+      -- the driver's pandas bridge reads as float64 — the values are
+      -- identical but the schema row would go red
+      r AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY source
+            ORDER BY coin, doc_id ROWS UNBOUNDED PRECEDING) - n_tok
+            AS BIGINT) AS cum_before
+        FROM d),
+      b AS (SELECT * FROM (VALUES $values) AS t(source, budget))
+      SELECT r.doc_id, r.source, r.n_tok, r.cum_before
+      FROM r JOIN b USING (source)
+      WHERE r.cum_before < b.budget
+      ORDER BY r.source, r.doc_id"""
+    }),
+
     "embedding_quantize" -> Q(Similarity.quantizeInt8, Some("""
       WITH e AS (SELECT vec_id, label,
           CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

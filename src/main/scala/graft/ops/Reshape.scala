@@ -458,6 +458,71 @@ object Reshape {
   val MixRates: Seq[(String, Int)] =
     (0 until 20).map(i => (s"src$i", Seq(80, 35, 10, 55)(i % 4)))
 
+  /** Per-source TOKEN budgets for [[tokenBudgetMix]] — fixed, like
+    * [[MixRates]]; the oracle's VALUES list mirrors this map. */
+  val TokenBudgets: Seq[(String, Long)] =
+    (0 until 20).map(i => (s"src$i", Seq(6000L, 2500L, 800L, 4000L)(i % 4)))
+
+  /** X75 — TOKEN-BUDGET domain mix: select documents per source until
+    * a per-source TOKEN budget fills — the form training mixes are
+    * actually specified in (a mixture spec says "20B code tokens, 5B
+    * forum tokens", not percentages; [[domainMixSample]]'s rate form
+    * cannot hit a token target when doc lengths vary by source).
+    * Selection order is the content-derived md5 coin (ties by doc_id),
+    * so the chosen prefix is deterministic and engine-independent;
+    * greedy rule: a doc is kept iff the tokens selected BEFORE it are
+    * still under budget (the crossing doc is included — budgets fill,
+    * never undershoot).
+    *
+    * Scale shape — the reason this is not one window: a per-source
+    * ordered cumsum would sort EVERY source's documents in one reducer
+    * (a 100 TB web source = one task). Instead, two phases: (1) token
+    * sums per (source, coarse coin bucket) — one keyed agg to a
+    * BOUNDED relation (sources × 1000 buckets) whose bucket-level
+    * running sum is computed inside that bounded relation and
+    * broadcast back; (2) a window over (source, bucket) partitions —
+    * each ~1/1000 of a source — adds the within-bucket prefix, and
+    * the keep test composes the two. No source-wide sort partition
+    * anywhere; the exact same greedy prefix as the naive window (the
+    * bucket running sum IS the global prefix at bucket granularity,
+    * coin order refines inside). Integer token arithmetic end-to-end,
+    * so the DuckDB oracle (which replays the naive one-window form —
+    * it need not be scalable) matches bit-for-bit. */
+  def tokenBudgetMix(spark: SparkSession, dir: String): DataFrame = {
+    val budgetsDf = spark.createDataFrame(TokenBudgets)
+      .toDF("source", "budget")
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(graft.ops.TextAnalysis.tokens(col("text")))
+          .cast("long").as("n_tok"))
+      .withColumn("coin",
+        graft.util.Tables.md5Bucket("tbm:", col("doc_id"), 1000000))
+      .withColumn("cb", floor(col("coin") / 1000).cast("int"))
+    // phase 1: bucket token sums → bounded relation; running sum per
+    // source over ≤1000 rows each (the window here is over the
+    // BOUNDED bucket relation, not the corpus)
+    val wB = Window.partitionBy(col("source")).orderBy(col("cb"))
+    val bounds = docs.groupBy(col("source"), col("cb"))
+      .agg(sum(col("n_tok")).as("bt"))
+      .withColumn("bucket_before",
+        coalesce(sum(col("bt")).over(
+          wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("cb"), col("bucket_before"))
+    // phase 2: within-bucket prefix over (source, cb) partitions
+    val wIn = Window.partitionBy(col("source"), col("cb"))
+      .orderBy(col("coin"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .join(broadcast(bounds), Seq("source", "cb"))
+      .join(broadcast(budgetsDf), Seq("source"))
+      .withColumn("cum_before",
+        col("bucket_before") + sum(col("n_tok")).over(wIn) - col("n_tok"))
+      .filter(col("cum_before") < col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("cum_before"))
+      .orderBy("source", "doc_id")
+  }
+
   /** X74 — QUALITY-WEIGHTED deterministic sampling: keep each document
     * with probability p = clamp(0.5 + margin, 0, 1), margin the X68
     * classifier's decimal-exact score — the soft companion of

@@ -277,6 +277,14 @@ object ScaleStress {
       "word_rarity" -> (d => m(QualitySignals.wordRarity(spark, d))),
       "dedup_groups" -> (d => {
         Dedup.clearPairsMemo(); m(Dedup.dedupGroups(spark, d)) }),
+      // X72: dedup_groups' component machinery + the split projection
+      "leakage_safe_split" -> (d => {
+        Dedup.clearPairsMemo()
+        m(graft.ops.Reshape.leakageSafeSplit(spark, d)) }),
+      // X73/X74: embarrassingly parallel scoring + one keyed agg
+      "lang_mismatch" -> (d => m(TextAnalysis.langMismatch(spark, d))),
+      "weighted_sample" ->
+        (d => m(graft.ops.Reshape.weightedSample(spark, d))),
       "clean_corpus" -> (d => {
         Dedup.clearPairsMemo(); m(TextAnalysis.cleanCorpus(spark, d)) }),
       "heavy_hitters" -> (d => m(CorpusStats.heavyHitters(spark, d))),

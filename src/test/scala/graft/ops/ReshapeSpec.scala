@@ -232,6 +232,49 @@ class ReshapeSpec extends AnyFunSuite {
     }
   }
 
+  test("token_budget_mix == the naive per-source greedy prefix (X75)") {
+    import spark.implicits._
+    val got = Reshape.tokenBudgetMix(spark, dir)
+      .select("doc_id", "source", "n_tok", "cum_before")
+      .as[(Long, String, Long, Long)].collect().toSet
+    // independent naive implementation: full per-source sort + cumsum
+    def coin(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"tbm:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"$b%02x").mkString, 16) % 1000000
+    }
+    val budgets = Reshape.TokenBudgets.toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+      .map { case (id, src, text) =>
+        (id, src,
+          text.toLowerCase.split("\\s+").count(_.nonEmpty).toLong) }
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      val ordered = ds.sortBy(d => (coin(d._1), d._1))
+      val cums = ordered.scanLeft(0L)(_ + _._3)
+      ordered.zip(cums).toSeq.collect {
+        case ((id, s, n), before) if before < budgets(src) =>
+          (id, s, n, before)
+      }
+    }.toSet
+    assert(got == expected)
+    // non-vacuity: at least one source must have been truncated by
+    // its budget, and every truncated source must have FILLED it
+    // (crossing doc included)
+    val keptBySrc = got.groupBy(_._2)
+    val totalBySrc = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    val truncated = totalBySrc.filter { case (s, tot) =>
+      tot > budgets(s) }.keys.toSeq
+    assert(truncated.nonEmpty, "some source must exceed its budget")
+    truncated.foreach { src =>
+      val keptTok = keptBySrc(src).toSeq.map(_._3).sum
+      assert(keptTok >= budgets(src),
+        s"$src: budget ${budgets(src)} not filled ($keptTok kept)")
+    }
+  }
+
   test("weighted_sample keeps exactly the docs whose coin clears the margin-derived rate (X74)") {
     import spark.implicits._
     val kept = Reshape.weightedSample(spark, dir)

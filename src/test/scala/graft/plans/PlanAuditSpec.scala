@@ -283,6 +283,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "take_stratified" -> 2,
     "text_quality" -> 1,
     "tfidf_top_terms" -> 6,
+    // X75: phase-1 (source, bucket) agg + its bounded running-sum
+    // window + the phase-2 (source, bucket) window key + output sort
+    "token_budget_mix" -> 4,
     "token_counts" -> 1,
     "topk_orders" -> 0,
     "topk_per_key" -> 2,
@@ -383,7 +386,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "semantic_decon" -> 2, "semantic_decon_probe" -> 2,
     "percentiles_approx" -> 2, "range_join" -> 2, "kmv_distinct" -> 2,
     "bigram_novelty" -> 2, "ngram_repetition" -> 2,
-    "decontaminate" -> 2, "fk_violations" -> 2)
+    "decontaminate" -> 2, "fk_violations" -> 2,
+    // X75: the corpus feeds both the bucket-stats aggregate and the
+    // selection pass — same stats-join-back class as neardup_probe
+    "token_budget_mix" -> 2)
 
   test("data-scaled tables are not re-scanned beyond the pinned multi-scan budgets") {
     val scanRe = "file:[^,\\]]*?([a-z_0-9]+)\\.(?:parquet|csv|csv\\.gz)".r
