@@ -78,6 +78,54 @@ class EditDistanceSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("seeded fuzz: lossless over a small alphabet straddling every length boundary") {
+    import spark.implicits._
+    // alphabet size 3 + lengths 0..40 at tau=3: dense short-bucket
+    // collisions (identical and 1-edit strings abound), lengths
+    // hugging the segment-path boundary (tau+1 = 4), and mutated
+    // copies at 0..5 edits bracketing tau — the regimes the corpus
+    // test (min length 63, rich alphabet) never reaches. Fixed seed:
+    // the case set is deterministic, failures reproduce.
+    val rnd = new scala.util.Random(20260815L)
+    val alpha = "abc"
+    def randStr(len: Int): String =
+      (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val bases = (0 until 40).map(_ => randStr(rnd.nextInt(41)))
+    val mutated = bases.take(20).map { s =>
+      val t = s.toBuffer
+      (0 until rnd.nextInt(6)).foreach { _ =>
+        if (t.isEmpty) t.append(alpha(rnd.nextInt(3)))
+        else rnd.nextInt(3) match {
+          case 0 => t.update(rnd.nextInt(t.length), alpha(rnd.nextInt(3)))
+          case 1 => t.insert(rnd.nextInt(t.length + 1), alpha(rnd.nextInt(3)))
+          case 2 => t.remove(rnd.nextInt(t.length)); ()
+        }
+      }
+      t.mkString
+    }
+    // explicit boundary lengths around the segment-path cutoff
+    // (tau+1 = 4), plus the empty string — the seed must not decide
+    // whether the boundary is exercised
+    val boundary = Seq("", "abc", "abca", "abcab", "bcab")
+    val planted = (bases ++ mutated ++ boundary).zipWithIndex
+      .map { case (s, i) => ((i + 1).toLong, s) }
+    val fdir = s"target/tmp/editdist_fuzz_${java.util.UUID.randomUUID}"
+    planted.toDF("doc_id", "text")
+      .write.parquet(s"$fdir/documents.parquet")
+    val got = EditDistance.editDistanceJoin(spark, fdir, tau = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val expected = brutePairs(planted, 3)
+    assert(got == expected)
+    // both buckets must be live, and the boundary (len == tau+1)
+    // must participate, or the fuzz regressed into one regime
+    assert(expected.exists { case (_, _, la, lb, _) => math.min(la, lb) <= 3 })
+    assert(expected.exists { case (_, _, la, lb, _) => math.min(la, lb) > 3 })
+    // the planted boundary quartet pairs across the cutoff: "abc"
+    // (short bucket) ~ "abca" (segment path) at ed 1
+    assert(expected.exists { case (_, _, la, lb, _) =>
+      math.min(la, lb) == 3 && math.max(la, lb) == 4 })
+  }
+
   test("planted short strings resolve through the short bucket") {
     import spark.implicits._
     // tau=3 shorts: len ≤ 6 with min ≤ 3 — identical pairs, swaps,
