@@ -46,7 +46,11 @@ object CkptMemo {
     SparkSession, collection.mutable.Map[Seq[Any], Holder]]
 
   /** Memoized build: returns the cached checkpointed relation for
-    * (spark, key), building it once per session. */
+    * (spark, key), building it once per session. A build that THROWS
+    * evicts its holder (matching the pre-latch semantics, where a
+    * failed getOrElseUpdate left no entry): the next caller's own
+    * closure runs instead of the failed one staying pinned in the
+    * map. */
   def of(spark: SparkSession, key: Any*)(build: => DataFrame): DataFrame = {
     val holder = memo.synchronized {
       memo.filterInPlace((s, _) => !s.sparkContext.isStopped)
@@ -54,7 +58,16 @@ object CkptMemo {
           collection.mutable.Map.empty[Seq[Any], Holder])
         .getOrElseUpdate(key.toSeq, new Holder(() => build))
     }
-    holder.df
+    try holder.df
+    catch {
+      case e: Throwable =>
+        memo.synchronized {
+          memo.get(spark).foreach { m =>
+            if (m.get(key.toSeq).exists(_ eq holder)) m.remove(key.toSeq)
+          }
+        }
+        throw e
+    }
   }
 
   /** Drop every memo entry and unpersist its checkpoint RDD. Call
