@@ -515,6 +515,11 @@ object Reshape {
     docs
       .join(broadcast(bounds), Seq("source", "cb"))
       .join(broadcast(budgetsDf), Seq("source"))
+      // prune BEFORE the window: a bucket whose global prefix already
+      // meets the budget cannot contribute a kept doc (every member's
+      // cum_before ≥ bucket_before ≥ budget), so the phase-2 window
+      // only shuffles the ~budget-sized surviving mass, not the corpus
+      .filter(col("bucket_before") < col("budget"))
       .withColumn("cum_before",
         col("bucket_before") + sum(col("n_tok")).over(wIn) - col("n_tok"))
       .filter(col("cum_before") < col("budget"))

@@ -285,6 +285,11 @@ object ScaleStress {
       "lang_mismatch" -> (d => m(TextAnalysis.langMismatch(spark, d))),
       "weighted_sample" ->
         (d => m(graft.ops.Reshape.weightedSample(spark, d))),
+      // X75: per-source budgets are FIXED while the corpus grows n× —
+      // the selected prefix stays ~budget-sized, so growth measures
+      // the scan + phase-1 agg, the claim the two-phase design makes
+      "token_budget_mix" ->
+        (d => m(graft.ops.Reshape.tokenBudgetMix(spark, d))),
       "clean_corpus" -> (d => {
         Dedup.clearPairsMemo(); m(TextAnalysis.cleanCorpus(spark, d)) }),
       "heavy_hitters" -> (d => m(CorpusStats.heavyHitters(spark, d))),
