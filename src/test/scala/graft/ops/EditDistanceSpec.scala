@@ -124,6 +124,12 @@ class EditDistanceSpec extends AnyFunSuite {
     // (short bucket) ~ "abca" (segment path) at ed 1
     assert(expected.exists { case (_, _, la, lb, _) =>
       math.min(la, lb) == 3 && math.max(la, lb) == 4 })
+    // tau=1, the tightest band: two segments, shift window collapses
+    // to d ∈ [−⌊(1−Δ)/2⌋, ⌊(1+Δ)/2⌋] — the floor arithmetic's edge
+    val got1 = EditDistance.editDistanceJoin(spark, fdir, tau = 1)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got1 == brutePairs(planted, 1))
+    assert(got1.nonEmpty, "the small alphabet must yield ed<=1 pairs")
   }
 
   test("planted short strings resolve through the short bucket") {

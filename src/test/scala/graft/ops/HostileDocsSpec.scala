@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Robustness battery: the document operators against a HOSTILE
+  * corpus — null text, empty text, whitespace-only, a single
+  * 10k-char token, CJK + emoji (multi-byte and surrogate-pair
+  * codepoints), embedded newlines/tabs, and a normal control doc.
+  * The driver testdata contains none of these, but a 100 TB crawl
+  * contains all of them; an operator that throws (or silently
+  * mangles a surrogate pair into a crash downstream) must surface
+  * here, not in production. The contract asserted is deliberately
+  * weak-but-universal: no exception, no duplicated doc_id in per-doc
+  * outputs, and output doc_ids ⊆ input doc_ids — plus a few
+  * op-specific spot checks where the right answer is obvious. */
+class HostileDocsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val docs: Seq[(Long, String, String, String, Long)] = Seq(
+      (1L, null, "en", "src0", 0L),
+      (2L, "", "en", "src0", 0L),
+      (3L, "   \t  \n ", "en", "src1", 8L),
+      (4L, "x" * 10000, "en", "src1", 10000L),
+      (5L, "的 是 在 了 不 的 是 😀 😀 text",
+        "zh", "src2", 20L),
+      (6L, "line one\nline two\ttabbed end", "en", "src2", 28L),
+      (7L, "the quick brown fox jumps over the lazy dog and runs on",
+        "en", "src3", 56L),
+      (8L, "the quick brown fox jumps over the lazy dog and runs off",
+        "en", "src3", 56L))
+    val fdir = s"target/tmp/hostile_docs_${java.util.UUID.randomUUID}"
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$fdir/documents.parquet")
+    fdir
+  }
+
+  private val ids = (1L to 8L).toSet
+
+  private def perDocIds(df: DataFrame, idCol: String = "doc_id"): Seq[Long] = {
+    import spark.implicits._
+    df.select(idCol).as[Long].collect().toSeq
+  }
+
+  private def checkPerDoc(name: String, df: DataFrame,
+      idCol: String = "doc_id"): Seq[Long] = {
+    val got = perDocIds(df, idCol)
+    assert(got.distinct.size == got.size, s"$name: duplicated doc_id")
+    assert(got.toSet.subsetOf(ids), s"$name: unknown doc_id emitted")
+    got
+  }
+
+  test("per-doc text operators survive null/empty/unicode/huge inputs") {
+    checkPerDoc("text_quality", TextAnalysis.textQuality(spark, dir))
+    checkPerDoc("token_counts", TextAnalysis.tokenCounts(spark, dir))
+    checkPerDoc("doc_fingerprint", TextAnalysis.docFingerprint(spark, dir))
+    checkPerDoc("scrub_normalize", TextAnalysis.scrubNormalize(spark, dir))
+    checkPerDoc("quality_score", QualitySignals.qualityScore(spark, dir))
+    checkPerDoc("ngram_repetition", QualitySignals.ngramRepetition(spark, dir))
+    checkPerDoc("word_rarity", QualitySignals.wordRarity(spark, dir))
+    checkPerDoc("weighted_sample", Reshape.weightedSample(spark, dir))
+    checkPerDoc("token_budget_mix", Reshape.tokenBudgetMix(spark, dir))
+    checkPerDoc("doc_chunk",
+      Reshape.docChunk(spark, dir).select("doc_id").distinct())
+  }
+
+  test("the dedup family survives and pairs only the planted near-dups") {
+    import spark.implicits._
+    graft.util.CkptMemo.clear()
+    // 7 and 8 differ in the trailing token ("on" → "off": one
+    // substitution + one insertion = ed 2) — the only sane pair;
+    // nothing may pair with the null/empty/huge docs
+    val ed = EditDistance.editDistanceJoin(spark, dir, tau = 3)
+      .select("doc_a", "doc_b", "dist").as[(Long, Long, Long)].collect()
+    assert(ed.toSet == Set((7L, 8L, 2L)))
+    val groups = checkPerDoc("dedup_groups_fixture",
+      Dedup.dedupGroups(spark, dir).select(
+        org.apache.spark.sql.functions.col("doc_id")))
+    assert(groups.toSet.subsetOf(ids))
+    checkPerDoc("leakage_safe_split", Reshape.leakageSafeSplit(spark, dir))
+    graft.util.CkptMemo.clear()
+  }
+
+  test("rollup operators account for every hostile doc exactly once") {
+    import spark.implicits._
+    val lm = TextAnalysis.langMismatch(spark, dir)
+      .select("n_docs").as[Long].collect().sum
+    assert(lm == 8L, s"lang_mismatch counted $lm docs, expected 8")
+    val ts = Reshape.trainSplit(spark, dir)
+      .select("n_docs").as[Long].collect().sum
+    assert(ts == 8L, s"train_split counted $ts docs, expected 8")
+  }
+}
