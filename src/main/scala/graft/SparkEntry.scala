@@ -2374,6 +2374,58 @@ object SparkEntry {
       FROM lbl l JOIN sz s USING (group_id)
       ORDER BY l.doc_id""")),
 
+    // X76 — canonical consolidation per near-dup group (keeper +
+    // provenance + singleton rows). Components replay via the proven
+    // recursive CTE; the sources list sorts on both engines before
+    // joining, so the string is deterministic.
+    "dedup_canonical" -> Q(
+      (s, d) => Dedup.dedupCanonical(s, d), Some("""
+      WITH RECURSIVE tok AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM tok WHERE len(w) >= 3),
+      sig AS (SELECT doc_id, b.band,
+          min(md5(b.band || ':' || shingle)) AS sig
+        FROM sh, (SELECT unnest(range(0, 8)) AS band) b GROUP BY 1, 2),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 4),
+      edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      walk AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT w.s, e.d FROM walk w JOIN edges e ON w.d = e.s),
+      lbl AS (SELECT s AS doc_id, least(s, min(d)) AS group_id
+        FROM walk GROUP BY s),
+      g AS (SELECT d.doc_id, d.source, d.n_chars,
+          COALESCE(l.group_id, d.doc_id) AS group_id
+        FROM documents d LEFT JOIN lbl l USING (doc_id))
+      SELECT group_id, min(doc_id) AS canonical_doc,
+        count(*) AS n_members,
+        count(DISTINCT source) AS n_sources,
+        string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM g GROUP BY 1 ORDER BY 1""")),
+
+    // X77 — per-language calibrated length-outlier report: exact
+    // percentile bounds (quantile_cont twin) + per-doc verdicts.
+    "length_outliers" -> Q(
+      (s, d) => QualitySignals.lengthOutliers(s, d), Some("""
+      WITH b AS (SELECT lang,
+          quantile_cont(n_chars, 0.02) AS lo,
+          quantile_cont(n_chars, 0.98) AS hi
+        FROM documents GROUP BY 1)
+      SELECT d.doc_id, d.lang, d.n_chars, b.lo, b.hi,
+        d.n_chars >= b.lo AND d.n_chars <= b.hi AS keep
+      FROM documents d JOIN b USING (lang)
+      ORDER BY d.doc_id""")),
+
     "scrub_normalize" -> Q(TextAnalysis.scrubNormalize, Some("""
       WITH d AS (SELECT doc_id, lang,
           list_filter(string_split_regex(lower(text), '\s+'),

@@ -759,6 +759,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** X76 — CANONICAL-representative consolidation: one row per
+    * near-dup GROUP with its keeper and provenance — the step that
+    * turns [[dedupGroups]]'s per-doc labels into what a pipeline
+    * actually writes back (keep ONE representative, remember where
+    * the duplicates came from). Canonical = min doc_id (the group
+    * label itself — deterministic, id-stable under re-runs);
+    * provenance = member count, distinct sources as a SORTED
+    * comma-joined list (both engines sort before joining, so the
+    * string is deterministic), and the members' total chars — the
+    * numbers dedup reporting ("how much did we collapse, from
+    * where") is built on. Singletons (docs in no pair) are emitted
+    * too, as 1-member groups: the output is a full corpus manifest,
+    * not just the collapsed part.
+    *
+    * Scale shape: [[dedupGroups]]'s pair-stream label rounds, then
+    * one left join of the label relation onto the corpus (label side
+    * ≪ corpus, broadcasts under AQE) and one group-keyed agg —
+    * `collect_set(source)` state is bounded by the DISTINCT SOURCE
+    * count per group (sources are a small domain; a group's member
+    * list is never collected). */
+  def dedupCanonical(spark: SparkSession, dir: String, nBands: Int = 8,
+      minBands: Int = 4, maxIter: Int = 20): DataFrame = {
+    val pairs = nearDupPairsCached(spark, dir, nBands, minBands)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = minLabelComponents(pairs, maxIter)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("grp"), col("doc_id")))
+      .groupBy(col("group_id"))
+      .agg(
+        min(col("doc_id")).as("canonical_doc"),
+        count(lit(1)).as("n_members"),
+        countDistinct(col("source")).as("n_sources"),
+        array_join(sort_array(collect_set(col("source"))), ",")
+          .as("sources"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("group_id")
+  }
+
   /** Min-label connected components over an undirected (doc_a, doc_b)
     * pair set — the iterative-propagation core of [[dedupGroups]],
     * shared with the corpus-pipeline's near-dup-group stage. Returns

@@ -211,6 +211,40 @@ object QualitySignals {
       .orderBy("doc_id")
   }
 
+  /** X77 — CALIBRATED length-outlier filter: per-language exact
+    * percentile bounds on document length, every doc flagged
+    * against its own language's [p02, p98] interval — the CCNet-style
+    * cleaning step that drops truncation stubs and concatenation
+    * monsters WITHOUT a hand-tuned global threshold (a length that is
+    * normal for zh is a stub for en; calibrating per stratum is the
+    * point). Exact `percentile` on integer lengths interpolates onto
+    * exact binary fractions, so the bounds — and the keep verdicts —
+    * are bit-identical in DuckDB's `quantile_cont` (the proven
+    * percentiles pairing). Emitted as the full per-doc report (doc,
+    * bounds, verdict): the decision threshold stays downstream and
+    * the gate hashes every verdict.
+    *
+    * Scale shape: one grouped percentile pass (per-lang sort state —
+    * the exact form; the approx_percentile twin is the 100 TB path,
+    * same trade as table_profile vs table_profile_approx) producing a
+    * LANGUAGE-sized bounds table broadcast back over one corpus
+    * scan. Two scans by the stats-join-back class (multi-scan budget
+    * 2, like neardup_probe). */
+  def lengthOutliers(spark: SparkSession, dir: String,
+      pLo: Double = 0.02, pHi: Double = 0.98): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val bounds = docs.groupBy(col("lang"))
+      .agg(percentile(col("n_chars"), lit(pLo)).as("lo"),
+        percentile(col("n_chars"), lit(pHi)).as("hi"))
+    docs.join(broadcast(bounds), Seq("lang"))
+      .withColumn("keep",
+        col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("lo"), col("hi"), col("keep"))
+      .orderBy("doc_id")
+  }
+
   def zipfSpectrum(spark: SparkSession, dir: String): DataFrame = {
     // Spectrum over word BIGRAMS, not unigrams: the bigram vocabulary
     // is large enough to spread document frequencies across the full

@@ -277,6 +277,14 @@ object ScaleStress {
       "word_rarity" -> (d => m(QualitySignals.wordRarity(spark, d))),
       "dedup_groups" -> (d => {
         Dedup.clearPairsMemo(); m(Dedup.dedupGroups(spark, d)) }),
+      // X76: dedup_groups' component machinery + the manifest agg —
+      // cold pair cache per run, same accounting as dedup_groups
+      "dedup_canonical" -> (d => {
+        Dedup.clearPairsMemo(); m(Dedup.dedupCanonical(spark, d)) }),
+      // X77: per-lang exact percentile (lang-sized stats) + one
+      // broadcast verdict pass — the stats-join-back class
+      "length_outliers" ->
+        (d => m(QualitySignals.lengthOutliers(spark, d))),
       // X72: dedup_groups' component machinery + the split projection
       "leakage_safe_split" -> (d => {
         Dedup.clearPairsMemo()

@@ -32,6 +32,57 @@ class OpsPropsSpec extends AnyFunSuite {
     assert(topk.toSeq == all.take(25).toSeq)
   }
 
+  test("property: dedup_canonical is a complete, consistent corpus manifest (X76)") {
+    import spark.implicits._
+    val manifest = Dedup.dedupCanonical(spark, dir)
+      .select("group_id", "canonical_doc", "n_members", "sum_chars")
+      .as[(Long, Long, Long, Long)].collect()
+    val docs = graft.util.Tables.t(spark, dir, "documents")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+    // complete: every doc in exactly one group
+    assert(manifest.map(_._3).sum == docs.length)
+    assert(manifest.map(_._4).sum == docs.map(_._2).sum)
+    // canonical == group label == min member (labels are min-ids)
+    manifest.foreach { case (g, c, _, _) => assert(c == g) }
+    // consistent with dedup_groups: same group sizes
+    val grpSizes = Dedup.dedupGroups(spark, dir)
+      .select("group_id", "grp_size").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (g, rs) => g -> rs.head._2 }
+    grpSizes.foreach { case (g, size) =>
+      val row = manifest.find(_._1 == g)
+      assert(row.exists(_._3 == size),
+        s"group $g: manifest ${row.map(_._3)} vs dedup_groups $size")
+    }
+    assert(manifest.exists(_._3 > 1), "some multi-member group must exist")
+  }
+
+  test("property: length_outliers bounds match a driver-side interpolated percentile (X77)") {
+    import spark.implicits._
+    val got = QualitySignals.lengthOutliers(spark, dir)
+      .select("doc_id", "lang", "n_chars", "lo", "hi", "keep")
+      .as[(Long, String, Long, Double, Double, Boolean)].collect()
+    val byLang = graft.util.Tables.t(spark, dir, "documents")
+      .select("lang", "n_chars").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    // Spark Percentile's exact association: lo·(1−f) + hi·f (a
+    // different-but-equal formula differs in the last ulp)
+    def pct(v: IndexedSeq[Long], p: Double): Double = {
+      val r = p * (v.length - 1)
+      val i = r.toInt
+      if (i + 1 >= v.length) v(i).toDouble
+      else v(i) * (1.0 - (r - i)) + v(i + 1) * (r - i)
+    }
+    got.foreach { case (id, lang, n, lo, hi, keep) =>
+      val v = byLang(lang)
+      assert(lo == pct(v, 0.02) && hi == pct(v, 0.98),
+        s"doc $id ($lang): bounds ($lo,$hi) vs driver " +
+          s"(${pct(v, 0.02)},${pct(v, 0.98)})")
+      assert(keep == (n >= lo && n <= hi))
+    }
+    assert(got.exists(!_._6), "some outlier must be flagged")
+    assert(got.count(_._6) > got.length / 2, "most docs must be kept")
+  }
+
   test("property: clean_corpus ⊆ quality survivors ⊆ all docs") {
     import spark.implicits._
     val cleaned = TextAnalysis.cleanCorpus(spark, dir)

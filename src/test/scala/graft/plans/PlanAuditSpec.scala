@@ -169,6 +169,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "csv_roundtrip" -> 2,
     "cube_orders" -> 2,
     "decontaminate" -> 3,
+    // X76: corpus-label left join + group agg + output sort on top of
+    // the pair-label rounds (which run at construction)
+    "dedup_canonical" -> 5,
     "dedup_exact" -> 2,
     "dedup_groups" -> 3,
     "dedup_keep_latest" -> 2,
@@ -210,6 +213,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "json_functions" -> 2,
     "json_roundtrip" -> 2,
     "kmv_distinct" -> 5,
+    // X77: per-lang exact-percentile agg + verdict join + output sort
+    "length_outliers" -> 2,
     // X73: (source, lang) partial→final agg + output sort (scoring is
     // per-row against the broadcast marker profile)
     "lang_mismatch" -> 2,
@@ -389,7 +394,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "decontaminate" -> 2, "fk_violations" -> 2,
     // X75: the corpus feeds both the bucket-stats aggregate and the
     // selection pass — same stats-join-back class as neardup_probe
-    "token_budget_mix" -> 2)
+    "token_budget_mix" -> 2,
+    // X77: the same stats-join-back class (percentile bounds + verdict
+    // pass)
+    "length_outliers" -> 2)
 
   test("data-scaled tables are not re-scanned beyond the pinned multi-scan budgets") {
     val scanRe = "file:[^,\\]]*?([a-z_0-9]+)\\.(?:parquet|csv|csv\\.gz)".r
