@@ -559,4 +559,67 @@ object Reshape {
       .filter(col("coin") < col("keep_p"))
       .orderBy("doc_id")
   }
+
+  /** X78 — TEMPERATURE-SMOOTHED source mixture (the mT5-style
+    * α-sampling recipe, α = 1/2): derive per-source sampling rates
+    * from the corpus's OWN token distribution — target share
+    * q_i ∝ p_i^α — instead of a hand-written rate table
+    * ([[domainMixSample]]) or absolute budgets ([[tokenBudgetMix]]).
+    * α < 1 flattens the mixture: head sources are down-sampled, tail
+    * sources (low-resource languages, small curated sets) retained up
+    * to fully — the published balancing move for multilingual /
+    * multi-source mixes when the tail should be boosted without
+    * hand-tuning twenty knobs. The overall volume target is covariant
+    * with the corpus (targetNum/targetDen of total tokens, default
+    * 2/5), so the same operator call is meaningful at every scale.
+    *
+    * Exactness: α = 1/2 is floor(sqrt(T_i)) — IEEE-754 sqrt is
+    * CORRECTLY ROUNDED (unlike pow), so it is bit-identical across
+    * engines; everything else is int64 (the rate is DEFINED by the
+    * factorized floor-division chain below, so the oracle replays it
+    * digit-for-digit; magnitudes stay inside int64 up to ~9×10^12
+    * corpus tokens, past which the 20-row derivation widens to
+    * decimal). Membership is the content-derived md5 coin against the
+    * ppm rate — deterministic on every run, engine, and retry.
+    *
+    * Scale shape: ONE map-side-combined agg to source-sized token
+    * totals; the rate derivation runs on the driver over that
+    * constant-bounded relation (≤ |source domain| rows — the codebook
+    * convention); rates broadcast back over one corpus pass with a
+    * per-row coin — the stats-join-back class ([[QualitySignals
+    * .lengthOutliers]], neardup_probe). No corpus shuffle beyond the
+    * partial+final agg. */
+  def temperatureMix(spark: SparkSession, dir: String,
+      targetNum: Long = 2L, targetDen: Long = 5L): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(graft.ops.TextAnalysis.tokens(col("text")))
+          .cast("long").as("n_tok"))
+    // source-sized stats: constant-bounded collect (source domain),
+    // same convention as the IVF codebooks / dt lists
+    val st = docs.groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("src_tok"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val sI = st.map { case (_, tk) => math.floor(math.sqrt(tk.toDouble)).toLong }
+    val totTok = st.map(_._2).sum
+    val sSum = sI.sum
+    // N = floor(tot·num/den); a = floor(N·10^6 / Σ s_j);
+    // r_i = min(10^6, floor(a·s_i / T_i)) — all int64 floor divisions
+    val a = (totTok * targetNum / targetDen) * 1000000L / sSum
+    val rates = st.zip(sI).map { case ((src, tk), s) =>
+      (src, if (tk == 0L) 0L else math.min(1000000L, a * s / tk))
+    }
+    val ratesDf = spark.createDataFrame(rates.toSeq)
+      .toDF("source", "rate_ppm")
+    docs
+      .join(broadcast(ratesDf), Seq("source"))
+      .withColumn("coin",
+        graft.util.Tables.md5Bucket("tmix:", col("doc_id"), 1000000))
+      .filter(col("coin") < col("rate_ppm"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("rate_ppm"))
+      .orderBy("doc_id")
+  }
 }
