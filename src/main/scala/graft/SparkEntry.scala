@@ -1239,6 +1239,36 @@ object SparkEntry {
       FROM s WHERE bucket < rate ORDER BY doc_id"""
     }),
 
+    // X78 — temperature-smoothed source mixture (α = 1/2): rates are
+    // DERIVED from the corpus's token distribution via floor(sqrt)
+    // (IEEE sqrt is correctly rounded — bit-identical cross-engine)
+    // and an int64 floor-division chain the oracle replays verbatim.
+    "temperature_mix" -> Q(
+      (s, d) => Reshape.temperatureMix(s, d), Some("""
+      WITH tok AS (SELECT doc_id, source,
+          CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '')) AS BIGINT) AS n_tok
+        FROM documents),
+      st AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tok,
+          CAST(floor(sqrt(CAST(sum(n_tok) AS DOUBLE))) AS BIGINT) AS s_i
+        FROM tok GROUP BY 1),
+      g AS (SELECT CAST(sum(src_tok) AS BIGINT) AS tot_tok,
+          CAST(sum(s_i) AS BIGINT) AS s_sum FROM st),
+      r AS (SELECT st.source,
+          CASE WHEN st.src_tok = 0 THEN 0
+            ELSE least(1000000,
+              (((g.tot_tok * 2 // 5) * 1000000 // g.s_sum) * st.s_i)
+                // st.src_tok)
+          END AS rate_ppm
+        FROM st, g)
+      SELECT t.doc_id, t.source, t.n_tok,
+        CAST(r.rate_ppm AS BIGINT) AS rate_ppm
+      FROM tok t JOIN r USING (source)
+      WHERE CAST(('0x' || substring(md5('tmix:' ||
+          CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+        < r.rate_ppm
+      ORDER BY t.doc_id""")),
+
     // X75 — token-budget domain mix: per-source greedy selection in
     // md5-coin order until the TOKEN budget fills (crossing doc
     // included). The engine runs the two-phase bucketed form (no
@@ -2373,6 +2403,36 @@ object SparkEntry {
       SELECT l.doc_id, l.group_id, s.grp_size
       FROM lbl l JOIN sz s USING (group_id)
       ORDER BY l.doc_id""")),
+
+    // X79 — cross-source near-dup overlap matrix: unordered source
+    // pairs normalized lo ≤ hi; the pairs CTE is the proven LSH
+    // replay (no components needed — cells aggregate raw pairs).
+    "source_overlap_matrix" -> Q(
+      (s, d) => Dedup.sourceOverlapMatrix(s, d), Some("""
+      WITH tok AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM tok WHERE len(w) >= 3),
+      sig AS (SELECT doc_id, b.band,
+          min(md5(b.band || ':' || shingle)) AS sig
+        FROM sh, (SELECT unnest(range(0, 8)) AS band) b GROUP BY 1, 2),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 4),
+      m AS (SELECT doc_id, source, n_chars FROM documents),
+      e AS (SELECT least(a.source, b.source) AS source_lo,
+          greatest(a.source, b.source) AS source_hi,
+          a.n_chars + b.n_chars AS ch
+        FROM pairs p JOIN m a ON p.doc_a = a.doc_id
+          JOIN m b ON p.doc_b = b.doc_id)
+      SELECT source_lo, source_hi, count(*) AS n_pairs,
+        CAST(sum(ch) AS BIGINT) AS pair_chars
+      FROM e GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // X76 — canonical consolidation per near-dup group (keeper +
     // provenance + singleton rows). Components replay via the proven

@@ -799,6 +799,46 @@ object Dedup {
       .orderBy("group_id")
   }
 
+  /** X79 — CROSS-SOURCE near-dup overlap matrix: for every unordered
+    * source pair, how many near-duplicate doc pairs straddle it and
+    * how much character mass they carry — the "who is contaminating
+    * whom" rollup a multi-source crawl pipeline routes on (a source
+    * whose rows mostly duplicate another source gets demoted or
+    * dropped WHOLESALE, which per-doc dedup verdicts can't tell you).
+    * The diagonal (source paired with itself) is within-source
+    * duplication — retained, it's the self-redundancy baseline the
+    * off-diagonal cells are judged against. Source pairs are
+    * normalized to (lo ≤ hi) by string order so each unordered pair
+    * is one cell.
+    *
+    * Scale shape: the pair stream is [[nearDupPairsCached]]'s
+    * (checkpointed once per session — pair-participant-sized, ≪
+    * corpus); source/char lookup is two keyed joins of that pair
+    * stream against a 3-column corpus projection (pair side ≪ corpus
+    * → AQE broadcasts the pairs, the corpus never shuffles), then one
+    * agg onto a |sources|²-bounded cell relation. Output is tiny at
+    * any corpus size. */
+  def sourceOverlapMatrix(spark: SparkSession, dir: String,
+      nBands: Int = 8, minBands: Int = 4): DataFrame = {
+    val pairs = nearDupPairsCached(spark, dir, nBands, minBands)
+      .select(col("doc_a"), col("doc_b"))
+    val meta = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val enriched = pairs
+      .join(meta.select(col("doc_id").as("doc_a"),
+        col("source").as("src_a"), col("n_chars").as("ch_a")), Seq("doc_a"))
+      .join(meta.select(col("doc_id").as("doc_b"),
+        col("source").as("src_b"), col("n_chars").as("ch_b")), Seq("doc_b"))
+    enriched
+      .withColumn("source_lo", least(col("src_a"), col("src_b")))
+      .withColumn("source_hi", greatest(col("src_a"), col("src_b")))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("ch_a") + col("ch_b")).as("pair_chars"))
+      .orderBy("source_lo", "source_hi")
+  }
+
   /** Min-label connected components over an undirected (doc_a, doc_b)
     * pair set — the iterative-propagation core of [[dedupGroups]],
     * shared with the corpus-pipeline's near-dup-group stage. Returns

@@ -285,6 +285,14 @@ object ScaleStress {
       // broadcast verdict pass — the stats-join-back class
       "length_outliers" ->
         (d => m(QualitySignals.lengthOutliers(spark, d))),
+      // X78: one source-sized agg (construction) + broadcast rates +
+      // per-row coin — growth should be scan-bound
+      "temperature_mix" ->
+        (d => m(graft.ops.Reshape.temperatureMix(spark, d))),
+      // X79: pair-stream cell rollup — cold pair cache per run, same
+      // accounting as dedup_groups/dedup_canonical
+      "source_overlap_matrix" -> (d => {
+        Dedup.clearPairsMemo(); m(Dedup.sourceOverlapMatrix(spark, d)) }),
       // X72: dedup_groups' component machinery + the split projection
       "leakage_safe_split" -> (d => {
         Dedup.clearPairsMemo()

@@ -94,4 +94,30 @@ class HostileDocsSpec extends AnyFunSuite {
       .select("n_docs").as[Long].collect().sum
     assert(ts == 8L, s"train_split counted $ts docs, expected 8")
   }
+
+  test("manifest and mixture operators stay exact on the hostile corpus") {
+    import spark.implicits._
+    // X77: every doc gets a verdict — the single-doc zh stratum and
+    // the 0-char null doc must not drop out of the percentile join
+    val lo = checkPerDoc("length_outliers",
+      QualitySignals.lengthOutliers(spark, dir))
+    assert(lo.size == 8, s"length_outliers emitted ${lo.size}/8 docs")
+    // X78: the all-null/empty source derives rate 0 (not a crash on a
+    // zero-token source), so docs 1-2 are dropped; kept ids unique ⊆
+    val tm = checkPerDoc("temperature_mix",
+      Reshape.temperatureMix(spark, dir))
+    assert(!tm.contains(1L) && !tm.contains(2L),
+      "zero-token source must sample at rate 0")
+    // X76: the manifest stays a complete partition of the corpus
+    val members = Dedup.dedupCanonical(spark, dir)
+      .select("n_members").as[Long].collect()
+    assert(members.sum == 8L, s"manifest covers ${members.sum}/8 docs")
+    // X79: the only near-dup pair is the planted (7, 8) within src3 —
+    // the matrix is exactly its one diagonal cell
+    val cells = Dedup.sourceOverlapMatrix(spark, dir)
+      .select("source_lo", "source_hi", "n_pairs", "pair_chars")
+      .as[(String, String, Long, Long)].collect()
+    assert(cells.toSeq == Seq(("src3", "src3", 1L, 112L)),
+      s"unexpected overlap cells: ${cells.mkString(", ")}")
+  }
 }

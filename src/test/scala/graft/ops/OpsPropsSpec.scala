@@ -83,6 +83,36 @@ class OpsPropsSpec extends AnyFunSuite {
     assert(got.count(_._6) > got.length / 2, "most docs must be kept")
   }
 
+  test("property: source_overlap_matrix cells re-aggregate the pair stream exactly (X79)") {
+    import spark.implicits._
+    val cells = Dedup.sourceOverlapMatrix(spark, dir)
+      .select("source_lo", "source_hi", "n_pairs", "pair_chars")
+      .as[(String, String, Long, Long)].collect()
+    val meta = graft.util.Tables.t(spark, dir, "documents")
+      .select("doc_id", "source", "n_chars")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val pairs = Dedup.nearDupPairsCached(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "corpus must carry near-dup pairs")
+    // driver-side re-aggregation over the same pair stream
+    val expect = pairs.groupBy { case (a, b) =>
+      val (sa, sb) = (meta(a)._1, meta(b)._1)
+      if (sa <= sb) (sa, sb) else (sb, sa)
+    }.map { case (k, ps) =>
+      (k._1, k._2, ps.length.toLong,
+        ps.map { case (a, b) => meta(a)._2 + meta(b)._2 }.sum)
+    }.toSet
+    assert(cells.toSet == expect)
+    // normalization: every cell is lo ≤ hi; totals conserve the stream
+    cells.foreach { case (lo, hi, _, _) => assert(lo <= hi) }
+    assert(cells.map(_._3).sum == pairs.length.toLong)
+    // the corpus's planted twins land in BOTH diagonal and
+    // cross-source cells, or the matrix isn't exercising the contrast
+    assert(cells.exists(c => c._1 == c._2), "diagonal cell expected")
+    assert(cells.exists(c => c._1 != c._2), "cross-source cell expected")
+  }
+
   test("property: clean_corpus ⊆ quality survivors ⊆ all docs") {
     import spark.implicits._
     val cleaned = TextAnalysis.cleanCorpus(spark, dir)

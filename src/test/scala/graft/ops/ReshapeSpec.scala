@@ -338,4 +338,72 @@ class ReshapeSpec extends AnyFunSuite {
       assert(s == expect)
     }
   }
+
+  test("temperature_mix == the alpha=1/2 integer rate derivation; rates flatten the mixture (X78)") {
+    import spark.implicits._
+    val got = Reshape.temperatureMix(spark, dir)
+      .select("doc_id", "source", "n_tok", "rate_ppm")
+      .as[(Long, String, Long, Long)].collect()
+    def coin(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"tmix:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"$b%02x").mkString, 16) % 1000000
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+      .map { case (id, src, text) =>
+        (id, src,
+          text.toLowerCase.split("\\s+").count(_.nonEmpty).toLong) }
+    val bySrc = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val tot = bySrc.values.sum
+    val sI = bySrc.map { case (s, t) =>
+      s -> math.floor(math.sqrt(t.toDouble)).toLong }
+    val a = (tot * 2 / 5) * 1000000L / sI.values.sum
+    val rates = bySrc.map { case (s, t) =>
+      s -> (if (t == 0) 0L else math.min(1000000L, a * sI(s) / t)) }
+    val expected = docs.collect {
+      case (id, src, n) if coin(id) < rates(src) =>
+        (id, src, n, rates(src)) }.toSet
+    assert(got.toSet == expected)
+    // temperature property (alpha < 1 flattens): the LIGHTEST source
+    // samples at a strictly higher rate than the HEAVIEST (pairwise
+    // monotonicity is NOT promised — floor(sqrt(t))/t inverts near
+    // square boundaries for near-equal masses, measured 1 inversion
+    // on this corpus — but the head/tail contrast is the semantics)
+    val byMass = bySrc.toSeq.sortBy(_._2)
+    assert(rates(byMass.head._1) > rates(byMass.last._1),
+      "lightest source must sample at a higher rate than the heaviest")
+    assert(rates.values.toSet.size > 1, "rates must differ across sources")
+  }
+
+  test("temperature_mix clamps tail sources to full retention on a skewed corpus (X78)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-tmix").toString
+    // head: 200 docs x 64 tokens; tail: 4 docs x 8 tokens — skewed
+    // enough that the tail's smoothed share clamps at keep-everything
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(64)(s"w$i").mkString(" "), "en", "head", 64L)
+    } ++ (200 until 204).map { i =>
+      (i.toLong, Seq.fill(8)(s"t$i").mkString(" "), "en", "tail", 8L)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$tmp/documents.parquet")
+    val got = Reshape.temperatureMix(spark, tmp)
+      .select("source", "rate_ppm").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(got("tail") == 1000000L,
+      s"tail source must clamp to full retention, got ${got("tail")}")
+    assert(got.get("head").forall(_ < 1000000L),
+      s"head source must be down-sampled, got ${got.get("head")}")
+    // flattening: the tail's share of EXPECTED kept tokens exceeds its
+    // input share (8·4 / (8·4+64·200) ≈ 0.25%; kept: full tail vs
+    // down-sampled head)
+    val headRate = got("head").toDouble / 1000000.0
+    val inShare = 32.0 / (32 + 12800)
+    val outShare = 32.0 / (32 + 12800 * headRate)
+    assert(outShare > inShare)
+  }
 }

@@ -281,11 +281,18 @@ class PlanAuditSpec extends AnyFunSuite {
     "skew_join" -> 2,
     "sliding_window" -> 2,
     "snapshot_diff" -> 3,
+    // X79: source-pair cell agg + output sort (pair stream is the
+    // session checkpoint; both meta joins broadcast the pair side)
+    "source_overlap_matrix" -> 2,
     "span_scrub" -> 3,
     "sql_native_dot" -> 1,
     "table_profile" -> 2,
     "table_profile_approx" -> 3,
     "take_stratified" -> 2,
+    // X78: output sort only — the rate derivation is a construction-
+    // time agg over the source domain (codebook convention), rates a
+    // broadcast join
+    "temperature_mix" -> 1,
     "text_quality" -> 1,
     "tfidf_top_terms" -> 6,
     // X75: phase-1 (source, bucket) agg + its bounded running-sum
@@ -397,7 +404,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "token_budget_mix" -> 2,
     // X77: the same stats-join-back class (percentile bounds + verdict
     // pass)
-    "length_outliers" -> 2)
+    "length_outliers" -> 2,
+    // X79: the pair stream joins the slim corpus projection once per
+    // side (checkpointed pairs never rescan)
+    "source_overlap_matrix" -> 2)
 
   test("data-scaled tables are not re-scanned beyond the pinned multi-scan budgets") {
     val scanRe = "file:[^,\\]]*?([a-z_0-9]+)\\.(?:parquet|csv|csv\\.gz)".r
