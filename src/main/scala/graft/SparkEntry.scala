@@ -2738,6 +2738,43 @@ object SparkEntry {
           AS DOUBLE) / count(*) >= 0.0 AS keep
       FROM wt GROUP BY doc_id ORDER BY doc_id""")),
 
+    // X80 — per-source top-q% by classifier margin. The engine runs
+    // the two-phase (source, margin-bucket) rank decomposition; the
+    // oracle replays the NAIVE one-window rank — same integers, so
+    // the decomposition's equality is gate-checked every run.
+    "quality_calibrated" -> Q(
+      (s, d) => QualitySignals.qualityCalibrated(s, d), Some("""
+      WITH tok AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      g AS (
+        SELECT doc_id, unnest(w) AS g FROM tok
+        UNION ALL
+        SELECT doc_id, unnest(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS g
+        FROM tok WHERE len(w) >= 2),
+      wt AS (SELECT doc_id,
+          (CAST(('0x' || substring(md5('qw:' || CAST(
+              CAST(('0x' || substring(md5('qf:' || g), 1, 8)) AS BIGINT)
+                % 1024 AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000)
+            / 1000.0 AS wgt
+        FROM g),
+      sc AS (SELECT doc_id,
+          CAST(CAST(sum(CAST(wgt AS DECIMAL(30,8))) AS VARCHAR)
+            AS DOUBLE) / count(*) AS margin
+        FROM wt GROUP BY doc_id),
+      j AS (SELECT s.doc_id, d.source, s.margin
+        FROM sc s JOIN documents d USING (doc_id)),
+      r AS (SELECT doc_id, source, margin,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY margin DESC, doc_id) AS BIGINT) AS src_rank,
+          count(*) OVER (PARTITION BY source) AS n_scored
+        FROM j)
+      SELECT doc_id, source, margin, src_rank
+      FROM r WHERE src_rank <= (n_scored * 60 + 99) // 100
+      ORDER BY doc_id""")),
+
     // X74 — quality-weighted sampling: keep probability clamp(0.5 +
     // X68 margin, 0, 1) against the md5 coin — every arithmetic step
     // (decimal margin, double add, least/greatest clamp, /1e6) is

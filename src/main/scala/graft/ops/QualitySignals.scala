@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Tables.{t, fanOut}
 
@@ -242,6 +243,70 @@ object QualitySignals {
         col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
       .select(col("doc_id"), col("lang"), col("n_chars"),
         col("lo"), col("hi"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** X80 — PERCENTILE-CALIBRATED quality filter: keep the top
+    * `keepPct`% of each SOURCE by the X68 classifier margin — the
+    * published per-stratum calibration move (a single global margin
+    * cliff keeps whatever the head source looks like and guts the
+    * tail; ranking within each source keeps its best q% regardless of
+    * where its margin mass sits). RANK-based, not value-interpolated:
+    * the quota is the integer ceil(n·q) and membership is a pure
+    * ordering question on the (margin, doc_id) key, so the whole
+    * verdict is exact — no percentile interpolation of doubles to
+    * replay cross-engine (the margin itself is the decimal-accumulated
+    * X68 value, already bit-exact).
+    *
+    * Scale design: NOT one row_number window per source (a 100 TB
+    * source = one sort reducer). Phase 1 aggregates doc counts per
+    * (source, margin-bucket) — mb = floor(margin·1000), a ≤
+    * |sources|·2001-row relation — whose running count is each
+    * bucket's global rank OFFSET (window over the bounded stats
+    * relation only). Phase 2 joins the offsets + quotas back
+    * (broadcast), PRUNES buckets whose offset already meets the quota
+    * (provably verdict-free: every member's rank ≥ offset ≥ quota),
+    * and ranks within (source, mb) partitions — each ≤ 1/2001 of a
+    * source. mb is monotone in margin, so offset + within-bucket rank
+    * IS the global per-source rank; the oracle replays the NAIVE
+    * one-window form, gate-checking the decomposition every run (the
+    * [[graft.ops.Reshape.tokenBudgetMix]] pattern). */
+  def qualityCalibrated(spark: SparkSession, dir: String,
+      keepPct: Int = 60): DataFrame = {
+    // the scored relation feeds BOTH the phase-1 stats and the phase-2
+    // rank pass; checkpoint it (doc-id-sized) so the scorer's feature
+    // fan-out runs once, not once per reference (memoized per session
+    // — the word_rarity freq idiom)
+    val base = graft.util.CkptMemo.of(spark, "qcal_base", dir) {
+      val scored = qualityScore(spark, dir)
+        .select(col("doc_id"), col("margin"))
+      t(spark, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .join(scored, Seq("doc_id"))
+        .withColumn("mb", floor(col("margin") * 1000).cast("long"))
+        .localCheckpoint()
+    }
+    val wB = Window.partitionBy(col("source")).orderBy(col("mb").desc)
+    val stats = base.groupBy(col("source"), col("mb"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("offset",
+        coalesce(sum(col("bn")).over(
+          wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_scored",
+        sum(col("bn")).over(Window.partitionBy(col("source"))))
+      .withColumn("quota",
+        expr(s"(n_scored * $keepPct + 99) div 100"))
+      .select(col("source"), col("mb"), col("offset"), col("quota"))
+    val wIn = Window.partitionBy(col("source"), col("mb"))
+      .orderBy(col("margin").desc, col("doc_id"))
+    base
+      .join(broadcast(stats), Seq("source", "mb"))
+      .filter(col("offset") < col("quota"))
+      .withColumn("src_rank",
+        col("offset") + row_number().over(wIn).cast("long"))
+      .filter(col("src_rank") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("margin"),
+        col("src_rank"))
       .orderBy("doc_id")
   }
 

@@ -289,6 +289,11 @@ object ScaleStress {
       // per-row coin — growth should be scan-bound
       "temperature_mix" ->
         (d => m(graft.ops.Reshape.temperatureMix(spark, d))),
+      // X80: scorer fan-out into the checkpointed base + bounded-
+      // relation rank windows; cold checkpoint per timed run
+      "quality_calibrated" -> (d => {
+        graft.util.CkptMemo.clear()
+        m(QualitySignals.qualityCalibrated(spark, d)) }),
       // X79: pair-stream cell rollup — cold pair cache per run, same
       // accounting as dedup_groups/dedup_canonical
       "source_overlap_matrix" -> (d => {

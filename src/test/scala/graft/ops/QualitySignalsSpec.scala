@@ -92,4 +92,45 @@ class QualitySignalsSpec extends AnyFunSuite {
     if (none.nonEmpty && rich._1 > 0)
       assert(rich._2 > none.sorted.apply(none.size / 2))
   }
+
+  test("quality_calibrated == the naive per-source margin rank (X80)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = QualitySignals.qualityCalibrated(spark, dir)
+      .select("doc_id", "source", "margin", "src_rank")
+      .as[(Long, String, Double, Long)].collect()
+    // independent naive form: one full sort per source, ceil quota
+    val scored = QualitySignals.qualityScore(spark, dir)
+      .select("doc_id", "margin").as[(Long, Double)].collect().toMap
+    val srcOf = graft.util.Tables.t(spark, dir, "documents")
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    val expected = scored.toSeq
+      .map { case (id, m) => (id, srcOf(id), m) }
+      .groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+        val quota = (ds.size * 60 + 99) / 100
+        ds.sortBy { case (id, _, m) => (-m, id) }
+          .zipWithIndex.take(quota)
+          .map { case ((id, s, m), i) => (id, s, m, (i + 1).toLong) }
+      }.toSet
+    assert(got.toSet == expected)
+    // calibration property: EVERY source keeps its quota (a global
+    // cliff would skew keeps toward whichever source's margins run
+    // high — per-source ranking cannot)
+    val keptBySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+    val scoredBySrc = scored.keys.groupBy(srcOf).view
+      .mapValues(_.size).toMap
+    scoredBySrc.foreach { case (src, n) =>
+      assert(keptBySrc.getOrElse(src, 0) == (n * 60 + 99) / 100,
+        s"$src kept ${keptBySrc.getOrElse(src, 0)} of $n")
+    }
+    // non-vacuity: someone below the global keep line is kept, and
+    // someone above it is dropped (the per-stratum point)
+    val allMargins = scored.values.toSeq.sorted(Ordering[Double].reverse)
+    val globalCut = allMargins((allMargins.size * 60 + 99) / 100 - 1)
+    val keptIds = got.map(_._1).toSet
+    assert(scored.exists { case (id, m) =>
+      m < globalCut && keptIds.contains(id) })
+    assert(scored.exists { case (id, m) =>
+      m > globalCut && !keptIds.contains(id) })
+  }
 }

@@ -254,6 +254,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q7_volume_shipping" -> 2,
     "q8_market_share" -> 2,
     "q9_nation_brand" -> 2,
+    // X80: over the scored checkpoint — phase-1 (source, mb) agg, its
+    // source-window repartition (bounded stats relation), the phase-2
+    // (source, mb) rank window, output sort
+    "quality_calibrated" -> 4,
     "quality_score" -> 2,
     "range_join" -> 3,
     "read_at_version" -> 1,
