@@ -33,6 +33,21 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Embedding rows admissible for cosine scoring: non-null,
+    * non-empty, finite, with a nonzero component (⇔ norm > 0). Under
+    * ANSI SQL (the session default) a SINGLE all-zero row turns every
+    * norm division into a job-killing DIVIDE_BY_ZERO at corpus scale,
+    * and a NaN component poisons score comparisons (Spark orders NaN
+    * above every real, so a NaN cosine would "clear" any threshold).
+    * Degenerate rows carry no direction, so every scoring operator
+    * EXCLUDES them at the read (pinned by HostileEmbeddingsSpec);
+    * inspection operators (quantize, stats) keep them. The oracle
+    * corpora contain none, so gate semantics are unchanged. */
+  private[graft] def scorableEmb(df: DataFrame): DataFrame =
+    df.where(col("embedding").isNotNull &&
+      exists(col("embedding"), x => x =!= lit(0.0f)) &&
+      !exists(col("embedding"), x => isnan(x)))
+
   /** X4 — brute-force cosine top-k: the correctness baseline.
     *
     * Scale design: the query set is small and BROADCAST (size-bounded by
@@ -44,7 +59,7 @@ object Similarity {
   def cosineTopK(spark: SparkSession, dir: String, k: Int = 10,
       nQueries: Int = 8,
       candidatePred: Column = lit(true)): DataFrame = {
-    val emb = fanOut(t(spark, dir, "embeddings"))
+    val emb = fanOut(scorableEmb(t(spark, dir, "embeddings")))
     // Norms are precomputed per ROW before the pair join — computing
     // them inside `cosine` would redo both 64-element folds once per
     // (query, candidate) pair, tripling the scoring work. Same
@@ -140,7 +155,7 @@ object Similarity {
     * form collapsed them with first(). */
   def lshCandidates(spark: SparkSession, dir: String, nBits: Int = 8,
       nTables: Int = 8): DataFrame = {
-    val emb = fanOut(t(spark, dir, "embeddings"))
+    val emb = fanOut(scorableEmb(t(spark, dir, "embeddings")))
       .select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
     // (table, bucket, vec_id): one row per vector per hash table. All
@@ -221,7 +236,7 @@ object Similarity {
     val probes = slice(
       array_sort(array(cellDotStructs(cells, col("q_emb")): _*)),
       lit(cells.size - probeN + 1), lit(probeN))
-    val emb = fanOut(t(spark, dir, "embeddings"))
+    val emb = fanOut(scorableEmb(t(spark, dir, "embeddings")))
       .select(col("vec_id"), col("embedding"), col("label"),
         l2norm(col("embedding")).as("nrm"))
       .withColumn("cell", assignCell)
@@ -288,7 +303,9 @@ object Similarity {
     * only (the production contract: appends never move centroids). */
   def coarseCodebookFor(emb: DataFrame, maxCells: Int): DataFrame = {
     require(maxCells > 0, s"maxCells must be positive, got $maxCells")
-    emb
+    // degenerate rows (null/empty/zero/NaN) carry no direction and
+    // must not pull a centroid — same admission rule as scoring
+    scorableEmb(emb)
       .groupBy(pmod(col("label"), lit(maxCells)).cast("int").as("cell"))
       .agg(CentroidAgg.centroid(64)(col("embedding")).as("centroid"))
       .coalesce(1).sortWithinPartitions("cell")
@@ -344,7 +361,7 @@ object Similarity {
       // label rides along in the store: filtered probes prune on the
       // metadata INSIDE the index scan (real filtered-ANN indexes
       // carry their filterable attributes for exactly this reason)
-      fanOut(t(spark, dir, "embeddings"))
+      fanOut(scorableEmb(t(spark, dir, "embeddings")))
         .select(col("vec_id"), col("embedding"), col("label"),
           l2norm(col("embedding")).as("nrm"))
         .withColumn("cell", assignCell)
@@ -384,7 +401,7 @@ object Similarity {
     val probeN = math.min(nProbe, cells.size)
     // query batch with exact in-plan norms (one bounded job)
     val qs: Seq[(Long, Seq[Float], Double)] =
-      t(spark, dir, "embeddings").filter(col("vec_id") < nQueries)
+      scorableEmb(t(spark, dir, "embeddings")).filter(col("vec_id") < nQueries)
         .select(col("vec_id"), col("embedding"),
           l2norm(col("embedding")).as("nrm"))
         .as[(Long, Seq[Float], Double)].collect().toSeq
@@ -454,7 +471,7 @@ object Similarity {
     // never target different trees under an unexpected working dir
     graft.util.Scratch.deleteRecursive(
       java.nio.file.Paths.get(out).toAbsolutePath)
-    val all = t(spark, dir, "embeddings")
+    val all = scorableEmb(t(spark, dir, "embeddings"))
     val corpus = all.filter(pmod(col("vec_id"), lit(appendMod)) =!= 0)
     val incoming = all.filter(pmod(col("vec_id"), lit(appendMod)) === 0)
     coarseCodebookFor(corpus, maxCells).select("cell", "centroid")
@@ -578,7 +595,7 @@ object Similarity {
       pruneCells: Boolean = true): (DataFrame, PairPruneStats) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val emb = fanOut(corpus)
+    val emb = fanOut(scorableEmb(corpus))
       .select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
     val cells: Seq[(Int, Seq[Double])] =
@@ -726,7 +743,7 @@ object Similarity {
     val cells: Seq[(Int, Seq[Double])] =
       coarseCodebook(spark, dir, maxCells)
         .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSeq
-    val celled = fanOut(t(spark, dir, "embeddings"))
+    val celled = fanOut(scorableEmb(t(spark, dir, "embeddings")))
       .select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
       .withColumn("cell", argmaxCell(cells, col("embedding")))
@@ -823,7 +840,7 @@ object Similarity {
     val cells: Seq[(Int, Seq[Double])] =
       coarseCodebook(spark, dir, maxCells)
         .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSeq
-    val base = fanOut(t(spark, dir, "embeddings"))
+    val base = fanOut(scorableEmb(t(spark, dir, "embeddings")))
       .select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
       .withColumn("cells",
@@ -877,7 +894,7 @@ object Similarity {
     val cells: Seq[(Int, Seq[Double])] =
       coarseCodebook(spark, dir, maxCells)
         .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSeq
-    val celled = fanOut(t(spark, dir, "embeddings"))
+    val celled = fanOut(scorableEmb(t(spark, dir, "embeddings")))
       .select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
       .withColumn("cell", argmaxCell(cells, col("embedding")))
@@ -952,7 +969,7 @@ object Similarity {
     val cells: Seq[(Int, Seq[Double])] =
       coarseCodebook(spark, dir, maxCells)
         .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSeq
-    val base = fanOut(t(spark, dir, "embeddings"))
+    val base = fanOut(scorableEmb(t(spark, dir, "embeddings")))
       .join(survivors.select(col("vec_id")), Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
@@ -1004,7 +1021,7 @@ object Similarity {
       val cc = cf.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
       (id, cf, cc)
     }.toDF("cell", "centroid_f", "cc")
-    val celled = fanOut(t(spark, dir, "embeddings"))
+    val celled = fanOut(scorableEmb(t(spark, dir, "embeddings")))
       .select(col("vec_id"), col("embedding"))
       .withColumn("cell", argmaxCell(cells, col("embedding")))
     val scored = celled.join(broadcast(cellsDf), Seq("cell"))
@@ -1108,7 +1125,7 @@ object Similarity {
     val cells: Seq[(Int, Seq[Double])] =
       coarseCodebook(spark, dir, maxCells)
         .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSeq
-    val emb = fanOut(t(spark, dir, "embeddings"))
+    val emb = fanOut(scorableEmb(t(spark, dir, "embeddings")))
       .select(col("vec_id"), col("embedding"))
       .withColumn("is_eval",
         graft.util.Tables.md5Bucket("sdecon:", col("vec_id"), evalMod)
@@ -1164,7 +1181,7 @@ object Similarity {
     val cells: Seq[(Int, Seq[Double])] =
       coarseCodebook(spark, dir, maxCells)
         .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSeq
-    val emb = fanOut(t(spark, dir, "embeddings"))
+    val emb = fanOut(scorableEmb(t(spark, dir, "embeddings")))
     def listed(df: DataFrame, pre: String) = df
       .select(col("vec_id").as(s"${pre}id"),
         col("embedding").as(s"${pre}e"),
