@@ -43,10 +43,14 @@ object Similarity {
     * EXCLUDES them at the read (pinned by HostileEmbeddingsSpec);
     * inspection operators (quantize, stats) keep them. The oracle
     * corpora contain none, so gate semantics are unchanged. */
-  private[graft] def scorableEmb(df: DataFrame): DataFrame =
-    df.where(col("embedding").isNotNull &&
-      exists(col("embedding"), x => x =!= lit(0.0f)) &&
-      !exists(col("embedding"), x => isnan(x)))
+  private[graft] def scorableEmb(df: DataFrame): DataFrame = {
+    // one native codegen'd fold decides all four cases: null → null
+    // (filtered), empty/all-zero → 0, any-NaN → NaN (Spark orders NaN
+    // above every real, hence the explicit isnan leg; codegen CSE
+    // shares the fold between the two predicates)
+    val sq = dot(col("embedding"), col("embedding"))
+    df.where(sq > 0.0 && !isnan(sq))
+  }
 
   /** X4 — brute-force cosine top-k: the correctness baseline.
     *
