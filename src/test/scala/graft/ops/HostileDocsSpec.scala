@@ -95,6 +95,29 @@ class HostileDocsSpec extends AnyFunSuite {
     assert(ts == 8L, s"train_split counted $ts docs, expected 8")
   }
 
+  test("exact set-similarity joins survive and pair only the planted twins") {
+    import spark.implicits._
+    graft.util.CkptMemo.clear()
+    // docs 7/8 share 9 of 11 distinct 3-word shingles (J = 0.818):
+    // the ONLY pair either join may emit; null/empty/huge docs must
+    // pass through the shingle machinery without crashing or pairing
+    val jp = Dedup.jaccardPrefixJoin(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(jp == Set((7L, 8L)), s"jaccard pairs: $jp")
+    // containment is ASYMMETRIC (ordered pairs); both directions
+    // qualify here (9/10 = 0.9 each way)
+    val cj = Dedup.containmentJoin(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cj.subsetOf(Set((7L, 8L), (8L, 7L))), s"containment pairs: $cj")
+    val sh = Dedup.simhashPairs(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(sh.subsetOf(Set((7L, 8L))), s"simhash pairs: $sh")
+    val nj = Dedup.ngramJaccard(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(nj.subsetOf(Set((7L, 8L))), s"ngram-jaccard pairs: $nj")
+    graft.util.CkptMemo.clear()
+  }
+
   test("manifest and mixture operators stay exact on the hostile corpus") {
     import spark.implicits._
     // X77: every doc gets a verdict — the single-doc zh stratum and
