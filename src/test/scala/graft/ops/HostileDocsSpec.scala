@@ -131,6 +131,14 @@ class HostileDocsSpec extends AnyFunSuite {
       Reshape.temperatureMix(spark, dir))
     assert(!tm.contains(1L) && !tm.contains(2L),
       "zero-token source must sample at rate 0")
+    // X80: docs with no features (null/empty/whitespace text) are
+    // absent from the scorer on both engines; everyone else is ranked
+    graft.util.CkptMemo.clear()
+    val qc = checkPerDoc("quality_calibrated",
+      QualitySignals.qualityCalibrated(spark, dir))
+    assert(qc.nonEmpty && !qc.exists(Set(1L, 2L, 3L)),
+      s"quality_calibrated kept a feature-less doc: $qc")
+    graft.util.CkptMemo.clear()
     // X76: the manifest stays a complete partition of the corpus
     val members = Dedup.dedupCanonical(spark, dir)
       .select("n_members").as[Long].collect()
