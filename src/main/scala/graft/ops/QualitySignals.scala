@@ -272,15 +272,26 @@ object QualitySignals {
     * one-window form, gate-checking the decomposition every run (the
     * [[graft.ops.Reshape.tokenBudgetMix]] pattern). */
   def qualityCalibrated(spark: SparkSession, dir: String,
-      keepPct: Int = 60): DataFrame = {
+      keepPct: Int = 60): DataFrame =
+    qualityCalibratedOn(spark,
+      graft.util.Tables.fanOut(t(spark, dir, "documents")),
+      keepPct, "qcal_base", dir)
+
+  /** [[qualityCalibrated]] over an arbitrary (doc_id, source, text)
+    * corpus slice — the gate-probe build step ranks the CORPUS side
+    * only through this form. `memoKey` discriminates the checkpoint
+    * (the registered full-corpus query keeps its round-12 key). */
+  private[graft] def qualityCalibratedOn(spark: SparkSession,
+      docs: DataFrame, keepPct: Int, memoKey: Any*): DataFrame = {
     // the scored relation feeds BOTH the phase-1 stats and the phase-2
     // rank pass; checkpoint it (doc-id-sized) so the scorer's feature
     // fan-out runs once, not once per reference (memoized per session
     // — the word_rarity freq idiom)
-    val base = graft.util.CkptMemo.of(spark, "qcal_base", dir) {
-      val scored = qualityScore(spark, dir)
+    val base = graft.util.CkptMemo.of(spark, memoKey: _*) {
+      val scored = qualityScoreFor(
+          docs.select(col("doc_id"), col("text")))
         .select(col("doc_id"), col("margin"))
-      t(spark, dir, "documents")
+      docs
         .select(col("doc_id"), col("source"))
         .join(scored, Seq("doc_id"))
         .withColumn("mb", floor(col("margin") * 1000).cast("long"))
@@ -307,6 +318,101 @@ object QualitySignals {
       .filter(col("src_rank") <= col("quota"))
       .select(col("doc_id"), col("source"), col("margin"),
         col("src_rank"))
+      .orderBy("doc_id")
+  }
+
+  /** Build step of [[qualityGateProbe]]: derive the corpus-side
+    * admission statistics ONCE and persist them — per-language length
+    * bounds (the X77 relation), per-source margin cutoffs (min kept
+    * margin of the X80 rank), and the α = 1/2 temperature rates (the
+    * X78 derivation) — all computed over the CORPUS side only
+    * (`doc_id % batchMod ≠ 0`), never the batch, so the gate is the
+    * honest serving artifact: train-side statistics applied to unseen
+    * arrivals. Each relation is tiny (lang- or source-sized); the
+    * build's corpus scans happen once per (corpus, batchMod) and are
+    * `_SUCCESS`-gated like the LSH/set-sim indexes. */
+  def qualityGateBuildStats(spark: SparkSession, dir: String,
+      batchMod: Int = 7, keepPct: Int = 60): String = {
+    import graft.util.Tables
+    val out = s"target/graft_qgate/${Tables.pathTag(dir)}_" +
+      Tables.listingTag(spark, s"$dir/documents.parquet") +
+      s"_m${batchMod}_q$keepPct"
+    if (!Tables.successExists(spark, s"$out/bounds") ||
+        !Tables.successExists(spark, s"$out/cutoffs") ||
+        !Tables.successExists(spark, s"$out/rates")) {
+      val corpus = t(spark, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(batchMod)) =!= 0)
+      corpus.groupBy(col("lang"))
+        .agg(percentile(col("n_chars"), lit(0.02)).as("lo"),
+          percentile(col("n_chars"), lit(0.98)).as("hi"))
+        .write.mode("overwrite").parquet(s"$out/bounds")
+      qualityCalibratedOn(spark, fanOut(corpus), keepPct,
+          "qgate_base", dir, batchMod)
+        .groupBy(col("source"))
+        .agg(min(col("margin")).as("cutoff"))
+        .write.mode("overwrite").parquet(s"$out/cutoffs")
+      val bySrc = corpus
+        .select(col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy(col("source")).agg(sum(col("n_tok")).as("src_tok"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1)
+      spark.createDataFrame(Reshape.temperatureRates(bySrc.toSeq))
+        .toDF("source", "rate_ppm")
+        .write.mode("overwrite").parquet(s"$out/rates")
+    }
+    out
+  }
+
+  /** X81 — the composed ONLINE admission gate, the serving split of
+    * the round-12 quality family: an incoming batch (`doc_id %
+    * batchMod == 0`, the [[graft.ops.Dedup.neardupProbe]] convention)
+    * is gated against the PERSISTED corpus statistics — calibrated
+    * length bounds per language (X77), the per-source classifier-
+    * margin cutoff the X80 rank implies (margin ≥ min kept margin ⇔
+    * "would have ranked in the top q%"; batch ties at the cutoff are
+    * admitted — serving semantics), and the X78 temperature coin.
+    * Per-doc verdicts for all three legs plus the conjunction, the
+    * row a streaming ingest routes on.
+    *
+    * Scale shape: at probe time the plan touches the BATCH scan
+    * (partition-pruned filter on the corpus table), the batch-sized
+    * scorer fan-out, and three broadcast joins against lang/source-
+    * sized parquet stats — ZERO corpus-sized work; the corpus is
+    * consulted only at build, once per (corpus, batchMod). Batch docs
+    * with no features (empty text) take margin NULL → keep_quality
+    * false (no evidence is not admission); an unseen language or
+    * source likewise fails its leg closed. */
+  def qualityGateProbe(spark: SparkSession, dir: String,
+      batchMod: Int = 7): DataFrame = {
+    val idx = qualityGateBuildStats(spark, dir, batchMod)
+    val batch = t(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(batchMod)) === 0)
+    val scored = qualityScoreFor(
+        fanOut(batch).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("margin"))
+    batch.select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"))
+      .join(scored, Seq("doc_id"), "left")
+      .join(broadcast(spark.read.parquet(s"$idx/bounds")),
+        Seq("lang"), "left")
+      .join(broadcast(spark.read.parquet(s"$idx/cutoffs")),
+        Seq("source"), "left")
+      .join(broadcast(spark.read.parquet(s"$idx/rates")),
+        Seq("source"), "left")
+      .withColumn("keep_length", coalesce(
+        col("n_chars") >= col("lo") && col("n_chars") <= col("hi"),
+        lit(false)))
+      .withColumn("keep_quality",
+        coalesce(col("margin") >= col("cutoff"), lit(false)))
+      .withColumn("keep_sample", coalesce(
+        graft.util.Tables.md5Bucket("qgate:", col("doc_id"), 1000000)
+          < col("rate_ppm"), lit(false)))
+      .withColumn("admit",
+        col("keep_length") && col("keep_quality") && col("keep_sample"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("margin"), col("keep_length"),
+        col("keep_quality"), col("keep_sample"), col("admit"))
       .orderBy("doc_id")
   }
 

@@ -589,6 +589,22 @@ object Reshape {
     * per-row coin — the stats-join-back class ([[QualitySignals
     * .lengthOutliers]], neardup_probe). No corpus shuffle beyond the
     * partial+final agg. */
+  /** The α = 1/2 rate derivation of [[temperatureMix]], shared with
+    * the quality-gate probe's build step: pure int64 over the
+    * source-sized token totals — N = floor(tot·num/den), a =
+    * floor(N·10^6 / Σ⌊√T_j⌋), r_i = min(10^6, floor(a·⌊√T_i⌋ / T_i));
+    * zero-token sources rate 0. IEEE sqrt is correctly rounded, so
+    * every step replays bit-identically in the DuckDB oracle. */
+  private[graft] def temperatureRates(bySrcTok: Seq[(String, Long)],
+      targetNum: Long = 2L, targetDen: Long = 5L): Seq[(String, Long)] = {
+    val sI = bySrcTok.map { case (_, tk) =>
+      math.floor(math.sqrt(tk.toDouble)).toLong }
+    val a = (bySrcTok.map(_._2).sum * targetNum / targetDen) *
+      1000000L / sI.sum
+    bySrcTok.zip(sI).map { case ((src, tk), s) =>
+      (src, if (tk == 0L) 0L else math.min(1000000L, a * s / tk)) }
+  }
+
   def temperatureMix(spark: SparkSession, dir: String,
       targetNum: Long = 2L, targetDen: Long = 5L): DataFrame = {
     val docs = t(spark, dir, "documents")
@@ -602,16 +618,8 @@ object Reshape {
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)
-    val sI = st.map { case (_, tk) => math.floor(math.sqrt(tk.toDouble)).toLong }
-    val totTok = st.map(_._2).sum
-    val sSum = sI.sum
-    // N = floor(tot·num/den); a = floor(N·10^6 / Σ s_j);
-    // r_i = min(10^6, floor(a·s_i / T_i)) — all int64 floor divisions
-    val a = (totTok * targetNum / targetDen) * 1000000L / sSum
-    val rates = st.zip(sI).map { case ((src, tk), s) =>
-      (src, if (tk == 0L) 0L else math.min(1000000L, a * s / tk))
-    }
-    val ratesDf = spark.createDataFrame(rates.toSeq)
+    val ratesDf = spark.createDataFrame(
+        temperatureRates(st.toSeq, targetNum, targetDen))
       .toDF("source", "rate_ppm")
     docs
       .join(broadcast(ratesDf), Seq("source"))

@@ -294,6 +294,16 @@ object ScaleStress {
       "quality_calibrated" -> (d => {
         graft.util.CkptMemo.clear()
         m(QualitySignals.qualityCalibrated(spark, d)) }),
+      // X81 serving split: stats build lands in the warmup pass
+      // (_SUCCESS-gated per corpus), timed passes measure the PROBE
+      "quality_gate_probe" ->
+        (d => m(QualitySignals.qualityGateProbe(spark, d))),
+      // the SERVING regime: batchMod ∝ scale keeps the batch constant
+      // while the corpus (and its persisted stats) grow n×
+      "quality_gate_probe_fb" -> (d => {
+        val n = "x(\\d+)$".r.findFirstMatchIn(d)
+          .map(_.group(1).toInt).getOrElse(1)
+        m(QualitySignals.qualityGateProbe(spark, d, batchMod = 7 * n)) }),
       // X79: pair-stream cell rollup — cold pair cache per run, same
       // accounting as dedup_groups/dedup_canonical
       "source_overlap_matrix" -> (d => {

@@ -93,6 +93,67 @@ class QualitySignalsSpec extends AnyFunSuite {
       assert(rich._2 > none.sorted.apply(none.size / 2))
   }
 
+  test("quality_gate_probe verdicts replay from corpus-side stats only (X81)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batchMod = 7
+    graft.util.CkptMemo.clear()
+    val got = QualitySignals.qualityGateProbe(spark, dir, batchMod)
+      .select("doc_id", "lang", "n_chars", "keep_length",
+        "keep_quality", "keep_sample", "admit")
+      .as[(Long, String, Long, Boolean, Boolean, Boolean, Boolean)]
+      .collect()
+    val all = graft.util.Tables.t(spark, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars", "text")
+      .as[(Long, String, String, Long, String)].collect()
+    val corpus = all.filter(_._1 % batchMod != 0)
+    val batchIds = all.filter(_._1 % batchMod == 0).map(_._1).toSet
+    assert(got.map(_._1).toSet == batchIds)
+    // independent corpus-side bounds (Spark's exact interpolation)
+    def pct(v: IndexedSeq[Long], p: Double): Double = {
+      val r = p * (v.length - 1); val i = r.toInt
+      if (i + 1 >= v.length) v(i).toDouble
+      else v(i) * (1.0 - (r - i)) + v(i + 1) * (r - i)
+    }
+    val corpusByLang = corpus.groupBy(_._3).view
+      .mapValues(_.map(_._4).sorted.toIndexedSeq).toMap
+    got.foreach { case (_, lang, n, kl, _, _, _) =>
+      val v = corpusByLang(lang)
+      assert(kl == (n >= pct(v, 0.02) && n <= pct(v, 0.98)))
+    }
+    // TRAIN/SERVE SEPARATION (non-vacuous): corpus-side bounds must
+    // differ from full-corpus bounds for some lang — a gate built on
+    // the full table (batch leaking into its own statistics) would
+    // flip this
+    val fullByLang = all.groupBy(_._3).view
+      .mapValues(_.map(_._4).sorted.toIndexedSeq).toMap
+    assert(corpusByLang.exists { case (l, v) =>
+      pct(v, 0.02) != pct(fullByLang(l), 0.02) ||
+        pct(v, 0.98) != pct(fullByLang(l), 0.98) },
+      "corpus-side and full-corpus bounds coincide — separation unproven")
+    // margin cutoff: naive rank over CORPUS-side scored docs
+    val margins = QualitySignals.qualityScore(spark, dir)
+      .select("doc_id", "margin").as[(Long, Double)].collect().toMap
+    val srcOf = all.map(r => r._1 -> r._2).toMap
+    val cutoff = corpus.flatMap(r => margins.get(r._1).map(m => (r._1, r._2, m)))
+      .groupBy(_._2).view.mapValues { ds =>
+        val quota = (ds.size * 60 + 99) / 100
+        ds.sortBy { case (i, _, m) => (-m, i) }.take(quota).map(_._3).min
+      }.toMap
+    got.foreach { case (id, _, _, _, kq, _, _) =>
+      val expect = margins.get(id).exists(_ >= cutoff(srcOf(id)))
+      assert(kq == expect, s"doc $id keep_quality $kq vs $expect")
+    }
+    // admit is the conjunction; all three legs discriminate
+    got.foreach { case (_, _, _, kl, kq, ks, ad) =>
+      assert(ad == (kl && kq && ks)) }
+    assert(got.exists(_._7) && got.exists(!_._7),
+      "gate must admit some and reject some")
+    assert(got.exists(r => !r._4) || got.exists(r => !r._5),
+      "some leg must reject independently")
+    graft.util.CkptMemo.clear()
+  }
+
   test("quality_calibrated == the naive per-source margin rank (X80)") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"

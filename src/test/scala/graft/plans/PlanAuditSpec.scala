@@ -258,6 +258,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // source-window repartition (bounded stats relation), the phase-2
     // (source, mb) rank window, output sort
     "quality_calibrated" -> 4,
+    // X81: batch scorer's per-doc agg + output sort; all three stats
+    // joins broadcast tiny persisted parquet (built at construction)
+    "quality_gate_probe" -> 2,
     "quality_score" -> 2,
     "range_join" -> 3,
     "read_at_version" -> 1,
@@ -411,7 +414,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "length_outliers" -> 2,
     // X79: the pair stream joins the slim corpus projection once per
     // side (checkpointed pairs never rescan)
-    "source_overlap_matrix" -> 2)
+    "source_overlap_matrix" -> 2,
+    // X81: both scans are BATCH-filtered (verdict projection + the
+    // batch scorer fan-out); the corpus is consulted only at build
+    "quality_gate_probe" -> 2)
 
   test("data-scaled tables are not re-scanned beyond the pinned multi-scan budgets") {
     val scanRe = "file:[^,\\]]*?([a-z_0-9]+)\\.(?:parquet|csv|csv\\.gz)".r
