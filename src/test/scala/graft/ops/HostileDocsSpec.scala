@@ -150,5 +150,18 @@ class HostileDocsSpec extends AnyFunSuite {
       .as[(String, String, Long, Long)].collect()
     assert(cells.toSeq == Seq(("src3", "src3", 1L, 112L)),
       s"unexpected overlap cells: ${cells.mkString(", ")}")
+    // X81: the gate builds its stats over a corpus whose src0 is all
+    // null/empty text (zero scored docs, zero tokens) without
+    // crashing; batch = {7}, whose verdicts must be internally
+    // consistent
+    graft.util.CkptMemo.clear()
+    val gate = QualitySignals.qualityGateProbe(spark, dir)
+      .select("doc_id", "keep_length", "keep_quality", "keep_sample",
+        "admit")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(gate.map(_._1).toSeq == Seq(7L))
+    gate.foreach { case (_, kl, kq, ks, ad) =>
+      assert(ad == (kl && kq && ks)) }
+    graft.util.CkptMemo.clear()
   }
 }
