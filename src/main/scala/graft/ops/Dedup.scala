@@ -866,13 +866,31 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(min(col("grp")).as("grp"),
           min(when(col("self"), col("grp"))).as("old"))
+      // POINTER JUMP: chase each node's label one hop through the
+      // freshly propagated labels (label ← label's label). Reach
+      // roughly DOUBLES per round, so `maxIter` bounds component
+      // diameter ~2^maxIter instead of maxIter — plain propagation
+      // converges in diameter rounds, and a chained near-dup corpus
+      // (a → b → c → … of pairwise-similar crawl docs) exceeds any
+      // fixed round budget at scale. grp values are always labels of
+      // pair participants, so the self-lookup matches (left join +
+      // coalesce is belt-and-braces); min keeps the label monotone
+      // non-increasing, preserving the min-label invariant.
+      val jumped = propagated
+        .join(propagated.select(col("doc_id").as("grp"),
+          col("grp").as("ggrp")), Seq("grp"), "left")
+        .select(col("doc_id"),
+          least(col("grp"), coalesce(col("ggrp"), col("grp")))
+            .as("grp"),
+          col("old"))
         .localCheckpoint()
-      converged = propagated.filter(col("grp") =!= col("old")).isEmpty
-      labels = propagated.select(col("doc_id"), col("grp"))
+      converged = jumped.filter(col("grp") =!= col("old")).isEmpty
+      labels = jumped.select(col("doc_id"), col("grp"))
       iter += 1
     }
-    // Truncated propagation is silent data corruption at scale (chained
-    // near-dup corpora can exceed any fixed diameter) — make it loud.
+    // Truncated propagation is silent data corruption at scale — keep
+    // it loud even though the doubling makes it unreachable below
+    // ~2^maxIter diameter.
     if (!converged) log.warn(
       s"minLabelComponents: label propagation did NOT converge after " +
         s"$maxIter iterations; components with larger diameter carry " +

@@ -83,6 +83,30 @@ class OpsPropsSpec extends AnyFunSuite {
     assert(got.count(_._6) > got.length / 2, "most docs must be kept")
   }
 
+  test("property: component labels survive a chain far deeper than the round budget") {
+    import spark.implicits._
+    // a 60-edge PATH has diameter 60 > maxIter 20: plain min-label
+    // propagation truncates here (nodes far from the min keep
+    // intermediate labels); the pointer-jumping rounds must not
+    val chain = (0L until 60L).map(i => (100 + i, 101 + i))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.minLabelComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 61)
+    got.foreach { case (id, grp) =>
+      assert(grp == 100L, s"node $id labeled $grp, expected 100") }
+    // and a forest of two deep chains + one star keeps components apart
+    val forest = ((0L until 40L).map(i => (1000 + i, 1001 + i)) ++
+      (0L until 40L).map(i => (2000 + i, 2001 + i)) ++
+      (1L to 5L).map(i => (3000L, 3000 + i)))
+      .toDF("doc_a", "doc_b")
+    val lbl = Dedup.minLabelComponents(forest)
+      .as[(Long, Long)].collect().toMap
+    assert((1000L to 1040L).forall(lbl(_) == 1000L))
+    assert((2000L to 2040L).forall(lbl(_) == 2000L))
+    assert((3000L to 3005L).forall(lbl(_) == 3000L))
+  }
+
   test("property: source_overlap_matrix cells re-aggregate the pair stream exactly (X79)") {
     import spark.implicits._
     val cells = Dedup.sourceOverlapMatrix(spark, dir)
