@@ -180,16 +180,26 @@ object Multimodal {
 
   /** The decode stage over an arbitrary (media_id, payload) frame —
     * shared so [[mediaEmbedTopK]] can decode its tiny query batch
-    * separately instead of running the corpus decode pipeline twice. */
-  private def embedDf(media: DataFrame): DataFrame = {
+    * separately instead of running the corpus decode pipeline twice.
+    *
+    * CORRUPT assets are EXCLUDED, not fatal: [[PpmCodec.decode]] is
+    * strict (throws on any malformed header/raster — the right
+    * contract for a codec), but at crawl scale a single truncated or
+    * mislabeled file MUST NOT kill the corpus-wide decode job through
+    * task-retry exhaustion (the binary twin of the zero-norm
+    * embedding crash — same admission rule: an undecodable asset
+    * carries no features). Pinned by HostileMediaSpec; the committed
+    * fixtures are all well-formed, so gate semantics are unchanged. */
+  private[graft] def embedDf(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media
       .select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, payload) =>
-          (id, PpmCodec.features(PpmCodec.decode(payload)))
+        it.flatMap { case (id, payload) =>
+          scala.util.Try(PpmCodec.features(PpmCodec.decode(payload)))
+            .toOption.map(f => (id, f))
         }
       }
       .toDF("media_id", "embedding")
