@@ -275,6 +275,75 @@ object SparkEntry {
       GROUP BY 1, 2 HAVING count(*) >= 4
       ORDER BY new_doc, corpus_doc"""
 
+  /** Shared oracle of `quality_gate_probe` (X81) and
+    * `quality_gate_stream` (X81b): rebuilds the persisted gate
+    * statistics from scratch — corpus-side bounds, the NAIVE-rank
+    * margin cutoff (re-gate-checking the X80 decomposition), and
+    * the temperature rates — then replays every batch verdict. */
+  private lazy val qualityGateOracle = """
+      WITH corpus AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+      batch AS (SELECT doc_id, source, lang, n_chars
+        FROM documents WHERE doc_id % 7 = 0),
+      b AS (SELECT lang, quantile_cont(n_chars, 0.02) AS lo,
+          quantile_cont(n_chars, 0.98) AS hi FROM corpus GROUP BY 1),
+      tok AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      g AS (
+        SELECT doc_id, unnest(w) AS g FROM tok
+        UNION ALL
+        SELECT doc_id, unnest(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS g
+        FROM tok WHERE len(w) >= 2),
+      wt AS (SELECT doc_id,
+          (CAST(('0x' || substring(md5('qw:' || CAST(
+              CAST(('0x' || substring(md5('qf:' || g), 1, 8)) AS BIGINT)
+                % 1024 AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000)
+            / 1000.0 AS wgt
+        FROM g),
+      sc AS (SELECT doc_id,
+          CAST(CAST(sum(CAST(wgt AS DECIMAL(30,8))) AS VARCHAR)
+            AS DOUBLE) / count(*) AS margin
+        FROM wt GROUP BY doc_id),
+      cr AS (SELECT s.doc_id, d.source, s.margin,
+          row_number() OVER (PARTITION BY d.source
+            ORDER BY s.margin DESC, s.doc_id) AS rnk,
+          count(*) OVER (PARTITION BY d.source) AS n
+        FROM sc s JOIN corpus d USING (doc_id)),
+      cut AS (SELECT source, min(margin) AS cutoff FROM cr
+        WHERE rnk <= (n * 60 + 99) // 100 GROUP BY 1),
+      ct AS (SELECT d.source,
+          CAST(sum(len(list_filter(
+            string_split_regex(lower(d.text), '\s+'),
+            x -> x <> ''))) AS BIGINT) AS src_tok
+        FROM corpus d GROUP BY 1),
+      gg AS (SELECT CAST(sum(src_tok) AS BIGINT) AS tot,
+          CAST(sum(CAST(floor(sqrt(CAST(src_tok AS DOUBLE)))
+            AS BIGINT)) AS BIGINT) AS s_sum FROM ct),
+      r AS (SELECT ct.source, CASE WHEN ct.src_tok = 0 THEN 0
+          ELSE least(1000000,
+            (((gg.tot * 2 // 5) * 1000000 // gg.s_sum) *
+              CAST(floor(sqrt(CAST(ct.src_tok AS DOUBLE))) AS BIGINT))
+              // ct.src_tok)
+        END AS rate_ppm FROM ct, gg),
+      v AS (SELECT t.doc_id, t.source, t.lang, t.n_chars, sc.margin,
+          COALESCE(t.n_chars >= b.lo AND t.n_chars <= b.hi, false)
+            AS keep_length,
+          COALESCE(sc.margin >= cut.cutoff, false) AS keep_quality,
+          COALESCE(CAST(('0x' || substring(md5('qgate:' ||
+              CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+            < r.rate_ppm, false) AS keep_sample
+        FROM batch t
+        LEFT JOIN sc USING (doc_id)
+        LEFT JOIN b USING (lang)
+        LEFT JOIN cut USING (source)
+        LEFT JOIN r USING (source))
+      SELECT doc_id, source, lang, n_chars, margin, keep_length,
+        keep_quality, keep_sample,
+        keep_length AND keep_quality AND keep_sample AS admit
+      FROM v ORDER BY doc_id"""
+
   /** Shared oracle for the batch upsert and its true-streaming twin:
     * three fixture batches merged on (id, dt), whichever engine path
     * landed them. */
@@ -2782,69 +2851,14 @@ object SparkEntry {
     // gate-checking the persisted-index build AND the two-phase rank
     // decomposition behind the cutoff in one query.
     "quality_gate_probe" -> Q(
-      (s, d) => QualitySignals.qualityGateProbe(s, d), Some("""
-      WITH corpus AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
-      batch AS (SELECT doc_id, source, lang, n_chars
-        FROM documents WHERE doc_id % 7 = 0),
-      b AS (SELECT lang, quantile_cont(n_chars, 0.02) AS lo,
-          quantile_cont(n_chars, 0.98) AS hi FROM corpus GROUP BY 1),
-      tok AS (SELECT doc_id,
-          list_filter(string_split_regex(lower(text), '\s+'),
-            x -> x <> '') AS w
-        FROM documents),
-      g AS (
-        SELECT doc_id, unnest(w) AS g FROM tok
-        UNION ALL
-        SELECT doc_id, unnest(list_transform(range(1, len(w)),
-            i -> w[i] || ' ' || w[i+1])) AS g
-        FROM tok WHERE len(w) >= 2),
-      wt AS (SELECT doc_id,
-          (CAST(('0x' || substring(md5('qw:' || CAST(
-              CAST(('0x' || substring(md5('qf:' || g), 1, 8)) AS BIGINT)
-                % 1024 AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000)
-            / 1000.0 AS wgt
-        FROM g),
-      sc AS (SELECT doc_id,
-          CAST(CAST(sum(CAST(wgt AS DECIMAL(30,8))) AS VARCHAR)
-            AS DOUBLE) / count(*) AS margin
-        FROM wt GROUP BY doc_id),
-      cr AS (SELECT s.doc_id, d.source, s.margin,
-          row_number() OVER (PARTITION BY d.source
-            ORDER BY s.margin DESC, s.doc_id) AS rnk,
-          count(*) OVER (PARTITION BY d.source) AS n
-        FROM sc s JOIN corpus d USING (doc_id)),
-      cut AS (SELECT source, min(margin) AS cutoff FROM cr
-        WHERE rnk <= (n * 60 + 99) // 100 GROUP BY 1),
-      ct AS (SELECT d.source,
-          CAST(sum(len(list_filter(
-            string_split_regex(lower(d.text), '\s+'),
-            x -> x <> ''))) AS BIGINT) AS src_tok
-        FROM corpus d GROUP BY 1),
-      gg AS (SELECT CAST(sum(src_tok) AS BIGINT) AS tot,
-          CAST(sum(CAST(floor(sqrt(CAST(src_tok AS DOUBLE)))
-            AS BIGINT)) AS BIGINT) AS s_sum FROM ct),
-      r AS (SELECT ct.source, CASE WHEN ct.src_tok = 0 THEN 0
-          ELSE least(1000000,
-            (((gg.tot * 2 // 5) * 1000000 // gg.s_sum) *
-              CAST(floor(sqrt(CAST(ct.src_tok AS DOUBLE))) AS BIGINT))
-              // ct.src_tok)
-        END AS rate_ppm FROM ct, gg),
-      v AS (SELECT t.doc_id, t.source, t.lang, t.n_chars, sc.margin,
-          COALESCE(t.n_chars >= b.lo AND t.n_chars <= b.hi, false)
-            AS keep_length,
-          COALESCE(sc.margin >= cut.cutoff, false) AS keep_quality,
-          COALESCE(CAST(('0x' || substring(md5('qgate:' ||
-              CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
-            < r.rate_ppm, false) AS keep_sample
-        FROM batch t
-        LEFT JOIN sc USING (doc_id)
-        LEFT JOIN b USING (lang)
-        LEFT JOIN cut USING (source)
-        LEFT JOIN r USING (source))
-      SELECT doc_id, source, lang, n_chars, margin, keep_length,
-        keep_quality, keep_sample,
-        keep_length AND keep_quality AND keep_sample AS admit
-      FROM v ORDER BY doc_id""")),
+      (s, d) => QualitySignals.qualityGateProbe(s, d),
+      Some(qualityGateOracle)),
+
+    // X81b — the STREAMING admission gate: same verdicts accumulated
+    // through a real StreamingQuery in two file arrivals, same oracle.
+    "quality_gate_stream" -> Q(
+      (s, d) => graft.streaming.GateStream.gateStreamQuery(s, d),
+      Some(qualityGateOracle)),
 
     // X74 — quality-weighted sampling: keep probability clamp(0.5 +
     // X68 margin, 0, 1) against the md5 coin — every arithmetic step

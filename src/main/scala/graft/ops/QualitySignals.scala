@@ -388,17 +388,27 @@ object QualitySignals {
     val idx = qualityGateBuildStats(spark, dir, batchMod)
     val batch = t(spark, dir, "documents")
       .filter(pmod(col("doc_id"), lit(batchMod)) === 0)
+    qualityGateFor(batch, idx).orderBy("doc_id")
+  }
+
+  /** The gate's verdict assembly over an arbitrary (doc_id, source,
+    * lang, n_chars, text) batch frame — shared by the registered
+    * batch probe and [[graft.streaming.GateStream]]'s per-micro-batch
+    * form. Unordered (each caller sorts or partitions as it needs). */
+  private[graft] def qualityGateFor(batch: DataFrame,
+      statsDir: String): DataFrame = {
+    val spark = batch.sparkSession
     val scored = qualityScoreFor(
         fanOut(batch).select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("margin"))
     batch.select(col("doc_id"), col("source"), col("lang"),
         col("n_chars"))
       .join(scored, Seq("doc_id"), "left")
-      .join(broadcast(spark.read.parquet(s"$idx/bounds")),
+      .join(broadcast(spark.read.parquet(s"$statsDir/bounds")),
         Seq("lang"), "left")
-      .join(broadcast(spark.read.parquet(s"$idx/cutoffs")),
+      .join(broadcast(spark.read.parquet(s"$statsDir/cutoffs")),
         Seq("source"), "left")
-      .join(broadcast(spark.read.parquet(s"$idx/rates")),
+      .join(broadcast(spark.read.parquet(s"$statsDir/rates")),
         Seq("source"), "left")
       .withColumn("keep_length", coalesce(
         col("n_chars") >= col("lo") && col("n_chars") <= col("hi"),
@@ -413,7 +423,6 @@ object QualitySignals {
       .select(col("doc_id"), col("source"), col("lang"),
         col("n_chars"), col("margin"), col("keep_length"),
         col("keep_quality"), col("keep_sample"), col("admit"))
-      .orderBy("doc_id")
   }
 
   def zipfSpectrum(spark: SparkSession, dir: String): DataFrame = {

@@ -261,6 +261,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // X81: batch scorer's per-doc agg + output sort; all three stats
     // joins broadcast tiny persisted parquet (built at construction)
     "quality_gate_probe" -> 2,
+    // X81b: the registered plan reads the stream's accumulated
+    // verdict store + output sort (the gating ran inside the
+    // StreamingQuery at construction)
+    "quality_gate_stream" -> 1,
     "quality_score" -> 2,
     "range_join" -> 3,
     "read_at_version" -> 1,
