@@ -107,6 +107,41 @@ class OpsPropsSpec extends AnyFunSuite {
     assert((3000L to 3005L).forall(lbl(_) == 3000L))
   }
 
+  test("property: component labels equal a union-find on random graphs (seeded fuzz)") {
+    import spark.implicits._
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 50 + rnd.nextInt(150)
+      // mix of sparse random edges + a guaranteed deep path segment
+      val edges = (Seq.tabulate(n / 3)(i =>
+          (i.toLong, (i + 1).toLong)) ++           // path of diameter n/3
+        Seq.fill(n)(
+          (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => if (a < b) (a, b) else (b, a) }
+        .distinct
+      // driver-side union-find ground truth
+      val parent = collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonical min-id per component
+      val byRoot = nodes.groupBy(find)
+      val expect = byRoot.values.flatMap { members =>
+        val m = members.min; members.map(_ -> m) }.toMap
+      val got = Dedup.minLabelComponents(
+          edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect, s"seed $seed: labels diverge from union-find")
+    }
+  }
+
   test("property: source_overlap_matrix cells re-aggregate the pair stream exactly (X79)") {
     import spark.implicits._
     val cells = Dedup.sourceOverlapMatrix(spark, dir)
