@@ -1,0 +1,72 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** The persisted-index FRESHNESS contract: every `_SUCCESS`-gated
+  * build keys its output dir by `Tables.listingTag` (file names +
+  * sizes + mtimes of the source table), so a corpus change — a new
+  * partition landing, a compaction — keys a NEW build instead of
+  * silently serving stale statistics/signatures. The classic failure
+  * this pins against: yesterday's margin cutoffs gating today's
+  * corpus because the index path was keyed by dir name alone. */
+class IndexFreshnessSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def cloneTable(src: String, dst: String): Unit = {
+    val d = Paths.get(dst)
+    Files.createDirectories(d)
+    val s = Paths.get(src)
+    // testdata tables are single parquet FILES; clone into a dir so
+    // the "new partition lands" append below has somewhere to land
+    if (Files.isDirectory(s)) {
+      val listing = Files.list(s)
+      try listing.forEach { f =>
+        Files.copy(f, d.resolve(f.getFileName.toString),
+          StandardCopyOption.COPY_ATTRIBUTES)
+        ()
+      } finally listing.close()
+    } else {
+      Files.copy(s, d.resolve("part-00000.parquet"),
+        StandardCopyOption.COPY_ATTRIBUTES)
+      ()
+    }
+  }
+
+  test("a corpus change re-keys the gate stats and signature index builds") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-freshness").toString
+    cloneTable("/root/testdata/sf0.001/documents.parquet",
+      s"$base/documents.parquet")
+
+    val stats1 = QualitySignals.qualityGateBuildStats(spark, base)
+    val index1 = Dedup.neardupBuildIndex(spark, base)
+    // same corpus, second call: same dirs, no rebuild (the _SUCCESS
+    // fast path)
+    assert(QualitySignals.qualityGateBuildStats(spark, base) == stats1)
+    assert(Dedup.neardupBuildIndex(spark, base) == index1)
+
+    // a new partition lands (a doc from a NEW source) → both builds
+    // re-key, and the rebuilt stats actually see the new corpus
+    // 999998 % 7 != 0: the new doc must land on the CORPUS side (an
+    // id divisible by batchMod would be batch-side and correctly
+    // invisible to the rebuilt statistics)
+    Seq((999998L, "fresh arrival text words", "en", "src_new", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append")
+      .parquet(s"$base/documents.parquet")
+    val stats2 = QualitySignals.qualityGateBuildStats(spark, base)
+    val index2 = Dedup.neardupBuildIndex(spark, base)
+    assert(stats2 != stats1,
+      "gate stats must re-key when the corpus changes")
+    assert(index2 != index1,
+      "signature index must re-key when the corpus changes")
+    def sources(p: String) = spark.read.parquet(s"$p/rates")
+      .select("source").as[String].collect().toSet
+    assert(!sources(stats1).contains("src_new"))
+    assert(sources(stats2).contains("src_new"),
+      "rebuilt rates must include the newly landed source")
+  }
+}
