@@ -122,6 +122,52 @@ object StreamScaleStress {
       f"last-third ${tail}%.2fs ratio ${ratio}%.2f (1.0 = flat)")
   }
 
+  /** X81b: the streaming admission gate's per-arrival cost must be
+    * flat by construction — stateless given its persisted statistics
+    * (three broadcast tables), no index growth, no state store. The
+    * measurement pins that nothing accidental (listing, checkpoint
+    * bloat, stats re-read) creeps in as the stream ages. */
+  def gateStress(spark: SparkSession, corpus: String,
+      nArrivals: Int): Unit = {
+    val base = Scratch.under("ingest/quality_gate_stream_stress")
+    Scratch.deleteRecursive(base)
+    val (watch, out, ckpt) = (s"$base/watch", s"$base/verdicts",
+      s"$base/ckpt")
+    Files.createDirectories(Paths.get(watch))
+    val (statsDir, statsSec) = timed {
+      graft.ops.QualitySignals.qualityGateBuildStats(spark, corpus)
+    }
+    val batchDocs = Tables.t(spark, corpus, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .filter(pmod(col("doc_id"), lit(7)) === 0)
+      .withColumn("slice", pmod(xxhash64(col("doc_id")), lit(nArrivals)))
+      .persist()
+    val nBatch = batchDocs.count()
+    println(f"quality_gate_stream_stress: corpus=$corpus " +
+      f"stats_build=$statsSec%.2fs batch_docs=$nBatch arrivals=$nArrivals")
+    println(f"${"arrival"}%8s ${"docs"}%6s ${"sec"}%7s")
+    val secs = Seq.newBuilder[Double]
+    val q = graft.streaming.GateStream.start(spark, watch, statsDir,
+      out, ckpt)
+    try {
+      (0 until nArrivals).foreach { k =>
+        val slice = batchDocs.filter(col("slice") === k).drop("slice")
+        val nDocs = slice.count()
+        val (_, sec) = timed {
+          landParquet(slice, base.toString, watch, s"arr$k")
+          q.processAllAvailable()
+        }
+        secs += sec
+        println(f"$k%8d $nDocs%6d $sec%7.2f")
+      }
+    } finally q.stop()
+    batchDocs.unpersist()
+    val (head, tail, ratio) = flatness(secs.result())
+    println(f"quality_gate_stream flatness: first-third ${head}%.2fs " +
+      f"last-third ${tail}%.2fs ratio ${ratio}%.2f (1.0 = flat)")
+  }
+
   def ingestStress(spark: SparkSession, nBatches: Int,
       rowsPerBatch: Int): Unit = {
     val base = Scratch.under("ingest/ingest_stream_stress")
@@ -192,8 +238,14 @@ object StreamScaleStress {
     if (!new java.io.File(s"$corpus/documents.parquet/_SUCCESS").exists())
       ScaleStress.buildDocCorpus(spark, "/root/testdata/sf0.1", corpus,
         docScale)
-    neardupStress(spark, corpus, nArrivals, compactEvery = 5)
-    ingestStress(spark, nArrivals, rowsPerBatch)
+    val only = sys.env.get("SPARK_GRAFT_OPS")
+      .map(_.split(",").map(_.trim).toSet)
+    def run(name: String)(f: => Unit): Unit =
+      if (only.forall(_.contains(name))) f
+    run("neardup_stream")(
+      neardupStress(spark, corpus, nArrivals, compactEvery = 5))
+    run("quality_gate_stream")(gateStress(spark, corpus, nArrivals))
+    run("ingest_stream")(ingestStress(spark, nArrivals, rowsPerBatch))
     spark.stop()
   }
 }
