@@ -2543,7 +2543,9 @@ object SparkEntry {
       FROM g GROUP BY 1 ORDER BY 1""")),
 
     // X77 — per-language calibrated length-outlier report: exact
-    // percentile bounds (quantile_cont twin) + per-doc verdicts.
+    // percentile bounds (quantile_cont twin) + per-doc verdicts. The
+    // join is NULL-SAFE (IS NOT DISTINCT FROM): a null-lang doc keeps
+    // its verdict against the null stratum instead of vanishing.
     "length_outliers" -> Q(
       (s, d) => QualitySignals.lengthOutliers(s, d), Some("""
       WITH b AS (SELECT lang,
@@ -2552,7 +2554,7 @@ object SparkEntry {
         FROM documents GROUP BY 1)
       SELECT d.doc_id, d.lang, d.n_chars, b.lo, b.hi,
         d.n_chars >= b.lo AND d.n_chars <= b.hi AS keep
-      FROM documents d JOIN b USING (lang)
+      FROM documents d JOIN b ON d.lang IS NOT DISTINCT FROM b.lang
       ORDER BY d.doc_id""")),
 
     "scrub_normalize" -> Q(TextAnalysis.scrubNormalize, Some("""

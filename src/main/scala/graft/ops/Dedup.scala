@@ -858,6 +858,9 @@ object Dedup {
       // `self` flag lets min(grp) (new label) and min(grp | self) (old
       // label) come out of the SAME aggregation, so the convergence
       // check is a scan of the round's result, not an extra join.
+      // checkpointed BEFORE the jump self-join: both sides of the
+      // join then read a leaf, instead of re-evaluating the pair-
+      // stream-sized edge join + aggregate once per side
       val propagated = labels
         .join(edges, labels("doc_id") === edges("doc_a"))
         .select(col("doc_b").as("doc_id"), col("grp"),
@@ -866,6 +869,7 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(min(col("grp")).as("grp"),
           min(when(col("self"), col("grp"))).as("old"))
+        .localCheckpoint()
       // POINTER JUMP: chase each node's label one hop through the
       // freshly propagated labels (label ← label's label). Reach
       // roughly DOUBLES per round, so `maxIter` bounds component
@@ -876,6 +880,9 @@ object Dedup {
       // pair participants, so the self-lookup matches (left join +
       // coalesce is belt-and-braces); min keeps the label monotone
       // non-increasing, preserving the min-label invariant.
+      // jumped stays a shallow plan over the checkpoint leaf; next
+      // round's propagation re-checkpoints, so lineage depth is
+      // bounded at one join regardless of round count
       val jumped = propagated
         .join(propagated.select(col("doc_id").as("grp"),
           col("grp").as("ggrp")), Seq("grp"), "left")
@@ -883,7 +890,6 @@ object Dedup {
           least(col("grp"), coalesce(col("ggrp"), col("grp")))
             .as("grp"),
           col("old"))
-        .localCheckpoint()
       converged = jumped.filter(col("grp") =!= col("old")).isEmpty
       labels = jumped.select(col("doc_id"), col("grp"))
       iter += 1
@@ -895,7 +901,10 @@ object Dedup {
       s"minLabelComponents: label propagation did NOT converge after " +
         s"$maxIter iterations; components with larger diameter carry " +
         "truncated (non-minimal) group labels. Raise maxIter.")
-    labels
+    // return a LEAF: consumers embed the label relation in their own
+    // registered plans, which must not inherit the final round's jump
+    // join (their exchange pins count it otherwise)
+    labels.localCheckpoint()
   }
 
   /** Session-scoped memo of the candidate pair set. `neardup_minhash`,

@@ -193,13 +193,26 @@ object Multimodal {
   private[graft] def embedDf(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    // exclusion must be LOUD: a systemically corrupt feed (every
+    // asset truncated) would otherwise read as an empty-but-healthy
+    // embed relation. The accumulator totals failures across the job
+    // (visible in the UI/status API); each failed asset also warns
+    // with its id and cause, so one bad file is traceable.
+    val failures = spark.sparkContext
+      .longAccumulator("graft.media.decode_failures")
     media
       .select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Multimodal")
         it.flatMap { case (id, payload) =>
           scala.util.Try(PpmCodec.features(PpmCodec.decode(payload)))
-            .toOption.map(f => (id, f))
+            .recoverWith { case e =>
+              failures.add(1L)
+              log.warn(s"media decode failed for asset $id, excluded: " +
+                s"${e.getMessage}")
+              scala.util.Failure(e)
+            }.toOption.map(f => (id, f))
         }
       }
       .toDF("media_id", "embedding")

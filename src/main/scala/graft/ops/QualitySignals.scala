@@ -235,10 +235,15 @@ object QualitySignals {
       pLo: Double = 0.02, pHi: Double = 0.98): DataFrame = {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("n_chars"))
+    // NULL-SAFE equi-join: a null-lang doc (dropped field upstream) is
+    // its own stratum — groupBy emits its bounds row, and <=> matches
+    // it back, so the report stays complete per-doc (a plain equi-join
+    // silently drops the null stratum on both engines)
     val bounds = docs.groupBy(col("lang"))
       .agg(percentile(col("n_chars"), lit(pLo)).as("lo"),
         percentile(col("n_chars"), lit(pHi)).as("hi"))
-    docs.join(broadcast(bounds), Seq("lang"))
+      .withColumnRenamed("lang", "b_lang")
+    docs.join(broadcast(bounds), col("lang") <=> col("b_lang"))
       .withColumn("keep",
         col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
       .select(col("doc_id"), col("lang"), col("n_chars"),
@@ -346,8 +351,14 @@ object QualitySignals {
         .agg(percentile(col("n_chars"), lit(0.02)).as("lo"),
           percentile(col("n_chars"), lit(0.98)).as("hi"))
         .write.mode("overwrite").parquet(s"$out/bounds")
+      // the memo key MUST carry the corpus listing tag: a mid-session
+      // corpus change re-keys this build's output dir, and without the
+      // tag the session-cached scored base would hand the fresh build
+      // YESTERDAY'S cutoffs (bounds/rates fresh, cutoffs stale — the
+      // exact staleness class this build exists to prevent)
       qualityCalibratedOn(spark, fanOut(corpus), keepPct,
-          "qgate_base", dir, batchMod)
+          "qgate_base", dir, batchMod,
+          Tables.listingTag(spark, s"$dir/documents.parquet"))
         .groupBy(col("source"))
         .agg(min(col("margin")).as("cutoff"))
         .write.mode("overwrite").parquet(s"$out/cutoffs")

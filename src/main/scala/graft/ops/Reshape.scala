@@ -599,8 +599,14 @@ object Reshape {
       targetNum: Long = 2L, targetDen: Long = 5L): Seq[(String, Long)] = {
     val sI = bySrcTok.map { case (_, tk) =>
       math.floor(math.sqrt(tk.toDouble)).toLong }
-    val a = (bySrcTok.map(_._2).sum * targetNum / targetDen) *
-      1000000L / sI.sum
+    // an all-zero-token corpus (every source empty) has no mixture to
+    // derive — every rate is 0, matching the oracle's per-row CASE
+    // (which never divides); without the guard a = x/0 throws
+    val sSum = sI.sum
+    val a =
+      if (sSum == 0L) 0L
+      else (bySrcTok.map(_._2).sum * targetNum / targetDen) *
+        1000000L / sSum
     bySrcTok.zip(sI).map { case ((src, tk), s) =>
       (src, if (tk == 0L) 0L else math.min(1000000L, a * s / tk)) }
   }

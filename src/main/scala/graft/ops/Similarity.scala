@@ -44,12 +44,15 @@ object Similarity {
     * inspection operators (quantize, stats) keep them. The oracle
     * corpora contain none, so gate semantics are unchanged. */
   private[graft] def scorableEmb(df: DataFrame): DataFrame = {
-    // one native codegen'd fold decides all four cases: null → null
+    // one native codegen'd fold decides all five cases: null → null
     // (filtered), empty/all-zero → 0, any-NaN → NaN (Spark orders NaN
-    // above every real, hence the explicit isnan leg; codegen CSE
-    // shares the fold between the two predicates)
+    // above every real, hence the explicit isnan leg), any-±Inf → Inf
+    // (a cosine against an Inf-norm vector is NaN, which would then
+    // outrank every real score — the upper bound closes that door);
+    // codegen CSE shares the fold between the predicate legs
     val sq = dot(col("embedding"), col("embedding"))
-    df.where(sq > 0.0 && !isnan(sq))
+    df.where(sq > 0.0 && !isnan(sq) &&
+      sq < lit(Double.PositiveInfinity))
   }
 
   /** X4 — brute-force cosine top-k: the correctness baseline.

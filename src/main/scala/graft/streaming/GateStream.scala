@@ -64,6 +64,11 @@ object GateStream {
     val (watch, out, ckpt) = (s"$base/watch", s"$base/verdicts",
       s"$base/ckpt")
     Files.createDirectories(Paths.get(watch))
+    // pre-create the verdict store: an all-empty batch slice writes
+    // nothing (foreachBatch skips empty micro-batches), and the
+    // read-back below must return an EMPTY result — the batch probe's
+    // answer — not PATH_NOT_FOUND
+    Files.createDirectories(Paths.get(out))
 
     val statsDir = QualitySignals.qualityGateBuildStats(spark, dir,
       batchMod)
@@ -98,7 +103,11 @@ object GateStream {
       q.processAllAvailable()
     } finally q.stop()
 
-    spark.read.parquet(out)
+    // explicit schema: with zero written batches the dir is empty and
+    // schema inference would fail; the gate's own plan IS the schema
+    val verdictSchema = graft.ops.QualitySignals
+      .qualityGateFor(batch.limit(0), statsDir).schema
+    spark.read.schema(verdictSchema).parquet(out)
       .select(col("doc_id"), col("source"), col("lang"),
         col("n_chars"), col("margin"), col("keep_length"),
         col("keep_quality"), col("keep_sample"), col("admit"))

@@ -47,18 +47,22 @@ class ConcurrencySmokeSpec extends AnyFunSuite {
 
     graft.util.CkptMemo.clear()
     ops.Dedup.clearPairsMemo()
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newFixedThreadPool(queries.size))
-    val futures = queries.map { case (n, f) =>
-      Future { n -> fingerprint(f()) }
-    }
-    val concurrent = Await.result(
-      Future.sequence(futures), 10.minutes).toMap
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(queries.size)
+    try {
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutor(pool)
+      val futures = queries.map { case (n, f) =>
+        Future { n -> fingerprint(f()) }
+      }
+      val concurrent = Await.result(
+        Future.sequence(futures), 10.minutes).toMap
 
-    queries.foreach { case (n, _) =>
-      assert(concurrent(n) == sequential(n),
-        s"$n diverged under concurrency")
-      assert(concurrent(n).nonEmpty, s"$n returned nothing")
-    }
+      queries.foreach { case (n, _) =>
+        assert(concurrent(n) == sequential(n),
+          s"$n diverged under concurrency")
+        assert(concurrent(n).nonEmpty, s"$n returned nothing")
+      }
+    } finally pool.shutdown()
   }
 }

@@ -27,7 +27,9 @@ class HostileEmbeddingsSpec extends AnyFunSuite {
       (4L, base, 1),
       (5L, twin, 1),                        // planted twin of 4
       (6L, far, 2),
-      (7L, far.map(x => (x * 0.9f)), 2))
+      (7L, far.map(x => (x * 0.9f)), 2),
+      (8L, base.updated(3, Float.PositiveInfinity), 1), // Inf overflow
+      (9L, base.updated(2, Float.NaN), 1))  // NaN poison
     val fdir = s"target/tmp/hostile_emb_${java.util.UUID.randomUUID}"
     rows.toDF("vec_id", "embedding", "label")
       .write.parquet(s"$fdir/embeddings.parquet")
@@ -39,7 +41,10 @@ class HostileEmbeddingsSpec extends AnyFunSuite {
     val pairs = Similarity.cosinePairs(spark, dir, threshold = 0.95)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((4L, 5L)), s"planted twin missing: $pairs")
-    val degenerate = Set(1L, 2L, 3L)
+    // zero/empty/null AND Inf/NaN: an Inf-norm vector's cosine is
+    // NaN, which Spark orders above every threshold — the admission
+    // guard must keep all five classes out of the pair stream
+    val degenerate = Set(1L, 2L, 3L, 8L, 9L)
     pairs.foreach { case (a, b) =>
       assert(!degenerate(a) && !degenerate(b),
         s"degenerate vector paired: ($a, $b)")
@@ -57,7 +62,7 @@ class HostileEmbeddingsSpec extends AnyFunSuite {
     import spark.implicits._
     val q = Similarity.quantizeInt8(spark, dir)
       .select("vec_id").as[Long].collect()
-    assert(q.toSet.subsetOf(Set(1L, 2L, 3L, 4L, 5L, 6L, 7L)))
+    assert(q.toSet.subsetOf((1L to 9L).toSet))
     val out = Similarity.embeddingOutliers(spark, dir)
     assert(out.collect() != null)
     val sd = Similarity.semDedup(spark, dir)

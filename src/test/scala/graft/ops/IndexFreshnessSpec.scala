@@ -63,10 +63,18 @@ class IndexFreshnessSpec extends AnyFunSuite {
       "gate stats must re-key when the corpus changes")
     assert(index2 != index1,
       "signature index must re-key when the corpus changes")
-    def sources(p: String) = spark.read.parquet(s"$p/rates")
+    def sources(p: String, rel: String) = spark.read.parquet(s"$p/$rel")
       .select("source").as[String].collect().toSet
-    assert(!sources(stats1).contains("src_new"))
-    assert(sources(stats2).contains("src_new"),
+    assert(!sources(stats1, "rates").contains("src_new"))
+    assert(sources(stats2, "rates").contains("src_new"),
       "rebuilt rates must include the newly landed source")
+    // CUTOFFS freshness too: the scored base behind the margin rank is
+    // session-memoized, and a memo key without the corpus listing tag
+    // would hand the re-keyed build YESTERDAY'S cutoffs (bounds/rates
+    // fresh, cutoffs stale) — the newly landed source must get a
+    // cutoff row from the same rebuild
+    assert(!sources(stats1, "cutoffs").contains("src_new"))
+    assert(sources(stats2, "cutoffs").contains("src_new"),
+      "rebuilt cutoffs must include the newly landed source")
   }
 }

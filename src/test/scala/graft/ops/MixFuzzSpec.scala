@@ -59,6 +59,12 @@ class MixFuzzSpec extends AnyFunSuite {
       d.take(4).map(b => f"$b%02x").mkString, 16) % mod
   }
 
+  test("temperatureRates: an all-zero-token corpus derives all-zero rates, no division error") {
+    assert(Reshape.temperatureRates(Seq(("a", 0L), ("b", 0L)))
+      == Seq(("a", 0L), ("b", 0L)))
+    assert(Reshape.temperatureRates(Seq.empty) == Seq.empty)
+  }
+
   test("fuzz: temperature_mix equals the integer derivation on random skewed corpora") {
     import spark.implicits._
     (1 to 4).foreach { seed =>

@@ -31,4 +31,21 @@ class GateStreamSpec extends AnyFunSuite {
     assert(dirs.length == 2,
       s"expected 2 batch_id dirs, got ${dirs.map(_.getName).toSeq}")
   }
+
+  test("an empty batch slice streams to an empty result, same as the probe") {
+    import spark.implicits._
+    // no doc_id divisible by 7 → every micro-batch is empty, nothing
+    // is ever written, and the read-back must be EMPTY (the batch
+    // probe's answer), not PATH_NOT_FOUND
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-gate-empty").toString
+    (1L to 13L).filter(_ % 7 != 0)
+      .map(i => (i, s"some text for doc $i", "en", "src0", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$tmp/documents.parquet")
+    val streamed = GateStream.gateStreamQuery(spark, tmp)
+    assert(streamed.count() == 0)
+    assert(graft.ops.QualitySignals.qualityGateProbe(spark, tmp)
+      .count() == 0)
+  }
 }
