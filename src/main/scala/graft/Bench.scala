@@ -109,7 +109,11 @@ object Bench {
     // comparable to rounds ≤ 10 and to ScaleStress (which adopted the
     // same discipline in round 11). BASELINE.md §protocol item 3.
     def timedPass(): Map[String, Double] = {
-      graft.util.CkptMemo.clear()
+      // clears BOTH the derived-checkpoint memo and the candidate-pair
+      // memo (ADVICE r12: clearing only CkptMemo left the ~6 pair-cache
+      // consumers reusing the warm session pair set across passes — the
+      // same phantom-improvement class the cold protocol exists to kill)
+      graft.ops.Dedup.clearPairsMemo()
       names.map { n =>
         if (warmupErr.contains(n) || timedErr.contains(n)) n -> -1.0
         else {

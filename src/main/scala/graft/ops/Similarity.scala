@@ -908,7 +908,17 @@ object Similarity {
     val qualifying = semDedupQualifying(spark, celled, tau,
       targetBlockRows, maxSaltsPerCell).localCheckpoint()
     var undecided = qualifying
-    var kept = Seq.empty[Long].toDF("vec_id")
+    // Accumulate the DROPPED set, not the kept set (ADVICE r12): a
+    // vertex whose every pair is removed via PARTNER decisions in one
+    // round never surfaces as a root — with pairs (0,1),(1,2),(2,4),
+    // (3,4), round 1 keeps {0,3}, drops {1,4}, and removes both of
+    // vertex 2's pairs, so 2 is implicitly KEPT but a root-only
+    // accumulator misses it and dup_of/n_near for 4 would count only
+    // {3}, not {2,3} (the sequential oracle counts both). Dropped
+    // vertices, by contrast, are always decided EXPLICITLY (as the b
+    // of a kept root), so kept = all pair-graph vertices ∖ dropped is
+    // exact.
+    var dropped = Seq.empty[Long].toDF("vec_id")
     var remaining = undecided.count()
     var iter = 0
     while (remaining > 0 && iter < maxIter) {
@@ -917,12 +927,13 @@ object Similarity {
       val blocked = undecided.select(col("b_id").as("vec_id")).distinct()
       val roots = verts.join(blocked, Seq("vec_id"), "left_anti")
         .localCheckpoint()
-      kept = kept.union(roots).localCheckpoint()
-      val dropped = undecided
+      val roundDropped = undecided
         .join(roots.select(col("vec_id").as("a_id")), Seq("a_id"),
           "left_semi")
         .select(col("b_id").as("vec_id")).distinct()
-      val decided = roots.union(dropped)
+        .localCheckpoint()
+      dropped = dropped.union(roundDropped).localCheckpoint()
+      val decided = roots.union(roundDropped)
       undecided = undecided
         .join(decided.select(col("vec_id").as("a_id")), Seq("a_id"),
           "left_anti")
@@ -934,6 +945,12 @@ object Similarity {
     }
     require(remaining == 0,
       s"semDedupGreedy: $remaining undecided pairs after $maxIter rounds")
+    // FINAL kept set = every pair-graph vertex minus the dropped set
+    // (covers implicitly-kept vertices; see the accumulator comment)
+    val kept = qualifying.select(col("a_id").as("vec_id"))
+      .union(qualifying.select(col("b_id").as("vec_id"))).distinct()
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
     // dup_of / n_near against the FINAL kept set: every pair-graph
     // vertex is decided, so "not kept" ⟺ dropped ⟺ has a kept
     // lower-id neighbor — dup below is exactly the dropped set

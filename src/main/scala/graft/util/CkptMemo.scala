@@ -37,9 +37,20 @@ object CkptMemo {
   // coordinate (lazy val's per-instance monitor — one builds, one
   // waits), which is the wanted semantics: the checkpoint must be
   // built exactly once.
+  // The latch memoizes the OUTCOME (Either), not just success: if the
+  // build throws, every waiter blocked on the same holder gets the
+  // recorded failure and fails fast instead of re-running the build
+  // inside a holder the failing caller has already evicted (ADVICE
+  // r12: such a retry's checkpoint would never be registered in the
+  // map, so clear() could never unpersist it). Failed callers all
+  // evict-and-rethrow in of(), so the next fresh call installs a new
+  // holder and builds cleanly.
   private final class Holder(build: () => DataFrame) {
     @volatile var built = false
-    lazy val df: DataFrame = { val d = build(); built = true; d }
+    private lazy val outcome: Either[Throwable, DataFrame] =
+      try { val d = build(); built = true; Right(d) }
+      catch { case e: Throwable => Left(e) }
+    def df: DataFrame = outcome.fold(e => throw e, identity)
   }
 
   private val memo = collection.mutable.Map.empty[

@@ -57,6 +57,88 @@ class SemDedupGreedySpec extends AnyFunSuite {
     assert(got == Map(1L -> true, 2L -> false, 3L -> false))
   }
 
+  /** ADVICE r12: a vertex whose every pair is removed via PARTNER
+    * decisions in one round is implicitly kept without ever surfacing
+    * as a root. Planted graph (ids 1..5, pairs by angle):
+    * (1,2),(2,3),(3,5),(4,5). Round 1 keeps roots {1,4}, drops {2,5},
+    * and removes both of vertex 3's pairs — 3 is KEPT but never a
+    * root. dup_of/n_near for 5 must count BOTH kept lower neighbors
+    * {3,4} (dup_of=3, n_near=2); a roots-only accumulator yields
+    * dup_of=4, n_near=1 and diverges from the sequential oracle. */
+  test("implicitly-kept vertex: dup_of/n_near computed against the complete kept set") {
+    import spark.implicits._
+    val fdir =
+      s"target/tmp/semgreedy_implicit_${java.util.UUID.randomUUID}"
+    // qualify ⟺ |Δangle| < arccos(0.4) ≈ 66.4°
+    Seq((1L, unit(0), 0), (2L, unit(50), 0), (3L, unit(100), 0),
+        (4L, unit(190), 0), (5L, unit(150), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$fdir/embeddings.parquet")
+    val got = Similarity.semDedupGreedy(spark, fdir,
+        tau = 0.4, maxCells = 1)
+      .select("vec_id", "kept", "dup_of", "n_near")
+      .as[(Long, Boolean, Option[Long], Long)].collect().toSet
+    assert(got == Set(
+      (1L, true, None, 0L),
+      (2L, false, Some(1L), 1L),
+      (3L, true, None, 0L),
+      (4L, true, None, 0L),
+      (5L, false, Some(3L), 2L)))
+  }
+
+  /** VERDICT r12 item 4: rounds grow as ~chain/2 on an id-ordered
+    * similarity path (each round decides exactly one root + one
+    * partner off the chain head). A 200-link path therefore needs
+    * ~100 rounds: the default maxIter=50 must abort LOUDLY (never
+    * silently truncate — the CC lesson), and a raised maxIter must
+    * complete with the exact alternating greedy answer. Construction:
+    * v_i = (e_i + e_{i+1})/√2 in R^202 — cos(v_i, v_{i+1}) = 0.5 >
+    * tau, all non-adjacent pairs exactly 0 (orthogonal supports), no
+    * trigonometric wrap-around to plant spurious pairs. The operator
+    * answer for pathological chains is documented on the maxIter
+    * knob: raise it (rounds are pair-stream-sized, cost is linear in
+    * chain length) or fall back to [[Similarity.semDedup]]'s
+    * over-pruning rule when chain depth is unbounded. */
+  private lazy val longChainDir: String = {
+    import spark.implicits._
+    val fdir =
+      s"target/tmp/semgreedy_longchain_${java.util.UUID.randomUUID}"
+    val n = 201 // 200 links
+    val rows = (1 to n).map { i =>
+      val v = new Array[Float](n + 1)
+      val c = (1.0 / math.sqrt(2.0)).toFloat
+      v(i - 1) = c; v(i) = c
+      (i.toLong, v, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$fdir/embeddings.parquet")
+    fdir
+  }
+
+  test("200-link chain: default maxIter aborts loudly, never silently") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDedupGreedy(spark, longChainDir,
+        tau = 0.4, maxCells = 1)
+    }
+    assert(e.getMessage.contains("undecided pairs after 50 rounds"),
+      s"expected the named maxIter abort, got: ${e.getMessage}")
+  }
+
+  test("200-link chain: raised maxIter completes with the alternating greedy answer") {
+    import spark.implicits._
+    val got = Similarity.semDedupGreedy(spark, longChainDir,
+        tau = 0.4, maxCells = 1, maxIter = 150)
+      .select("vec_id", "kept", "dup_of", "n_near")
+      .as[(Long, Boolean, Option[Long], Long)].collect()
+    assert(got.length == 201)
+    got.foreach { case (id, kept, dupOf, nNear) =>
+      if (id % 2 == 1) assert(kept && dupOf.isEmpty && nNear == 0L,
+        s"odd id $id must be kept")
+      else assert(!kept && dupOf.contains(id - 1) && nNear == 1L,
+        s"even id $id must duplicate ${id - 1}")
+    }
+  }
+
   test("real corpus: greedy kept ⊇ registered kept, drops only chain tails back") {
     import spark.implicits._
     def keptOf(df: org.apache.spark.sql.DataFrame) =
