@@ -1,0 +1,176 @@
+#!/usr/bin/env python3
+"""Generate the committed HTML-corpus fixture (deterministic; run once,
+output is committed). The driver testdata documents are plain word soup
+with no markup, so the X82 extraction operator reads this fixture
+instead — same pattern as the PII corpus: the Spark side and the DuckDB
+oracle both read the identical committed file.
+
+Pages are synthetic crawl-shaped HTML: nav/footer boilerplate blocks,
+inline links, script/style/comment/CDATA regions, named entities
+(including double-encoded ones), plus a hostile tail (unclosed script,
+unclosed tag at EOF, tag-soup, nested CDATA, entity bombs, attributes
+in single quotes, uppercase tags).
+
+CSV parseability is kept trivial FOR BOTH ENGINES by construction:
+no field ever contains a comma, a double quote, or a newline (HTML
+needs none of them — attributes use single quotes, commas appear only
+as the &#44; entity). The generator asserts this.
+"""
+import os
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "fixtures", "corpus")
+
+WORDS = ("the quick brown fox jumps over a lazy dog while data flows "
+         "through batch and stream layers with schema checks").split()
+
+HOSTS = ["docs.example.com", "internal.test.net", "www.example.org"]
+
+
+def filler(i, n):
+    return " ".join(WORDS[(i * 7 + j) % len(WORDS)] for j in range(n))
+
+
+def link(i, j, text=None):
+    t = text if text is not None else f"{WORDS[(i + j) % len(WORDS)]} page{j}"
+    return (f"<a href='http://{HOSTS[(i + j) % len(HOSTS)]}/p{j}.html' "
+            f"class='l{j % 3}'>{t}</a>")
+
+
+def nav(i, n_links=4):
+    items = " ".join(f"<li>{link(i, j)}</li>" for j in range(n_links))
+    return f"<nav id='topnav'><ul>{items}</ul></nav>"
+
+
+def footer(i):
+    return (f"<footer><p>site footer {link(i, 9, 'terms')} "
+            f"{link(i, 10, 'privacy')} &copy; example</p></footer>")
+
+
+def script(i):
+    # fake tags and entities INSIDE the script must not leak to text
+    return ("<script type='text/javascript'>var x = 1 < 2; "
+            f"document.write('<p>generated {i}</p>'); "
+            "if (x &amp;&amp; true) {} </script>")
+
+
+def style():
+    return "<style>.l0 { color: red; } p > em { display: none; }</style>"
+
+
+def page(i, body, with_nav=True, with_footer=True, with_script=True):
+    head = (f"<head><title>page {i}</title>"
+            + (script(i) if with_script else "") + style() + "</head>")
+    parts = ["<html>", head, "<body>"]
+    if with_nav:
+        parts.append(nav(i))
+    parts.append(body)
+    if with_footer:
+        parts.append(footer(i))
+    parts += ["</body>", "</html>"]
+    return "".join(parts)
+
+
+def rows():
+    out = []
+    i = 0
+
+    def add(source, html):
+        nonlocal i
+        out.append((i, source, html))
+        i += 1
+
+    # --- articles: long body text, some inline links, full chrome ---
+    for k in range(40):
+        body = (f"<h1>article {k}</h1>"
+                f"<p>{filler(k, 18)} {link(k, 5)} {filler(k + 1, 14)}</p>"
+                f"<!-- editorial note {k} -->"
+                f"<p>{filler(k + 2, 20)} &amp; {filler(k + 3, 9)}</p>")
+        add("crawl0", page(k, body))
+
+    # --- link farms: almost all anchor text, no nav/footer tags ---
+    for k in range(12):
+        links = " ".join(link(k, j) for j in range(12))
+        body = f"<div class='farm'>{links} {filler(k, 2)}</div>"
+        add("crawl1", page(k, body, with_nav=False, with_footer=False,
+                           with_script=False))
+
+    # --- plain-text pages: no tags at all ---
+    for k in range(10):
+        add("crawl2", filler(k, 25))
+
+    # --- entity showcase (incl. double-encoded + numeric + comma) ---
+    for k in range(10):
+        body = (f"<p>a &lt;tag&gt; literal&#44; a &quot;quote&quot; "
+                f"and &#39;apostrophes&#39; &apos;both&apos; "
+                f"plus&nbsp;nbsp &amp;lt; stays encoded {filler(k, 8)}</p>")
+        add("crawl3", page(k, body))
+
+    # --- CDATA blocks (content stripped with the block) ---
+    for k in range(6):
+        body = (f"<p>{filler(k, 6)}</p>"
+                f"<![CDATA[ raw <b>not text</b> {k} ]]>"
+                f"<p>{filler(k + 1, 6)}</p>")
+        add("crawl4", page(k, body))
+
+    # --- boilerplate-only pages: nav + footer, no body content ---
+    for k in range(6):
+        add("crawl5", page(k, "", with_script=False))
+
+    # --- hostile tail -------------------------------------------------
+    # unclosed script: no </script>, so the block regex cannot match
+    # and the code LEAKS into text minus its tags (documented behavior)
+    add("hostile", "<html><body><script>var leak = 'code';"
+                   f"<p>{filler(1, 6)}</p></body></html>")
+    # unclosed tag at EOF: no closing '>' — the fragment stays as text
+    add("hostile", f"<html><body><p>{filler(2, 6)}</p><div class='x")
+    # malformed nesting: '<div <span>' parses as ONE tag up to the
+    # first '>'
+    add("hostile", f"<html><body><div <span>{filler(3, 6)}</div></body>")
+    # nested CDATA: inner ']]>' closes the non-greedy match; the tail
+    # 'c ]]>' survives region removal, loses '>'-terminated fragments
+    # at the tag strip, and the rest lands in text
+    add("hostile", "<html><body><![CDATA[a <![CDATA[b ]]> c ]]>"
+                   f"<p>{filler(4, 6)}</p></body></html>")
+    # entity bomb: deeply double-encoded — ONE decode pass only, the
+    # remainder must stay literal (no iterative re-decoding)
+    add("hostile", "<html><body><p>" + "&amp;" * 40 + "amp;lt;bomb"
+                   f" {filler(5, 4)}</p></body></html>")
+    # tag soup
+    add("hostile", f"<html><<<>>><p>{filler(6, 6)}</p><><b></html>")
+    # uppercase tags + uppercase boilerplate blocks
+    add("hostile", f"<HTML><BODY><NAV>{link(7, 1)}</NAV>"
+                   f"<P>{filler(7, 8)}</P><FOOTER>done</FOOTER>"
+                   "</BODY></HTML>")
+    # comment that contains tag-like and entity-like content
+    add("hostile", f"<html><body><!-- <p>ghost</p> &amp; more -->"
+                   f"<p>{filler(8, 6)}</p></body></html>")
+    # whitespace-only content
+    add("hostile", "<html><body><p> \t </p></body></html>")
+    # anchor with nested markup inside (tags stripped from link text)
+    add("hostile", "<html><body><a href='http://x.test/'>"
+                   f"<b>bold</b> link text</a> {filler(9, 6)}</body></html>")
+    # script containing a fake </style> and style containing fake
+    # </script> — each block closes only on its own terminator
+    add("hostile", "<html><head><script>a = '</style>' + 1;</script>"
+                   "<style>em:after { content: 'x</scrip'; }</style>"
+                   f"</head><body><p>{filler(10, 6)}</p></body></html>")
+    return out
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    rs = rows()
+    for _, _, h in rs:
+        assert "," not in h and '"' not in h and "\n" not in h, h
+        assert h == h.strip(), repr(h)
+        assert all(ord(c) < 128 for c in h), h
+    path = os.path.join(OUT, "html_docs.csv")
+    with open(path, "w") as f:
+        f.write("doc_id,source,html\n")
+        for i, s, h in rs:
+            f.write(f"{i},{s},{h}\n")
+    print(f"wrote {path}: {len(rs)} rows")
+
+
+if __name__ == "__main__":
+    main()

@@ -275,70 +275,80 @@ object SparkEntry {
       GROUP BY 1, 2 HAVING count(*) >= 4
       ORDER BY new_doc, corpus_doc"""
 
-  /** Shared oracle of `quality_gate_probe` (X81) and
-    * `quality_gate_stream` (X81b): rebuilds the persisted gate
+  /** The X81 gate-statistics CTE block, name-prefixed so it can be
+    * spliced into oracles with their own CTE namespaces (the
+    * incremental pipeline's stage-1 replay shares it verbatim with
+    * the standalone probe oracles): rebuilds the persisted gate
     * statistics from scratch — corpus-side bounds, the NAIVE-rank
-    * margin cutoff (re-gate-checking the X80 decomposition), and
-    * the temperature rates — then replays every batch verdict. */
-  private lazy val qualityGateOracle = """
-      WITH corpus AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
-      batch AS (SELECT doc_id, source, lang, n_chars
+    * margin cutoff (re-gate-checking the X80 decomposition), and the
+    * temperature rates — then assembles the per-batch-doc verdict
+    * relation `<p>v`. */
+  private def qgateCtes(p: String): String = s"""
+      ${p}corpus AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+      ${p}batch AS (SELECT doc_id, source, lang, n_chars
         FROM documents WHERE doc_id % 7 = 0),
-      b AS (SELECT lang, quantile_cont(n_chars, 0.02) AS lo,
-          quantile_cont(n_chars, 0.98) AS hi FROM corpus GROUP BY 1),
-      tok AS (SELECT doc_id,
-          list_filter(string_split_regex(lower(text), '\s+'),
+      ${p}b AS (SELECT lang, quantile_cont(n_chars, 0.02) AS lo,
+          quantile_cont(n_chars, 0.98) AS hi FROM ${p}corpus GROUP BY 1),
+      ${p}tok AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\\s+'),
             x -> x <> '') AS w
         FROM documents),
-      g AS (
-        SELECT doc_id, unnest(w) AS g FROM tok
+      ${p}g AS (
+        SELECT doc_id, unnest(w) AS g FROM ${p}tok
         UNION ALL
         SELECT doc_id, unnest(list_transform(range(1, len(w)),
             i -> w[i] || ' ' || w[i+1])) AS g
-        FROM tok WHERE len(w) >= 2),
-      wt AS (SELECT doc_id,
+        FROM ${p}tok WHERE len(w) >= 2),
+      ${p}wt AS (SELECT doc_id,
           (CAST(('0x' || substring(md5('qw:' || CAST(
               CAST(('0x' || substring(md5('qf:' || g), 1, 8)) AS BIGINT)
                 % 1024 AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000)
             / 1000.0 AS wgt
-        FROM g),
-      sc AS (SELECT doc_id,
+        FROM ${p}g),
+      ${p}sc AS (SELECT doc_id,
           CAST(CAST(sum(CAST(wgt AS DECIMAL(30,8))) AS VARCHAR)
             AS DOUBLE) / count(*) AS margin
-        FROM wt GROUP BY doc_id),
-      cr AS (SELECT s.doc_id, d.source, s.margin,
+        FROM ${p}wt GROUP BY doc_id),
+      ${p}cr AS (SELECT s.doc_id, d.source, s.margin,
           row_number() OVER (PARTITION BY d.source
             ORDER BY s.margin DESC, s.doc_id) AS rnk,
           count(*) OVER (PARTITION BY d.source) AS n
-        FROM sc s JOIN corpus d USING (doc_id)),
-      cut AS (SELECT source, min(margin) AS cutoff FROM cr
+        FROM ${p}sc s JOIN ${p}corpus d USING (doc_id)),
+      ${p}cut AS (SELECT source, min(margin) AS cutoff FROM ${p}cr
         WHERE rnk <= (n * 60 + 99) // 100 GROUP BY 1),
-      ct AS (SELECT d.source,
+      ${p}ct AS (SELECT d.source,
           CAST(sum(len(list_filter(
-            string_split_regex(lower(d.text), '\s+'),
+            string_split_regex(lower(d.text), '\\s+'),
             x -> x <> ''))) AS BIGINT) AS src_tok
-        FROM corpus d GROUP BY 1),
-      gg AS (SELECT CAST(sum(src_tok) AS BIGINT) AS tot,
+        FROM ${p}corpus d GROUP BY 1),
+      ${p}gg AS (SELECT CAST(sum(src_tok) AS BIGINT) AS tot,
           CAST(sum(CAST(floor(sqrt(CAST(src_tok AS DOUBLE)))
-            AS BIGINT)) AS BIGINT) AS s_sum FROM ct),
-      r AS (SELECT ct.source, CASE WHEN ct.src_tok = 0 THEN 0
+            AS BIGINT)) AS BIGINT) AS s_sum FROM ${p}ct),
+      ${p}r AS (SELECT ${p}ct.source, CASE WHEN ${p}ct.src_tok = 0 THEN 0
           ELSE least(1000000,
-            (((gg.tot * 2 // 5) * 1000000 // gg.s_sum) *
-              CAST(floor(sqrt(CAST(ct.src_tok AS DOUBLE))) AS BIGINT))
-              // ct.src_tok)
-        END AS rate_ppm FROM ct, gg),
-      v AS (SELECT t.doc_id, t.source, t.lang, t.n_chars, sc.margin,
+            (((${p}gg.tot * 2 // 5) * 1000000 // ${p}gg.s_sum) *
+              CAST(floor(sqrt(CAST(${p}ct.src_tok AS DOUBLE))) AS BIGINT))
+              // ${p}ct.src_tok)
+        END AS rate_ppm FROM ${p}ct, ${p}gg),
+      ${p}v AS (SELECT t.doc_id, t.source, t.lang, t.n_chars,
+          sc.margin,
           COALESCE(t.n_chars >= b.lo AND t.n_chars <= b.hi, false)
             AS keep_length,
           COALESCE(sc.margin >= cut.cutoff, false) AS keep_quality,
           COALESCE(CAST(('0x' || substring(md5('qgate:' ||
               CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
             < r.rate_ppm, false) AS keep_sample
-        FROM batch t
-        LEFT JOIN sc USING (doc_id)
-        LEFT JOIN b USING (lang)
-        LEFT JOIN cut USING (source)
-        LEFT JOIN r USING (source))
+        FROM ${p}batch t
+        LEFT JOIN ${p}sc sc USING (doc_id)
+        LEFT JOIN ${p}b b USING (lang)
+        LEFT JOIN ${p}cut cut USING (source)
+        LEFT JOIN ${p}r r USING (source))"""
+
+  /** Shared oracle of `quality_gate_probe` (X81) and
+    * `quality_gate_stream` (X81b) — [[qgateCtes]] with the bare
+    * namespace plus the verdict projection. */
+  private lazy val qualityGateOracle = s"""
+      WITH ${qgateCtes("")}
       SELECT doc_id, source, lang, n_chars, margin, keep_length,
         keep_quality, keep_sample,
         keep_length AND keep_quality AND keep_sample AS admit
@@ -1246,6 +1256,48 @@ object SparkEntry {
         CAST(len(regexp_extract_all(text, '$i')) AS BIGINT) AS n_ip,
         CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_phone
       FROM d ORDER BY doc_id"""
+    }),
+
+    // X82 — HTML boilerplate extraction over the committed fixture
+    // corpus: both engines read the same CSV and replay the identical
+    // ordered region-removal / tag-strip / entity-decode / collapse
+    // chain (Java-regex ∩ RE2 subset; plain substring replace for
+    // entities), so text, counts and flags are bit-equal.
+    "html_extract" -> Q((s, d) => HtmlExtract.htmlExtract(s, d), Some {
+      import HtmlExtract._
+      def sq(x: String) = x.replace("'", "''")
+      val regions = RegionRules.foldLeft("html")((acc, p) =>
+        s"regexp_replace($acc, '${sq(p)}', ' ', 'g')")
+      def strip(x: String) =
+        s"regexp_replace($x, '${sq(TagPattern)}', ' ', 'g')"
+      def coll(x: String) =
+        s"trim(regexp_replace($x, '${sq(WsPattern)}', ' ', 'g'))"
+      val decoded = Entities.foldLeft(strip("regions")) {
+        case (acc, (ent, ch)) => s"replace($acc, '${sq(ent)}', '${sq(ch)}')" }
+      s"""
+      WITH d AS (
+        SELECT doc_id, source, html FROM read_csv('$FixtureCsv',
+          header=true, columns={'doc_id':'BIGINT','source':'VARCHAR',
+          'html':'VARCHAR'})),
+      r AS (SELECT doc_id, source, html, $regions AS regions FROM d),
+      s AS (SELECT doc_id, source, html, regions,
+          regexp_extract_all(regions, '${sq(AnchorPattern)}', 1)
+            AS anchors,
+          GREATEST(1, len(${coll(strip("regions"))})) AS body_chars
+        FROM r),
+      x AS (SELECT *, CAST(COALESCE(list_sum(list_transform(anchors,
+            a -> len(${coll(strip("a"))}))), 0) AS BIGINT) AS link_chars
+        FROM s),
+      t AS (SELECT *, ${coll(decoded)} AS text FROM x)
+      SELECT doc_id, source, text,
+        CAST(len(text) AS BIGINT) AS text_len,
+        CAST(len(anchors) AS BIGINT) AS n_links,
+        link_chars,
+        CAST(link_chars AS DOUBLE) / body_chars AS link_density,
+        (regexp_matches(html, '${sq(BoilerTagPattern)}') OR
+         CAST(link_chars AS DOUBLE) / body_chars > $LinkDensityCut)
+          AS boilerplate_flag
+      FROM t ORDER BY doc_id"""
     }),
 
     // Token-budget chunking with overlap (the splitting complement of
@@ -3115,7 +3167,8 @@ object SparkEntry {
     // each stage with brute-force batch×corpus relations.
     "corpus_pipeline_incr" -> Q(
       (s, d) => CorpusPipeline.corpusPipelineIncr(s, d), Some(s"""
-      WITH itok AS MATERIALIZED (
+      WITH ${qgateCtes("qg")},
+      itok AS MATERIALIZED (
         SELECT doc_id, list_filter(string_split_regex(lower(text),
           '\\s+'), x -> x <> '') AS w
         FROM documents),
@@ -3123,10 +3176,12 @@ object SparkEntry {
         WHERE doc_id % 7 = 0),
       ct AS MATERIALIZED (SELECT doc_id, w FROM itok
         WHERE doc_id % 7 <> 0),
-      ib1 AS MATERIALIZED (SELECT doc_id, w FROM bt
-        WHERE len(w) >= 20
-          AND CAST(len(list_distinct(w)) AS DOUBLE)
-            / NULLIF(len(w), 0) >= 0.35),
+      -- stage 1 = the X81 calibrated admission verdict (qgv), replayed
+      -- from scratch by the shared gate CTE block — not the rebuild's
+      -- fixed token-ratio rule
+      ib1 AS MATERIALIZED (SELECT bt.doc_id, bt.w FROM bt
+        JOIN qgv v USING (doc_id)
+        WHERE v.keep_length AND v.keep_quality AND v.keep_sample),
       chash AS MATERIALIZED (
         SELECT DISTINCT md5(array_to_string(w, ' ')) AS k FROM ct),
       ib2 AS MATERIALIZED (SELECT doc_id, w FROM (

@@ -342,6 +342,12 @@ object CorpusPipeline {
     * never re-pairing (or re-cleaning) the corpus itself. This is the
     * composition of the round's serving splits:
     *
+    *  - `01_quality` — the X81 calibrated admission gate: the batch
+    *    judged against the `_SUCCESS`-persisted corpus-side statistics
+    *    (per-lang length bounds, per-source margin cutoff, temperature
+    *    coin — [[QualitySignals.qualityGateBuildStats]], the same
+    *    store `quality_gate_probe` serves from), NOT the rebuild's
+    *    fixed token-ratio rule;
     *  - `02_exact` — batch-internal keep-min + anti-join against the
     *    corpus's canonical token-stream hashes;
     *  - `03_neardup` — batch signatures probed against the persisted
@@ -399,10 +405,26 @@ object CorpusPipeline {
     val btok = tok.filter(pmod(col("doc_id"), lit(batchMod)) === 0)
     val ctok = tok.filter(pmod(col("doc_id"), lit(batchMod)) =!= 0)
 
-    // ---- stage 1: quality gate (batch-local) ----
-    val b1 = btok.filter(size(col("w")) >= MinTokens &&
-      (size(array_distinct(col("w"))).cast("double") /
-        nullif(size(col("w")), lit(0))) >= MinUniqRatio)
+    // ---- stage 1: calibrated admission gate (X81 persisted stats) ----
+    // The increment is gated by the CORPUS-CALIBRATED statistics the
+    // quality family derives (VERDICT r12 item 2) — per-language
+    // length bounds, per-source margin cutoff, temperature coin, all
+    // `_SUCCESS`-persisted by [[QualitySignals.qualityGateBuildStats]]
+    // and shared with the standalone `quality_gate_probe` — instead of
+    // the rebuild's fixed token-ratio rule: the daily path exercises
+    // the serving artifacts; the periodic rebuild re-derives them.
+    // Checkpointed (batch-sized) so the scorer fan-out + stat
+    // broadcasts run once, not once per downstream stage + accounting
+    // branch.
+    val b1 = CkptMemo.of(spark, "cpi_b1", dir, batchMod) {
+      val statsIdx =
+        QualitySignals.qualityGateBuildStats(spark, dir, batchMod)
+      val admitted = QualitySignals.qualityGateFor(
+          t(spark, dir, "documents")
+            .filter(pmod(col("doc_id"), lit(batchMod)) === 0), statsIdx)
+        .filter(col("admit")).select(col("doc_id"))
+      btok.join(admitted, Seq("doc_id"), "left_semi").localCheckpoint()
+    }
 
     // ---- stage 2: exact dedup, batch-internal + vs corpus hashes ----
     val corpusHashes = CkptMemo.of(spark, "cpi_chash", dir, batchMod) {

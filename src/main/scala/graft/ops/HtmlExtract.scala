@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** X82 — markup/boilerplate text extraction: the entry stage of a
+  * crawl-to-corpus pipeline (raw HTML → clean text), feeding every
+  * text operator downstream (VERDICT r12 item 1). The reference's CSV
+  * world never sees markup (its loaders project typed columns —
+  * `FInal/load_script.py:150-216`), so this is an extension operator
+  * mandated by the training-data-pipeline surface, not a port.
+  *
+  * The extraction is a DETERMINISTIC subset of a real
+  * boilerplate-removal pass, chosen so every step is a
+  * `regexp_replace`/`replace` chain both engines replay bit-for-bit
+  * (the [[Privacy]] Java-regex ∩ RE2 dialect discipline: no
+  * lookaround, ASCII classes, non-greedy + inline `(?i)`/no `(?s)` —
+  * fixture HTML is single-line so `.` never needs to cross a newline):
+  *
+  *  1. region removal, in fixed order: comments, CDATA blocks,
+  *     script, style, then the planted boilerplate containers nav and
+  *     footer — each `<x ...> .*? </x>` non-greedy. Unclosed blocks
+  *     do NOT match (their tags fall to step 3 and their content
+  *     leaks to text — the deterministic, documented failure shape;
+  *     see HtmlExtractSpec's hostile battery).
+  *  2. link stats on the REMAINED region (menus already dropped, so
+  *     what is measured is body linkiness — the link-farm signal):
+  *     anchors = `(?i)<a[^>]*>(.*?)</a>` group 1; `n_links` counts
+  *     them; `link_chars` sums their tag-stripped collapsed lengths;
+  *     `link_density` = link_chars / max(1, len) with the denominator
+  *     the SAME tag-stripped collapsed (entity-UNdecoded) form, so
+  *     numerator and denominator are in identical units.
+  *  3. tag strip: `<[^>]*>` → one space. A dangling `<` with no
+  *     closing `>` is not a tag and stays as text.
+  *  4. entity decode, AFTER tag strip so `&lt;script&gt;` can never
+  *     re-materialize into strippable markup (the double-decode
+  *     injection): fixed chain of named entities via plain substring
+  *     `replace` (no regex), `&amp;` deliberately LAST — one decode
+  *     pass only, `&amp;lt;` yields the literal text `&lt;`.
+  *     `&nbsp;` decodes to a plain ASCII space (deliberate divergence
+  *     from U+00A0: keeps the corpus ASCII and collapsible).
+  *  5. whitespace collapse `[ \t\r\n]+` → one space, then trim.
+  *
+  * `boilerplate_flag` = page declares nav/footer chrome
+  * (`(?i)<(nav|footer)[ >]` on the RAW html) OR the extracted body is
+  * mostly links (`link_density > 0.4`) — the two planted boilerplate
+  * shapes, each detectable by the other engine.
+  *
+  * The driver testdata has no markup, so the registered query reads
+  * the committed fixture `fixtures/corpus/html_docs.csv`
+  * (`scripts/gen_html_fixture.py`; comma/quote/newline-free fields by
+  * construction, so the trivial CSV dialect parses identically in
+  * Spark and DuckDB — the [[Privacy]] fixture pattern).
+  *
+  * Scale shape: a pure per-row projection — no shuffle, no UDF
+  * (regexp_replace / replace / aggregate-HOF are codegen'd Catalyst
+  * expressions), so the operator runs at scan speed on any corpus;
+  * the ScaleStress leg wraps the n× documents corpus in synthetic
+  * page chrome and measures exactly that. */
+object HtmlExtract {
+
+  val FixtureCsv = s"${Ingest.FixtureDir}/corpus/html_docs.csv"
+
+  /** Region-removal rules applied to the raw HTML in this order; all
+    * non-greedy, replacement one space. Comments/CDATA first so
+    * commented-out markup never counts as a region terminator for the
+    * later rules... and tag-like content inside script/style is
+    * consumed with its block. */
+  val RegionRules: Seq[String] = Seq(
+    "<!--.*?-->",
+    "<!\\[CDATA\\[.*?\\]\\]>",
+    "(?i)<script[^>]*>.*?</script>",
+    "(?i)<style[^>]*>.*?</style>",
+    "(?i)<nav[^>]*>.*?</nav>",
+    "(?i)<footer[^>]*>.*?</footer>")
+
+  val TagPattern = "<[^>]*>"
+  val AnchorPattern = "(?i)<a[^>]*>(.*?)</a>"
+  val WsPattern = "[ \\t\\r\\n]+"
+  val BoilerTagPattern = "(?i)<(nav|footer)[ >]"
+  val LinkDensityCut = 0.4
+
+  /** Entity decode chain — plain substring replaces in this order,
+    * `&amp;` LAST (single-pass decode; see step 4 above). */
+  val Entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&apos;" -> "'", "&#44;" -> ",",
+    "&nbsp;" -> " ", "&copy;" -> "(c)", "&amp;" -> "&")
+
+  private def dropRegions(html: Column): Column =
+    RegionRules.foldLeft(html)((c, pat) => regexp_replace(c, pat, " "))
+
+  private def stripTags(c: Column): Column =
+    regexp_replace(c, TagPattern, " ")
+
+  private def collapse(c: Column): Column =
+    trim(regexp_replace(c, WsPattern, " "))
+
+  private def decode(c: Column): Column =
+    Entities.foldLeft(c) { case (acc, (ent, ch)) =>
+      replace(acc, lit(ent), lit(ch)) }
+
+  /** The extraction over any (doc_id, source, html) relation. */
+  def htmlExtractFrom(df: DataFrame): DataFrame = {
+    val regions = dropRegions(col("html"))
+    val anchors = regexp_extract_all(regions, lit(AnchorPattern), lit(1))
+    val linkChars = aggregate(
+      transform(anchors, a => length(collapse(stripTags(a))).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val bodyChars =
+      greatest(lit(1L), length(collapse(stripTags(regions))).cast("long"))
+    df.select(col("doc_id"), col("source"),
+        collapse(decode(stripTags(regions))).as("text"),
+        size(anchors).cast("long").as("n_links"),
+        linkChars.as("link_chars"),
+        (linkChars.cast("double") / bodyChars).as("link_density"),
+        (col("html").rlike(BoilerTagPattern) ||
+          linkChars.cast("double") / bodyChars > LinkDensityCut)
+          .as("boilerplate_flag"))
+      .withColumn("text_len", length(col("text")).cast("long"))
+      .select("doc_id", "source", "text", "text_len", "n_links",
+        "link_chars", "link_density", "boilerplate_flag")
+  }
+
+  /** Registered query: extraction over the committed fixture corpus. */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("html", StringType)))
+    htmlExtractFrom(
+        spark.read.option("header", "true").schema(schema).csv(FixtureCsv))
+      .orderBy("doc_id")
+  }
+}

@@ -321,6 +321,22 @@ object ScaleStress {
       // the scan + phase-1 agg, the claim the two-phase design makes
       "token_budget_mix" ->
         (d => m(graft.ops.Reshape.tokenBudgetMix(spark, d))),
+      // X82: the scan-speed claim measured directly — the n× documents
+      // corpus wrapped in synthetic page chrome (nav/script/links/
+      // footer), then the full extraction chain; pure per-row
+      // projection, so growth must track the scan
+      "html_extract" -> (d =>
+        m(graft.ops.HtmlExtract.htmlExtractFrom(
+          Tables.t(spark, d, "documents").select(
+            col("doc_id"), col("source"),
+            concat(
+              lit("<html><head><title>doc "), col("doc_id"),
+              lit("</title><script>var x = 1 < 2;</script></head>"),
+              lit("<body><nav><a href='/a'>home</a> "),
+              lit("<a href='/b'>docs</a></nav><p>"), col("text"),
+              lit(" &amp; more</p><a href='/c'>next page</a>"),
+              lit("<!-- crawl --><footer>footer</footer></body></html>"))
+              .as("html"))))),
       "clean_corpus" -> (d => {
         Dedup.clearPairsMemo(); m(TextAnalysis.cleanCorpus(spark, d)) }),
       "heavy_hitters" -> (d => m(CorpusStats.heavyHitters(spark, d))),

@@ -111,6 +111,20 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(again == incrRows)
   }
 
+  test("incremental: stage 1 equals the standalone calibrated gate's admissions") {
+    // composition semantics (VERDICT r12 item 2): the increment's
+    // stage-1 survivors must be exactly the docs the standalone X81
+    // probe admits — same persisted stats store (same dir/batchMod
+    // key), same verdict conjunction, checked against the
+    // independently-registered query
+    import org.apache.spark.sql.functions._
+    val expected = QualitySignals.qualityGateProbe(spark, dir)
+      .filter(col("admit")).count()
+    assert(istage("01_quality").nDocs == expected)
+    assert(expected < istage("00_batch").nDocs,
+      "the gate must actually reject something at this sf")
+  }
+
   test("incremental: the batch slice is exactly the full corpus's batchMod stand-in") {
     // restriction semantics against an independent count — stage 0
     // must equal the doc_id % 7 == 0 slice of the raw corpus

@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** X82 gates: planted-shape assertions on the committed fixture corpus
+  * plus the hostile-HTML battery (VERDICT r12 item 1) — unclosed
+  * blocks, nested CDATA, entity bombs, tag soup. Every behavior pinned
+  * here is the DETERMINISTIC documented one (scaladoc steps 1–5), not
+  * a best-effort parse: the point is that Spark and the DuckDB oracle
+  * agree bit-for-bit, including on malformed input. */
+class HtmlExtractSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val out =
+    HtmlExtract.htmlExtract(spark, dir).collect().map { r =>
+      r.getLong(0) -> r }.toMap
+  private lazy val srcOf =
+    spark.read.option("header", "true")
+      .csv(HtmlExtract.FixtureCsv)
+      .collect().map(r => r.getString(0).toLong -> r.getString(1)).toMap
+
+  private def text(id: Long) = out(id).getString(2)
+  private def flag(id: Long) = out(id).getBoolean(7)
+  private def ids(src: String) =
+    srcOf.collect { case (id, s) if s == src => id }.toSeq.sorted
+
+  test("articles: chrome stripped, body kept, nav/footer flag set") {
+    ids("crawl0").foreach { id =>
+      val t = text(id)
+      assert(t.contains("article"), s"doc $id lost its body")
+      assert(!t.contains("document.write"), s"doc $id leaked script")
+      assert(!t.contains("color: red"), s"doc $id leaked style")
+      assert(!t.contains("site footer"), s"doc $id leaked footer")
+      assert(!t.contains("page0"), s"doc $id leaked nav links")
+      assert(!t.contains("editorial note"), s"doc $id leaked a comment")
+      assert(flag(id), s"doc $id has <nav>+<footer> but no flag")
+    }
+  }
+
+  test("link farms: no chrome tags, flagged purely by link density") {
+    ids("crawl1").foreach { id =>
+      val d = out(id).getDouble(6)
+      assert(d > HtmlExtract.LinkDensityCut, s"doc $id density $d")
+      assert(flag(id), s"doc $id is a link farm but not flagged")
+      assert(out(id).getLong(4) == 12L, s"doc $id n_links")
+    }
+  }
+
+  test("plain text: identity extraction, zero links, unflagged") {
+    ids("crawl2").foreach { id =>
+      assert(out(id).getLong(4) == 0L && out(id).getLong(5) == 0L)
+      assert(out(id).getDouble(6) == 0.0)
+      assert(!flag(id))
+      assert(out(id).getLong(3) > 0)
+    }
+  }
+
+  test("entities: single-pass decode, amp last, comma/nbsp/quote forms") {
+    ids("crawl3").foreach { id =>
+      val t = text(id)
+      assert(t.contains("a <tag> literal,"), t)
+      assert(t.contains("a \"quote\""), t)
+      assert(t.contains("'apostrophes'"), t)
+      assert(t.contains("'both'"), t)
+      assert(t.contains("plus nbsp"), t)
+      // double-encoded &amp;lt; decodes ONCE to the literal text &lt;
+      assert(t.contains("&lt; stays encoded"), t)
+    }
+  }
+
+  test("CDATA blocks are stripped with their content") {
+    ids("crawl4").foreach { id =>
+      assert(!text(id).contains("not text"), text(id))
+    }
+  }
+
+  test("boilerplate-only pages keep just the title text and flag true") {
+    ids("crawl5").foreach { id =>
+      // <title> is content, not chrome: an empty-body page reduces to
+      // exactly its title — nav/footer/style contribute nothing
+      assert(text(id).matches("page \\d+"), s"doc $id: '${text(id)}'")
+      assert(flag(id))
+    }
+  }
+
+  // --- hostile battery --------------------------------------------
+
+  private lazy val hostile = ids("hostile")
+
+  test("unclosed script: block regex can't match, code leaks minus tags") {
+    val t = text(hostile(0))
+    assert(t.contains("var leak = 'code';"), t)
+    assert(!t.contains("<script>"), t)
+  }
+
+  test("unclosed tag at EOF stays as text (a dangling < is not a tag)") {
+    val t = text(hostile(1))
+    assert(t.endsWith("<div class='x"), t)
+  }
+
+  test("malformed nesting '<div <span>' strips as one tag to the first >") {
+    val t = text(hostile(2))
+    assert(!t.contains("div") && !t.contains("span"), t)
+  }
+
+  test("nested CDATA: inner ]]> closes the match, tail survives as text") {
+    val t = text(hostile(3))
+    assert(!t.contains("a <![CDATA[b"), t)
+    assert(t.contains("c ]]>"), t)
+  }
+
+  test("entity bomb: one decode pass, no iterative re-decoding") {
+    val t = text(hostile(4))
+    // 40x '&amp;' then 'amp;lt;bomb': each literal &amp; decodes to &
+    // exactly once; the &lt; materialized by the LAST amp-decode is
+    // NOT re-decoded (amp is the final rule in the chain)
+    assert(t.contains("&" * 39 + "&amp;lt;bomb") ||
+           t.contains("&" * 40 + "amp;lt;bomb"), t)
+    assert(!t.contains("<bomb"), t)
+  }
+
+  test("tag soup survives deterministically") {
+    val t = text(hostile(5))
+    assert(t.nonEmpty && !t.contains("<p>"), t)
+  }
+
+  test("uppercase NAV/FOOTER blocks are removed and flagged (?i)") {
+    val id = hostile(6)
+    val t = text(id)
+    assert(!t.contains("page1") && !t.contains("done"), t)
+    assert(flag(id))
+  }
+
+  test("comments hide tag-like and entity-like content entirely") {
+    val t = text(hostile(7))
+    assert(!t.contains("ghost"), t)
+  }
+
+  test("whitespace-only body collapses to empty text") {
+    assert(text(hostile(8)) == "")
+  }
+
+  test("anchor with nested markup: link text measured tag-stripped") {
+    val id = hostile(9)
+    assert(out(id).getLong(4) == 1L)
+    assert(out(id).getLong(5) == "bold link text".length.toLong)
+  }
+
+  test("script/style blocks close only on their own terminator") {
+    val t = text(hostile(10))
+    assert(!t.contains("</style>") && !t.contains("content:"), t)
+  }
+
+  test("in-memory adversarial rows: nulls and megabyte entity runs don't throw") {
+    import spark.implicits._
+    val big = "&amp;" * 200000 // ~1 MB of entities
+    val rows = Seq(
+      (1L, "adv", null.asInstanceOf[String]),
+      (2L, "adv", ""),
+      (3L, "adv", big),
+      (4L, "adv", "<" * 100000),
+      (5L, "adv", "<a href='x'>" + ("y " * 50000) + "</a>"))
+      .toDF("doc_id", "source", "html")
+    val got = HtmlExtract.htmlExtractFrom(rows).collect()
+    assert(got.length == 5)
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(2)) // null html propagates, never crashes
+    assert(byId(3L).getString(2) == "&" * 200000)
+    assert(byId(5L).getDouble(6) > 0.9) // one giant link: density ~1
+  }
+}

@@ -234,6 +234,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "percentiles" -> 2,
     "percentiles_approx" -> 3,
     "pii_redact" -> 1,
+    // X82: pure per-row projection over the fixture CSV; the one
+    // exchange is the final presentation orderBy
+    "html_extract" -> 1,
     "pivot_orders" -> 3,
     "price_histogram" -> 2,
     "q10_returned_items" -> 1,
