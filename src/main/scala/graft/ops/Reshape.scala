@@ -187,24 +187,91 @@ object Reshape {
     * every engine, every retry" pipeline shape. [[sampleStratified]]
     * is its rate-based sibling (expected fraction, binomial count
     * jitter); eval sets and few-shot pools need exact counts, which
-    * an RNG-free rank + `row_number` window delivers. One shuffle on
-    * the stratum key; the per-stratum sort state is stratum-sized —
-    * at 100 TB, k ≪ stratum, so a rank-filter pre-pass (keep hash <
-    * headroom·k/|stratum| quantile) can bound it; at the registered
-    * scale the plain window is the right plan. Ties are impossible
-    * short of an md5 collision on distinct doc_ids, so the order — and
-    * the gate hash — is total. */
+    * an RNG-free rank + `row_number` window delivers.
+    *
+    * Scale design (VERDICT r12 item 3 — the doc'd pre-pass, now
+    * implemented): NOT one window over each full stratum (a 100 TB
+    * language = one sort reducer). Phase 1 counts per language
+    * (lang-sized, map-side combined); each stratum gets a hash cutoff
+    * `headroom·k/n` of the 32-bit md5 range, so the SURVIVOR set the
+    * window sorts is ~headroom·k rows per language — bounded by the
+    * knob, not the corpus. The k smallest hashes are provably inside
+    * the survivors whenever ≥ min(k, n) rows survive (every
+    * non-survivor hash exceeds every survivor hash); the
+    * astronomically-rare underflow stratum (Chernoff: the survivor
+    * count is Binomial(n, headroom·k/n)) falls back to the plain
+    * full-stratum window — EXACT-k preserved by construction, and the
+    * registered oracle replays the naive one-window form, so the
+    * decomposition is gate-checked on every verify run (the X75/X80
+    * pattern). Cost: 2–3 column-pruned scans (doc_id, lang, n_chars)
+    * instead of a corpus-sized sort — the scan-heavy/sort-light trade
+    * a 1000-executor cluster wants; the fallback scan is empty unless
+    * a stratum underflowed. Ties are impossible short of an md5
+    * collision on distinct doc_ids, so the order — and the cutoff
+    * comparison — is total. */
   def takeStratified(spark: SparkSession, dir: String,
-      k: Int = 25): DataFrame = {
+      k: Int = 25): DataFrame =
+    takeStratifiedFrom(t(spark, dir, "documents"), k)
+      .orderBy("lang", "rn")
+
+  /** [[takeStratified]] over an arbitrary (doc_id, lang, n_chars)
+    * relation, with the headroom knob exposed — the spec drives the
+    * underflow fallback through a planted adversarial stratum here.
+    *
+    * The per-stratum counts, cutoffs, and survivor tallies are
+    * LANG-DOMAIN-BOUNDED driver state (the codebook convention):
+    * collecting them keeps every derived relation out of the
+    * registered plan, the cutoff a map-literal lookup instead of a
+    * join, and — decisively — lets the fallback's language set be a
+    * pushed-down scan predicate, so when no stratum underflows (the
+    * Chernoff-normal case) the final plan touches the corpus ZERO
+    * times beyond the two phase jobs (count pass + survivor
+    * checkpoint, each one column-pruned scan). */
+  private[graft] def takeStratifiedFrom(docs: DataFrame, k: Int,
+      headroom: Int = 8): DataFrame = {
+    require(k > 0 && headroom > 0, s"k=$k, headroom=$headroom")
     val rank = graft.util.Tables.md5Long32(
       concat(lit("take:"), col("doc_id").cast("string")))
-    val w = Window.partitionBy(col("lang")).orderBy(rank, col("doc_id"))
-    t(spark, dir, "documents")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("lang"), col("rn").cast("int").as("rn"), col("doc_id"),
-        col("n_chars"))
-      .orderBy("lang", "rn")
+    val base = docs.select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", rank)
+    // phase 1: lang-sized counts → per-stratum hash cutoff. 2^32 ·
+    // headroom·k fits a long for any real k; small strata (n ≤
+    // headroom·k) get cutoff ≥ 2^32, i.e. survive whole.
+    val nOf: Map[String, Long] = base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cutOf: Map[String, Long] = nOf.view.mapValues(n =>
+      (headroom.toLong * k * (1L << 32)) / n).toMap
+    // phase 2: survivors (~headroom·k rows/stratum) — checkpointed so
+    // the count-below and the window read the tiny set, not the corpus
+    val surv = base.filter(col("rk") <
+        coalesce(element_at(typedLit(cutOf), col("lang")), lit(0L)))
+      .localCheckpoint()
+    // safety: the k smallest hashes are provably inside the survivor
+    // set iff ≥ min(k, n) rows survived
+    val nsOf: Map[String, Long] = surv.groupBy(col("lang"))
+      .agg(count(lit(1)).as("ns"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val unsafe: Seq[String] = nOf.collect {
+      case (lang, n) if nsOf.getOrElse(lang, 0L) < math.min(n, k.toLong)
+        => lang
+    }.toSeq.sorted
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("rk"), col("doc_id"))
+    val fromSurv =
+      (if (unsafe.isEmpty) surv
+       else surv.filter(!col("lang").isin(unsafe: _*)))
+        .withColumn("rn", row_number().over(w))
+    // fallback: the (normally zero) underflow strata window in full;
+    // the lang list is a pushed-down predicate on the corpus scan
+    val all =
+      if (unsafe.isEmpty) fromSurv
+      else fromSurv.unionByName(
+        base.filter(col("lang").isin(unsafe: _*))
+          .withColumn("rn", row_number().over(w)))
+    all.filter(col("rn") <= k)
+      .select(col("lang"), col("rn").cast("int").as("rn"),
+        col("doc_id"), col("n_chars"))
   }
 
   /** Cumulative-share COVERAGE selection: the smallest prefix of

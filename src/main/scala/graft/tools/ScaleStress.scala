@@ -312,6 +312,11 @@ object ScaleStress {
       "leakage_safe_split" -> (d => {
         Dedup.clearPairsMemo()
         m(graft.ops.Reshape.leakageSafeSplit(spark, d)) }),
+      // X20 (r13 pre-pass): cost must be the two column-pruned phase
+      // scans — the windowed survivor set stays ~headroom·k per lang
+      // at every corpus size, so growth tracks the scan, not a sort
+      "take_stratified" ->
+        (d => m(graft.ops.Reshape.takeStratified(spark, d))),
       // X73/X74: embarrassingly parallel scoring + one keyed agg
       "lang_mismatch" -> (d => m(TextAnalysis.langMismatch(spark, d))),
       "weighted_sample" ->

@@ -29,6 +29,63 @@ class ReshapeSpec extends AnyFunSuite {
     assert(got.sortBy(identity).sameElements(again.sortBy(identity)))
   }
 
+  /** The plain one-window form the pre-pass decomposition must equal
+    * bit-for-bit (it is also what the registered oracle replays). */
+  private def plainWindow(docs: org.apache.spark.sql.DataFrame, k: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val rank = graft.util.Tables.md5Long32(
+      concat(lit("take:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("lang")).orderBy(rank, col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("rn").cast("int").as("rn"),
+        col("doc_id"), col("n_chars"))
+  }
+
+  test("takeStratified pre-pass is bit-identical to the plain window (real corpus)") {
+    import spark.implicits._
+    val docs = graft.util.Tables.t(spark, dir, "documents")
+    Seq(1, 7, 25).foreach { k =>
+      val got = Reshape.takeStratifiedFrom(docs, k)
+        .as[(String, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      val want = plainWindow(docs, k)
+        .as[(String, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      assert(got.toSeq == want.toSeq, s"k=$k diverged from plain window")
+    }
+  }
+
+  test("takeStratified underflow stratum falls back to the full window, exact-k preserved") {
+    import spark.implicits._
+    // Plant an ADVERSARIAL stratum: 60 docs whose md5 ranks all sit in
+    // the TOP half of the 32-bit range. At headroom=1, k=10 the cutoff
+    // is 2^32·10/60 (bottom sixth), so ZERO rows survive the pre-pass
+    // and the safety check must route the whole stratum through the
+    // fallback window. A normal stratum rides along to prove the two
+    // paths union cleanly.
+    val rk = graft.util.Tables.md5Long32(
+      concat(lit("take:"), col("doc_id").cast("string")))
+    val highIds = spark.range(0, 100000).toDF("doc_id")
+      .withColumn("rk", rk)
+      .filter(col("rk") >= lit(1L << 31))
+      .limit(60).select("doc_id").as[Long].collect()
+    assert(highIds.length == 60)
+    val docs = (highIds.map(id => (id, "adv", id % 997)) ++
+        (1000000L to 1000199L).map(id => (id, "ok", id % 997)))
+      .toSeq.toDF("doc_id", "lang", "n_chars")
+    val got = Reshape.takeStratifiedFrom(docs, k = 10, headroom = 1)
+      .as[(String, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val want = plainWindow(docs, 10)
+      .as[(String, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want.toSeq)
+    assert(got.count(_._1 == "adv") == 10, "exact-k through the fallback")
+    assert(got.count(_._1 == "ok") == 10)
+    // and the planted stratum genuinely underflowed the cutoff
+    val cutoff = (1L * 10 * (1L << 32)) / 60
+    val survivors = docs.filter(col("lang") === "adv")
+      .withColumn("rk", rk).filter(col("rk") < cutoff).count()
+    assert(survivors == 0L, s"fixture drifted: $survivors survivors")
+  }
+
   test("coverageSelect keeps the MINIMAL source prefix reaching the share") {
     import spark.implicits._
     val share = 0.9

@@ -302,6 +302,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "sql_native_dot" -> 1,
     "table_profile" -> 2,
     "table_profile_approx" -> 3,
+    // X20: survivor window + presentation sort. The r13 rank-filter
+    // pre-pass moved the corpus out of the registered plan entirely
+    // (count pass + survivor checkpoint are construction-time jobs;
+    // the window sorts ~headroom·k rows per lang, never a stratum)
     "take_stratified" -> 2,
     // X78: output sort only — the rate derivation is a construction-
     // time agg over the source domain (codebook convention), rates a
