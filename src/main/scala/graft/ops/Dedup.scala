@@ -265,9 +265,14 @@ object Dedup {
     * competes with the downstream joins' shuffle buffers (OOM'd the
     * 100× stress at 8g); streamed from local disk it behaves like a
     * shuffle spill, which is what this materialization morally is. */
+  // listing-tagged memo keys (the qgate_base lesson, pinned by
+  // IndexFreshnessSpec): setSimBuildIndex fills a tag-keyed `_SUCCESS`
+  // store from these checkpoints, so a corpus change must re-key the
+  // memo too or the fresh store would hold yesterday's shingles
   private[graft] def shingleRelation(spark: SparkSession,
       dir: String): DataFrame =
-    graft.util.CkptMemo.of(spark, "shingles", dir) {
+    graft.util.CkptMemo.of(spark, "shingles", dir,
+        graft.util.Tables.listingTag(spark, s"$dir/documents.parquet")) {
       fanOut(t(spark, dir, "documents"))
         .withColumn("w", TextAnalysis.tokens(col("text")))
         .select(col("doc_id"),
@@ -280,7 +285,8 @@ object Dedup {
     * (doc-count-sized). */
   private[graft] def shingleSizes(spark: SparkSession,
       dir: String): DataFrame =
-    graft.util.CkptMemo.of(spark, "shingle_sz", dir) {
+    graft.util.CkptMemo.of(spark, "shingle_sz", dir,
+        graft.util.Tables.listingTag(spark, s"$dir/documents.parquet")) {
       shingleRelation(spark, dir)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         .localCheckpoint()

@@ -92,8 +92,13 @@ object EditDistance {
   /** The checkpointed (doc_id, text, len) relation — one corpus scan
     * feeds the index, probe and verification branches (the multi-scan
     * budget lesson of jaccard_prefix_join, round 10). */
+  // the memo key carries the corpus LISTING TAG (the qgate_base
+  // lesson, now a failing IndexFreshnessSpec contract): a mid-session
+  // corpus change re-keys the `_SUCCESS` index dir, and an untagged
+  // memo would fill the FRESH dir with YESTERDAY'S checkpointed docs
   private def docsCkpt(spark: SparkSession, dir: String): DataFrame =
-    CkptMemo.of(spark, "edj_docs", dir) {
+    CkptMemo.of(spark, "edj_docs", dir,
+        Tables.listingTag(spark, s"$dir/documents.parquet")) {
       fanOut(t(spark, dir, "documents"))
         .select(col("doc_id"), col("text"),
           length(col("text")).cast("int").as("len"))
@@ -252,38 +257,12 @@ object EditDistance {
     out
   }
 
-  /** X71b — INCREMENTAL edit-distance probe: every (batch doc, corpus
-    * doc) pair within `tau` edits, computed against the persisted
-    * [[editDistanceBuildIndex]] without re-pairing the corpus. The
-    * batch is the `doc_id % batchMod == 0` slice (the [[Dedup
-    * .neardupProbe]] convention); index rows standing in for the
-    * already-ingested corpus are the complement.
-    *
-    * PassJoin indexes the SHORTER side of a pair, so the probe runs
-    * both directions and unions:
-    *  - corpus-shorter-or-equal: batch-side substring windows (tiny —
-    *    batch-proportional fan-out) equi-join the PERSISTED corpus
-    *    segments in one streaming index scan, batch side broadcast
-    *    under AQE — zero index-side shuffle;
-    *  - batch-strictly-shorter: batch SEGMENTS (tau+1 rows per batch
-    *    doc, broadcast) equi-join corpus substring windows generated
-    *    on the fly in one streaming pass of the index's doc relation,
-    *    with the exploded candidate lengths semi-joined against the
-    *    broadcast distinct batch lengths BEFORE the O(tau^2)
-    *    segment/position fan-out — corpus rows near no batch length
-    *    cost one explode row each, and nothing corpus-sized shuffles.
-    * The short-string bucket (min length ≤ tau) is a partner-length
-    * equi-join of the tiny batch short slice against the corpus short
-    * slice. Verification attaches batch text by broadcast and corpus
-    * text in one more streaming scan, then applies the banded
-    * `levenshtein(·,·,tau)` exactly like the self-join; the DuckDB
-    * gate brute-forces the cross-pair join, so losslessness of both
-    * probe directions is externally checked every run.
-    *
-    * Output (new_doc, corpus_doc, len_a, len_b, dist), one row per
-    * cross pair. */
-  def editDistanceProbe(spark: SparkSession, dir: String,
-      tau: Int = 8, batchMod: Int = 7): DataFrame = {
+  /** The probe's pre-verification CANDIDATE stream (both PassJoin
+    * directions + the short bucket, distinct cross pairs) — split out
+    * so CandidateMassSpec can pin its output-shaped claim exactly
+    * like the self-join's (VERDICT r12 item 8). */
+  private[graft] def editDistanceProbeCandidatePairs(spark: SparkSession,
+      dir: String, tau: Int = 8, batchMod: Int = 7): DataFrame = {
     require(tau >= 1, s"tau must be >= 1, got $tau")
     val parts = tau + 1
     val idx = editDistanceBuildIndex(spark, dir, tau)
@@ -330,6 +309,45 @@ object EditDistance {
       .select(col("b_id").as("new_doc"), col("c_id").as("corpus_doc"))
 
     d1.unionByName(d2).unionByName(dShort).distinct()
+  }
+
+  /** X71b — INCREMENTAL edit-distance probe: every (batch doc, corpus
+    * doc) pair within `tau` edits, computed against the persisted
+    * [[editDistanceBuildIndex]] without re-pairing the corpus. The
+    * batch is the `doc_id % batchMod == 0` slice (the [[Dedup
+    * .neardupProbe]] convention); index rows standing in for the
+    * already-ingested corpus are the complement.
+    *
+    * PassJoin indexes the SHORTER side of a pair, so the probe runs
+    * both directions and unions:
+    *  - corpus-shorter-or-equal: batch-side substring windows (tiny —
+    *    batch-proportional fan-out) equi-join the PERSISTED corpus
+    *    segments in one streaming index scan, batch side broadcast
+    *    under AQE — zero index-side shuffle;
+    *  - batch-strictly-shorter: batch SEGMENTS (tau+1 rows per batch
+    *    doc, broadcast) equi-join corpus substring windows generated
+    *    on the fly in one streaming pass of the index's doc relation,
+    *    with the exploded candidate lengths semi-joined against the
+    *    broadcast distinct batch lengths BEFORE the O(tau^2)
+    *    segment/position fan-out — corpus rows near no batch length
+    *    cost one explode row each, and nothing corpus-sized shuffles.
+    * The short-string bucket (min length ≤ tau) is a partner-length
+    * equi-join of the tiny batch short slice against the corpus short
+    * slice. Verification attaches batch text by broadcast and corpus
+    * text in one more streaming scan, then applies the banded
+    * `levenshtein(·,·,tau)` exactly like the self-join; the DuckDB
+    * gate brute-forces the cross-pair join, so losslessness of both
+    * probe directions is externally checked every run.
+    *
+    * Output (new_doc, corpus_doc, len_a, len_b, dist), one row per
+    * cross pair. */
+  def editDistanceProbe(spark: SparkSession, dir: String,
+      tau: Int = 8, batchMod: Int = 7): DataFrame = {
+    val idx = editDistanceBuildIndex(spark, dir, tau)
+    val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
+    val batch = docsCkpt(spark, dir).filter(isBatch)
+    val corpusDocs = spark.read.parquet(s"$idx/docs").filter(!isBatch)
+    editDistanceProbeCandidatePairs(spark, dir, tau, batchMod)
       .join(batch.select(col("doc_id").as("new_doc"),
         col("text").as("ta"), col("len").as("la")), Seq("new_doc"))
       .join(corpusDocs.select(col("doc_id").as("corpus_doc"),

@@ -77,4 +77,61 @@ class IndexFreshnessSpec extends AnyFunSuite {
     assert(sources(stats2, "cutoffs").contains("src_new"),
       "rebuilt cutoffs must include the newly landed source")
   }
+
+  /** VERDICT r12 item 5: the same contract, asserted over the
+    * remaining persisted stores — set-sim shingle/df, edit-distance
+    * segment, IVF. Beyond the path re-key, each rebuilt store must
+    * CONTAIN the newly landed row: the set-sim and edit-distance
+    * builds fill their stores from session-memoized checkpoints, so
+    * an un-listing-tagged memo key would hand the fresh store
+    * yesterday's corpus (the qgate_base staleness class — this test
+    * fails if those memo keys ever lose the tag). */
+  test("a corpus change re-keys the set-sim, edit-distance, and IVF stores — and their contents") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-freshness2").toString
+    cloneTable("/root/testdata/sf0.001/documents.parquet",
+      s"$base/documents.parquet")
+    cloneTable("/root/testdata/sf0.001/embeddings.parquet",
+      s"$base/embeddings.parquet")
+
+    val newId = 999998L // % 7 != 0: corpus-side, like the stats test
+    def hasDoc(path: String, rel: String, idCol: String): Boolean =
+      spark.read.parquet(s"$path/$rel")
+        .filter(org.apache.spark.sql.functions.col(idCol) === newId)
+        .limit(1).count() == 1
+
+    val ss1 = Dedup.setSimBuildIndex(spark, base)
+    val ed1 = EditDistance.editDistanceBuildIndex(spark, base)
+    val ivf1 = Similarity.ivfBuildIndex(spark, base)
+    // same corpus, second call: the _SUCCESS fast path
+    assert(Dedup.setSimBuildIndex(spark, base) == ss1)
+    assert(EditDistance.editDistanceBuildIndex(spark, base) == ed1)
+    assert(Similarity.ivfBuildIndex(spark, base) == ivf1)
+    assert(!hasDoc(ss1, "sh", "doc_id"))
+    assert(!hasDoc(ed1, "docs", "doc_id"))
+    assert(!hasDoc(ivf1, "cells", "vec_id"))
+
+    // a new partition lands in each source table
+    Seq((newId, "fresh arrival text words", "en", "src_new", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append")
+      .parquet(s"$base/documents.parquet")
+    val v = Array.fill(64)(0.0f); v(0) = 1.0f
+    Seq((newId, v, 3)).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("append")
+      .parquet(s"$base/embeddings.parquet")
+
+    val ss2 = Dedup.setSimBuildIndex(spark, base)
+    val ed2 = EditDistance.editDistanceBuildIndex(spark, base)
+    val ivf2 = Similarity.ivfBuildIndex(spark, base)
+    assert(ss2 != ss1, "set-sim index must re-key on corpus change")
+    assert(ed2 != ed1, "edit-distance index must re-key on corpus change")
+    assert(ivf2 != ivf1, "IVF store must re-key on corpus change")
+    assert(hasDoc(ss2, "sh", "doc_id"),
+      "rebuilt set-sim store must contain the new doc's shingles")
+    assert(hasDoc(ed2, "docs", "doc_id"),
+      "rebuilt edit-distance store must contain the new doc")
+    assert(hasDoc(ivf2, "cells", "vec_id"),
+      "rebuilt IVF cells must contain the new vector")
+  }
 }

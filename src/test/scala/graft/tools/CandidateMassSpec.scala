@@ -54,4 +54,18 @@ class CandidateMassSpec extends AnyFunSuite {
     assert(cand <= 50L * out + 50L,
       s"candidate mass $cand not output-shaped (output $out)")
   }
+
+  test("edit-distance PROBE candidates are output-shaped at tau=8 (VERDICT r12 item 8)") {
+    // the serving path's batch×corpus candidate stream carries the
+    // same output-shaped claim as the self-join's — now a failing
+    // test, not just a SCALE_NOTES ratio
+    val cand = graft.ops.EditDistance
+      .editDistanceProbeCandidatePairs(spark, dir, 8).count()
+    val out = graft.ops.EditDistance
+      .editDistanceProbe(spark, dir, 8).count()
+    info(s"edit distance probe tau=8: candidates=$cand output=$out")
+    assert(out > 0, "planted corpus must carry qualifying cross pairs")
+    assert(cand <= 50L * out + 50L,
+      s"probe candidate mass $cand not output-shaped (output $out)")
+  }
 }
