@@ -9,7 +9,7 @@ testdata tables, and compares rows / schema(column names) / values
 (order-insensitive: rows sorted by all columns, columns sorted by name
 — mirrors the driver's sort-columns-then-hash compare).
 """
-import duckdb, json, sys, math
+import duckdb, json, os, sys, math
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -35,6 +35,11 @@ NORM_COLS = {"events": ["ts"], "orders": ["o_orderdate"],
 
 def view_sql(con, t, sfdir):
     path = f"{sfdir}/{t}.parquet"
+    # Spark-written tables are DIRECTORIES of part files (the x10
+    # overfit-sweep corpora under target/scale); glob them. Driver
+    # testdata tables are single files and keep the plain path.
+    if os.path.isdir(path):
+        path = f"{path}/*.parquet"
     reps = []
     for c in NORM_COLS.get(t, []):
         typ = {r[0]: r[1] for r in con.execute(
@@ -57,6 +62,10 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
+        # a sweep corpus may omit tables no checked query reads
+        # (target/scale/x10 has no events); skip instead of erroring
+        if not os.path.exists(f"{sfdir}/{t}.parquet"):
+            continue
         con.execute(view_sql(con, t, sfdir))
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     # Verify writes _errors.json (+ an error-marker parquet per failed

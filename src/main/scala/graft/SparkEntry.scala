@@ -354,6 +354,46 @@ object SparkEntry {
         keep_length AND keep_quality AND keep_sample AS admit
       FROM v ORDER BY doc_id"""
 
+  /** Shared oracle of `html_extract` (X82) and its streaming twin
+    * `html_extract_stream` (X82b): the full deterministic extraction
+    * chain rebuilt from the shared pattern constants. */
+  private lazy val htmlExtractOracle: String = {
+    import HtmlExtract._
+    def sq(x: String) = x.replace("'", "''")
+      val regions = RegionRules.foldLeft("html")((acc, p) =>
+        s"regexp_replace($acc, '${sq(p)}', ' ', 'g')")
+      def strip(x: String) =
+        s"regexp_replace($x, '${sq(TagPattern)}', ' ', 'g')"
+      def coll(x: String) =
+        s"trim(regexp_replace($x, '${sq(WsPattern)}', ' ', 'g'))"
+      val decoded = Entities.foldLeft(strip("regions")) {
+        case (acc, (ent, ch)) => s"replace($acc, '${sq(ent)}', '${sq(ch)}')" }
+      s"""
+      WITH d AS (
+        SELECT doc_id, source, html FROM read_csv('$FixtureCsv',
+          header=true, columns={'doc_id':'BIGINT','source':'VARCHAR',
+          'html':'VARCHAR'})),
+      r AS (SELECT doc_id, source, html, $regions AS regions FROM d),
+      s AS (SELECT doc_id, source, html, regions,
+          regexp_extract_all(regions, '${sq(AnchorPattern)}', 1)
+            AS anchors,
+          GREATEST(1, len(${coll(strip("regions"))})) AS body_chars
+        FROM r),
+      x AS (SELECT *, CAST(COALESCE(list_sum(list_transform(anchors,
+            a -> len(${coll(strip("a"))}))), 0) AS BIGINT) AS link_chars
+        FROM s),
+      t AS (SELECT *, ${coll(decoded)} AS text FROM x)
+      SELECT doc_id, source, text,
+        CAST(len(text) AS BIGINT) AS text_len,
+        CAST(len(anchors) AS BIGINT) AS n_links,
+        link_chars,
+        CAST(link_chars AS DOUBLE) / body_chars AS link_density,
+        (regexp_matches(html, '${sq(BoilerTagPattern)}') OR
+         CAST(link_chars AS DOUBLE) / body_chars > $LinkDensityCut)
+          AS boilerplate_flag
+      FROM t ORDER BY doc_id"""
+  }
+
   /** Shared oracle for the batch upsert and its true-streaming twin:
     * three fixture batches merged on (id, dt), whichever engine path
     * landed them. */
@@ -1263,42 +1303,15 @@ object SparkEntry {
     // ordered region-removal / tag-strip / entity-decode / collapse
     // chain (Java-regex ∩ RE2 subset; plain substring replace for
     // entities), so text, counts and flags are bit-equal.
-    "html_extract" -> Q((s, d) => HtmlExtract.htmlExtract(s, d), Some {
-      import HtmlExtract._
-      def sq(x: String) = x.replace("'", "''")
-      val regions = RegionRules.foldLeft("html")((acc, p) =>
-        s"regexp_replace($acc, '${sq(p)}', ' ', 'g')")
-      def strip(x: String) =
-        s"regexp_replace($x, '${sq(TagPattern)}', ' ', 'g')"
-      def coll(x: String) =
-        s"trim(regexp_replace($x, '${sq(WsPattern)}', ' ', 'g'))"
-      val decoded = Entities.foldLeft(strip("regions")) {
-        case (acc, (ent, ch)) => s"replace($acc, '${sq(ent)}', '${sq(ch)}')" }
-      s"""
-      WITH d AS (
-        SELECT doc_id, source, html FROM read_csv('$FixtureCsv',
-          header=true, columns={'doc_id':'BIGINT','source':'VARCHAR',
-          'html':'VARCHAR'})),
-      r AS (SELECT doc_id, source, html, $regions AS regions FROM d),
-      s AS (SELECT doc_id, source, html, regions,
-          regexp_extract_all(regions, '${sq(AnchorPattern)}', 1)
-            AS anchors,
-          GREATEST(1, len(${coll(strip("regions"))})) AS body_chars
-        FROM r),
-      x AS (SELECT *, CAST(COALESCE(list_sum(list_transform(anchors,
-            a -> len(${coll(strip("a"))}))), 0) AS BIGINT) AS link_chars
-        FROM s),
-      t AS (SELECT *, ${coll(decoded)} AS text FROM x)
-      SELECT doc_id, source, text,
-        CAST(len(text) AS BIGINT) AS text_len,
-        CAST(len(anchors) AS BIGINT) AS n_links,
-        link_chars,
-        CAST(link_chars AS DOUBLE) / body_chars AS link_density,
-        (regexp_matches(html, '${sq(BoilerTagPattern)}') OR
-         CAST(link_chars AS DOUBLE) / body_chars > $LinkDensityCut)
-          AS boilerplate_flag
-      FROM t ORDER BY doc_id"""
-    }),
+    "html_extract" ->
+      Q((s, d) => HtmlExtract.htmlExtract(s, d), Some(htmlExtractOracle)),
+
+    // X82b — the STREAMING twin: fixture pages in two file arrivals
+    // through a real StreamingQuery; accumulated rows byte-equal to
+    // the batch extractor, same oracle.
+    "html_extract_stream" -> Q(
+      (s, d) => graft.streaming.ExtractStream.extractStreamQuery(s, d),
+      Some(htmlExtractOracle)),
 
     // Token-budget chunking with overlap (the splitting complement of
     // seq_packing): same tokenization both engines, list_slice vs

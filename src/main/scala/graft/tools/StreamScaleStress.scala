@@ -168,6 +168,55 @@ object StreamScaleStress {
       f"last-third ${tail}%.2fs ratio ${ratio}%.2f (1.0 = flat)")
   }
 
+  /** X82b: the streaming extractor is a pure projection — no stats,
+    * no state, no index — so its per-arrival cost is the strongest
+    * flat claim in the streaming family. Measured over the n× doc
+    * corpus wrapped in synthetic page chrome (the ScaleStress X82
+    * recipe), sliced into arrivals. */
+  def extractStress(spark: SparkSession, corpus: String,
+      nArrivals: Int): Unit = {
+    val base = Scratch.under("ingest/html_extract_stream_stress")
+    Scratch.deleteRecursive(base)
+    val (watch, out, ckpt) = (s"$base/watch", s"$base/extracted",
+      s"$base/ckpt")
+    Files.createDirectories(Paths.get(watch))
+    val pages = Tables.t(spark, corpus, "documents")
+      .filter(pmod(col("doc_id"), lit(7)) === 0) // the batch convention
+      .select(col("doc_id"), col("source"),
+        concat(
+          lit("<html><head><title>doc "), col("doc_id"),
+          lit("</title><script>var x = 1 < 2;</script></head>"),
+          lit("<body><nav><a href='/a'>home</a> "),
+          lit("<a href='/b'>docs</a></nav><p>"), col("text"),
+          lit(" &amp; more</p><a href='/c'>next page</a>"),
+          lit("<!-- crawl --><footer>footer</footer></body></html>"))
+          .as("html"))
+      .withColumn("slice", pmod(xxhash64(col("doc_id")), lit(nArrivals)))
+      .persist()
+    val nPages = pages.count()
+    println(s"html_extract_stream_stress: corpus=$corpus " +
+      s"pages=$nPages arrivals=$nArrivals")
+    println(f"${"arrival"}%8s ${"docs"}%6s ${"sec"}%7s")
+    val secs = Seq.newBuilder[Double]
+    val q = graft.streaming.ExtractStream.start(spark, watch, out, ckpt)
+    try {
+      (0 until nArrivals).foreach { k =>
+        val slice = pages.filter(col("slice") === k).drop("slice")
+        val nDocs = slice.count()
+        val (_, sec) = timed {
+          landParquet(slice, base.toString, watch, s"arr$k")
+          q.processAllAvailable()
+        }
+        secs += sec
+        println(f"$k%8d $nDocs%6d $sec%7.2f")
+      }
+    } finally q.stop()
+    pages.unpersist()
+    val (head, tail, ratio) = flatness(secs.result())
+    println(f"html_extract_stream flatness: first-third ${head}%.2fs " +
+      f"last-third ${tail}%.2fs ratio ${ratio}%.2f (1.0 = flat)")
+  }
+
   def ingestStress(spark: SparkSession, nBatches: Int,
       rowsPerBatch: Int): Unit = {
     val base = Scratch.under("ingest/ingest_stream_stress")
@@ -245,6 +294,7 @@ object StreamScaleStress {
     run("neardup_stream")(
       neardupStress(spark, corpus, nArrivals, compactEvery = 5))
     run("quality_gate_stream")(gateStress(spark, corpus, nArrivals))
+    run("html_extract_stream")(extractStress(spark, corpus, nArrivals))
     run("ingest_stream")(ingestStress(spark, nArrivals, rowsPerBatch))
     spark.stop()
   }

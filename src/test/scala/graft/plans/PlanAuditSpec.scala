@@ -237,6 +237,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // X82: pure per-row projection over the fixture CSV; the one
     // exchange is the final presentation orderBy
     "html_extract" -> 1,
+    // X82b: the registered plan reads the accumulated verdict store
+    // (the streaming work happens in foreachBatch) + presentation sort
+    "html_extract_stream" -> 1,
     "pivot_orders" -> 3,
     "price_histogram" -> 2,
     "q10_returned_items" -> 1,
