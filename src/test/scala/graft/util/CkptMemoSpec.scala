@@ -65,6 +65,43 @@ class CkptMemoSpec extends AnyFunSuite {
     } finally pool.shutdownNow()
   }
 
+  test("a waiter on a failing build fails fast, never retries in the evicted holder (ADVICE r12)") {
+    CkptMemo.clear()
+    val attempts = new java.util.concurrent.atomic.AtomicInteger
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      def build() = CkptMemo.of(spark, "memo_spec_waiter") {
+        attempts.incrementAndGet(); entered.countDown()
+        assert(release.await(30, java.util.concurrent.TimeUnit.SECONDS))
+        sys.error("boom")
+      }
+      def submit() = pool.submit(new java.util.concurrent.Callable[
+          org.apache.spark.sql.DataFrame] { def call() = build() })
+      val fa = submit()
+      assert(entered.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      val fb = submit() // blocks on the same holder's latch
+      Thread.sleep(200)
+      release.countDown()
+      // both callers observe the ONE failure — under the pre-fix lazy
+      // val the waiter re-ran the build inside the holder the failing
+      // caller had already evicted, orphaning its checkpoint from
+      // clear()'s unpersist accounting
+      intercept[java.util.concurrent.ExecutionException] {
+        fa.get(60, java.util.concurrent.TimeUnit.SECONDS) }
+      intercept[java.util.concurrent.ExecutionException] {
+        fb.get(60, java.util.concurrent.TimeUnit.SECONDS) }
+      assert(attempts.get == 1,
+        s"build ran ${attempts.get} times — a waiter retried in-holder")
+      // a fresh call installs a new holder and rebuilds cleanly
+      CkptMemo.of(spark, "memo_spec_waiter") {
+        attempts.incrementAndGet(); df("ok")
+      }
+      assert(attempts.get == 2)
+    } finally pool.shutdownNow()
+  }
+
   test("a failed build does not poison the slot; clear() forces a rebuild") {
     CkptMemo.clear()
     val attempts = new java.util.concurrent.atomic.AtomicInteger
