@@ -116,6 +116,20 @@ def rows():
     for k in range(6):
         add("crawl5", page(k, "", with_script=False))
 
+    # --- link-normalization showcase: fragments, tracking params,
+    # uppercase hosts, relative links — the X83 canonicalization rows
+    for k in range(8):
+        body = (f"<p>{filler(k, 6)} "
+                f"<a href='http://Docs.Example.COM/p{k}.html#section{k}'>"
+                f"frag</a> "
+                f"<a href='http://docs.example.com/p{k}.html?utm_source=feed&utm_campaign=c{k}'>"
+                f"tracked</a> "
+                f"<a href='/relative/path{k}'>rel</a> "
+                f"<a href='https://tracker.test.net/x?id={k}&utm_medium=m'>"
+                f"mixed</a></p>")
+        add("crawl6", page(k, body, with_nav=False, with_footer=False,
+                           with_script=False))
+
     # --- hostile tail -------------------------------------------------
     # unclosed script: no </script>, so the block regex cannot match
     # and the code LEAKS into text minus its tags (documented behavior)

@@ -1313,6 +1313,38 @@ object SparkEntry {
       (s, d) => graft.streaming.ExtractStream.extractStreamQuery(s, d),
       Some(htmlExtractOracle)),
 
+    // X83 — outlink host aggregation: every href URL normalized
+    // (lowercase, fragment + utm params stripped) and rolled up per
+    // host — the crawl-frontier statistic. Same regex subset
+    // discipline; both engines replay the identical chain.
+    "link_hosts" -> Q((s, d) => HtmlExtract.linkHosts(s, d), Some {
+      import HtmlExtract._
+      def sq(x: String) = x.replace("'", "''")
+      s"""
+      WITH d AS (
+        SELECT doc_id, html FROM read_csv('$FixtureCsv',
+          header=true, columns={'doc_id':'BIGINT','source':'VARCHAR',
+          'html':'VARCHAR'})),
+      l AS (SELECT doc_id,
+          unnest(regexp_extract_all(html, '${sq(HrefPattern)}', 1))
+            AS url
+        FROM d),
+      n AS (SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(lower(url),
+            '${sq(FragmentPattern)}', '', 'g'),
+            '${sq(UtmPattern)}', '', 'g'), '\\?$$', '', 'g') AS u
+        FROM l),
+      h AS (SELECT doc_id, u,
+          CASE WHEN regexp_extract(u, '${sq(HostPattern)}', 1) = ''
+            THEN '(relative)'
+            ELSE regexp_extract(u, '${sq(HostPattern)}', 1) END AS host
+        FROM n)
+      SELECT host, CAST(count(*) AS BIGINT) AS n_links,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages,
+        CAST(count(DISTINCT u) AS BIGINT) AS n_urls
+      FROM h GROUP BY host ORDER BY host"""
+    }),
+
     // Token-budget chunking with overlap (the splitting complement of
     // seq_packing): same tokenization both engines, list_slice vs
     // slice on identical integer boundaries — exact.

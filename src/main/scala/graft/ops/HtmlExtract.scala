@@ -125,11 +125,75 @@ object HtmlExtract {
 
   /** Registered query: extraction over the committed fixture corpus. */
   def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    htmlExtractFrom(fixturePages(spark)).orderBy("doc_id")
+  }
+
+  private[graft] def fixturePages(spark: SparkSession): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("source", StringType),
       StructField("html", StringType)))
-    htmlExtractFrom(
-        spark.read.option("header", "true").schema(schema).csv(FixtureCsv))
-      .orderBy("doc_id")
+    spark.read.option("header", "true").schema(schema).csv(FixtureCsv)
+  }
+
+  // ---- X83: outlink host aggregation --------------------------------
+
+  val HrefPattern = "(?i)href='([^']*)'"
+  /** Fragment and the utm_* tracking params — the two URL components
+    * crawl canonicalization always strips (a fragment never reaches
+    * the server; tracking params multiply otherwise-identical URLs).
+    * Fragment FIRST, so a param glued to a fragment dies with it. */
+  val FragmentPattern = "#.*$"
+  val UtmPattern = "[?&]utm_[a-z]+=[^&#]*"
+  val HostPattern = "^https?://([^/?]+)"
+
+  /** The normalized URL: lowercase (deterministic subset — real
+    * canonicalizers lowercase only scheme+host, but a split-case
+    * chain isn't worth the dialect risk for HOST-level stats),
+    * fragment then tracking params stripped, a dangling '?' from a
+    * params-only query dropped. */
+  private[graft] def normalizeUrl(u: Column): Column =
+    regexp_replace(
+      regexp_replace(regexp_replace(lower(u), FragmentPattern, ""),
+        UtmPattern, ""),
+      "\\?$", "")
+
+  /** X83 — outlink HOST aggregation over the raw pages: every
+    * `href='…'` URL (RAW html — a crawl frontier counts nav/footer
+    * links too), normalized, grouped by host. The crawl-frontier
+    * statistic: which hosts does this corpus point at, how hard, from
+    * how many pages — the relation URL-frontier scheduling and
+    * host-level politeness budgets are computed from. Relative links
+    * aggregate under `(relative)` rather than vanishing (they are
+    * same-host fetches — a real frontier resolves them against the
+    * page URL; the fixture carries no page URL, so the bucket keeps
+    * the mass visible instead of silently dropping it).
+    *
+    * Scale shape: per-row extraction (codegen'd regexp chain) into
+    * one map-side-combined keyed agg — the shuffle carries host-sized
+    * partials, and the two distinct counts are bounded per host by
+    * pages/urls actually seen. Hot hosts (every crawl has a YouTube)
+    * are exactly the partial-agg-absorbed skew class; AQE handles the
+    * residue. At 100 TB this is the canonical billions-of-links →
+    * millions-of-hosts rollup. */
+  def linkHosts(spark: SparkSession, dir: String): DataFrame =
+    linkHostsFrom(fixturePages(spark))
+
+  /** [[linkHosts]] over an arbitrary (doc_id, html) relation — the
+    * ScaleStress leg feeds the chrome-wrapped n× corpus through it. */
+  private[graft] def linkHostsFrom(pages: DataFrame): DataFrame = {
+    val urls = pages
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("html"), lit(HrefPattern),
+          lit(1))).as("url"))
+      .withColumn("u", normalizeUrl(col("url")))
+      .withColumn("host",
+        when(regexp_extract(col("u"), HostPattern, 1) === "",
+          lit("(relative)"))
+          .otherwise(regexp_extract(col("u"), HostPattern, 1)))
+    urls.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_pages"),
+        countDistinct(col("u")).as("n_urls"))
+      .orderBy("host")
   }
 }

@@ -342,6 +342,22 @@ object ScaleStress {
               lit(" &amp; more</p><a href='/c'>next page</a>"),
               lit("<!-- crawl --><footer>footer</footer></body></html>"))
               .as("html"))))),
+      // X83: billions-of-links → hosts rollup claim — chrome-wrapped
+      // pages carrying per-doc host + fragment/utm variants, so the
+      // normalization chain and the two count-distincts all do real
+      // work; host domain ~1000 regardless of corpus size
+      "link_hosts" -> (d =>
+        m(graft.ops.HtmlExtract.linkHostsFrom(
+          Tables.t(spark, d, "documents").select(col("doc_id"),
+            concat(
+              lit("<html><body><p>x "),
+              lit("<a href='http://H"), pmod(col("doc_id"), lit(1000)),
+              lit(".test/p"), col("doc_id"), lit(".html#frag'>a</a> "),
+              lit("<a href='http://h"), pmod(col("doc_id"), lit(1000)),
+              lit(".test/p"), col("doc_id"),
+              lit(".html?utm_source=s'>b</a> "),
+              lit("<a href='/rel'>c</a></p></body></html>"))
+              .as("html"))))),
       "clean_corpus" -> (d => {
         Dedup.clearPairsMemo(); m(TextAnalysis.cleanCorpus(spark, d)) }),
       "heavy_hitters" -> (d => m(CorpusStats.heavyHitters(spark, d))),

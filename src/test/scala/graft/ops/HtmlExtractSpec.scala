@@ -155,6 +155,43 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(!t.contains("</style>") && !t.contains("content:"), t)
   }
 
+  // ---- X83: outlink host aggregation -------------------------------
+
+  test("link_hosts: normalization folds fragments, utm params and host case") {
+    import spark.implicits._
+    val hosts = HtmlExtract.linkHosts(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // the crawl6 rows plant per-page: an UPPERCASE-host #fragment
+    // link and a ?utm_source&utm_campaign link to the SAME page —
+    // normalization must fold both to one canonical URL
+    val crawl6 = ids("crawl6")
+    assert(crawl6.size == 8)
+    val dex = hosts("docs.example.com")
+    assert(dex._4 < dex._2,
+      s"n_urls ${dex._4} should be < n_links ${dex._2}: the planted " +
+        "fragment/tracking/case variants must fold")
+    // relative links aggregate under the (relative) bucket, one per
+    // crawl6 page
+    assert(hosts("(relative)")._2 == 8L)
+    assert(hosts("(relative)")._3 == 8L)
+    // tracker links survive with their non-utm param intact: 8 links,
+    // 8 distinct ids → 8 canonical urls
+    assert(hosts("tracker.test.net") == ("tracker.test.net", 8L, 8L, 8L))
+  }
+
+  test("link_hosts: n_links conserves the raw href match count") {
+    import spark.implicits._
+    val total = HtmlExtract.linkHosts(spark, dir)
+      .agg(sum("n_links")).as[Long].head()
+    val raw = spark.read.option("header", "true")
+      .csv(HtmlExtract.FixtureCsv)
+      .select(size(regexp_extract_all(col("html"),
+        lit(HtmlExtract.HrefPattern), lit(1))).cast("long").as("n"))
+      .agg(sum("n")).as[Long].head()
+    assert(total == raw, s"aggregated $total links vs $raw raw hrefs")
+  }
+
   test("in-memory adversarial rows: nulls and megabyte entity runs don't throw") {
     import spark.implicits._
     val big = "&amp;" * 200000 // ~1 MB of entities

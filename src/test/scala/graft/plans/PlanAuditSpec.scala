@@ -240,6 +240,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // X82b: the registered plan reads the accumulated verdict store
     // (the streaming work happens in foreachBatch) + presentation sort
     "html_extract_stream" -> 1,
+    // X83: extraction projection → one map-side-combined host agg
+    // (count-distinct expands it) + presentation sort
+    "link_hosts" -> 3,
     "pivot_orders" -> 3,
     "price_histogram" -> 2,
     "q10_returned_items" -> 1,
