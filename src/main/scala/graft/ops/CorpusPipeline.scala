@@ -415,8 +415,15 @@ object CorpusPipeline {
     // the serving artifacts; the periodic rebuild re-derives them.
     // Checkpointed (batch-sized) so the scorer fan-out + stat
     // broadcasts run once, not once per downstream stage + accounting
-    // branch.
-    val b1 = CkptMemo.of(spark, "cpi_b1", dir, batchMod) {
+    // branch. The memo key carries the corpus LISTING TAG (review
+    // r13): the stats STORE re-keys on a corpus change, and an
+    // untagged memo hit would skip the rebuild and serve admissions
+    // gated by the superseded store — the qgate_base staleness class.
+    // (The other cpi_* memos ride the documented session-immutability
+    // assumption; only this one pairs with a tag-keyed artifact.)
+    val b1 = CkptMemo.of(spark, "cpi_b1", dir, batchMod,
+        graft.util.Tables.listingTag(spark,
+          s"$dir/documents.parquet")) {
       val statsIdx =
         QualitySignals.qualityGateBuildStats(spark, dir, batchMod)
       val admitted = QualitySignals.qualityGateFor(

@@ -262,10 +262,11 @@ object EditDistance {
     * so CandidateMassSpec can pin its output-shaped claim exactly
     * like the self-join's (VERDICT r12 item 8). */
   private[graft] def editDistanceProbeCandidatePairs(spark: SparkSession,
-      dir: String, tau: Int = 8, batchMod: Int = 7): DataFrame = {
+      dir: String, tau: Int = 8, batchMod: Int = 7,
+      idxOpt: Option[String] = None): DataFrame = {
     require(tau >= 1, s"tau must be >= 1, got $tau")
     val parts = tau + 1
-    val idx = editDistanceBuildIndex(spark, dir, tau)
+    val idx = idxOpt.getOrElse(editDistanceBuildIndex(spark, dir, tau))
     val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
     val batch = docsCkpt(spark, dir).filter(isBatch)
     val corpusDocs = spark.read.parquet(s"$idx/docs").filter(!isBatch)
@@ -343,11 +344,14 @@ object EditDistance {
     * cross pair. */
   def editDistanceProbe(spark: SparkSession, dir: String,
       tau: Int = 8, batchMod: Int = 7): DataFrame = {
+    // validate BEFORE the index build: an invalid tau must not write
+    // a permanent `_SUCCESS`-gated garbage store (review r13)
+    require(tau >= 1, s"tau must be >= 1, got $tau")
     val idx = editDistanceBuildIndex(spark, dir, tau)
     val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
     val batch = docsCkpt(spark, dir).filter(isBatch)
     val corpusDocs = spark.read.parquet(s"$idx/docs").filter(!isBatch)
-    editDistanceProbeCandidatePairs(spark, dir, tau, batchMod)
+    editDistanceProbeCandidatePairs(spark, dir, tau, batchMod, Some(idx))
       .join(batch.select(col("doc_id").as("new_doc"),
         col("text").as("ta"), col("len").as("la")), Seq("new_doc"))
       .join(corpusDocs.select(col("doc_id").as("corpus_doc"),

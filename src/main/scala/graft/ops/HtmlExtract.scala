@@ -135,6 +135,22 @@ object HtmlExtract {
     spark.read.option("header", "true").schema(schema).csv(FixtureCsv)
   }
 
+  /** Synthetic page chrome around a (doc_id, source, text) corpus —
+    * ONE definition shared by the batch ScaleStress leg and the
+    * streaming stress, so the scan-speed claim and the per-arrival
+    * flatness claim measure the IDENTICAL page shape (review r13:
+    * two hand-synced copies before). */
+  private[graft] def chromeWrap(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      concat(
+        lit("<html><head><title>doc "), col("doc_id"),
+        lit("</title><script>var x = 1 < 2;</script></head>"),
+        lit("<body><nav><a href='/a'>home</a> "),
+        lit("<a href='/b'>docs</a></nav><p>"), col("text"),
+        lit(" &amp; more</p><a href='/c'>next page</a>"),
+        lit("<!-- crawl --><footer>footer</footer></body></html>"))
+        .as("html"))
+
   // ---- X83: outlink host aggregation --------------------------------
 
   val HrefPattern = "(?i)href='([^']*)'"

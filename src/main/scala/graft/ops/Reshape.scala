@@ -237,9 +237,17 @@ object Reshape {
     // phase 1: lang-sized counts → per-stratum hash cutoff. 2^32 ·
     // headroom·k fits a long for any real k; small strata (n ≤
     // headroom·k) get cutoff ≥ 2^32, i.e. survive whole.
-    val nOf: Map[String, Long] = base.groupBy(col("lang"))
+    val nOfAll: Map[Option[String], Long] = base.groupBy(col("lang"))
       .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val nOf: Map[String, Long] =
+      nOfAll.collect { case (Some(l), n) => l -> n }
+    // a NULL-lang stratum (dirty data) can't key the cutoff map —
+    // element_at(map, NULL) is NULL so its rows never survive the
+    // pre-pass filter; route the whole stratum through the fallback
+    // window instead of silently dropping it (the plain-window
+    // semantics this decomposition must preserve)
+    val hasNullStratum = nOfAll.contains(None)
     val cutOf: Map[String, Long] = nOf.view.mapValues(n =>
       (headroom.toLong * k * (1L << 32)) / n).toMap
     // phase 2: survivors (~headroom·k rows/stratum) — checkpointed so
@@ -262,13 +270,20 @@ object Reshape {
       (if (unsafe.isEmpty) surv
        else surv.filter(!col("lang").isin(unsafe: _*)))
         .withColumn("rn", row_number().over(w))
-    // fallback: the (normally zero) underflow strata window in full;
-    // the lang list is a pushed-down predicate on the corpus scan
-    val all =
-      if (unsafe.isEmpty) fromSurv
-      else fromSurv.unionByName(
-        base.filter(col("lang").isin(unsafe: _*))
-          .withColumn("rn", row_number().over(w)))
+    // fallback: the (normally zero) underflow strata — plus the NULL
+    // stratum if present — window in full; the lang list is a
+    // pushed-down predicate on the corpus scan
+    val fallbackPred: Option[Column] =
+      (unsafe.nonEmpty, hasNullStratum) match {
+        case (false, false) => None
+        case (true, false) => Some(col("lang").isin(unsafe: _*))
+        case (false, true) => Some(col("lang").isNull)
+        case (true, true) =>
+          Some(col("lang").isin(unsafe: _*) || col("lang").isNull)
+      }
+    val all = fallbackPred.fold(fromSurv)(p =>
+      fromSurv.unionByName(
+        base.filter(p).withColumn("rn", row_number().over(w))))
     all.filter(col("rn") <= k)
       .select(col("lang"), col("rn").cast("int").as("rn"),
         col("doc_id"), col("n_chars"))

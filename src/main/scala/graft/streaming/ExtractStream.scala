@@ -68,24 +68,9 @@ object ExtractStream {
     val pages = spark.read.option("header", "true").schema(pageSchema)
       .csv(HtmlExtract.FixtureCsv)
 
-    // files staged outside the watch dir and moved in atomically —
-    // the ProcessingTime(0) source lists continuously and a mid-write
-    // copy could checkpoint a truncated file (ingest_stream contract)
-    def land(slice: DataFrame, name: String): Unit = {
-      val staged = s"$base/.staging_$name"
-      slice.coalesce(1).write.parquet(staged)
-      val listing = Files.list(Paths.get(staged))
-      val files =
-        try listing.toArray.map(_.toString)
-          .filter(f => f.endsWith(".parquet") && !Paths.get(f)
-            .getFileName.toString.startsWith("."))
-        finally listing.close()
-      files.zipWithIndex.foreach { case (f, i) =>
-        Files.move(Paths.get(f), Paths.get(s"$watch/${name}_$i.parquet"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        ()
-      }
-    }
+    def land(slice: DataFrame, name: String): Unit =
+      graft.util.StreamFiles.landParquet(slice, base.toString, watch,
+        name)
     val q = start(spark, watch, out, ckpt)
     try {
       land(pages.filter(pmod(col("doc_id"), lit(2)) === 0), "arrival1")

@@ -77,24 +77,9 @@ object GateStream {
         col("n_chars"))
       .filter(pmod(col("doc_id"), lit(batchMod)) === 0)
 
-    // files staged outside the watch dir and moved in atomically —
-    // the ProcessingTime(0) source lists continuously and a mid-write
-    // copy could checkpoint a truncated file (ingest_stream contract)
-    def land(slice: DataFrame, name: String): Unit = {
-      val staged = s"$base/.staging_$name"
-      slice.coalesce(1).write.parquet(staged)
-      val listing = Files.list(Paths.get(staged))
-      val files =
-        try listing.toArray.map(_.toString)
-          .filter(f => f.endsWith(".parquet") && !Paths.get(f)
-            .getFileName.toString.startsWith("."))
-        finally listing.close()
-      files.zipWithIndex.foreach { case (f, i) =>
-        Files.move(Paths.get(f), Paths.get(s"$watch/${name}_$i.parquet"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        ()
-      }
-    }
+    def land(slice: DataFrame, name: String): Unit =
+      graft.util.StreamFiles.landParquet(slice, base.toString, watch,
+        name)
     val q = start(spark, watch, statsDir, out, ckpt)
     try {
       land(batch.filter(pmod(col("doc_id"), lit(2)) === 0), "arrival1")

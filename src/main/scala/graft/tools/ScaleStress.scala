@@ -332,16 +332,8 @@ object ScaleStress {
       // projection, so growth must track the scan
       "html_extract" -> (d =>
         m(graft.ops.HtmlExtract.htmlExtractFrom(
-          Tables.t(spark, d, "documents").select(
-            col("doc_id"), col("source"),
-            concat(
-              lit("<html><head><title>doc "), col("doc_id"),
-              lit("</title><script>var x = 1 < 2;</script></head>"),
-              lit("<body><nav><a href='/a'>home</a> "),
-              lit("<a href='/b'>docs</a></nav><p>"), col("text"),
-              lit(" &amp; more</p><a href='/c'>next page</a>"),
-              lit("<!-- crawl --><footer>footer</footer></body></html>"))
-              .as("html"))))),
+          graft.ops.HtmlExtract.chromeWrap(
+            Tables.t(spark, d, "documents"))))),
       // X83: billions-of-links → hosts rollup claim — chrome-wrapped
       // pages carrying per-doc host + fragment/utm variants, so the
       // normalization chain and the two count-distincts all do real

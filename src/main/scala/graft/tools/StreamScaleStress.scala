@@ -45,25 +45,12 @@ object StreamScaleStress {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Land a one-file parquet slice into a watched dir atomically (the
-    * file-source contract; same staging pattern as the registered
-    * harnesses). */
+  /** Land a one-file parquet slice into a watched dir atomically —
+    * the shared [[graft.util.StreamFiles.landParquet]] (one copy of
+    * the file-source landing contract). */
   private def landParquet(slice: DataFrame, stagingBase: String,
-      watch: String, name: String): Unit = {
-    val staged = s"$stagingBase/.staging_$name"
-    slice.coalesce(1).write.mode("overwrite").parquet(staged)
-    val listing = Files.list(Paths.get(staged))
-    val files =
-      try listing.toArray.map(_.toString)
-        .filter(f => f.endsWith(".parquet") && !Paths.get(f).getFileName
-          .toString.startsWith("."))
-      finally listing.close()
-    files.zipWithIndex.foreach { case (f, i) =>
-      Files.move(Paths.get(f), Paths.get(s"$watch/${name}_$i.parquet"),
-        StandardCopyOption.ATOMIC_MOVE)
-      ()
-    }
-  }
+      watch: String, name: String): Unit =
+    graft.util.StreamFiles.landParquet(slice, stagingBase, watch, name)
 
   private def flatness(secs: Seq[Double]): (Double, Double, Double) = {
     // drop arrival 0 (warm-up); first third vs last third of the rest
@@ -180,17 +167,9 @@ object StreamScaleStress {
     val (watch, out, ckpt) = (s"$base/watch", s"$base/extracted",
       s"$base/ckpt")
     Files.createDirectories(Paths.get(watch))
-    val pages = Tables.t(spark, corpus, "documents")
-      .filter(pmod(col("doc_id"), lit(7)) === 0) // the batch convention
-      .select(col("doc_id"), col("source"),
-        concat(
-          lit("<html><head><title>doc "), col("doc_id"),
-          lit("</title><script>var x = 1 < 2;</script></head>"),
-          lit("<body><nav><a href='/a'>home</a> "),
-          lit("<a href='/b'>docs</a></nav><p>"), col("text"),
-          lit(" &amp; more</p><a href='/c'>next page</a>"),
-          lit("<!-- crawl --><footer>footer</footer></body></html>"))
-          .as("html"))
+    val pages = graft.ops.HtmlExtract.chromeWrap(
+        Tables.t(spark, corpus, "documents")
+          .filter(pmod(col("doc_id"), lit(7)) === 0)) // batch convention
       .withColumn("slice", pmod(xxhash64(col("doc_id")), lit(nArrivals)))
       .persist()
     val nPages = pages.count()

@@ -86,6 +86,25 @@ class ReshapeSpec extends AnyFunSuite {
     assert(survivors == 0L, s"fixture drifted: $survivors survivors")
   }
 
+  test("takeStratified routes a NULL-lang stratum through the fallback, matching the plain window") {
+    import spark.implicits._
+    // dirty-data shape: NULL langs can't key the cutoff map, so the
+    // whole stratum must ride the fallback window rather than
+    // silently vanish (review r13 — the one-window form it replaced
+    // treated NULL as an ordinary partition)
+    val docs = ((1L to 40L).map(id => (id, null.asInstanceOf[String],
+        id % 97)) ++
+      (100L to 159L).map(id => (id, "en", id % 97)))
+      .toDF("doc_id", "lang", "n_chars")
+    val got = Reshape.takeStratifiedFrom(docs, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    val want = plainWindow(docs, 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+    assert(got.count(_.contains("null")) == 10,
+      "the NULL stratum must contribute exactly k rows")
+  }
+
   test("coverageSelect keeps the MINIMAL source prefix reaching the share") {
     import spark.implicits._
     val share = 0.9
