@@ -350,6 +350,21 @@ object ScaleStress {
               lit(".html?utm_source=s'>b</a> "),
               lit("<a href='/rel'>c</a></p></body></html>"))
               .as("html"))))),
+      // X83 skew leg: 90% of links on ONE host (every crawl has a
+      // YouTube) — the hot key must be absorbed by the map-side
+      // partial agg, so this curve must match the uniform leg's
+      "link_hosts_skew" -> (d => {
+        val host = when(pmod(col("doc_id"), lit(10)) < 9, lit(0))
+          .otherwise(pmod(col("doc_id"), lit(1000)))
+        m(graft.ops.HtmlExtract.linkHostsFrom(
+          Tables.t(spark, d, "documents").select(col("doc_id"),
+            concat(
+              lit("<html><body><a href='http://h"), host,
+              lit(".test/p"), col("doc_id"), lit("'>x</a> "),
+              lit("<a href='http://h"), host,
+              lit(".test/q"), col("doc_id"),
+              lit("#f'>y</a></body></html>"))
+              .as("html")))) }),
       "clean_corpus" -> (d => {
         Dedup.clearPairsMemo(); m(TextAnalysis.cleanCorpus(spark, d)) }),
       "heavy_hitters" -> (d => m(CorpusStats.heavyHitters(spark, d))),
