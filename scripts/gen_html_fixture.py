@@ -130,6 +130,19 @@ def rows():
         add("crawl6", page(k, body, with_nav=False, with_footer=False,
                            with_script=False))
 
+    # --- crawl duplicates: same BODY under different chrome (mirrors,
+    # tracking variants) — the X84 dedup stage must collapse each pair
+    # AFTER extraction, which raw-byte dedup cannot
+    for k in range(4):
+        # page(k // 2, ...): the TITLE is extracted text and must match
+        # within a mirror pair; only removed regions (comments, script,
+        # nav/footer link targets) differ between the two fetches
+        body = f"<p>mirrored article {k // 2} {filler(k // 2, 16)}</p>"
+        chrome_comment = f"<!-- mirror {k} fetched at t{k} -->"
+        add("crawl7", page(k // 2, body + chrome_comment,
+                           with_nav=False, with_footer=False,
+                           with_script=(k % 2 == 0)))
+
     # --- deterministic fuzz: hash-driven tag soup ----------------------
     # Every row round-trips through BOTH engines' extraction chains in
     # the oracle compare, so this is cross-engine fuzz, not a local

@@ -354,36 +354,39 @@ object SparkEntry {
         keep_length AND keep_quality AND keep_sample AS admit
       FROM v ORDER BY doc_id"""
 
-  /** Shared oracle of `html_extract` (X82) and its streaming twin
-    * `html_extract_stream` (X82b): the full deterministic extraction
-    * chain rebuilt from the shared pattern constants. */
-  private lazy val htmlExtractOracle: String = {
+  /** The X82 extraction CTE block, name-prefixed so composed oracles
+    * (the X84 crawl pipeline) can splice it: replays the full
+    * deterministic extraction chain from the shared pattern constants
+    * and ends in `<p>out` — the extractor's complete output
+    * relation. */
+  private def htmlCtes(p: String): String = {
     import HtmlExtract._
     def sq(x: String) = x.replace("'", "''")
-      val regions = RegionRules.foldLeft("html")((acc, p) =>
-        s"regexp_replace($acc, '${sq(p)}', ' ', 'g')")
-      def strip(x: String) =
-        s"regexp_replace($x, '${sq(TagPattern)}', ' ', 'g')"
-      def coll(x: String) =
-        s"trim(regexp_replace($x, '${sq(WsPattern)}', ' ', 'g'))"
-      val decoded = Entities.foldLeft(strip("regions")) {
-        case (acc, (ent, ch)) => s"replace($acc, '${sq(ent)}', '${sq(ch)}')" }
-      s"""
-      WITH d AS (
+    val regions = RegionRules.foldLeft("html")((acc, pat) =>
+      s"regexp_replace($acc, '${sq(pat)}', ' ', 'g')")
+    def strip(x: String) =
+      s"regexp_replace($x, '${sq(TagPattern)}', ' ', 'g')"
+    def coll(x: String) =
+      s"trim(regexp_replace($x, '${sq(WsPattern)}', ' ', 'g'))"
+    val decoded = Entities.foldLeft(strip("regions")) {
+      case (acc, (ent, ch)) => s"replace($acc, '${sq(ent)}', '${sq(ch)}')" }
+    s"""
+      ${p}d AS (
         SELECT doc_id, source, html FROM read_csv('$FixtureCsv',
           header=true, columns={'doc_id':'BIGINT','source':'VARCHAR',
           'html':'VARCHAR'})),
-      r AS (SELECT doc_id, source, html, $regions AS regions FROM d),
-      s AS (SELECT doc_id, source, html, regions,
+      ${p}r AS (SELECT doc_id, source, html, $regions AS regions
+        FROM ${p}d),
+      ${p}s AS (SELECT doc_id, source, html, regions,
           regexp_extract_all(regions, '${sq(AnchorPattern)}', 1)
             AS anchors,
           GREATEST(1, len(${coll(strip("regions"))})) AS body_chars
-        FROM r),
-      x AS (SELECT *, CAST(COALESCE(list_sum(list_transform(anchors,
+        FROM ${p}r),
+      ${p}x AS (SELECT *, CAST(COALESCE(list_sum(list_transform(anchors,
             a -> len(${coll(strip("a"))}))), 0) AS BIGINT) AS link_chars
-        FROM s),
-      t AS (SELECT *, ${coll(decoded)} AS text FROM x)
-      SELECT doc_id, source, text,
+        FROM ${p}s),
+      ${p}t AS (SELECT *, ${coll(decoded)} AS text FROM ${p}x),
+      ${p}out AS (SELECT doc_id, source, text,
         CAST(len(text) AS BIGINT) AS text_len,
         CAST(len(anchors) AS BIGINT) AS n_links,
         link_chars,
@@ -391,8 +394,15 @@ object SparkEntry {
         (regexp_matches(html, '${sq(BoilerTagPattern)}') OR
          CAST(link_chars AS DOUBLE) / body_chars > $LinkDensityCut)
           AS boilerplate_flag
-      FROM t ORDER BY doc_id"""
+        FROM ${p}t)"""
   }
+
+  /** Shared oracle of `html_extract` (X82) and its streaming twin
+    * `html_extract_stream` (X82b) — [[htmlCtes]] with the bare
+    * namespace. */
+  private lazy val htmlExtractOracle: String = s"""
+      WITH ${htmlCtes("")}
+      SELECT * FROM out ORDER BY doc_id"""
 
   /** Shared oracle for the batch upsert and its true-streaming twin:
     * three fixture batches merged on (id, dt), whichever engine path
@@ -1312,6 +1322,39 @@ object SparkEntry {
     "html_extract_stream" -> Q(
       (s, d) => graft.streaming.ExtractStream.extractStreamQuery(s, d),
       Some(htmlExtractOracle)),
+
+    // X84 — the composed crawl-entry pipeline: extraction → admission
+    // (non-boilerplate, long enough) → exact dedup on EXTRACTED text
+    // → per-source manifest. The oracle splices the shared X82 CTE
+    // block and replays every stage.
+    "crawl_ingest" -> Q(
+      (s, d) => HtmlExtract.crawlIngest(s, d), Some(s"""
+      WITH ${htmlCtes("")},
+      adm AS (SELECT * FROM out
+        WHERE NOT boilerplate_flag
+          AND text_len >= ${HtmlExtract.MinTextLen}),
+      uniq AS (SELECT * FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM adm)
+        WHERE rn = 1),
+      utok AS (SELECT source, text_len,
+          CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+            x -> x <> '')) AS BIGINT) AS n_tok
+        FROM uniq),
+      p AS (SELECT source, count(*) AS n_pages FROM out GROUP BY 1),
+      a AS (SELECT source, count(*) AS n_admitted FROM adm GROUP BY 1),
+      u AS (SELECT source, count(*) AS n_unique,
+          CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+          CAST(sum(text_len) AS BIGINT) AS n_chars
+        FROM utok GROUP BY 1)
+      SELECT p.source, p.n_pages,
+        COALESCE(a.n_admitted, 0) AS n_admitted,
+        COALESCE(u.n_unique, 0) AS n_unique,
+        COALESCE(u.n_tokens, 0) AS n_tokens,
+        COALESCE(u.n_chars, 0) AS n_chars
+      FROM p LEFT JOIN a USING (source) LEFT JOIN u USING (source)
+      ORDER BY source""")),
 
     // X83 — outlink host aggregation: every href URL normalized
     // (lowercase, fragment + utm params stripped) and rolled up per

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -133,6 +134,66 @@ object HtmlExtract {
       StructField("doc_id", LongType), StructField("source", StringType),
       StructField("html", StringType)))
     spark.read.option("header", "true").schema(schema).csv(FixtureCsv)
+  }
+
+  // ---- X84: composed crawl-entry pipeline ----------------------------
+
+  /** Admission rule of the crawl pipeline's stage 2: drop chrome-heavy
+    * pages and fragments too short to train on. */
+  val MinTextLen = 20L
+
+  /** X84 — the composed CRAWL-ENTRY pipeline: raw pages → extraction
+    * (X82) → admission (non-boilerplate, text long enough) → exact
+    * dedup on the EXTRACTED text (mirrors and crawl dups share
+    * markup-stripped bodies — dedup must run on what survives
+    * extraction, not on raw bytes) → per-source manifest. This is the
+    * stage chain that turns a crawl into [[CorpusPipeline]]'s input:
+    * the manifest row (pages seen / admitted / unique, token + char
+    * mass) is what a crawl operator reads before pointing the corpus
+    * build at a source.
+    *
+    * Per stage both engines replay exactly: the X82 chain, the flag +
+    * length admission, keep-min-doc_id per md5(text), integer
+    * token/char sums. Scale shape: extraction is the scan; the dedup
+    * window partitions on the 128-bit text hash (collision-free in
+    * practice, uniformly distributed — no skewed reducer); the
+    * manifest is a source-sized rollup. One pages scan feeds all
+    * three stage counters via the extracted relation. */
+  def crawlIngest(spark: SparkSession, dir: String): DataFrame =
+    crawlIngestFrom(fixturePages(spark))
+
+  private[graft] def crawlIngestFrom(pages: DataFrame): DataFrame = {
+    // checkpoint the extracted relation: three stage counters consume
+    // it, and a DataFrame referenced three times DUPLICATES its whole
+    // lineage — the plan would re-run the extraction chain (the
+    // corpus-sized stage) once per branch
+    val ex = htmlExtractFrom(pages).localCheckpoint()
+    val admitted = ex.filter(!col("boilerplate_flag") &&
+      col("text_len") >= MinTextLen)
+    val unique = admitted
+      .withColumn("k", md5(col("text")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .withColumn("n_tok",
+        size(TextAnalysis.tokens(col("text"))).cast("long"))
+    val pagesBySrc = ex.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pages"))
+    val admitBySrc = admitted.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_admitted"))
+    val uniqBySrc = unique.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_unique"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("text_len")).as("n_chars"))
+    pagesBySrc
+      .join(admitBySrc, Seq("source"), "left")
+      .join(uniqBySrc, Seq("source"), "left")
+      .select(col("source"), col("n_pages"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"))
+      .orderBy("source")
   }
 
   /** Synthetic page chrome around a (doc_id, source, text) corpus —

@@ -350,6 +350,13 @@ object ScaleStress {
               lit(".html?utm_source=s'>b</a> "),
               lit("<a href='/rel'>c</a></p></body></html>"))
               .as("html"))))),
+      // X84: the composed crawl-entry pipeline over the chrome-wrapped
+      // n× corpus — extraction (checkpointed once) + admission + text
+      // dedup window + source rollup; growth must stay scan-bound
+      "crawl_ingest" -> (d =>
+        m(graft.ops.HtmlExtract.crawlIngestFrom(
+          graft.ops.HtmlExtract.chromeWrap(
+            Tables.t(spark, d, "documents"))))),
       // X83 skew leg: 90% of links on ONE host (every crawl has a
       // YouTube) — the hot key must be absorbed by the map-side
       // partial agg, so this curve must match the uniform leg's

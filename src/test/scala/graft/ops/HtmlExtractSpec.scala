@@ -192,6 +192,44 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(total == raw, s"aggregated $total links vs $raw raw hrefs")
   }
 
+  // ---- X84: composed crawl-entry pipeline ---------------------------
+
+  test("crawl_ingest: stage counts are conserved and monotone per source") {
+    import spark.implicits._
+    val rows = HtmlExtract.crawlIngest(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val bySrc = rows.map(r => r._1 -> r).toMap
+    rows.foreach { case (src, nP, nA, nU, nTok, nCh) =>
+      assert(nA <= nP && nU <= nA, s"$src not monotone: $nP/$nA/$nU")
+      assert((nU == 0) == (nTok == 0L && nCh == 0L), src)
+    }
+    assert(rows.map(_._2).sum ==
+      spark.read.option("header", "true")
+        .csv(HtmlExtract.FixtureCsv).count())
+    // chrome-heavy families admit nothing: boilerplate-only pages are
+    // flagged, link farms exceed the density cut
+    assert(bySrc("crawl5")._3 == 0L)
+    assert(bySrc("crawl1")._3 == 0L)
+  }
+
+  test("crawl_ingest: mirror pairs dedup on EXTRACTED text, not raw bytes") {
+    import spark.implicits._
+    val crawl7 = HtmlExtract.crawlIngest(spark, dir)
+      .filter(col("source") === "crawl7")
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    // 4 pages = 2 mirror pairs whose raw HTML differs (comments,
+    // script presence) but whose extracted text is identical
+    assert(crawl7._2 == 4L && crawl7._3 == 4L && crawl7._4 == 2L,
+      s"expected 4 pages / 4 admitted / 2 unique, got $crawl7")
+    // and the raw bytes genuinely differ within each pair — the
+    // extraction is what makes them duplicates
+    val raw = spark.read.option("header", "true")
+      .csv(HtmlExtract.FixtureCsv)
+      .filter(col("source") === "crawl7")
+      .select("html").as[String].collect()
+    assert(raw.distinct.length == 4, "raw pages must all differ")
+  }
+
   test("in-memory adversarial rows: nulls and megabyte entity runs don't throw") {
     import spark.implicits._
     val big = "&amp;" * 200000 // ~1 MB of entities

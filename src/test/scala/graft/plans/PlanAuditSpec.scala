@@ -243,6 +243,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // X83: extraction projection → one map-side-combined host agg
     // (count-distinct expands it) + presentation sort
     "link_hosts" -> 3,
+    // X84: checkpointed extraction (ONE chain run — the three stage
+    // counters read the checkpoint) → dedup window + three source-
+    // sized aggs + presentation sort
+    "crawl_ingest" -> 5,
     "pivot_orders" -> 3,
     "price_histogram" -> 2,
     "q10_returned_items" -> 1,
