@@ -230,6 +230,20 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(raw.distinct.length == 4, "raw pages must all differ")
   }
 
+  test("crawl_ingest: null-html pages count as seen but never admit") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "advsrc", null.asInstanceOf[String]),
+      (2L, "advsrc", "<p>" + ("word " * 30) + "</p>"))
+      .toDF("doc_id", "source", "html")
+    val row = HtmlExtract.crawlIngestFrom(pages)
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    // the null page is a fetch that happened (n_pages) but carries no
+    // admissible text — the null verdicts must fail it closed, not
+    // crash the window or the manifest
+    assert(row == (("advsrc", 2L, 1L, 1L, 30L, row._6)))
+  }
+
   test("in-memory adversarial rows: nulls and megabyte entity runs don't throw") {
     import spark.implicits._
     val big = "&amp;" * 200000 // ~1 MB of entities
