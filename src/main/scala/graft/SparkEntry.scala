@@ -1372,10 +1372,7 @@ object SparkEntry {
           unnest(regexp_extract_all(html, '${sq(HrefPattern)}', 1))
             AS url
         FROM d),
-      n AS (SELECT doc_id,
-          regexp_replace(regexp_replace(regexp_replace(lower(url),
-            '${sq(FragmentPattern)}', '', 'g'),
-            '${sq(UtmPattern)}', '', 'g'), '\\?$$', '', 'g') AS u
+      n AS (SELECT doc_id, ${normalizeUrlSql("url")} AS u
         FROM l),
       h AS (SELECT doc_id, u,
           CASE WHEN regexp_extract(u, '${sq(HostPattern)}', 1) = ''

@@ -16,8 +16,11 @@ import org.apache.spark.sql.types._
   * boilerplate-removal pass, chosen so every step is a
   * `regexp_replace`/`replace` chain both engines replay bit-for-bit
   * (the [[Privacy]] Java-regex ∩ RE2 dialect discipline: no
-  * lookaround, ASCII classes, non-greedy + inline `(?i)`/no `(?s)` —
-  * fixture HTML is single-line so `.` never needs to cross a newline):
+  * lookaround, ASCII classes, non-greedy, inline `(?i)` only — and
+  * `[\s\S]` instead of `.` wherever a region may span lines, because
+  * real pages put script/comment/nav blocks across newlines and
+  * `(?s)` is not in the shared dialect; `[\s\S]` means the identical
+  * thing in Java regex and RE2 with no flag):
   *
   *  1. region removal, in fixed order: comments, CDATA blocks,
   *     script, style, then the planted boilerplate containers nav and
@@ -69,24 +72,40 @@ object HtmlExtract {
     * later rules... and tag-like content inside script/style is
     * consumed with its block. */
   val RegionRules: Seq[String] = Seq(
-    "<!--.*?-->",
-    "<!\\[CDATA\\[.*?\\]\\]>",
-    "(?i)<script[^>]*>.*?</script>",
-    "(?i)<style[^>]*>.*?</style>",
-    "(?i)<nav[^>]*>.*?</nav>",
-    "(?i)<footer[^>]*>.*?</footer>")
+    "<!--[\\s\\S]*?-->",
+    "<!\\[CDATA\\[[\\s\\S]*?\\]\\]>",
+    "(?i)<script[^>]*>[\\s\\S]*?</script>",
+    "(?i)<style[^>]*>[\\s\\S]*?</style>",
+    "(?i)<nav[^>]*>[\\s\\S]*?</nav>",
+    "(?i)<footer[^>]*>[\\s\\S]*?</footer>")
 
   val TagPattern = "<[^>]*>"
-  val AnchorPattern = "(?i)<a[^>]*>(.*?)</a>"
+  val AnchorPattern = "(?i)<a[^>]*>([\\s\\S]*?)</a>"
   val WsPattern = "[ \\t\\r\\n]+"
   val BoilerTagPattern = "(?i)<(nav|footer)[ >]"
   val LinkDensityCut = 0.4
 
   /** Entity decode chain — plain substring replaces in this order,
-    * `&amp;` LAST (single-pass decode; see step 4 above). */
+    * `&amp;` LAST (single-pass decode; see step 4 above). Covers the
+    * named set real pages lean on plus the COMMON NUMERIC references
+    * (decimal and lowercase-hex twins) for the punctuation that
+    * dominates crawled prose — smart quotes, dashes, ellipsis,
+    * no-break space — each decoded to its ASCII stand-in (the same
+    * keep-the-corpus-ASCII choice as `&nbsp;` → plain space).
+    * Uppercase hex (`&#X2019;`) and exotic codepoints stay literal:
+    * a documented subset, noisy-not-wrong on the long tail. */
   val Entities: Seq[(String, String)] = Seq(
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-    "&#39;" -> "'", "&apos;" -> "'", "&#44;" -> ",",
+    "&#34;" -> "\"", "&#x22;" -> "\"",
+    "&#39;" -> "'", "&#x27;" -> "'", "&apos;" -> "'", "&#44;" -> ",",
+    "&#8216;" -> "'", "&#x2018;" -> "'",
+    "&#8217;" -> "'", "&#x2019;" -> "'",
+    "&#8220;" -> "\"", "&#x201c;" -> "\"",
+    "&#8221;" -> "\"", "&#x201d;" -> "\"",
+    "&#8211;" -> "-", "&#x2013;" -> "-",
+    "&#8212;" -> "-", "&#x2014;" -> "-",
+    "&#8230;" -> "...", "&#x2026;" -> "...",
+    "&#160;" -> " ", "&#xa0;" -> " ",
     "&nbsp;" -> " ", "&copy;" -> "(c)", "&amp;" -> "&")
 
   private def dropRegions(html: Column): Column =
@@ -214,25 +233,61 @@ object HtmlExtract {
 
   // ---- X83: outlink host aggregation --------------------------------
 
-  val HrefPattern = "(?i)href='([^']*)'"
+  /** href value in any of the three attribute dialects real HTML
+    * uses — double-quoted, single-quoted, unquoted — with optional
+    * space around `=`. Group 1 captures the value WITH its quotes
+    * (a single alternation-wide group keeps the pattern replayable
+    * as group 1 in both engines); [[normalizeUrl]] strips them. An
+    * unquoted value runs to whitespace/`>`/quote. */
+  val HrefPattern = "(?i)href\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>\"']+)"
+  /** Strip the surrounding attribute quotes captured by
+    * [[HrefPattern]] (leading or trailing, either dialect). */
+  val QuotePattern = "^[\"']|[\"']$"
   /** Fragment and the utm_* tracking params — the two URL components
     * crawl canonicalization always strips (a fragment never reaches
     * the server; tracking params multiply otherwise-identical URLs).
-    * Fragment FIRST, so a param glued to a fragment dies with it. */
-  val FragmentPattern = "#.*$"
+    * Fragment FIRST, so a param glued to a fragment dies with it.
+    * `[\s\S]` not `.`: a quoted href can span lines on real pages. */
+  val FragmentPattern = "#[\\s\\S]*$"
   val UtmPattern = "[?&]utm_[a-z]+=[^&#]*"
+  /** Stripping a LEADING `?utm_…` glues the next param to the path
+    * (`/p?utm_s=1&id=2` → `/p&id=2`); re-anchor the first separator
+    * back to `?` when the URL's first query-ish separator is `&`.
+    * Replacement is `$1?` in Java, `\1?` in RE2 — the one chain step
+    * with an engine-specific replacement string (pattern shared). */
+  val QueryGluePattern = "^([^?&]*)&"
   val HostPattern = "^https?://([^/?]+)"
 
-  /** The normalized URL: lowercase (deterministic subset — real
-    * canonicalizers lowercase only scheme+host, but a split-case
-    * chain isn't worth the dialect risk for HOST-level stats),
-    * fragment then tracking params stripped, a dangling '?' from a
-    * params-only query dropped. */
+  /** The normalized URL: attribute quotes stripped, lowercase
+    * (deterministic subset — real canonicalizers lowercase only
+    * scheme+host, but a split-case chain isn't worth the dialect risk
+    * for HOST-level stats), fragment then tracking params stripped, a
+    * query glued by a stripped leading param re-anchored to '?', a
+    * dangling '?' from a params-only query dropped. */
   private[graft] def normalizeUrl(u: Column): Column =
     regexp_replace(
-      regexp_replace(regexp_replace(lower(u), FragmentPattern, ""),
-        UtmPattern, ""),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            lower(regexp_replace(u, QuotePattern, "")),
+            FragmentPattern, ""),
+          UtmPattern, ""),
+        QueryGluePattern, "$1?"),
       "\\?$", "")
+
+  /** The DuckDB replay of [[normalizeUrl]] over SQL expression `x` —
+    * generated HERE from the same pattern constants so the Spark
+    * chain and the oracle chain cannot drift (RE2 backreference
+    * syntax for the glue step). */
+  private[graft] def normalizeUrlSql(x: String): String = {
+    def sq(s: String) = s.replace("'", "''")
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        lower(regexp_replace($x, '${sq(QuotePattern)}', '', 'g')),
+        '${sq(FragmentPattern)}', '', 'g'),
+        '${sq(UtmPattern)}', '', 'g'),
+        '${sq(QueryGluePattern)}', '\\1?', 'g'),
+        '\\?$$', '', 'g')"""
+  }
 
   /** X83 — outlink HOST aggregation over the raw pages: every
     * `href='…'` URL (RAW html — a crawl frontier counts nav/footer
