@@ -13,8 +13,15 @@ in single quotes, uppercase tags).
 
 CSV parseability is kept trivial FOR BOTH ENGINES by construction:
 no field ever contains a comma, a double quote, or a newline (HTML
-needs none of them — attributes use single quotes, commas appear only
-as the &#44; entity). The generator asserts this.
+needs none of them — attributes use single quotes or none, commas
+appear only as the &#44; entity). The generator asserts this. The
+real-world shapes the dialect CANNOT carry (multiline blocks,
+double-quoted attributes) are covered by toDF rows in
+HtmlExtractSpec's real-input battery instead.
+
+Each page carries its own page_url (the URL it was fetched from) so
+the X83b resolved link rollup can resolve relative/protocol-relative
+hrefs against it.
 """
 import os
 
@@ -70,13 +77,28 @@ def page(i, body, with_nav=True, with_footer=True, with_script=True):
     return "".join(parts)
 
 
+def page_url(source, i):
+    # per-source crawl host; a handful of deterministic shape variants
+    # so resolution exercises root pages, nested dirs and query pages
+    host = f"{source}.crawl.test"
+    if i % 5 == 0:
+        return f"http://{host}/"                       # site root
+    if i % 5 == 1:
+        return f"http://{host}/a/b/page{i}.html"       # nested dir
+    if i % 5 == 2:
+        return f"https://{host}/p{i}"                  # https, no ext
+    if i % 5 == 3:
+        return f"http://{host}/list?page={i}"          # query page
+    return f"http://{host}/a/page{i}.html"
+
+
 def rows():
     out = []
     i = 0
 
     def add(source, html):
         nonlocal i
-        out.append((i, source, html))
+        out.append((i, source, page_url(source, i), html))
         i += 1
 
     # --- articles: long body text, some inline links, full chrome ---
@@ -102,7 +124,9 @@ def rows():
     for k in range(10):
         body = (f"<p>a &lt;tag&gt; literal&#44; a &quot;quote&quot; "
                 f"and &#39;apostrophes&#39; &apos;both&apos; "
-                f"plus&nbsp;nbsp &amp;lt; stays encoded {filler(k, 8)}</p>")
+                f"plus&nbsp;nbsp &amp;lt; stays encoded "
+                f"it&#8217;s &#8220;smart&#8221; &#8211; em&#8212;dash "
+                f"hex&#x2019;s&#x2026; nb&#160;sp {filler(k, 8)}</p>")
         add("crawl3", page(k, body))
 
     # --- CDATA blocks (content stripped with the block) ---
@@ -126,8 +150,29 @@ def rows():
                 f"tracked</a> "
                 f"<a href='/relative/path{k}'>rel</a> "
                 f"<a href='https://tracker.test.net/x?id={k}&utm_medium=m'>"
-                f"mixed</a></p>")
+                f"mixed</a> "
+                # utm-FIRST: stripping ?utm_source glues &id to the
+                # path; the glue re-anchor must fold this with the
+                # canonical ?id={k} twin (ADVICE r13)
+                f"<a href='http://docs.example.com/q.html?utm_source=s&id={k}'>"
+                f"utm first</a> "
+                f"<a href='http://docs.example.com/q.html?id={k}'>"
+                f"canon</a></p>")
         add("crawl6", page(k, body, with_nav=False, with_footer=False,
+                           with_script=False))
+
+    # --- link-resolution showcase: relative paths, root-relative,
+    # protocol-relative, unquoted hrefs, non-http schemes — the X83b
+    # rows; each resolves against THIS page's page_url
+    for k in range(8):
+        body = (f"<p>{filler(k, 5)} "
+                f"<a href='sub/rel{k}.html'>relative path</a> "
+                f"<a href='/root/abs{k}.html'>root relative</a> "
+                f"<a href='//cdn.shared.test/lib{k}.js'>proto relative</a> "
+                f"<a href=http://unquoted.test/u{k}>unquoted</a> "
+                f"<a href='mailto:crawl{k}@example.org'>mail</a> "
+                f"<a href='#section{k}'>self</a></p>")
+        add("crawl8", page(k, body, with_nav=False, with_footer=False,
                            with_script=False))
 
     # --- crawl duplicates: same BODY under different chrome (mirrors,
@@ -216,15 +261,17 @@ def rows():
 def main():
     os.makedirs(OUT, exist_ok=True)
     rs = rows()
-    for _, _, h in rs:
-        assert "," not in h and '"' not in h and "\n" not in h, h
-        assert h == h.strip(), repr(h)
-        assert all(ord(c) < 128 for c in h), h
+    for _, _, u, h in rs:
+        for field in (u, h):
+            assert "," not in field and '"' not in field \
+                and "\n" not in field, field
+            assert field == field.strip(), repr(field)
+            assert all(ord(c) < 128 for c in field), field
     path = os.path.join(OUT, "html_docs.csv")
     with open(path, "w") as f:
-        f.write("doc_id,source,html\n")
-        for i, s, h in rs:
-            f.write(f"{i},{s},{h}\n")
+        f.write("doc_id,source,page_url,html\n")
+        for i, s, u, h in rs:
+            f.write(f"{i},{s},{u},{h}\n")
     print(f"wrote {path}: {len(rs)} rows")
 
 

@@ -374,7 +374,7 @@ object SparkEntry {
       ${p}d AS (
         SELECT doc_id, source, html FROM read_csv('$FixtureCsv',
           header=true, columns={'doc_id':'BIGINT','source':'VARCHAR',
-          'html':'VARCHAR'})),
+          'page_url':'VARCHAR','html':'VARCHAR'})),
       ${p}r AS (SELECT doc_id, source, html, $regions AS regions
         FROM ${p}d),
       ${p}s AS (SELECT doc_id, source, html, regions,
@@ -1367,7 +1367,7 @@ object SparkEntry {
       WITH d AS (
         SELECT doc_id, html FROM read_csv('$FixtureCsv',
           header=true, columns={'doc_id':'BIGINT','source':'VARCHAR',
-          'html':'VARCHAR'})),
+          'page_url':'VARCHAR','html':'VARCHAR'})),
       l AS (SELECT doc_id,
           unnest(regexp_extract_all(html, '${sq(HrefPattern)}', 1))
             AS url
@@ -1382,6 +1382,47 @@ object SparkEntry {
       SELECT host, CAST(count(*) AS BIGINT) AS n_links,
         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages,
         CAST(count(DISTINCT u) AS BIGINT) AS n_urls
+      FROM h GROUP BY host ORDER BY host"""
+    }),
+
+    // X83b — the RESOLVED frontier rollup: hrefs normalized then
+    // resolved against each page's own page_url (RFC-3986-lite: page
+    // scheme for protocol-relative, page root for root-relative, page
+    // base dir for relative paths; non-http schemes fenced into a
+    // (non-http) bucket, null page URLs fail closed to (unresolved)).
+    // The oracle replays the full normalize+resolve chain from the
+    // shared pattern constants.
+    "link_hosts_resolved" -> Q(
+      (s, d) => HtmlExtract.linkHostsResolved(s, d), Some {
+      import HtmlExtract._
+      def sq(x: String) = x.replace("'", "''")
+      s"""
+      WITH d AS (
+        SELECT doc_id, page_url, html FROM read_csv('$FixtureCsv',
+          header=true, columns={'doc_id':'BIGINT','source':'VARCHAR',
+          'page_url':'VARCHAR','html':'VARCHAR'})),
+      l AS (SELECT doc_id, ${normalizeUrlSql("page_url")} AS p,
+          unnest(regexp_extract_all(html, '${sq(HrefPattern)}', 1))
+            AS url
+        FROM d),
+      n AS (SELECT doc_id, p, ${normalizeUrlSql("url")} AS u FROM l),
+      r AS (SELECT doc_id, p, u, ${resolveUrlSql("u", "p")} AS res
+        FROM n),
+      h AS (SELECT doc_id, p, u, res,
+          CASE
+            WHEN regexp_matches(u, '${sq(AnySchemePattern)}')
+              AND NOT regexp_matches(u, '${sq(HostPattern)}')
+              THEN '(non-http)'
+            WHEN res IS NULL
+              OR regexp_extract(res, '${sq(HostPattern)}', 1) = ''
+              THEN '(unresolved)'
+            ELSE regexp_extract(res, '${sq(HostPattern)}', 1)
+          END AS host
+        FROM r)
+      SELECT host, CAST(count(*) AS BIGINT) AS n_links,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages,
+        CAST(count(DISTINCT p) AS BIGINT) AS n_source_pages,
+        CAST(count(DISTINCT COALESCE(res, u)) AS BIGINT) AS n_urls
       FROM h GROUP BY host ORDER BY host"""
     }),
 

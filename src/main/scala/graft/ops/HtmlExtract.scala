@@ -148,12 +148,16 @@ object HtmlExtract {
     htmlExtractFrom(fixturePages(spark)).orderBy("doc_id")
   }
 
-  private[graft] def fixturePages(spark: SparkSession): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("source", StringType),
-      StructField("html", StringType)))
-    spark.read.option("header", "true").schema(schema).csv(FixtureCsv)
-  }
+  /** Fixture schema — ONE definition; the CSV is positional under an
+    * explicit schema, so a private copy that drifts (as when the
+    * page_url column landed) silently shears columns sideways. */
+  val FixtureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("source", StringType),
+    StructField("page_url", StringType), StructField("html", StringType)))
+
+  private[graft] def fixturePages(spark: SparkSession): DataFrame =
+    spark.read.option("header", "true").schema(FixtureSchema)
+      .csv(FixtureCsv)
 
   // ---- X84: composed crawl-entry pipeline ----------------------------
 
@@ -326,6 +330,117 @@ object HtmlExtract {
       .agg(count(lit(1)).as("n_links"),
         countDistinct(col("doc_id")).as("n_pages"),
         countDistinct(col("u")).as("n_urls"))
+      .orderBy("host")
+  }
+
+  // ---- X83b: page-URL-aware resolved link rollup ---------------------
+
+  /** Scheme (`http:`/`https:`) of an absolute http(s) URL; '' when the
+    * input is not one (Spark regexp_extract's no-match value). */
+  val SchemePattern = "^(https?:)"
+  /** Scheme+host root of an absolute http(s) URL. */
+  val RootPattern = "^(https?://[^/?]+)"
+  /** A URL that carries SOME scheme (RFC 3986 scheme grammar,
+    * lowercase — inputs are normalized first). */
+  val AnySchemePattern = "^[a-z][a-z0-9+.-]*:"
+  /** The page's query string, stripped before deriving its base
+    * directory for relative resolution. */
+  val PageQueryPattern = "\\?[\\s\\S]*$"
+  /** The last path segment — what relative resolution replaces. */
+  val LastSegmentPattern = "[^/]*$"
+  /** An absolute http(s) URL with no path at all (`http://h.test`):
+    * its base directory is the root slash itself. */
+  val NoPathPattern = "^https?://[^/]*$"
+
+  /** RFC-3986-lite reference resolution of a NORMALIZED href `u`
+    * against the NORMALIZED page URL `p` — the deterministic subset
+    * both engines replay (no dot-segment collapsing; a documented
+    * divergence that only re-labels `../` URLs, never loses them):
+    * empty (fragment-only) → the page itself; absolute http(s) → as
+    * is; other scheme → null (bucketed `(non-http)` by the caller);
+    * protocol-relative `//…` → page scheme + u; root-relative `/…` →
+    * page root + u; else page base dir + u. Null/malformed page URLs
+    * propagate null → the `(unresolved)` fail-closed bucket. */
+  private[graft] def resolveUrl(u: Column, p: Column): Column = {
+    val pq = regexp_replace(p, PageQueryPattern, "")
+    val dir = when(pq.rlike(NoPathPattern), concat(pq, lit("/")))
+      .otherwise(regexp_replace(pq, LastSegmentPattern, ""))
+    val scheme = regexp_extract(p, SchemePattern, 1)
+    val root = regexp_extract(p, RootPattern, 1)
+    when(u.isNull || u === "", p)
+      .when(u.rlike(HostPattern), u)
+      .when(u.rlike(AnySchemePattern), lit(null).cast("string"))
+      .when(u.rlike("^//"),
+        when(scheme === "", lit(null).cast("string"))
+          .otherwise(concat(scheme, u)))
+      .when(u.rlike("^/"),
+        when(root === "", lit(null).cast("string"))
+          .otherwise(concat(root, u)))
+      .otherwise(
+        when(root === "", lit(null).cast("string"))
+          .otherwise(concat(dir, u)))
+  }
+
+  /** The DuckDB replay of [[resolveUrl]] — generated from the same
+    * pattern constants ([[normalizeUrlSql]] discipline). */
+  private[graft] def resolveUrlSql(u: String, p: String): String = {
+    def sq(s: String) = s.replace("'", "''")
+    val pq = s"regexp_replace($p, '${sq(PageQueryPattern)}', '', 'g')"
+    val dir = s"""(CASE WHEN regexp_matches($pq, '${sq(NoPathPattern)}')
+        THEN $pq || '/'
+        ELSE regexp_replace($pq, '${sq(LastSegmentPattern)}', '', 'g')
+        END)"""
+    val scheme = s"regexp_extract($p, '${sq(SchemePattern)}', 1)"
+    val root = s"regexp_extract($p, '${sq(RootPattern)}', 1)"
+    s"""CASE
+      WHEN $u IS NULL OR $u = '' THEN $p
+      WHEN regexp_matches($u, '${sq(HostPattern)}') THEN $u
+      WHEN regexp_matches($u, '${sq(AnySchemePattern)}') THEN NULL
+      WHEN regexp_matches($u, '^//') THEN
+        CASE WHEN $scheme = '' THEN NULL ELSE $scheme || $u END
+      WHEN regexp_matches($u, '^/') THEN
+        CASE WHEN $root = '' THEN NULL ELSE $root || $u END
+      ELSE CASE WHEN $root = '' THEN NULL ELSE $dir || $u END
+      END"""
+  }
+
+  /** X83b — the RESOLVED frontier rollup: every href, normalized, then
+    * resolved against its page's own URL, grouped by the TRUE target
+    * host. This is what [[linkHosts]]'s `(relative)` bucket becomes
+    * once the fixture carries `page_url`: same-host navigation mass
+    * lands on its real host, protocol-relative assets pick up the
+    * page scheme, and non-http schemes (`mailto:` …) are fenced into
+    * `(non-http)` instead of polluting host stats. Emits, per host:
+    * link mass, distinct linking pages (by doc AND by page URL — the
+    * politeness denominator) and distinct canonical target URLs.
+    * Fail-closed: a null/malformed page URL buckets its relative
+    * links under `(unresolved)` rather than inventing a host.
+    *
+    * Scale shape: identical to [[linkHosts]] — per-row codegen'd
+    * projection into one map-side-combined keyed agg; resolution adds
+    * zero shuffles. */
+  def linkHostsResolved(spark: SparkSession, dir: String): DataFrame =
+    linkHostsResolvedFrom(fixturePages(spark))
+
+  private[graft] def linkHostsResolvedFrom(pages: DataFrame): DataFrame = {
+    val urls = pages
+      .select(col("doc_id"), normalizeUrl(col("page_url")).as("p"),
+        explode(regexp_extract_all(col("html"), lit(HrefPattern),
+          lit(1))).as("url"))
+      .withColumn("u", normalizeUrl(col("url")))
+      .withColumn("r", resolveUrl(col("u"), col("p")))
+      .withColumn("host",
+        when(col("u").rlike(AnySchemePattern) &&
+          !col("u").rlike(HostPattern), lit("(non-http)"))
+          .when(col("r").isNull ||
+            regexp_extract(col("r"), HostPattern, 1) === "",
+            lit("(unresolved)"))
+          .otherwise(regexp_extract(col("r"), HostPattern, 1)))
+    urls.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_pages"),
+        countDistinct(col("p")).as("n_source_pages"),
+        countDistinct(coalesce(col("r"), col("u"))).as("n_urls"))
       .orderBy("host")
   }
 }

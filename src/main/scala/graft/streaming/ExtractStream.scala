@@ -29,9 +29,10 @@ import graft.ops.HtmlExtract
   * and share its DuckDB oracle. */
 object ExtractStream {
 
-  val pageSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType), StructField("source", StringType),
-    StructField("html", StringType)))
+  /** The shared fixture schema — [[HtmlExtract.FixtureSchema]], not a
+    * local copy: the CSV is positional under an explicit schema, so a
+    * drifted copy shears columns sideways. */
+  val pageSchema: StructType = HtmlExtract.FixtureSchema
 
   /** Start the extraction stream over a watched parquet dir. Each
     * micro-batch OVERWRITES its own `batch_id=<id>` subdirectory
@@ -65,8 +66,7 @@ object ExtractStream {
     Files.createDirectories(Paths.get(watch))
     Files.createDirectories(Paths.get(out))
 
-    val pages = spark.read.option("header", "true").schema(pageSchema)
-      .csv(HtmlExtract.FixtureCsv)
+    val pages = HtmlExtract.fixturePages(spark)
 
     def land(slice: DataFrame, name: String): Unit =
       graft.util.StreamFiles.landParquet(slice, base.toString, watch,

@@ -357,6 +357,26 @@ object ScaleStress {
         m(graft.ops.HtmlExtract.crawlIngestFrom(
           graft.ops.HtmlExtract.chromeWrap(
             Tables.t(spark, d, "documents"))))),
+      // X83b: the resolved rollup — same link mix plus a synthetic
+      // per-page page_url, so the normalize+resolve chain (scheme/
+      // root/dir derivation, four CASE arms) runs per link; still a
+      // pure projection into one keyed agg, so growth must track the
+      // uniform link_hosts leg
+      "link_hosts_resolved" -> (d =>
+        m(graft.ops.HtmlExtract.linkHostsResolvedFrom(
+          Tables.t(spark, d, "documents").select(col("doc_id"),
+            concat(lit("http://s"), pmod(col("doc_id"), lit(1000)),
+              lit(".test/a/p"), col("doc_id"), lit(".html"))
+              .as("page_url"),
+            concat(
+              lit("<html><body><p>x "),
+              lit("<a href='http://h"), pmod(col("doc_id"), lit(1000)),
+              lit(".test/p"), col("doc_id"), lit(".html#frag'>a</a> "),
+              lit("<a href='rel"), col("doc_id"), lit(".html'>b</a> "),
+              lit("<a href='/abs"), col("doc_id"), lit("'>c</a> "),
+              lit("<a href='//cdn"), pmod(col("doc_id"), lit(1000)),
+              lit(".test/l.js'>d</a></p></body></html>"))
+              .as("html"))))),
       // X83 skew leg: 90% of links on ONE host (every crawl has a
       // YouTube) — the hot key must be absorbed by the map-side
       // partial agg, so this curve must match the uniform leg's

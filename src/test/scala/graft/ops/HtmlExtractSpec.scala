@@ -192,6 +192,75 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(total == raw, s"aggregated $total links vs $raw raw hrefs")
   }
 
+  // ---- X83b: page-URL-aware resolved link rollup --------------------
+
+  test("link_hosts_resolved: relative mass lands on the page's own host") {
+    import spark.implicits._
+    val hosts = HtmlExtract.linkHostsResolved(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // crawl8 plants per page: relative path + root-relative + self
+    // (fragment-only) = 3 links that must resolve to the OWN host
+    val own = hosts("crawl8.crawl.test")
+    assert(own._2 == 24L && own._3 == 8L, own)
+    // protocol-relative //cdn.shared.test picks up each page's scheme
+    assert(hosts("cdn.shared.test")._2 == 8L, hosts.get("cdn.shared.test"))
+    // mailto: is fenced into (non-http), not a fake host
+    assert(hosts("(non-http)")._2 == 8L, hosts.get("(non-http)"))
+    // unquoted hrefs extract
+    assert(hosts("unquoted.test")._2 == 8L, hosts.get("unquoted.test"))
+    // nothing is (relative) or (unresolved): every fixture page has a
+    // valid page_url, so ALL relative mass resolves
+    assert(!hosts.contains("(relative)") && !hosts.contains("(unresolved)"),
+      hosts.keys)
+  }
+
+  test("link_hosts_resolved: resolution shapes — dir, root, scheme, fail-closed") {
+    import spark.implicits._
+    val pages = Seq(
+      // nested dir page: relative resolves beside the page
+      (1L, "s", "http://a.test/x/y.html", "<a href='z.html'>z</a>"),
+      // no-path page: base dir is the root slash
+      (2L, "s", "http://b.test", "<a href='z.html'>z</a>"),
+      // https page: protocol-relative picks up https
+      (3L, "s", "https://c.test/p", "<a href='//cdn.test/l.js'>l</a>"),
+      // query page: query stripped before deriving the base dir
+      (4L, "s", "http://d.test/list?page=4", "<a href='n.html'>n</a>"),
+      // root-relative from a nested page
+      (5L, "s", "http://e.test/x/y/z.html", "<a href='/top.html'>t</a>"),
+      // null page_url: relative link fails CLOSED
+      (6L, "s", null.asInstanceOf[String], "<a href='rel.html'>r</a>"),
+      // null page_url: absolute link still resolves
+      (7L, "s", null.asInstanceOf[String], "<a href='http://f.test/p'>f</a>"))
+      .toDF("doc_id", "source", "page_url", "html")
+    val got = HtmlExtract.linkHostsResolvedFrom(pages)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a.test")._2 == 1L)
+    assert(got("b.test")._2 == 1L)
+    assert(got("cdn.test")._2 == 1L)
+    assert(got("d.test")._2 == 1L)
+    assert(got("e.test")._2 == 1L)
+    assert(got("f.test")._2 == 1L)
+    assert(got("(unresolved)")._2 == 1L)
+    // and the resolved URL strings themselves are right: re-derive via
+    // the column helpers on the planted rows
+    val res = pages
+      .select(col("doc_id"),
+        HtmlExtract.resolveUrl(
+          HtmlExtract.normalizeUrl(
+            element_at(regexp_extract_all(col("html"),
+              lit(HtmlExtract.HrefPattern), lit(1)), 1)),
+          HtmlExtract.normalizeUrl(col("page_url"))).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(res(1L) == "http://a.test/x/z.html", res(1L))
+    assert(res(2L) == "http://b.test/z.html", res(2L))
+    assert(res(3L) == "https://cdn.test/l.js", res(3L))
+    assert(res(4L) == "http://d.test/n.html", res(4L))
+    assert(res(5L) == "http://e.test/top.html", res(5L))
+    assert(res(6L) == null)
+  }
+
   // ---- X84: composed crawl-entry pipeline ---------------------------
 
   test("crawl_ingest: stage counts are conserved and monotone per source") {

@@ -243,6 +243,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // X83: extraction projection → one map-side-combined host agg
     // (count-distinct expands it) + presentation sort
     "link_hosts" -> 3,
+    // X83b: same shape — resolution is a per-row projection, so the
+    // plan budget must be identical to the unresolved rollup's
+    "link_hosts_resolved" -> 3,
     // X84: checkpointed extraction (ONE chain run — the three stage
     // counters read the checkpoint) → dedup window + three source-
     // sized aggs + presentation sort
