@@ -23,18 +23,37 @@ Each page carries its own page_url (the URL it was fetched from) so
 the X83b resolved link rollup can resolve relative/protocol-relative
 hrefs against it.
 """
+import hashlib
 import os
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "fixtures", "corpus")
 
 WORDS = ("the quick brown fox jumps over a lazy dog while data flows "
-         "through batch and stream layers with schema checks").split()
+         "through batch and stream layers with schema checks "
+         "every page carries some prose that reads like crawl text "
+         "tables join filters push down partitions shuffle keys spill "
+         "tokens shingle bands hash buckets probe index merge compact "
+         "rows columns types nulls quote escape header footer nav "
+         "links hosts frontier politeness budget fetch parse render").split()
 
 HOSTS = ["docs.example.com", "internal.test.net", "www.example.org"]
 
 
 def filler(i, n):
-    return " ".join(WORDS[(i * 7 + j) % len(WORDS)] for j in range(n))
+    # hash-driven word draw over the full vocabulary: the previous
+    # (i*7+j) % 19 cyclic draw gave every long page the SAME distinct
+    # 3-gram shingle set (a 19-periodic sequence has only 19 distinct
+    # 3-grams), which would make a MinHash near-dup stage collapse the
+    # whole fixture into one cluster — degenerate, not crawl-shaped.
+    # md5 is stable across python versions (the fuzz-piece pattern).
+    # n is part of the key: filler(i, 16) must NOT be a prefix of
+    # filler(i, 25) — distinct families reuse small indexes, and a
+    # shared 16-word prefix is a genuine near-dup the MinHash stage
+    # would (correctly but confusingly) collapse across sources.
+    def w(j):
+        h = hashlib.md5(f"w:{i}:{n}:{j}".encode())
+        return WORDS[int(h.hexdigest()[:8], 16) % len(WORDS)]
+    return " ".join(w(j) for j in range(n))
 
 
 def link(i, j, text=None):
@@ -187,6 +206,15 @@ def rows():
         add("crawl7", page(k // 2, body + chrome_comment,
                            with_nav=False, with_footer=False,
                            with_script=(k % 2 == 0)))
+
+    # --- EDITED mirror pair: same long body, one appended word — the
+    # near-dup stage's target (exact dedup on extracted text CANNOT
+    # collapse these; the minhash pass must)
+    for k in range(2):
+        body = (f"<p>edited mirror {filler(100, 30)}"
+                + (" updated</p>" if k == 1 else "</p>"))
+        add("crawl7", page(2, body, with_nav=False, with_footer=False,
+                           with_script=False))
 
     # --- deterministic fuzz: hash-driven tag soup ----------------------
     # Every row round-trips through BOTH engines' extraction chains in

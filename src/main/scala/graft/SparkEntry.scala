@@ -1325,8 +1325,11 @@ object SparkEntry {
 
     // X84 — the composed crawl-entry pipeline: extraction → admission
     // (non-boilerplate, long enough) → exact dedup on EXTRACTED text
-    // → per-source manifest. The oracle splices the shared X82 CTE
-    // block and replays every stage.
+    // → MinHash near-dup collapse (8 bands, agree ≥ 4, one-pass drop
+    // of every pair's larger doc) → per-source manifest. The oracle
+    // splices the shared X82 CTE block and the proven X3 signature
+    // CTEs (tok/shingle/salted-band-min, the neardup_probe shapes)
+    // and replays every stage.
     "crawl_ingest" -> Q(
       (s, d) => HtmlExtract.crawlIngest(s, d), Some(s"""
       WITH ${htmlCtes("")},
@@ -1338,22 +1341,38 @@ object SparkEntry {
             PARTITION BY md5(text) ORDER BY doc_id) AS rn
           FROM adm)
         WHERE rn = 1),
-      utok AS (SELECT source, text_len,
-          CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
-            x -> x <> '')) AS BIGINT) AS n_tok
+      utok AS (SELECT doc_id, source, text_len,
+          list_filter(string_split_regex(lower(text), '\\s+'),
+            x -> x <> '') AS w
         FROM uniq),
+      ush AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM utok WHERE len(w) >= 3),
+      usig AS (SELECT doc_id, b.band,
+          min(md5(b.band || ':' || shingle)) AS sig
+        FROM ush, (SELECT unnest(range(0, 8)) AS band) b GROUP BY 1, 2),
+      upr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM usig a JOIN usig b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 4),
+      udrop AS (SELECT DISTINCT doc_b AS doc_id FROM upr),
+      fin AS (SELECT * FROM utok ANTI JOIN udrop USING (doc_id)),
       p AS (SELECT source, count(*) AS n_pages FROM out GROUP BY 1),
       a AS (SELECT source, count(*) AS n_admitted FROM adm GROUP BY 1),
-      u AS (SELECT source, count(*) AS n_unique,
-          CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      u AS (SELECT source, count(*) AS n_unique FROM uniq GROUP BY 1),
+      f AS (SELECT source, count(*) AS n_final,
+          CAST(sum(CAST(len(w) AS BIGINT)) AS BIGINT) AS n_tokens,
           CAST(sum(text_len) AS BIGINT) AS n_chars
-        FROM utok GROUP BY 1)
+        FROM fin GROUP BY 1)
       SELECT p.source, p.n_pages,
         COALESCE(a.n_admitted, 0) AS n_admitted,
         COALESCE(u.n_unique, 0) AS n_unique,
-        COALESCE(u.n_tokens, 0) AS n_tokens,
-        COALESCE(u.n_chars, 0) AS n_chars
+        COALESCE(f.n_final, 0) AS n_final,
+        COALESCE(f.n_tokens, 0) AS n_tokens,
+        COALESCE(f.n_chars, 0) AS n_chars
       FROM p LEFT JOIN a USING (source) LEFT JOIN u USING (source)
+        LEFT JOIN f USING (source)
       ORDER BY source""")),
 
     // X83 — outlink host aggregation: every href URL normalized

@@ -169,19 +169,37 @@ object HtmlExtract {
     * (X82) → admission (non-boilerplate, text long enough) → exact
     * dedup on the EXTRACTED text (mirrors and crawl dups share
     * markup-stripped bodies — dedup must run on what survives
-    * extraction, not on raw bytes) → per-source manifest. This is the
-    * stage chain that turns a crawl into [[CorpusPipeline]]'s input:
-    * the manifest row (pages seen / admitted / unique, token + char
-    * mass) is what a crawl operator reads before pointing the corpus
-    * build at a source.
+    * extraction, not on raw bytes) → NEAR-dup collapse (MinHash
+    * banded LSH over the exact-unique survivors: mirror fetches with
+    * one edited line share no md5 but nearly all shingles — the r13
+    * verdict's surviving-mirror gap) → per-source manifest. This is
+    * the stage chain that turns a crawl into [[CorpusPipeline]]'s
+    * input: the manifest row (pages seen / admitted / exact-unique /
+    * final, token + char mass over the FINAL set) is what a crawl
+    * operator reads before pointing the corpus build at a source.
+    *
+    * Near-dup semantics are a deterministic ONE-PASS keep-smallest:
+    * candidate pairs come from [[Dedup.nearDupPairsFor]] (8 bands,
+    * agree ≥ 4 — the X3 family defaults, oracle-proven), and every
+    * doc appearing as the LARGER side of any pair is dropped. One
+    * pass, not transitive closure: in a chain a~b~c (no a~c), both b
+    * and c drop — the documented crawl-entry choice (cheap, exactly
+    * replayable, and at a crawl entry losing an extra near-copy is
+    * the safe direction). The full greedy-exact form lives in
+    * [[Similarity.semDedupGreedy]].
     *
     * Per stage both engines replay exactly: the X82 chain, the flag +
-    * length admission, keep-min-doc_id per md5(text), integer
-    * token/char sums. Scale shape: extraction is the scan; the dedup
-    * window partitions on the 128-bit text hash (collision-free in
-    * practice, uniformly distributed — no skewed reducer); the
+    * length admission, keep-min-doc_id per md5(text), the banded
+    * minhash pair derivation, the one-pass drop, integer token/char
+    * sums. Scale shape: extraction is the scan; the dedup window
+    * partitions on the 128-bit text hash (collision-free in practice,
+    * uniformly distributed — no skewed reducer); shingling is
+    * BATCH-SIDE-ONLY (admitted-unique docs, never raw pages) and the
+    * LSH is the bounded-bucket X3 shape, never all-pairs; the
     * manifest is a source-sized rollup. One pages scan feeds all
-    * three stage counters via the extracted relation. */
+    * stage counters via the extracted checkpoint; the unique relation
+    * is checkpointed once for its three consumers (pairs, anti-join,
+    * counts). */
   def crawlIngest(spark: SparkSession, dir: String): DataFrame =
     crawlIngestFrom(fixturePages(spark))
 
@@ -193,11 +211,19 @@ object HtmlExtract {
     val ex = htmlExtractFrom(pages).localCheckpoint()
     val admitted = ex.filter(!col("boilerplate_flag") &&
       col("text_len") >= MinTextLen)
+    // exact-unique survivors, checkpointed: consumed by the near-dup
+    // pair generation, the final anti-join and the per-source counts
     val unique = admitted
       .withColumn("k", md5(col("text")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("k")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1)
+      .drop("k", "rn")
+      .localCheckpoint()
+    val pairs = Dedup.nearDupPairsFor(
+      unique.select(col("doc_id"), col("text")))
+    val drops = pairs.select(col("doc_b").as("doc_id")).distinct()
+    val fin = unique.join(drops, Seq("doc_id"), "left_anti")
       .withColumn("n_tok",
         size(TextAnalysis.tokens(col("text"))).cast("long"))
     val pagesBySrc = ex.groupBy(col("source"))
@@ -205,15 +231,19 @@ object HtmlExtract {
     val admitBySrc = admitted.groupBy(col("source"))
       .agg(count(lit(1)).as("n_admitted"))
     val uniqBySrc = unique.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_unique"),
+      .agg(count(lit(1)).as("n_unique"))
+    val finBySrc = fin.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_final"),
         sum(col("n_tok")).as("n_tokens"),
         sum(col("text_len")).as("n_chars"))
     pagesBySrc
       .join(admitBySrc, Seq("source"), "left")
       .join(uniqBySrc, Seq("source"), "left")
+      .join(finBySrc, Seq("source"), "left")
       .select(col("source"), col("n_pages"),
         coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
         coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_chars"), lit(0L)).as("n_chars"))
       .orderBy("source")
@@ -233,6 +263,31 @@ object HtmlExtract {
         lit("<a href='/b'>docs</a></nav><p>"), col("text"),
         lit(" &amp; more</p><a href='/c'>next page</a>"),
         lit("<!-- crawl --><footer>footer</footer></body></html>"))
+        .as("html"))
+
+  /** [[chromeWrap]] with ADMISSIBLE chrome on half the corpus: every
+    * page from [[chromeWrap]] is nav+footer-flagged, so a crawl_ingest
+    * stress over it measured ONLY the extraction stage — admission
+    * passed zero pages and the dedup stages ran on nothing (the r13
+    * curve's blind spot). Here odd doc_ids get flag-free chrome
+    * (script/comment regions but no nav/footer, low link density), so
+    * the admission, exact-dedup window and the MinHash near-dup pass
+    * all do corpus-sized work at every scale. */
+  private[graft] def chromeWrapMixed(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(
+          lit("<html><head><title>doc "), col("doc_id"),
+          lit("</title><script>var x = 1 < 2;</script></head>"),
+          lit("<body><nav><a href='/a'>home</a> "),
+          lit("<a href='/b'>docs</a></nav><p>"), col("text"),
+          lit(" &amp; more</p><a href='/c'>next page</a>"),
+          lit("<!-- crawl --><footer>footer</footer></body></html>")))
+        .otherwise(concat(
+          lit("<html><head><title>doc "), col("doc_id"),
+          lit("</title><script>var y = 2;</script></head><body><p>"),
+          col("text"),
+          lit(" &amp; more</p><!-- crawl --></body></html>")))
         .as("html"))
 
   // ---- X83: outlink host aggregation --------------------------------

@@ -350,13 +350,17 @@ object ScaleStress {
               lit(".html?utm_source=s'>b</a> "),
               lit("<a href='/rel'>c</a></p></body></html>"))
               .as("html"))))),
-      // X84: the composed crawl-entry pipeline over the chrome-wrapped
-      // n× corpus — extraction (checkpointed once) + admission + text
-      // dedup window + source rollup; growth must stay scan-bound
-      "crawl_ingest" -> (d =>
+      // X84: the composed crawl-entry pipeline over the MIXED-chrome
+      // n× corpus (half flag-free, so admission passes ~half and the
+      // exact-dedup window + MinHash near-dup stage do corpus-sized
+      // work — the all-flagged r13 wrap measured extraction only) —
+      // extraction (checkpointed once) + admission + dedup stages +
+      // source rollup; growth must stay LSH-shuffle-bound
+      "crawl_ingest" -> (d => {
+        Dedup.clearPairsMemo()
         m(graft.ops.HtmlExtract.crawlIngestFrom(
-          graft.ops.HtmlExtract.chromeWrap(
-            Tables.t(spark, d, "documents"))))),
+          graft.ops.HtmlExtract.chromeWrapMixed(
+            Tables.t(spark, d, "documents")))) }),
       // X83b: the resolved rollup — same link mix plus a synthetic
       // per-page page_url, so the normalize+resolve chain (scheme/
       // root/dir derivation, four CASE arms) runs per link; still a

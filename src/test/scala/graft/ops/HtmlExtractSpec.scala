@@ -266,11 +266,12 @@ class HtmlExtractSpec extends AnyFunSuite {
   test("crawl_ingest: stage counts are conserved and monotone per source") {
     import spark.implicits._
     val rows = HtmlExtract.crawlIngest(spark, dir)
-      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
     val bySrc = rows.map(r => r._1 -> r).toMap
-    rows.foreach { case (src, nP, nA, nU, nTok, nCh) =>
-      assert(nA <= nP && nU <= nA, s"$src not monotone: $nP/$nA/$nU")
-      assert((nU == 0) == (nTok == 0L && nCh == 0L), src)
+    rows.foreach { case (src, nP, nA, nU, nF, nTok, nCh) =>
+      assert(nA <= nP && nU <= nA && nF <= nU,
+        s"$src not monotone: $nP/$nA/$nU/$nF")
+      assert((nF == 0) == (nTok == 0L && nCh == 0L), src)
     }
     assert(rows.map(_._2).sum ==
       spark.read.option("header", "true")
@@ -279,24 +280,31 @@ class HtmlExtractSpec extends AnyFunSuite {
     // flagged, link farms exceed the density cut
     assert(bySrc("crawl5")._3 == 0L)
     assert(bySrc("crawl1")._3 == 0L)
+    // plain-text pages (hash-driven independent word draws) must NOT
+    // collapse in the near-dup stage — the degenerate-vocabulary trap
+    assert(bySrc("crawl2")._4 == bySrc("crawl2")._5,
+      s"independent plain-text docs near-dup-collapsed: ${bySrc("crawl2")}")
   }
 
-  test("crawl_ingest: mirror pairs dedup on EXTRACTED text, not raw bytes") {
+  test("crawl_ingest: mirror pairs dedup exact, edited mirrors dedup near") {
     import spark.implicits._
     val crawl7 = HtmlExtract.crawlIngest(spark, dir)
       .filter(col("source") === "crawl7")
-      .as[(String, Long, Long, Long, Long, Long)].head()
-    // 4 pages = 2 mirror pairs whose raw HTML differs (comments,
-    // script presence) but whose extracted text is identical
-    assert(crawl7._2 == 4L && crawl7._3 == 4L && crawl7._4 == 2L,
-      s"expected 4 pages / 4 admitted / 2 unique, got $crawl7")
-    // and the raw bytes genuinely differ within each pair — the
-    // extraction is what makes them duplicates
+      .as[(String, Long, Long, Long, Long, Long, Long)].head()
+    // 6 pages: 2 exact-mirror pairs (raw HTML differs by comments/
+    // script, extracted text identical → exact stage) + 1 EDITED
+    // mirror pair (one appended word → only the near-dup stage can
+    // collapse it): 6 admitted, 4 exact-unique, 3 final
+    assert(crawl7._2 == 6L && crawl7._3 == 6L && crawl7._4 == 4L &&
+      crawl7._5 == 3L,
+      s"expected 6 pages / 6 admitted / 4 unique / 3 final, got $crawl7")
+    // and the raw bytes genuinely differ — extraction + near-dup are
+    // what make them duplicates
     val raw = spark.read.option("header", "true")
       .csv(HtmlExtract.FixtureCsv)
       .filter(col("source") === "crawl7")
       .select("html").as[String].collect()
-    assert(raw.distinct.length == 4, "raw pages must all differ")
+    assert(raw.distinct.length == 6, "raw pages must all differ")
   }
 
   test("crawl_ingest: null-html pages count as seen but never admit") {
@@ -306,11 +314,11 @@ class HtmlExtractSpec extends AnyFunSuite {
       (2L, "advsrc", "<p>" + ("word " * 30) + "</p>"))
       .toDF("doc_id", "source", "html")
     val row = HtmlExtract.crawlIngestFrom(pages)
-      .as[(String, Long, Long, Long, Long, Long)].head()
+      .as[(String, Long, Long, Long, Long, Long, Long)].head()
     // the null page is a fetch that happened (n_pages) but carries no
     // admissible text — the null verdicts must fail it closed, not
     // crash the window or the manifest
-    assert(row == (("advsrc", 2L, 1L, 1L, 30L, row._6)))
+    assert(row == (("advsrc", 2L, 1L, 1L, 1L, 30L, row._7)))
   }
 
   // --- real-input battery (VERDICT r13 item 1) ---------------------

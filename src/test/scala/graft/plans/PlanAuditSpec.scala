@@ -246,10 +246,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // X83b: same shape — resolution is a per-row projection, so the
     // plan budget must be identical to the unresolved rollup's
     "link_hosts_resolved" -> 3,
-    // X84: checkpointed extraction (ONE chain run — the three stage
-    // counters read the checkpoint) → dedup window + three source-
-    // sized aggs + presentation sort
-    "crawl_ingest" -> 5,
+    // X84: checkpointed extraction (ONE chain run — the stage
+    // counters read the checkpoint) → exact-dedup window (ckpt'd) →
+    // near-dup pair chain (signature agg, bucket agg, pair agg,
+    // drop distinct) → four source-sized aggs + presentation sort
+    "crawl_ingest" -> 9,
     "pivot_orders" -> 3,
     "price_histogram" -> 2,
     "q10_returned_items" -> 1,
