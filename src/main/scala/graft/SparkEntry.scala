@@ -1404,6 +1404,28 @@ object SparkEntry {
       FROM h GROUP BY host ORDER BY host"""
     }),
 
+    // X85 — takedown/deletion propagation: the weekly compliance
+    // delete. The deterministic list doc_id % 97 == 0 is removed from
+    // the corpus via a file-granular retire-then-rewrite into a
+    // listing-tag-keyed store; the manifest's n_after is READ BACK
+    // from the rewritten corpus, so a write-back that dropped the
+    // wrong rows (or none) fails the oracle's arithmetic. Removed
+    // token/char mass uses the shared tokenizer both engines replay.
+    "takedown_propagate" -> Q(
+      (s, d) => Takedown.takedownPropagate(s, d), Some(s"""
+      SELECT source,
+        CAST(count(*) AS BIGINT) AS n_before,
+        CAST(count(*) FILTER (WHERE doc_id % ${Takedown.TakedownMod} = 0)
+          AS BIGINT) AS n_removed,
+        CAST(count(*) FILTER (WHERE doc_id % ${Takedown.TakedownMod} <> 0)
+          AS BIGINT) AS n_after,
+        CAST(COALESCE(sum(CASE WHEN doc_id % ${Takedown.TakedownMod} = 0
+          THEN len(list_filter(string_split_regex(lower(text), '\\s+'),
+            x -> x <> '')) END), 0) AS BIGINT) AS removed_tokens,
+        CAST(COALESCE(sum(CASE WHEN doc_id % ${Takedown.TakedownMod} = 0
+          THEN n_chars END), 0) AS BIGINT) AS removed_chars
+      FROM documents GROUP BY source ORDER BY source""")),
+
     // X83b — the RESOLVED frontier rollup: hrefs normalized then
     // resolved against each page's own page_url (RFC-3986-lite: page
     // scheme for protocol-relative, page root for root-relative, page

@@ -1,0 +1,158 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.slf4j.LoggerFactory
+
+import graft.util.Tables
+import graft.util.Tables.t
+
+/** X85 — takedown/deletion propagation: the compliance delete a real
+  * corpus operator runs weekly (DMCA, GDPR erasure, opt-out lists).
+  * Given a doc_id list, produce the WRITE-BACK that removes those
+  * documents (and their embeddings) from the lake, retire the removed
+  * rows for audit/restore, and emit the per-source deletion manifest
+  * the compliance report is built from. The reference's loader only
+  * ever merges rows IN (`FInal/generic_load_script.py` upsert — no
+  * delete path exists there), so this is an extension operator
+  * mandated by the training-data-pipeline surface.
+  *
+  * Mechanics, chosen for the 100 TB shape:
+  *
+  *  - FILE-GRANULAR rewrite: only parquet files that CONTAIN a
+  *    takedown row are rewritten (row-group surgery via
+  *    `_metadata.file_path`); untouched files are retained by HARD
+  *    LINK — zero bytes copied, the copy-on-write economics every
+  *    table format (Delta/Iceberg DELETE) relies on. The affected
+  *    file list is collected to the driver — bounded by affected-file
+  *    count, ~|takedown list| at worst, never corpus size.
+  *  - RETIRED COPY first: the removed rows are persisted under
+  *    `_deleted/` BEFORE the live rewrite (the [[graft.load.SnapshotLog]]
+  *    retire-then-swap ordering), so a crash between the two steps
+  *    loses nothing and restore/audit reads are one parquet scan.
+  *  - The new corpus is a NEW directory keyed by
+  *    (source path, documents listing tag, embeddings listing tag,
+  *    takedown fingerprint) and `_SUCCESS`-gated like every derived
+  *    store. Because all five persisted index stores (gate stats,
+  *    MinHash signatures, set-sim, edit-distance, IVF) key their OWN
+  *    paths by the corpus listing tag, pointing them at the
+  *    post-takedown dir re-keys and rebuilds them without the deleted
+  *    docs — the propagation contract IndexFreshnessSpec walks.
+  *
+  * The registered query uses the deterministic takedown list
+  * `doc_id % 97 == 0` (≈1% of the corpus, the weekly-compliance
+  * scale) and emits the manifest with `n_after` computed by READING
+  * BACK the rewritten corpus — a write-back that dropped the wrong
+  * rows hash-fails the oracle's arithmetic, not just a spec. */
+object Takedown {
+
+  private val log = LoggerFactory.getLogger(getClass)
+
+  /** Deterministic takedown list of the registered query. */
+  val TakedownMod = 97
+
+  private def hit(idCol: Column): Column =
+    pmod(idCol, lit(TakedownMod)) === 0
+
+  /** Execute (or reuse) the takedown write-back for `dir`'s corpus
+    * tables; returns the post-takedown lake dir, which carries
+    * `documents.parquet`, `embeddings.parquet` and the `_deleted/`
+    * retirement — readable by [[Tables.t]] exactly like a testdata
+    * dir, which is what lets every downstream index build re-key onto
+    * it unchanged. */
+  def takedownStore(spark: SparkSession, dir: String): String = {
+    val out = s"target/graft_takedown/${Tables.pathTag(dir)}_" +
+      Tables.listingTag(spark, s"$dir/documents.parquet") + "_" +
+      Tables.listingTag(spark, s"$dir/embeddings.parquet") +
+      s"_m$TakedownMod"
+    if (!Tables.successExists(spark, s"$out/documents.parquet") ||
+        !Tables.successExists(spark, s"$out/embeddings.parquet")) {
+      rewriteTable(spark, s"$dir/documents.parquet",
+        s"$out/documents.parquet", s"$out/_deleted/documents",
+        col("doc_id"))
+      rewriteTable(spark, s"$dir/embeddings.parquet",
+        s"$out/embeddings.parquet", s"$out/_deleted/embeddings",
+        col("vec_id"))
+      log.info(s"takedown write-back committed at $out")
+    }
+    out
+  }
+
+  /** File-granular delete of `hit` rows from the table at `src` into
+    * `dst`, retiring the removed rows at `retired` FIRST. */
+  private def rewriteTable(spark: SparkSession, src: String,
+      dst: String, retired: String, idCol: Column): Unit = {
+    val df = spark.read.parquet(src).withColumn("_f",
+      regexp_extract(col("_metadata.file_path"), "[^/]+$", 0))
+    // bounded collect: one row per AFFECTED FILE (≤ |takedown list|)
+    val affected = df.filter(hit(idCol)).select(col("_f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    // retire first: the restore path must exist before the live swap
+    df.filter(hit(idCol)).drop("_f")
+      .write.mode("overwrite").parquet(retired)
+    val survivors =
+      if (affected.isEmpty) df.limit(0).drop("_f")
+      else df.filter(col("_f").isin(affected.toSeq: _*) && !hit(idCol))
+        .drop("_f")
+    survivors.write.mode("overwrite").parquet(dst)
+    // untouched files: retained by hard link (zero-copy), copy as the
+    // cross-device fallback. A single-FILE table lists as itself and
+    // is always affected-or-empty, so this loop is dir-shaped only.
+    val p = new Path(src)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(p).isDirectory) {
+      fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isFile && !name.startsWith("_") && !name.startsWith(".")
+            && !affected.contains(name)) {
+          val target = Paths.get(dst, name)
+          try Files.createLink(target, Paths.get(src, name))
+          catch { case _: UnsupportedOperationException |
+              _: java.nio.file.FileSystemException =>
+            Files.copy(Paths.get(src, name), target,
+              StandardCopyOption.COPY_ATTRIBUTES)
+          }
+          ()
+        }
+      }
+    }
+  }
+
+  /** X85 registered query — the deletion manifest: per source, corpus
+    * size before, rows removed, rows AFTER (read back from the
+    * rewritten corpus — proving the write, not the plan), and the
+    * removed token/char mass for the compliance report.
+    *
+    * Scale shape: two scans of the source table (before-counts +
+    * removed mass — one logical scan each, source-sized rollups), one
+    * scan of the rewritten corpus, and the write-back itself is
+    * affected-file-bounded and `_SUCCESS`-memoized (the weekly run
+    * rewrites once; every report after reads). */
+  def takedownPropagate(spark: SparkSession, dir: String): DataFrame = {
+    val store = takedownStore(spark, dir)
+    val before = t(spark, dir, "documents")
+    val removed = before.filter(hit(col("doc_id")))
+      .withColumn("n_tok",
+        size(TextAnalysis.tokens(col("text"))).cast("long"))
+    val after = spark.read.parquet(s"$store/documents.parquet")
+    val b = before.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_before"))
+    val r = removed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_removed"),
+        sum(col("n_tok")).as("removed_tokens"),
+        sum(col("n_chars")).as("removed_chars"))
+    val a = after.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_after"))
+    b.join(r, Seq("source"), "left")
+      .join(a, Seq("source"), "left")
+      .select(col("source"), col("n_before"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"))
+      .orderBy("source")
+  }
+}

@@ -381,6 +381,15 @@ object ScaleStress {
               lit("<a href='//cdn"), pmod(col("doc_id"), lit(1000)),
               lit(".test/l.js'>d</a></p></body></html>"))
               .as("html"))))),
+      // X85: takedown write-back + manifest — the store is dropped
+      // before each pass so the curve prices the file-granular
+      // retire-then-rewrite (affected files only; untouched part
+      // files hard-linked) and the three source rollups, not the
+      // _SUCCESS memo hit a weekly re-report would enjoy
+      "takedown_propagate" -> (d => {
+        graft.util.Scratch.deleteRecursive(
+          java.nio.file.Paths.get("target/graft_takedown"))
+        m(graft.ops.Takedown.takedownPropagate(spark, d)) }),
       // X83 skew leg: 90% of links on ONE host (every crawl has a
       // YouTube) — the hot key must be absorbed by the map-side
       // partial agg, so this curve must match the uniform leg's

@@ -134,4 +134,71 @@ class IndexFreshnessSpec extends AnyFunSuite {
     assert(hasDoc(ivf2, "cells", "vec_id"),
       "rebuilt IVF cells must contain the new vector")
   }
+
+  /** X85 (VERDICT r13 item 4): takedown PROPAGATION — after the
+    * compliance delete rewrites the corpus, every persisted store
+    * built against the post-takedown dir must re-key AND contain
+    * nothing of the deleted docs. A store that kept serving deleted
+    * content after its erasure is the compliance failure this test
+    * exists to prevent. */
+  test("a takedown re-keys all five stores and erases the deleted docs from them") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft-takedown").toString
+    cloneTable("/root/testdata/sf0.001/documents.parquet",
+      s"$base/documents.parquet")
+    cloneTable("/root/testdata/sf0.001/embeddings.parquet",
+      s"$base/embeddings.parquet")
+    // plant a source whose EVERY doc is takedown-hit (ids ≡ 0 mod 97,
+    // % 7 != 0 so they sit corpus-side for the gate statistics), plus
+    // embeddings for the IVF store
+    val tdIds = Seq(97L * 100003, 97L * 100004, 97L * 100006)
+    tdIds.foreach(id => assert(id % 7 != 0 && id % Takedown.TakedownMod == 0))
+    tdIds.map(id => (id, "takedown target text words enough to shingle " +
+        s"uniquely $id", "en", "src_td", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(s"$base/documents.parquet")
+    tdIds.map { id =>
+      val v = Array.fill(64)(0.0f); v(1) = 1.0f; (id, v, 5) }
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("append").parquet(s"$base/embeddings.parquet")
+
+    // pre-takedown stores see the planted docs
+    val ss1 = Dedup.setSimBuildIndex(spark, base)
+    assert(spark.read.parquet(s"$ss1/sh")
+      .filter(col("doc_id").isin(tdIds: _*)).count() > 0)
+
+    val newDir = Takedown.takedownStore(spark, base)
+    assert(newDir != base)
+    // the rewritten corpus itself: deleted rows gone, retired copy
+    // carries exactly them (the restore/audit path)
+    val afterIds = spark.read.parquet(s"$newDir/documents.parquet")
+      .select("doc_id").as[Long].collect().toSet
+    tdIds.foreach(id => assert(!afterIds.contains(id), s"doc $id survived"))
+    val retired = spark.read.parquet(s"$newDir/_deleted/documents")
+      .select("doc_id").as[Long].collect().toSet
+    assert(tdIds.toSet.subsetOf(retired), s"retired copy missing rows")
+
+    // all five stores, rebuilt against the post-takedown dir: fresh
+    // keys, no deleted content
+    val stats2 = QualitySignals.qualityGateBuildStats(spark, newDir)
+    val sig2 = Dedup.neardupBuildIndex(spark, newDir)
+    val ss2 = Dedup.setSimBuildIndex(spark, newDir)
+    val ed2 = EditDistance.editDistanceBuildIndex(spark, newDir)
+    val ivf2 = Similarity.ivfBuildIndex(spark, newDir)
+    assert(Seq(sig2, ss2, ed2, ivf2).forall(_ != ss1))
+    def none(path: String, rel: String, idCol: String): Unit =
+      assert(spark.read.parquet(s"$path/$rel")
+        .filter(col(idCol).isin(tdIds: _*)).count() == 0,
+        s"$path/$rel still serves deleted docs")
+    none(sig2, "", "doc_id")
+    none(ss2, "sh", "doc_id")
+    none(ed2, "docs", "doc_id")
+    none(ivf2, "cells", "vec_id")
+    // the fully-deleted source vanishes from the gate statistics
+    val rateSrcs = spark.read.parquet(s"$stats2/rates")
+      .select("source").as[String].collect().toSet
+    assert(!rateSrcs.contains("src_td"),
+      "gate stats still carry the fully-deleted source")
+  }
 }
