@@ -404,6 +404,55 @@ object SparkEntry {
       WITH ${htmlCtes("")}
       SELECT * FROM out ORDER BY doc_id"""
 
+  /** Shared oracle of `crawl_ingest` (X84) and its streaming twin
+    * `crawl_ingest_stream` (X84b): the X82 CTE block, the admission +
+    * exact-dedup stages, the proven X3 signature CTEs
+    * (tok/shingle/salted-band-min — the neardup_probe shapes), the
+    * one-pass larger-side near-dup drop, and the source manifest. */
+  private lazy val crawlIngestOracle: String = s"""
+      WITH ${htmlCtes("")},
+      adm AS (SELECT * FROM out
+        WHERE NOT boilerplate_flag
+          AND text_len >= ${HtmlExtract.MinTextLen}),
+      uniq AS (SELECT * FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM adm)
+        WHERE rn = 1),
+      utok AS (SELECT doc_id, source, text_len,
+          list_filter(string_split_regex(lower(text), '\\s+'),
+            x -> x <> '') AS w
+        FROM uniq),
+      ush AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM utok WHERE len(w) >= 3),
+      usig AS (SELECT doc_id, b.band,
+          min(md5(b.band || ':' || shingle)) AS sig
+        FROM ush, (SELECT unnest(range(0, 8)) AS band) b GROUP BY 1, 2),
+      upr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM usig a JOIN usig b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 4),
+      udrop AS (SELECT DISTINCT doc_b AS doc_id FROM upr),
+      fin AS (SELECT * FROM utok ANTI JOIN udrop USING (doc_id)),
+      p AS (SELECT source, count(*) AS n_pages FROM out GROUP BY 1),
+      a AS (SELECT source, count(*) AS n_admitted FROM adm GROUP BY 1),
+      u AS (SELECT source, count(*) AS n_unique FROM uniq GROUP BY 1),
+      f AS (SELECT source, count(*) AS n_final,
+          CAST(sum(CAST(len(w) AS BIGINT)) AS BIGINT) AS n_tokens,
+          CAST(sum(text_len) AS BIGINT) AS n_chars
+        FROM fin GROUP BY 1)
+      SELECT p.source, p.n_pages,
+        COALESCE(a.n_admitted, 0) AS n_admitted,
+        COALESCE(u.n_unique, 0) AS n_unique,
+        COALESCE(f.n_final, 0) AS n_final,
+        COALESCE(f.n_tokens, 0) AS n_tokens,
+        COALESCE(f.n_chars, 0) AS n_chars
+      FROM p LEFT JOIN a USING (source) LEFT JOIN u USING (source)
+        LEFT JOIN f USING (source)
+      ORDER BY source"""
+
   /** Shared oracle for the batch upsert and its true-streaming twin:
     * three fixture batches merged on (id, dt), whichever engine path
     * landed them. */
@@ -1331,49 +1380,16 @@ object SparkEntry {
     // CTEs (tok/shingle/salted-band-min, the neardup_probe shapes)
     // and replays every stage.
     "crawl_ingest" -> Q(
-      (s, d) => HtmlExtract.crawlIngest(s, d), Some(s"""
-      WITH ${htmlCtes("")},
-      adm AS (SELECT * FROM out
-        WHERE NOT boilerplate_flag
-          AND text_len >= ${HtmlExtract.MinTextLen}),
-      uniq AS (SELECT * FROM (
-          SELECT *, row_number() OVER (
-            PARTITION BY md5(text) ORDER BY doc_id) AS rn
-          FROM adm)
-        WHERE rn = 1),
-      utok AS (SELECT doc_id, source, text_len,
-          list_filter(string_split_regex(lower(text), '\\s+'),
-            x -> x <> '') AS w
-        FROM uniq),
-      ush AS (SELECT DISTINCT doc_id,
-          unnest(list_transform(range(1, len(w) - 1),
-            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-        FROM utok WHERE len(w) >= 3),
-      usig AS (SELECT doc_id, b.band,
-          min(md5(b.band || ':' || shingle)) AS sig
-        FROM ush, (SELECT unnest(range(0, 8)) AS band) b GROUP BY 1, 2),
-      upr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM usig a JOIN usig b
-          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-        GROUP BY 1, 2 HAVING count(*) >= 4),
-      udrop AS (SELECT DISTINCT doc_b AS doc_id FROM upr),
-      fin AS (SELECT * FROM utok ANTI JOIN udrop USING (doc_id)),
-      p AS (SELECT source, count(*) AS n_pages FROM out GROUP BY 1),
-      a AS (SELECT source, count(*) AS n_admitted FROM adm GROUP BY 1),
-      u AS (SELECT source, count(*) AS n_unique FROM uniq GROUP BY 1),
-      f AS (SELECT source, count(*) AS n_final,
-          CAST(sum(CAST(len(w) AS BIGINT)) AS BIGINT) AS n_tokens,
-          CAST(sum(text_len) AS BIGINT) AS n_chars
-        FROM fin GROUP BY 1)
-      SELECT p.source, p.n_pages,
-        COALESCE(a.n_admitted, 0) AS n_admitted,
-        COALESCE(u.n_unique, 0) AS n_unique,
-        COALESCE(f.n_final, 0) AS n_final,
-        COALESCE(f.n_tokens, 0) AS n_tokens,
-        COALESCE(f.n_chars, 0) AS n_chars
-      FROM p LEFT JOIN a USING (source) LEFT JOIN u USING (source)
-        LEFT JOIN f USING (source)
-      ORDER BY source""")),
+      (s, d) => HtmlExtract.crawlIngest(s, d), Some(crawlIngestOracle)),
+
+    // X84b — the STREAMING crawl entry, composed: fixture pages in
+    // two file arrivals; each micro-batch extracts + admits once and
+    // appends slim per-batch state (md5 keys, MinHash signatures,
+    // token mass); the manifest fold over the accumulated state is
+    // byte-equal to the batch pipeline — same oracle.
+    "crawl_ingest_stream" -> Q(
+      (s, d) => graft.streaming.CrawlStream.crawlStreamQuery(s, d),
+      Some(crawlIngestOracle)),
 
     // X83 — outlink host aggregation: every href URL normalized
     // (lowercase, fragment + utm params stripped) and rolled up per

@@ -196,6 +196,60 @@ object StreamScaleStress {
       f"last-third ${tail}%.2fs ratio ${ratio}%.2f (1.0 = flat)")
   }
 
+  /** X84b: the streaming crawl entry's per-arrival work is extraction
+    * + admission + slim-state append for the BATCH ONLY — no read of
+    * accumulated state inside foreachBatch — so arrival cost must
+    * stay flat as the stream ages. The manifest fold (which does read
+    * the whole state) is priced separately once at the end: it is the
+    * report query, not the per-arrival path. Mixed chrome, so
+    * admission passes ~half and the dedup state is real. */
+  def crawlStress(spark: SparkSession, corpus: String,
+      nArrivals: Int): Unit = {
+    val base = Scratch.under("ingest/crawl_ingest_stream_stress")
+    Scratch.deleteRecursive(base)
+    val (watch, state, ckpt) = (s"$base/watch", s"$base/state",
+      s"$base/ckpt")
+    Files.createDirectories(Paths.get(watch))
+    Seq("pages", "admitted", "sigs").foreach(s =>
+      Files.createDirectories(Paths.get(s"$state/$s")))
+    val pages = graft.ops.HtmlExtract.chromeWrapMixed(
+        Tables.t(spark, corpus, "documents")
+          .filter(pmod(col("doc_id"), lit(7)) === 0))
+      .withColumn("page_url",
+        concat(lit("http://s"), pmod(col("doc_id"), lit(1000)),
+          lit(".test/p"), col("doc_id"), lit(".html")))
+      .select("doc_id", "source", "page_url", "html")
+      .withColumn("slice", pmod(xxhash64(col("doc_id")), lit(nArrivals)))
+      .persist()
+    val nPages = pages.count()
+    println(s"crawl_ingest_stream_stress: corpus=$corpus " +
+      s"pages=$nPages arrivals=$nArrivals")
+    println(f"${"arrival"}%8s ${"docs"}%6s ${"sec"}%7s")
+    val secs = Seq.newBuilder[Double]
+    val q = graft.streaming.CrawlStream.start(spark, watch, state, ckpt)
+    try {
+      (0 until nArrivals).foreach { k =>
+        val slice = pages.filter(col("slice") === k).drop("slice")
+        val nDocs = slice.count()
+        val (_, sec) = timed {
+          landParquet(slice, base.toString, watch, s"arr$k")
+          q.processAllAvailable()
+        }
+        secs += sec
+        println(f"$k%8d $nDocs%6d $sec%7.2f")
+      }
+    } finally q.stop()
+    pages.unpersist()
+    val (head, tail, ratio) = flatness(secs.result())
+    println(f"crawl_ingest_stream flatness: first-third ${head}%.2fs " +
+      f"last-third ${tail}%.2fs ratio ${ratio}%.2f (1.0 = flat)")
+    val (nRows, foldSec) = timed {
+      graft.streaming.CrawlStream.manifestFrom(spark, state).count()
+    }
+    println(f"crawl_ingest_stream manifest fold: $nRows rows " +
+      f"$foldSec%.2fs (report path, prices the accumulated state)")
+  }
+
   def ingestStress(spark: SparkSession, nBatches: Int,
       rowsPerBatch: Int): Unit = {
     val base = Scratch.under("ingest/ingest_stream_stress")
@@ -274,6 +328,7 @@ object StreamScaleStress {
       neardupStress(spark, corpus, nArrivals, compactEvery = 5))
     run("quality_gate_stream")(gateStress(spark, corpus, nArrivals))
     run("html_extract_stream")(extractStress(spark, corpus, nArrivals))
+    run("crawl_ingest_stream")(crawlStress(spark, corpus, nArrivals))
     run("ingest_stream")(ingestStress(spark, nArrivals, rowsPerBatch))
     spark.stop()
   }
