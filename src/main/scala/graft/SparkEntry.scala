@@ -404,6 +404,42 @@ object SparkEntry {
       WITH ${htmlCtes("")}
       SELECT * FROM out ORDER BY doc_id"""
 
+  /** Shared oracle of `link_hosts_resolved` (X83b) and the CTE base
+    * of the `crawl_budget` (X86) schedule: the full normalize +
+    * RFC-3986-lite resolve chain from the shared pattern constants. */
+  private lazy val linkHostsResolvedOracle: String = {
+    import HtmlExtract._
+    def sq(x: String) = x.replace("'", "''")
+    s"""
+      WITH d AS (
+        SELECT doc_id, page_url, html FROM read_csv('$FixtureCsv',
+          header=true, columns={'doc_id':'BIGINT','source':'VARCHAR',
+          'page_url':'VARCHAR','html':'VARCHAR'})),
+      l AS (SELECT doc_id, ${normalizeUrlSql("page_url")} AS p,
+          unnest(regexp_extract_all(html, '${sq(HrefPattern)}', 1))
+            AS url
+        FROM d),
+      n AS (SELECT doc_id, p, ${normalizeUrlSql("url")} AS u FROM l),
+      r AS (SELECT doc_id, p, u, ${resolveUrlSql("u", "p")} AS res
+        FROM n),
+      h AS (SELECT doc_id, p, u, res,
+          CASE
+            WHEN regexp_matches(u, '${sq(AnySchemePattern)}')
+              AND NOT regexp_matches(u, '${sq(HostPattern)}')
+              THEN '(non-http)'
+            WHEN res IS NULL
+              OR regexp_extract(res, '${sq(HostPattern)}', 1) = ''
+              THEN '(unresolved)'
+            ELSE regexp_extract(res, '${sq(HostPattern)}', 1)
+          END AS host
+        FROM r)
+      SELECT host, CAST(count(*) AS BIGINT) AS n_links,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages,
+        CAST(count(DISTINCT p) AS BIGINT) AS n_source_pages,
+        CAST(count(DISTINCT COALESCE(res, u)) AS BIGINT) AS n_urls
+      FROM h GROUP BY host ORDER BY host"""
+  }
+
   /** Shared oracle of `crawl_ingest` (X84) and its streaming twin
     * `crawl_ingest_stream` (X84b): the X82 CTE block, the admission +
     * exact-dedup stages, the proven X3 signature CTEs
@@ -1450,38 +1486,39 @@ object SparkEntry {
     // The oracle replays the full normalize+resolve chain from the
     // shared pattern constants.
     "link_hosts_resolved" -> Q(
-      (s, d) => HtmlExtract.linkHostsResolved(s, d), Some {
-      import HtmlExtract._
-      def sq(x: String) = x.replace("'", "''")
-      s"""
-      WITH d AS (
-        SELECT doc_id, page_url, html FROM read_csv('$FixtureCsv',
-          header=true, columns={'doc_id':'BIGINT','source':'VARCHAR',
-          'page_url':'VARCHAR','html':'VARCHAR'})),
-      l AS (SELECT doc_id, ${normalizeUrlSql("page_url")} AS p,
-          unnest(regexp_extract_all(html, '${sq(HrefPattern)}', 1))
-            AS url
-        FROM d),
-      n AS (SELECT doc_id, p, ${normalizeUrlSql("url")} AS u FROM l),
-      r AS (SELECT doc_id, p, u, ${resolveUrlSql("u", "p")} AS res
-        FROM n),
-      h AS (SELECT doc_id, p, u, res,
-          CASE
-            WHEN regexp_matches(u, '${sq(AnySchemePattern)}')
-              AND NOT regexp_matches(u, '${sq(HostPattern)}')
-              THEN '(non-http)'
-            WHEN res IS NULL
-              OR regexp_extract(res, '${sq(HostPattern)}', 1) = ''
-              THEN '(unresolved)'
-            ELSE regexp_extract(res, '${sq(HostPattern)}', 1)
-          END AS host
-        FROM r)
-      SELECT host, CAST(count(*) AS BIGINT) AS n_links,
-        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages,
-        CAST(count(DISTINCT p) AS BIGINT) AS n_source_pages,
-        CAST(count(DISTINCT COALESCE(res, u)) AS BIGINT) AS n_urls
-      FROM h GROUP BY host ORDER BY host"""
-    }),
+      (s, d) => HtmlExtract.linkHostsResolved(s, d),
+      Some(linkHostsResolvedOracle)),
+
+    // X86 — per-host crawl budget: the politeness schedule a frontier
+    // consumes, over the resolved rollup (shared CTE). Two-tier delay
+    // (hot hosts back off), slots per window, integer-ceiling windows
+    // to drain the backlog — an all-int64 chain both engines replay
+    // with floor division.
+    "crawl_budget" -> Q(
+      (s, d) => HtmlExtract.crawlBudget(s, d), Some(s"""
+      WITH lhr AS ($linkHostsResolvedOracle)
+      SELECT host, n_urls,
+        CAST(CASE WHEN n_links >= ${HtmlExtract.HotLinkCut}
+          THEN ${HtmlExtract.HotDelayMs}
+          ELSE ${HtmlExtract.BaseDelayMs} END AS BIGINT)
+          AS crawl_delay_ms,
+        CAST(${HtmlExtract.WindowMs} // (CASE
+          WHEN n_links >= ${HtmlExtract.HotLinkCut}
+          THEN ${HtmlExtract.HotDelayMs}
+          ELSE ${HtmlExtract.BaseDelayMs} END) AS BIGINT)
+          AS slots_per_window,
+        CAST((n_urls + ${HtmlExtract.WindowMs} // (CASE
+            WHEN n_links >= ${HtmlExtract.HotLinkCut}
+            THEN ${HtmlExtract.HotDelayMs}
+            ELSE ${HtmlExtract.BaseDelayMs} END) - 1) //
+          (${HtmlExtract.WindowMs} // (CASE
+            WHEN n_links >= ${HtmlExtract.HotLinkCut}
+            THEN ${HtmlExtract.HotDelayMs}
+            ELSE ${HtmlExtract.BaseDelayMs} END)) AS BIGINT)
+          AS n_windows
+      FROM lhr
+      WHERE host NOT IN ('(non-http)', '(unresolved)')
+      ORDER BY host""")),
 
     // Token-budget chunking with overlap (the splitting complement of
     // seq_packing): same tokenization both engines, list_slice vs

@@ -498,4 +498,47 @@ object HtmlExtract {
         countDistinct(coalesce(col("r"), col("u"))).as("n_urls"))
       .orderBy("host")
   }
+
+  // ---- X86: per-host crawl budget (politeness schedule) --------------
+
+  /** Scheduling window and the two-tier politeness policy: every
+    * fetchable host gets the base delay; hosts the corpus hammers
+    * (link mass ≥ [[HotLinkCut]]) get the backed-off delay — the
+    * "don't melt the hot host" rule every polite frontier applies.
+    * All integers, so both engines replay the schedule exactly
+    * (explicit int64 floor-division chain, the [[Reshape]] mixing
+    * discipline — no doubles anywhere). */
+  val WindowMs = 3600000L
+  val HotLinkCut = 16L
+  val BaseDelayMs = 1000L
+  val HotDelayMs = 2000L
+
+  /** X86 — the per-host CRAWL BUDGET: the scheduling relation a
+    * frontier consumes, derived from the resolved rollup
+    * ([[linkHostsResolved]]). Per fetchable host (the `(non-http)` /
+    * `(unresolved)` buckets are not fetchable and are excluded):
+    * the politeness delay, fetch slots per window at that delay, and
+    * the number of windows needed to drain the host's distinct-URL
+    * backlog — ⌈n_urls / slots⌉ as an integer ceiling chain. This
+    * closes the crawl loop: extract → resolve → budget → fetch.
+    *
+    * Scale shape: a per-row projection over the host-bounded rollup —
+    * the budget table is frontier-host-sized, the one relation in the
+    * family that is ALWAYS small. */
+  def crawlBudget(spark: SparkSession, dir: String): DataFrame =
+    crawlBudgetFrom(linkHostsResolvedFrom(fixturePages(spark)))
+
+  private[graft] def crawlBudgetFrom(hosts: DataFrame): DataFrame =
+    hosts
+      .filter(!col("host").isin("(non-http)", "(unresolved)"))
+      .withColumn("crawl_delay_ms",
+        when(col("n_links") >= HotLinkCut, lit(HotDelayMs))
+          .otherwise(lit(BaseDelayMs)))
+      .withColumn("slots_per_window",
+        expr(s"${WindowMs}L div crawl_delay_ms"))
+      .withColumn("n_windows",
+        expr("(n_urls + slots_per_window - 1L) div slots_per_window"))
+      .select(col("host"), col("n_urls"), col("crawl_delay_ms"),
+        col("slots_per_window"), col("n_windows"))
+      .orderBy("host")
 }

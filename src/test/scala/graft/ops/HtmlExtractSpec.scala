@@ -261,6 +261,30 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(res(6L) == null)
   }
 
+  // ---- X86: per-host crawl budget -----------------------------------
+
+  test("crawl_budget: two-tier delay, exact integer window ceilings") {
+    import spark.implicits._
+    // (host, n_links, n_pages, n_source_pages, n_urls) — planted
+    // boundary cases for the ceiling chain at both delay tiers
+    val hosts = Seq(
+      ("cold.test", 15L, 1L, 1L, 3600L),      // base delay, == slots → 1
+      ("cold2.test", 15L, 1L, 1L, 3601L),     // base delay, slots+1 → 2
+      ("hot.test", 16L, 1L, 1L, 1800L),       // hot cut inclusive, == slots
+      ("hot2.test", 999L, 1L, 1L, 54001L),    // 30 windows + 1 → 31
+      ("(non-http)", 99L, 1L, 1L, 99L),       // excluded
+      ("(unresolved)", 99L, 1L, 1L, 99L))     // excluded
+      .toDF("host", "n_links", "n_pages", "n_source_pages", "n_urls")
+    val got = HtmlExtract.crawlBudgetFrom(hosts)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 4 && !got.contains("(non-http)"))
+    assert(got("cold.test") == (("cold.test", 3600L, 1000L, 3600L, 1L)))
+    assert(got("cold2.test") == (("cold2.test", 3601L, 1000L, 3600L, 2L)))
+    assert(got("hot.test") == (("hot.test", 1800L, 2000L, 1800L, 1L)))
+    assert(got("hot2.test") == (("hot2.test", 54001L, 2000L, 1800L, 31L)))
+  }
+
   // ---- X84: composed crawl-entry pipeline ---------------------------
 
   test("crawl_ingest: stage counts are conserved and monotone per source") {
