@@ -261,15 +261,24 @@ object EditDistance {
     * directions + the short bucket, distinct cross pairs) — split out
     * so CandidateMassSpec can pin its output-shaped claim exactly
     * like the self-join's (VERDICT r12 item 8). */
+  /** The probe's two base relations — the batch slice of the memoized
+    * doc checkpoint and the index's corpus complement — defined ONCE
+    * here for both the candidate stream and the verification joins
+    * (review r13: each caller previously rebuilt them). */
+  private def probeRelations(spark: SparkSession, dir: String,
+      idx: String, batchMod: Int): (DataFrame, DataFrame) = {
+    val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
+    (docsCkpt(spark, dir).filter(isBatch),
+      spark.read.parquet(s"$idx/docs").filter(!isBatch))
+  }
+
   private[graft] def editDistanceProbeCandidatePairs(spark: SparkSession,
       dir: String, tau: Int = 8, batchMod: Int = 7,
       idxOpt: Option[String] = None): DataFrame = {
     require(tau >= 1, s"tau must be >= 1, got $tau")
     val parts = tau + 1
     val idx = idxOpt.getOrElse(editDistanceBuildIndex(spark, dir, tau))
-    val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
-    val batch = docsCkpt(spark, dir).filter(isBatch)
-    val corpusDocs = spark.read.parquet(s"$idx/docs").filter(!isBatch)
+    val (batch, corpusDocs) = probeRelations(spark, dir, idx, batchMod)
     val corpusSeg = spark.read.parquet(s"$idx/seg")
       .filter(pmod(col("s_id"), lit(batchMod)) =!= 0)
 
@@ -348,9 +357,7 @@ object EditDistance {
     // a permanent `_SUCCESS`-gated garbage store (review r13)
     require(tau >= 1, s"tau must be >= 1, got $tau")
     val idx = editDistanceBuildIndex(spark, dir, tau)
-    val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
-    val batch = docsCkpt(spark, dir).filter(isBatch)
-    val corpusDocs = spark.read.parquet(s"$idx/docs").filter(!isBatch)
+    val (batch, corpusDocs) = probeRelations(spark, dir, idx, batchMod)
     editDistanceProbeCandidatePairs(spark, dir, tau, batchMod, Some(idx))
       .join(batch.select(col("doc_id").as("new_doc"),
         col("text").as("ta"), col("len").as("la")), Seq("new_doc"))
