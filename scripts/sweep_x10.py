@@ -65,6 +65,10 @@ def main():
     if n_fail:
         print("FAILURES:", " ".join(
             n for n, (s, _) in sorted(res.items()) if s == "FAIL"))
+    # timeouts are NOT green: intractable oracles are hard-excluded up
+    # front, so an unexpected timeout means a plan/oracle regression
+    # that was never hash-checked — the exit code must say so
+    if n_fail or n_to:
         sys.exit(1)
 
 

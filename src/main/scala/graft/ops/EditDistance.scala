@@ -257,10 +257,6 @@ object EditDistance {
     out
   }
 
-  /** The probe's pre-verification CANDIDATE stream (both PassJoin
-    * directions + the short bucket, distinct cross pairs) — split out
-    * so CandidateMassSpec can pin its output-shaped claim exactly
-    * like the self-join's (VERDICT r12 item 8). */
   /** The probe's two base relations — the batch slice of the memoized
     * doc checkpoint and the index's corpus complement — defined ONCE
     * here for both the candidate stream and the verification joins
@@ -272,6 +268,10 @@ object EditDistance {
       spark.read.parquet(s"$idx/docs").filter(!isBatch))
   }
 
+  /** The probe's pre-verification CANDIDATE stream (both PassJoin
+    * directions + the short bucket, distinct cross pairs) — split out
+    * so CandidateMassSpec can pin its output-shaped claim exactly
+    * like the self-join's (VERDICT r12 item 8). */
   private[graft] def editDistanceProbeCandidatePairs(spark: SparkSession,
       dir: String, tau: Int = 8, batchMod: Int = 7,
       idxOpt: Option[String] = None): DataFrame = {

@@ -254,40 +254,38 @@ object HtmlExtract {
     * streaming stress, so the scan-speed claim and the per-arrival
     * flatness claim measure the IDENTICAL page shape (review r13:
     * two hand-synced copies before). */
+  /** The full (nav+footer-flagged) synthetic page around a doc — the
+    * ONE chrome template both wrappers build from. */
+  private def fullChrome: Column = concat(
+    lit("<html><head><title>doc "), col("doc_id"),
+    lit("</title><script>var x = 1 < 2;</script></head>"),
+    lit("<body><nav><a href='/a'>home</a> "),
+    lit("<a href='/b'>docs</a></nav><p>"), col("text"),
+    lit(" &amp; more</p><a href='/c'>next page</a>"),
+    lit("<!-- crawl --><footer>footer</footer></body></html>"))
+
+  /** Flag-free chrome (script/comment regions but no nav/footer, low
+    * link density) — the admissible half of [[chromeWrapMixed]]. */
+  private def plainChrome: Column = concat(
+    lit("<html><head><title>doc "), col("doc_id"),
+    lit("</title><script>var y = 2;</script></head><body><p>"),
+    col("text"),
+    lit(" &amp; more</p><!-- crawl --></body></html>"))
+
   private[graft] def chromeWrap(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("source"),
-      concat(
-        lit("<html><head><title>doc "), col("doc_id"),
-        lit("</title><script>var x = 1 < 2;</script></head>"),
-        lit("<body><nav><a href='/a'>home</a> "),
-        lit("<a href='/b'>docs</a></nav><p>"), col("text"),
-        lit(" &amp; more</p><a href='/c'>next page</a>"),
-        lit("<!-- crawl --><footer>footer</footer></body></html>"))
-        .as("html"))
+    docs.select(col("doc_id"), col("source"), fullChrome.as("html"))
 
   /** [[chromeWrap]] with ADMISSIBLE chrome on half the corpus: every
     * page from [[chromeWrap]] is nav+footer-flagged, so a crawl_ingest
     * stress over it measured ONLY the extraction stage — admission
     * passed zero pages and the dedup stages ran on nothing (the r13
-    * curve's blind spot). Here odd doc_ids get flag-free chrome
-    * (script/comment regions but no nav/footer, low link density), so
-    * the admission, exact-dedup window and the MinHash near-dup pass
-    * all do corpus-sized work at every scale. */
+    * curve's blind spot). Here odd doc_ids get the flag-free chrome,
+    * so the admission, exact-dedup window and the MinHash near-dup
+    * pass all do corpus-sized work at every scale. */
   private[graft] def chromeWrapMixed(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"),
-      when(pmod(col("doc_id"), lit(2)) === 0,
-        concat(
-          lit("<html><head><title>doc "), col("doc_id"),
-          lit("</title><script>var x = 1 < 2;</script></head>"),
-          lit("<body><nav><a href='/a'>home</a> "),
-          lit("<a href='/b'>docs</a></nav><p>"), col("text"),
-          lit(" &amp; more</p><a href='/c'>next page</a>"),
-          lit("<!-- crawl --><footer>footer</footer></body></html>")))
-        .otherwise(concat(
-          lit("<html><head><title>doc "), col("doc_id"),
-          lit("</title><script>var y = 2;</script></head><body><p>"),
-          col("text"),
-          lit(" &amp; more</p><!-- crawl --></body></html>")))
+      when(pmod(col("doc_id"), lit(2)) === 0, fullChrome)
+        .otherwise(plainChrome)
         .as("html"))
 
   // ---- X83: outlink host aggregation --------------------------------
@@ -310,8 +308,11 @@ object HtmlExtract {
   val FragmentPattern = "#[\\s\\S]*$"
   val UtmPattern = "[?&]utm_[a-z]+=[^&#]*"
   /** Stripping a LEADING `?utm_…` glues the next param to the path
-    * (`/p?utm_s=1&id=2` → `/p&id=2`); re-anchor the first separator
-    * back to `?` when the URL's first query-ish separator is `&`.
+    * (`/p?utm_s=1&id=2` → `/p&id=2`); re-anchor the first `&` back to
+    * `?` — but ONLY when the utm strip actually consumed the URL's
+    * `?` (had-? ∧ has-?-no-more ∧ has-&), so a URL that legitimately
+    * carries `&` in its path and never had a tracking query
+    * (`/a&b`) is not rewritten into a different URL (review r14).
     * Replacement is `$1?` in Java, `\1?` in RE2 — the one chain step
     * with an engine-specific replacement string (pattern shared). */
   val QueryGluePattern = "^([^?&]*)&"
@@ -323,28 +324,38 @@ object HtmlExtract {
     * for HOST-level stats), fragment then tracking params stripped, a
     * query glued by a stripped leading param re-anchored to '?', a
     * dangling '?' from a params-only query dropped. */
-  private[graft] def normalizeUrl(u: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(
-            lower(regexp_replace(u, QuotePattern, "")),
-            FragmentPattern, ""),
-          UtmPattern, ""),
-        QueryGluePattern, "$1?"),
-      "\\?$", "")
+  private[graft] def normalizeUrl(u: Column): Column = {
+    val defragged = regexp_replace(
+      lower(regexp_replace(u, QuotePattern, "")), FragmentPattern, "")
+    val stripped = regexp_replace(defragged, UtmPattern, "")
+    val reanchored = when(
+      defragged.contains("?") && !stripped.contains("?") &&
+        stripped.contains("&"),
+      regexp_replace(stripped, QueryGluePattern, "$1?"))
+      .otherwise(stripped)
+    regexp_replace(reanchored, "\\?$", "")
+  }
 
   /** The DuckDB replay of [[normalizeUrl]] over SQL expression `x` —
     * generated HERE from the same pattern constants so the Spark
     * chain and the oracle chain cannot drift (RE2 backreference
-    * syntax for the glue step). */
+    * syntax for the glue step; the had-? guard duplicates the
+    * defragged/stripped subexpressions textually, which is fine for
+    * an oracle). */
   private[graft] def normalizeUrlSql(x: String): String = {
     def sq(s: String) = s.replace("'", "''")
-    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    val defragged = s"""regexp_replace(
         lower(regexp_replace($x, '${sq(QuotePattern)}', '', 'g')),
-        '${sq(FragmentPattern)}', '', 'g'),
-        '${sq(UtmPattern)}', '', 'g'),
-        '${sq(QueryGluePattern)}', '\\1?', 'g'),
+        '${sq(FragmentPattern)}', '', 'g')"""
+    val stripped =
+      s"regexp_replace($defragged, '${sq(UtmPattern)}', '', 'g')"
+    s"""regexp_replace(
+        CASE WHEN strpos($defragged, '?') > 0
+          AND strpos($stripped, '?') = 0
+          AND strpos($stripped, '&') > 0
+        THEN regexp_replace($stripped,
+          '${sq(QueryGluePattern)}', '\\1?', 'g')
+        ELSE $stripped END,
         '\\?$$', '', 'g')"""
   }
 

@@ -68,14 +68,18 @@ object Takedown {
       Tables.listingTag(spark, s"$dir/documents.parquet") + "_" +
       Tables.listingTag(spark, s"$dir/embeddings.parquet") +
       s"_m$TakedownMod"
-    if (!Tables.successExists(spark, s"$out/documents.parquet") ||
-        !Tables.successExists(spark, s"$out/embeddings.parquet")) {
+    // the gate is a ROOT-level marker touched LAST — Spark's own
+    // per-table _SUCCESS lands before the hard-link retention loop
+    // runs, so gating on those would permanently memoize a corpus
+    // missing its untouched files after a crash mid-link (review r14)
+    if (!Tables.successExists(spark, out)) {
       rewriteTable(spark, s"$dir/documents.parquet",
         s"$out/documents.parquet", s"$out/_deleted/documents",
         col("doc_id"))
       rewriteTable(spark, s"$dir/embeddings.parquet",
         s"$out/embeddings.parquet", s"$out/_deleted/embeddings",
         col("vec_id"))
+      Files.write(Paths.get(out, "_SUCCESS"), Array.empty[Byte])
       log.info(s"takedown write-back committed at $out")
     }
     out

@@ -116,10 +116,17 @@ object CrawlStream {
       .drop("rn")
       .localCheckpoint()
     // pair generation over the UNIQUE docs' stored signatures — the
-    // batch operator shingles exactly this set
+    // batch operator shingles exactly this set. DISTINCT first: a
+    // re-fetch (same page in two arrivals) lands identical signature
+    // rows under two batch_id dirs, and the duplicate rows would make
+    // a one-doc bucket read [x, x] and emit the self-pair (x, x) —
+    // dropping the doc from the manifest while the batch pipeline
+    // keeps it (review r14)
     val pairs = Dedup.pairsFromSigs(
-      sigs.join(unique.select(col("doc_id")), Seq("doc_id")), minBands,
-      maxBucket = 0)
+      sigs.select(col("doc_id"), col("band"), col("sig"))
+        .join(unique.select(col("doc_id")), Seq("doc_id"))
+        .distinct(),
+      minBands, maxBucket = 0)
     val drops = pairs.select(col("doc_b").as("doc_id")).distinct()
     val fin = unique.join(drops, Seq("doc_id"), "left_anti")
     val pagesBySrc = pages.groupBy(col("source"))

@@ -422,13 +422,19 @@ class HtmlExtractSpec extends AnyFunSuite {
       "<a href='http://h.test/p?utm_source=s&id=2'>utm first</a> " +
       "<a href='http://h.test/p?id=2'>canonical</a> " +
       "<a href='http://h.test/p?id=2&utm_medium=m'>utm last</a> " +
-      "<a href='http://h.test/p?utm_a=1&utm_b=2&id=2'>utm double head</a>" +
+      "<a href='http://h.test/p?utm_a=1&utm_b=2&id=2'>utm double head</a> " +
+      // the guard: a legit '&' in a query-less path must NOT be
+      // rewritten to '?' (no utm was ever stripped from this URL)
+      "<a href='http://amp.test/a&b'>path amp</a> " +
+      "<a href='http://amp.test/a?b'>genuinely different</a>" +
       "</body>"
-    val row = HtmlExtract.linkHostsFrom(
+    val rows = HtmlExtract.linkHostsFrom(
       Seq((1L, "utm", html)).toDF("doc_id", "source", "html"))
-      .as[(String, Long, Long, Long)].head()
-    assert(row == (("h.test", 4L, 1L, 1L)),
-      s"all four variants must fold to one canonical URL: $row")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rows("h.test") == (("h.test", 4L, 1L, 1L)),
+      s"all four variants must fold to one canonical URL: ${rows("h.test")}")
+    assert(rows("amp.test")._4 == 2L,
+      s"/a&b and /a?b are different URLs and must not fold: ${rows("amp.test")}")
   }
 
   test("in-memory adversarial rows: nulls and megabyte entity runs don't throw") {

@@ -260,9 +260,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // drop distinct) → four source-sized aggs + presentation sort
     "crawl_ingest" -> 9,
     // X84b: the registered plan is the manifest FOLD over the
-    // accumulated slim stores (exact window, sig-join, pair chain,
-    // four rollups) — the extraction ran in foreachBatch
-    "crawl_ingest_stream" -> 8,
+    // accumulated slim stores (exact window, sig-join + the
+    // re-fetch-dedup DISTINCT, pair chain, four rollups) — the
+    // extraction ran in foreachBatch
+    "crawl_ingest_stream" -> 9,
     "pivot_orders" -> 3,
     "price_histogram" -> 2,
     "q10_returned_items" -> 1,

@@ -54,10 +54,14 @@ class CrawlStreamSpec extends AnyFunSuite {
         .mkString(" ")))
       .toDF("doc_id", "source", "page_url", "html")
     // arrival 2: doc 4 = EXACT text of doc 10 (smaller id, later
-    // arrival → 10 must drop from the exact stage) and doc 3 = NEAR
-    // dup of doc 20 (smaller id, later arrival → 20 must drop
-    // RETROACTIVELY from the near-dup stage)
-    val arr2 = Seq(pg(4, body1), pg(3, body2 + " updated"))
+    // arrival → 10 must drop from the exact stage); doc 3 = NEAR dup
+    // of doc 20 (smaller id, later arrival → 20 must drop
+    // RETROACTIVELY from the near-dup stage); doc 30 = a RE-FETCH of
+    // arrival 1's doc 30 (identical bytes, new file) — its duplicate
+    // signature rows must NOT self-pair it out of the manifest
+    val arr2 = Seq(pg(4, body1), pg(3, body2 + " updated"),
+      pg(30, "totally different content " + (1 to 30).map(i => s"q$i")
+        .mkString(" ")))
       .toDF("doc_id", "source", "page_url", "html")
 
     def land(df: org.apache.spark.sql.DataFrame, name: String): Unit =
@@ -72,10 +76,12 @@ class CrawlStreamSpec extends AnyFunSuite {
 
     val m = CrawlStream.manifestFrom(spark, state)
       .as[(String, Long, Long, Long, Long, Long, Long)].head()
-    // 5 pages, 5 admitted, 4 exact-unique (10 collapsed into 4),
-    // 3 final: {3, 4, 30} — 3 retroactively drops the
-    // already-accepted 20 via near-dup
-    assert(m._2 == 5L && m._3 == 5L && m._4 == 4L, m)
+    // 6 pages, 6 admitted, 4 exact-unique (10 collapsed into 4, the
+    // doc-30 re-fetch collapsed into itself), 3 final: {3, 4, 30} —
+    // 3 retroactively drops the already-accepted 20 via near-dup,
+    // and the re-fetched 30 SURVIVES (no self-pair from its
+    // duplicated signature rows)
+    assert(m._2 == 6L && m._3 == 6L && m._4 == 4L, m)
     assert(m._5 == 3L, s"expected 3 final (late smaller twin wins): $m")
     // and the batch operator over the SAME pages agrees exactly
     val batch = graft.ops.HtmlExtract
