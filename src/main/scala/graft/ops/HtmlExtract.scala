@@ -535,9 +535,16 @@ object HtmlExtract {
     *
     * Scale shape: a per-row projection over the host-bounded rollup —
     * the budget table is frontier-host-sized, the one relation in the
-    * family that is ALWAYS small. */
+    * family that is ALWAYS small. The rollup is checkpointed at the
+    * host boundary: the resolve chain's expression tree is large
+    * (CollapseProject inlines the p/u/r aliases, multiplying the
+    * regex chains ~10×), and re-running the optimizer over it with
+    * the budget's extra nodes cost 1.4 s of DRIVER time for an
+    * 11-row result — the checkpoint caps the budget plan at the
+    * host-sized relation. */
   def crawlBudget(spark: SparkSession, dir: String): DataFrame =
-    crawlBudgetFrom(linkHostsResolvedFrom(fixturePages(spark)))
+    crawlBudgetFrom(
+      linkHostsResolvedFrom(fixturePages(spark)).localCheckpoint())
 
   private[graft] def crawlBudgetFrom(hosts: DataFrame): DataFrame =
     hosts

@@ -250,10 +250,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // presentation sort; the write-back happens store-side, not in
     // the registered plan
     "takedown_propagate" -> 4,
-    // X86: the budget is a per-row projection over the X83b rollup —
-    // identical plan budget (host agg + sort; the filter/projection
-    // add nothing)
-    "crawl_budget" -> 3,
+    // X86: the budget is a per-row projection over the host-sized
+    // CHECKPOINTED rollup (the resolve tree is optimizer-expensive;
+    // the rollup job runs at checkpoint time) — one presentation sort
+    "crawl_budget" -> 1,
     // X84: checkpointed extraction (ONE chain run — the stage
     // counters read the checkpoint) → exact-dedup window (ckpt'd) →
     // near-dup pair chain (signature agg, bucket agg, pair agg,
