@@ -137,23 +137,28 @@ object Takedown {
     * rewrites once; every report after reads). */
   def takedownPropagate(spark: SparkSession, dir: String): DataFrame = {
     val store = takedownStore(spark, dir)
-    val before = t(spark, dir, "documents")
-    val removed = before.filter(hit(col("doc_id")))
-      .withColumn("n_tok",
-        size(TextAnalysis.tokens(col("text"))).cast("long"))
-    val after = spark.read.parquet(s"$store/documents.parquet")
-    val b = before.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_before"))
-    val r = removed.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_removed"),
-        sum(col("n_tok")).as("removed_tokens"),
-        sum(col("n_chars")).as("removed_chars"))
-    val a = after.groupBy(col("source"))
+    // ONE conditional-aggregation scan for before/removed (the
+    // oracle's FILTER shape) — a groupBy-per-stage join on "source"
+    // silently LOSES the null-source group's removal counts (null
+    // join keys never match; the GROUP-BY oracle keeps them — a
+    // cross-engine divergence a crawl corpus with a malformed source
+    // field would trigger; found by the hostile battery)
+    val isHit = hit(col("doc_id"))
+    val br = t(spark, dir, "documents")
+      .withColumn("rm_tok", when(isHit,
+        size(TextAnalysis.tokens(col("text"))).cast("long")))
+      .withColumn("rm_chars", when(isHit, col("n_chars")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(isHit, 1L).otherwise(0L)).as("n_removed"),
+        sum(col("rm_tok")).as("removed_tokens"),
+        sum(col("rm_chars")).as("removed_chars"))
+    val a = spark.read.parquet(s"$store/documents.parquet")
+      .groupBy(col("source").as("a_source"))
       .agg(count(lit(1)).as("n_after"))
-    b.join(r, Seq("source"), "left")
-      .join(a, Seq("source"), "left")
-      .select(col("source"), col("n_before"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+    // null-SAFE join: the null-source group's survivors must attach
+    br.join(a, col("source") <=> col("a_source"), "left")
+      .select(col("source"), col("n_before"), col("n_removed"),
         coalesce(col("n_after"), lit(0L)).as("n_after"),
         coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
         coalesce(col("removed_chars"), lit(0L)).as("removed_chars"))

@@ -164,4 +164,37 @@ class HostileDocsSpec extends AnyFunSuite {
       assert(ad == (kl && kq && ks)) }
     graft.util.CkptMemo.clear()
   }
+
+  test("takedown survives null text, null source and fully-deleted sources") {
+    import spark.implicits._
+    val base = s"target/tmp/hostile_takedown_${java.util.UUID.randomUUID}"
+    // hits are multiples of 97; 97 has NULL text (removed token mass
+    // must coalesce to 0, not crash), 388 has NULL source (the
+    // manifest's null group must round-trip), srcB is FULLY deleted
+    Seq((97L, null.asInstanceOf[String], "en", "srcA", 0L),
+        (194L, "doomed words here", "en", "srcB", 17L),
+        (388L, "null source text", "en", null.asInstanceOf[String], 16L),
+        (5L, "survivor text", "en", "srcA", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$base/documents.parquet")
+    Seq((97L, Array.fill(64)(0.5f), 1), (5L, Array.fill(64)(0.25f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$base/embeddings.parquet")
+
+    val rows = Takedown.takedownPropagate(spark, base)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => Option(r._1) -> r).toMap
+    assert(rows(Some("srcA")) == (("srcA", 2L, 1L, 1L, 0L, 0L)),
+      s"null-text removal must report zero mass: ${rows(Some("srcA"))}")
+    assert(rows(Some("srcB")) == (("srcB", 1L, 1L, 0L, 3L, 17L)),
+      s"fully-deleted source: ${rows(Some("srcB"))}")
+    assert(rows(None)._3 == 1L && rows(None)._4 == 0L,
+      s"null-source group must carry its removal: ${rows(None)}")
+    // the write-back round-trips: survivors only, embeddings pruned
+    val out = Takedown.takedownStore(spark, base)
+    assert(spark.read.parquet(s"$out/documents.parquet")
+      .select("doc_id").as[Long].collect().toSet == Set(5L))
+    assert(spark.read.parquet(s"$out/embeddings.parquet")
+      .select("vec_id").as[Long].collect().toSet == Set(5L))
+  }
 }

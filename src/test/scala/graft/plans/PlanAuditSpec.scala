@@ -246,10 +246,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // X83b: same shape — resolution is a per-row projection, so the
     // plan budget must be identical to the unresolved rollup's
     "link_hosts_resolved" -> 3,
-    // X85: three source-sized rollups (before/removed/after) + the
-    // presentation sort; the write-back happens store-side, not in
-    // the registered plan
-    "takedown_propagate" -> 4,
+    // X85: ONE conditional-agg scan (before+removed), the rewritten
+    // corpus's rollup, null-safe join + presentation sort; the
+    // write-back happens store-side, not in the registered plan
+    "takedown_propagate" -> 3,
     // X86: the budget is a per-row projection over the host-sized
     // CHECKPOINTED rollup (the resolve tree is optimizer-expensive;
     // the rollup job runs at checkpoint time) — one presentation sort
@@ -455,10 +455,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "source_overlap_matrix" -> 2,
     // X81: both scans are BATCH-filtered (verdict projection + the
     // batch scorer fan-out); the corpus is consulted only at build
-    "quality_gate_probe" -> 2,
-    // X85: before-counts + removed-mass rollups each scan the source
-    // table once; the rewritten corpus (n_after) is its own relation
-    "takedown_propagate" -> 2)
+    "quality_gate_probe" -> 2)
 
   test("data-scaled tables are not re-scanned beyond the pinned multi-scan budgets") {
     val scanRe = "file:[^,\\]]*?([a-z_0-9]+)\\.(?:parquet|csv|csv\\.gz)".r
