@@ -404,14 +404,15 @@ object SparkEntry {
       WITH ${htmlCtes("")}
       SELECT * FROM out ORDER BY doc_id"""
 
-  /** Shared oracle of `link_hosts_resolved` (X83b) and the CTE base
-    * of the `crawl_budget` (X86) schedule: the full normalize +
-    * RFC-3986-lite resolve chain from the shared pattern constants. */
-  private lazy val linkHostsResolvedOracle: String = {
+  /** The per-link resolved-URL CTE chain (ends in `h`: doc_id, p, u,
+    * res, host) — the shared base of the X83b rollup oracle, the X86
+    * budget and the X87 robots gate (the full normalize +
+    * RFC-3986-lite resolve chain from the shared pattern constants).
+    * No leading WITH. */
+  private lazy val resolvedUrlsCtes: String = {
     import HtmlExtract._
     def sq(x: String) = x.replace("'", "''")
-    s"""
-      WITH d AS (
+    s"""d AS (
         SELECT doc_id, page_url, html FROM read_csv('$FixtureCsv',
           header=true, columns={'doc_id':'BIGINT','source':'VARCHAR',
           'page_url':'VARCHAR','html':'VARCHAR'})),
@@ -432,13 +433,18 @@ object SparkEntry {
               THEN '(unresolved)'
             ELSE regexp_extract(res, '${sq(HostPattern)}', 1)
           END AS host
-        FROM r)
+        FROM r)"""
+  }
+
+  /** Shared oracle of `link_hosts_resolved` (X83b) and the CTE base
+    * of the `crawl_budget` (X86) schedule. */
+  private lazy val linkHostsResolvedOracle: String = s"""
+      WITH $resolvedUrlsCtes
       SELECT host, CAST(count(*) AS BIGINT) AS n_links,
         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages,
         CAST(count(DISTINCT p) AS BIGINT) AS n_source_pages,
         CAST(count(DISTINCT COALESCE(res, u)) AS BIGINT) AS n_urls
       FROM h GROUP BY host ORDER BY host"""
-  }
 
   /** Shared oracle of `crawl_ingest` (X84) and its streaming twin
     * `crawl_ingest_stream` (X84b): the X82 CTE block, the admission +
@@ -1488,6 +1494,52 @@ object SparkEntry {
     "link_hosts_resolved" -> Q(
       (s, d) => HtmlExtract.linkHostsResolved(s, d),
       Some(linkHostsResolvedOracle)),
+
+    // X87 — robots/REP admission gate: per resolved frontier URL, the
+    // fetch-permission verdict against the parsed robots relation
+    // (agent-* subset, startsWith prefix match, longest-match wins,
+    // allow wins ties, empty-value rules dropped, crawl-delay
+    // overrides) — both engines replay the identical window.
+    "robots_gate" -> Q(
+      (s, d) => Robots.robotsGate(s, d), Some(s"""
+      WITH $resolvedUrlsCtes,
+      f AS (SELECT DISTINCT host, res AS url FROM h
+        WHERE host NOT IN ('(non-http)', '(unresolved)')),
+      fp AS (SELECT host, url,
+          CASE WHEN starts_with(
+              regexp_replace(url, '^https?://[^/?]+', ''), '/')
+            THEN regexp_replace(url, '^https?://[^/?]+', '')
+            ELSE '/' || regexp_replace(url, '^https?://[^/?]+', '')
+          END AS path
+        FROM f),
+      ru AS (SELECT host, directive, value, rule_order
+        FROM read_csv('${Robots.FixtureCsv}', header=true,
+          columns={'host':'VARCHAR','agent':'VARCHAR',
+            'directive':'VARCHAR','value':'VARCHAR',
+            'rule_order':'BIGINT'})
+        WHERE agent = '*' AND directive IN ('allow', 'disallow')
+          AND value <> ''),
+      m AS (SELECT fp.host, fp.url, ru.directive, ru.value,
+          row_number() OVER (PARTITION BY fp.host, fp.url
+            ORDER BY len(ru.value) DESC, ru.directive, ru.rule_order)
+            AS rn
+        FROM fp JOIN ru ON fp.host = ru.host
+          AND starts_with(fp.path, ru.value)),
+      best AS (SELECT host, url, directive, value FROM m WHERE rn = 1),
+      cd AS (SELECT host, min(CAST(value AS BIGINT)) AS delay_s
+        FROM read_csv('${Robots.FixtureCsv}', header=true,
+          columns={'host':'VARCHAR','agent':'VARCHAR',
+            'directive':'VARCHAR','value':'VARCHAR',
+            'rule_order':'BIGINT'})
+        WHERE agent = '*' AND directive = 'crawl-delay' GROUP BY 1)
+      SELECT fp.host, fp.url,
+        COALESCE(b.directive = 'allow', TRUE) AS allowed,
+        COALESCE(b.directive || ':' || b.value, '(default)') AS rule,
+        CAST(COALESCE(cd.delay_s * 1000, ${Robots.DefaultDelayMs})
+          AS BIGINT) AS delay_ms
+      FROM fp LEFT JOIN best b ON fp.host = b.host AND fp.url = b.url
+        LEFT JOIN cd ON fp.host = cd.host
+      ORDER BY fp.host, fp.url""")),
 
     // X86 — per-host crawl budget: the politeness schedule a frontier
     // consumes, over the resolved rollup (shared CTE). Two-tier delay

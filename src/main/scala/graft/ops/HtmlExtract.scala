@@ -488,8 +488,10 @@ object HtmlExtract {
   def linkHostsResolved(spark: SparkSession, dir: String): DataFrame =
     linkHostsResolvedFrom(fixturePages(spark))
 
-  private[graft] def linkHostsResolvedFrom(pages: DataFrame): DataFrame = {
-    val urls = pages
+  /** The per-link RESOLVED URL relation (doc_id, p, u, r, host) —
+    * the shared base of the X83b rollup and the X87 robots gate. */
+  private[graft] def resolvedUrls(pages: DataFrame): DataFrame =
+    pages
       .select(col("doc_id"), normalizeUrl(col("page_url")).as("p"),
         explode(regexp_extract_all(col("html"), lit(HrefPattern),
           lit(1))).as("url"))
@@ -502,6 +504,9 @@ object HtmlExtract {
             regexp_extract(col("r"), HostPattern, 1) === "",
             lit("(unresolved)"))
           .otherwise(regexp_extract(col("r"), HostPattern, 1)))
+
+  private[graft] def linkHostsResolvedFrom(pages: DataFrame): DataFrame = {
+    val urls = resolvedUrls(pages)
     urls.groupBy(col("host"))
       .agg(count(lit(1)).as("n_links"),
         countDistinct(col("doc_id")).as("n_pages"),

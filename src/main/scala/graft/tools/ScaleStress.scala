@@ -390,6 +390,34 @@ object ScaleStress {
         graft.util.Scratch.deleteRecursive(
           java.nio.file.Paths.get("target/graft_takedown"))
         m(graft.ops.Takedown.takedownPropagate(spark, d)) }),
+      // X87: robots gate over the same resolved-frontier mix plus a
+      // synthetic rules table (half the 1000 hosts carry a disallow +
+      // carve-out + delay) — per-URL broadcast prefix match + the
+      // verdict window; growth must track the X83b leg (the resolve
+      // stage's whole-stage-codegen fallback included)
+      "robots_gate" -> (d => {
+        import spark.implicits._
+        val rules = (0 until 500).flatMap { h =>
+          Seq((s"h$h.test", "*", "disallow", "/p", 1L),
+            (s"h$h.test", "*", "allow", "/p1", 2L),
+            (s"h$h.test", "*", "crawl-delay", (1 + h % 5).toString, 3L))
+        }.toDF("host", "agent", "directive", "value", "rule_order")
+        m(graft.ops.Robots.robotsGateFrom(
+          graft.ops.HtmlExtract.resolvedUrls(
+            Tables.t(spark, d, "documents").select(col("doc_id"),
+              concat(lit("http://s"), pmod(col("doc_id"), lit(1000)),
+                lit(".test/a/p"), col("doc_id"), lit(".html"))
+                .as("page_url"),
+              concat(
+                lit("<html><body><p>x "),
+                lit("<a href='http://h"), pmod(col("doc_id"), lit(1000)),
+                lit(".test/p"), col("doc_id"), lit(".html#frag'>a</a> "),
+                lit("<a href='rel"), col("doc_id"), lit(".html'>b</a> "),
+                lit("<a href='/abs"), col("doc_id"), lit("'>c</a> "),
+                lit("<a href='//cdn"), pmod(col("doc_id"), lit(1000)),
+                lit(".test/l.js'>d</a></p></body></html>"))
+                .as("html"))),
+          rules)) }),
       // X83 skew leg: 90% of links on ONE host (every crawl has a
       // YouTube) — the hot key must be absorbed by the map-side
       // partial agg, so this curve must match the uniform leg's

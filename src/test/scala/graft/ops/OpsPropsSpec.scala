@@ -272,4 +272,57 @@ class OpsPropsSpec extends AnyFunSuite {
       assert(got == expect, s"trial $trial diverged")
     }
   }
+
+  test("property: URL normalization is idempotent; resolution is absolute-stable (X83/X83b)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(20260815)
+    val frag = Seq("", "#x", "#a b", "##")
+    val query = Seq("", "?id=1", "?utm_source=s", "?utm_a=1&id=2",
+      "?id=1&utm_b=2", "?utm_a=1&utm_b=2", "?", "&glued=1",
+      "?utm_a=1&utm_b=2&c=3")
+    val paths = Seq("", "/", "/p", "/a/b.html", "/a&b", "/a%20b",
+      "a/rel.html", "//cdn.t/x", "mailto:a@b.c", "JAVASCRIPT:void(0)")
+    val hosts = Seq("http://h.test", "https://H.Test", "http://h.test:8080",
+      "")
+    val quotes = Seq[String => String](u => u, u => s"'$u'",
+      u => "\"" + u + "\"")
+    val urls = (1 to 300).map { i =>
+      val h = hosts(rnd.nextInt(hosts.size))
+      val p = paths(rnd.nextInt(paths.size))
+      val q = query(rnd.nextInt(query.size))
+      val f = frag(rnd.nextInt(frag.size))
+      (i.toLong, quotes(rnd.nextInt(quotes.size))(s"$h$p$q$f"))
+    }
+    val df = urls.toDF("id", "u")
+    val once = df.select(col("id"),
+      HtmlExtract.normalizeUrl(col("u")).as("n1"))
+    val twice = once.select(col("id"),
+      col("n1"), HtmlExtract.normalizeUrl(col("n1")).as("n2"))
+      .as[(Long, String, String)].collect()
+    twice.foreach { case (id, n1, n2) =>
+      assert(n1 == n2,
+        s"normalize not idempotent for ${urls(id.toInt - 1)._2}: " +
+          s"'$n1' -> '$n2'")
+    }
+    // resolution of an already-absolute normalized URL ignores the
+    // page entirely; and resolving a resolved URL is stable
+    val page = "http://base.test/a/b.html"
+    val res = df.select(col("id"),
+        HtmlExtract.normalizeUrl(col("u")).as("n"))
+      .select(col("id"), col("n"),
+        HtmlExtract.resolveUrl(col("n"),
+          HtmlExtract.normalizeUrl(
+            org.apache.spark.sql.functions.lit(page))).as("r"))
+      .as[(Long, String, String)].collect()
+    res.foreach { case (id, n, r) =>
+      if (n.startsWith("http://") || n.startsWith("https://"))
+        assert(r == n, s"absolute URL must resolve to itself: $n -> $r")
+      if (r != null) {
+        assert(!r.contains("#"), s"fragment survived: $r")
+        assert(!r.contains("'") && !r.contains("\""),
+          s"attribute quote survived: $r")
+      }
+    }
+  }
 }

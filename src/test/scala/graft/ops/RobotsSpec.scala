@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** X87 gates: each documented RFC-9309-subset behavior pinned on the
+  * planted fixture shapes, plus toDF edges the fixture dialect cannot
+  * carry. */
+class RobotsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val verdicts =
+    Robots.robotsGate(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getBoolean(2), r.getString(3), r.getLong(4)))).toMap
+
+  private def allowed(host: String) =
+    verdicts.collect { case ((h, u), (a, _, _)) if h == host => (u, a) }
+
+  test("longest match wins: the /p1 allow carves out of the /p disallow") {
+    val dex = allowed("docs.example.com").toMap
+    assert(!dex("http://docs.example.com/p0.html"),
+      "/p0 must be blocked by disallow:/p")
+    assert(dex("http://docs.example.com/p1.html"),
+      "/p1 must be re-allowed by the LONGER allow:/p1")
+    // delay override from crawl-delay: 2
+    assert(verdicts(("docs.example.com",
+      "http://docs.example.com/p0.html"))._3 == 2000L)
+  }
+
+  test("equal-length allow and disallow tie: allow wins (RFC 9309)") {
+    val c8 = allowed("crawl8.crawl.test").toMap
+    val sub = c8.filter(_._1.contains("/sub/"))
+    assert(sub.nonEmpty && sub.values.forall(identity),
+      s"allow:/sub/ must win its equal-length disallow tie: $sub")
+    val root = c8.filter(_._1.contains("/root/"))
+    assert(root.nonEmpty && root.values.forall(v => !v),
+      s"/root targets stay blocked: $root")
+  }
+
+  test("empty disallow imposes no restriction; non-* agents are ignored") {
+    assert(allowed("internal.test.net").forall(_._2),
+      "empty-value disallow must be dropped, not treated as match-all")
+    // crawl-delay still honored for that host
+    assert(verdicts.collect { case ((h, _), v)
+      if h == "internal.test.net" => v._3 }.forall(_ == 10000L))
+    // www.example.org's rules are all for other agents: default allow,
+    // default delay
+    val weo = verdicts.collect { case ((h, _), v)
+      if h == "www.example.org" => v }
+    assert(weo.nonEmpty && weo.forall(v => v._1 &&
+      v._2 == "(default)" && v._3 == Robots.DefaultDelayMs))
+  }
+
+  test("disallow:/ blocks everything; rule-free hosts default-allow") {
+    assert(allowed("cdn.shared.test").forall(v => !v._2))
+    assert(allowed("tracker.test.net").forall(_._2))
+  }
+
+  test("toDF edges: query-only paths, no-rules host, delay without path rules") {
+    import spark.implicits._
+    val urls = Seq(
+      ("h.test", "http://h.test/?x=1"),   // query-only path → '/?x=1'
+      ("h.test", "http://h.test"),        // path-less → '/'
+      ("free.test", "http://free.test/p"))
+      .toDF("host", "r")
+    val rules = Seq(
+      ("h.test", "*", "disallow", "/?x", 1L),
+      ("h.test", "*", "crawl-delay", "7", 2L))
+      .toDF("host", "agent", "directive", "value", "rule_order")
+    val got = Robots.robotsGateFrom(urls, rules)
+      .as[(String, String, Boolean, String, Long)].collect()
+      .map(r => r._2 -> r).toMap
+    assert(got("http://h.test/?x=1") ==
+      (("h.test", "http://h.test/?x=1", false, "disallow:/?x", 7000L)),
+      s"query-only path must prefix-match: ${got("http://h.test/?x=1")}")
+    assert(got("http://h.test")._3 && got("http://h.test")._5 == 7000L,
+      "path-less URL reads as '/', unmatched by /?x, delay still applies")
+    assert(got("http://free.test/p") ==
+      (("free.test", "http://free.test/p", true, "(default)",
+        Robots.DefaultDelayMs)))
+  }
+}

@@ -254,6 +254,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // CHECKPOINTED rollup (the resolve tree is optimizer-expensive;
     // the rollup job runs at checkpoint time) — one presentation sort
     "crawl_budget" -> 1,
+    // X87: the frontier is checkpointed (resolve tree); the verdict
+    // window + the two left joins against broadcast rules relations +
+    // presentation sort
+    "robots_gate" -> 4,
     // X84: checkpointed extraction (ONE chain run — the stage
     // counters read the checkpoint) → exact-dedup window (ckpt'd) →
     // near-dup pair chain (signature agg, bucket agg, pair agg,
@@ -456,6 +460,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // X81: both scans are BATCH-filtered (verdict projection + the
     // batch scorer fan-out); the corpus is consulted only at build
     "quality_gate_probe" -> 2)
+    // (X87 robots_gate scans the tiny parsed-robots FIXTURE twice —
+    // host-rule-count-sized, not a data-scaled table, so the
+    // multi-scan audit rightly ignores it)
 
   test("data-scaled tables are not re-scanned beyond the pinned multi-scan budgets") {
     val scanRe = "file:[^,\\]]*?([a-z_0-9]+)\\.(?:parquet|csv|csv\\.gz)".r
