@@ -216,6 +216,37 @@ def rows():
         add("crawl7", page(2, body, with_nav=False, with_footer=False,
                            with_script=False))
 
+    # --- URL fuzz: hash-driven href shapes -----------------------------
+    # every row round-trips BOTH engines' full normalize+resolve chain
+    # in the link_hosts_resolved / robots_gate / crawl_budget oracle
+    # compares — cross-engine fuzz for the URL dialect, same pattern
+    # as the tag-soup family below (CSV-safe: single quotes, no commas)
+    import hashlib as _h
+
+    def upick(seq, *keys):
+        h = _h.md5(("u:" + ":".join(str(k) for k in keys)).encode())
+        return seq[int(h.hexdigest()[:8], 16) % len(seq)]
+
+    u_hosts = ["http://Fz.Example.COM", "https://fz.example.com",
+               "http://fz2.test:8080", "http://fz3.test", ""]
+    u_paths = ["", "/", "/p", "/a/b.html", "/a&b", "/dir/", "sub/rel.html",
+               "../up.html", "//cdn.fz.test/l.js", "mailto:x@fz.test",
+               "/UPPER/Case"]
+    u_query = ["", "?id=1", "?utm_source=s", "?utm_a=1&id=2",
+               "?id=1&utm_b=2", "?utm_a=1&utm_b=2", "?",
+               "?utm_a=1&utm_b=2&c=3", "&glued=1"]
+    u_frag = ["", "#x", "#sec 2", "##"]
+    for k in range(16):
+        links = " ".join(
+            f"<a href='{upick(u_hosts, k, j, 'h')}"
+            f"{upick(u_paths, k, j, 'p')}"
+            f"{upick(u_query, k, j, 'q')}"
+            f"{upick(u_frag, k, j, 'f')}'>u{j}</a>"
+            for j in range(6))
+        body = f"<p>{filler(k, 8)} {links}</p>"
+        add("urlfuzz", page(k, body, with_nav=False, with_footer=False,
+                            with_script=False))
+
     # --- deterministic fuzz: hash-driven tag soup ----------------------
     # Every row round-trips through BOTH engines' extraction chains in
     # the oracle compare, so this is cross-engine fuzz, not a local

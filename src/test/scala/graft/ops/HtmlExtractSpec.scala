@@ -205,8 +205,9 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(own._2 == 24L && own._3 == 8L, own)
     // protocol-relative //cdn.shared.test picks up each page's scheme
     assert(hosts("cdn.shared.test")._2 == 8L, hosts.get("cdn.shared.test"))
-    // mailto: is fenced into (non-http), not a fake host
-    assert(hosts("(non-http)")._2 == 8L, hosts.get("(non-http)"))
+    // mailto: is fenced into (non-http), not a fake host (8 planted
+    // in crawl8; the urlfuzz family adds a md5-driven tail)
+    assert(hosts("(non-http)")._2 >= 8L, hosts.get("(non-http)"))
     // unquoted hrefs extract
     assert(hosts("unquoted.test")._2 == 8L, hosts.get("unquoted.test"))
     // nothing is (relative) or (unresolved): every fixture page has a
