@@ -1495,6 +1495,22 @@ object SparkEntry {
       (s, d) => HtmlExtract.linkHostsResolved(s, d),
       Some(linkHostsResolvedOracle)),
 
+    // X88 — novel-frontier discovery: distinct fetchable resolved
+    // outlinks ANTI-JOIN the crawled-URL set (normalized page_urls) —
+    // the feed the robots/budget gates consume. Fragment-only self
+    // links resolve to their own page and drop out by construction.
+    "frontier_novel" -> Q(
+      (s, d) => HtmlExtract.frontierNovel(s, d), Some(s"""
+      WITH $resolvedUrlsCtes,
+      f AS (SELECT DISTINCT host, res AS url FROM h
+        WHERE host NOT IN ('(non-http)', '(unresolved)')),
+      seen AS (SELECT DISTINCT
+          ${HtmlExtract.normalizeUrlSql("page_url")} AS url
+        FROM d
+        WHERE page_url IS NOT NULL AND page_url <> '')
+      SELECT host, url FROM f ANTI JOIN seen USING (url)
+      ORDER BY host, url""")),
+
     // X87 — robots/REP admission gate: per resolved frontier URL, the
     // fetch-permission verdict against the parsed robots relation
     // (agent-* subset, startsWith prefix match, longest-match wins,

@@ -515,6 +515,43 @@ object HtmlExtract {
       .orderBy("host")
   }
 
+  // ---- X88: novel-frontier discovery ---------------------------------
+
+  /** X88 — the NOVEL frontier: resolved outlink URLs minus the URLs
+    * already crawled (the corpus's own normalized `page_url` set) —
+    * the discovery step between link extraction and the
+    * robots/budget gates, without which a frontier re-schedules every
+    * page it already holds. Fragment-only self links resolve to the
+    * page itself and are therefore excluded by construction; the
+    * un-fetchable `(non-http)`/`(unresolved)` buckets never reach the
+    * frontier.
+    *
+    * Output is the per-URL feed (host, url), distinct, ordered — the
+    * relation [[Robots.robotsGate]] admits and
+    * [[HtmlExtract.crawlBudget]] schedules.
+    *
+    * Scale shape: distinct resolved outlinks ANTI-JOIN the
+    * crawled-URL set on the exact canonical string — at 100 TB both
+    * sides are large, so this is the canonical keyed shuffle
+    * anti-join (AQE broadcasts the seen side when a shard of the
+    * frontier is probed instead); nothing quadratic, nothing
+    * corpus-text-sized (URLs only). */
+  def frontierNovel(spark: SparkSession, dir: String): DataFrame =
+    frontierNovelFrom(fixturePages(spark))
+
+  private[graft] def frontierNovelFrom(pages: DataFrame): DataFrame = {
+    val seen = pages
+      .select(normalizeUrl(col("page_url")).as("url"))
+      .filter(col("url").isNotNull && col("url") =!= "")
+      .distinct()
+    resolvedUrls(pages)
+      .filter(!col("host").isin("(non-http)", "(unresolved)"))
+      .select(col("host"), col("r").as("url")).distinct()
+      .join(seen, Seq("url"), "left_anti")
+      .select(col("host"), col("url"))
+      .orderBy("host", "url")
+  }
+
   // ---- X86: per-host crawl budget (politeness schedule) --------------
 
   /** Scheduling window and the two-tier politeness policy: every

@@ -390,6 +390,25 @@ object ScaleStress {
         graft.util.Scratch.deleteRecursive(
           java.nio.file.Paths.get("target/graft_takedown"))
         m(graft.ops.Takedown.takedownPropagate(spark, d)) }),
+      // X88: novel-frontier anti-join — the same resolved-frontier mix
+      // (seen side = n× page_urls, frontier side = 4 links/page with
+      // the self-ish /abs links novel); both sides corpus-scaled, so
+      // the curve prices the canonical keyed anti-join on the URL
+      "frontier_novel" -> (d =>
+        m(graft.ops.HtmlExtract.frontierNovelFrom(
+          Tables.t(spark, d, "documents").select(col("doc_id"),
+            concat(lit("http://s"), pmod(col("doc_id"), lit(1000)),
+              lit(".test/a/p"), col("doc_id"), lit(".html"))
+              .as("page_url"),
+            concat(
+              lit("<html><body><p>x "),
+              lit("<a href='http://h"), pmod(col("doc_id"), lit(1000)),
+              lit(".test/p"), col("doc_id"), lit(".html#frag'>a</a> "),
+              lit("<a href='rel"), col("doc_id"), lit(".html'>b</a> "),
+              lit("<a href='/abs"), col("doc_id"), lit("'>c</a> "),
+              lit("<a href='//cdn"), pmod(col("doc_id"), lit(1000)),
+              lit(".test/l.js'>d</a></p></body></html>"))
+              .as("html"))))),
       // X87: robots gate over the same resolved-frontier mix plus a
       // synthetic rules table (half the 1000 hosts carry a disallow +
       // carve-out + delay) — per-URL broadcast prefix match + the

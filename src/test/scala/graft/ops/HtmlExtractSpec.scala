@@ -262,6 +262,41 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(res(6L) == null)
   }
 
+  // ---- X88: novel-frontier discovery --------------------------------
+
+  test("frontier_novel: crawled pages and self links drop; outlinks stay") {
+    import spark.implicits._
+    val pages = Seq(
+      // A links to B's own URL (seen), to itself via fragment (seen),
+      // and to an uncrawled page (novel)
+      (1L, "s", "http://a.test/1.html",
+        "<a href='http://b.test/2.html'>b</a> " +
+          "<a href='#top'>self</a> " +
+          "<a href='/new.html'>n</a>"),
+      (2L, "s", "http://b.test/2.html",
+        "<a href='http://c.test/only.html?utm_source=x'>c</a>"))
+      .toDF("doc_id", "source", "page_url", "html")
+    val got = HtmlExtract.frontierNovelFrom(pages)
+      .as[(String, String)].collect().toSet
+    assert(got == Set(
+      ("a.test", "http://a.test/new.html"),
+      ("c.test", "http://c.test/only.html")),
+      s"got $got")
+  }
+
+  test("frontier_novel: fixture frontier excludes every crawled page_url") {
+    import spark.implicits._
+    val novel = HtmlExtract.frontierNovel(spark, dir)
+      .as[(String, String)].collect().map(_._2).toSet
+    val seen = spark.read.option("header", "true")
+      .csv(HtmlExtract.FixtureCsv)
+      .select(HtmlExtract.normalizeUrl(col("page_url")).as("u"))
+      .as[String].collect().toSet
+    assert(novel.nonEmpty)
+    assert((novel & seen).isEmpty,
+      s"crawled URLs leaked into the novel frontier: ${novel & seen}")
+  }
+
   // ---- X86: per-host crawl budget -----------------------------------
 
   test("crawl_budget: two-tier delay, exact integer window ceilings") {

@@ -258,6 +258,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // window + the two left joins against broadcast rules relations +
     // presentation sort
     "robots_gate" -> 4,
+    // X88: frontier distinct + the seen-set anti join + presentation
+    // sort (the fixture scans twice — outlinks and page_urls — but it
+    // is not a data-scaled table, so the multi-scan audit ignores it)
+    "frontier_novel" -> 3,
     // X84: checkpointed extraction (ONE chain run — the stage
     // counters read the checkpoint) → exact-dedup window (ckpt'd) →
     // near-dup pair chain (signature agg, bucket agg, pair agg,
