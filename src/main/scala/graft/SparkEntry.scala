@@ -446,6 +446,46 @@ object SparkEntry {
         CAST(count(DISTINCT COALESCE(res, u)) AS BIGINT) AS n_urls
       FROM h GROUP BY host ORDER BY host"""
 
+  /** The robots verdict CTE block over a (host, url) frontier CTE
+    * named `frontier` — fp/ru/m/best/cd ending in `v` (host, url,
+    * allowed, rule, delay_ms); shared by `robots_gate` (X87) and the
+    * composed `frontier_schedule` (X89). No leading WITH, no trailing
+    * comma. */
+  private def robotsVerdictCtes(frontier: String): String = {
+    val rulesCsv = s"""read_csv('${Robots.FixtureCsv}', header=true,
+          columns={'host':'VARCHAR','agent':'VARCHAR',
+            'directive':'VARCHAR','value':'VARCHAR',
+            'rule_order':'BIGINT'})"""
+    s"""fp AS (SELECT host, url,
+          CASE WHEN starts_with(
+              regexp_replace(url, '^https?://[^/?]+', ''), '/')
+            THEN regexp_replace(url, '^https?://[^/?]+', '')
+            ELSE '/' || regexp_replace(url, '^https?://[^/?]+', '')
+          END AS path
+        FROM $frontier),
+      ru AS (SELECT host, directive, value, rule_order
+        FROM $rulesCsv
+        WHERE agent = '*' AND directive IN ('allow', 'disallow')
+          AND value <> ''),
+      m AS (SELECT fp.host, fp.url, ru.directive, ru.value,
+          row_number() OVER (PARTITION BY fp.host, fp.url
+            ORDER BY len(ru.value) DESC, ru.directive, ru.rule_order)
+            AS rn
+        FROM fp JOIN ru ON fp.host = ru.host
+          AND starts_with(fp.path, ru.value)),
+      best AS (SELECT host, url, directive, value FROM m WHERE rn = 1),
+      cd AS (SELECT host, min(CAST(value AS BIGINT)) AS delay_s
+        FROM $rulesCsv
+        WHERE agent = '*' AND directive = 'crawl-delay' GROUP BY 1),
+      v AS (SELECT fp.host, fp.url,
+        COALESCE(b.directive = 'allow', TRUE) AS allowed,
+        COALESCE(b.directive || ':' || b.value, '(default)') AS rule,
+        CAST(COALESCE(cd.delay_s * 1000, ${Robots.DefaultDelayMs})
+          AS BIGINT) AS delay_ms
+      FROM fp LEFT JOIN best b ON fp.host = b.host AND fp.url = b.url
+        LEFT JOIN cd ON fp.host = cd.host)"""
+  }
+
   /** Shared oracle of `crawl_ingest` (X84) and its streaming twin
     * `crawl_ingest_stream` (X84b): the X82 CTE block, the admission +
     * exact-dedup stages, the proven X3 signature CTEs
@@ -1521,41 +1561,36 @@ object SparkEntry {
       WITH $resolvedUrlsCtes,
       f AS (SELECT DISTINCT host, res AS url FROM h
         WHERE host NOT IN ('(non-http)', '(unresolved)')),
-      fp AS (SELECT host, url,
-          CASE WHEN starts_with(
-              regexp_replace(url, '^https?://[^/?]+', ''), '/')
-            THEN regexp_replace(url, '^https?://[^/?]+', '')
-            ELSE '/' || regexp_replace(url, '^https?://[^/?]+', '')
-          END AS path
-        FROM f),
-      ru AS (SELECT host, directive, value, rule_order
-        FROM read_csv('${Robots.FixtureCsv}', header=true,
-          columns={'host':'VARCHAR','agent':'VARCHAR',
-            'directive':'VARCHAR','value':'VARCHAR',
-            'rule_order':'BIGINT'})
-        WHERE agent = '*' AND directive IN ('allow', 'disallow')
-          AND value <> ''),
-      m AS (SELECT fp.host, fp.url, ru.directive, ru.value,
-          row_number() OVER (PARTITION BY fp.host, fp.url
-            ORDER BY len(ru.value) DESC, ru.directive, ru.rule_order)
-            AS rn
-        FROM fp JOIN ru ON fp.host = ru.host
-          AND starts_with(fp.path, ru.value)),
-      best AS (SELECT host, url, directive, value FROM m WHERE rn = 1),
-      cd AS (SELECT host, min(CAST(value AS BIGINT)) AS delay_s
-        FROM read_csv('${Robots.FixtureCsv}', header=true,
-          columns={'host':'VARCHAR','agent':'VARCHAR',
-            'directive':'VARCHAR','value':'VARCHAR',
-            'rule_order':'BIGINT'})
-        WHERE agent = '*' AND directive = 'crawl-delay' GROUP BY 1)
-      SELECT fp.host, fp.url,
-        COALESCE(b.directive = 'allow', TRUE) AS allowed,
-        COALESCE(b.directive || ':' || b.value, '(default)') AS rule,
-        CAST(COALESCE(cd.delay_s * 1000, ${Robots.DefaultDelayMs})
-          AS BIGINT) AS delay_ms
-      FROM fp LEFT JOIN best b ON fp.host = b.host AND fp.url = b.url
-        LEFT JOIN cd ON fp.host = cd.host
-      ORDER BY fp.host, fp.url""")),
+      ${robotsVerdictCtes("f")}
+      SELECT host, url, allowed, rule, delay_ms
+      FROM v ORDER BY host, url""")),
+
+    // X89 — the composed FRONTIER pipeline: novel discovery (X88
+    // anti-join) → robots verdicts (X87) → per-host fetch plan over
+    // the ALLOWED novel URLs with the robots crawl-delay driving the
+    // X86 window arithmetic. The oracle splices the same proven CTE
+    // blocks end to end.
+    "frontier_schedule" -> Q(
+      (s, d) => Robots.frontierSchedule(s, d), Some(s"""
+      WITH $resolvedUrlsCtes,
+      f0 AS (SELECT DISTINCT host, res AS url FROM h
+        WHERE host NOT IN ('(non-http)', '(unresolved)')),
+      seen AS (SELECT DISTINCT
+          ${HtmlExtract.normalizeUrlSql("page_url")} AS url
+        FROM d
+        WHERE page_url IS NOT NULL AND page_url <> ''),
+      f AS (SELECT host, url FROM f0 ANTI JOIN seen USING (url)),
+      ${robotsVerdictCtes("f")},
+      a AS (SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+          CAST(min(delay_ms) AS BIGINT) AS delay_ms
+        FROM v WHERE allowed GROUP BY 1)
+      SELECT host, n_urls, delay_ms,
+        CAST(${HtmlExtract.WindowMs} // delay_ms AS BIGINT)
+          AS slots_per_window,
+        CAST((n_urls + ${HtmlExtract.WindowMs} // delay_ms - 1) //
+          (${HtmlExtract.WindowMs} // delay_ms) AS BIGINT)
+          AS n_windows
+      FROM a ORDER BY host""")),
 
     // X86 — per-host crawl budget: the politeness schedule a frontier
     // consumes, over the resolved rollup (shared CTE). Two-tier delay

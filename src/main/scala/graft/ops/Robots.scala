@@ -64,10 +64,18 @@ object Robots {
       fixtureRules(spark))
 
   private[graft] def robotsGateFrom(urls: DataFrame,
+      rules: DataFrame): DataFrame =
+    robotsVerdictsFor(
+      urls.filter(!col("host").isin("(non-http)", "(unresolved)"))
+        .select(col("host"), col("r").as("url")).distinct(),
+      rules)
+
+  /** The verdict relation over an ALREADY-PREPARED distinct
+    * (host, url) frontier — the composed-pipeline form
+    * ([[HtmlExtract]]'s X89 schedule feeds the NOVEL frontier). */
+  private[graft] def robotsVerdictsFor(hostUrls: DataFrame,
       rules: DataFrame): DataFrame = {
-    val frontier = urls
-      .filter(!col("host").isin("(non-http)", "(unresolved)"))
-      .select(col("host"), col("r").as("url")).distinct()
+    val frontier = hostUrls
       // REP paths always lead with '/': a path-less URL reads as '/',
       // and a query-only URL (`http://h?x=1`) as '/?x=1'
       .withColumn("path",
@@ -107,4 +115,44 @@ object Robots {
           .as("delay_ms"))
       .orderBy("host", "url")
   }
+
+  // ---- X89: composed frontier schedule -------------------------------
+
+  /** X89 — the composed FRONTIER pipeline, one registered query for
+    * the whole scheduling chain a crawler runs between two fetch
+    * rounds: resolved outlinks → NOVEL discovery (X88 anti-join
+    * against the crawled set) → robots verdicts (X87) → per-host
+    * fetch plan over the ALLOWED novel URLs with the robots
+    * crawl-delay driving the X86 window arithmetic. The output row
+    * (host, admitted URL backlog, effective delay, slots per window,
+    * windows to drain) is the relation a fetch scheduler consumes
+    * directly.
+    *
+    * Each stage is the already-proven operator (same constants, same
+    * windows); the oracle splices the same proven CTE blocks. Scale
+    * shape: the X88 anti-join and X87 broadcast match dominate; the
+    * plan stays URL-sized end to end, and the schedule rollup is
+    * host-bounded. */
+  def frontierSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val pages = HtmlExtract.fixturePages(spark)
+    frontierScheduleFrom(HtmlExtract.frontierNovelFrom(pages),
+      fixtureRules(spark))
+  }
+
+  private[graft] def frontierScheduleFrom(novel: DataFrame,
+      rules: DataFrame): DataFrame =
+    robotsVerdictsFor(novel.select(col("host"), col("url")), rules)
+      .filter(col("allowed"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        // delay is per-host constant by construction; min() is the
+        // deterministic way to carry it through the rollup
+        min(col("delay_ms")).as("delay_ms"))
+      .withColumn("slots_per_window",
+        expr(s"${HtmlExtract.WindowMs}L div delay_ms"))
+      .withColumn("n_windows",
+        expr("(n_urls + slots_per_window - 1L) div slots_per_window"))
+      .select(col("host"), col("n_urls"), col("delay_ms"),
+        col("slots_per_window"), col("n_windows"))
+      .orderBy("host")
 }

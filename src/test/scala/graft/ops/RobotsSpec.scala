@@ -61,6 +61,38 @@ class RobotsSpec extends AnyFunSuite {
     assert(allowed("tracker.test.net").forall(_._2))
   }
 
+  test("frontier_schedule: novel ∧ allowed only, robots delay drives windows") {
+    import spark.implicits._
+    val sched = Robots.frontierSchedule(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // fully-disallowed hosts never reach the schedule
+    assert(!sched.contains("cdn.shared.test"))
+    // the robots crawl-delay (10 s) drives the window arithmetic
+    assert(sched("internal.test.net")._3 == 10000L &&
+      sched("internal.test.net")._4 == 360L)
+    // crawl8: self links are SEEN (novel drop) and /root targets are
+    // disallowed — only the /sub and cdn-free remainder schedules
+    assert(sched("crawl8.crawl.test")._2 == 8L,
+      s"crawl8 backlog: ${sched("crawl8.crawl.test")}")
+    // every scheduled backlog is consistent: windows = ceil(urls/slots)
+    sched.values.foreach { case (_, n, _, slots, w) =>
+      assert(w == (n + slots - 1) / slots)
+    }
+  }
+
+  test("frontier_schedule: multi-window backlog via toDF") {
+    import spark.implicits._
+    val novel = (1 to 4000).map(i => ("big.test", s"http://big.test/p$i"))
+      .toDF("host", "url")
+    val rules = Seq(("big.test", "*", "crawl-delay", "2", 1L))
+      .toDF("host", "agent", "directive", "value", "rule_order")
+    val got = Robots.frontierScheduleFrom(novel, rules)
+      .as[(String, Long, Long, Long, Long)].head()
+    // 4000 urls at 2s delay → 1800 slots/window → 3 windows
+    assert(got == (("big.test", 4000L, 2000L, 1800L, 3L)), got)
+  }
+
   test("toDF edges: query-only paths, no-rules host, delay without path rules") {
     import spark.implicits._
     val urls = Seq(

@@ -262,6 +262,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // sort (the fixture scans twice — outlinks and page_urls — but it
     // is not a data-scaled table, so the multi-scan audit ignores it)
     "frontier_novel" -> 3,
+    // X89: the novel anti-join chain pre-checkpoint (distinct + anti)
+    // feeds the checkpointed robots frontier; then verdict window,
+    // host rollup, presentation sort
+    "frontier_schedule" -> 5,
     // X84: checkpointed extraction (ONE chain run — the stage
     // counters read the checkpoint) → exact-dedup window (ckpt'd) →
     // near-dup pair chain (signature agg, bucket agg, pair agg,
