@@ -1551,6 +1551,24 @@ object SparkEntry {
       SELECT host, url FROM f ANTI JOIN seen USING (url)
       ORDER BY host, url""")),
 
+    // X88b — the incremental novelty probe: one fetch round's
+    // outlinks (doc_id % 4 batch) against the PERSISTED seen store;
+    // the oracle restricts the outlink side to the batch and rebuilds
+    // the seen set from the full corpus.
+    "frontier_novel_probe" -> Q(
+      (s, d) => HtmlExtract.frontierNovelProbe(s, d), Some(s"""
+      WITH $resolvedUrlsCtes,
+      f0 AS (SELECT DISTINCT h.host, h.res AS url FROM h
+        JOIN d USING (doc_id)
+        WHERE h.host NOT IN ('(non-http)', '(unresolved)')
+          AND d.doc_id % 4 = 0),
+      seen AS (SELECT DISTINCT
+          ${HtmlExtract.normalizeUrlSql("page_url")} AS url
+        FROM d
+        WHERE page_url IS NOT NULL AND page_url <> '')
+      SELECT host, url FROM f0 ANTI JOIN seen USING (url)
+      ORDER BY host, url""")),
+
     // X87 — robots/REP admission gate: per resolved frontier URL, the
     // fetch-permission verdict against the parsed robots relation
     // (agent-* subset, startsWith prefix match, longest-match wins,

@@ -552,6 +552,55 @@ object HtmlExtract {
       .orderBy("host", "url")
   }
 
+  /** X88-scale — persisted SEEN-URL store, the serving split of
+    * [[frontierNovel]] (the [[Dedup.setSimBuildIndex]] pattern): the
+    * crawled corpus's distinct normalized page URLs, written once and
+    * `_SUCCESS`-gated per source listing fingerprint. At 100 TB the
+    * store is crawled-page-count-sized (URLs only, a sliver of corpus
+    * bytes) and a fetch round's novelty check never re-derives it. */
+  def frontierSeenBuild(spark: SparkSession): String = {
+    import graft.util.Tables
+    val out = "target/graft_frontier/seen_" +
+      Tables.listingTag(spark, FixtureCsv)
+    if (!Tables.successExists(spark, out)) {
+      fixturePages(spark)
+        .select(normalizeUrl(col("page_url")).as("url"))
+        .filter(col("url").isNotNull && col("url") =!= "")
+        .distinct()
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
+  /** X88b — INCREMENTAL novelty probe: the outlinks of ONE fetch
+    * round's pages (the `doc_id % batchMod == 0` slice, the family's
+    * batch convention) anti-joined against the PERSISTED seen store —
+    * the daily loop ([[frontierNovel]] is the backfill; every
+    * subsequent round probes). Only the batch is parsed and resolved
+    * (batch-sized work); the store side is one streaming scan of a
+    * URL-only relation. Accepted batch URLs would append to the store
+    * as a new file, exactly the [[Dedup.neardupBuildIndex]]
+    * maintenance shape. */
+  def frontierNovelProbe(spark: SparkSession, dir: String,
+      batchMod: Int = 4): DataFrame =
+    frontierNovelProbeFor(spark,
+      fixturePages(spark)
+        .filter(pmod(col("doc_id"), lit(batchMod)) === 0),
+      frontierSeenBuild(spark))
+
+  /** [[frontierNovelProbe]] over an arbitrary batch-page relation and
+    * seen store — the ScaleStress fixed-batch form. */
+  private[graft] def frontierNovelProbeFor(spark: SparkSession,
+      batchPages: DataFrame, store: String): DataFrame = {
+    val seen = spark.read.parquet(store)
+    resolvedUrls(batchPages)
+      .filter(!col("host").isin("(non-http)", "(unresolved)"))
+      .select(col("host"), col("r").as("url")).distinct()
+      .join(seen, Seq("url"), "left_anti")
+      .select(col("host"), col("url"))
+      .orderBy("host", "url")
+  }
+
   // ---- X86: per-host crawl budget (politeness schedule) --------------
 
   /** Scheduling window and the two-tier politeness policy: every

@@ -409,6 +409,34 @@ object ScaleStress {
               lit("<a href='//cdn"), pmod(col("doc_id"), lit(1000)),
               lit(".test/l.js'>d</a></p></body></html>"))
               .as("html"))))),
+      // X88b fixed-batch leg: the seen store is built once per scale
+      // dir (n×-sized, _SUCCESS-gated) and a CONSTANT-sized batch
+      // (batchMod ∝ scale) probes it — the daily-loop claim: probe
+      // cost is batch work + one streaming scan of the URL store,
+      // flat-ish as the crawl grows
+      "frontier_novel_fb" -> (d => {
+        // (scaleOf is defined below docOps — inline the same parse)
+        val sc = "x(\\d+)$".r.findFirstMatchIn(d)
+          .map(_.group(1).toLong).getOrElse(1L)
+        val pages = Tables.t(spark, d, "documents").select(col("doc_id"),
+          concat(lit("http://s"), pmod(col("doc_id"), lit(1000)),
+            lit(".test/a/p"), col("doc_id"), lit(".html"))
+            .as("page_url"),
+          concat(
+            lit("<html><body><p>x "),
+            lit("<a href='http://h"), pmod(col("doc_id"), lit(1000)),
+            lit(".test/p"), col("doc_id"), lit(".html'>a</a> "),
+            lit("<a href='/abs"), col("doc_id"), lit("'>c</a></p>"),
+            lit("</body></html>")).as("html"))
+        val store = s"target/graft_frontier/stress_${Tables.pathTag(d)}"
+        if (!Tables.successExists(spark, store)) {
+          pages.select(graft.ops.HtmlExtract
+              .normalizeUrl(col("page_url")).as("url")).distinct()
+            .write.mode("overwrite").parquet(store)
+        }
+        m(graft.ops.HtmlExtract.frontierNovelProbeFor(spark,
+          pages.filter(pmod(col("doc_id"), lit(4L * sc)) === 0),
+          store)) }),
       // X87: robots gate over the same resolved-frontier mix plus a
       // synthetic rules table (half the 1000 hosts carry a disallow +
       // carve-out + delay) — per-URL broadcast prefix match + the

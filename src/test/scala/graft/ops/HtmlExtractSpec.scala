@@ -297,6 +297,22 @@ class HtmlExtractSpec extends AnyFunSuite {
       s"crawled URLs leaked into the novel frontier: ${novel & seen}")
   }
 
+  test("frontier_novel_probe: batch-restricted subset of the backfill, memoized store") {
+    import spark.implicits._
+    val probe = HtmlExtract.frontierNovelProbe(spark, dir)
+      .as[(String, String)].collect().toSet
+    val full = HtmlExtract.frontierNovel(spark, dir)
+      .as[(String, String)].collect().toSet
+    assert(probe.nonEmpty && probe.subsetOf(full),
+      s"probe must be the batch-outlink slice of the backfill: " +
+        s"${probe -- full}")
+    // and strictly smaller: the batch is a quarter of the crawl
+    assert(probe.size < full.size)
+    // the seen store is _SUCCESS-memoized per fixture listing
+    assert(HtmlExtract.frontierSeenBuild(spark) ==
+      HtmlExtract.frontierSeenBuild(spark))
+  }
+
   // ---- X86: per-host crawl budget -----------------------------------
 
   test("crawl_budget: two-tier delay, exact integer window ceilings") {

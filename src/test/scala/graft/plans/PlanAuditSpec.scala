@@ -266,6 +266,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // feeds the checkpointed robots frontier; then verdict window,
     // host rollup, presentation sort
     "frontier_schedule" -> 5,
+    // X88b: batch-outlink distinct + the store anti join + sort — one
+    // exchange fewer than the backfill (the seen side reads the
+    // persisted store instead of re-deriving page_urls)
+    "frontier_novel_probe" -> 2,
     // X84: checkpointed extraction (ONE chain run — the stage
     // counters read the checkpoint) → exact-dedup window (ckpt'd) →
     // near-dup pair chain (signature agg, bucket agg, pair agg,
