@@ -486,6 +486,61 @@ object SparkEntry {
         LEFT JOIN cd ON fp.host = cd.host)"""
   }
 
+  /** Oracle of `link_pagerank` (X90): the host edge set over the
+    * shared resolve chain, then [[LinkGraph.Iters]] UNROLLED
+    * power-method rounds — per-round in-mass and dangling mass via
+    * the exact decimal accumulator ([[osum]], = Tables.dsum), every
+    * other step a single IEEE-exact double op, so after 10 rounds the
+    * raw doubles hash-compare. Constants interpolate from
+    * [[LinkGraph]] so engine and oracle cannot drift. */
+  private lazy val linkPagerankOracle: String = {
+    def sq(x: String) = x.replace("'", "''")
+    val srcE = s"regexp_extract(p, '${sq(HtmlExtract.HostPattern)}', 1)"
+    // Every round's CTEs are MATERIALIZED: pr(i-1) is referenced
+    // twice per round, and an inlining planner would otherwise expand
+    // the 10-round chain into 2^10 copies of the resolve regex tree.
+    val iters = (1 to LinkGraph.Iters).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT e.dst,
+          ${osum("q.rank / CAST(od.out_deg AS DOUBLE)")} AS s
+        FROM e JOIN pr${i - 1} q ON e.src = q.host
+          JOIN od ON e.src = od.src GROUP BY 1),
+      g$i AS MATERIALIZED (SELECT COALESCE(${osum("q.rank")}, 0.0) AS dang
+        FROM pr${i - 1} q LEFT JOIN od ON q.host = od.src
+        WHERE od.src IS NULL),
+      pr$i AS MATERIALIZED (SELECT no.host,
+          ((${LinkGraph.Teleport} / nn.nd) +
+           (${LinkGraph.Damping} * (COALESCE(c.s, 0.0) +
+             (g.dang / nn.nd)))) AS rank
+        FROM nodes no LEFT JOIN c$i c ON no.host = c.dst
+        CROSS JOIN g$i g CROSS JOIN nn)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH $resolvedUrlsCtes,
+      e AS MATERIALIZED (SELECT DISTINCT $srcE AS src, host AS dst
+        FROM h
+        WHERE $srcE IS NOT NULL AND $srcE <> ''
+          AND host NOT IN ('(non-http)', '(unresolved)')
+          AND $srcE <> host),
+      od AS MATERIALIZED (
+        SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
+      idg AS (SELECT dst, count(*) AS in_deg FROM e GROUP BY 1),
+      nodes AS MATERIALIZED (
+        SELECT src AS host FROM e UNION SELECT dst FROM e),
+      nn AS MATERIALIZED (
+        SELECT CAST(count(*) AS DOUBLE) AS nd FROM nodes),
+      pr0 AS MATERIALIZED (SELECT host, (1.0 / nd) AS rank
+        FROM nodes CROSS JOIN nn),
+      $iters
+      SELECT p.host,
+        CAST(COALESCE(idg.in_deg, 0) AS BIGINT) AS in_deg,
+        CAST(COALESCE(od.out_deg, 0) AS BIGINT) AS out_deg,
+        p.rank
+      FROM pr${LinkGraph.Iters} p
+        LEFT JOIN idg ON p.host = idg.dst
+        LEFT JOIN od ON p.host = od.src
+      ORDER BY p.rank DESC, p.host"""
+  }
+
   /** Shared oracle of `crawl_ingest` (X84) and its streaming twin
     * `crawl_ingest_stream` (X84b): the X82 CTE block, the admission +
     * exact-dedup stages, the proven X3 signature CTEs
@@ -638,6 +693,54 @@ object SparkEntry {
           AS sum_bal
       FROM ($upsertOracle)
       GROUP BY dt ORDER BY dt""")),
+
+    // X92 — recrawl scheduling from observed change rates: replay the
+    // three snapshot versions, lag-window per merged key, bucket the
+    // change rate into refresh tiers, whole-day date arithmetic. The
+    // oracle rebuilds all three version states from the CSVs and
+    // replays the identical window/bucket/date chain.
+    "recrawl_schedule" -> Q(Ingest.ingestRecrawlSchedule, Some(s"""
+      WITH a AS (${ocsv("customers_20240628.csv", "2024-06-28")}),
+      b AS (${ocsv("customers_r2_20240628.csv", "2024-06-28")}),
+      c AS (${ocsv("customers_20240629.csv", "2024-06-29")}),
+      m1 AS (SELECT * FROM a ANTI JOIN b USING (id, dt)
+             UNION ALL SELECT * FROM b),
+      m2 AS (SELECT * FROM m1 ANTI JOIN c USING (id, dt)
+             UNION ALL SELECT * FROM c),
+      obs AS (
+        SELECT id, dt, name, city, bal, 1 AS v,
+          DATE '2024-06-28' AS batch_dt FROM a
+        UNION ALL
+        SELECT id, dt, name, city, bal, 2 AS v,
+          DATE '2024-06-28' AS batch_dt FROM m1
+        UNION ALL
+        SELECT id, dt, name, city, bal, 3 AS v,
+          DATE '2024-06-29' AS batch_dt FROM m2),
+      fl AS (SELECT *, lag(v) OVER w AS pv,
+          (lag(v) OVER w IS NOT NULL AND NOT (
+            name IS NOT DISTINCT FROM lag(name) OVER w AND
+            city IS NOT DISTINCT FROM lag(city) OVER w AND
+            bal IS NOT DISTINCT FROM lag(bal) OVER w)) AS changed
+        FROM obs WINDOW w AS (PARTITION BY id, dt ORDER BY v)),
+      s AS (SELECT id, dt, count(*) AS n_obs,
+          CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_changes,
+          max(CASE WHEN changed OR pv IS NULL THEN batch_dt END)
+            AS last_event_dt
+        FROM fl GROUP BY 1, 2),
+      t AS (SELECT *, CASE WHEN n_obs > 1
+          THEN CAST(n_changes AS DOUBLE) / CAST(n_obs - 1 AS DOUBLE)
+          ELSE 0.0 END AS change_rate FROM s),
+      u AS (SELECT *, CASE WHEN change_rate >= 0.5 THEN 'hot'
+          WHEN n_changes > 0 THEN 'warm' ELSE 'cold' END AS tier
+        FROM t),
+      x AS (SELECT *, CASE tier WHEN 'hot' THEN 1 WHEN 'warm' THEN 7
+          ELSE 30 END AS interval_days FROM u)
+      SELECT id, dt, n_obs, n_changes, change_rate, tier,
+        CAST(interval_days AS BIGINT) AS interval_days,
+        CAST(last_event_dt AS VARCHAR) AS last_event_dt,
+        CAST(last_event_dt + interval_days AS VARCHAR) AS next_fetch_dt
+      FROM x ORDER BY dt, id""")),
 
     // S2 hard mode: RFC-4180 doubled quotes, delimiters and NEWLINES
     // inside quoted fields, 3,000 rows — both engines parse the same
@@ -1609,6 +1712,14 @@ object SparkEntry {
           (${HtmlExtract.WindowMs} // delay_ms) AS BIGINT)
           AS n_windows
       FROM a ORDER BY host""")),
+
+    // X90 — host-graph PageRank: the global link-authority signal a
+    // frontier priority folds in. Distinct fetchable host→host edges
+    // (self-edges dropped) from the shared resolve chain; 10 unrolled
+    // power-method rounds, in-mass + dangling mass decimal-summed so
+    // both engines walk bit-identical rank vectors.
+    "link_pagerank" -> Q(
+      (s, d) => LinkGraph.linkPagerank(s, d), Some(linkPagerankOracle)),
 
     // X86 — per-host crawl budget: the politeness schedule a frontier
     // consumes, over the resolved rollup (shared CTE). Two-tier delay
@@ -3723,6 +3834,40 @@ object SparkEntry {
         CAST(sum(n_tok) AS BIGINT) AS n_tokens
       FROM ipk4 GROUP BY 2
       ORDER BY stage, shard""")),
+
+    // X91 — bigram-LM quality score (the CCNet recipe): add-one
+    // bigram LM trained on the doc_id%5 reference slice scores every
+    // doc by MEAN bigram probability (not log-perplexity — ln is not
+    // bit-identical cross-engine; the mean orders docs identically).
+    // Model joins are keyed (corpus-scaled model, never broadcast);
+    // the mean runs through the decimal accumulator.
+    "ngram_lm_score" -> Q(
+      (s, d) => QualitySignals.ngramLmScore(s, d), Some(s"""
+      WITH tok AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      tk AS (SELECT doc_id, w FROM tok WHERE len(w) >= 2),
+      bg AS (SELECT doc_id,
+          unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+          unnest(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i + 1])) AS g
+        FROM tk),
+      trbg AS (SELECT * FROM bg WHERE doc_id % 5 = 0),
+      c2 AS (SELECT g, count(*) AS c2 FROM trbg GROUP BY 1),
+      c1 AS (SELECT w1, count(*) AS c1 FROM trbg GROUP BY 1),
+      v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS vd
+        FROM (SELECT unnest(w) AS t FROM tk WHERE doc_id % 5 = 0)),
+      p AS (SELECT bg.doc_id,
+          ((CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 1.0) /
+           (CAST(COALESCE(c1.c1, 0) AS DOUBLE) + v.vd)) AS p,
+          CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS unseen
+        FROM bg LEFT JOIN c2 USING (g) LEFT JOIN c1 USING (w1)
+          CROSS JOIN v)
+      SELECT doc_id, count(*) AS n_bigrams,
+        CAST(sum(unseen) AS BIGINT) AS n_unseen,
+        (${osum("p")} / count(*)) AS mean_p
+      FROM p GROUP BY 1 ORDER BY 1""")),
 
     "zipf_spectrum" -> Q(
       (s, d) => QualitySignals.zipfSpectrum(s, d), Some("""

@@ -408,4 +408,87 @@ object Ingest {
       Seq("id", "name", "city", "bal", "dt"))
       .orderBy("dt", "id")
   }
+
+  /** X92 — recrawl/refresh scheduling from observed change rates (the
+    * Cho & Garcia-Molina revisit policy, in its deterministic
+    * bucketed form): replay the snapshot log's version history and,
+    * per merged key, count observations and CONTENT changes between
+    * consecutive versions; the change rate buckets each key into a
+    * refresh tier (hot ≥ 1/2 → 1 day, any change → 7, static → 30)
+    * and the next fetch date is the last content event (first
+    * sighting or latest change) plus that interval. This is the
+    * between-crawls twin of the X86/X89 frontier scheduling: X89
+    * decides what NEW URLs to fetch; X92 decides when to RE-fetch
+    * what the lake already holds.
+    *
+    * Cross-engine shape: presence in this lake is suffix-closed (the
+    * merge never deletes), so a per-key lag window over the version
+    * axis sees every consecutive-version transition; change detection
+    * is null-safe equality (`<=>` / IS NOT DISTINCT FROM) on the
+    * non-key columns, rates are single int/int double divisions, and
+    * the date arithmetic is whole-day (`date_add` / DATE + n) — all
+    * bit-stable in both engines.
+    *
+    * Scale note: the fixture replays version RECONSTRUCTIONS (3
+    * table-sized reads of a tiny lake); a 100 TB deployment feeds the
+    * same window the snapshot log's CHANGE FEED (version_changes'
+    * relation), which is change-sized — the window/agg shape and the
+    * schedule arithmetic are identical either way. The window
+    * partitions on the merge key — millions of independent partitions,
+    * no global sort. */
+  def ingestRecrawlSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val layout = freshLayout("ingest_recrawl")
+    val cfg = TableConfig.fromFile(config("customers_upsert"))
+    load(spark, layout, "customers_rc", cfg, "customers_20240628.csv")
+    load(spark, layout, "customers_rc", cfg, "customers_r2_20240628.csv")
+    load(spark, layout, "customers_rc", cfg, "customers_20240629.csv")
+    val path = layout.curatedPath("sap", "customers_rc")
+    val batchDt = Seq("2024-06-28", "2024-06-28", "2024-06-29")
+    val obs = (1 to 3).map { v =>
+      Strategies.readAtVersion(spark, path, v)
+        .select(col("id"), col("dt"), col("name"), col("city"),
+          col("bal"), lit(v).as("v"),
+          to_date(lit(batchDt(v - 1))).as("batch_dt"))
+    }.reduce(_.unionByName(_))
+    recrawlScheduleFrom(obs)
+  }
+
+  /** [[ingestRecrawlSchedule]]'s window/bucket/date chain over an
+    * arbitrary observation relation (id, dt, name, city, bal, v,
+    * batch_dt) — specs feed planted version histories here (the
+    * fixture's 3 versions can only produce rates 0, 1/2 and 1, so the
+    * warm tier and multi-change histories need synthetic versions). */
+  private[graft] def recrawlScheduleFrom(obs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id"), col("dt")).orderBy(col("v"))
+    val flagged = obs
+      .withColumn("pv", lag(col("v"), 1).over(w))
+      .withColumn("changed",
+        col("pv").isNotNull && !(col("name") <=> lag(col("name"), 1).over(w) &&
+          col("city") <=> lag(col("city"), 1).over(w) &&
+          col("bal") <=> lag(col("bal"), 1).over(w)))
+    val sched = flagged.groupBy(col("id"), col("dt"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(col("changed"), 1L).otherwise(0L)).as("n_changes"),
+        max(when(col("changed") || col("pv").isNull, col("batch_dt")))
+          .as("last_event_dt"))
+      .withColumn("change_rate",
+        when(col("n_obs") > 1,
+          col("n_changes").cast("double") /
+            (col("n_obs") - 1).cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("tier",
+        when(col("change_rate") >= 0.5, lit("hot"))
+          .when(col("n_changes") > 0, lit("warm"))
+          .otherwise(lit("cold")))
+      .withColumn("interval_days",
+        when(col("tier") === "hot", lit(1L))
+          .when(col("tier") === "warm", lit(7L)).otherwise(lit(30L)))
+    sched.select(col("id"), col("dt"), col("n_obs"), col("n_changes"),
+        col("change_rate"), col("tier"), col("interval_days"),
+        col("last_event_dt").cast("string").as("last_event_dt"),
+        date_add(col("last_event_dt"), col("interval_days").cast("int"))
+          .cast("string").as("next_fetch_dt"))
+      .orderBy("dt", "id")
+  }
 }

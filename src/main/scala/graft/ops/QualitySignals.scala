@@ -458,4 +458,73 @@ object QualitySignals {
         min(col("term")).as("first_term"))
       .orderBy("bucket")
   }
+
+  /** X91 — n-gram language-model quality score (the CCNet recipe:
+    * score every document with a reference LM trained on a trusted
+    * slice, keep the head of the distribution). The reference here is
+    * the `doc_id % 5 == 0` corpus slice (a deterministic stand-in for
+    * "Wikipedia"); the model is an add-one-smoothed BIGRAM LM:
+    * `p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)` with `V` = distinct
+    * train unigrams. Per document: bigram count, unseen-bigram count,
+    * and the MEAN bigram probability — deliberately the arithmetic
+    * mean of probabilities, NOT log-perplexity: `ln` is not
+    * bit-identical across engines (the bm25 lesson), while counts,
+    * single double divisions and the decimal-exact mean replay
+    * bit-for-bit. Ranking by mean probability orders documents the
+    * same way a monotone per-doc transform of it would.
+    *
+    * Scale shape: the model is CORPUS-scaled (train bigrams), so
+    * scoring is two keyed equi-joins (bigram key, then context key) —
+    * never a broadcast of the model, never all-pairs; the per-doc
+    * reduction is map-side combined on doc_id. V rides along as a
+    * 1-row broadcast. Docs with < 2 tokens have no bigram and are
+    * excluded in both engines. */
+  def ngramLmScore(spark: SparkSession, dir: String,
+      trainMod: Int = 5): DataFrame = {
+    // ONE corpus scan: the tokenized relation is a listing-tag-keyed
+    // memoized checkpoint (the edit-distance docsCkpt pattern) that
+    // the train side, the vocab count and the scoring side all read —
+    // without it the plan scans documents.parquet 4×.
+    val tok = graft.util.CkptMemo.of(spark, "lm_tok", dir,
+        graft.util.Tables.listingTag(spark, s"$dir/documents.parquet")) {
+      fanOut(t(spark, dir, "documents"))
+        .withColumn("w", TextAnalysis.tokens(col("text")))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), col("w"))
+        .localCheckpoint()
+    }
+    def bigrams(df: DataFrame) = df.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("w")) - 1), i =>
+        struct(element_at(col("w"), i).as("w1"),
+          concat_ws(" ", element_at(col("w"), i),
+            element_at(col("w"), i + 1)).as("g")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.g").as("g"))
+    val train = tok.filter(col("doc_id") % trainMod === 0)
+    // c1(w1) = Σ_g c2(w1,g): both model tables fall out of ONE
+    // (w1, g) rollup (model-sized, checkpointed — used twice) instead
+    // of two independent passes over the train bigrams
+    val c2pre = bigrams(train).groupBy(col("w1"), col("g"))
+      .agg(count(lit(1)).as("c2")).localCheckpoint()
+    val c2 = c2pre.select(col("g"), col("c2"))
+    val c1 = c2pre.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    // V counts distinct train unigrams over ALL positions (the last
+    // token of each doc is vocabulary too, not just bigram contexts)
+    val vocab = train
+      .select(explode(col("w")).as("t")).agg(
+        countDistinct(col("t")).cast("double").as("vd"))
+    bigrams(tok)
+      .join(c2, Seq("g"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        ((coalesce(col("c2"), lit(0L)).cast("double") + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)).cast("double") + col("vd")))
+          .as("p"),
+        when(col("c2").isNull, 1L).otherwise(0L).as("unseen"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("unseen")).as("n_unseen"),
+        (graft.util.Tables.dsum(col("p")) / count(lit(1))).as("mean_p"))
+      .orderBy("doc_id")
+  }
 }

@@ -409,6 +409,28 @@ object ScaleStress {
               lit("<a href='//cdn"), pmod(col("doc_id"), lit(1000)),
               lit(".test/l.js'>d</a></p></body></html>"))
               .as("html"))))),
+      // X90: host-graph PageRank over the same synthetic page mix —
+      // the edge-derivation scan is corpus-sized while the graph
+      // stays host-bounded (~2k hosts at every scale: doc_id % 1000
+      // source hosts linking h/cdn targets), so the curve prices the
+      // distinct-edge rollup feeding a scale-FLAT 10-round iteration
+      // over the bounded rank vector — the 100 TB shape: corpus-sized
+      // scan once, host-sized graph forever after
+      "link_pagerank" -> (d =>
+        m(graft.ops.LinkGraph.pagerank(graft.ops.LinkGraph.hostEdges(
+          Tables.t(spark, d, "documents").select(col("doc_id"),
+            concat(lit("http://s"), pmod(col("doc_id"), lit(1000)),
+              lit(".test/a/p"), col("doc_id"), lit(".html"))
+              .as("page_url"),
+            concat(
+              lit("<html><body><p>x "),
+              lit("<a href='http://h"), pmod(col("doc_id"), lit(1000)),
+              lit(".test/p"), col("doc_id"), lit(".html#frag'>a</a> "),
+              lit("<a href='rel"), col("doc_id"), lit(".html'>b</a> "),
+              lit("<a href='/abs"), col("doc_id"), lit("'>c</a> "),
+              lit("<a href='//cdn"), pmod(col("doc_id"), lit(1000)),
+              lit(".test/l.js'>d</a></p></body></html>"))
+              .as("html")))))),
       // X88b fixed-batch leg: the seen store is built once per scale
       // dir (n×-sized, _SUCCESS-gated) and a CONSTANT-sized batch
       // (batchMod ∝ scale) probes it — the daily-loop claim: probe
@@ -488,6 +510,11 @@ object ScaleStress {
       "tfidf_top_terms" -> (d => m(CorpusStats.tfidfTopTerms(spark, d))),
       "inverted_index" -> (d => m(CorpusStats.invertedIndex(spark, d))),
       "bigram_novelty" -> (d => m(CorpusStats.bigramNovelty(spark, d))),
+      // X91: the tokenize checkpoint lands in the warmup pass
+      // (listing-tag memo, shared with any co-running quality op);
+      // timed passes price the model rollup + the two keyed scoring
+      // joins — the recurring cost when the LM is retrained per run
+      "ngram_lm_score" -> (d => m(QualitySignals.ngramLmScore(spark, d))),
       "doc_chunk" -> (d => m(graft.ops.Reshape.docChunk(spark, d))),
       "span_scrub" -> (d => m(Dedup.repeatedSpanScrub(spark, d))),
       "media_embed_topk" ->

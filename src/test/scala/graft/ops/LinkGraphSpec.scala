@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** X90 gates: the power method against an in-test reference that
+  * replays the SAME decimal-exact accumulation (so agreement is
+  * near-bit, not approximate), plus the graph-construction contract
+  * on the crawl fixture. */
+class LinkGraphSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Reference PageRank mirroring the engine's arithmetic: per-round
+    * in-mass and dangling mass accumulate as DECIMAL(30,8) (HALF_UP
+    * per element, exact sum, string-routed back to double — the
+    * Tables.dsum contract); everything else is plain double ops in
+    * the same shape. */
+  private def refPagerank(edges: Seq[(String, String)]):
+      Map[String, Double] = {
+    def dsum(xs: Iterable[Double]): Double =
+      if (xs.isEmpty) 0.0
+      else java.lang.Double.parseDouble(
+        xs.map(x => BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP))
+          .sum.bigDecimal.toPlainString)
+    val dist = edges.distinct
+    val nodes = (dist.map(_._1) ++ dist.map(_._2)).distinct.sorted
+    val out = dist.groupBy(_._1).map { case (s, es) => s -> es.size }
+    val in = dist.groupBy(_._2)
+    val nd = nodes.size.toDouble
+    var rank = nodes.map(_ -> (1.0 / nd)).toMap
+    for (_ <- 1 to LinkGraph.Iters) {
+      val dang = dsum(nodes.filterNot(out.contains).map(rank))
+      rank = nodes.map { v =>
+        val s = dsum(in.getOrElse(v, Seq.empty)
+          .map { case (u, _) => rank(u) / out(u).toDouble })
+        v -> ((LinkGraph.Teleport / nd) +
+          (LinkGraph.Damping * (s + (dang / nd))))
+      }.toMap
+    }
+    rank
+  }
+
+  private def run(edges: Seq[(String, String)]): Map[String, Double] =
+    LinkGraph.pagerank(edges.toDF("src", "dst").distinct())
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+
+  test("star graph: the hub out-ranks every leaf, reference-exact") {
+    val edges = (1 to 6).map(i => (s"leaf$i.test", "hub.test"))
+    val got = run(edges)
+    val want = refPagerank(edges)
+    assert(got.keySet == want.keySet)
+    for ((h, r) <- want)
+      assert(math.abs(got(h) - r) < 1e-12, s"$h: ${got(h)} vs $r")
+    assert(got("hub.test") > got("leaf1.test") * 3,
+      "six in-links must dominate a no-in-link leaf")
+  }
+
+  test("dangling mass: a sink's rank is redistributed, mass sums to 1") {
+    // chain with a sink end and a side feeder — the sink donates back
+    val edges = Seq(("a.test", "b.test"), ("b.test", "c.test"),
+      ("d.test", "b.test"))
+    val got = run(edges)
+    val want = refPagerank(edges)
+    for ((h, r) <- want)
+      assert(math.abs(got(h) - r) < 1e-12, s"$h: ${got(h)} vs $r")
+    val mass = got.values.sum
+    assert(math.abs(mass - 1.0) < 1e-6,
+      s"rank mass must be conserved, got $mass")
+  }
+
+  test("2-cycle + feeder: oscillation is reference-exact at iter 10") {
+    // a↔b with c→a: the cycle makes the power method OSCILLATE
+    // toward the fixed point (a asymptotically wins on the extra
+    // in-link, but iteration parity decides who leads at any finite
+    // round) — the engine must reproduce the reference's round-10
+    // snapshot exactly, not the limit.
+    val edges = Seq(("a.test", "b.test"), ("b.test", "a.test"),
+      ("c.test", "a.test"))
+    val got = run(edges)
+    val want = refPagerank(edges)
+    for ((h, r) <- want)
+      assert(math.abs(got(h) - r) < 1e-12, s"$h: ${got(h)} vs $r")
+    assert(got("c.test") < got("a.test") && got("c.test") < got("b.test"),
+      "the feeder with no in-links must rank last")
+  }
+
+  test("seeded random graphs agree with the reference bit-for-bit") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 8 + trial * 3
+      val hosts = (0 until n).map(i => s"h$i.test")
+      val edges = (1 to n * 3).map { _ =>
+        (hosts(rnd.nextInt(n)), hosts(rnd.nextInt(n)))
+      }.filter { case (a, b) => a != b }.distinct
+      val got = run(edges)
+      val want = refPagerank(edges)
+      assert(got.keySet == want.keySet, s"trial $trial node set")
+      for ((h, r) <- want)
+        assert(math.abs(got(h) - r) < 1e-12,
+          s"trial $trial $h: ${got(h)} vs $r")
+    }
+  }
+
+  test("fixture graph: fetchable hosts only, no self-edges, sane degs") {
+    val rows = LinkGraph.linkPagerank(spark, "/root/testdata/sf0.001")
+      .collect()
+    val hosts = rows.map(_.getString(0)).toSet
+    assert(!hosts.contains("(non-http)") && !hosts.contains("(unresolved)"),
+      "un-fetchable buckets must not enter the graph")
+    assert(rows.nonEmpty && rows.forall(_.getDouble(3) > 0.0),
+      "every node keeps at least the teleport share")
+    // ordering contract: rank desc, then host
+    val ranks = rows.map(_.getDouble(3)).toSeq
+    assert(ranks == ranks.sorted(Ordering[Double].reverse))
+    // every host has in-links or out-links (it came from an edge)
+    assert(rows.forall(r => r.getLong(1) > 0 || r.getLong(2) > 0))
+  }
+}

@@ -194,4 +194,31 @@ class QualitySignalsSpec extends AnyFunSuite {
     assert(scored.exists { case (id, m) =>
       m > globalCut && !keptIds.contains(id) })
   }
+
+  test("ngram LM score: hand-computed add-one probabilities (X91)") {
+    // train slice (doc_id % 5 == 0): docs 0 and 5
+    //   doc0 "a b a c" → bigrams (a b)(b a)(a c); doc5 "a b c" →
+    //   (a b)(b c) ⇒ c2: ab=2 ba=1 ac=1 bc=1; c1: a=3 b=2; V=3
+    val dir = corpus(
+      0L -> "a b a c",
+      5L -> "a b c",
+      1L -> "a b z",  // (a b): (2+1)/(3+3)=0.5; (b z): (0+1)/(2+3)=0.2
+      2L -> "z z",    // (z z): unseen context → (0+1)/(0+3)=1/3
+      3L -> "a")      // single token: no bigram, excluded
+    val got = QualitySignals.ngramLmScore(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got.keySet == Set(0L, 5L, 1L, 2L), "doc 3 has no bigram")
+    val (n1, u1, p1) = got(1L)
+    assert(n1 == 2 && u1 == 1 && math.abs(p1 - 0.35) < 1e-6)
+    val (n2, u2, p2) = got(2L)
+    assert(n2 == 1 && u2 == 1 && math.abs(p2 - 1.0 / 3.0) < 1e-6)
+    // train docs: every bigram is in the model by construction
+    assert(got(0L)._2 == 0 && got(5L)._2 == 0)
+    // doc0: (0.5 + 0.4 + 1/3) / 3 with the model above
+    assert(math.abs(got(0L)._3 - (0.5 + 0.4 + 1.0 / 3.0) / 3.0) < 1e-6)
+    // higher-quality (in-model) text outscores unseen-heavy text
+    assert(got(0L)._3 > got(1L)._3)
+  }
 }

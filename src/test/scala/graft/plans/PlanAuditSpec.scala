@@ -35,7 +35,9 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private val bnljAllowed = Set(
     "similarity_topk", "filtered_topk", "media_embed_topk",
-    "fk_violations", "q22_dormant_rich", "tfidf_top_terms", "bm25_search")
+    "fk_violations", "q22_dormant_rich", "tfidf_top_terms", "bm25_search",
+    // 1-row broadcast vocab scalar riding along the scoring join
+    "ngram_lm_score")
 
   /** Every registered query's physical-plan STRING, built once and
     * shared by all audits (building a plan runs the side-effecting
@@ -250,6 +252,23 @@ class PlanAuditSpec extends AnyFunSuite {
     // corpus's rollup, null-safe join + presentation sort; the
     // write-back happens store-side, not in the registered plan
     "takedown_propagate" -> 3,
+    // X92: one lag window + one agg over the merge key (the same
+    // exchange reused), presentation sort; the three version
+    // reconstructions read the tiny fixture lake, not a scaled table
+    "recrawl_schedule" -> 2,
+    // X91: score-side bigrams join the model on the bigram key then
+    // the context key (both shuffles — the model is corpus-scaled,
+    // never broadcast), per-doc reduction, presentation sort; the
+    // (w1,g) model rollup and the one corpus scan live behind the
+    // listing-tagged checkpoint
+    "ngram_lm_score" -> 5,
+    // X90: the REGISTERED plan reads the final checkpointed rank
+    // vector (the 10 power-method rounds run at checkpoint time, each
+    // a host-sized join+agg) and joins the in/out-degree rollups —
+    // one degree agg exchange survives reuse — plus the presentation
+    // sort; everything corpus-sized happened before the edge
+    // checkpoint
+    "link_pagerank" -> 2,
     // X86: the budget is a per-row projection over the host-sized
     // CHECKPOINTED rollup (the resolve tree is optimizer-expensive;
     // the rollup job runs at checkpoint time) — one presentation sort
