@@ -1169,6 +1169,40 @@ object SparkEntry {
         md5(text) AS content_md5
       FROM documents ORDER BY doc_id""")),
 
+    // X93 — content-type sniffing over the committed binary fixture:
+    // magic-byte detection vs what the extension promises, rolled up
+    // per detected type. Both CASE chains generate from the shared
+    // MagicTypes/ExtTypes constants; both engines read the same bytes
+    // on disk (the robots_rules fixture pattern).
+    "mime_sniff" -> Q((s, d) => Formats.mimeSniff(s, d), Some {
+      val det = Formats.MagicTypes.map { case (p, tp) =>
+        s"WHEN starts_with(px, '$p') THEN '$tp'"
+      }.mkString(" ")
+      val prom = Formats.ExtTypes.map { case (e, tp) =>
+        s"WHEN ext = '$e' THEN '$tp'"
+      }.mkString(" ")
+      s"""
+      WITH f AS (SELECT
+          CAST(octet_length(content) AS BIGINT) AS length,
+          left(hex(content), 16) AS px,
+          lower(regexp_extract(filename, '\\.([A-Za-z0-9]+)$$', 1))
+            AS ext
+        FROM read_blob('${Formats.BinmixDir}/*')
+        -- Spark's binaryFile source silently skips ZERO-BYTE files;
+        -- the fixture plants one (empty.jpg) and MultimodalSpec pins
+        -- the skip — the oracle matches the source's visible set
+        WHERE octet_length(content) > 0),
+      c AS (SELECT length,
+          CASE $det ELSE 'unknown' END AS detected,
+          CASE $prom ELSE 'unknown' END AS promised
+        FROM f)
+      SELECT detected, count(*) AS n_files,
+        CAST(sum(length) AS BIGINT) AS n_bytes,
+        CAST(sum(CASE WHEN promised <> detected THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_ext_mismatch
+      FROM c GROUP BY 1 ORDER BY 1"""
+    }),
+
     // Parquet schema evolution: two file generations (one without the
     // o_totalprice column) merged by a mergeSchema read; oracle splits
     // the ORIGINAL parquet the same even/odd way.

@@ -132,4 +132,65 @@ object Formats {
         sum(col("o_custkey")).as("custkey_sum"),
         dsum(col("o_totalprice")).as("evolved_price_sum"))
   }
+
+  // ---- X93: content-type sniffing ------------------------------------
+
+  /** Committed binary fixture (`scripts/gen_bin_fixture.py`) — both
+    * engines sniff the SAME bytes on disk, the robots_rules pattern. */
+  val BinmixDir = s"${Ingest.FixtureDir}/corpus/binmix"
+
+  /** Magic-byte table, FIRST match wins; hex is uppercase in both
+    * engines (`hex()` in Spark and DuckDB). The classification CASE
+    * chain on both sides is generated from this one constant. */
+  val MagicTypes: Seq[(String, String)] = Seq(
+    "FFD8FF" -> "jpeg",
+    "89504E470D0A1A0A" -> "png",
+    "474946383961" -> "gif",
+    "474946383761" -> "gif",
+    "255044462D" -> "pdf",
+    "504B0304" -> "zip",
+    "504B0506" -> "zip")
+
+  /** ext (lowercased) → the type its name promises; anything else
+    * promises `unknown`. */
+  val ExtTypes: Seq[(String, String)] = Seq(
+    "jpg" -> "jpeg", "jpeg" -> "jpeg", "png" -> "png", "gif" -> "gif",
+    "pdf" -> "pdf", "zip" -> "zip")
+
+  /** X93 — content-type sniffing over a binary asset directory (the
+    * multimodal ingest gate a crawl pipeline runs before routing
+    * bytes to decoders): detect each file's REAL type from its magic
+    * bytes, compare against what the extension promises, and roll up
+    * per detected type — file count, byte mass, and how many
+    * extensions LIE (the mislabeled-asset rate that poisons a decoder
+    * fleet if admitted unchecked). Detection is a first-match prefix
+    * walk over [[MagicTypes]] on the UPPERCASE hex of the first 8
+    * bytes; files shorter than a magic, decoys with the magic
+    * mid-file, and corrupted magic bytes all fall to `unknown`
+    * (fixture plants each shape).
+    *
+    * Scale shape: `binaryFile` scan → per-file projection (8-byte
+    * substring + hex + CASE chain; the content column is never
+    * shuffled) → one map-side-combined agg on the bounded type key.
+    * At 100 TB of assets this runs at scan speed; the rollup is
+    * type-bounded. */
+  def mimeSniff(spark: SparkSession, dir: String): DataFrame = {
+    val px = hex(substring(col("content"), 1, 8))
+    val detected = MagicTypes.foldRight(lit("unknown"): org.apache.spark.sql.Column) {
+      case ((pfx, tp), acc) => when(px.startsWith(pfx), lit(tp)).otherwise(acc)
+    }
+    val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+    val promised = ExtTypes.foldRight(lit("unknown"): org.apache.spark.sql.Column) {
+      case ((e, tp), acc) => when(ext === e, lit(tp)).otherwise(acc)
+    }
+    spark.read.format("binaryFile").load(BinmixDir)
+      .select(detected.as("detected"), promised.as("promised"),
+        col("length"))
+      .groupBy(col("detected"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("length")).as("n_bytes"),
+        sum(when(col("promised") =!= col("detected"), 1L).otherwise(0L))
+          .as("n_ext_mismatch"))
+      .orderBy("detected")
+  }
 }

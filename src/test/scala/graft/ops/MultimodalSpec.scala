@@ -154,4 +154,53 @@ class MultimodalSpec extends AnyFunSuite {
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("binaryFile skips zero-byte assets — the documented source gap (X93)") {
+    val onDisk = new java.io.File(Formats.BinmixDir).listFiles()
+    val empties = onDisk.filter(_.length == 0)
+    assert(empties.map(_.getName).toSeq == Seq("empty.jpg"),
+      "fixture must keep its zero-byte witness")
+    val seen = spark.read.format("binaryFile").load(Formats.BinmixDir)
+      .count()
+    // if Spark ever starts surfacing empty files, the oracle's
+    // octet_length(content) > 0 guard must be removed with this pin
+    assert(seen == onDisk.length - empties.length,
+      s"binaryFile saw $seen of ${onDisk.length} files")
+  }
+
+  test("mime_sniff equals a driver-side reclassification of the bytes (X93)") {
+    import java.nio.file.{Files, Paths}
+    def hexPrefix(b: Array[Byte]): String =
+      b.take(8).map("%02X".format(_)).mkString
+    val files = new java.io.File(Formats.BinmixDir).listFiles()
+      .filter(_.length > 0).toSeq
+    val expected = files.map { f =>
+      val px = hexPrefix(Files.readAllBytes(Paths.get(f.getPath)))
+      val detected = Formats.MagicTypes
+        .collectFirst { case (p, t) if px.startsWith(p) => t }
+        .getOrElse("unknown")
+      val ext = f.getName.reverse.takeWhile(_ != '.').reverse
+        .toLowerCase match {
+          case e if f.getName.contains('.') => e
+          case _ => ""
+        }
+      val promised = Formats.ExtTypes.toMap.getOrElse(
+        if (f.getName.contains('.')) ext else "", "unknown")
+      (detected, promised, f.length)
+    }
+    val want = expected.groupBy(_._1).map { case (d, xs) =>
+      d -> ((xs.size.toLong, xs.map(_._3).sum,
+        xs.count { case (de, pr, _) => de != pr }.toLong))
+    }
+    val got = Formats.mimeSniff(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+    // the planted liars are visible: some type has a nonzero mismatch
+    assert(got.values.exists(_._3 > 0))
+    // every planted real type was detected
+    assert(Set("jpeg", "png", "gif", "pdf", "zip", "unknown")
+      .subsetOf(got.keySet))
+  }
 }

@@ -252,6 +252,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // corpus's rollup, null-safe join + presentation sort; the
     // write-back happens store-side, not in the registered plan
     "takedown_propagate" -> 3,
+    // X93: one type-keyed agg over the per-file sniff projection
+    // (content never shuffles) + presentation sort
+    "mime_sniff" -> 2,
     // X92: one lag window + one agg over the merge key (the same
     // exchange reused), presentation sort; the three version
     // reconstructions read the tiny fixture lake, not a scaled table
