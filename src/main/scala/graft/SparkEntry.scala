@@ -1357,6 +1357,32 @@ object SparkEntry {
         metric <= 0 AS pass
       FROM u ORDER BY check_name""")),
 
+    // X94 — event-volume anomaly detection: per-(type, day) counts
+    // z-scored against the type's own daily series. mean/var from
+    // exact integer sums (Σn, Σn², k) so every double op is
+    // IEEE-exact; var>0 guarded BEFORE sqrt (NaN comparison semantics
+    // differ across engines). Every bucket kept (monitoring series).
+    "event_anomaly" -> Q((s, d) => Inspect.eventAnomaly(s, d), Some(s"""
+      WITH b AS (SELECT event_type, date_trunc('day', ts) AS day,
+          count(*) AS n
+        FROM events GROUP BY 1, 2),
+      s AS (SELECT event_type, count(*) AS k, sum(n) AS sn,
+          sum(n * n) AS snn
+        FROM b GROUP BY 1),
+      j AS (SELECT b.event_type, b.day, b.n,
+          CAST(s.sn AS DOUBLE) / CAST(s.k AS DOUBLE) AS mean,
+          (CAST(s.snn AS DOUBLE) / CAST(s.k AS DOUBLE)) -
+            ((CAST(s.sn AS DOUBLE) / CAST(s.k AS DOUBLE)) *
+             (CAST(s.sn AS DOUBLE) / CAST(s.k AS DOUBLE))) AS vr
+        FROM b JOIN s USING (event_type)),
+      z AS (SELECT *, CASE WHEN vr > 0.0
+          THEN (CAST(n AS DOUBLE) - mean) / sqrt(vr)
+          ELSE 0.0 END AS z
+        FROM j)
+      SELECT event_type, epoch_us(day) AS day_us, n, mean, z,
+        (vr > 0.0 AND abs(z) >= ${Inspect.AnomalyZ}) AS is_anomaly
+      FROM z ORDER BY event_type, day_us""")),
+
     // Per-window data-quality monitor, batch twin of the streaming
     // form (StreamingSpec pins stream == batch); oracle recomputes the
     // violation counts per hour window.
@@ -1746,6 +1772,42 @@ object SparkEntry {
           (${HtmlExtract.WindowMs} // delay_ms) AS BIGINT)
           AS n_windows
       FROM a ORDER BY host""")),
+
+    // X95 — paragraph-level KEEP-FIRST dedup (C4/Dolma semantics —
+    // distinct from span_scrub's drop-all): <p> blocks tag-stripped
+    // and collapsed, one corpus-wide window over the paragraph hash,
+    // earliest (doc_id, position) survives, kept text rebuilt in
+    // order and md5'd.
+    "paragraph_dedup" -> Q(
+      (s, d) => HtmlExtract.paragraphDedup(s, d), Some {
+        def sq(x: String) = x.replace("'", "''")
+        def strip(x: String) =
+          s"regexp_replace($x, '${sq(HtmlExtract.TagPattern)}', ' ', 'g')"
+        def coll(x: String) =
+          s"trim(regexp_replace($x, '${sq(HtmlExtract.WsPattern)}', ' ', 'g'))"
+        s"""
+      WITH d AS (SELECT doc_id, html FROM read_csv(
+          '${HtmlExtract.FixtureCsv}',
+          header=true, columns={'doc_id':'BIGINT','source':'VARCHAR',
+          'page_url':'VARCHAR','html':'VARCHAR'})),
+      pl AS (SELECT doc_id,
+          unnest(list_transform(range(1, len(ps) + 1), i -> i)) AS idx,
+          unnest(ps) AS raw
+        FROM (SELECT doc_id, regexp_extract_all(html,
+            '${sq(HtmlExtract.ParaPattern)}', 1) AS ps FROM d)),
+      p0 AS (SELECT doc_id, idx, ${coll(strip("raw"))} AS text FROM pl),
+      p AS (SELECT * FROM p0 WHERE text <> ''),
+      k AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+          ORDER BY doc_id, idx) AS rn FROM p),
+      kk AS (SELECT * FROM k WHERE rn = 1),
+      tot AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY 1),
+      ka AS (SELECT doc_id, count(*) AS n_kept,
+          md5(string_agg(text, ' ' ORDER BY idx)) AS kept_md5
+        FROM kk GROUP BY 1)
+      SELECT t.doc_id, t.n_paras,
+        CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept, ka.kept_md5
+      FROM tot t LEFT JOIN ka USING (doc_id) ORDER BY doc_id"""
+      }),
 
     // X90 — host-graph PageRank: the global link-authority signal a
     // frontier priority folds in. Distinct fetchable host→host edges

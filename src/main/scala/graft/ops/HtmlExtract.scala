@@ -16,11 +16,12 @@ import org.apache.spark.sql.types._
   * boilerplate-removal pass, chosen so every step is a
   * `regexp_replace`/`replace` chain both engines replay bit-for-bit
   * (the [[Privacy]] Java-regex ∩ RE2 dialect discipline: no
-  * lookaround, ASCII classes, non-greedy, inline `(?i)` only — and
-  * `[\s\S]` instead of `.` wherever a region may span lines, because
-  * real pages put script/comment/nav blocks across newlines and
-  * `(?s)` is not in the shared dialect; `[\s\S]` means the identical
-  * thing in Java regex and RE2 with no flag):
+  * lookaround, ASCII classes, non-greedy, inline `(?i)`/`(?s)` —
+  * newline-crossing regions are spelled `(?s)` + `.`, which both
+  * dialects define identically; the earlier `[\s\S]` spelling was
+  * semantically equal but ~65× slower in Spark's row path, because a
+  * Java LAZY loop over a character class falls off Pattern's
+  * optimized any-char node — see the [[RegionRules]] note):
   *
   *  1. region removal, in fixed order: comments, CDATA blocks,
   *     script, style, then the planted boilerplate containers nav and
@@ -71,16 +72,24 @@ object HtmlExtract {
     * commented-out markup never counts as a region terminator for the
     * later rules... and tag-like content inside script/style is
     * consumed with its block. */
+  // Newline-crossing is spelled `(?s)`/`(?is)` + `.`, NOT `[\s\S]`:
+  // the two are semantically identical in BOTH dialects (Java DOTALL;
+  // RE2 s-flag), but a Java lazy loop over the [\s\S] character class
+  // falls off Pattern's optimized any-char path — measured ~65× slower
+  // per document in the Spark row path (round 14; 33 s → 0.5 s on the
+  // 100× paragraph leg). The r13 hardening note claiming `(?s)` is
+  // outside the shared dialect was wrong — RE2 supports the inline
+  // flag, and every oracle shares these constants verbatim.
   val RegionRules: Seq[String] = Seq(
-    "<!--[\\s\\S]*?-->",
-    "<!\\[CDATA\\[[\\s\\S]*?\\]\\]>",
-    "(?i)<script[^>]*>[\\s\\S]*?</script>",
-    "(?i)<style[^>]*>[\\s\\S]*?</style>",
-    "(?i)<nav[^>]*>[\\s\\S]*?</nav>",
-    "(?i)<footer[^>]*>[\\s\\S]*?</footer>")
+    "(?s)<!--.*?-->",
+    "(?s)<!\\[CDATA\\[.*?\\]\\]>",
+    "(?is)<script[^>]*>.*?</script>",
+    "(?is)<style[^>]*>.*?</style>",
+    "(?is)<nav[^>]*>.*?</nav>",
+    "(?is)<footer[^>]*>.*?</footer>")
 
   val TagPattern = "<[^>]*>"
-  val AnchorPattern = "(?i)<a[^>]*>([\\s\\S]*?)</a>"
+  val AnchorPattern = "(?is)<a[^>]*>(.*?)</a>"
   val WsPattern = "[ \\t\\r\\n]+"
   val BoilerTagPattern = "(?i)<(nav|footer)[ >]"
   val LinkDensityCut = 0.4
@@ -304,8 +313,8 @@ object HtmlExtract {
     * crawl canonicalization always strips (a fragment never reaches
     * the server; tracking params multiply otherwise-identical URLs).
     * Fragment FIRST, so a param glued to a fragment dies with it.
-    * `[\s\S]` not `.`: a quoted href can span lines on real pages. */
-  val FragmentPattern = "#[\\s\\S]*$"
+    * `(?s)`: a quoted href can span lines on real pages. */
+  val FragmentPattern = "(?s)#.*$"
   val UtmPattern = "[?&]utm_[a-z]+=[^&#]*"
   /** Stripping a LEADING `?utm_…` glues the next param to the path
     * (`/p?utm_s=1&id=2` → `/p&id=2`); re-anchor the first `&` back to
@@ -411,7 +420,7 @@ object HtmlExtract {
   val AnySchemePattern = "^[a-z][a-z0-9+.-]*:"
   /** The page's query string, stripped before deriving its base
     * directory for relative resolution. */
-  val PageQueryPattern = "\\?[\\s\\S]*$"
+  val PageQueryPattern = "(?s)\\?.*$"
   /** The last path segment — what relative resolution replaces. */
   val LastSegmentPattern = "[^/]*$"
   /** An absolute http(s) URL with no path at all (`http://h.test`):
@@ -650,4 +659,93 @@ object HtmlExtract {
       .select(col("host"), col("n_urls"), col("crawl_delay_ms"),
         col("slots_per_window"), col("n_windows"))
       .orderBy("host")
+
+  // ---- X95: paragraph-level keep-first dedup -------------------------
+
+  /** `<p>` block, non-greedy, newline-safe — the unit the C4/Dolma
+    * paragraph-dedup pass operates on. Unclosed blocks do not match
+    * (the X82 region-rule discipline). */
+  val ParaPattern = "(?is)<p[^>]*>(.*?)</p>"
+
+  /** Winner-encoding radix: (doc_id, idx) packs into one long as
+    * `doc_id · 2²⁰ + idx` so the keep-first winner is a plain
+    * `min(long)`. Bounds: ≤ 2²⁰ paragraphs per page (a page is
+    * fetch-capped far below that), doc_id < 2⁴³. */
+  val IdxCap: Long = 1L << 20
+
+  /** X95 — paragraph-level KEEP-FIRST dedup (the C4/Dolma staple):
+    * every `<p>` block across the crawl, tag-stripped and collapsed,
+    * deduplicated corpus-wide with the EARLIEST occurrence (by
+    * (doc_id, position)) surviving — quoted passages, syndicated
+    * intros and shared chrome paragraphs collapse to one copy while
+    * every document keeps its unique remainder. Distinct from
+    * [[Dedup.repeatedSpanScrub]] (X58), which drops ALL occurrences
+    * of repeated token windows: keep-first preserves one canonical
+    * copy, the published C4 semantics.
+    *
+    * Output per document that has paragraphs: paragraph count, kept
+    * count, and the md5 of the kept text rebuilt in original order
+    * (the span_scrub reduction — a production pipeline keeps the
+    * text column).
+    *
+    * Scale shape — the skew case the doc-level dedup family never
+    * hits: BOILERPLATE paragraphs ("subscribe", cookie banners)
+    * repeat across a large fraction of the corpus, so the paragraph
+    * hash has mega-hot keys and a `row_number` window over it would
+    * funnel every copy of each hot paragraph through one reducer.
+    * Keep-first is therefore a map-side-combinable `min` of the
+    * (doc_id, idx) winner ENCODED as one long per hash — partial
+    * aggregation absorbs the hot keys (each map partition forwards
+    * one candidate per key, like `link_hosts`' hot-host leg) and the
+    * skinny hash agg stays in whole-stage codegen — followed by a
+    * winner fetch joined on the UNIQUE (doc_id, idx) key: a uniform
+    * shuffle the hot paragraph hashes never touch. The DuckDB oracle
+    * derives the SAME winners via the naive `row_number` window
+    * form — the decomposition's equivalence is gate-checked on every
+    * run. Paragraph fan-out is one row per `<p>` block, checkpointed
+    * once for its three consumers; the rebuild aggregates per doc
+    * map-side. */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
+    paragraphDedupFrom(fixturePages(spark))
+
+  private[graft] def paragraphDedupFrom(pages: DataFrame): DataFrame = {
+    // fanOut: a plain parquet scan of the corpus yields
+    // size-of-file/128MB input splits — the per-paragraph regex chain
+    // (the dominant cost, measured 33 s of a 41 s run at 100× on TWO
+    // splits) must run at full parallelism
+    val paras = graft.util.Tables.fanOut(pages)
+      .select(col("doc_id"), posexplode(
+        regexp_extract_all(col("html"), lit(ParaPattern), lit(1))))
+      .withColumn("text", collapse(stripTags(col("col"))))
+      .filter(col("text") =!= "")
+      .select(col("doc_id"), col("pos").as("idx"), col("text"))
+      .localCheckpoint()
+    // winner = min of (doc_id, idx) ENCODED as one long: a plain
+    // min(long) HASH-aggregates with whole-stage codegen (min over a
+    // struct — and min_by — carry non-primitive buffers and fall to
+    // SortAggregate: a full sort of the corpus-text relation, 2×
+    // slower at 100×, measured). The winner fetch joins back on the
+    // UNIQUE (doc_id, idx) key — uniform shuffle, so the hot
+    // boilerplate keys never meet a join or window partition.
+    val enc = col("doc_id") * lit(IdxCap) + col("idx")
+    val winners = paras
+      .select(md5(col("text")).as("k"), enc.as("e"))
+      .groupBy(col("k")).agg(min(col("e")).as("e"))
+      .select(expr(s"e div ${IdxCap}L").as("doc_id"),
+        pmod(col("e"), lit(IdxCap)).cast("int").as("idx"))
+    val kept = paras.join(winners, Seq("doc_id", "idx"))
+    val total = paras.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"))
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("idx"), col("text")))),
+            s => s.getField("text")),
+          " ")).as("kept_md5"))
+    total.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("kept_md5"))
+      .orderBy("doc_id")
+  }
 }

@@ -314,4 +314,60 @@ object Inspect {
       Expect("g_date_complete",
         count(lit(1)) - count(col("o_orderdate")), 0)))
   }
+
+  /** X94 — event-volume anomaly detection (the telemetry-QC twin of
+    * the DQ audit: "did some event type spike or die yesterday?"):
+    * per (event_type, day) counts z-scored against that type's own
+    * daily series — population mean/variance from EXACT integer sums
+    * (Σn, Σn², k), so `mean`, `var`, `sd` and every `z` are single
+    * IEEE-exact double ops both engines reproduce bit-for-bit (no
+    * decimal accumulator needed: the sums are BIGINTs; the house
+    * `ln`-free discipline applies — sqrt IS correctly-rounded IEEE).
+    * Constant series (var = 0, via the exact-int identity k·Σn² = Σn²·k
+    * ⇔ all equal) are guarded BEFORE sqrt: a tiny negative var from
+    * `msq − mean²` rounding would otherwise go NaN, and Spark and SQL
+    * engines disagree on NaN comparison semantics — the one
+    * cross-engine trap in this operator.
+    *
+    * Output keeps EVERY bucket (z + flag, |z| ≥ [[AnomalyZ]]), so the
+    * result is a monitoring series, not just the alert rows.
+    *
+    * Scale shape: one map-side-combined (type, day) count agg, one
+    * type-keyed stats agg (type-bounded), broadcast the stats back,
+    * per-row z projection. At 100 TB of events the bucket agg is the
+    * only corpus-sized term. */
+  val AnomalyZ = 2.5
+
+  def eventAnomaly(spark: SparkSession, dir: String): DataFrame =
+    eventAnomalyFrom(t(spark, dir, "events"))
+
+  /** [[eventAnomaly]] over an arbitrary (event_type, ts) relation —
+    * specs plant spike/constant/two-bucket series here. */
+  private[graft] def eventAnomalyFrom(events: DataFrame): DataFrame = {
+    // checkpoint at the BUCKET boundary ((type × day)-bounded — tiny):
+    // stats and the join-back both read it, so the corpus-sized events
+    // scan runs exactly once
+    val buckets = events
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val stats = buckets.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("sn"),
+        sum(col("n") * col("n")).as("snn"))
+    val mean = col("sn").cast("double") / col("k").cast("double")
+    val msq = col("snn").cast("double") / col("k").cast("double")
+    buckets.join(broadcast(stats), Seq("event_type"))
+      .withColumn("mean", mean)
+      .withColumn("vr", msq - (mean * mean))
+      .withColumn("z",
+        when(col("vr") > 0.0,
+          (col("n").cast("double") - col("mean")) / sqrt(col("vr")))
+          .otherwise(lit(0.0)))
+      .select(col("event_type"),
+        unix_micros(col("day")).as("day_us"),
+        col("n"), col("mean"), col("z"),
+        (col("vr") > 0.0 && abs(col("z")) >= AnomalyZ).as("is_anomaly"))
+      .orderBy("event_type", "day_us")
+  }
 }

@@ -409,6 +409,20 @@ object ScaleStress {
               lit("<a href='//cdn"), pmod(col("doc_id"), lit(1000)),
               lit(".test/l.js'>d</a></p></body></html>"))
               .as("html"))))),
+      // X95: paragraph keep-first dedup under the REAL skew shape —
+      // every page shares two boilerplate paragraphs (mega-hot hash
+      // keys: n× occupancy at scale n) around its unique body; the
+      // map-side-combined winner agg must absorb them where a
+      // row_number window would funnel each hot key through one
+      // reducer
+      "paragraph_dedup" -> (d =>
+        m(graft.ops.HtmlExtract.paragraphDedupFrom(
+          Tables.t(spark, d, "documents").select(col("doc_id"),
+            concat(
+              lit("<html><body><p>subscribe to our newsletter</p><p>"),
+              col("text"),
+              lit("</p><p>(c) 2024 corp - all rights reserved</p>"),
+              lit("</body></html>")).as("html"))))),
       // X90: host-graph PageRank over the same synthetic page mix —
       // the edge-derivation scan is corpus-sized while the graph
       // stays host-bounded (~2k hosts at every scale: doc_id % 1000

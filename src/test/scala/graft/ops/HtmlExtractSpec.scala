@@ -506,4 +506,35 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(byId(3L).getString(2) == "&" * 200000)
     assert(byId(5L).getDouble(6) > 0.9) // one giant link: density ~1
   }
+
+  test("paragraph keep-first dedup: earliest copy survives, rest drop (X95)") {
+    import spark.implicits._
+    val md5hex = (s: String) => java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val pages = Seq(
+      // doc 1 owns both paragraphs; doc 2 repeats x, keeps only z
+      (1L, "<p>x one</p><p>y two</p>"),
+      (2L, "<P class='a'>x   one</P><p>z three</p>"),
+      // doc 3: within-doc duplicate — second copy drops
+      (3L, "<p>q</p><p>q</p>"),
+      // doc 4: empty-after-strip, unclosed block, multiline + nested
+      // tags — only the real paragraph counts
+      (4L, "<p>  <b> </b> </p><p>never closed <p>A\nB <i>C</i></p>"),
+      // doc 5: no paragraphs at all — absent from the output
+      (5L, "<div>no paras here</div>")
+    ).toDF("doc_id", "html")
+    val got = HtmlExtract.paragraphDedupFrom(pages).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == ((2L, 2L, md5hex("x one y two"))))
+    // doc 2's "x   one" collapses to "x one" = doc 1's — only z kept
+    assert(got(2L) == ((2L, 1L, md5hex("z three"))))
+    assert(got(3L) == ((2L, 1L, md5hex("q"))))
+    // the unclosed "<p>never closed " swallows up to the NEXT </p>
+    // (non-greedy): its inner "<p>A\nB <i>C</i>" strips to the text —
+    // deterministic, documented fall-through, one surviving paragraph
+    assert(got(4L)._1 == 1L && got(4L)._3 == md5hex("never closed A B C"))
+  }
 }

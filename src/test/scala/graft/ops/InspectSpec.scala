@@ -160,4 +160,40 @@ class InspectSpec extends AnyFunSuite {
     val scans = "orders\\.parquet".r.findAllIn(p).size
     assert(scans == 1, s"expected 1 orders scan, got $scans:\n$p")
   }
+
+  test("eventAnomaly: spike flagged, constant series zero, hand-math exact (X94)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // type A: 9 quiet days of 2 events + 1 day of 20 → the spike must
+    // flag; type B: constant 3/day → var 0, every z exactly 0.0
+    val rows =
+      (1 to 9).flatMap(d => Seq.fill(2)(("A", d))) ++
+      Seq.fill(20)(("A", 10)) ++
+      (1 to 10).flatMap(d => Seq.fill(3)(("B", d)))
+    val events = rows.toDF("event_type", "d")
+      .withColumn("ts", to_timestamp(
+        format_string("2024-06-%02d 07:3%s:00", col("d"),
+          pmod(col("d"), lit(2)))))
+      .select(col("event_type"), col("ts"))
+    val got = Inspect.eventAnomalyFrom(events).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))
+    val a = got.filter(_._1 == "A")
+    val b = got.filter(_._1 == "B")
+    assert(a.length == 10 && b.length == 10)
+    // A: mean 38/10 = 3.8; var = (9*4+400)/10 - 3.8^2 = 29.16
+    val meanA = 3.8; val sdA = math.sqrt(43.6 - meanA * meanA)
+    a.foreach { case (_, n, m, z, flag) =>
+      assert(m == meanA)
+      val want = (n.toDouble - meanA) / sdA
+      assert(math.abs(z - want) < 1e-12)
+      assert(flag == (math.abs(want) >= Inspect.AnomalyZ))
+    }
+    assert(a.count(_._5) == 1 && a.exists(r => r._2 == 20L && r._5),
+      "exactly the spike day flags")
+    // B: constant series — var 0 exactly (integer identity), z 0.0
+    b.foreach { case (_, n, m, z, flag) =>
+      assert(n == 3L && m == 3.0 && z == 0.0 && !flag)
+    }
+  }
 }

@@ -252,6 +252,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // corpus's rollup, null-safe join + presentation sort; the
     // write-back happens store-side, not in the registered plan
     "takedown_propagate" -> 3,
+    // X94: stats agg over the checkpointed bucket relation (the
+    // corpus-sized (type,day) count agg runs at checkpoint time) +
+    // presentation sort; stats join back is broadcast
+    "event_anomaly" -> 2,
     // X93: one type-keyed agg over the per-file sniff projection
     // (content never shuffles) + presentation sort
     "mime_sniff" -> 2,
@@ -265,6 +269,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // (w1,g) model rollup and the one corpus scan live behind the
     // listing-tagged checkpoint
     "ngram_lm_score" -> 5,
+    // X95: winner agg on the paragraph hash (map-side combined — hot
+    // boilerplate keys) + join-back + per-doc rebuild agg + total agg
+    // join + presentation sort, over the one checkpointed fan-out
+    "paragraph_dedup" -> 4,
     // X90: the REGISTERED plan reads the final checkpointed rank
     // vector (the 10 power-method rounds run at checkpoint time, each
     // a host-sized join+agg) and joins the in/out-degree rollups —
