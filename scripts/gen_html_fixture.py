@@ -314,6 +314,22 @@ def rows():
     add("hostile", "<html><head><script>a = '</style>' + 1;</script>"
                    "<style>em:after { content: 'x</scrip'; }</style>"
                    f"</head><body><p>{filler(10, 6)}</p></body></html>")
+
+    # --- crawl traps: the two URL-shape pathologies a frontier must
+    # cap (X96) — a session-id host exploding ONE path into many query
+    # variants, and a calendar host digging ever-deeper date paths.
+    # Every other family's hosts are the healthy contrast. Appended
+    # LAST so earlier families keep their doc_ids stable.
+    for k in range(4):
+        sess = " ".join(
+            f"<a href='http://trap.fz.test/listing?sid=s{k}x{j}&page=1'>"
+            f"v{j}</a>" for j in range(10))
+        cal = (f"<a href='http://cal.fz.test/"
+               + "/".join(f"d{x}" for x in range(9 + k))
+               + "/index.html'>deep</a>")
+        body = f"<p>{filler(k, 10)} {sess} {cal}</p>"
+        add("trapsite", page(k, body, with_nav=False, with_footer=False,
+                             with_script=False))
     return out
 
 

@@ -1848,6 +1848,38 @@ object SparkEntry {
       WHERE host NOT IN ('(non-http)', '(unresolved)')
       ORDER BY host""")),
 
+    // X96 — crawl-trap detection: per fetchable host, the worst
+    // query-stripped path's distinct-variant count (session-id /
+    // faceted-nav explosion) and the deepest path (calendar/symlink
+    // digs); trap verdict when either crosses its shared threshold.
+    // The oracle replays the resolve chain + the same two-level
+    // rollup with the naive GROUP BYs.
+    "crawl_traps" -> Q(
+      (s, d) => HtmlExtract.crawlTraps(s, d), Some {
+        def sq(x: String) = x.replace("'", "''")
+        val pq = sq(HtmlExtract.PageQueryPattern)
+        val root = sq(HtmlExtract.RootPattern)
+        s"""
+      WITH $resolvedUrlsCtes,
+      base AS (SELECT host,
+          regexp_replace(res, '$pq', '', 'g') AS path, res
+        FROM h WHERE host NOT IN ('(non-http)', '(unresolved)')),
+      pp AS (SELECT host, path, count(DISTINCT res) AS variants
+        FROM base GROUP BY 1, 2),
+      ppd AS (SELECT host, variants,
+          length(regexp_replace(path, '$root', '', 'g')) -
+            length(replace(regexp_replace(path, '$root', '', 'g'),
+              '/', '')) AS depth
+        FROM pp)
+      SELECT host, CAST(sum(variants) AS BIGINT) AS n_urls,
+        count(*) AS n_paths,
+        CAST(max(variants) AS BIGINT) AS max_variants,
+        CAST(max(depth) AS BIGINT) AS max_depth,
+        (max(variants) >= ${HtmlExtract.TrapVariants}
+          OR max(depth) >= ${HtmlExtract.TrapDepth}) AS trap_flag
+      FROM ppd GROUP BY host ORDER BY host"""
+      }),
+
     // Token-budget chunking with overlap (the splitting complement of
     // seq_packing): same tokenization both engines, list_slice vs
     // slice on identical integer boundaries — exact.

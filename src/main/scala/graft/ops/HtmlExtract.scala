@@ -748,4 +748,64 @@ object HtmlExtract {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("kept_md5"))
       .orderBy("doc_id")
   }
+
+  // ---- X96: crawl-trap detection --------------------------------------
+
+  /** Trap thresholds. `TrapVariants`: distinct canonical URLs sharing
+    * ONE query-stripped path — the session-id/faceted-nav explosion
+    * (16, above any legitimate pagination the fixture's healthy hosts
+    * show: the q.html?id= family reaches 8). `TrapDepth`: path
+    * segments — the calendar/symlink dig (8; real sites rarely nest
+    * past 6). Both engines compare the same integers. */
+  val TrapVariants = 16L
+  val TrapDepth = 8L
+
+  /** X96 — crawl-TRAP detection: the URL-shape hygiene a frontier
+    * runs before committing budget to a host ([[crawlBudget]] says
+    * how fast to fetch; this says whether the backlog is even real).
+    * Two classic pathologies, both purely structural so a scheduler
+    * can flag them BEFORE fetching: (a) query-variant explosion — one
+    * query-stripped path serving unbounded `?sid=`/facet variants,
+    * each a distinct canonical URL pointing at the same content; (b)
+    * depth traps — calendar pages and symlink loops digging
+    * ever-deeper path chains. Per fetchable host: distinct-URL
+    * backlog, distinct paths, the worst path's variant count, the
+    * deepest path, and the trap verdict (either signal over its
+    * threshold). A flagged host's backlog is mostly phantom — the
+    * budget table's n_urls overstates it, and a polite frontier caps
+    * or canonicalizes the host instead of draining it.
+    *
+    * Scale shape: the resolve chain is the corpus-sized scan (shared,
+    * per-row); then one (host, path)-keyed distinct-count agg — the
+    * session-id hot PATH is absorbed by partial distinct aggregation
+    * on (host, path, url) — and one host-keyed rollup over the
+    * path-bounded relation. Depth is a function of the path (computed
+    * once per group, not per URL). No corpus-sized join anywhere. */
+  def crawlTraps(spark: SparkSession, dir: String): DataFrame =
+    crawlTrapsFrom(fixturePages(spark))
+
+  private[graft] def crawlTrapsFrom(pages: DataFrame): DataFrame = {
+    val urls = resolvedUrls(pages)
+      .filter(!col("host").isin("(non-http)", "(unresolved)"))
+      .select(col("host"),
+        regexp_replace(col("r"), PageQueryPattern, "").as("path"),
+        col("r"))
+    val perPath = urls.groupBy(col("host"), col("path"))
+      .agg(countDistinct(col("r")).as("variants"))
+      .withColumn("rel", regexp_replace(col("path"), RootPattern, ""))
+      .withColumn("depth",
+        (length(col("rel")) -
+          length(replace(col("rel"), lit("/"), lit("")))).cast("long"))
+    perPath.groupBy(col("host"))
+      .agg(sum(col("variants")).as("n_urls"),
+        count(lit(1)).as("n_paths"),
+        max(col("variants")).as("max_variants"),
+        max(col("depth")).as("max_depth"))
+      .withColumn("trap_flag",
+        col("max_variants") >= TrapVariants ||
+          col("max_depth") >= TrapDepth)
+      .select(col("host"), col("n_urls"), col("n_paths"),
+        col("max_variants"), col("max_depth"), col("trap_flag"))
+      .orderBy("host")
+  }
 }

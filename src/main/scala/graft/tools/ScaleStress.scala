@@ -409,6 +409,26 @@ object ScaleStress {
               lit("<a href='//cdn"), pmod(col("doc_id"), lit(1000)),
               lit(".test/l.js'>d</a></p></body></html>"))
               .as("html"))))),
+      // X96: crawl-trap detection under its own skew — EVERY page
+      // links the same session-id path on one hot host (n× distinct
+      // variants of ONE (host, path) key at scale n) plus a healthy
+      // per-page path; the two-phase distinct-count must absorb the
+      // hot path map-side (partial count after dedup), never funnel
+      // n variants through one reducer
+      "crawl_traps" -> (d =>
+        m(graft.ops.HtmlExtract.crawlTrapsFrom(
+          Tables.t(spark, d, "documents").select(col("doc_id"),
+            concat(lit("http://s"), pmod(col("doc_id"), lit(1000)),
+              lit(".test/a/p"), col("doc_id"), lit(".html"))
+              .as("page_url"),
+            concat(
+              lit("<html><body><p>x "),
+              lit("<a href='http://hot.test/list?sid="),
+              col("doc_id"), lit("'>s</a> "),
+              lit("<a href='http://h"), pmod(col("doc_id"), lit(1000)),
+              lit(".test/p"), col("doc_id"), lit(".html'>a</a>"),
+              lit("</p></body></html>"))
+              .as("html"))))),
       // X95: paragraph keep-first dedup under the REAL skew shape —
       // every page shares two boilerplate paragraphs (mega-hot hash
       // keys: n× occupancy at scale n) around its unique body; the

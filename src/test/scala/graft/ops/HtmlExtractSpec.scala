@@ -507,6 +507,53 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(byId(5L).getDouble(6) > 0.9) // one giant link: density ~1
   }
 
+  test("crawl_traps: fixture trap hosts flag, healthy hosts do not (X96)") {
+    import spark.implicits._
+    val got = HtmlExtract.crawlTraps(spark, dir)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // session-id explosion: 4 pages × 10 sid variants, ONE path
+    val trap = got("trap.fz.test")
+    assert(trap._2 == 40L && trap._3 == 1L && trap._4 == 40L && trap._6,
+      trap)
+    // calendar dig: 4 distinct ever-deeper paths, 1 variant each
+    val cal = got("cal.fz.test")
+    assert(cal._3 == 4L && cal._4 == 1L && cal._5 == 13L && cal._6, cal)
+    // healthy pagination stays under the bar: q.html?id=0..7 is the
+    // fixture's deepest legitimate variant family
+    val healthy = got("docs.example.com")
+    assert(healthy._4 == 8L && !healthy._6, healthy)
+    // and NOTHING else flags — the two planted hosts are the only traps
+    assert(got.values.filter(_._6).map(_._1).toSet ==
+      Set("trap.fz.test", "cal.fz.test"),
+      got.values.filter(_._6).toSeq.sortBy(_._1))
+  }
+
+  test("crawl_traps: both thresholds are exact boundaries (X96)") {
+    import spark.implicits._
+    val v = HtmlExtract.TrapVariants.toInt   // 16
+    val dp = HtmlExtract.TrapDepth.toInt     // 8
+    def links(host: String, n: Int) = (0 until n)
+      .map(j => s"<a href='http://$host/p?v=$j'>x</a>").mkString(" ")
+    def deep(host: String, segs: Int) =
+      s"<a href='http://$host/${(1 to segs).map(i => s"s$i").mkString("/")}'>d</a>"
+    val pages = Seq(
+      (1L, "t", "http://src.test/", links("at.test", v)),
+      (2L, "t", "http://src.test/", links("under.test", v - 1)),
+      // segs path segments → segs slashes? '/s1/../sN' = N slashes
+      (3L, "t", "http://src.test/", deep("deep.test", dp)),
+      (4L, "t", "http://src.test/", deep("shallow.test", dp - 1))
+    ).toDF("doc_id", "source", "page_url", "html")
+    val got = HtmlExtract.crawlTrapsFrom(pages)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("at.test")._4 == v.toLong && got("at.test")._6)
+    assert(got("under.test")._4 == (v - 1).toLong && !got("under.test")._6)
+    assert(got("deep.test")._5 == dp.toLong && got("deep.test")._6)
+    assert(got("shallow.test")._5 == (dp - 1).toLong &&
+      !got("shallow.test")._6)
+  }
+
   test("paragraph keep-first dedup: earliest copy survives, rest drop (X95)") {
     import spark.implicits._
     val md5hex = (s: String) => java.security.MessageDigest

@@ -284,6 +284,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // CHECKPOINTED rollup (the resolve tree is optimizer-expensive;
     // the rollup job runs at checkpoint time) — one presentation sort
     "crawl_budget" -> 1,
+    // X96: (host, path)-keyed distinct-variant agg (count-distinct
+    // expands to two exchanges) + host rollup + presentation sort
+    // over the shared resolve projection
+    "crawl_traps" -> 4,
     // X87: the frontier is checkpointed (resolve tree); the verdict
     // window + the two left joins against broadcast rules relations +
     // presentation sort
