@@ -1848,6 +1848,57 @@ object SparkEntry {
       WHERE host NOT IN ('(non-http)', '(unresolved)')
       ORDER BY host""")),
 
+    // X97 — anchor-text aggregation: per target host, the top-3
+    // anchor terms of all links pointing at it (count DESC, term ASC)
+    // — href and link text parsed from the same anchor element,
+    // resolved via the shared chain. The Spark side runs the X40
+    // TopKPerKey custom physical operator; the oracle derives the
+    // same rows from the naive row_number window, gate-checking the
+    // operator every run.
+    "anchor_text" -> Q(
+      (s, d) => HtmlExtract.anchorText(s, d), Some {
+        import HtmlExtract._
+        def sq(x: String) = x.replace("'", "''")
+        s"""
+      WITH d AS (SELECT doc_id, page_url, html FROM read_csv(
+          '$FixtureCsv', header=true,
+          columns={'doc_id':'BIGINT','source':'VARCHAR',
+          'page_url':'VARCHAR','html':'VARCHAR'})),
+      e AS (SELECT ${normalizeUrlSql("page_url")} AS p,
+          unnest(regexp_extract_all(html,
+            '${sq(AnchorElemPattern)}', 0)) AS el
+        FROM d),
+      x AS (SELECT p, regexp_extract(el, '${sq(HrefPattern)}', 1)
+            AS url,
+          trim(regexp_replace(regexp_replace(
+            regexp_extract(el, '${sq(AnchorPattern)}', 1),
+            '${sq(TagPattern)}', ' ', 'g'),
+            '${sq(WsPattern)}', ' ', 'g')) AS atext
+        FROM e),
+      f AS (SELECT p, ${normalizeUrlSql("url")} AS u, atext FROM x
+        WHERE url <> '' AND atext <> ''),
+      r AS (SELECT u, ${resolveUrlSql("u", "p")} AS res, atext FROM f),
+      h AS (SELECT CASE
+            WHEN regexp_matches(u, '${sq(AnySchemePattern)}')
+              AND NOT regexp_matches(u, '${sq(HostPattern)}')
+              THEN '(non-http)'
+            WHEN res IS NULL
+              OR regexp_extract(res, '${sq(HostPattern)}', 1) = ''
+              THEN '(unresolved)'
+            ELSE regexp_extract(res, '${sq(HostPattern)}', 1)
+          END AS host, atext
+        FROM r),
+      t AS (SELECT host,
+          unnest(list_filter(string_split_regex(lower(atext), '\\s+'),
+            w -> w <> '')) AS term
+        FROM h WHERE host NOT IN ('(non-http)', '(unresolved)')),
+      c AS (SELECT host, term, count(*) AS n FROM t GROUP BY 1, 2),
+      k AS (SELECT *, row_number() OVER (PARTITION BY host
+          ORDER BY n DESC, term) AS rank FROM c)
+      SELECT host, rank, term, n FROM k WHERE rank <= $AnchorTopK
+      ORDER BY host, rank"""
+      }),
+
     // X96 — crawl-trap detection: per fetchable host, the worst
     // query-stripped path's distinct-variant count (session-id /
     // faceted-nav explosion) and the deepest path (calendar/symlink

@@ -499,6 +499,16 @@ object HtmlExtract {
 
   /** The per-link RESOLVED URL relation (doc_id, p, u, r, host) —
     * the shared base of the X83b rollup and the X87 robots gate. */
+  /** Host bucket of a normalized link `u` resolved to `r`: non-http
+    * schemes fenced, unresolvable fail-closed, else the target host —
+    * the one bucketing rule every frontier relation shares. */
+  private[graft] def hostBucket(u: Column, r: Column): Column =
+    when(u.rlike(AnySchemePattern) && !u.rlike(HostPattern),
+      lit("(non-http)"))
+      .when(r.isNull || regexp_extract(r, HostPattern, 1) === "",
+        lit("(unresolved)"))
+      .otherwise(regexp_extract(r, HostPattern, 1))
+
   private[graft] def resolvedUrls(pages: DataFrame): DataFrame =
     pages
       .select(col("doc_id"), normalizeUrl(col("page_url")).as("p"),
@@ -506,13 +516,7 @@ object HtmlExtract {
           lit(1))).as("url"))
       .withColumn("u", normalizeUrl(col("url")))
       .withColumn("r", resolveUrl(col("u"), col("p")))
-      .withColumn("host",
-        when(col("u").rlike(AnySchemePattern) &&
-          !col("u").rlike(HostPattern), lit("(non-http)"))
-          .when(col("r").isNull ||
-            regexp_extract(col("r"), HostPattern, 1) === "",
-            lit("(unresolved)"))
-          .otherwise(regexp_extract(col("r"), HostPattern, 1)))
+      .withColumn("host", hostBucket(col("u"), col("r")))
 
   private[graft] def linkHostsResolvedFrom(pages: DataFrame): DataFrame = {
     val urls = resolvedUrls(pages)
@@ -807,5 +811,71 @@ object HtmlExtract {
       .select(col("host"), col("n_urls"), col("n_paths"),
         col("max_variants"), col("max_depth"), col("trap_flag"))
       .orderBy("host")
+  }
+
+  // ---- X97: anchor-text aggregation -----------------------------------
+
+  /** A full anchor ELEMENT (open tag through close tag) — the unit
+    * X97 parses href and link text out of TOGETHER (the pairing the
+    * per-attribute [[HrefPattern]] scan cannot give). Non-greedy and
+    * newline-safe like every region rule. */
+  val AnchorElemPattern = "(?is)<a[^>]*>.*?</a>"
+  val AnchorTopK = 3
+
+  /** X97 — anchor-text aggregation: what the web CALLS each host's
+    * pages — the classic link-context signal (query-independent
+    * relevance, entity labels for training data, and the frontier's
+    * cheapest topic prior: anchor terms describe the TARGET, written
+    * by the SOURCE). Every anchor element's href is normalized and
+    * resolved against its page URL (shared X83b chain); its inner
+    * text is tag-stripped and collapsed (nested markup inside anchors
+    * is real HTML); per target host the whitespace terms of all
+    * pointing anchors are counted and the top-[[AnchorTopK]] kept —
+    * count DESC, term ASC, a total order both engines replay.
+    *
+    * The top-k step runs through the [[graft.plans.TopKPerKey]]
+    * custom physical operator (X40): partial per-partition heaps →
+    * one keyed exchange of ≤ k rows per (host) per partition → final
+    * heaps — never a full sort of the (host, term) relation. Rank is
+    * then a window over the ≤ k·hosts survivors (host-bounded by
+    * construction), and the DuckDB oracle derives the same rows from
+    * the naive row_number form — the operator's equivalence is
+    * gate-checked on every run.
+    *
+    * Scale shape: per-row element parse (codegen'd regex chain), one
+    * map-side-combined (host, term) count agg — hot hosts are
+    * absorbed exactly as in [[linkHosts]] — then the TopK operator's
+    * bounded exchange. No corpus-sized sort or join anywhere. */
+  def anchorText(spark: SparkSession, dir: String): DataFrame =
+    anchorTextFrom(fixturePages(spark))
+
+  private[graft] def anchorTextFrom(pages: DataFrame): DataFrame = {
+    val elems = pages
+      .select(normalizeUrl(col("page_url")).as("p"),
+        explode(regexp_extract_all(col("html"), lit(AnchorElemPattern),
+          lit(0))).as("e"))
+      .select(col("p"),
+        regexp_extract(col("e"), HrefPattern, 1).as("url"),
+        collapse(stripTags(regexp_extract(col("e"), AnchorPattern, 1)))
+          .as("atext"))
+      .filter(col("url") =!= "" && col("atext") =!= "")
+    val hosts = elems
+      .withColumn("u", normalizeUrl(col("url")))
+      .withColumn("r", resolveUrl(col("u"), col("p")))
+      .withColumn("host", hostBucket(col("u"), col("r")))
+      .filter(!col("host").isin("(non-http)", "(unresolved)"))
+    val counts = hosts
+      .select(col("host"),
+        explode(TextAnalysis.tokens(col("atext"))).as("term"))
+      .groupBy(col("host"), col("term"))
+      .agg(count(lit(1)).as("n"))
+    val top = graft.plans.TopK.topKPerKey(counts, Seq(col("host")),
+      Seq(col("n").desc, col("term").asc), AnchorTopK)
+    top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("host"))
+          .orderBy(col("n").desc, col("term").asc)).cast("long"))
+      .select(col("host"), col("rank"), col("term"), col("n"))
+      .orderBy("host", "rank")
   }
 }

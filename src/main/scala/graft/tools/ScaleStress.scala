@@ -409,6 +409,26 @@ object ScaleStress {
               lit("<a href='//cdn"), pmod(col("doc_id"), lit(1000)),
               lit(".test/l.js'>d</a></p></body></html>"))
               .as("html"))))),
+      // X97: anchor-text rollup with a mega-hot TARGET host — every
+      // page's first anchor points at hot.test with its own 64 chars
+      // of text, so one host owns n× of the (host, term) mass; the
+      // map-side (host, term) combine plus TopKPerKey's partial heaps
+      // (≤ k rows per host per partition cross the exchange) must
+      // absorb it
+      "anchor_text" -> (d =>
+        m(graft.ops.HtmlExtract.anchorTextFrom(
+          Tables.t(spark, d, "documents").select(col("doc_id"),
+            concat(lit("http://s"), pmod(col("doc_id"), lit(1000)),
+              lit(".test/a/p"), col("doc_id"), lit(".html"))
+              .as("page_url"),
+            concat(
+              lit("<html><body><p>"),
+              lit("<a href='http://hot.test/p"), col("doc_id"),
+              lit(".html'>"), substring(col("text"), 1, 64),
+              lit("</a> "),
+              lit("<a href='http://h"), pmod(col("doc_id"), lit(1000)),
+              lit(".test/x'>"), substring(col("text"), 65, 64),
+              lit("</a></p></body></html>")).as("html"))))),
       // X96: crawl-trap detection under its own skew — EVERY page
       // links the same session-id path on one hot host (n× distinct
       // variants of ONE (host, path) key at scale n) plus a healthy

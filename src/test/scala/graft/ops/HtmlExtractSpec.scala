@@ -507,6 +507,69 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(byId(5L).getDouble(6) > 0.9) // one giant link: density ~1
   }
 
+  test("anchor_text: href+text pairing, resolution, top-3 cut (X97)") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "s", "http://src.test/a/",
+        "<a href='http://t.test/x'>Alpha beta</a> " +
+        "<a href='/y'>beta</a> " +
+        "<a href='rel.html'>beta gamma</a> " +
+        "<a href='#f'>self words</a> " +
+        "<a name='n'>no href drops</a> " +
+        "<a href='http://t.test/z'>  </a> " +
+        "<a href='mailto:a@b.test'>mail term fenced</a> " +
+        "<a href='http://t2.test/'><b>Bold</b>\nText</a>"),
+      // null page_url: relative link fails closed → excluded
+      (2L, "s", null, "<a href='/q'>lost</a>"),
+      // >3 distinct terms on one host: the TopKPerKey cut must keep
+      // exactly 3, count DESC then term ASC
+      (3L, "s", "http://src.test/",
+        "<a href='http://many.test/p'>zz zz yy xx ww</a>")
+    ).toDF("doc_id", "source", "page_url", "html")
+    val got = HtmlExtract.anchorTextFrom(pages)
+      .as[(String, Long, String, Long)].collect()
+    val byHost = got.groupBy(_._1)
+    assert(byHost.keySet == Set("src.test", "t.test", "t2.test",
+      "many.test"), byHost.keySet)
+    // src.test: beta 2 (root-relative + relative), gamma/self/words 1
+    assert(byHost("src.test").toSeq.sorted == Seq(
+      ("src.test", 1L, "beta", 2L), ("src.test", 2L, "gamma", 1L),
+      ("src.test", 3L, "self", 1L)))
+    // t.test: the empty-text anchor dropped, only alpha/beta remain
+    assert(byHost("t.test").toSeq.sorted == Seq(
+      ("t.test", 1L, "alpha", 1L), ("t.test", 2L, "beta", 1L)))
+    // nested markup inside the anchor strips to its text
+    assert(byHost("t2.test").toSeq.sorted == Seq(
+      ("t2.test", 1L, "bold", 1L), ("t2.test", 2L, "text", 1L)))
+    // top-3 cut: zz(2) then ww/xx ascending; yy falls off
+    assert(byHost("many.test").toSeq.sorted == Seq(
+      ("many.test", 1L, "zz", 2L), ("many.test", 2L, "ww", 1L),
+      ("many.test", 3L, "xx", 1L)))
+  }
+
+  test("anchor_text: fixture ranks are dense and counts non-increasing (X97)") {
+    import spark.implicits._
+    val got = HtmlExtract.anchorText(spark, dir)
+      .as[(String, Long, String, Long)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (host, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"$host ranks not dense: ${sorted.toSeq}")
+      assert(sorted.length <= HtmlExtract.AnchorTopK)
+      assert(sorted.toSeq.sliding(2).forall {
+        case Seq(a, b) => a._4 > b._4 || (a._4 == b._4 && a._3 < b._3)
+        case _ => true
+      }, s"$host order violated: ${sorted.toSeq}")
+    }
+    // the nav chrome dominates the three nav hosts' anchor mass: 40
+    // article pages × 4 nav links each titled '<word> page<j>', so
+    // the shared 'page<j>' tokens must surface in the top-3
+    val navTerms = got.filter(r => Set("docs.example.com",
+      "internal.test.net", "www.example.org")(r._1)).map(_._3).toSet
+    assert(navTerms.exists(_.startsWith("page")), navTerms)
+  }
+
   test("crawl_traps: fixture trap hosts flag, healthy hosts do not (X96)") {
     import spark.implicits._
     val got = HtmlExtract.crawlTraps(spark, dir)

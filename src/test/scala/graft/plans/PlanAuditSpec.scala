@@ -284,6 +284,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // CHECKPOINTED rollup (the resolve tree is optimizer-expensive;
     // the rollup job runs at checkpoint time) — one presentation sort
     "crawl_budget" -> 1,
+    // X97: (host, term) count agg + the TopKPerKey operator's keyed
+    // exchange + presentation sort, over the per-row element parse —
+    // the rank window REUSES the TopK exchange's host partitioning
+    "anchor_text" -> 3,
     // X96: (host, path)-keyed distinct-variant agg (count-distinct
     // expands to two exchanges) + host rollup + presentation sort
     // over the shared resolve projection
