@@ -1848,6 +1848,51 @@ object SparkEntry {
       WHERE host NOT IN ('(non-http)', '(unresolved)')
       ORDER BY host""")),
 
+    // X98 — sitemap ingestion: the publisher-DECLARED frontier. <url>
+    // blocks parsed with the X82 regex discipline (no XML library —
+    // neither engine's would replay the other's), locs normalized by
+    // the SHARED chain so the two discovery feeds agree on URL
+    // identity, cross-host locs dropped (protocol rule), duplicate
+    // locs keep the latest lastmod, every survivor flagged novel
+    // against the crawled corpus's page_urls.
+    "sitemap_ingest" -> Q(
+      (s, d) => Sitemap.sitemapIngest(s, d), Some {
+        import graft.ops.{HtmlExtract, Sitemap}
+        def sq(x: String) = x.replace("'", "''")
+        s"""
+      WITH s AS (SELECT host, xml FROM read_csv(
+          '${Sitemap.FixtureCsv}', header=true,
+          columns={'host':'VARCHAR','sitemap_url':'VARCHAR',
+          'xml':'VARCHAR'})),
+      b AS (SELECT host, unnest(regexp_extract_all(xml,
+            '${sq(Sitemap.UrlBlockPattern)}', 0)) AS b
+        FROM s),
+      e AS (SELECT host,
+          ${HtmlExtract.normalizeUrlSql(
+            s"regexp_extract(b, '${sq(Sitemap.LocPattern)}', 1)")}
+            AS url,
+          try_cast(nullif(regexp_extract(b,
+            '${sq(Sitemap.LastmodPattern)}', 1), '') AS DATE)
+            AS lastmod
+        FROM b),
+      v AS (SELECT * FROM e WHERE url <> ''
+        AND regexp_extract(url, '${sq(HtmlExtract.HostPattern)}', 1)
+          = lower(host)),
+      g AS (SELECT host, url, max(lastmod) AS lastmod
+        FROM v GROUP BY 1, 2),
+      pd AS (SELECT page_url FROM read_csv(
+          '${HtmlExtract.FixtureCsv}', header=true,
+          columns={'doc_id':'BIGINT','source':'VARCHAR',
+          'page_url':'VARCHAR','html':'VARCHAR'})),
+      seen AS (SELECT DISTINCT
+          ${HtmlExtract.normalizeUrlSql("page_url")} AS url
+        FROM pd WHERE page_url IS NOT NULL AND page_url <> '')
+      SELECT g.host, g.url, g.lastmod,
+        (seen.url IS NULL) AS is_novel
+      FROM g LEFT JOIN seen ON g.url = seen.url
+      ORDER BY g.host, g.url"""
+      }),
+
     // X97 — anchor-text aggregation: per target host, the top-3
     // anchor terms of all links pointing at it (count DESC, term ASC)
     // — href and link text parsed from the same anchor element,

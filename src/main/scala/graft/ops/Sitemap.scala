@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** X98 — sitemap ingestion: the publisher-DECLARED frontier.
+  *
+  * A crawl discovers URLs two ways: by observing outlinks (X88's
+  * novel-frontier anti-join) and by reading what publishers declare
+  * in their sitemaps. This operator parses the persisted sitemap
+  * relation — one row per (host, sitemap_url, xml) as a fetcher
+  * stores it — into the per-URL discovery feed, with the same
+  * deterministic-regex discipline as the X82 extraction chain (both
+  * engines replay every step bit-for-bit; no XML library, whose
+  * entity/namespace handling neither engine reproduces):
+  *
+  *  1. `<url>` blocks, non-greedy, case-insensitive, newline-safe;
+  *  2. per block: `<loc>` (whitespace-trimmed by the pattern) and the
+  *     `YYYY-MM-DD` prefix of `<lastmod>` — the deterministic subset
+  *     of W3C datetime; full timestamps and prose dates fall to null
+  *     (`try_to_date`: a malformed calendar date must not kill the
+  *     batch under ANSI);
+  *  3. the loc is normalized by the shared [[HtmlExtract.normalizeUrl]]
+  *     chain (case, fragments, tracking params fold exactly as the
+  *     outlink side does — the two discovery feeds must agree on URL
+  *     identity);
+  *  4. protocol validation: a sitemap may only declare URLs on its
+  *     OWN host (RFC 9309-adjacent sitemap protocol rule) — cross-host
+  *     locs are dropped, empty/loc-less blocks are dropped;
+  *  5. duplicate locs keep the LATEST lastmod (`max`, nulls lose);
+  *  6. each surviving URL is flagged `is_novel` against the crawled
+  *     corpus's normalized page_urls — the same seen-set the X88
+  *     outlink feed anti-joins.
+  *
+  * Scale shape: per-row block fan-out (codegen'd regex), one
+  * (host, url)-keyed max agg (map-side combined — duplicate locs are
+  * rare and never hot), one keyed LEFT join against the distinct
+  * seen set (both sides corpus-scaled at 100 TB, never broadcast),
+  * presentation sort. The sitemap relation itself is
+  * fetch-bounded — hosts × declared URLs — not corpus-sized. */
+object Sitemap {
+
+  val FixtureCsv = s"${Ingest.FixtureDir}/corpus/sitemaps.csv"
+
+  val FixtureSchema: StructType = StructType(Seq(
+    StructField("host", StringType),
+    StructField("sitemap_url", StringType),
+    StructField("xml", StringType)))
+
+  /** One declared URL entry; non-greedy so malformed nesting stays
+    * local to its block (the X82 region-rule discipline). */
+  val UrlBlockPattern = "(?is)<url>.*?</url>"
+  /** The loc value, pattern-trimmed: lazy group between greedy
+    * whitespace runs — identical semantics in Java regex and RE2. */
+  val LocPattern = "(?is)<loc>\\s*(.*?)\\s*</loc>"
+  /** The deterministic date subset: the leading YYYY-MM-DD of any
+    * W3C datetime; anything else → no match → null lastmod. */
+  val LastmodPattern =
+    "(?is)<lastmod>\\s*([0-9]{4}-[0-9]{2}-[0-9]{2})"
+
+  private[graft] def fixtureSitemaps(spark: SparkSession): DataFrame =
+    spark.read.option("header", "true").schema(FixtureSchema)
+      .csv(FixtureCsv)
+
+  def sitemapIngest(spark: SparkSession, dir: String): DataFrame =
+    sitemapIngestFrom(fixtureSitemaps(spark),
+      HtmlExtract.fixturePages(spark))
+
+  private[graft] def sitemapIngestFrom(sitemaps: DataFrame,
+      pages: DataFrame): DataFrame = {
+    val entries = sitemaps
+      .select(col("host"),
+        explode(regexp_extract_all(col("xml"), lit(UrlBlockPattern),
+          lit(0))).as("b"))
+      .select(col("host"),
+        HtmlExtract.normalizeUrl(
+          regexp_extract(col("b"), LocPattern, 1)).as("url"),
+        try_to_date(
+          nullif(regexp_extract(col("b"), LastmodPattern, 1), lit("")),
+          "yyyy-MM-dd").as("lastmod"))
+      .filter(col("url") =!= "" &&
+        regexp_extract(col("url"), HtmlExtract.HostPattern, 1) ===
+          lower(col("host")))
+    val declared = entries.groupBy(col("host"), col("url"))
+      .agg(max(col("lastmod")).as("lastmod"))
+    val seen = pages
+      .filter(col("page_url").isNotNull && col("page_url") =!= "")
+      .select(HtmlExtract.normalizeUrl(col("page_url")).as("url"))
+      .distinct()
+      .withColumn("seen", lit(true))
+    declared.join(seen, Seq("url"), "left")
+      .select(col("host"), col("url"), col("lastmod"),
+        col("seen").isNull.as("is_novel"))
+      .orderBy("host", "url")
+  }
+}

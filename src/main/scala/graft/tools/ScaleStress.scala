@@ -409,6 +409,29 @@ object ScaleStress {
               lit("<a href='//cdn"), pmod(col("doc_id"), lit(1000)),
               lit(".test/l.js'>d</a></p></body></html>"))
               .as("html"))))),
+      // X98: sitemap ingestion with BOTH sides corpus-scaled — one
+      // single-entry sitemap row per doc (even ids declare an
+      // already-crawled loc, odd ids a fresh one) against the n×
+      // crawled-URL seen set; prices the block parse, the (host, url)
+      // fold and the url-keyed novelty join at scale
+      "sitemap_ingest" -> (d => {
+        val base = Tables.t(spark, d, "documents").select(col("doc_id"),
+          concat(lit("s"), pmod(col("doc_id"), lit(1000)), lit(".test"))
+            .as("host"))
+        m(graft.ops.Sitemap.sitemapIngestFrom(
+          base.select(col("host"),
+            concat(lit("http://"), col("host"), lit("/sitemap.xml"))
+              .as("sitemap_url"),
+            concat(lit("<urlset><url><loc>http://"), col("host"),
+              when(pmod(col("doc_id"), lit(2)) === 0, lit("/a/p"))
+                .otherwise(lit("/new/p")),
+              col("doc_id"),
+              lit(".html</loc><lastmod>2024-01-01</lastmod></url>"),
+              lit("</urlset>")).as("xml")),
+          base.select(col("doc_id"),
+            concat(lit("http://"), col("host"), lit("/a/p"),
+              col("doc_id"), lit(".html")).as("page_url"),
+            lit("<p>x</p>").as("html")))) }),
       // X97: anchor-text rollup with a mega-hot TARGET host — every
       // page's first anchor points at hot.test with its own 64 chars
       // of text, so one host owns n× of the (host, term) mass; the

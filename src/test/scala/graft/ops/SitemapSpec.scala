@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** X98 gates: the sitemap protocol subset pinned on the planted
+  * fixture shapes (novelty classes, loc folding, cross-host drops,
+  * lastmod subset), plus toDF edges (invalid calendar dates, scheme
+  * variance, null-loses max). */
+class SitemapSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def d(s: String) = java.sql.Date.valueOf(s)
+
+  private lazy val got = Sitemap.sitemapIngest(spark, dir)
+    .collect()
+    .map(r => (r.getString(0), r.getString(1),
+      Option(r.getDate(2)), r.getBoolean(3)))
+
+  test("fixture: crawled locs are not novel, fresh locs are (X98)") {
+    // ids 0 and 5 share the site-root page_url shape → their two
+    // sitemap entries fold to one loc keeping the later lastmod
+    val c0 = got.filter(_._1 == "crawl0.crawl.test")
+    assert(c0.length == 9, c0.toSeq)
+    assert(c0.count(!_._4) == 5, s"crawled: ${c0.filter(!_._4).toSeq}")
+    assert(c0.filter(_._4).forall(_._2.contains("/fresh/")))
+    assert(c0.find(_._2 == "http://crawl0.crawl.test/")
+      .flatMap(_._3) == Some(d("2024-03-15")))
+  }
+
+  test("fixture: dup locs keep latest lastmod; tracking params fold (X98)") {
+    val docs = got.filter(_._1 == "docs.example.com")
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(docs.size == 4, docs.keySet)
+    assert(docs.values.forall(_._2), "docs.example.com never crawled")
+    assert(docs("http://docs.example.com/guide/intro.html")._1 ==
+      Some(d("2024-02-17")))
+    // the utm+fragment twin folds with the clean loc; later date wins
+    assert(docs("http://docs.example.com/guide/api.html")._1 ==
+      Some(d("2024-02-01")))
+    assert(docs("http://docs.example.com/guide/setup.html")._1.isEmpty)
+    // uppercase loc normalized
+    assert(docs.contains("http://docs.example.com/guide/mixed.html"))
+  }
+
+  test("fixture: cross-host and loc-less blocks drop; date subset (X98)") {
+    val sloppy = got.filter(_._1 == "sloppy.test")
+      .map(r => r._2 -> r._3).toMap
+    assert(sloppy.keySet == Set("ok", "w3c", "upper", "padded")
+      .map(p => s"http://sloppy.test/$p.html"), sloppy.keySet)
+    // prose date is outside the deterministic subset → null
+    assert(sloppy("http://sloppy.test/ok.html").isEmpty)
+    // W3C datetime contributes its date prefix
+    assert(sloppy("http://sloppy.test/w3c.html") == Some(d("2024-01-06")))
+    // uppercase tags parse ((?is)); pattern-trimmed padded loc
+    assert(sloppy("http://sloppy.test/upper.html") ==
+      Some(d("2024-01-07")))
+    assert(sloppy("http://sloppy.test/padded.html") ==
+      Some(d("2024-01-08")))
+    // nothing cross-host survives anywhere in the output
+    assert(!got.exists(r => r._2.contains("evil.test") ||
+      r._2.contains("other.example.org")))
+    // the empty sitemap contributes no rows
+    assert(!got.exists(_._1 == "empty.test"))
+    assert(got.count(_._1 == "bulk.test") == 40)
+  }
+
+  test("toDF edges: invalid calendar date, scheme variance, null-loses max (X98)") {
+    import spark.implicits._
+    val sm = Seq(
+      ("h.test", "http://h.test/sitemap.xml",
+        "<urlset>" +
+          // regex-shaped but calendar-invalid → try_to_date null
+          "<url><loc>http://h.test/a</loc>" +
+          "<lastmod>2024-13-99</lastmod></url>" +
+          // https loc on the http host: same host → kept
+          "<url><loc>https://h.test/b</loc></url>" +
+          "<url><loc>http://h.test/c</loc>" +
+          "<lastmod>2024-06-01</lastmod></url>" +
+          // duplicate loc without a date: null loses the max
+          "<url><loc>http://h.test/c</loc></url>" +
+          // case + fragment fold through the shared normalize chain
+          "<url><loc>HTTP://H.TEST/D#frag</loc>" +
+          "<lastmod>2024-06-02</lastmod></url>" +
+          "</urlset>")
+    ).toDF("host", "sitemap_url", "xml")
+    val pages = Seq((1L, "s", "http://h.test/a", "<p>x</p>"))
+      .toDF("doc_id", "source", "page_url", "html")
+    val out = Sitemap.sitemapIngestFrom(sm, pages).collect()
+      .map(r => r.getString(1) ->
+        ((Option(r.getDate(2)), r.getBoolean(3)))).toMap
+    assert(out.keySet == Set("http://h.test/a", "https://h.test/b",
+      "http://h.test/c", "http://h.test/d"), out.keySet)
+    assert(out("http://h.test/a") == ((None, false)))
+    assert(out("https://h.test/b") == ((None, true)))
+    assert(out("http://h.test/c") == ((Some(d("2024-06-01")), true)))
+    assert(out("http://h.test/d") == ((Some(d("2024-06-02")), true)))
+  }
+}

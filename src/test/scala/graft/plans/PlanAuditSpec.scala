@@ -284,6 +284,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // CHECKPOINTED rollup (the resolve tree is optimizer-expensive;
     // the rollup job runs at checkpoint time) — one presentation sort
     "crawl_budget" -> 1,
+    // X98: (host, url)-keyed latest-lastmod agg + seen-set distinct +
+    // presentation sort; the url left join BROADCASTS the declared
+    // side at fixture scale (corpus-scaled deployments shuffle it —
+    // the join key is already the agg key, so that exchange reuses)
+    "sitemap_ingest" -> 3,
     // X97: (host, term) count agg + the TopKPerKey operator's keyed
     // exchange + presentation sort, over the per-row element parse —
     // the rank window REUSES the TopK exchange's host partitioning
