@@ -493,7 +493,11 @@ object SparkEntry {
     * other step a single IEEE-exact double op, so after 10 rounds the
     * raw doubles hash-compare. Constants interpolate from
     * [[LinkGraph]] so engine and oracle cannot drift. */
-  private lazy val linkPagerankOracle: String = {
+  /** The pagerank CTE chain (no leading WITH): edge derivation over
+    * the `h` relation of [[resolvedUrlsCtes]] through `pr{Iters}`
+    * (final ranks) plus `od`/`idg` degree rollups — shared by the
+    * X90 oracle and the X99 composed priority. */
+  private lazy val pagerankCtes: String = {
     def sq(x: String) = x.replace("'", "''")
     val srcE = s"regexp_extract(p, '${sq(HtmlExtract.HostPattern)}', 1)"
     // Every round's CTEs are MATERIALIZED: pr(i-1) is referenced
@@ -514,9 +518,7 @@ object SparkEntry {
         FROM nodes no LEFT JOIN c$i c ON no.host = c.dst
         CROSS JOIN g$i g CROSS JOIN nn)"""
     }.mkString(",\n      ")
-    s"""
-      WITH $resolvedUrlsCtes,
-      e AS MATERIALIZED (SELECT DISTINCT $srcE AS src, host AS dst
+    s"""e AS MATERIALIZED (SELECT DISTINCT $srcE AS src, host AS dst
         FROM h
         WHERE $srcE IS NOT NULL AND $srcE <> ''
           AND host NOT IN ('(non-http)', '(unresolved)')
@@ -530,7 +532,13 @@ object SparkEntry {
         SELECT CAST(count(*) AS DOUBLE) AS nd FROM nodes),
       pr0 AS MATERIALIZED (SELECT host, (1.0 / nd) AS rank
         FROM nodes CROSS JOIN nn),
-      $iters
+      $iters"""
+  }
+
+  private lazy val linkPagerankOracle: String = {
+    s"""
+      WITH $resolvedUrlsCtes,
+      $pagerankCtes
       SELECT p.host,
         CAST(COALESCE(idg.in_deg, 0) AS BIGINT) AS in_deg,
         CAST(COALESCE(od.out_deg, 0) AS BIGINT) AS out_deg,
@@ -1847,6 +1855,67 @@ object SparkEntry {
       FROM lhr
       WHERE host NOT IN ('(non-http)', '(unresolved)')
       ORDER BY host""")),
+
+    // X99 — composed frontier priority: per novel-backlog host, one
+    // score folding X90 authority × X84-admission quality (AdmitPrior
+    // for never-crawled hosts), zeroed by the X96 trap verdict. The
+    // oracle splices the proven pagerank/extraction/novelty/trap CTE
+    // blocks end to end (htmlCtes under the q namespace — the
+    // resolved chain already owns the bare d).
+    "host_priority" -> Q(
+      (s, d) => LinkGraph.hostPriority(s, d), Some {
+        import HtmlExtract._
+        def sq(x: String) = x.replace("'", "''")
+        val pq = sq(PageQueryPattern)
+        val root = sq(RootPattern)
+        s"""
+      WITH $resolvedUrlsCtes,
+      $pagerankCtes,
+      ${htmlCtes("q")},
+      nvf AS (SELECT DISTINCT host, res AS url FROM h
+        WHERE host NOT IN ('(non-http)', '(unresolved)')),
+      seenu AS (SELECT DISTINCT ${normalizeUrlSql("page_url")} AS url
+        FROM d WHERE page_url IS NOT NULL AND page_url <> ''),
+      nv AS (SELECT host, count(*) AS n_novel FROM
+          (SELECT nvf.host, nvf.url FROM nvf ANTI JOIN seenu USING (url))
+        GROUP BY 1),
+      ph AS (SELECT doc_id,
+          regexp_extract(${normalizeUrlSql("page_url")},
+            '${sq(HostPattern)}', 1) AS host
+        FROM d WHERE page_url IS NOT NULL AND page_url <> ''),
+      ar AS (SELECT ph.host,
+          CAST(sum(CASE WHEN NOT q.boilerplate_flag
+              AND q.text_len >= $MinTextLen THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS admit_rate
+        FROM ph JOIN qout q USING (doc_id)
+        WHERE ph.host IS NOT NULL AND ph.host <> '' GROUP BY 1),
+      tbase AS (SELECT host,
+          regexp_replace(res, '$pq', '', 'g') AS path, res
+        FROM h WHERE host NOT IN ('(non-http)', '(unresolved)')),
+      tpp AS (SELECT host, path, count(DISTINCT res) AS variants
+        FROM tbase GROUP BY 1, 2),
+      tppd AS (SELECT host, variants,
+          length(regexp_replace(path, '$root', '', 'g')) -
+            length(replace(regexp_replace(path, '$root', '', 'g'),
+              '/', '')) AS depth
+        FROM tpp),
+      tr AS (SELECT host,
+          (max(variants) >= $TrapVariants
+            OR max(depth) >= $TrapDepth) AS trap_flag
+        FROM tppd GROUP BY 1)
+      SELECT nv.host, nv.n_novel,
+        COALESCE(p.rank, 0.0) AS rank,
+        COALESCE(ar.admit_rate, ${LinkGraph.AdmitPrior}) AS admit_rate,
+        COALESCE(tr.trap_flag, false) AS trap_flag,
+        CASE WHEN COALESCE(tr.trap_flag, false) THEN 0.0
+          ELSE COALESCE(p.rank, 0.0) *
+            COALESCE(ar.admit_rate, ${LinkGraph.AdmitPrior})
+        END AS priority
+      FROM nv LEFT JOIN pr${LinkGraph.Iters} p ON nv.host = p.host
+        LEFT JOIN ar ON nv.host = ar.host
+        LEFT JOIN tr ON nv.host = tr.host
+      ORDER BY priority DESC, nv.host"""
+      }),
 
     // X98 — sitemap ingestion: the publisher-DECLARED frontier. <url>
     // blocks parsed with the X82 regex discipline (no XML library —

@@ -137,4 +137,76 @@ object LinkGraph {
         col("rank"))
       .orderBy(col("rank").desc, col("host"))
   }
+
+  // ---- X99: composed frontier priority --------------------------------
+
+  /** Admit-rate prior for hosts the crawl has never fetched a page
+    * from: no evidence either way → 0.5, the uninformative midpoint
+    * (documented constant; both engines interpolate the same digits). */
+  val AdmitPrior = 0.5
+
+  /** X99 — the composed frontier PRIORITY: the one relation a fetch
+    * scheduler actually ranks by, folding the family's signals into a
+    * single score per novel-backlog host. `priority = rank ×
+    * admit_rate`, zeroed for trap hosts:
+    *
+    *  - `rank` — X90 link authority (hosts outside the edge graph —
+    *    linked only by their own pages — coalesce to 0.0: no external
+    *    authority, no priority);
+    *  - `admit_rate` — what fraction of the host's ALREADY-CRAWLED
+    *    pages survived the X84 admission gate (boilerplate flag +
+    *    minimum text length): the observed content-quality prior,
+    *    [[AdmitPrior]] for never-crawled hosts;
+    *  - `trap_flag` — X96's structural verdict: a trap host's backlog
+    *    is phantom, priority 0 regardless of authority.
+    *
+    * Every factor is a replayed double (rank from the decimal-exact
+    * power method, admit_rate one exact division, the product one
+    * IEEE multiply), so both engines order identically; ties (all the
+    * zero-priority hosts) break on host ASC.
+    *
+    * Scale shape: all four inputs are host-bounded rollups of
+    * corpus-sized scans the family already prices ([[pagerank]]
+    * checkpoints its chain; novelty/admission/traps are one keyed agg
+    * each); the final join chain is host-keyed over host-bounded
+    * relations. */
+  def hostPriority(spark: SparkSession, dir: String): DataFrame =
+    hostPriorityFrom(HtmlExtract.fixturePages(spark))
+
+  private[graft] def hostPriorityFrom(pages: DataFrame): DataFrame = {
+    val novel = HtmlExtract.frontierNovelFrom(pages)
+      .groupBy(col("host")).agg(count(lit(1)).as("n_novel"))
+    val ranks = pagerank(hostEdges(pages))
+      .select(col("host"), col("rank"))
+    val admitted = HtmlExtract.htmlExtractFrom(pages)
+      .select(col("doc_id"),
+        (!col("boilerplate_flag") &&
+          col("text_len") >= HtmlExtract.MinTextLen).as("admitted"))
+    val pageHost = pages
+      .select(col("doc_id"), regexp_extract(
+        HtmlExtract.normalizeUrl(col("page_url")),
+        HtmlExtract.HostPattern, 1).as("host"))
+      .filter(col("host").isNotNull && col("host") =!= "")
+    val admitRate = pageHost.join(admitted, Seq("doc_id"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"))
+      .select(col("host"),
+        (col("n_admitted").cast("double") /
+          col("n_pages").cast("double")).as("admit_rate"))
+    val traps = HtmlExtract.crawlTrapsFrom(pages)
+      .select(col("host"), col("trap_flag"))
+    novel
+      .join(ranks, Seq("host"), "left")
+      .join(admitRate, Seq("host"), "left")
+      .join(traps, Seq("host"), "left")
+      .select(col("host"), col("n_novel"),
+        coalesce(col("rank"), lit(0.0)).as("rank"),
+        coalesce(col("admit_rate"), lit(AdmitPrior)).as("admit_rate"),
+        coalesce(col("trap_flag"), lit(false)).as("trap_flag"))
+      .withColumn("priority",
+        when(col("trap_flag"), lit(0.0))
+          .otherwise(col("rank") * col("admit_rate")))
+      .orderBy(col("priority").desc, col("host"))
+  }
 }

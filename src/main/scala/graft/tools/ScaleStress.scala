@@ -409,6 +409,24 @@ object ScaleStress {
               lit("<a href='//cdn"), pmod(col("doc_id"), lit(1000)),
               lit(".test/l.js'>d</a></p></body></html>"))
               .as("html"))))),
+      // X99: the composed priority over the same synthetic page mix as
+      // the pagerank leg — corpus-sized extraction/novelty/trap scans
+      // into host-bounded rollups (~2k hosts at every scale), then the
+      // fixed-cost 10-round rank iteration and host-keyed joins
+      "host_priority" -> (d =>
+        m(graft.ops.LinkGraph.hostPriorityFrom(
+          Tables.t(spark, d, "documents").select(col("doc_id"),
+            lit("syn").as("source"),
+            concat(lit("http://s"), pmod(col("doc_id"), lit(1000)),
+              lit(".test/a/p"), col("doc_id"), lit(".html"))
+              .as("page_url"),
+            concat(
+              lit("<html><body><p>"),
+              substring(col("text"), 1, 40),
+              lit(" <a href='http://h"), pmod(col("doc_id"), lit(1000)),
+              lit(".test/p"), col("doc_id"), lit(".html'>a</a> "),
+              lit("<a href='rel"), col("doc_id"), lit(".html'>b</a>"),
+              lit("</p></body></html>")).as("html"))))),
       // X98: sitemap ingestion with BOTH sides corpus-scaled — one
       // single-entry sitemap row per doc (even ids declare an
       // already-crawled loc, odd ids a fresh one) against the n×

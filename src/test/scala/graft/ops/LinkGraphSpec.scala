@@ -117,4 +117,57 @@ class LinkGraphSpec extends AnyFunSuite {
     // every host has in-links or out-links (it came from an edge)
     assert(rows.forall(r => r.getLong(1) > 0 || r.getLong(2) > 0))
   }
+
+  // ---- X99: composed frontier priority -------------------------------
+
+  test("host_priority: factors compose, traps zero, prior applies (X99)") {
+    val longText = (1 to 30).map(i => s"word$i").mkString(" ")
+    val variants = (0 until 16)
+      .map(j => s"<a href='http://t.test/p?v=$j'>v</a>").mkString(" ")
+    val pages = Seq(
+      // c.test page 1: admitted (long text, low density), links n+t
+      (1L, "s", "http://c.test/a",
+        s"<p>$longText <a href='http://n.test/x1'>z</a> $variants</p>"),
+      // c.test page 2: <nav> → boilerplate-flagged, not admitted
+      (2L, "s", "http://c.test/b",
+        "<nav><a href='http://n.test/x2'>z</a></nav>")
+    ).toDF("doc_id", "source", "page_url", "html")
+    val got = LinkGraph.hostPriorityFrom(pages).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4), r.getDouble(5)))).toMap
+    // novel hosts only: c.test is linked by nobody → absent
+    assert(got.keySet == Set("n.test", "t.test"), got.keySet)
+    val ref = refPagerank(Seq(("c.test", "n.test"), ("c.test", "t.test")))
+    val n = got("n.test")
+    // never-crawled host: the admit-rate prior; priority = rank×prior
+    assert(n._1 == 2L && !n._4)
+    assert(math.abs(n._2 - ref("n.test")) < 1e-12, n)
+    assert(n._3 == LinkGraph.AdmitPrior)
+    assert(n._5 == n._2 * n._3, "priority must be the exact product")
+    // trap host: 16 variants of one path → structural zero
+    val t = got("t.test")
+    assert(t._1 == 16L && t._4 && t._5 == 0.0, t)
+  }
+
+  test("host_priority: fixture internal consistency and trap zeroing (X99)") {
+    val rows = LinkGraph.hostPriority(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // priority is EXACTLY the documented function of the row's own
+    // columns — no hidden recomputation drift
+    rows.foreach { r =>
+      assert(r._6 == (if (r._5) 0.0 else r._3 * r._4), r)
+    }
+    val byHost = rows.map(r => r._1 -> r).toMap
+    // the planted trap hosts carry novel backlog but zero priority
+    assert(byHost("trap.fz.test")._5 && byHost("trap.fz.test")._6 == 0.0)
+    assert(byHost("cal.fz.test")._5 && byHost("cal.fz.test")._6 == 0.0)
+    // somebody is worth fetching
+    assert(rows.exists(_._6 > 0.0))
+    // ordering contract: priority desc, then host asc
+    val ps = rows.map(_._6).toSeq
+    assert(ps == ps.sorted(Ordering[Double].reverse))
+  }
 }

@@ -284,6 +284,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // CHECKPOINTED rollup (the resolve tree is optimizer-expensive;
     // the rollup job runs at checkpoint time) — one presentation sort
     "crawl_budget" -> 1,
+    // X99: four host-bounded rollups (novel distinct+anti+agg, the
+    // admit join+agg, the two trap aggs) + the three host-keyed left
+    // joins + presentation sort; the rank vector reads its checkpoint
+    "host_priority" -> 9,
     // X98: (host, url)-keyed latest-lastmod agg + seen-set distinct +
     // presentation sort; the url left join BROADCASTS the declared
     // side at fixture scale (corpus-scaled deployments shuffle it —
