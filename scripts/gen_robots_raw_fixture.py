@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Generate the committed RAW robots.txt fixture (deterministic; run
+once, output is committed): one file per host under
+fixtures/corpus/robots/, real multi-line bodies as a fetcher stores
+them — the input X100's parser turns into the rules relation X87
+consumes (robots_rules.csv stays the hand-curated gate fixture).
+
+Shapes: comment lines + inline comments, blank lines, CRLF endings,
+mixed-case directives, spaces around the colon, multiple user-agent
+lines sharing one group (RFC 9309 group headers), rules before any
+user-agent (invalid → dropped), unknown directives (sitemap — parsed,
+consumers filter), empty disallow values, junk lines without a colon,
+values containing colons.
+"""
+import os
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "fixtures",
+                   "corpus", "robots")
+
+FILES = {
+    # plain single group, comments, blank lines, CRLF line endings
+    "a.test.txt": "\r\n".join([
+        "# robots for a.test",
+        "User-agent: *",
+        "Disallow: /private",
+        "Allow: /private/ok  # carve-out",
+        "Crawl-delay: 5",
+        "",
+        "# trailing comment",
+    ]),
+    # two UA lines SHARE one group; a second group for bot2 only
+    "multi.test.txt": "\n".join([
+        "User-agent: googlebot",
+        "User-agent: *",
+        "Disallow: /shared",
+        "",
+        "User-agent: bot2",
+        "Disallow: /bot2only",
+        "Allow: /bot2only/sub",
+    ]),
+    # hostile: rules before any UA (dropped), mixed case, spaced
+    # colons, unknown directive with a colon in its value, empty
+    # disallow, junk line, inline comment on the UA line
+    "sloppy.test.txt": "\n".join([
+        "Disallow: /orphan-rule-no-group",
+        "USER-AGENT : SpiderBot  # caps + spaced colon",
+        "DISALLOW : /Caps",
+        "disallow:",
+        "Sitemap: http://sloppy.test/sitemap.xml",
+        "this line has no colon and is junk",
+        "allow:/nospace",
+    ]),
+    # comments and whitespace only — parses to zero rows
+    "empty.test.txt": "\n".join([
+        "# nothing to see",
+        "   ",
+        "",
+    ]),
+}
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    for name, body in sorted(FILES.items()):
+        path = os.path.join(OUT, name)
+        with open(path, "w", newline="") as f:
+            f.write(body + "\n")
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

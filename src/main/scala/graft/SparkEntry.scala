@@ -1856,6 +1856,60 @@ object SparkEntry {
       WHERE host NOT IN ('(non-http)', '(unresolved)')
       ORDER BY host""")),
 
+    // X100 — raw robots.txt parsing: fetched bodies → the rules
+    // relation X87 consumes. Line grammar (comments, CRLF, spaced
+    // colons, case-insensitive keys) + RFC 9309 group headers derived
+    // relationally (lag → run starts → running-sum run_id → rules
+    // join their run's agents). Both engines replay the identical
+    // window chain over the same committed files.
+    "robots_parse" -> Q(
+      (s, d) => Robots.robotsParse(s, d), Some {
+        import Robots._
+        def sq(x: String) = x.replace("'", "''")
+        val dp = sq(DirectivePattern)
+        s"""
+      WITH f AS (SELECT
+          regexp_extract(filename, '${sq(RobotsFilePattern)}', 1)
+            AS host,
+          content AS body
+        FROM read_text('$RawFixtureDir/*.txt')),
+      l0 AS (SELECT host,
+          unnest(list_transform(range(1, len(ls) + 1), i -> i))
+            AS line_no,
+          unnest(ls) AS raw
+        FROM (SELECT host, string_split(body, chr(10)) AS ls FROM f)),
+      l1 AS (SELECT host, line_no,
+          trim(regexp_replace(regexp_replace(raw,
+            '${sq(CrPattern)}', '', 'g'),
+            '${sq(CommentPattern)}', '', 'g')) AS clean
+        FROM l0),
+      l2 AS (SELECT host, line_no,
+          lower(regexp_extract(clean, '$dp', 1)) AS key,
+          trim(regexp_extract(clean, '$dp', 2)) AS value
+        FROM l1 WHERE clean <> ''),
+      l3 AS (SELECT * FROM l2 WHERE key <> ''),
+      rn AS (SELECT *, (key = 'user-agent') AS is_ua,
+          ((key = 'user-agent') AND NOT COALESCE(
+            lag(key = 'user-agent') OVER (
+              PARTITION BY host ORDER BY line_no), false)) AS run_start
+        FROM l3),
+      ri AS (SELECT *, sum(CASE WHEN run_start THEN 1 ELSE 0 END)
+          OVER (PARTITION BY host ORDER BY line_no
+            ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM rn),
+      ag AS (SELECT host, run_id, lower(value) AS agent
+        FROM ri WHERE is_ua),
+      ru AS (SELECT host, run_id, line_no, key AS directive, value
+        FROM ri WHERE NOT is_ua AND run_id > 0),
+      j AS (SELECT ru.host, ag.agent, ru.directive, ru.value,
+          ru.line_no
+        FROM ru JOIN ag ON ru.host = ag.host AND ru.run_id = ag.run_id)
+      SELECT host, agent, directive, value,
+        CAST(row_number() OVER (PARTITION BY host
+          ORDER BY line_no, agent) AS BIGINT) AS rule_order
+      FROM j ORDER BY host, rule_order"""
+      }),
+
     // X99 — composed frontier priority: per novel-backlog host, one
     // score folding X90 authority × X84-admission quality (AdmitPrior
     // for never-crawled hosts), zeroed by the X96 trap verdict. The

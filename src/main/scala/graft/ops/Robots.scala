@@ -155,4 +155,92 @@ object Robots {
       .select(col("host"), col("n_urls"), col("delay_ms"),
         col("slots_per_window"), col("n_windows"))
       .orderBy("host")
+
+  // ---- X100: raw robots.txt parsing -----------------------------------
+
+  /** Raw robots bodies as a fetcher stores them: one `<host>.txt`
+    * file per host. */
+  val RawFixtureDir = s"${Ingest.FixtureDir}/corpus/robots"
+  /** Host from the stored file name. */
+  val RobotsFilePattern = "([^/]+)\\.txt$"
+  /** `key: value` — the directive key runs to the FIRST colon (RFC
+    * 9309 line grammar); the value is the rest, so colons inside
+    * values (sitemap URLs) survive. */
+  val DirectivePattern = "^([A-Za-z-]+)\\s*:\\s*(.*)$"
+  /** A comment runs from `#` to end of line. */
+  val CommentPattern = "#.*$"
+  /** CRLF bodies: the stray `\r` a `\n` split leaves behind. */
+  val CrPattern = "\\r$"
+
+  /** X100 — raw robots.txt PARSING: turns the fetched bodies into the
+    * `(host, agent, directive, value, rule_order)` relation [[robotsGate]]
+    * consumes — completing the REP path (X100 parses, X87 judges,
+    * X89 schedules). Deterministic line grammar both engines replay:
+    * comment strip (`#` to EOL), CRLF tolerance, blank/junk lines
+    * dropped, `key: value` with case-insensitive keys and spaces
+    * around the colon, values keeping their internal colons.
+    *
+    * GROUP semantics (RFC 9309 §2.2.1): consecutive `user-agent`
+    * lines form ONE group header and every following rule line
+    * belongs to ALL of them — derived relationally: a header RUN
+    * starts at a `user-agent` line whose predecessor is not one
+    * (lag window), `run_id` is the running count of run starts, and
+    * rules join their run's agents. Rules before any header are
+    * invalid per the RFC and drop (`run_id` 0). Unknown directives
+    * (`sitemap`, …) are parsed faithfully — consumers filter, the
+    * parser does not police. Empty values survive (`Disallow:` with
+    * no value is MEANINGFUL — it clears restrictions; X87 drops it
+    * at judge time). `rule_order` numbers each host's (line, agent)
+    * pairs in document order — the tie-breaker X87's winner window
+    * expects.
+    *
+    * Scale shape: robots bodies are tiny and host-keyed; the windows
+    * partition per host (bounded by lines-per-file), the agent join
+    * fans out rules × their group's agents only. At 100 TB of corpus
+    * this relation stays frontier-host-sized. */
+  def robotsParse(spark: SparkSession, dir: String): DataFrame =
+    robotsParseFrom(rawRobots(spark))
+
+  private[graft] def rawRobots(spark: SparkSession): DataFrame =
+    spark.read.option("wholetext", "true").text(RawFixtureDir)
+      .select(
+        regexp_extract(input_file_name(), RobotsFilePattern, 1)
+          .as("host"),
+        col("value").as("body"))
+
+  private[graft] def robotsParseFrom(files: DataFrame): DataFrame = {
+    val byLine = Window.partitionBy(col("host")).orderBy(col("line_no"))
+    val lines = files
+      .select(col("host"), posexplode(split(col("body"), "\n")))
+      .select(col("host"), col("pos").as("line_no"),
+        trim(regexp_replace(regexp_replace(col("col"), CrPattern, ""),
+          CommentPattern, "")).as("clean"))
+      .filter(col("clean") =!= "")
+      .select(col("host"), col("line_no"),
+        lower(regexp_extract(col("clean"), DirectivePattern, 1))
+          .as("key"),
+        trim(regexp_extract(col("clean"), DirectivePattern, 2))
+          .as("value"))
+      .filter(col("key") =!= "")
+    val runs = lines
+      .withColumn("is_ua", col("key") === "user-agent")
+      .withColumn("run_start", col("is_ua") &&
+        !coalesce(lag(col("is_ua"), 1).over(byLine), lit(false)))
+      .withColumn("run_id",
+        sum(when(col("run_start"), 1L).otherwise(0L)).over(
+          byLine.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+    val agents = runs.filter(col("is_ua"))
+      .select(col("host"), col("run_id"), lower(col("value")).as("agent"))
+    val rules = runs.filter(!col("is_ua") && col("run_id") > 0)
+      .select(col("host"), col("run_id"), col("line_no"),
+        col("key").as("directive"), col("value"))
+    rules.join(agents, Seq("host", "run_id"))
+      .withColumn("rule_order", row_number().over(
+        Window.partitionBy(col("host"))
+          .orderBy(col("line_no"), col("agent"))).cast("long"))
+      .select(col("host"), col("agent"), col("directive"),
+        col("value"), col("rule_order"))
+      .orderBy("host", "rule_order")
+  }
 }

@@ -409,6 +409,20 @@ object ScaleStress {
               lit("<a href='//cdn"), pmod(col("doc_id"), lit(1000)),
               lit(".test/l.js'>d</a></p></body></html>"))
               .as("html"))))),
+      // X100: robots parsing scales with HOSTS, not corpus bytes — one
+      // synthetic multi-group body per host (n hosts at scale n); the
+      // line/run/rule_order windows partition per host and must
+      // parallelize across them
+      "robots_parse" -> (d =>
+        m(graft.ops.Robots.robotsParseFrom(
+          Tables.t(spark, d, "documents").select(
+            concat(lit("s"), col("doc_id"), lit(".test")).as("host"),
+            concat(lit("# synthetic\nUser-agent: *\nUser-agent: bot"),
+              pmod(col("doc_id"), lit(7)),
+              lit("\nDisallow: /p"), col("doc_id"),
+              lit("\nAllow: /p"), col("doc_id"),
+              lit("/ok\nCrawl-delay: 2\n\nUser-agent: other\n"),
+              lit("Disallow: /x")).as("body"))))),
       // X99: the composed priority over the same synthetic page mix as
       // the pagerank leg — corpus-sized extraction/novelty/trap scans
       // into host-bounded rollups (~2k hosts at every scale), then the

@@ -116,4 +116,53 @@ class RobotsSpec extends AnyFunSuite {
       (("free.test", "http://free.test/p", true, "(default)",
         Robots.DefaultDelayMs)))
   }
+
+  // ---- X100: raw robots.txt parsing ----------------------------------
+
+  test("robots_parse: fixture bodies parse to the exact rules relation (X100)") {
+    import spark.implicits._
+    val got = Robots.robotsParse(spark, dir)
+      .as[(String, String, String, String, Long)].collect().toSeq
+    // a.test: comments/CRLF/blank lines stripped, one * group
+    assert(got.filter(_._1 == "a.test") == Seq(
+      ("a.test", "*", "disallow", "/private", 1L),
+      ("a.test", "*", "allow", "/private/ok", 2L),
+      ("a.test", "*", "crawl-delay", "5", 3L)))
+    // multi.test: two UA lines SHARE the first group (its one rule
+    // emits under both agents); the second group is bot2-only
+    assert(got.filter(_._1 == "multi.test") == Seq(
+      ("multi.test", "*", "disallow", "/shared", 1L),
+      ("multi.test", "googlebot", "disallow", "/shared", 2L),
+      ("multi.test", "bot2", "disallow", "/bot2only", 3L),
+      ("multi.test", "bot2", "allow", "/bot2only/sub", 4L)))
+    // sloppy.test: orphan rule (before any UA) and junk line dropped;
+    // caps + spaced colons fold; agents lowercase, VALUES keep case;
+    // empty disallow and unknown directives survive faithfully
+    assert(got.filter(_._1 == "sloppy.test") == Seq(
+      ("sloppy.test", "spiderbot", "disallow", "/Caps", 1L),
+      ("sloppy.test", "spiderbot", "disallow", "", 2L),
+      ("sloppy.test", "spiderbot", "sitemap",
+        "http://sloppy.test/sitemap.xml", 3L),
+      ("sloppy.test", "spiderbot", "allow", "/nospace", 4L)))
+    // comments-only body contributes nothing
+    assert(!got.exists(_._1 == "empty.test"))
+  }
+
+  test("robots_parse output drives the X87 gate end to end (X100)") {
+    import spark.implicits._
+    val rules = Robots.robotsParse(spark, dir)
+    val frontier = Seq(
+      ("a.test", "http://a.test/private/x"),
+      ("a.test", "http://a.test/private/ok/y"),
+      ("a.test", "http://a.test/pub")
+    ).toDF("host", "url")
+    val got = Robots.robotsVerdictsFor(frontier, rules).collect()
+      .map(r => r.getString(1) ->
+        ((r.getBoolean(2), r.getString(3), r.getLong(4)))).toMap
+    assert(got("http://a.test/private/x") ==
+      ((false, "disallow:/private", 5000L)))
+    assert(got("http://a.test/private/ok/y") ==
+      ((true, "allow:/private/ok", 5000L)))
+    assert(got("http://a.test/pub") == ((true, "(default)", 5000L)))
+  }
 }

@@ -284,6 +284,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // CHECKPOINTED rollup (the resolve tree is optimizer-expensive;
     // the rollup job runs at checkpoint time) — one presentation sort
     "crawl_budget" -> 1,
+    // X100: the line windows, the rules×agents self-join and the
+    // rule_order window all REUSE the one host exchange; plus the
+    // presentation sort — all host-bounded (lines per robots file)
+    "robots_parse" -> 3,
     // X99: four host-bounded rollups (novel distinct+anti+agg, the
     // admit join+agg, the two trap aggs) + the three host-keyed left
     // joins + presentation sort; the rank vector reads its checkpoint
