@@ -65,6 +65,9 @@ def rows():
                   "2024-01-20"),
         url_entry("http://DOCS.EXAMPLE.COM/Guide/MIXED.html",
                   "2024-02-02"),
+        # ALSO an outlink target in html_docs.csv (nav links point at
+        # docs.example.com/p1.html) — the X101 cross-channel fold case
+        url_entry("http://docs.example.com/p1.html", "2024-02-20"),
     ])
 
     # hostile host: cross-host locs (dropped), empty loc, url block

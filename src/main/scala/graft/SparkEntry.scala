@@ -549,6 +549,35 @@ object SparkEntry {
       ORDER BY p.rank DESC, p.host"""
   }
 
+  /** The sitemap declared-URL CTE chain (no leading WITH, sm_
+    * namespace, ends in `sm_g`: host, url, lastmod — parsed,
+    * normalized, own-host-validated, duplicate locs folded to the
+    * latest lastmod) — shared by the X98 oracle and the X101 merged
+    * discovery feed. */
+  private lazy val sitemapDeclaredCtes: String = {
+    def sq(x: String) = x.replace("'", "''")
+    s"""sm_s AS (SELECT host, xml FROM read_csv(
+          '${Sitemap.FixtureCsv}', header=true,
+          columns={'host':'VARCHAR','sitemap_url':'VARCHAR',
+          'xml':'VARCHAR'})),
+      sm_b AS (SELECT host, unnest(regexp_extract_all(xml,
+            '${sq(Sitemap.UrlBlockPattern)}', 0)) AS b
+        FROM sm_s),
+      sm_e AS (SELECT host,
+          ${HtmlExtract.normalizeUrlSql(
+            s"regexp_extract(b, '${sq(Sitemap.LocPattern)}', 1)")}
+            AS url,
+          try_cast(nullif(regexp_extract(b,
+            '${sq(Sitemap.LastmodPattern)}', 1), '') AS DATE)
+            AS lastmod
+        FROM sm_b),
+      sm_v AS (SELECT * FROM sm_e WHERE url <> ''
+        AND regexp_extract(url, '${sq(HtmlExtract.HostPattern)}', 1)
+          = lower(host)),
+      sm_g AS (SELECT host, url, max(lastmod) AS lastmod
+        FROM sm_v GROUP BY 1, 2)"""
+  }
+
   /** Shared oracle of `crawl_ingest` (X84) and its streaming twin
     * `crawl_ingest_stream` (X84b): the X82 CTE block, the admission +
     * exact-dedup stages, the proven X3 signature CTEs
@@ -1856,6 +1885,31 @@ object SparkEntry {
       WHERE host NOT IN ('(non-http)', '(unresolved)')
       ORDER BY host""")),
 
+    // X101 — merged discovery feed: outlink-novel ∪ sitemap-novel,
+    // one row per (host, url) with sorted channel provenance and the
+    // sitemap freshness hint; both channels share the normalize
+    // chain, so cross-channel duplicates fold by construction.
+    "discovery_feed" -> Q(
+      (s, d) => Sitemap.discoveryFeed(s, d), Some(s"""
+      WITH $resolvedUrlsCtes,
+      $sitemapDeclaredCtes,
+      fo AS (SELECT DISTINCT host, res AS url FROM h
+        WHERE host NOT IN ('(non-http)', '(unresolved)')),
+      seenx AS (SELECT DISTINCT
+          ${HtmlExtract.normalizeUrlSql("page_url")} AS url
+        FROM d WHERE page_url IS NOT NULL AND page_url <> ''),
+      no AS (SELECT host, url, 'outlink' AS via,
+          CAST(NULL AS DATE) AS lastmod
+        FROM fo ANTI JOIN seenx USING (url)),
+      ns AS (SELECT g.host, g.url, 'sitemap' AS via, g.lastmod
+        FROM sm_g g ANTI JOIN seenx ON g.url = seenx.url),
+      u AS (SELECT * FROM no UNION ALL SELECT * FROM ns)
+      SELECT host, url,
+        array_to_string(list_sort(array_agg(DISTINCT via)), '+')
+          AS via,
+        max(lastmod) AS lastmod
+      FROM u GROUP BY 1, 2 ORDER BY host, url""")),
+
     // X100 — raw robots.txt parsing: fetched bodies → the rules
     // relation X87 consumes. Line grammar (comments, CRLF, spaced
     // colons, case-insensitive keys) + RFC 9309 group headers derived
@@ -1979,30 +2033,8 @@ object SparkEntry {
     // locs keep the latest lastmod, every survivor flagged novel
     // against the crawled corpus's page_urls.
     "sitemap_ingest" -> Q(
-      (s, d) => Sitemap.sitemapIngest(s, d), Some {
-        import graft.ops.{HtmlExtract, Sitemap}
-        def sq(x: String) = x.replace("'", "''")
-        s"""
-      WITH s AS (SELECT host, xml FROM read_csv(
-          '${Sitemap.FixtureCsv}', header=true,
-          columns={'host':'VARCHAR','sitemap_url':'VARCHAR',
-          'xml':'VARCHAR'})),
-      b AS (SELECT host, unnest(regexp_extract_all(xml,
-            '${sq(Sitemap.UrlBlockPattern)}', 0)) AS b
-        FROM s),
-      e AS (SELECT host,
-          ${HtmlExtract.normalizeUrlSql(
-            s"regexp_extract(b, '${sq(Sitemap.LocPattern)}', 1)")}
-            AS url,
-          try_cast(nullif(regexp_extract(b,
-            '${sq(Sitemap.LastmodPattern)}', 1), '') AS DATE)
-            AS lastmod
-        FROM b),
-      v AS (SELECT * FROM e WHERE url <> ''
-        AND regexp_extract(url, '${sq(HtmlExtract.HostPattern)}', 1)
-          = lower(host)),
-      g AS (SELECT host, url, max(lastmod) AS lastmod
-        FROM v GROUP BY 1, 2),
+      (s, d) => Sitemap.sitemapIngest(s, d), Some(s"""
+      WITH $sitemapDeclaredCtes,
       pd AS (SELECT page_url FROM read_csv(
           '${HtmlExtract.FixtureCsv}', header=true,
           columns={'doc_id':'BIGINT','source':'VARCHAR',
@@ -2012,9 +2044,8 @@ object SparkEntry {
         FROM pd WHERE page_url IS NOT NULL AND page_url <> '')
       SELECT g.host, g.url, g.lastmod,
         (seen.url IS NULL) AS is_novel
-      FROM g LEFT JOIN seen ON g.url = seen.url
-      ORDER BY g.host, g.url"""
-      }),
+      FROM sm_g g LEFT JOIN seen ON g.url = seen.url
+      ORDER BY g.host, g.url""")),
 
     // X97 — anchor-text aggregation: per target host, the top-3
     // anchor terms of all links pointing at it (count DESC, term ASC)

@@ -170,14 +170,40 @@ object LinkGraph {
     * checkpoints its chain; novelty/admission/traps are one keyed agg
     * each); the final join chain is host-keyed over host-bounded
     * relations. */
-  def hostPriority(spark: SparkSession, dir: String): DataFrame =
-    hostPriorityFrom(HtmlExtract.fixturePages(spark))
+  /** Persisted RANK store — the X90 artifact: a daily scheduler reads
+    * the rank vector, it does not re-run the power method per
+    * consumer. `_SUCCESS`-gated per fixture listing fingerprint (the
+    * SIXTH store in IndexFreshnessSpec's re-key contract: a corpus
+    * change re-keys the store and the priorities read fresh ranks).
+    * [[linkPagerank]] itself stays a direct computation — it PRICES
+    * the build; this is its serving artifact. */
+  def rankStore(spark: SparkSession,
+      csv: String = HtmlExtract.FixtureCsv): String = {
+    import graft.util.Tables
+    val out = "target/graft_rank/" + Tables.listingTag(spark, csv)
+    if (!Tables.successExists(spark, out))
+      pagerank(hostEdges(
+        spark.read.option("header", "true")
+          .schema(HtmlExtract.FixtureSchema).csv(csv)))
+        .write.mode("overwrite").parquet(out)
+    out
+  }
 
-  private[graft] def hostPriorityFrom(pages: DataFrame): DataFrame = {
+  def hostPriority(spark: SparkSession, dir: String): DataFrame =
+    hostPriorityWith(HtmlExtract.fixturePages(spark),
+      spark.read.parquet(rankStore(spark))
+        .select(col("host"), col("rank")))
+
+  /** Full-compute form (pagerank inline) — specs and the ScaleStress
+    * leg price the backfill; the registered query reads the store. */
+  private[graft] def hostPriorityFrom(pages: DataFrame): DataFrame =
+    hostPriorityWith(pages,
+      pagerank(hostEdges(pages)).select(col("host"), col("rank")))
+
+  private def hostPriorityWith(pages: DataFrame,
+      ranks: DataFrame): DataFrame = {
     val novel = HtmlExtract.frontierNovelFrom(pages)
       .groupBy(col("host")).agg(count(lit(1)).as("n_novel"))
-    val ranks = pagerank(hostEdges(pages))
-      .select(col("host"), col("rank"))
     val admitted = HtmlExtract.htmlExtractFrom(pages)
       .select(col("doc_id"),
         (!col("boilerplate_flag") &&

@@ -94,4 +94,42 @@ object Sitemap {
         col("seen").isNull.as("is_novel"))
       .orderBy("host", "url")
   }
+
+  // ---- X101: merged discovery feed ------------------------------------
+
+  /** X101 — the MERGED discovery feed: one relation holding every URL
+    * the crawl should consider fetching next, from BOTH discovery
+    * channels — outlinks observed in crawled pages (X88's novel
+    * frontier) and URLs publishers declare in sitemaps (X98) — with
+    * provenance. Because both channels normalize through the SAME
+    * chain, a URL found both ways folds to one row (`via` =
+    * `outlink+sitemap`, the channels sorted and joined — a
+    * cross-engine-stable encoding), keeping the sitemap's freshness
+    * hint. This is the relation the X87 robots gate and the X99
+    * priority actually want as input: deduplicated across channels,
+    * lastmod-aware, no URL fetched twice because two discovery paths
+    * found it.
+    *
+    * Scale shape: the outlink side is the X88 anti-join (both sides
+    * corpus-scaled), the sitemap side is fetch-bounded; the merge is
+    * one (host, url)-keyed agg over their union — map-side combined,
+    * a URL appears at most once per channel. */
+  def discoveryFeed(spark: SparkSession, dir: String): DataFrame = {
+    val pages = HtmlExtract.fixturePages(spark)
+    val outlinks = HtmlExtract.frontierNovelFrom(pages)
+      .select(col("host"), col("url"),
+        lit("outlink").as("via"),
+        lit(null).cast("date").as("lastmod"))
+    val declared = sitemapIngestFrom(fixtureSitemaps(spark), pages)
+      .filter(col("is_novel"))
+      .select(col("host"), col("url"),
+        lit("sitemap").as("via"), col("lastmod"))
+    outlinks.unionByName(declared)
+      .groupBy(col("host"), col("url"))
+      .agg(array_join(array_sort(collect_set(col("via"))), "+")
+          .as("via"),
+        max(col("lastmod")).as("lastmod"))
+      .select(col("host"), col("url"), col("via"), col("lastmod"))
+      .orderBy("host", "url")
+  }
 }

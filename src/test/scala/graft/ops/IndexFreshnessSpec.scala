@@ -201,4 +201,31 @@ class IndexFreshnessSpec extends AnyFunSuite {
     assert(!rateSrcs.contains("src_td"),
       "gate stats still carry the fully-deleted source")
   }
+
+  /** The SIXTH store (round 14): the X90 rank vector the X99 priority
+    * reads. Keyed by the crawl FIXTURE's listing tag (it derives from
+    * crawled pages, not the testdata dir — which is why the takedown
+    * walk above does not cover it): a new fetch landing must re-key
+    * the store and the rebuilt ranks must see the new host. */
+  test("a crawl change re-keys the rank store and ranks the new host") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-freshness-rank").toString
+    val csv = s"$base/html_docs.csv"
+    Files.copy(Paths.get(HtmlExtract.FixtureCsv), Paths.get(csv))
+    val s1 = LinkGraph.rankStore(spark, csv)
+    // same crawl, second call: the _SUCCESS fast path
+    assert(LinkGraph.rankStore(spark, csv) == s1)
+    def hosts(p: String) = spark.read.parquet(p)
+      .select("host").as[String].collect().toSet
+    assert(!hosts(s1).contains("brandnew.test"))
+    // a newly fetched page linking a brand-new host lands
+    Files.write(Paths.get(csv),
+      ("999998,freshsrc,http://freshsrc.crawl.test/a.html," +
+        "<p><a href='http://brandnew.test/x'>n</a></p>\n").getBytes,
+      java.nio.file.StandardOpenOption.APPEND)
+    val s2 = LinkGraph.rankStore(spark, csv)
+    assert(s2 != s1, "rank store must re-key when the crawl changes")
+    assert(hosts(s2).contains("brandnew.test"),
+      "rebuilt ranks must include the newly linked host")
+  }
 }

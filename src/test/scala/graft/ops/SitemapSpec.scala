@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
 
@@ -33,7 +34,10 @@ class SitemapSpec extends AnyFunSuite {
   test("fixture: dup locs keep latest lastmod; tracking params fold (X98)") {
     val docs = got.filter(_._1 == "docs.example.com")
       .map(r => r._2 -> ((r._3, r._4))).toMap
-    assert(docs.size == 4, docs.keySet)
+    assert(docs.size == 5, docs.keySet)
+    // the planted cross-channel URL (also an outlink target)
+    assert(docs("http://docs.example.com/p1.html")._1 ==
+      Some(d("2024-02-20")))
     assert(docs.values.forall(_._2), "docs.example.com never crawled")
     assert(docs("http://docs.example.com/guide/intro.html")._1 ==
       Some(d("2024-02-17")))
@@ -65,6 +69,35 @@ class SitemapSpec extends AnyFunSuite {
     // the empty sitemap contributes no rows
     assert(!got.exists(_._1 == "empty.test"))
     assert(got.count(_._1 == "bulk.test") == 40)
+  }
+
+  test("discovery_feed: channels fold per URL, provenance sorted (X101)") {
+    import spark.implicits._
+    val feed = Sitemap.discoveryFeed(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getDate(3))))
+    // one row per (host, url)
+    assert(feed.map(r => (r._1, r._2)).distinct.length == feed.length)
+    assert(feed.map(_._3).toSet
+      .subsetOf(Set("outlink", "sitemap", "outlink+sitemap")))
+    val byUrl = feed.map(r => r._2 -> r).toMap
+    // the planted cross-channel URL folds with sorted provenance and
+    // keeps the sitemap freshness hint
+    assert(byUrl("http://docs.example.com/p1.html")._3 ==
+      "outlink+sitemap")
+    assert(byUrl("http://docs.example.com/p1.html")._4 ==
+      Some(d("2024-02-20")))
+    // sitemap-only and outlink-only classes both present
+    assert(byUrl("http://crawl0.crawl.test/fresh/n0.html")._3 ==
+      "sitemap")
+    assert(feed.exists(r => r._3 == "outlink" && r._4.isEmpty))
+    // the feed is EXACTLY the union of its two channels
+    val outl = graft.ops.HtmlExtract
+      .frontierNovelFrom(graft.ops.HtmlExtract.fixturePages(spark))
+      .select("url").as[String].collect().toSet
+    val sm = Sitemap.sitemapIngest(spark, dir)
+      .filter(col("is_novel")).select("url").as[String].collect().toSet
+    assert(feed.map(_._2).toSet == (outl ++ sm))
   }
 
   test("toDF edges: invalid calendar date, scheme variance, null-loses max (X98)") {

@@ -284,14 +284,20 @@ class PlanAuditSpec extends AnyFunSuite {
     // CHECKPOINTED rollup (the resolve tree is optimizer-expensive;
     // the rollup job runs at checkpoint time) — one presentation sort
     "crawl_budget" -> 1,
+    // X101: the X88 novel anti-join chain (distinct + anti) + the
+    // sitemap fold + its novelty join + the merge agg + presentation
+    // sort — the two channels' seen-set scans don't share an exchange
+    // (different anti-join sides)
+    "discovery_feed" -> 8,
     // X100: the line windows, the rules×agents self-join and the
     // rule_order window all REUSE the one host exchange; plus the
     // presentation sort — all host-bounded (lines per robots file)
     "robots_parse" -> 3,
     // X99: four host-bounded rollups (novel distinct+anti+agg, the
     // admit join+agg, the two trap aggs) + the three host-keyed left
-    // joins + presentation sort; the rank vector reads its checkpoint
-    "host_priority" -> 9,
+    // joins + presentation sort; the rank vector is a PERSISTED-store
+    // scan (the X90 artifact — built once per crawl fingerprint)
+    "host_priority" -> 8,
     // X98: (host, url)-keyed latest-lastmod agg + seen-set distinct +
     // presentation sort; the url left join BROADCASTS the declared
     // side at fixture scale (corpus-scaled deployments shuffle it —
