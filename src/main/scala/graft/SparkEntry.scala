@@ -493,47 +493,59 @@ object SparkEntry {
     * other step a single IEEE-exact double op, so after 10 rounds the
     * raw doubles hash-compare. Constants interpolate from
     * [[LinkGraph]] so engine and oracle cannot drift. */
-  /** The pagerank CTE chain (no leading WITH): edge derivation over
-    * the `h` relation of [[resolvedUrlsCtes]] through `pr{Iters}`
-    * (final ranks) plus `od`/`idg` degree rollups — shared by the
-    * X90 oracle and the X99 composed priority. */
-  private lazy val pagerankCtes: String = {
+  /** The pagerank CTE chain (no leading WITH, `ns`-prefixed names):
+    * edge derivation over `hRel` (a relation with the resolved-chain
+    * columns p/host) through `${ns}pr{iters}` (final ranks) plus
+    * degree rollups — shared by the X90 oracle, the X99 composed
+    * priority (bare ns over `h`) and the X90b warm-start probe (base
+    * chain over the batch-excluded slice, then warm rounds over the
+    * full graph via `start`). `start` overrides the uniform pr0 with
+    * an arbitrary SELECT (host, rank). */
+  private def pagerankCtesNs(ns: String, hRel: String, iters: Int,
+      start: Option[String] = None): String = {
     def sq(x: String) = x.replace("'", "''")
     val srcE = s"regexp_extract(p, '${sq(HtmlExtract.HostPattern)}', 1)"
     // Every round's CTEs are MATERIALIZED: pr(i-1) is referenced
     // twice per round, and an inlining planner would otherwise expand
     // the 10-round chain into 2^10 copies of the resolve regex tree.
-    val iters = (1 to LinkGraph.Iters).map { i =>
-      s"""c$i AS MATERIALIZED (SELECT e.dst,
+    val rounds = (1 to iters).map { i =>
+      s"""${ns}c$i AS MATERIALIZED (SELECT e.dst,
           ${osum("q.rank / CAST(od.out_deg AS DOUBLE)")} AS s
-        FROM e JOIN pr${i - 1} q ON e.src = q.host
-          JOIN od ON e.src = od.src GROUP BY 1),
-      g$i AS MATERIALIZED (SELECT COALESCE(${osum("q.rank")}, 0.0) AS dang
-        FROM pr${i - 1} q LEFT JOIN od ON q.host = od.src
+        FROM ${ns}e e JOIN ${ns}pr${i - 1} q ON e.src = q.host
+          JOIN ${ns}od od ON e.src = od.src GROUP BY 1),
+      ${ns}g$i AS MATERIALIZED (
+        SELECT COALESCE(${osum("q.rank")}, 0.0) AS dang
+        FROM ${ns}pr${i - 1} q LEFT JOIN ${ns}od od ON q.host = od.src
         WHERE od.src IS NULL),
-      pr$i AS MATERIALIZED (SELECT no.host,
+      ${ns}pr$i AS MATERIALIZED (SELECT no.host,
           ((${LinkGraph.Teleport} / nn.nd) +
            (${LinkGraph.Damping} * (COALESCE(c.s, 0.0) +
              (g.dang / nn.nd)))) AS rank
-        FROM nodes no LEFT JOIN c$i c ON no.host = c.dst
-        CROSS JOIN g$i g CROSS JOIN nn)"""
+        FROM ${ns}nodes no LEFT JOIN ${ns}c$i c ON no.host = c.dst
+        CROSS JOIN ${ns}g$i g CROSS JOIN ${ns}nn nn)"""
     }.mkString(",\n      ")
-    s"""e AS MATERIALIZED (SELECT DISTINCT $srcE AS src, host AS dst
-        FROM h
+    val pr0 = start.getOrElse(
+      s"SELECT host, (1.0 / nd) AS rank FROM ${ns}nodes CROSS JOIN ${ns}nn")
+    s"""${ns}e AS MATERIALIZED (
+        SELECT DISTINCT $srcE AS src, host AS dst
+        FROM $hRel
         WHERE $srcE IS NOT NULL AND $srcE <> ''
           AND host NOT IN ('(non-http)', '(unresolved)')
           AND $srcE <> host),
-      od AS MATERIALIZED (
-        SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
-      idg AS (SELECT dst, count(*) AS in_deg FROM e GROUP BY 1),
-      nodes AS MATERIALIZED (
-        SELECT src AS host FROM e UNION SELECT dst FROM e),
-      nn AS MATERIALIZED (
-        SELECT CAST(count(*) AS DOUBLE) AS nd FROM nodes),
-      pr0 AS MATERIALIZED (SELECT host, (1.0 / nd) AS rank
-        FROM nodes CROSS JOIN nn),
-      $iters"""
+      ${ns}od AS MATERIALIZED (
+        SELECT src, count(*) AS out_deg FROM ${ns}e GROUP BY 1),
+      ${ns}idg AS (SELECT dst, count(*) AS in_deg FROM ${ns}e GROUP BY 1),
+      ${ns}nodes AS MATERIALIZED (
+        SELECT src AS host FROM ${ns}e UNION SELECT dst FROM ${ns}e),
+      ${ns}nn AS MATERIALIZED (
+        SELECT CAST(count(*) AS DOUBLE) AS nd FROM ${ns}nodes),
+      ${ns}pr0 AS MATERIALIZED ($pr0),
+      $rounds"""
   }
+
+  /** The bare-namespace chain over `h` — X90 and X99. */
+  private lazy val pagerankCtes: String =
+    pagerankCtesNs("", "h", LinkGraph.Iters)
 
   private lazy val linkPagerankOracle: String = {
     s"""
@@ -1884,6 +1896,36 @@ object SparkEntry {
       FROM lhr
       WHERE host NOT IN ('(non-http)', '(unresolved)')
       ORDER BY host""")),
+
+    // X90b — warm-start rank refresh: the base chain (batch slice
+    // excluded) rebuilds yesterday's stored vector, then WarmIters
+    // rounds run over the FULL graph from that start (new hosts enter
+    // at the grown graph's uniform share). The oracle replays the
+    // identical 10+2 unrolled rounds; the approximation QUALITY is
+    // the spec's job, cross-engine equality is this gate's.
+    "link_pagerank_probe" -> Q(
+      (s, d) => LinkGraph.linkPagerankProbe(s, d), Some {
+        val warmStart = s"""SELECT no.host,
+            COALESCE(b.rank, 1.0 / nn.nd) AS rank
+          FROM fnodes no
+          LEFT JOIN bpr${LinkGraph.Iters} b ON no.host = b.host
+          CROSS JOIN fnn nn"""
+        s"""
+      WITH $resolvedUrlsCtes,
+      hb AS (SELECT * FROM h
+        WHERE doc_id % ${LinkGraph.ProbeBatchMod} <> 0),
+      ${pagerankCtesNs("b", "hb", LinkGraph.Iters)},
+      ${pagerankCtesNs("f", "h", LinkGraph.WarmIters,
+          Some(warmStart))}
+      SELECT p.host,
+        CAST(COALESCE(idg.in_deg, 0) AS BIGINT) AS in_deg,
+        CAST(COALESCE(od.out_deg, 0) AS BIGINT) AS out_deg,
+        p.rank
+      FROM fpr${LinkGraph.WarmIters} p
+        LEFT JOIN fidg idg ON p.host = idg.dst
+        LEFT JOIN fod od ON p.host = od.src
+      ORDER BY p.rank DESC, p.host"""
+      }),
 
     // X101 — merged discovery feed: outlink-novel ∪ sitemap-novel,
     // one row per (host, url) with sorted channel provenance and the

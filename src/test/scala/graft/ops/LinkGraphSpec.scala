@@ -118,6 +118,36 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(1) > 0 || r.getLong(2) > 0))
   }
 
+  // ---- X90b: warm-start incremental rank probe ------------------------
+
+  test("warm-start probe: close to the cold answer, improves on not iterating, ranks new hosts (X90b)") {
+    val dir = "/root/testdata/sf0.001"
+    val cold = LinkGraph.linkPagerank(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val warm = LinkGraph.linkPagerankProbe(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // same node set: the probe ranks the FULL grown graph
+    assert(warm.keySet == cold.keySet)
+    // hosts linked ONLY by the batch slice are new to the store but
+    // present in the probe
+    val base = spark.read.parquet(LinkGraph.baseRankStore(spark))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val newHosts = warm.keySet -- base.keySet
+    assert(newHosts.nonEmpty,
+      "the fixture batch slice must introduce at least one new host")
+    // warm start BEFORE iterating: stored ranks + uniform for new
+    val n = warm.size.toDouble
+    val warm0 = cold.keySet.map(h =>
+      h -> base.getOrElse(h, 1.0 / n)).toMap
+    def l1(a: Map[String, Double], b: Map[String, Double]) =
+      a.keySet.iterator.map(h => math.abs(a(h) - b(h))).sum
+    val d0 = l1(warm0, cold)
+    val d2 = l1(warm, cold)
+    assert(d2 < d0,
+      s"two warm rounds must improve on not iterating: $d2 vs $d0")
+    assert(d2 < 0.05, s"warm residual too large: $d2 (cold mass is 1)")
+  }
+
   // ---- X99: composed frontier priority -------------------------------
 
   test("host_priority: factors compose, traps zero, prior applies (X99)") {

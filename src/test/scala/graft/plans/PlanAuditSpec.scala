@@ -284,6 +284,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // CHECKPOINTED rollup (the resolve tree is optimizer-expensive;
     // the rollup job runs at checkpoint time) — one presentation sort
     "crawl_budget" -> 1,
+    // X90b: like X90 — the registered plan reads the final warm-round
+    // checkpoint and joins the degree rollups (one exchange survives
+    // reuse) + presentation sort; the store build and the warm rounds
+    // run at checkpoint time
+    "link_pagerank_probe" -> 2,
     // X101: the X88 novel anti-join chain (distinct + anti) + the
     // sitemap fold + its novelty join + the merge agg + presentation
     // sort — the two channels' seen-set scans don't share an exchange
