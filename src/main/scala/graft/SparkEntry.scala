@@ -3662,6 +3662,76 @@ object SparkEntry {
       FROM bi JOIN tri ON bi.doc_id = tri.doc_id
       ORDER BY bi.doc_id""")),
 
+    // X102 — Gopher rule battery with REASONS: every rule evaluated,
+    // failed names sorted and '+'-joined, pass verdict. Thresholds
+    // interpolate from the shared constants; ratio rules on token-less
+    // docs evaluate NULL → not-failed (word_count catches them), and
+    // the repetition rules pass vacuously below 2/3 tokens — the same
+    // CASE semantics both engines replay.
+    "gopher_rules" -> Q(
+      (s, d) => QualitySignals.gopherRules(s, d), Some {
+        import QualitySignals._
+        val mean = """(CAST(list_sum(list_transform(w, x -> len(x)))
+          AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE))"""
+        val stops = GopherStops.map(s =>
+          s"(CASE WHEN list_contains(w, '$s') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""
+      WITH d AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      b AS (SELECT doc_id, w, len(w) AS n FROM d),
+      sc AS (SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+          CASE WHEN n < $GopherMinWords OR n > $GopherMaxWords
+            THEN 'word_count' END AS f1,
+          CASE WHEN $mean < $GopherMinMeanLen
+            OR $mean > $GopherMaxMeanLen
+            THEN 'mean_word_len' END AS f2,
+          CASE WHEN CAST(len(list_filter(w, x -> contains(x, '#')))
+              AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE)
+              > $GopherMaxHashRatio
+            THEN 'hash_ratio' END AS f3,
+          CASE WHEN CAST(len(list_filter(w, x -> contains(x, '...')))
+              AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE)
+              > $GopherMaxEllipsisRatio
+            THEN 'ellipsis_ratio' END AS f4,
+          CASE WHEN CAST(len(list_filter(w,
+              x -> regexp_matches(x, '[a-z]')))
+              AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE)
+              < $GopherMinAlphaFrac
+            THEN 'alpha_words' END AS f5,
+          CASE WHEN ($stops) < $GopherMinStopwords
+            THEN 'stopwords' END AS f6
+        FROM b),
+      bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+          i -> w[i] || ' ' || w[i + 1])) AS g FROM d),
+      bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      bi AS (SELECT doc_id, CAST(max(c) AS DOUBLE) /
+          CAST(sum(c) AS DOUBLE) AS top_bi FROM bgc GROUP BY 1),
+      tg AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+          i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g
+        FROM d),
+      tri AS (SELECT doc_id,
+          CAST(count(*) - count(DISTINCT g) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE) AS dup_tri FROM tg GROUP BY 1),
+      j AS (SELECT sc.*, bi.top_bi, tri.dup_tri
+        FROM sc LEFT JOIN bi USING (doc_id)
+          LEFT JOIN tri USING (doc_id)),
+      fl AS (SELECT doc_id, n_words,
+          list_filter([f1, f2, f3, f4, f5, f6,
+            CASE WHEN top_bi > $GopherMaxTopBigram
+              THEN 'top_bigram' END,
+            CASE WHEN dup_tri > $GopherMaxDupTrigram
+              THEN 'dup_trigram' END],
+            x -> x IS NOT NULL) AS fails
+        FROM j)
+      SELECT doc_id, n_words,
+        array_to_string(list_sort(fails), '+') AS failed,
+        (len(fails) = 0) AS pass
+      FROM fl ORDER BY doc_id"""
+      }),
+
     "decontaminate" -> Q(
       (s, d) => QualitySignals.decontaminate(s, d), Some("""
       WITH d AS (SELECT doc_id,

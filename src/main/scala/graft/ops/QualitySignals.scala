@@ -527,4 +527,107 @@ object QualitySignals {
         (graft.util.Tables.dsum(col("p")) / count(lit(1))).as("mean_p"))
       .orderBy("doc_id")
   }
+
+  // ---- X102: Gopher rule battery with reasons ---------------------------
+
+  /** The Gopher quality-rule thresholds (Rae et al. 2021, "Scaling
+    * Language Models", §A1.1 — the published MassiveText filter),
+    * restricted to the deterministic word-level subset (the line-based
+    * bullet/ellipsis-line rules need newline structure the documents
+    * table does not carry; documented omission). Every bound compares
+    * an exact integer or one exact division against a decimal literal
+    * both engines parse identically. */
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMinMeanLen = 3.0
+  val GopherMaxMeanLen = 10.0
+  val GopherMaxHashRatio = 0.1
+  val GopherMaxEllipsisRatio = 0.1
+  val GopherMinAlphaFrac = 0.8
+  val GopherMinStopwords = 2L
+  val GopherMaxTopBigram = 0.2
+  val GopherMaxDupTrigram = 0.3
+  /** Gopher's stop-word list — the doc must contain at least
+    * [[GopherMinStopwords]] DISTINCT of these eight. */
+  val GopherStops = Seq(
+    "the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** X102 — the Gopher rule battery AS AN EXPLAINABLE FILTER: per
+    * document every rule is evaluated and the output carries the
+    * sorted `+`-joined list of FAILED rule names (the "why was this
+    * doc dropped" answer an operator actually needs — a bare boolean
+    * gate is undebuggable at corpus scale) plus the pass verdict.
+    * Rules: word-count bounds, mean-word-length bounds, `#` and `…`
+    * symbol ratios, alphabetic-word fraction, the distinct-stopword
+    * floor, and the X28 repetition pair (top-bigram mass, duplicate
+    * trigram fraction). Ratio rules on token-less docs evaluate NULL
+    * → not-failed in both engines (word_count already fails them);
+    * repetition rules need ≥ 2/3 tokens and pass vacuously below
+    * that — each documented, both engines replay the same CASE.
+    *
+    * Scale shape: one corpus scan; the scalar rules are a per-row
+    * projection; the repetition rules reuse X28's (doc_id, gram)
+    * map-side-combined aggs; one doc-keyed join stitches them. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesFrom(fanOut(t(spark, dir, "documents")))
+
+  private[graft] def gopherRulesFrom(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+      .localCheckpoint()
+    val denom = nullif(col("n"), lit(0)).cast("double")
+    val nStops = GopherStops
+      .map(s => when(array_contains(col("w"), s), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val scalarFails: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "word_count" ->
+        (col("n") < GopherMinWords || col("n") > GopherMaxWords),
+      "mean_word_len" -> {
+        val m = aggregate(transform(col("w"), w => length(w)), lit(0),
+          _ + _).cast("double") / denom
+        m < GopherMinMeanLen || m > GopherMaxMeanLen
+      },
+      "hash_ratio" ->
+        (size(filter(col("w"), w => w.contains("#"))).cast("double") /
+          denom > GopherMaxHashRatio),
+      "ellipsis_ratio" ->
+        (size(filter(col("w"), w => w.contains("..."))).cast("double") /
+          denom > GopherMaxEllipsisRatio),
+      "alpha_words" ->
+        (size(filter(col("w"), w => w.rlike("[a-z]"))).cast("double") /
+          denom < GopherMinAlphaFrac),
+      "stopwords" -> (nStops < GopherMinStopwords))
+    val scalars = base.select(
+      col("doc_id") +: col("n").cast("long").as("n_words") +:
+      scalarFails.map { case (name, cond) =>
+        when(cond, lit(name)).as(s"f_$name") }: _*)
+    // X28's repetition shapes, re-derived off the shared token base
+    def grams(k: Int) = base.filter(col("n") >= k)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), col("n") - (k - 1)), i =>
+          concat_ws(" ", (0 until k).map(o =>
+            element_at(col("w"), i + o)): _*))).as("g"))
+    val bi = grams(2).groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") /
+        sum(col("c")).cast("double")).as("top_bi"))
+    val tri = grams(3).groupBy(col("doc_id"))
+      .agg(((count(lit(1)) - count_distinct(col("g"))).cast("double") /
+        count(lit(1)).cast("double")).as("dup_tri"))
+    val failCols = scalarFails.map { case (name, _) => col(s"f_$name") } ++
+      Seq(when(col("top_bi") > GopherMaxTopBigram, lit("top_bigram")),
+        when(col("dup_tri") > GopherMaxDupTrigram, lit("dup_trigram")))
+    scalars
+      .join(bi, Seq("doc_id"), "left")
+      .join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        array_join(array_sort(
+          filter(array(failCols: _*), x => x.isNotNull)), "+")
+          .as("failed"),
+        (size(filter(array(failCols: _*), x => x.isNotNull)) === 0)
+          .as("pass"))
+      .orderBy("doc_id")
+  }
 }

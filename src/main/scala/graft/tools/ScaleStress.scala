@@ -409,6 +409,11 @@ object ScaleStress {
               lit("<a href='//cdn"), pmod(col("doc_id"), lit(1000)),
               lit(".test/l.js'>d</a></p></body></html>"))
               .as("html"))))),
+      // X102: the rule battery straight over the scaled corpus — the
+      // repetition aggs are the corpus-sized term (doc-local gram
+      // keys, map-side combined); scalar rules ride the same scan
+      "gopher_rules" -> (d =>
+        m(graft.ops.QualitySignals.gopherRules(spark, d))),
       // X100: robots parsing scales with HOSTS, not corpus bytes — one
       // synthetic multi-group body per host (n hosts at scale n); the
       // line/run/rule_order windows partition per host and must

@@ -221,4 +221,52 @@ class QualitySignalsSpec extends AnyFunSuite {
     // higher-quality (in-model) text outscores unseen-heavy text
     assert(got(0L)._3 > got(1L)._3)
   }
+
+  test("gopher_rules: each planted violation names exactly its rule (X102)") {
+    import spark.implicits._
+    // a clean 60-word doc: varied words, two stopword types, all
+    // bigrams distinct
+    val clean = ((1 to 56).map(i => s"word$i") ++
+      Seq("the", "and", "that", "have")).mkString(" ")
+    val docs = Seq(
+      (1L, clean),
+      (2L, "too short the and"),                         // word_count
+      (3L, ((1 to 60).map(i => s"verylongtokenxx$i") ++
+        Seq("the", "and")).mkString(" ")),               // mean_word_len
+      (4L, ((1 to 50).map(i => s"word$i") ++
+        (1 to 8).map(i => s"#tag$i") ++
+        Seq("the", "and")).mkString(" ")),               // hash_ratio
+      (5L, ((1 to 50).map(i => s"word$i") ++
+        (1 to 8).map(i => s"etc$i...") ++
+        Seq("the", "and")).mkString(" ")),               // ellipsis_ratio
+      (6L, ((1 to 40).map(i => s"word$i") ++
+        (1 to 18).map(i => s"$i$i$i") ++
+        Seq("the", "and")).mkString(" ")),               // alpha_words
+      (7L, (1 to 60).map(i => s"word$i").mkString(" ")), // stopwords
+      (8L, (Seq.fill(28)("the and") :+ "that x have y")
+        .mkString(" ")),                                 // top_bigram
+      (9L, (Seq.fill(15)("the quick fox and all that") :+ "have")
+        .mkString(" ")),                                 // dup_trigram
+      (10L, "")                                          // empty
+    ).toDF("doc_id", "text")
+    val got = QualitySignals.gopherRulesFrom(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((60L, "", true)), got(1L))
+    def failedSet(id: Long) = got(id)._2.split('+').toSet
+    // 4 words: word_count fails; its 3 distinct bigrams also trip the
+    // top-bigram mass rule (1/3 > 0.2) — tiny docs fail both
+    assert(failedSet(2L).contains("word_count") && !got(2L)._3)
+    assert(failedSet(3L).contains("mean_word_len"))
+    assert(got(4L)._2 == "hash_ratio")
+    assert(got(5L)._2 == "ellipsis_ratio")
+    assert(got(6L)._2 == "alpha_words")
+    assert(got(7L)._2 == "stopwords")
+    assert(failedSet(8L).contains("top_bigram"))
+    assert(failedSet(9L).contains("dup_trigram"))
+    // empty text: the ratio rules are NULL-safe and repetition rules
+    // pass vacuously; the two exact-integer rules (word_count,
+    // stopwords) legitimately fail
+    assert(got(10L) == ((0L, "stopwords+word_count", false)), got(10L))
+  }
 }

@@ -284,6 +284,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // CHECKPOINTED rollup (the resolve tree is optimizer-expensive;
     // the rollup job runs at checkpoint time) — one presentation sort
     "crawl_budget" -> 1,
+    // X102: the two X28-shaped repetition aggs (the bigram pair
+    // shares its doc_id exchange) over the checkpointed token base +
+    // the two doc-keyed left joins + presentation sort; scalar rules
+    // are per-row
+    "gopher_rules" -> 5,
     // X90b: like X90 — the registered plan reads the final warm-round
     // checkpoint and joins the degree rollups (one exchange survives
     // reuse) + presentation sort; the store build and the warm rounds
