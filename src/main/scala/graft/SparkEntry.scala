@@ -2374,6 +2374,37 @@ object SparkEntry {
     "bpe_encode" -> Q((s, d) => BpeTrain.bpeEncode(s, d),
       Some(bpeEncodeOracle(12))),
 
+    // X103 — tokenizer fertility per language: exact integer sums over
+    // the X63 per-doc encoding joined to declared langs, ratios as
+    // single exact divisions; the oracle replays the full merge chain
+    // through the shared bpe CTE stack.
+    "bpe_fertility" -> Q((s, d) => BpeTrain.bpeFertility(s, d), Some {
+      val n = 12
+      "WITH " + bpeCtes(n, finalVocab = true).mkString(",\n") + s""",
+      enc AS (SELECT replace(trim(s), ' ', '') AS word,
+          CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sym
+        FROM w$n),
+      dw AS (SELECT doc_id, unnest(list_filter(
+          string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+          AS word FROM documents),
+      pd AS (SELECT doc_id, count(*) AS n_words,
+          CAST(sum(e.n_sym) AS BIGINT) AS n_tokens,
+          CAST(sum(length(dw.word)) AS BIGINT) AS n_chars
+        FROM dw JOIN enc e USING (word)
+        GROUP BY doc_id),
+      dl AS (SELECT doc_id, lang FROM documents)
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(n_words) AS BIGINT) AS n_words,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        CAST(sum(n_tokens) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE)
+          AS tokens_per_word,
+        CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE)
+          AS chars_per_token
+      FROM pd JOIN dl USING (doc_id)
+      GROUP BY lang ORDER BY lang"""
+    }),
+
     // Sketch-guided exact heavy hitters: the oracle is the plain
     // HAVING-threshold count — the CMS candidate pass must be
     // output-invisible (no false negatives by construction).

@@ -169,4 +169,35 @@ object BpeTrain {
         col("n_chars_alpha").cast("double") / col("n_tokens"))
       .orderBy("doc_id")
   }
+
+  /** X103 — tokenizer FERTILITY rollup: tokens-per-word and
+    * chars-per-token PER LANGUAGE — the standard tokenizer-evaluation
+    * relation (a tokenizer trained on one language mix "taxes" the
+    * under-represented languages with more tokens per word; this is
+    * the table that decision is made from, and the denominator
+    * token-budget mixes divide by). Exact integer sums over the X63
+    * per-doc encoding joined to each doc's declared language, with the
+    * two ratios as single exact divisions of those sums. Docs with no
+    * encodable words (empty text) carry no tokens and are absent from
+    * the per-doc relation — `n_docs` counts ENCODABLE docs, the
+    * denominator that makes the ratios meaningful.
+    *
+    * Scale shape: everything corpus-sized happens inside [[bpeEncode]]
+    * (vocabulary-sized merge folds, one word-keyed join); the rollup
+    * adds one lang-keyed map-side-combined agg. */
+  def bpeFertility(spark: SparkSession, dir: String,
+      nMerges: Int = 12): DataFrame =
+    bpeEncode(spark, dir, nMerges)
+      .join(t(spark, dir, "documents").select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars_alpha")).as("n_chars"),
+        (sum(col("n_tokens")).cast("double") /
+          sum(col("n_words")).cast("double")).as("tokens_per_word"),
+        (sum(col("n_chars_alpha")).cast("double") /
+          sum(col("n_tokens")).cast("double")).as("chars_per_token"))
+      .orderBy("lang")
 }

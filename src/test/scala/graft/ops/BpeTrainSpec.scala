@@ -141,4 +141,27 @@ class BpeTrainSpec extends AnyFunSuite {
       .as[(Int, String, String, String, Long)].collect().toSeq
     assert(run() == run())
   }
+
+  test("bpeFertility equals a driver-side rollup of the encoding (X103)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val perDoc = BpeTrain.bpeEncode(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val langOf = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val want = perDoc.groupBy(r => langOf(r._1)).map { case (lang, rs) =>
+      val (w, t, c) = (rs.map(_._2).sum, rs.map(_._3).sum,
+        rs.map(_._4).sum)
+      lang -> ((rs.length.toLong, w, t, c,
+        t.toDouble / w.toDouble, c.toDouble / t.toDouble))
+    }
+    val got = BpeTrain.bpeFertility(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got == want, s"got $got\nwant $want")
+    // fertility is a real signal on the fixture: ratios in sane range
+    got.values.foreach { v =>
+      assert(v._5 >= 1.0 && v._6 >= 1.0, v)
+    }
+  }
 }

@@ -153,6 +153,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "bloom_join" -> 4,
     "bm25_search" -> 5,
     "bpe_encode" -> 2,
+    // X103: the X63 encode exchanges (the doc agg reuses the word
+    // join's shuffle; the lang join broadcasts the slim projection)
+    // + the lang rollup + presentation sort
+    "bpe_fertility" -> 3,
     "bpe_train" -> 1,
     "bucketed_join" -> 2,
     "cdc_rollup" -> 5,
@@ -538,7 +542,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "source_overlap_matrix" -> 2,
     // X81: both scans are BATCH-filtered (verdict projection + the
     // batch scorer fan-out); the corpus is consulted only at build
-    "quality_gate_probe" -> 2)
+    "quality_gate_probe" -> 2,
+    // X103: the X63 word fan-out + the slim (doc_id, lang) projection
+    // — the same stats-join-back class as token_budget_mix
+    "bpe_fertility" -> 2)
     // (X87 robots_gate scans the tiny parsed-robots FIXTURE twice —
     // host-rule-count-sized, not a data-scaled table, so the
     // multi-scan audit rightly ignores it)
