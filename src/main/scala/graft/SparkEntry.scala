@@ -2451,6 +2451,39 @@ object SparkEntry {
     // replayed by DuckDB's max over struct_pack — struct comparison
     // is field-order lexicographic in both engines. The VALUES list
     // mirrors TextAnalysis.LangMarkers.
+    // X104 — Unicode script-mix audit: per-class codepoint counts,
+    // dominant script (fixed tiebreak order), declared-lang script
+    // expectation — every chain generated from the shared constants.
+    "script_mix" -> Q((s, d) => TextAnalysis.scriptMix(s, d), Some {
+      import TextAnalysis._
+      def sq(x: String) = x.replace("'", "''")
+      val cnts = ScriptClasses.map { case (n, p) =>
+        s"""CAST(length(t) - length(regexp_replace(t, '${sq(p)}',
+          '', 'g')) AS BIGINT) AS n_$n""" }.mkString(",\n          ")
+      val mx = "greatest(" +
+        ScriptClasses.map(c => s"n_${c._1}").mkString(", ") + ")"
+      val domChain = ScriptClasses.map { case (n, _) =>
+        s"WHEN n_$n = mx THEN '$n'" }.mkString("\n            ")
+      val expChain = LangScript.map { case (l, s2) =>
+        s"WHEN lang = '$l' THEN '$s2'" }.mkString(" ")
+      val names = ScriptClasses.map(c => s"n_${c._1}").mkString(", ")
+      s"""
+      WITH d AS (SELECT doc_id, lang, COALESCE(text, '') AS t
+        FROM documents),
+      c AS (SELECT doc_id, lang, CAST(length(t) AS BIGINT) AS n_chars,
+          $cnts
+        FROM d),
+      m AS (SELECT *, $mx AS mx FROM c),
+      dom AS (SELECT *, CASE WHEN mx = 0 THEN 'none'
+            $domChain
+          END AS dominant FROM m),
+      ex AS (SELECT *, CASE $expChain END AS expected FROM dom)
+      SELECT doc_id, lang, n_chars, $names, dominant,
+        (expected IS NOT NULL AND dominant <> 'none'
+          AND dominant <> expected) AS script_mismatch
+      FROM ex ORDER BY doc_id"""
+    }),
+
     "lang_mismatch" -> Q(TextAnalysis.langMismatch, Some("""
       WITH d AS (SELECT doc_id, source, lang,
           list_filter(string_split_regex(lower(text), '\s+'),

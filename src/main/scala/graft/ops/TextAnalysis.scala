@@ -225,4 +225,78 @@ object TextAnalysis {
             .otherwise(lit(0L))).cast("double") / count(lit(1)))
           .as("mismatch_rate"))
       .orderBy("source", "lang")
+
+  // ---- X104: Unicode script-mix audit ----------------------------------
+
+  /** Codepoint classes, in DOMINANCE-TIEBREAK order (first listed
+    * wins a count tie — a fixed order both engines replay). All
+    * ranges are BMP, where Spark's UTF-16 `length` and DuckDB's
+    * codepoint `length` agree; supplementary-plane codepoints (emoji)
+    * fall to `n_other` and would count 2 vs 1 cross-engine — a
+    * documented caveat, irrelevant to the BMP gate corpus and to the
+    * class counts themselves. */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "digit" -> "[0-9]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]",
+    "han" -> "[\\x{4E00}-\\x{9FFF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "hangul" -> "[\\x{AC00}-\\x{D7AF}]")
+
+  /** What script a declared language is EXPECTED to dominate in —
+    * the deterministic mapping the mismatch flag compares against;
+    * unlisted languages carry no expectation (flag false). */
+  val LangScript: Seq[(String, String)] = Seq(
+    "en" -> "latin", "de" -> "latin", "fr" -> "latin",
+    "es" -> "latin", "it" -> "latin", "pt" -> "latin",
+    "ru" -> "cyrillic", "el" -> "greek", "zh" -> "han",
+    "ja" -> "han", "ko" -> "hangul", "ar" -> "arabic")
+
+  /** X104 — Unicode SCRIPT-mix audit: per document, how many
+    * codepoints fall in each major script class, which script
+    * dominates, and whether that contradicts the declared language —
+    * the script-level complement of the token-statistical X73
+    * `lang_mismatch` (X73 asks "does the vocabulary look like the
+    * declared language"; X104 asks "is this even written in the
+    * declared language's SCRIPT" — the cheaper, earlier filter, and
+    * the one that catches transliteration/mojibake X73 cannot).
+    * Counts are `length(text) − length(strip(class))` — one regex
+    * replace per class, identical in both engines on BMP input.
+    * Dominance breaks ties by the fixed [[ScriptClasses]] order;
+    * all-zero counts (no scripted chars at all) dominate as `none`.
+    *
+    * Scale shape: pure per-row projection — no shuffle but the
+    * presentation sort; the per-class regexes run in one codegen'd
+    * stage over the single corpus scan. */
+  def scriptMix(spark: SparkSession, dir: String): DataFrame =
+    scriptMixFrom(Tables.fanOut(t(spark, dir, "documents")))
+
+  private[graft] def scriptMixFrom(docs: DataFrame): DataFrame = {
+    val text = coalesce(col("text"), lit(""))
+    def cnt(pat: String) =
+      (length(text) - length(regexp_replace(text, pat, ""))).cast("long")
+    val counted = docs.select(
+      col("doc_id") +: col("lang") +:
+        length(text).cast("long").as("n_chars") +:
+        ScriptClasses.map { case (n, p) => cnt(p).as(s"n_$n") }: _*)
+    val mx = greatest(ScriptClasses.map { case (n, _) => col(s"n_$n") }: _*)
+    val dominant = when(mx === 0L, lit("none")).otherwise(
+      ScriptClasses.tail.foldLeft(
+        when(col(s"n_${ScriptClasses.head._1}") === mx,
+          lit(ScriptClasses.head._1))) { case (acc, (n, _)) =>
+        acc.when(col(s"n_$n") === mx, lit(n))
+      })
+    val expected = LangScript.tail.foldLeft(
+      when(col("lang") === LangScript.head._1,
+        lit(LangScript.head._2))) { case (acc, (l, s)) =>
+      acc.when(col("lang") === l, lit(s))
+    }
+    counted
+      .withColumn("dominant", dominant)
+      .withColumn("script_mismatch",
+        expected.isNotNull && col("dominant") =!= "none" &&
+          col("dominant") =!= expected)
+      .orderBy("doc_id")
+  }
 }

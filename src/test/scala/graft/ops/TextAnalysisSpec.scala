@@ -305,4 +305,35 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[Seq[String]].head()
     assert(out == Seq("hello", "world"))
   }
+
+  test("scriptMix: dominance, tiebreak order, lang expectation (X104)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ru", "привет мир это текст"),      // cyrillic, as declared
+      (2L, "en", "привет мир это текст"),      // cyrillic under en
+      (3L, "zh", "plain ascii only here"),     // latin under zh
+      (4L, "zh", "你好世界这是中文 ok"),          // han-majority, declared
+      (5L, "en", "12345 678"),                 // digits dominate
+      (6L, "en", ""),                          // none
+      (7L, "en", "ab 12"),                     // tie: latin wins order
+      (8L, "xx", "привет")                     // no expectation
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.scriptMixFrom(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(10), r.getBoolean(11)))).toMap
+    assert(got(1L) == (("cyrillic", false)))
+    assert(got(2L) == (("cyrillic", true)))
+    assert(got(3L) == (("latin", true)))
+    assert(got(4L) == (("han", false)))
+    // dominance is literal: a digits-only doc does not read as latin
+    assert(got(5L) == (("digit", true)))
+    assert(got(6L) == (("none", false)))
+    assert(got(7L) == (("latin", false)), "count tie breaks by order")
+    assert(got(8L) == (("cyrillic", false)), "unknown lang: no claim")
+    // per-class counts are exact on a known row
+    val r1 = TextAnalysis.scriptMixFrom(docs)
+      .filter($"doc_id" === 1L).collect().head
+    assert(r1.getLong(2) == 20L && r1.getLong(5) == 17L,
+      s"n_chars/n_cyrillic: $r1") // 17 cyrillic letters + 3 spaces
+  }
 }

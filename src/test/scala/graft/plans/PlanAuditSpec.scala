@@ -153,6 +153,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "bloom_join" -> 4,
     "bm25_search" -> 5,
     "bpe_encode" -> 2,
+    // X104: pure per-row projection — the presentation sort is the
+    // only exchange
+    "script_mix" -> 1,
     // X103: the X63 encode exchanges (the doc agg reuses the word
     // join's shuffle; the lang join broadcasts the slim projection)
     // + the lang rollup + presentation sort
