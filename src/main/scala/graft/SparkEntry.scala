@@ -1897,6 +1897,38 @@ object SparkEntry {
       WHERE host NOT IN ('(non-http)', '(unresolved)')
       ORDER BY host""")),
 
+    // X105 — crawl neighborhoods: weakly-connected components over
+    // the host graph, min-label = lexicographic minimum host. The
+    // oracle derives the same labels from the recursive-CTE walk —
+    // the pointer-jump decomposition is gate-checked every run.
+    "host_clusters" -> Q(
+      (s, d) => LinkGraph.hostClusters(s, d), Some {
+        def sq(x: String) = x.replace("'", "''")
+        val srcE =
+          s"regexp_extract(p, '${sq(HtmlExtract.HostPattern)}', 1)"
+        s"""
+      WITH RECURSIVE $resolvedUrlsCtes,
+      he AS (SELECT DISTINCT $srcE AS src, host AS dst
+        FROM h
+        WHERE $srcE IS NOT NULL AND $srcE <> ''
+          AND host NOT IN ('(non-http)', '(unresolved)')
+          AND $srcE <> host),
+      up AS (SELECT DISTINCT least(src, dst) AS a,
+          greatest(src, dst) AS b FROM he),
+      edges AS (SELECT a AS s, b AS d FROM up
+        UNION SELECT b, a FROM up),
+      walk AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT w.s, e.d FROM walk w JOIN edges e ON w.d = e.s),
+      lbl AS (SELECT s AS host, least(s, min(d)) AS cluster
+        FROM walk GROUP BY s),
+      sz AS (SELECT cluster, count(*) AS n_hosts FROM lbl GROUP BY 1)
+      SELECT l.host, l.cluster, s.n_hosts
+      FROM lbl l JOIN sz s USING (cluster)
+      ORDER BY l.host"""
+      }),
+
     // X90b — warm-start rank refresh: the base chain (batch slice
     // excluded) rebuilds yesterday's stored vector, then WarmIters
     // rounds run over the FULL graph from that start (new hosts enter

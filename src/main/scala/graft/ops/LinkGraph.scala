@@ -223,6 +223,45 @@ object LinkGraph {
       .orderBy(col("rank").desc, col("host"))
   }
 
+  // ---- X105: host-graph connected components ---------------------------
+
+  /** X105 — crawl NEIGHBORHOODS: weakly-connected components over the
+    * host graph — which hosts are reachable from which through the
+    * corpus's own links. The scheduling relation above X99's per-host
+    * priority: a neighborhood is fetched/throttled/audited as a unit
+    * (a link farm is a CLUSTER of interlinked hosts — X96 flags the
+    * URL-shape trap on one host, this surfaces the host-group around
+    * it), and isolated components are discovery dead-ends a frontier
+    * must seed externally. Reuses the X22 min-label pointer-jumping
+    * core ([[Dedup.minLabelComponents]] — `min`/`least` order strings
+    * exactly like ids, so the component label is the lexicographic
+    * minimum host) over the undirected view of [[hostEdges]]. Output
+    * per host: its cluster label and the cluster size; the DuckDB
+    * oracle derives the same labels from the recursive-CTE walk (the
+    * dedup_groups oracle shape), so the pointer-jump decomposition is
+    * gate-checked on every run.
+    *
+    * Scale shape: the edge derivation is the corpus-sized scan
+    * (shared resolve chain); the component rounds are pointer-jumped
+    * (reach doubles per round — diameter ~2^maxIter) over the
+    * host-bounded edge set, each round one keyed join + agg. */
+  def hostClusters(spark: SparkSession, dir: String): DataFrame =
+    hostClustersFrom(HtmlExtract.fixturePages(spark))
+
+  private[graft] def hostClustersFrom(pages: DataFrame): DataFrame = {
+    val e = hostEdges(pages)
+    val pairs = e.select(
+      least(col("src"), col("dst")).as("doc_a"),
+      greatest(col("src"), col("dst")).as("doc_b")).distinct()
+    val labels = Dedup.minLabelComponents(pairs)
+      .select(col("doc_id").as("host"), col("grp").as("cluster"))
+    val sizes = labels.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_hosts"))
+    labels.join(sizes, Seq("cluster"))
+      .select(col("host"), col("cluster"), col("n_hosts"))
+      .orderBy("host")
+  }
+
   // ---- X99: composed frontier priority --------------------------------
 
   /** Admit-rate prior for hosts the crawl has never fetched a page

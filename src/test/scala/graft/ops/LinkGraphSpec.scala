@@ -148,6 +148,49 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(d2 < 0.05, s"warm residual too large: $d2 (cold mass is 1)")
   }
 
+  // ---- X105: host-graph connected components --------------------------
+
+  test("host_clusters: planted components, string min-labels (X105)") {
+    val pages = Seq(
+      (1L, "s", "http://pa.test/",
+        "<a href='http://x.test/1'>a</a> <a href='http://y.test/1'>b</a>"),
+      (2L, "s", "http://pb.test/", "<a href='http://y.test/2'>c</a>"),
+      (3L, "s", "http://pc.test/", "<a href='http://z.test/1'>d</a>")
+    ).toDF("doc_id", "source", "page_url", "html")
+    val got = LinkGraph.hostClustersFrom(pages).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    // component 1: pa→{x,y}, pb→y — min label 'pa.test', 4 hosts
+    Seq("pa.test", "pb.test", "x.test", "y.test").foreach { h =>
+      assert(got(h) == (("pa.test", 4L)), s"$h: ${got(h)}")
+    }
+    // component 2: pc→z — min label 'pc.test', 2 hosts
+    Seq("pc.test", "z.test").foreach { h =>
+      assert(got(h) == (("pc.test", 2L)), s"$h: ${got(h)}")
+    }
+  }
+
+  test("host_clusters: fixture labels are canonical minima and partition (X105)") {
+    val rows = LinkGraph.hostClusters(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      assert(members.map(_._1).min == c,
+        s"cluster label $c is not its members' minimum")
+      assert(members.forall(_._3 == members.length.toLong),
+        s"cluster $c size column inconsistent")
+    }
+    // hosts appear exactly once (clusters partition the host set)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // the planted trap neighborhood: the trapsite crawl host and its
+    // two trap targets share one component
+    val byHost = rows.map(r => r._1 -> r._2).toMap
+    assert(byHost("trap.fz.test") == byHost("cal.fz.test") &&
+      byHost("trap.fz.test") == byHost("trapsite.crawl.test"))
+  }
+
   // ---- X99: composed frontier priority -------------------------------
 
   test("host_priority: factors compose, traps zero, prior applies (X99)") {

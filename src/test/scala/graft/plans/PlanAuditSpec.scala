@@ -296,6 +296,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // the two doc-keyed left joins + presentation sort; scalar rules
     // are per-row
     "gopher_rules" -> 5,
+    // X105: the registered plan reads the final label checkpoint
+    // (pointer-jump rounds run at checkpoint time) + the size agg
+    // (its join-back reuses the cluster exchange) + presentation sort
+    "host_clusters" -> 3,
     // X90b: like X90 — the registered plan reads the final warm-round
     // checkpoint and joins the degree rollups (one exchange survives
     // reuse) + presentation sort; the store build and the warm rounds
