@@ -428,6 +428,21 @@ object ScaleStress {
               lit("\nAllow: /p"), col("doc_id"),
               lit("/ok\nCrawl-delay: 2\n\nUser-agent: other\n"),
               lit("Disallow: /x")).as("body"))))),
+      // X105: components over the same synthetic page mix — the edge
+      // derivation is the corpus-sized term; the label rounds run on
+      // the checkpointed host-bounded pair set (~1k 2-host components)
+      "host_clusters" -> (d =>
+        m(graft.ops.LinkGraph.hostClustersFrom(
+          Tables.t(spark, d, "documents").select(col("doc_id"),
+            lit("syn").as("source"),
+            concat(lit("http://s"), pmod(col("doc_id"), lit(1000)),
+              lit(".test/a/p"), col("doc_id"), lit(".html"))
+              .as("page_url"),
+            concat(
+              lit("<html><body><p>x "),
+              lit("<a href='http://h"), pmod(col("doc_id"), lit(1000)),
+              lit(".test/p"), col("doc_id"), lit(".html'>a</a>"),
+              lit("</p></body></html>")).as("html"))))),
       // X99: the composed priority over the same synthetic page mix as
       // the pagerank leg — corpus-sized extraction/novelty/trap scans
       // into host-bounded rollups (~2k hosts at every scale), then the
