@@ -436,6 +436,40 @@ object SparkEntry {
         FROM r)"""
   }
 
+  /** Distinct fetchable resolved frontier `(host, url)` over `h` —
+    * the X88 discovery base every frontier oracle shares. No leading
+    * WITH. */
+  private def fetchableFrontierCte(name: String): String =
+    s"""$name AS (SELECT DISTINCT host, res AS url FROM h
+        WHERE host NOT IN ('(non-http)', '(unresolved)'))"""
+
+  /** The crawled corpus's distinct normalized page URLs — the seen
+    * set every novelty anti-join subtracts. No leading WITH. */
+  private def seenUrlsCte(name: String): String =
+    s"""$name AS (SELECT DISTINCT
+        ${HtmlExtract.normalizeUrlSql("page_url")} AS url
+      FROM d WHERE page_url IS NOT NULL AND page_url <> '')"""
+
+  /** The X96 two-level trap rollup over `h` (no WITH, `p`-prefixed):
+    * `${p}base` (fetchable rows with query-stripped path) →
+    * `${p}pp` (distinct variants per path) → `${p}ppd` (+ depth) —
+    * shared by the X96 oracle and X99's trap verdict. */
+  private def trapRollupCtes(p: String): String = {
+    def sq(x: String) = x.replace("'", "''")
+    val pq = sq(HtmlExtract.PageQueryPattern)
+    val root = sq(HtmlExtract.RootPattern)
+    s"""${p}base AS (SELECT host,
+        regexp_replace(res, '$pq', '', 'g') AS path, res
+      FROM h WHERE host NOT IN ('(non-http)', '(unresolved)')),
+    ${p}pp AS (SELECT host, path, count(DISTINCT res) AS variants
+      FROM ${p}base GROUP BY 1, 2),
+    ${p}ppd AS (SELECT host, variants,
+        length(regexp_replace(path, '$root', '', 'g')) -
+          length(replace(regexp_replace(path, '$root', '', 'g'),
+            '/', '')) AS depth
+      FROM ${p}pp)"""
+  }
+
   /** Shared oracle of `link_hosts_resolved` (X83b) and the CTE base
     * of the `crawl_budget` (X86) schedule. */
   private lazy val linkHostsResolvedOracle: String = s"""
@@ -1754,12 +1788,8 @@ object SparkEntry {
     "frontier_novel" -> Q(
       (s, d) => HtmlExtract.frontierNovel(s, d), Some(s"""
       WITH $resolvedUrlsCtes,
-      f AS (SELECT DISTINCT host, res AS url FROM h
-        WHERE host NOT IN ('(non-http)', '(unresolved)')),
-      seen AS (SELECT DISTINCT
-          ${HtmlExtract.normalizeUrlSql("page_url")} AS url
-        FROM d
-        WHERE page_url IS NOT NULL AND page_url <> '')
+      ${fetchableFrontierCte("f")},
+      ${seenUrlsCte("seen")}
       SELECT host, url FROM f ANTI JOIN seen USING (url)
       ORDER BY host, url""")),
 
@@ -1774,10 +1804,7 @@ object SparkEntry {
         JOIN d USING (doc_id)
         WHERE h.host NOT IN ('(non-http)', '(unresolved)')
           AND d.doc_id % 4 = 0),
-      seen AS (SELECT DISTINCT
-          ${HtmlExtract.normalizeUrlSql("page_url")} AS url
-        FROM d
-        WHERE page_url IS NOT NULL AND page_url <> '')
+      ${seenUrlsCte("seen")}
       SELECT host, url FROM f0 ANTI JOIN seen USING (url)
       ORDER BY host, url""")),
 
@@ -1789,8 +1816,7 @@ object SparkEntry {
     "robots_gate" -> Q(
       (s, d) => Robots.robotsGate(s, d), Some(s"""
       WITH $resolvedUrlsCtes,
-      f AS (SELECT DISTINCT host, res AS url FROM h
-        WHERE host NOT IN ('(non-http)', '(unresolved)')),
+      ${fetchableFrontierCte("f")},
       ${robotsVerdictCtes("f")}
       SELECT host, url, allowed, rule, delay_ms
       FROM v ORDER BY host, url""")),
@@ -1803,12 +1829,8 @@ object SparkEntry {
     "frontier_schedule" -> Q(
       (s, d) => Robots.frontierSchedule(s, d), Some(s"""
       WITH $resolvedUrlsCtes,
-      f0 AS (SELECT DISTINCT host, res AS url FROM h
-        WHERE host NOT IN ('(non-http)', '(unresolved)')),
-      seen AS (SELECT DISTINCT
-          ${HtmlExtract.normalizeUrlSql("page_url")} AS url
-        FROM d
-        WHERE page_url IS NOT NULL AND page_url <> ''),
+      ${fetchableFrontierCte("f0")},
+      ${seenUrlsCte("seen")},
       f AS (SELECT host, url FROM f0 ANTI JOIN seen USING (url)),
       ${robotsVerdictCtes("f")},
       a AS (SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
@@ -1967,11 +1989,8 @@ object SparkEntry {
       (s, d) => Sitemap.discoveryFeed(s, d), Some(s"""
       WITH $resolvedUrlsCtes,
       $sitemapDeclaredCtes,
-      fo AS (SELECT DISTINCT host, res AS url FROM h
-        WHERE host NOT IN ('(non-http)', '(unresolved)')),
-      seenx AS (SELECT DISTINCT
-          ${HtmlExtract.normalizeUrlSql("page_url")} AS url
-        FROM d WHERE page_url IS NOT NULL AND page_url <> ''),
+      ${fetchableFrontierCte("fo")},
+      ${seenUrlsCte("seenx")},
       no AS (SELECT host, url, 'outlink' AS via,
           CAST(NULL AS DATE) AS lastmod
         FROM fo ANTI JOIN seenx USING (url)),
@@ -2048,16 +2067,12 @@ object SparkEntry {
       (s, d) => LinkGraph.hostPriority(s, d), Some {
         import HtmlExtract._
         def sq(x: String) = x.replace("'", "''")
-        val pq = sq(PageQueryPattern)
-        val root = sq(RootPattern)
         s"""
       WITH $resolvedUrlsCtes,
       $pagerankCtes,
       ${htmlCtes("q")},
-      nvf AS (SELECT DISTINCT host, res AS url FROM h
-        WHERE host NOT IN ('(non-http)', '(unresolved)')),
-      seenu AS (SELECT DISTINCT ${normalizeUrlSql("page_url")} AS url
-        FROM d WHERE page_url IS NOT NULL AND page_url <> ''),
+      ${fetchableFrontierCte("nvf")},
+      ${seenUrlsCte("seenu")},
       nv AS (SELECT host, count(*) AS n_novel FROM
           (SELECT nvf.host, nvf.url FROM nvf ANTI JOIN seenu USING (url))
         GROUP BY 1),
@@ -2071,16 +2086,7 @@ object SparkEntry {
             AS DOUBLE) / CAST(count(*) AS DOUBLE) AS admit_rate
         FROM ph JOIN qout q USING (doc_id)
         WHERE ph.host IS NOT NULL AND ph.host <> '' GROUP BY 1),
-      tbase AS (SELECT host,
-          regexp_replace(res, '$pq', '', 'g') AS path, res
-        FROM h WHERE host NOT IN ('(non-http)', '(unresolved)')),
-      tpp AS (SELECT host, path, count(DISTINCT res) AS variants
-        FROM tbase GROUP BY 1, 2),
-      tppd AS (SELECT host, variants,
-          length(regexp_replace(path, '$root', '', 'g')) -
-            length(replace(regexp_replace(path, '$root', '', 'g'),
-              '/', '')) AS depth
-        FROM tpp),
+      ${trapRollupCtes("t")},
       tr AS (SELECT host,
           (max(variants) >= $TrapVariants
             OR max(depth) >= $TrapDepth) AS trap_flag
@@ -2179,30 +2185,16 @@ object SparkEntry {
     // The oracle replays the resolve chain + the same two-level
     // rollup with the naive GROUP BYs.
     "crawl_traps" -> Q(
-      (s, d) => HtmlExtract.crawlTraps(s, d), Some {
-        def sq(x: String) = x.replace("'", "''")
-        val pq = sq(HtmlExtract.PageQueryPattern)
-        val root = sq(HtmlExtract.RootPattern)
-        s"""
+      (s, d) => HtmlExtract.crawlTraps(s, d), Some(s"""
       WITH $resolvedUrlsCtes,
-      base AS (SELECT host,
-          regexp_replace(res, '$pq', '', 'g') AS path, res
-        FROM h WHERE host NOT IN ('(non-http)', '(unresolved)')),
-      pp AS (SELECT host, path, count(DISTINCT res) AS variants
-        FROM base GROUP BY 1, 2),
-      ppd AS (SELECT host, variants,
-          length(regexp_replace(path, '$root', '', 'g')) -
-            length(replace(regexp_replace(path, '$root', '', 'g'),
-              '/', '')) AS depth
-        FROM pp)
+      ${trapRollupCtes("")}
       SELECT host, CAST(sum(variants) AS BIGINT) AS n_urls,
         count(*) AS n_paths,
         CAST(max(variants) AS BIGINT) AS max_variants,
         CAST(max(depth) AS BIGINT) AS max_depth,
         (max(variants) >= ${HtmlExtract.TrapVariants}
           OR max(depth) >= ${HtmlExtract.TrapDepth}) AS trap_flag
-      FROM ppd GROUP BY host ORDER BY host"""
-      }),
+      FROM ppd GROUP BY host ORDER BY host""")),
 
     // Token-budget chunking with overlap (the splitting complement of
     // seq_packing): same tokenization both engines, list_slice vs

@@ -174,6 +174,13 @@ object HtmlExtract {
     * pages and fragments too short to train on. */
   val MinTextLen = 20L
 
+  /** THE admission predicate, over an [[htmlExtractFrom]] row — one
+    * definition shared by the X84 pipeline stage and the X99 admit
+    * rate (the hostBucket discipline: a rule two operators document
+    * as "the same gate" must have one spelling). */
+  private[graft] def admissionOk: Column =
+    !col("boilerplate_flag") && col("text_len") >= MinTextLen
+
   /** X84 — the composed CRAWL-ENTRY pipeline: raw pages → extraction
     * (X82) → admission (non-boilerplate, text long enough) → exact
     * dedup on the EXTRACTED text (mirrors and crawl dups share
@@ -218,8 +225,7 @@ object HtmlExtract {
     // lineage — the plan would re-run the extraction chain (the
     // corpus-sized stage) once per branch
     val ex = htmlExtractFrom(pages).localCheckpoint()
-    val admitted = ex.filter(!col("boilerplate_flag") &&
-      col("text_len") >= MinTextLen)
+    val admitted = ex.filter(admissionOk)
     // exact-unique survivors, checkpointed: consumed by the near-dup
     // pair generation, the final anti-join and the per-source counts
     val unique = admitted

@@ -335,9 +335,7 @@ object LinkGraph {
     val novel = HtmlExtract.frontierNovelFrom(pages)
       .groupBy(col("host")).agg(count(lit(1)).as("n_novel"))
     val admitted = HtmlExtract.htmlExtractFrom(pages)
-      .select(col("doc_id"),
-        (!col("boilerplate_flag") &&
-          col("text_len") >= HtmlExtract.MinTextLen).as("admitted"))
+      .select(col("doc_id"), HtmlExtract.admissionOk.as("admitted"))
     val pageHost = pages
       .select(col("doc_id"), regexp_extract(
         HtmlExtract.normalizeUrl(col("page_url")),

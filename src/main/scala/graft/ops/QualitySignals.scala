@@ -622,12 +622,11 @@ object QualitySignals {
     scalars
       .join(bi, Seq("doc_id"), "left")
       .join(tri, Seq("doc_id"), "left")
+      .withColumn("fails",
+        filter(array(failCols: _*), x => x.isNotNull))
       .select(col("doc_id"), col("n_words"),
-        array_join(array_sort(
-          filter(array(failCols: _*), x => x.isNotNull)), "+")
-          .as("failed"),
-        (size(filter(array(failCols: _*), x => x.isNotNull)) === 0)
-          .as("pass"))
+        array_join(array_sort(col("fails")), "+").as("failed"),
+        (size(col("fails")) === 0).as("pass"))
       .orderBy("doc_id")
   }
 }
