@@ -75,6 +75,12 @@ def main():
     files["noext"] = payload("noext")
     files["upper.JPG"] = MAGIC["jpeg"] + payload("upper")
     files["spaces in name.pdf"] = MAGIC["pdf"] + payload("sp")
+    # exact duplicates (X106): the same PNG bytes re-uploaded twice —
+    # once honestly, once under a lying jpg name (byte dedup must
+    # collapse across extensions) — and one mirrored pdf pair
+    files["reupload_1.png"] = files["ok_png.png"]
+    files["reupload_2.jpg"] = files["ok_png.png"]
+    files["mirror.pdf"] = files["ok_pdf.pdf"]
 
     for name, content in sorted(files.items()):
         with open(os.path.join(OUT, name), "wb") as fh:

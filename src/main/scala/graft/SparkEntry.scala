@@ -1286,6 +1286,33 @@ object SparkEntry {
       FROM c GROUP BY 1 ORDER BY 1"""
     }),
 
+    // X106 — exact binary dedup over the asset dir: same bytes under
+    // different names collapse; md5 over the uppercase hex so both
+    // engines digest identical strings; duplicate groups only.
+    "asset_dedup" -> Q((s, d) => Formats.assetDedup(s, d), Some {
+      val det = Formats.MagicTypes.map { case (p, tp) =>
+        s"WHEN starts_with(px, '$p') THEN '$tp'"
+      }.mkString(" ")
+      s"""
+      WITH f AS (SELECT
+          md5(hex(content)) AS content_md5,
+          CAST(octet_length(content) AS BIGINT) AS length,
+          left(hex(content), 16) AS px,
+          regexp_extract(filename, '([^/]+)$$', 1) AS name
+        FROM read_blob('${Formats.BinmixDir}/*')
+        WHERE octet_length(content) > 0),
+      c AS (SELECT content_md5, length, name,
+          CASE $det ELSE 'unknown' END AS detected
+        FROM f)
+      SELECT content_md5, min(detected) AS detected,
+        count(*) AS n_files,
+        CAST(sum(length) AS BIGINT) AS n_bytes,
+        array_to_string(list_sort(array_agg(name)), '+') AS files,
+        min(name) AS canonical
+      FROM c GROUP BY content_md5 HAVING count(*) >= 2
+      ORDER BY content_md5"""
+    }),
+
     // Parquet schema evolution: two file generations (one without the
     // o_totalprice column) merged by a mergeSchema read; oracle splits
     // the ORIGINAL parquet the same even/odd way.

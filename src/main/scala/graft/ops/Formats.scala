@@ -174,11 +174,17 @@ object Formats {
     * shuffled) → one map-side-combined agg on the bounded type key.
     * At 100 TB of assets this runs at scan speed; the rollup is
     * type-bounded. */
-  def mimeSniff(spark: SparkSession, dir: String): DataFrame = {
+  /** First-match magic-byte classification of a `content` column —
+    * shared by X93's rollup and X106's dup report. */
+  private def detectedType: org.apache.spark.sql.Column = {
     val px = hex(substring(col("content"), 1, 8))
-    val detected = MagicTypes.foldRight(lit("unknown"): org.apache.spark.sql.Column) {
+    MagicTypes.foldRight(lit("unknown"): org.apache.spark.sql.Column) {
       case ((pfx, tp), acc) => when(px.startsWith(pfx), lit(tp)).otherwise(acc)
     }
+  }
+
+  def mimeSniff(spark: SparkSession, dir: String): DataFrame = {
+    val detected = detectedType
     val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
     val promised = ExtTypes.foldRight(lit("unknown"): org.apache.spark.sql.Column) {
       case ((e, tp), acc) => when(ext === e, lit(tp)).otherwise(acc)
@@ -193,4 +199,36 @@ object Formats {
           .as("n_ext_mismatch"))
       .orderBy("detected")
   }
+
+  /** X106 — exact BINARY dedup over the asset directory: the same
+    * bytes re-uploaded under different names/extensions collapse to
+    * one group — the asset-side twin of X1's text dedup, and the step
+    * a multimodal pipeline runs before decoding anything twice (a
+    * popular image recrawled under ten URLs is one decode, not ten).
+    * Content identity is `md5(hex(content))` — both engines uppercase
+    * the hex, so the digest matches bit-for-bit without a shared
+    * binary-md5 function. Output: one row per DUPLICATE group
+    * (singletons are not a dedup finding), with the detected type
+    * (same bytes → same magic; `min` is just the one value), total
+    * byte mass, the sorted `+`-joined member names and the canonical
+    * keeper (min name — deterministic under re-runs).
+    *
+    * Scale shape: per-file hash projection (content never shuffles —
+    * only the 32-char digest and the name do) → one digest-keyed
+    * map-side-combined agg; at 100 TB of assets the shuffle carries
+    * digests, not bytes. */
+  def assetDedup(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(BinmixDir)
+      .select(md5(hex(col("content"))).as("content_md5"),
+        detectedType.as("detected"), col("length"),
+        regexp_extract(col("path"), "([^/]+)$", 1).as("name"))
+      .groupBy(col("content_md5"))
+      .agg(min(col("detected")).as("detected"),
+        count(lit(1)).as("n_files"),
+        sum(col("length")).as("n_bytes"),
+        array_join(array_sort(collect_set(col("name"))), "+")
+          .as("files"),
+        min(col("name")).as("canonical"))
+      .filter(col("n_files") >= 2)
+      .orderBy("content_md5")
 }

@@ -266,6 +266,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // X93: one type-keyed agg over the per-file sniff projection
     // (content never shuffles) + presentation sort
     "mime_sniff" -> 2,
+    // X106: one digest-keyed agg over the per-file hash projection
+    // (the shuffle carries digests and names, never bytes) +
+    // presentation sort
+    "asset_dedup" -> 2,
     // X92: one lag window + one agg over the merge key (the same
     // exchange reused), presentation sort; the three version
     // reconstructions read the tiny fixture lake, not a scaled table
