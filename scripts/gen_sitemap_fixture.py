@@ -88,6 +88,33 @@ def rows():
     # empty sitemap — host appears with zero URLs
     add("empty.test", [])
 
+    # deterministic fuzz: md5-driven loc/lastmod shapes, every row
+    # round-tripping BOTH engines' parse + normalize + validate chain
+    # in the oracle compare (the html urlfuzz pattern). CSV-safe by
+    # construction (no commas/quotes/newlines in any piece).
+    import hashlib as _h
+
+    def fpick(seq, *keys):
+        h = _h.md5(("smfuzz:" + ":".join(str(k) for k in keys)).encode())
+        return seq[int(h.hexdigest()[:8], 16) % len(seq)]
+
+    f_scheme = ["http://", "https://", ""]
+    f_host = ["smfuzz.test", "SMFUZZ.TEST", "other.test", ""]
+    f_path = ["", "/", "/p", "/a/b.html", "/dir/", "/UPPER"]
+    f_query = ["", "?id=1", "?utm_source=x", "?utm_a=1&id=2"]
+    f_frag = ["", "#x"]
+    f_pad = ["", " ", "  "]
+    f_lm = [None, "2024-07-01", "2024-07-01T10:00:00Z", "bogus date",
+            "2024-13-40"]
+    entries = []
+    for j in range(24):
+        loc = (fpick(f_pad, j, "p1") + fpick(f_scheme, j, "s")
+               + fpick(f_host, j, "h") + fpick(f_path, j, "pa")
+               + fpick(f_query, j, "q") + fpick(f_frag, j, "f")
+               + fpick(f_pad, j, "p2"))
+        entries.append(url_entry(loc, fpick(f_lm, j, "lm")))
+    add("smfuzz.test", entries)
+
     # bulk host: deterministic novel backlog for rollup shape
     add("bulk.test",
         [url_entry(f"http://bulk.test/item/{i:03d}",
