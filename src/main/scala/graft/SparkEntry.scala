@@ -2641,6 +2641,20 @@ object SparkEntry {
         md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_md5
       FROM k ORDER BY doc_id""")),
 
+    // X107 — event-sequence mining: most common 3-step event-type
+    // paths over per-user timelines, (ts, event_id) tiebreak, top-20
+    // by (count DESC, path ASC) — the discovery twin of the funnel.
+    "event_paths" -> Q((s, d) => Analytics.eventPaths(s, d), Some(s"""
+      WITH e AS (SELECT user_id, ts, event_id, event_type,
+          lead(event_type, 1) OVER w AS e2,
+          lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      p AS (SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path
+        FROM e WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+      SELECT path, count(*) AS n FROM p GROUP BY path
+      ORDER BY n DESC, path LIMIT ${Analytics.PathTopK}""")),
+
     "funnel" -> Q(Analytics.funnel, Some("""
       WITH e AS (
         SELECT user_id, event_id, ts, event_type,

@@ -620,4 +620,47 @@ object Analytics {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
   }
+
+  // ---- X107: event-sequence mining -------------------------------------
+
+  /** Top-k cut of the path spectrum — deep enough to see past the
+    * head, bounded for the presentation. */
+  val PathTopK = 20
+
+  /** X107 — event-SEQUENCE mining: the most common 3-step event-type
+    * paths across all user timelines — the DISCOVERY twin of the
+    * fixed-pattern X9b funnel (the funnel asks "how many users walked
+    * THE path"; this asks "which paths do users actually walk", the
+    * relation funnels are designed from). Per user, events order by
+    * (ts, event_id — the unique tiebreak both engines replay), each
+    * consecutive triple contributes one `a > b > c` path, and the
+    * global top-[[PathTopK]] is cut by (count DESC, path ASC) — a
+    * total order.
+    *
+    * Scale shape: one user-keyed window (per-user timelines are
+    * bounded; the lead pair rides ONE window spec → one exchange),
+    * then a map-side-combined path count — the path domain is
+    * |event_types|³-bounded, so the final agg and the top-k sort are
+    * tiny at any corpus size. */
+  def eventPaths(spark: SparkSession, dir: String): DataFrame =
+    eventPathsFrom(t(spark, dir, "events"))
+
+  /** [[eventPaths]] over an arbitrary events relation — specs plant
+    * hand-ordered timelines here. */
+  private[graft] def eventPathsFrom(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(" > ", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(PathTopK)
+  }
 }

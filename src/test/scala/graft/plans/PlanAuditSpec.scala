@@ -259,6 +259,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // corpus's rollup, null-safe join + presentation sort; the
     // write-back happens store-side, not in the registered plan
     "takedown_propagate" -> 3,
+    // X107: one user-keyed window (both leads share the spec) + the
+    // map-side-combined path count; the top-k cut plans as
+    // TakeOrderedAndProject — no range exchange
+    "event_paths" -> 2,
     // X94: stats agg over the checkpointed bucket relation (the
     // corpus-sized (type,day) count agg runs at checkpoint time) +
     // presentation sort; stats join back is broadcast
