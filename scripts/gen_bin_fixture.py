@@ -81,6 +81,10 @@ def main():
     files["reupload_1.png"] = files["ok_png.png"]
     files["reupload_2.jpg"] = files["ok_png.png"]
     files["mirror.pdf"] = files["ok_pdf.pdf"]
+    # a dup group whose BOTH member names contain spaces: pins the
+    # URI decoding of Spark binaryFile paths (percent-encoded) against
+    # DuckDB read_blob's raw filenames inside a multi-member group
+    files["spaces twin.pdf"] = files["spaces in name.pdf"]
 
     for name, content in sorted(files.items()):
         with open(os.path.join(OUT, name), "wb") as fh:

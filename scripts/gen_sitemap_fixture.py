@@ -120,6 +120,14 @@ def rows():
         [url_entry(f"http://bulk.test/item/{i:03d}",
                    f"2024-05-{(i % 28) + 1:02d}") for i in range(40)])
 
+    # MIXED-CASE host value: the operator must lower the emitted host
+    # (the outlink channel keys on hosts from lowercased normalized
+    # URLs — a raw mixed-case host would never fold in discovery_feed)
+    add("MixedCase.Test", [
+        url_entry("http://mixedcase.test/page.html", "2024-06-01"),
+        url_entry("http://MIXEDCASE.TEST/upper.html", "2024-06-02"),
+    ])
+
     return out
 
 

@@ -602,7 +602,7 @@ object SparkEntry {
     * discovery feed. */
   private lazy val sitemapDeclaredCtes: String = {
     def sq(x: String) = x.replace("'", "''")
-    s"""sm_s AS (SELECT host, xml FROM read_csv(
+    s"""sm_s AS (SELECT lower(host) AS host, xml FROM read_csv(
           '${Sitemap.FixtureCsv}', header=true,
           columns={'host':'VARCHAR','sitemap_url':'VARCHAR',
           'xml':'VARCHAR'})),
@@ -619,7 +619,7 @@ object SparkEntry {
         FROM sm_b),
       sm_v AS (SELECT * FROM sm_e WHERE url <> ''
         AND regexp_extract(url, '${sq(HtmlExtract.HostPattern)}', 1)
-          = lower(host)),
+          = host),
       sm_g AS (SELECT host, url, max(lastmod) AS lastmod
         FROM sm_v GROUP BY 1, 2)"""
   }
@@ -1287,30 +1287,32 @@ object SparkEntry {
     }),
 
     // X106 — exact binary dedup over the asset dir: same bytes under
-    // different names collapse; md5 over the uppercase hex so both
-    // engines digest identical strings; duplicate groups only.
+    // different names collapse. Spark keys groups on the raw-byte
+    // md5 (no hex copy in the scan projection); DuckDB 1.0.0 has no
+    // binary md5, so the oracle groups by the blob itself — the
+    // digest is an internal key, groups are identified by canonical.
     "asset_dedup" -> Q((s, d) => Formats.assetDedup(s, d), Some {
       val det = Formats.MagicTypes.map { case (p, tp) =>
         s"WHEN starts_with(px, '$p') THEN '$tp'"
       }.mkString(" ")
       s"""
       WITH f AS (SELECT
-          md5(hex(content)) AS content_md5,
+          content,
           CAST(octet_length(content) AS BIGINT) AS length,
           left(hex(content), 16) AS px,
           regexp_extract(filename, '([^/]+)$$', 1) AS name
         FROM read_blob('${Formats.BinmixDir}/*')
         WHERE octet_length(content) > 0),
-      c AS (SELECT content_md5, length, name,
+      c AS (SELECT content, length, name,
           CASE $det ELSE 'unknown' END AS detected
         FROM f)
-      SELECT content_md5, min(detected) AS detected,
+      SELECT min(detected) AS detected,
         count(*) AS n_files,
         CAST(sum(length) AS BIGINT) AS n_bytes,
         array_to_string(list_sort(array_agg(name)), '+') AS files,
         min(name) AS canonical
-      FROM c GROUP BY content_md5 HAVING count(*) >= 2
-      ORDER BY content_md5"""
+      FROM c GROUP BY content HAVING count(*) >= 2
+      ORDER BY canonical"""
     }),
 
     // Parquet schema evolution: two file generations (one without the
@@ -1477,7 +1479,7 @@ object SparkEntry {
           count(*) AS n
         FROM events GROUP BY 1, 2),
       s AS (SELECT event_type, count(*) AS k, sum(n) AS sn,
-          sum(n * n) AS snn
+          sum(CAST(n AS HUGEINT) * n) AS snn
         FROM b GROUP BY 1),
       j AS (SELECT b.event_type, b.day, b.n,
           CAST(s.sn AS DOUBLE) / CAST(s.k AS DOUBLE) AS mean,

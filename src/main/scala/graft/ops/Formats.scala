@@ -205,30 +205,50 @@ object Formats {
     * one group — the asset-side twin of X1's text dedup, and the step
     * a multimodal pipeline runs before decoding anything twice (a
     * popular image recrawled under ten URLs is one decode, not ten).
-    * Content identity is `md5(hex(content))` — both engines uppercase
-    * the hex, so the digest matches bit-for-bit without a shared
-    * binary-md5 function. Output: one row per DUPLICATE group
-    * (singletons are not a dedup finding), with the detected type
-    * (same bytes → same magic; `min` is just the one value), total
-    * byte mass, the sorted `+`-joined member names and the canonical
-    * keeper (min name — deterministic under re-runs).
+    * Content identity is `md5(content)` over the RAW bytes — the
+    * earlier `md5(hex(content))` spelling materialized a 2× string
+    * copy of every asset in the scan projection, doubling transient
+    * row memory at 100 TB of assets for nothing. The digest is a
+    * grouping key only, not an output column: DuckDB 1.0.0 has no
+    * binary md5 (`md5(VARCHAR)` only), so the oracle groups by the
+    * blob itself and both engines identify groups by the canonical
+    * member name instead.
+    *
+    * Member names decode the source URI: Spark's `binaryFile` `path`
+    * is a Hadoop URI where e.g. spaces are percent-encoded, while the
+    * oracle's `read_blob` filename is raw. Literal `+` is pre-escaped
+    * to `%2B` before `url_decode` (URL form-decoding would turn a
+    * literal `+` into a space; a literal `%` arrives URI-encoded as
+    * `%25` and round-trips). The fixture pins this with a duplicate
+    * group whose BOTH member names contain spaces.
+    *
+    * Output: one row per DUPLICATE group (singletons are not a dedup
+    * finding), with the detected type (same bytes → same magic; `min`
+    * is just the one value), total byte mass, the sorted `+`-joined
+    * member names — `collect_list`, multiplicity preserved, so a
+    * recursive load with duplicate basenames would still agree with
+    * `n_files` — and the canonical keeper (min name — deterministic
+    * under re-runs).
     *
     * Scale shape: per-file hash projection (content never shuffles —
-    * only the 32-char digest and the name do) → one digest-keyed
+    * only the 16-byte digest and the name do) → one digest-keyed
     * map-side-combined agg; at 100 TB of assets the shuffle carries
     * digests, not bytes. */
   def assetDedup(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("binaryFile").load(BinmixDir)
-      .select(md5(hex(col("content"))).as("content_md5"),
+      .select(md5(col("content")).as("k"),
         detectedType.as("detected"), col("length"),
-        regexp_extract(col("path"), "([^/]+)$", 1).as("name"))
-      .groupBy(col("content_md5"))
+        url_decode(regexp_replace(
+          regexp_extract(col("path"), "([^/]+)$", 1),
+          "\\+", "%2B")).as("name"))
+      .groupBy(col("k"))
       .agg(min(col("detected")).as("detected"),
         count(lit(1)).as("n_files"),
         sum(col("length")).as("n_bytes"),
-        array_join(array_sort(collect_set(col("name"))), "+")
+        array_join(array_sort(collect_list(col("name"))), "+")
           .as("files"),
         min(col("name")).as("canonical"))
       .filter(col("n_files") >= 2)
-      .orderBy("content_md5")
+      .drop("k")
+      .orderBy("canonical")
 }

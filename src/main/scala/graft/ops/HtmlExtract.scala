@@ -680,7 +680,9 @@ object HtmlExtract {
   /** Winner-encoding radix: (doc_id, idx) packs into one long as
     * `doc_id · 2²⁰ + idx` so the keep-first winner is a plain
     * `min(long)`. Bounds: ≤ 2²⁰ paragraphs per page (a page is
-    * fetch-capped far below that), doc_id < 2⁴³. */
+    * fetch-capped far below that), doc_id < 2⁴³ — ENFORCED at encode
+    * time with a raise_error guard, so a violation fails the job
+    * instead of corrupting winners. */
   val IdxCap: Long = 1L << 20
 
   /** X95 — paragraph-level KEEP-FIRST dedup (the C4/Dolma staple):
@@ -737,7 +739,16 @@ object HtmlExtract {
     // slower at 100×, measured). The winner fetch joins back on the
     // UNIQUE (doc_id, idx) key — uniform shuffle, so the hot
     // boilerplate keys never meet a join or window partition.
-    val enc = col("doc_id") * lit(IdxCap) + col("idx")
+    // the radix encode's documented bounds are ENFORCED, not assumed:
+    // a pathological page with ≥ 2²⁰ <p> blocks (or a doc_id outside
+    // [0, 2⁴³)) would silently wrap into a neighboring doc's key
+    // space and corrupt keep-first winners — fail loudly instead
+    val inBounds = col("idx") >= 0 && col("idx") < IdxCap &&
+      col("doc_id") >= 0 && col("doc_id") < Long.MaxValue / IdxCap
+    val enc = when(inBounds, col("doc_id") * lit(IdxCap) + col("idx"))
+      .otherwise(raise_error(concat(
+        lit("paragraph winner encode out of bounds: (doc_id, idx) = ("),
+        col("doc_id"), lit(", "), col("idx"), lit(")"))))
     val winners = paras
       .select(md5(col("text")).as("k"), enc.as("e"))
       .groupBy(col("k")).agg(min(col("e")).as("e"))

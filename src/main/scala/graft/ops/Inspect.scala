@@ -352,9 +352,17 @@ object Inspect {
         date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
       .localCheckpoint()
+    // Σn² accumulates in DECIMAL(38,0): a long×long square overflows
+    // (silently, non-ANSI) once one (type, day) bucket passes ~3.04e9
+    // events — exactly the "100 TB of events" bucket mass this
+    // operator exists for — while DuckDB promotes to HUGEINT. The
+    // decimal square keeps both engines exact to 1e38; the one cast
+    // to double below is then correctly rounded from the same exact
+    // integer on both sides.
     val stats = buckets.groupBy(col("event_type"))
       .agg(count(lit(1)).as("k"), sum(col("n")).as("sn"),
-        sum(col("n") * col("n")).as("snn"))
+        sum(col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)"))
+          .as("snn"))
     val mean = col("sn").cast("double") / col("k").cast("double")
     val msq = col("snn").cast("double") / col("k").cast("double")
     buckets.join(broadcast(stats), Seq("event_type"))

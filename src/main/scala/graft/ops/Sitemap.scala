@@ -69,8 +69,14 @@ object Sitemap {
 
   private[graft] def sitemapIngestFrom(sitemaps: DataFrame,
       pages: DataFrame): DataFrame = {
+    // the emitted host is LOWERED at the door: the outlink discovery
+    // channel derives hosts from lowercased normalized URLs, so a
+    // mixed-case host value in the sitemap relation would otherwise
+    // produce (host, url) keys that never fold in [[discoveryFeed]] —
+    // silently breaking the "no URL discovered twice" merge contract
+    // (the fixture plants a MixedCase.Test row to pin this)
     val entries = sitemaps
-      .select(col("host"),
+      .select(lower(col("host")).as("host"),
         explode(regexp_extract_all(col("xml"), lit(UrlBlockPattern),
           lit(0))).as("b"))
       .select(col("host"),
@@ -81,7 +87,7 @@ object Sitemap {
           "yyyy-MM-dd").as("lastmod"))
       .filter(col("url") =!= "" &&
         regexp_extract(col("url"), HtmlExtract.HostPattern, 1) ===
-          lower(col("host")))
+          col("host"))
     val declared = entries.groupBy(col("host"), col("url"))
       .agg(max(col("lastmod")).as("lastmod"))
     val seen = pages

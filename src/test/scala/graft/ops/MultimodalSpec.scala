@@ -207,15 +207,16 @@ class MultimodalSpec extends AnyFunSuite {
   test("asset_dedup: planted reuploads collapse across extensions (X106)") {
     val got = Formats.assetDedup(spark, "/root/testdata/sf0.001")
       .collect()
-      .map(r => r.getString(4) -> ((r.getString(1), r.getLong(2),
-        r.getString(5)))).toMap
+      .map(r => r.getString(3) -> ((r.getString(0), r.getLong(1),
+        r.getString(4)))).toMap
     // exactly the planted groups plus the fixture's own same-stem
     // jpeg pair (both honest spellings share a payload) — nothing
     // else shares bytes
     assert(got.keySet == Set(
       "mirror.pdf+ok_pdf.pdf",
       "ok_jpeg.jpeg+ok_jpeg.jpg",
-      "ok_png.png+reupload_1.png+reupload_2.jpg"), got.keySet)
+      "ok_png.png+reupload_1.png+reupload_2.jpg",
+      "spaces in name.pdf+spaces twin.pdf"), got.keySet)
     assert(got("ok_jpeg.jpeg+ok_jpeg.jpg") ==
       (("jpeg", 2L, "ok_jpeg.jpeg")))
     // the PNG triple collapses ACROSS a lying .jpg extension; the
@@ -223,5 +224,9 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got("ok_png.png+reupload_1.png+reupload_2.jpg") ==
       (("png", 3L, "ok_png.png")))
     assert(got("mirror.pdf+ok_pdf.pdf") == (("pdf", 2L, "mirror.pdf")))
+    // the space-named pair pins binaryFile's URI encoding against the
+    // raw on-disk names: both member names must render with SPACES
+    assert(got("spaces in name.pdf+spaces twin.pdf") ==
+      (("pdf", 2L, "spaces in name.pdf")))
   }
 }

@@ -71,6 +71,16 @@ class SitemapSpec extends AnyFunSuite {
     assert(got.count(_._1 == "bulk.test") == 40)
   }
 
+  test("fixture: mixed-case host value lowers at the door (X98)") {
+    val mc = got.filter(_._1 == "mixedcase.test")
+    assert(mc.map(_._2).toSet == Set(
+      "http://mixedcase.test/page.html",
+      "http://mixedcase.test/upper.html"), mc.toSeq)
+    // NO emitted host anywhere carries upper case — the (host, url)
+    // keys must fold against the lowercased outlink channel
+    assert(got.forall(r => r._1 == r._1.toLowerCase), got.map(_._1).toSeq)
+  }
+
   test("discovery_feed: channels fold per URL, provenance sorted (X101)") {
     import spark.implicits._
     val feed = Sitemap.discoveryFeed(spark, dir).collect()
