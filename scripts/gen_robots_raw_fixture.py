@@ -56,6 +56,22 @@ FILES = {
         "   ",
         "",
     ]),
+    # budget hosts (present in the html fixture's resolved frontier):
+    # a PUBLISHER-declared Crawl-delay the X86 schedule must obey —
+    # docs.example.com is heuristically HOT (2000ms) but declares 10s;
+    # its robots also declares a Sitemap (the X101 third discovery
+    # channel: a URL no outlink and no sitemap fixture loc carries)
+    "docs.example.com.txt": "\n".join([
+        "User-agent: *",
+        "Crawl-delay: 10",
+        "Sitemap: http://docs.example.com/sitemap.xml",
+    ]),
+    # heuristically COLD (1000ms) but declares 2s — the declared value
+    # must win over BOTH heuristic tiers, not just the hot one
+    "tracker.test.net.txt": "\n".join([
+        "User-agent: *",
+        "Crawl-delay: 2",
+    ]),
 }
 
 

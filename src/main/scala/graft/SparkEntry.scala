@@ -624,6 +624,60 @@ object SparkEntry {
         FROM sm_v GROUP BY 1, 2)"""
   }
 
+  /** The X100 raw-robots PARSE chain (no leading WITH, `rp_`
+    * namespace, ends in `rp_rules`: host, agent, directive, value,
+    * rule_order) — the committed robots bodies through the full line
+    * grammar + RFC 9309 group-header windows. Shared by the
+    * `robots_parse` oracle, the `crawl_budget` declared-delay join
+    * (X86 obeys the publisher's Crawl-delay) and the `discovery_feed`
+    * robots-declared sitemap channel (X101). */
+  private lazy val robotsParsedCtes: String = {
+    import Robots._
+    def sq(x: String) = x.replace("'", "''")
+    val dp = sq(DirectivePattern)
+    s"""rp_f AS (SELECT
+          regexp_extract(filename, '${sq(RobotsFilePattern)}', 1)
+            AS host,
+          content AS body
+        FROM read_text('$RawFixtureDir/*.txt')),
+      rp_l0 AS (SELECT host,
+          unnest(list_transform(range(1, len(ls) + 1), i -> i))
+            AS line_no,
+          unnest(ls) AS raw
+        FROM (SELECT host, string_split(body, chr(10)) AS ls
+          FROM rp_f)),
+      rp_l1 AS (SELECT host, line_no,
+          trim(regexp_replace(regexp_replace(raw,
+            '${sq(CrPattern)}', '', 'g'),
+            '${sq(CommentPattern)}', '', 'g')) AS clean
+        FROM rp_l0),
+      rp_l2 AS (SELECT host, line_no,
+          lower(regexp_extract(clean, '$dp', 1)) AS key,
+          trim(regexp_extract(clean, '$dp', 2)) AS value
+        FROM rp_l1 WHERE clean <> ''),
+      rp_l3 AS (SELECT * FROM rp_l2 WHERE key <> ''),
+      rp_rn AS (SELECT *, (key = 'user-agent') AS is_ua,
+          ((key = 'user-agent') AND NOT COALESCE(
+            lag(key = 'user-agent') OVER (
+              PARTITION BY host ORDER BY line_no), false)) AS run_start
+        FROM rp_l3),
+      rp_ri AS (SELECT *, sum(CASE WHEN run_start THEN 1 ELSE 0 END)
+          OVER (PARTITION BY host ORDER BY line_no
+            ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM rp_rn),
+      rp_ag AS (SELECT host, run_id, lower(value) AS agent
+        FROM rp_ri WHERE is_ua),
+      rp_ru AS (SELECT host, run_id, line_no, key AS directive, value
+        FROM rp_ri WHERE NOT is_ua AND run_id > 0),
+      rp_rules AS (SELECT host, agent, directive, value,
+          CAST(row_number() OVER (PARTITION BY host
+            ORDER BY line_no, agent) AS BIGINT) AS rule_order
+        FROM (SELECT ru.host, ag.agent, ru.directive, ru.value,
+            ru.line_no
+          FROM rp_ru ru
+          JOIN rp_ag ag ON ru.host = ag.host AND ru.run_id = ag.run_id))"""
+  }
+
   /** Shared oracle of `crawl_ingest` (X84) and its streaming twin
     * `crawl_ingest_stream` (X84b): the X82 CTE block, the admission +
     * exact-dedup stages, the proven X3 signature CTEs
@@ -1918,35 +1972,38 @@ object SparkEntry {
       (s, d) => LinkGraph.linkPagerank(s, d), Some(linkPagerankOracle)),
 
     // X86 — per-host crawl budget: the politeness schedule a frontier
-    // consumes, over the resolved rollup (shared CTE). Two-tier delay
-    // (hot hosts back off), slots per window, integer-ceiling windows
-    // to drain the backlog — an all-int64 chain both engines replay
-    // with floor division.
+    // consumes, over the resolved rollup (shared CTE). The delay
+    // OBEYS the publisher: the X100-parsed Crawl-delay (agent *, min
+    // seconds, ms) wins; the two-tier link-mass heuristic (hot hosts
+    // back off) is only the fallback. Slots per window (clamped ≥ 1),
+    // integer-ceiling windows to drain the backlog — an all-int64
+    // chain both engines replay with floor division.
     "crawl_budget" -> Q(
       (s, d) => HtmlExtract.crawlBudget(s, d), Some(s"""
-      WITH lhr AS ($linkHostsResolvedOracle)
-      SELECT host, n_urls,
-        CAST(CASE WHEN n_links >= ${HtmlExtract.HotLinkCut}
-          THEN ${HtmlExtract.HotDelayMs}
-          ELSE ${HtmlExtract.BaseDelayMs} END AS BIGINT)
-          AS crawl_delay_ms,
-        CAST(${HtmlExtract.WindowMs} // (CASE
-          WHEN n_links >= ${HtmlExtract.HotLinkCut}
-          THEN ${HtmlExtract.HotDelayMs}
-          ELSE ${HtmlExtract.BaseDelayMs} END) AS BIGINT)
-          AS slots_per_window,
-        CAST((n_urls + ${HtmlExtract.WindowMs} // (CASE
-            WHEN n_links >= ${HtmlExtract.HotLinkCut}
-            THEN ${HtmlExtract.HotDelayMs}
-            ELSE ${HtmlExtract.BaseDelayMs} END) - 1) //
-          (${HtmlExtract.WindowMs} // (CASE
-            WHEN n_links >= ${HtmlExtract.HotLinkCut}
-            THEN ${HtmlExtract.HotDelayMs}
-            ELSE ${HtmlExtract.BaseDelayMs} END)) AS BIGINT)
-          AS n_windows
-      FROM lhr
-      WHERE host NOT IN ('(non-http)', '(unresolved)')
-      ORDER BY host""")),
+      WITH lhr AS ($linkHostsResolvedOracle),
+      $robotsParsedCtes,
+      rp_cd AS (SELECT host,
+          min(CAST(value AS BIGINT)) * 1000 AS declared_ms
+        FROM rp_rules
+        WHERE agent = '*' AND directive = 'crawl-delay'
+        GROUP BY 1),
+      a AS (SELECT l.host, l.n_urls,
+          CAST(COALESCE(cd.declared_ms,
+            CASE WHEN l.n_links >= ${HtmlExtract.HotLinkCut}
+              THEN ${HtmlExtract.HotDelayMs}
+              ELSE ${HtmlExtract.BaseDelayMs} END) AS BIGINT)
+            AS crawl_delay_ms
+        FROM lhr l LEFT JOIN rp_cd cd ON l.host = cd.host
+        WHERE l.host NOT IN ('(non-http)', '(unresolved)')),
+      b AS (SELECT host, n_urls, crawl_delay_ms,
+          GREATEST(CAST(1 AS BIGINT),
+            CAST(${HtmlExtract.WindowMs} // crawl_delay_ms AS BIGINT))
+            AS slots_per_window
+        FROM a)
+      SELECT host, n_urls, crawl_delay_ms, slots_per_window,
+        CAST((n_urls + slots_per_window - 1) // slots_per_window
+          AS BIGINT) AS n_windows
+      FROM b ORDER BY host""")),
 
     // X105 — crawl neighborhoods: weakly-connected components over
     // the host graph, min-label = lexicographic minimum host. The
@@ -2010,14 +2067,20 @@ object SparkEntry {
       ORDER BY p.rank DESC, p.host"""
       }),
 
-    // X101 — merged discovery feed: outlink-novel ∪ sitemap-novel,
-    // one row per (host, url) with sorted channel provenance and the
-    // sitemap freshness hint; both channels share the normalize
-    // chain, so cross-channel duplicates fold by construction.
+    // X101 — merged discovery feed: outlink-novel ∪ sitemap-novel ∪
+    // robots-declared sitemap URLs (the X100 parse's Sitemap:
+    // directives — the third channel a real crawl reads on every
+    // host), one row per (host, url) with sorted channel provenance
+    // and the sitemap freshness hint; all channels share the
+    // normalize chain, so cross-channel duplicates fold by
+    // construction.
     "discovery_feed" -> Q(
-      (s, d) => Sitemap.discoveryFeed(s, d), Some(s"""
+      (s, d) => Sitemap.discoveryFeed(s, d), Some {
+        def sq(x: String) = x.replace("'", "''")
+        s"""
       WITH $resolvedUrlsCtes,
       $sitemapDeclaredCtes,
+      $robotsParsedCtes,
       ${fetchableFrontierCte("fo")},
       ${seenUrlsCte("seenx")},
       no AS (SELECT host, url, 'outlink' AS via,
@@ -2025,12 +2088,25 @@ object SparkEntry {
         FROM fo ANTI JOIN seenx USING (url)),
       ns AS (SELECT g.host, g.url, 'sitemap' AS via, g.lastmod
         FROM sm_g g ANTI JOIN seenx ON g.url = seenx.url),
-      u AS (SELECT * FROM no UNION ALL SELECT * FROM ns)
+      rs0 AS (SELECT DISTINCT
+          regexp_extract(url, '${sq(HtmlExtract.HostPattern)}', 1)
+            AS host, url
+        FROM (SELECT ${HtmlExtract.normalizeUrlSql("value")} AS url
+          FROM rp_rules WHERE directive = 'sitemap')
+        WHERE url <> ''
+          AND regexp_extract(url, '${sq(HtmlExtract.HostPattern)}', 1)
+            <> ''),
+      rs AS (SELECT host, url, 'robots' AS via,
+          CAST(NULL AS DATE) AS lastmod
+        FROM rs0 ANTI JOIN seenx USING (url)),
+      u AS (SELECT * FROM no UNION ALL SELECT * FROM ns
+        UNION ALL SELECT * FROM rs)
       SELECT host, url,
         array_to_string(list_sort(array_agg(DISTINCT via)), '+')
           AS via,
         max(lastmod) AS lastmod
-      FROM u GROUP BY 1, 2 ORDER BY host, url""")),
+      FROM u GROUP BY 1, 2 ORDER BY host, url"""
+      }),
 
     // X100 — raw robots.txt parsing: fetched bodies → the rules
     // relation X87 consumes. Line grammar (comments, CRLF, spaced
@@ -2039,52 +2115,10 @@ object SparkEntry {
     // join their run's agents). Both engines replay the identical
     // window chain over the same committed files.
     "robots_parse" -> Q(
-      (s, d) => Robots.robotsParse(s, d), Some {
-        import Robots._
-        def sq(x: String) = x.replace("'", "''")
-        val dp = sq(DirectivePattern)
-        s"""
-      WITH f AS (SELECT
-          regexp_extract(filename, '${sq(RobotsFilePattern)}', 1)
-            AS host,
-          content AS body
-        FROM read_text('$RawFixtureDir/*.txt')),
-      l0 AS (SELECT host,
-          unnest(list_transform(range(1, len(ls) + 1), i -> i))
-            AS line_no,
-          unnest(ls) AS raw
-        FROM (SELECT host, string_split(body, chr(10)) AS ls FROM f)),
-      l1 AS (SELECT host, line_no,
-          trim(regexp_replace(regexp_replace(raw,
-            '${sq(CrPattern)}', '', 'g'),
-            '${sq(CommentPattern)}', '', 'g')) AS clean
-        FROM l0),
-      l2 AS (SELECT host, line_no,
-          lower(regexp_extract(clean, '$dp', 1)) AS key,
-          trim(regexp_extract(clean, '$dp', 2)) AS value
-        FROM l1 WHERE clean <> ''),
-      l3 AS (SELECT * FROM l2 WHERE key <> ''),
-      rn AS (SELECT *, (key = 'user-agent') AS is_ua,
-          ((key = 'user-agent') AND NOT COALESCE(
-            lag(key = 'user-agent') OVER (
-              PARTITION BY host ORDER BY line_no), false)) AS run_start
-        FROM l3),
-      ri AS (SELECT *, sum(CASE WHEN run_start THEN 1 ELSE 0 END)
-          OVER (PARTITION BY host ORDER BY line_no
-            ROWS UNBOUNDED PRECEDING) AS run_id
-        FROM rn),
-      ag AS (SELECT host, run_id, lower(value) AS agent
-        FROM ri WHERE is_ua),
-      ru AS (SELECT host, run_id, line_no, key AS directive, value
-        FROM ri WHERE NOT is_ua AND run_id > 0),
-      j AS (SELECT ru.host, ag.agent, ru.directive, ru.value,
-          ru.line_no
-        FROM ru JOIN ag ON ru.host = ag.host AND ru.run_id = ag.run_id)
-      SELECT host, agent, directive, value,
-        CAST(row_number() OVER (PARTITION BY host
-          ORDER BY line_no, agent) AS BIGINT) AS rule_order
-      FROM j ORDER BY host, rule_order"""
-      }),
+      (s, d) => Robots.robotsParse(s, d), Some(s"""
+      WITH $robotsParsedCtes
+      SELECT host, agent, directive, value, rule_order
+      FROM rp_rules ORDER BY host, rule_order""")),
 
     // X99 — composed frontier priority: per novel-backlog host, one
     // score folding X90 authority × X84-admission quality (AdmitPrior

@@ -643,27 +643,54 @@ object HtmlExtract {
     * backlog — ⌈n_urls / slots⌉ as an integer ceiling chain. This
     * closes the crawl loop: extract → resolve → budget → fetch.
     *
-    * Scale shape: a per-row projection over the host-bounded rollup —
-    * the budget table is frontier-host-sized, the one relation in the
-    * family that is ALWAYS small. The rollup is checkpointed at the
-    * host boundary: the resolve chain's expression tree is large
-    * (CollapseProject inlines the p/u/r aliases, multiplying the
-    * regex chains ~10×), and re-running the optimizer over it with
-    * the budget's extra nodes cost 1.4 s of DRIVER time for an
-    * 11-row result — the checkpoint caps the budget plan at the
-    * host-sized relation. */
+    * The delay OBEYS the publisher: a host whose parsed robots.txt
+    * (X100, [[Robots.robotsParse]]) declares a `Crawl-delay` gets
+    * exactly that value — declared wins over BOTH heuristic tiers —
+    * and the link-mass heuristic (hot hosts back off) is only the
+    * fallback for hosts that declare nothing. Previously the budget
+    * invented a heuristic delay while the parser carried the
+    * publisher's actual number; a real crawler must schedule with the
+    * declared value (RFC 9309 leaves Crawl-delay non-normative, but a
+    * crawler that reads it and ignores it is the impolite kind).
+    *
+    * Scale shape: a per-row projection over the host-bounded rollup
+    * plus one BROADCAST left join against the (host-bounded, tiny)
+    * declared-delay relation — the budget table is
+    * frontier-host-sized, the one relation in the family that is
+    * ALWAYS small. Both inputs are checkpointed at the host boundary:
+    * the resolve chain's expression tree is large (CollapseProject
+    * inlines the p/u/r aliases, multiplying the regex chains ~10×),
+    * and re-running the optimizer over it with the budget's extra
+    * nodes cost 1.4 s of DRIVER time for an 11-row result — the
+    * checkpoint caps the budget plan at the host-sized relations. */
   def crawlBudget(spark: SparkSession, dir: String): DataFrame =
     crawlBudgetFrom(
-      linkHostsResolvedFrom(fixturePages(spark)).localCheckpoint())
+      linkHostsResolvedFrom(fixturePages(spark)).localCheckpoint(),
+      Robots.declaredDelays(
+        Robots.robotsParseFrom(Robots.rawRobots(spark)))
+        .localCheckpoint())
 
+  /** Heuristic-only form (no robots relation): every delay falls back
+    * to the two-tier link-mass policy. */
   private[graft] def crawlBudgetFrom(hosts: DataFrame): DataFrame =
+    crawlBudgetFrom(hosts,
+      hosts.select(col("host"),
+        lit(null).cast("long").as("declared_delay_ms")).limit(0))
+
+  private[graft] def crawlBudgetFrom(hosts: DataFrame,
+      declared: DataFrame): DataFrame =
     hosts
       .filter(!col("host").isin("(non-http)", "(unresolved)"))
+      .join(broadcast(declared), Seq("host"), "left")
       .withColumn("crawl_delay_ms",
-        when(col("n_links") >= HotLinkCut, lit(HotDelayMs))
-          .otherwise(lit(BaseDelayMs)))
+        coalesce(col("declared_delay_ms"),
+          when(col("n_links") >= HotLinkCut, lit(HotDelayMs))
+            .otherwise(lit(BaseDelayMs))))
+      // a declared delay LONGER than the window floors to 0 slots —
+      // clamp to 1 (one fetch per window) so the ceiling chain stays
+      // a total function instead of dividing by zero
       .withColumn("slots_per_window",
-        expr(s"${WindowMs}L div crawl_delay_ms"))
+        greatest(lit(1L), expr(s"${WindowMs}L div crawl_delay_ms")))
       .withColumn("n_windows",
         expr("(n_urls + slots_per_window - 1L) div slots_per_window"))
       .select(col("host"), col("n_urls"), col("crawl_delay_ms"),

@@ -201,6 +201,19 @@ object Robots {
   def robotsParse(spark: SparkSession, dir: String): DataFrame =
     robotsParseFrom(rawRobots(spark))
 
+  /** Per-host PUBLISHER-declared crawl delay (ms) from a parsed rules
+    * relation — agent `*` rows only, min seconds on duplicates (the
+    * X87 verdict convention), ×1000. The relation the X86 budget
+    * joins so the publisher's declared value wins over the link-mass
+    * heuristic: a crawler that parses `Crawl-delay` and then ignores
+    * it is not polite, it is merely well-documented. Host-bounded. */
+  private[graft] def declaredDelays(rules: DataFrame): DataFrame =
+    rules
+      .filter(col("agent") === "*" && col("directive") === "crawl-delay")
+      .groupBy(col("host"))
+      .agg((min(col("value").cast("long")) * 1000L)
+        .as("declared_delay_ms"))
+
   private[graft] def rawRobots(spark: SparkSession): DataFrame =
     spark.read.option("wholetext", "true").text(RawFixtureDir)
       .select(

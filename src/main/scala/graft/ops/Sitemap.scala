@@ -104,22 +104,26 @@ object Sitemap {
   // ---- X101: merged discovery feed ------------------------------------
 
   /** X101 — the MERGED discovery feed: one relation holding every URL
-    * the crawl should consider fetching next, from BOTH discovery
-    * channels — outlinks observed in crawled pages (X88's novel
-    * frontier) and URLs publishers declare in sitemaps (X98) — with
-    * provenance. Because both channels normalize through the SAME
-    * chain, a URL found both ways folds to one row (`via` =
-    * `outlink+sitemap`, the channels sorted and joined — a
-    * cross-engine-stable encoding), keeping the sitemap's freshness
-    * hint. This is the relation the X87 robots gate and the X99
-    * priority actually want as input: deduplicated across channels,
-    * lastmod-aware, no URL fetched twice because two discovery paths
-    * found it.
+    * the crawl should consider fetching next, from ALL THREE
+    * discovery channels a real crawl runs — outlinks observed in
+    * crawled pages (X88's novel frontier), URLs publishers declare in
+    * sitemaps (X98), and the sitemap URLs publishers declare in their
+    * robots.txt `Sitemap:` directives (X100's parse carries them;
+    * RFC 9309 leaves them non-group-scoped, so every parsed row
+    * counts regardless of agent) — with provenance. Because all
+    * channels normalize through the SAME chain, a URL found more than
+    * one way folds to one row (`via` = the sorted `+`-joined channel
+    * set — a cross-engine-stable encoding), keeping the sitemap's
+    * freshness hint. This is the relation the X87 robots gate and the
+    * X99 priority actually want as input: deduplicated across
+    * channels, lastmod-aware, no URL fetched twice because two
+    * discovery paths found it.
     *
     * Scale shape: the outlink side is the X88 anti-join (both sides
-    * corpus-scaled), the sitemap side is fetch-bounded; the merge is
-    * one (host, url)-keyed agg over their union — map-side combined,
-    * a URL appears at most once per channel. */
+    * corpus-scaled), the sitemap side is fetch-bounded, the robots
+    * side is host-bounded (a handful of directives per host); the
+    * merge is one (host, url)-keyed agg over their union — map-side
+    * combined, a URL appears at most once per channel. */
   def discoveryFeed(spark: SparkSession, dir: String): DataFrame = {
     val pages = HtmlExtract.fixturePages(spark)
     val outlinks = HtmlExtract.frontierNovelFrom(pages)
@@ -130,7 +134,32 @@ object Sitemap {
       .filter(col("is_novel"))
       .select(col("host"), col("url"),
         lit("sitemap").as("via"), col("lastmod"))
-    outlinks.unionByName(declared)
+    val seen = pages
+      .filter(col("page_url").isNotNull && col("page_url") =!= "")
+      .select(HtmlExtract.normalizeUrl(col("page_url")).as("url"))
+      .distinct()
+    // robots-declared sitemap URLs: the crawl must FETCH these to
+    // read the declared frontier, so they enter the feed as URLs in
+    // their own right — host derived from the normalized URL itself
+    // (the outlink channel's convention), crawled ones anti-joined
+    // out. The parsed relation is HOST-BOUNDED tiny (a handful of
+    // directives per host) — checkpointed at the (host, url) boundary
+    // so the X100 parse's window exchanges run once at build instead
+    // of riding the corpus-sized feed plan (the crawl_budget
+    // discipline); only the novelty anti-join stays in the plan.
+    val robotsDeclared = Robots
+      .robotsParseFrom(Robots.rawRobots(spark))
+      .filter(col("directive") === "sitemap")
+      .select(HtmlExtract.normalizeUrl(col("value")).as("url"))
+      .withColumn("host",
+        regexp_extract(col("url"), HtmlExtract.HostPattern, 1))
+      .filter(col("url") =!= "" && col("host") =!= "")
+      .select(col("host"), col("url")).distinct()
+      .localCheckpoint()
+      .join(seen, Seq("url"), "left_anti")
+      .select(col("host"), col("url"),
+        lit("robots").as("via"), lit(null).cast("date").as("lastmod"))
+    outlinks.unionByName(declared).unionByName(robotsDeclared)
       .groupBy(col("host"), col("url"))
       .agg(array_join(array_sort(collect_set(col("via"))), "+")
           .as("via"),

@@ -337,6 +337,43 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(got("hot2.test") == (("hot2.test", 54001L, 2000L, 1800L, 31L)))
   }
 
+  test("crawl_budget OBEYS the parsed Crawl-delay; heuristic is the fallback (X86+X100)") {
+    import spark.implicits._
+    val hosts = Seq(
+      ("declared.hot", 999L, 1L, 1L, 3600L),  // heuristic says 2000ms
+      ("declared.cold", 1L, 1L, 1L, 10L),     // heuristic says 1000ms
+      ("declared.huge", 1L, 1L, 1L, 5L),      // delay > window
+      ("fallback.test", 15L, 1L, 1L, 100L))   // declares nothing
+      .toDF("host", "n_links", "n_pages", "n_source_pages", "n_urls")
+    val declared = Seq(
+      ("declared.hot", 10000L), ("declared.cold", 2000L),
+      ("declared.huge", 7200000L))
+      .toDF("host", "declared_delay_ms")
+    val got = HtmlExtract.crawlBudgetFrom(hosts, declared)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // declared wins over BOTH heuristic tiers
+    assert(got("declared.hot") ==
+      (("declared.hot", 3600L, 10000L, 360L, 10L)))
+    assert(got("declared.cold") ==
+      (("declared.cold", 10L, 2000L, 1800L, 1L)))
+    // a delay longer than the window clamps to ONE slot per window
+    assert(got("declared.huge") ==
+      (("declared.huge", 5L, 7200000L, 1L, 5L)))
+    assert(got("fallback.test") ==
+      (("fallback.test", 100L, 1000L, 3600L, 1L)))
+    // end to end over the committed fixtures: docs.example.com is
+    // heuristically HOT but declares 10s; tracker.test.net is
+    // heuristically cold but declares 2s; undeclared hosts keep the
+    // heuristic tiers
+    val full = HtmlExtract.crawlBudget(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(full("docs.example.com") == 10000L)
+    assert(full("tracker.test.net") == 2000L)
+    assert(full("www.example.org") == 2000L)
+    assert(full("cdn.shared.test") == 1000L)
+  }
+
   // ---- X84: composed crawl-entry pipeline ---------------------------
 
   test("crawl_ingest: stage counts are conserved and monotone per source") {

@@ -146,6 +146,28 @@ class RobotsSpec extends AnyFunSuite {
       ("sloppy.test", "spiderbot", "allow", "/nospace", 4L)))
     // comments-only body contributes nothing
     assert(!got.exists(_._1 == "empty.test"))
+    // the budget hosts: declared Crawl-delay (and docs' Sitemap
+    // directive) parse faithfully — X86/X101 consume these rows
+    assert(got.filter(_._1 == "docs.example.com") == Seq(
+      ("docs.example.com", "*", "crawl-delay", "10", 1L),
+      ("docs.example.com", "*", "sitemap",
+        "http://docs.example.com/sitemap.xml", 2L)))
+    assert(got.filter(_._1 == "tracker.test.net") == Seq(
+      ("tracker.test.net", "*", "crawl-delay", "2", 1L)))
+  }
+
+  test("declaredDelays: agent-* crawl-delay rows only, min seconds, ms (X86 input)") {
+    import spark.implicits._
+    val rules = Seq(
+      ("h.test", "*", "crawl-delay", "5", 1L),
+      ("h.test", "*", "crawl-delay", "3", 2L),     // min wins
+      ("h.test", "bot2", "crawl-delay", "1", 3L),  // non-* ignored
+      ("i.test", "*", "disallow", "/x", 1L),       // not a delay
+      ("j.test", "*", "crawl-delay", "7", 1L))
+      .toDF("host", "agent", "directive", "value", "rule_order")
+    val got = Robots.declaredDelays(rules)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("h.test" -> 3000L, "j.test" -> 7000L))
   }
 
   test("robots_parse output drives the X87 gate end to end (X100)") {

@@ -88,8 +88,9 @@ class SitemapSpec extends AnyFunSuite {
         Option(r.getDate(3))))
     // one row per (host, url)
     assert(feed.map(r => (r._1, r._2)).distinct.length == feed.length)
-    assert(feed.map(_._3).toSet
-      .subsetOf(Set("outlink", "sitemap", "outlink+sitemap")))
+    assert(feed.map(_._3).toSet.subsetOf(Set(
+      "outlink", "sitemap", "robots", "outlink+sitemap",
+      "outlink+robots", "robots+sitemap", "outlink+robots+sitemap")))
     val byUrl = feed.map(r => r._2 -> r).toMap
     // the planted cross-channel URL folds with sorted provenance and
     // keeps the sitemap freshness hint
@@ -101,13 +102,21 @@ class SitemapSpec extends AnyFunSuite {
     assert(byUrl("http://crawl0.crawl.test/fresh/n0.html")._3 ==
       "sitemap")
     assert(feed.exists(r => r._3 == "outlink" && r._4.isEmpty))
-    // the feed is EXACTLY the union of its two channels
+    // the ROBOTS-ONLY sitemap URLs: declared in robots.txt bodies,
+    // never linked and never a sitemap <loc> — the third channel
+    assert(byUrl("http://sloppy.test/sitemap.xml")._3 == "robots")
+    assert(byUrl("http://docs.example.com/sitemap.xml")._3 == "robots")
+    // the feed is EXACTLY the union of its three channels
     val outl = graft.ops.HtmlExtract
       .frontierNovelFrom(graft.ops.HtmlExtract.fixturePages(spark))
       .select("url").as[String].collect().toSet
     val sm = Sitemap.sitemapIngest(spark, dir)
       .filter(col("is_novel")).select("url").as[String].collect().toSet
-    assert(feed.map(_._2).toSet == (outl ++ sm))
+    val rb = Robots.robotsParse(spark, dir)
+      .filter(col("directive") === "sitemap")
+      .select(graft.ops.HtmlExtract.normalizeUrl(col("value")).as("u"))
+      .as[String].collect().toSet
+    assert(feed.map(_._2).toSet == (outl ++ sm ++ rb))
   }
 
   test("toDF edges: invalid calendar date, scheme variance, null-loses max (X98)") {

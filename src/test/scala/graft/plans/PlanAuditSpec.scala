@@ -297,7 +297,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "link_pagerank" -> 2,
     // X86: the budget is a per-row projection over the host-sized
     // CHECKPOINTED rollup (the resolve tree is optimizer-expensive;
-    // the rollup job runs at checkpoint time) — one presentation sort
+    // the rollup job runs at checkpoint time) joined BROADCAST to the
+    // checkpointed declared-delay relation (no keyed exchange) — one
+    // presentation sort
     "crawl_budget" -> 1,
     // X102: the two X28-shaped repetition aggs (the bigram pair
     // shares its doc_id exchange) over the checkpointed token base +
@@ -315,9 +317,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "link_pagerank_probe" -> 2,
     // X101: the X88 novel anti-join chain (distinct + anti) + the
     // sitemap fold + its novelty join + the merge agg + presentation
-    // sort — the two channels' seen-set scans don't share an exchange
-    // (different anti-join sides)
-    "discovery_feed" -> 8,
+    // sort — the channels' seen-set scans don't share an exchange
+    // (different anti-join sides) — plus the robots channel's novelty
+    // anti-join (its X100 parse is checkpointed at the host-bounded
+    // (host, url) boundary, so the parse windows run at build, not in
+    // the feed plan)
+    "discovery_feed" -> 9,
     // X100: the line windows, the rules×agents self-join and the
     // rule_order window all REUSE the one host exchange; plus the
     // presentation sort — all host-bounded (lines per robots file)
