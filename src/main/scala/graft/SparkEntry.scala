@@ -1369,6 +1369,90 @@ object SparkEntry {
       ORDER BY canonical"""
     }),
 
+    // X106b — PERCEPTUAL media near-dup: dHash (9×8 nearest-neighbor
+    // grid, horizontal-neighbor bits) over REAL decoded PPM pixels,
+    // banded 16-bit-chunk Hamming join (the simhash machinery). The
+    // oracle re-derives every pixel from the generating document text
+    // (the media_embed_topk pattern), including the planted 2×-upscale
+    // and +4-brightness re-encode twins whose BYTES differ (exact
+    // asset_dedup misses them) but whose hashes pair at hamming 0.
+    "media_neardup" -> Q(
+      (s, d) => MediaNeardup.mediaNeardup(s, d), Some {
+        import MediaNeardup._
+        s"""
+      WITH dims AS (SELECT doc_id, text,
+          CAST(8 + doc_id % 9 AS INT) AS w0,
+          CAST(8 + (doc_id // 9) % 7 AS INT) AS h0
+        FROM documents),
+      imgs AS (
+        SELECT 'doc_' || doc_id AS id, text, w0, w0 AS sw, h0 AS sh,
+          false AS up, false AS br FROM dims
+        UNION ALL
+        SELECT 'doc_' || doc_id || '_up', text, w0, 2 * w0, 2 * h0,
+          true, false FROM dims WHERE doc_id % $VariantMod = 0
+        UNION ALL
+        SELECT 'doc_' || doc_id || '_br', text, w0, w0, h0,
+          false, true FROM dims WHERE doc_id % $VariantMod = 4),
+      s1 AS (SELECT id, text, w0, up, br,
+          CAST(j % $GridW AS INT) AS gx,
+          CAST(j // $GridW AS INT) AS gy,
+          (j % $GridW) * sw // $GridW AS sx,
+          (j // $GridW) * sh // $GridH AS sy
+        FROM (SELECT *, unnest(range(0, ${GridW * GridH})) AS j
+          FROM imgs)),
+      s2 AS (SELECT id, text, br, gx, gy,
+          3 * ((CASE WHEN up THEN sy // 2 ELSE sy END) * w0 +
+               (CASE WHEN up THEN sx // 2 ELSE sx END)) AS pidx
+        FROM s1),
+      s3 AS (SELECT id, gx, gy,
+          (LEAST(255, ord(substring(text,
+              CAST((pidx + 0) % len(text) AS INT) + 1, 1)) +
+             CASE WHEN br THEN $BrightDelta ELSE 0 END)
+           + LEAST(255, ord(substring(text,
+              CAST((pidx + 1) % len(text) AS INT) + 1, 1)) +
+             CASE WHEN br THEN $BrightDelta ELSE 0 END)
+           + LEAST(255, ord(substring(text,
+              CAST((pidx + 2) % len(text) AS INT) + 1, 1)) +
+             CASE WHEN br THEN $BrightDelta ELSE 0 END)) // 3 AS gray
+        FROM s2),
+      bits AS (SELECT id, gy, gx,
+          CASE WHEN gray > nxt THEN 1 ELSE 0 END AS bit
+        FROM (SELECT id, gy, gx, gray,
+            lead(gray) OVER (PARTITION BY id, gy ORDER BY gx) AS nxt
+          FROM s3)
+        WHERE gx < ${GridW - 1}),
+      sig AS (SELECT id,
+          CAST(sum(CASE WHEN gy < 4
+            THEN bit * (CAST(1 AS BIGINT) << (gy * 8 + gx))
+            ELSE 0 END) AS BIGINT) AS dh_lo,
+          CAST(sum(CASE WHEN gy >= 4
+            THEN bit * (CAST(1 AS BIGINT) << ((gy - 4) * 8 + gx))
+            ELSE 0 END) AS BIGINT) AS dh_hi
+        FROM bits GROUP BY 1),
+      ch AS (
+        SELECT id, dh_lo, dh_hi, 0 AS chunk, dh_lo % 65536 AS cval
+          FROM sig
+        UNION ALL SELECT id, dh_lo, dh_hi, 1, (dh_lo // 65536) % 65536
+          FROM sig
+        UNION ALL SELECT id, dh_lo, dh_hi, 2, dh_hi % 65536 FROM sig
+        UNION ALL SELECT id, dh_lo, dh_hi, 3, (dh_hi // 65536) % 65536
+          FROM sig),
+      bk AS (SELECT chunk, cval FROM ch GROUP BY 1, 2
+        HAVING count(*) BETWEEN 2 AND $MaxBucket),
+      cm AS (SELECT ch.* FROM ch JOIN bk USING (chunk, cval)),
+      cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+          a.dh_lo AS lo_a, b.dh_lo AS lo_b,
+          a.dh_hi AS hi_a, b.dh_hi AS hi_b
+        FROM cm a JOIN cm b
+          ON a.chunk = b.chunk AND a.cval = b.cval AND a.id < b.id),
+      hm AS (SELECT id_a, id_b,
+          CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+            AS INT) AS hamming
+        FROM cand)
+      SELECT id_a, id_b, hamming FROM hm
+      WHERE hamming <= $HammingMax ORDER BY id_a, id_b"""
+      }),
+
     // Parquet schema evolution: two file generations (one without the
     // o_totalprice column) merged by a mergeSchema read; oracle splits
     // the ORIGINAL parquet the same even/odd way.

@@ -1,0 +1,267 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables.t
+
+/** X106b — PERCEPTUAL media near-dup: the non-exact twin of
+  * [[Formats.assetDedup]]. Exact byte dedup collapses identical
+  * uploads, but the dominant duplicate class in a real multimodal
+  * crawl is the SAME image re-encoded or resized — different bytes,
+  * same pixels-to-the-eye — which a byte digest can never pair. This
+  * operator runs the classic difference-hash (dHash, a public
+  * perceptual-hash technique: downsample to a small grid, compare
+  * horizontal neighbors, 64 bits) over REAL decoded pixels
+  * ([[PpmCodec.decode]] parses header + raster; corrupt payloads are
+  * excluded loudly, the [[Multimodal.embedDf]] posture) and pairs
+  * images by banded Hamming join — the [[Dedup.simhashPairsFor]]
+  * machinery pointed at pixels instead of shingles.
+  *
+  * The hash chain is ALL INTEGER, so the DuckDB oracle replays it
+  * bit-for-bit from the generating document text (the
+  * `media_embed_topk` pattern — the asset rasters are the doc's ASCII
+  * bytes repeated cyclically over a per-doc geometry):
+  *
+  *  1. grayscale: `(r + g + b) div 3` per pixel (floor);
+  *  2. resize to a 9×8 grid by nearest-neighbor point sampling —
+  *     `sx = x·w div 9`, `sy = y·h div 8` (floor; the standard dHash
+  *     geometry: 9 columns give 8 horizontal comparisons per row);
+  *  3. bit (y, x) = gray(y, x) > gray(y, x+1); bits pack into TWO
+  *     32-bit halves (`dh_lo` rows 0–3, `dh_hi` rows 4–7) — the
+  *     [[Dedup.simhashPairsFor]] split: a single 64-bit value would
+  *     need `1 << 63`, negative in both engines' longs;
+  *  4. candidates share at least one of FOUR 16-bit chunks
+  *     (pigeonhole: a pair within hamming ≤ 3 must agree on ≥ 1
+  *     chunk — full recall for `hammingMax < nChunks`), then the
+  *     exact Hamming distance (`bit_count(xor)` summed over halves)
+  *     filters.
+  *
+  * The VARIANT STORE plants the two re-encode classes the operator
+  * exists to catch, each derived deterministically from the base
+  * asset so both engines re-derive identical pixels:
+  *  - `_up`: 2× nearest-neighbor UPSCALE (the resized twin). Point
+  *    sampling commutes with 2× duplication —
+  *    `(x·2w div 9) div 2 = x·w div 9` — so the dHash is identical
+  *    (hamming 0) while every byte of the file differs;
+  *  - `_br`: +4 BRIGHTNESS re-encode (clamped at 255; the quantizer
+  *    -drift stand-in). A constant shift preserves every neighbor
+  *    comparison below the clamp, and the ASCII rasters never clamp —
+  *    hamming 0, bytes differ.
+  * MediaNeardupSpec pins that [[Formats]] -style exact hashing MISSES
+  * every planted variant (md5(base) ≠ md5(variant)) while this
+  * operator pairs each with its base.
+  *
+  * Scale shape: decode + hash is embarrassingly parallel
+  * (mapPartitions over the binaryFile scan, no shuffle — at 100 TB of
+  * assets this is the scan stage and the 16-byte signatures are all
+  * that ever shuffles); candidate generation is BUCKET-LOCAL per
+  * (chunk, value) — 65,536 buckets per chunk region keep expected
+  * occupancy ~N/65536, and `maxBucket` caps adversarial buckets
+  * (solid-color corpora) exactly like the simhash operator; the pair
+  * set is candidate-mass-gated in the spec, NEVER all-pairs. */
+object MediaNeardup {
+
+  /** dHash grid: 9 columns × 8 rows → 8×8 = 64 comparison bits. */
+  val GridW = 9
+  val GridH = 8
+  /** Pair admission: hamming ≤ 3 over 64 bits (must stay below the
+    * 4-chunk count for the pigeonhole recall guarantee). */
+  val HammingMax = 3
+  /** Adversarial-bucket cap for the banded join (0 = uncapped; the
+    * registered query caps, the spec measures). */
+  val MaxBucket = 64
+  /** Variant planting: doc_id ≡ 0 (mod 8) → 2× upscale twin,
+    * doc_id ≡ 4 (mod 8) → brightness twin. */
+  val VariantMod = 8L
+  val BrightDelta = 4
+
+  /** 64-bit dHash of a decoded image as (lo, hi) 32-bit halves —
+    * rows 0–3 in lo, rows 4–7 in hi, bit (y, x) at position
+    * `(y mod 4)·8 + x`. Pure integer arithmetic (see object doc). */
+  def dhash(img: PpmCodec.Image): (Long, Long) = {
+    val g = new Array[Int](GridH * GridW)
+    var y = 0
+    while (y < GridH) {
+      var x = 0
+      while (x < GridW) {
+        val sx = x * img.width / GridW
+        val sy = y * img.height / GridH
+        val p = 3 * (sy * img.width + sx)
+        g(y * GridW + x) = ((img.raster(p) & 0xff) +
+          (img.raster(p + 1) & 0xff) + (img.raster(p + 2) & 0xff)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    y = 0
+    while (y < GridH) {
+      var x = 0
+      while (x < GridW - 1) {
+        if (g(y * GridW + x) > g(y * GridW + x + 1)) {
+          val bit = 1L << ((y % 4) * 8 + x)
+          if (y < 4) lo |= bit else hi |= bit
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (lo, hi)
+  }
+
+  /** The planted-variant store for `dir`: `doc_<id>_up.ppm` /
+    * `doc_<id>_br.ppm` re-encodes of the base assets, derived from
+    * the same document text the base store uses (so the oracle
+    * re-derives identical pixels). `_SUCCESS`-gated per (sf dir,
+    * source listing fingerprint), the [[Multimodal.mediaAssetDir]]
+    * discipline. */
+  def variantDir(spark: SparkSession, dir: String): String = {
+    val tag = graft.util.Tables.pathTag(dir)
+    val out = java.nio.file.Paths.get("target/graft_media/" +
+      s"ppmv_${tag}_" +
+      graft.util.Tables.listingTag(spark, s"$dir/documents.parquet"))
+      .toAbsolutePath
+    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+      val root = java.nio.file.Paths.get("target/graft_media")
+      if (java.nio.file.Files.exists(root)) {
+        val ls = java.nio.file.Files.list(root)
+        try ls.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith(s"ppmv_${tag}_") && p.toAbsolutePath != out
+          }.foreach(graft.util.Scratch.deleteRecursive)
+        finally ls.close()
+      }
+      graft.util.Scratch.deleteRecursive(out)
+      java.nio.file.Files.createDirectories(out)
+      val outStr = out.toString
+      t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(pmod(col("doc_id"), lit(VariantMod)).isin(0L, 4L))
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          it.foreach { r =>
+            val id = r.getLong(0)
+            val tb = r.getString(1).getBytes("US-ASCII")
+            val w = Multimodal.assetWidth(id)
+            val h = Multimodal.assetHeight(id)
+            val base = Array.tabulate[Byte](w * h * 3)(i =>
+              tb(i % tb.length))
+            val (name, bytes) =
+              if (id % VariantMod == 0L) {
+                // 2× nearest-neighbor upscale: pixel (x, y) of the
+                // variant is base pixel (x div 2, y div 2)
+                val w2 = 2 * w
+                val up = Array.tabulate[Byte](w2 * (2 * h) * 3) { i =>
+                  val c = i % 3
+                  val p = i / 3
+                  base(3 * ((p / w2 / 2) * w + (p % w2 / 2)) + c)
+                }
+                (s"doc_${id}_up.ppm", PpmCodec.encode(w2, 2 * h, up))
+              } else {
+                val br = base.map(b =>
+                  math.min(255, (b & 0xff) + BrightDelta).toByte)
+                (s"doc_${id}_br.ppm", PpmCodec.encode(w, h, br))
+              }
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$outStr/$name"), bytes)
+            ()
+          }
+        }
+      java.nio.file.Files.write(out.resolve("_SUCCESS"),
+        Array.emptyByteArray)
+    }
+    out.toString
+  }
+
+  /** (id, dh_lo, dh_hi) signatures over base + variant assets via the
+    * REAL decode (binaryFile → PpmCodec → dHash). Corrupt payloads
+    * are excluded loudly — accumulator + per-asset warn, the
+    * [[Multimodal.embedDf]] admission rule. */
+  private[graft] def signatures(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val failures = spark.sparkContext
+      .longAccumulator("graft.media.dhash_failures")
+    spark.read.format("binaryFile")
+      .load(Multimodal.mediaAssetDir(spark, dir),
+        variantDir(spark, dir))
+      .filter(col("path").endsWith(".ppm"))
+      .select(
+        regexp_extract(col("path"), "([^/]+)\\.ppm$", 1).as("id"),
+        col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        val log =
+          org.slf4j.LoggerFactory.getLogger("graft.ops.MediaNeardup")
+        it.flatMap { case (id, payload) =>
+          scala.util.Try {
+            val (lo, hi) = dhash(PpmCodec.decode(payload))
+            (id, lo, hi)
+          }.recoverWith { case e =>
+            failures.add(1L)
+            log.warn(s"dhash decode failed for asset $id, excluded: " +
+              s"${e.getMessage}")
+            scala.util.Failure(e)
+          }.toOption
+        }
+      }
+      .toDF("id", "dh_lo", "dh_hi")
+  }
+
+  /** [[signatures]] through the banded pair tail — the registered
+    * X106b query: one row per perceptual near-dup pair (id_a < id_b)
+    * with its exact Hamming distance. */
+  def mediaNeardup(spark: SparkSession, dir: String,
+      hammingMax: Int = HammingMax,
+      maxBucket: Int = MaxBucket): DataFrame =
+    pairsFor(signatures(spark, dir), hammingMax, maxBucket)
+
+  /** The banded Hamming pair tail over an arbitrary (id, dh_lo,
+    * dh_hi) signature relation — public so the spec brute-force
+    * -verifies banded recall independently of the cross-engine
+    * oracle. */
+  private[graft] def pairsFor(sigs: DataFrame, hammingMax: Int,
+      maxBucket: Int): DataFrame = {
+    val nChunks = 4
+    require(hammingMax < nChunks,
+      s"hammingMax=$hammingMax needs more than $hammingMax chunks " +
+        "for full recall")
+    val mask = 0xFFFFL
+    val chunkVals = Seq(
+      col("dh_lo").bitwiseAND(lit(mask)),
+      shiftright(col("dh_lo"), 16).bitwiseAND(lit(mask)),
+      col("dh_hi").bitwiseAND(lit(mask)),
+      shiftright(col("dh_hi"), 16).bitwiseAND(lit(mask)))
+    val buckets = sigs
+      .select(col("id"), col("dh_lo"), col("dh_hi"),
+        explode(array(chunkVals.zipWithIndex.map { case (cv, i) =>
+          struct(lit(i).as("chunk"), cv.as("cval")) }: _*)).as("h"))
+      .groupBy(col("h.chunk"), col("h.cval"))
+      .agg(sort_array(collect_list(
+        struct(col("id"), col("dh_lo"), col("dh_hi")))).as("imgs"))
+      .filter(size(col("imgs")) > 1)
+    val capped =
+      if (maxBucket > 0) buckets.filter(size(col("imgs")) <= maxBucket)
+      else buckets
+    capped
+      .select(explode(flatten(transform(col("imgs"), (a, i) =>
+        transform(slice(col("imgs"), i + 2, size(col("imgs"))), b =>
+          struct(a.getField("id").as("id_a"),
+            b.getField("id").as("id_b"),
+            a.getField("dh_lo").as("lo_a"),
+            b.getField("dh_lo").as("lo_b"),
+            a.getField("dh_hi").as("hi_a"),
+            b.getField("dh_hi").as("hi_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.lo_a").as("lo_a"), col("p.lo_b").as("lo_b"),
+        col("p.hi_a").as("hi_a"), col("p.hi_b").as("hi_b"))
+      // dedup pairs surfaced by several chunk regions BEFORE scoring
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b"))))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= hammingMax)
+      .orderBy("id_a", "id_b")
+  }
+}

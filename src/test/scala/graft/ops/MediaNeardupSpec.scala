@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** X106b gates: the dHash arithmetic on hand-built pixels, the two
+  * re-encode invariances (2× nearest upscale, sub-clamp brightness
+  * shift), the exact-dedup MISS the operator exists to close (planted
+  * variant bytes differ from their base), end-to-end pairing of every
+  * planted twin, and the banded candidate generation's recall
+  * verified by brute force (a banded-join bug implemented identically
+  * in the oracle would pass the cross-engine gate — this check is
+  * independent). */
+class MediaNeardupSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def img(w: Int, h: Int, f: (Int, Int) => Int) =
+    PpmCodec.Image(w, h, Array.tabulate(w * h * 3) { i =>
+      f((i / 3) % w, (i / 3) / w).toByte
+    })
+
+  test("dhash: hand-built gradient and flat images (X106b)") {
+    // strictly increasing left→right: every neighbor comparison is
+    // g(x) < g(x+1) → all 64 bits are 0
+    val inc = img(9, 8, (x, _) => x * 10)
+    assert(MediaNeardup.dhash(inc) == ((0L, 0L)))
+    // strictly decreasing: all 64 bits are 1 → both halves 2^32-1
+    val dec = img(9, 8, (x, _) => 200 - x * 10)
+    assert(MediaNeardup.dhash(dec) == ((0xFFFFFFFFL, 0xFFFFFFFFL)))
+    // flat image: no strict inequality anywhere → all-zero hash (the
+    // degenerate bucket the MaxBucket cap exists for)
+    val flat = img(9, 8, (_, _) => 7)
+    assert(MediaNeardup.dhash(flat) == ((0L, 0L)))
+    // one bright pixel at the top-left grid cell flips exactly the
+    // (y=0, x=0) comparison bit
+    val spike = img(9, 8, (x, y) => if (x == 0 && y == 0) 255 else 7)
+    assert(MediaNeardup.dhash(spike) == ((1L, 0L)))
+  }
+
+  test("dhash is invariant under 2x nearest upscale and sub-clamp brightness (X106b)") {
+    val base = img(11, 9, (x, y) => (x * 37 + y * 91) % 200)
+    val up = img(22, 18, (x, y) =>
+      (base.raster(3 * ((y / 2) * 11 + (x / 2))) & 0xff))
+    assert(MediaNeardup.dhash(up) == MediaNeardup.dhash(base),
+      "2x nearest upscale must not move a single dHash bit")
+    val br = PpmCodec.Image(11, 9,
+      base.raster.map(b => math.min(255, (b & 0xff) + 4).toByte))
+    assert(MediaNeardup.dhash(br) == MediaNeardup.dhash(base),
+      "a constant shift below the clamp preserves every comparison")
+  }
+
+  test("planted variants differ in BYTES (exact dedup misses) but pair at hamming 0 (X106b)") {
+    import spark.implicits._
+    val baseDir = Multimodal.mediaAssetDir(spark, dir)
+    val varDir = MediaNeardup.variantDir(spark, dir)
+    val variants = new java.io.File(varDir).listFiles()
+      .filter(_.getName.endsWith(".ppm")).map(_.getName).toSeq
+    assert(variants.nonEmpty, "fixture must plant variants")
+    // every variant's bytes differ from its base → md5-keyed exact
+    // dedup (the asset_dedup shape) can never pair them
+    variants.foreach { v =>
+      val id = v.replaceAll("_(up|br)\\.ppm$", ".ppm")
+      val vb = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(varDir, v))
+      val bb = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(baseDir, id))
+      assert(!java.util.Arrays.equals(vb, bb), s"$v must be a re-encode")
+    }
+    // ...while the perceptual operator pairs EVERY planted twin with
+    // its base at hamming 0
+    val pairs = MediaNeardup.mediaNeardup(spark, dir)
+      .as[(String, String, Int)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    variants.foreach { v =>
+      val vid = v.stripSuffix(".ppm")
+      val bid = vid.replaceAll("_(up|br)$", "")
+      val key = if (bid < vid) (bid, vid) else (vid, bid)
+      assert(byPair.get(key).contains(0),
+        s"planted twin $vid must pair with $bid at hamming 0: " +
+          s"${byPair.get(key)}")
+    }
+  }
+
+  test("banded candidate generation has full recall vs brute force (X106b)") {
+    import spark.implicits._
+    val sigs = MediaNeardup.signatures(spark, dir).localCheckpoint()
+    val rows = sigs.as[(String, Long, Long)].collect()
+    // brute force: ALL pairs within the hamming bound
+    val brute = (for {
+      a <- rows; b <- rows if a._1 < b._1
+      hm = java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3)
+      if hm <= MediaNeardup.HammingMax
+    } yield (a._1, b._1, hm)).toSet
+    // banded with the cap DISABLED — recall is the property under
+    // test; the cap is a documented adversarial-bucket guard
+    val banded = MediaNeardup
+      .pairsFor(sigs, MediaNeardup.HammingMax, maxBucket = 0)
+      .as[(String, String, Int)].collect().toSet
+    assert(brute.nonEmpty, "fixture must contain near-dup pairs")
+    assert(banded == brute,
+      s"banded missed ${(brute -- banded).take(5)} / extra " +
+        s"${(banded -- brute).take(5)}")
+  }
+
+  test("candidate mass stays bucket-bounded (X106b scale gate)") {
+    val mask = 0xFFFFL
+    val buckets = MediaNeardup.signatures(spark, dir)
+      .select(col("id"),
+        posexplode(array(
+          col("dh_lo").bitwiseAND(lit(mask)),
+          shiftright(col("dh_lo"), 16).bitwiseAND(lit(mask)),
+          col("dh_hi").bitwiseAND(lit(mask)),
+          shiftright(col("dh_hi"), 16).bitwiseAND(lit(mask)))))
+      .groupBy(col("pos"), col("col")).count()
+      .agg(max(col("count")).cast("long")).head().getLong(0)
+    // text-derived pixels hash near-uniformly: the hottest 16-bit
+    // bucket must stay within the MaxBucket adversarial cap
+    assert(buckets <= MediaNeardup.MaxBucket,
+      s"hottest chunk bucket $buckets exceeds the cap — candidate " +
+        "mass would quadratically blow past the documented bound")
+  }
+}

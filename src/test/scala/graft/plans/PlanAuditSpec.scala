@@ -274,6 +274,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // (the shuffle carries digests and names, never bytes) +
     // presentation sort
     "asset_dedup" -> 2,
+    // X106b: the (chunk, cval) bucket agg + the pair distinct +
+    // presentation sort; decode+dHash is mapPartitions over the scan
+    // (no shuffle), signatures are the only thing that ever moves
+    "media_neardup" -> 3,
     // X92: one lag window + one agg over the merge key (the same
     // exchange reused), presentation sort; the three version
     // reconstructions read the tiny fixture lake, not a scaled table
