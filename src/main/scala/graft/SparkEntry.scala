@@ -3295,6 +3295,53 @@ object SparkEntry {
     "ann_ivf_append" -> Q((s, d) => Similarity.ivfAppend(s, d),
       Some(ivfOracle(cbWhere = "WHERE vec_id % 11 <> 0"))),
 
+    // X31+X4 — quantized IVF serving: the probed cells are scored
+    // against int8 codes through the exact replayable dequantization
+    // (vmin + (code+0.5)·scale, the embedding_quantize arithmetic),
+    // top RerankFactor·k per query survive to a full-precision
+    // re-rank. The oracle recomputes codes from the raw vectors and
+    // replays the same two-stage ranking.
+    "ann_ivf_quantized" -> Q(
+      (s, d) => Similarity.ivfQuantizedProbe(s, d), Some(s"""
+      WITH ${ivfRouteCtes()},
+      probes AS (SELECT vec_id AS q_id, cell FROM route
+                 WHERE vec_id < 8 AND crn <= 2),
+      q AS (SELECT vec_id AS q_id, e AS qe FROM e WHERE vec_id < 8),
+      qz AS (SELECT vec_id, e,
+          list_min(e) AS vmin,
+          (list_max(e) - list_min(e)) / 255.0 AS scale
+        FROM e),
+      dq AS (SELECT vec_id,
+          list_transform(e, x -> vmin + (CAST(
+            CASE WHEN scale = 0 THEN 0
+              ELSE least(255, CAST(floor((x - vmin) / scale) AS BIGINT))
+            END AS DOUBLE) + 0.5) * scale) AS d
+        FROM qz),
+      sa AS (SELECT p.q_id, a.vec_id,
+          list_dot_product(q.qe, d.d) /
+            (sqrt(list_dot_product(q.qe, q.qe)) *
+             sqrt(list_dot_product(d.d, d.d))) AS ascore
+        FROM probes p
+        JOIN q ON q.q_id = p.q_id
+        JOIN assign a ON a.cell = p.cell
+        JOIN dq d ON d.vec_id = a.vec_id
+        WHERE a.vec_id <> p.q_id),
+      ra AS (SELECT q_id, vec_id, row_number() OVER (
+          PARTITION BY q_id ORDER BY ascore DESC, vec_id) AS arn
+        FROM sa),
+      cut AS (SELECT q_id, vec_id FROM ra
+        WHERE arn <= ${Similarity.RerankFactor * 10}),
+      s AS (SELECT cut.q_id, cut.vec_id,
+          list_dot_product(q.qe, c.e) /
+            (sqrt(list_dot_product(q.qe, q.qe)) *
+             sqrt(list_dot_product(c.e, c.e))) AS score
+        FROM cut JOIN q USING (q_id) JOIN e c ON c.vec_id = cut.vec_id),
+      r AS (SELECT *, row_number() OVER (
+              PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+        FROM s)
+      SELECT q_id, vec_id, score, CAST(rn AS INTEGER) AS rn
+      FROM r WHERE rn <= 10 ORDER BY q_id, rn""")),
+
     // X4e over the serving path — metadata-filtered probe of the
     // persisted IVF index: the label predicate prunes INSIDE the index
     // scan, composing with the static cell partition pruning. The

@@ -1363,6 +1363,136 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // ---- X31+X4: QUANTIZED IVF serving ---------------------------------
+
+  /** Rerank overfetch: the quantized stage keeps `RerankFactor · k`
+    * candidates per query for the full-precision rescore. */
+  val RerankFactor = 3
+
+  /** X31+X4 — the int8-QUANTIZED IVF index, the 100 TB memory story:
+    * the served store keeps 1-byte codes per dimension (plus the
+    * per-vector (vmin, vmax) range and the precomputed dequantized
+    * norm) instead of 4-byte floats — ~4× less vector payload in
+    * executor memory per probed cell, which is the difference between
+    * an index that fits and one that spills. Quantization is EXACTLY
+    * the [[quantizeInt8]] arithmetic (floor of the same IEEE
+    * division — round-half ties break differently across engines),
+    * codes shifted by −128 into a signed `byte` column so the store
+    * is honest int8 on disk. Derived FROM the full-precision
+    * [[ivfBuildIndex]] store — same codebook parquet (routing parity
+    * by construction), same cell partitioning, `_SUCCESS`-gated the
+    * same way. */
+  def ivfBuildQuantizedIndex(spark: SparkSession, dir: String,
+      maxCells: Int = 16): String = {
+    val base = ivfBuildIndex(spark, dir, maxCells)
+    val out = base.replaceFirst("/ivf_v2_", "/ivfq_v1_")
+    def ok(sub: String): Boolean =
+      graft.util.Tables.successExists(spark, s"$out/$sub")
+    if (!ok("codebook") || !ok("cells")) {
+      // the SAME persisted codebook doubles as this store's router —
+      // copied, not recomputed (CentroidAgg merge order can differ by
+      // ulps; see ivfBuildIndex)
+      spark.read.parquet(s"$base/codebook")
+        .write.mode("overwrite").parquet(s"$out/codebook")
+      spark.read.parquet(s"$base/cells")
+        .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("vmin", array_min(col("v")))
+        .withColumn("vmax", array_max(col("v")))
+        .withColumn("scale", (col("vmax") - col("vmin")) / lit(255.0))
+        .withColumn("codes", transform(col("v"), x =>
+          when(col("scale") === 0.0, lit(0L)).otherwise(
+            least(lit(255L), floor((x - col("vmin")) / col("scale"))
+              .cast("long")))))
+        .withColumn("qcodes",
+          transform(col("codes"), c => (c - 128L).cast("byte")))
+        // the dequantized norm is precomputed once at build (the nrm
+        // convention of the v2 store) — same sequential fold as the
+        // oracle's list_dot_product
+        .withColumn("dq", transform(col("codes"), c =>
+          col("vmin") + (c.cast("double") + lit(0.5)) * col("scale")))
+        .withColumn("dq_nrm",
+          sqrt(aggregate(col("dq"), lit(0.0), (acc, x) => acc + x * x)))
+        .select(col("vec_id"), col("label"), col("vmin"), col("vmax"),
+          col("qcodes"), col("dq_nrm"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$out/cells")
+    }
+    out
+  }
+
+  /** X31+X4 — QUANTIZED IVF probe with full-precision re-rank, the
+    * serving shape a real 100 TB deployment runs: route the query
+    * batch driver-side (identical [[probeIndexPath]] routing — same
+    * persisted codebook, same FloatDot), scan ONLY the probed cells
+    * of the int8 store, score candidates against the EXACT replayable
+    * dequantization `vmin + (code + 0.5)·scale` (every step one IEEE
+    * double op from stored integers — the DuckDB oracle recomputes
+    * the codes from the raw vectors and lands on identical doubles),
+    * keep the top `RerankFactor·k` per query by quantized score (ties
+    * by vec_id), then RE-RANK those few against the full-precision
+    * store — a candidate-bounded keyed join against the same probed
+    * cell partitions — through the shared [[scoreTopK]] tail, so the
+    * returned scores are exact.
+    *
+    * Scale shape: the quantized scan moves ~4× fewer vector bytes
+    * than [[probeIndexPath]] per probed cell; the re-rank join
+    * touches `queries × RerankFactor·k` full vectors regardless of
+    * corpus size. Recall vs exact is spec-bounded
+    * (QuantizedIvfSpec), and probing every cell with an uncut rerank
+    * reproduces brute force exactly — the [[ivfTopK]] anchor,
+    * quantization included. */
+  def ivfQuantizedProbe(spark: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 8, nProbe: Int = 2, maxCells: Int = 16,
+      rerankFactor: Int = RerankFactor): DataFrame = {
+    import spark.implicits._
+    val qidx = ivfBuildQuantizedIndex(spark, dir, maxCells)
+    val base = ivfBuildIndex(spark, dir, maxCells)
+    val cells: Seq[(Int, Seq[Double])] = spark.read
+      .parquet(s"$qidx/codebook").select("cell", "centroid")
+      .as[(Int, Seq[Double])].collect().toSeq
+    val probeN = math.min(nProbe, cells.size)
+    val qs: Seq[(Long, Seq[Float], Double)] =
+      scorableEmb(t(spark, dir, "embeddings"))
+        .filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("embedding"),
+          l2norm(col("embedding")).as("nrm"))
+        .as[(Long, Seq[Float], Double)].collect().toSeq
+    val fcells: Seq[(Int, Seq[Float])] =
+      cells.map { case (id, c) => (id, c.map(_.toFloat)) }
+    val routes: Seq[(Long, Int)] = qs.flatMap { case (qId, qEmb, _) =>
+      fcells.map { case (id, fc) =>
+        (graft.expressions.FloatDot.evalDot(qEmb, fc), id)
+      }.sorted.takeRight(probeN).map { case (_, id) => (qId, id) }
+    }
+    val probedCells = routes.map(_._2).distinct
+    val store = spark.read.parquet(s"$qidx/cells")
+      .filter(col("cell").isin(probedCells: _*))
+      .withColumn("scale", (col("vmax") - col("vmin")) / lit(255.0))
+      .withColumn("dq", transform(col("qcodes"), b =>
+        col("vmin") +
+          ((b.cast("int") + lit(128)).cast("double") + lit(0.5)) *
+          col("scale")))
+    val shortlist = routes.toDF("q_id", "cell")
+      .join(qs.toDF("q_id", "q_emb", "q_nrm"), Seq("q_id"))
+      .join(store, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("ascore",
+        aggregate(
+          zip_with(col("q_emb"), col("dq"),
+            (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, v) => acc + v) /
+          (col("q_nrm") * col("dq_nrm")))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("ascore").desc, col("vec_id"))))
+      .filter(col("arn") <= rerankFactor * k)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("vec_id"))
+    val full = spark.read.parquet(s"$base/cells")
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    scoreTopK(shortlist.join(full, Seq("vec_id")), k)
+  }
+
   /** The pure-SQL surface of the native expressions: adjacent-vector
     * dot products computed by `float_dot(...)` resolved from SQL TEXT
     * through the FunctionRegistry ([[graft.plans.GraftExtensions]] —

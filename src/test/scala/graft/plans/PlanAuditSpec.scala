@@ -143,6 +143,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_filtered_probe" -> 2,
     "ann_ivf_append" -> 2,
     "ann_ivf_probe" -> 2,
+    // X31+X4: the rerank shortlist window's q_id key + output sort;
+    // the re-rank join broadcasts the query-bounded shortlist
+    "ann_ivf_quantized" -> 2,
     "ann_ivf_topk" -> 2,
     "ann_lsh_pairs" -> 2,
     "anti_join" -> 1,
