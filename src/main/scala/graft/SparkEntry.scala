@@ -3762,6 +3762,48 @@ object SparkEntry {
         CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM g GROUP BY 1 ORDER BY 1""")),
 
+    // X76b — the canonical manifest APPLIED: non-canonical near-dup
+    // members dropped from the lake via the takedown retire-then-
+    // rewrite; n_after is read BACK from the rewritten corpus, so the
+    // oracle's n_before - n_removed arithmetic hash-checks the WRITE.
+    "dedup_apply" -> Q(
+      (s, d) => Takedown.dedupApply(s, d), Some("""
+      WITH RECURSIVE tok AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM tok WHERE len(w) >= 3),
+      sig AS (SELECT doc_id, b.band,
+          min(md5(b.band || ':' || shingle)) AS sig
+        FROM sh, (SELECT unnest(range(0, 8)) AS band) b GROUP BY 1, 2),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 4),
+      edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      walk AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT w.s, e.d FROM walk w JOIN edges e ON w.d = e.s),
+      lbl AS (SELECT s AS doc_id, least(s, min(d)) AS group_id
+        FROM walk GROUP BY s),
+      dr AS (SELECT doc_id FROM lbl WHERE doc_id <> group_id),
+      b AS (SELECT d.source, count(*) AS n_before,
+          CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+          CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN d.n_chars END)
+            AS BIGINT) AS removed_chars
+        FROM documents d LEFT JOIN dr ON d.doc_id = dr.doc_id
+        GROUP BY 1)
+      SELECT source, n_before, n_removed,
+        n_before - n_removed AS n_after,
+        COALESCE(removed_chars, 0) AS removed_chars
+      FROM b ORDER BY source""")),
+
     // X77 — per-language calibrated length-outlier report: exact
     // percentile bounds (quantile_cont twin) + per-doc verdicts. The
     // join is NULL-SAFE (IS NOT DISTINCT FROM): a null-lang doc keeps

@@ -75,32 +75,37 @@ object Takedown {
     if (!Tables.successExists(spark, out)) {
       rewriteTable(spark, s"$dir/documents.parquet",
         s"$out/documents.parquet", s"$out/_deleted/documents",
-        col("doc_id"))
+        df => df.withColumn("_hit", hit(col("doc_id"))))
       rewriteTable(spark, s"$dir/embeddings.parquet",
         s"$out/embeddings.parquet", s"$out/_deleted/embeddings",
-        col("vec_id"))
+        df => df.withColumn("_hit", hit(col("vec_id"))))
       Files.write(Paths.get(out, "_SUCCESS"), Array.empty[Byte])
       log.info(s"takedown write-back committed at $out")
     }
     out
   }
 
-  /** File-granular delete of `hit` rows from the table at `src` into
-    * `dst`, retiring the removed rows at `retired` FIRST. */
-  private def rewriteTable(spark: SparkSession, src: String,
-      dst: String, retired: String, idCol: Column): Unit = {
-    val df = spark.read.parquet(src).withColumn("_f",
-      regexp_extract(col("_metadata.file_path"), "[^/]+$", 0))
-    // bounded collect: one row per AFFECTED FILE (≤ |takedown list|)
-    val affected = df.filter(hit(idCol)).select(col("_f")).distinct()
+  /** File-granular delete of marked rows from the table at `src` into
+    * `dst`, retiring the removed rows at `retired` FIRST. `withHit`
+    * appends the boolean `_hit` drop marker — a predicate for the X85
+    * takedown list, a broadcast drop-list join for the X76b dedup
+    * write-back — so every write-back shares ONE rewrite/retire/link
+    * implementation. */
+  private[graft] def rewriteTable(spark: SparkSession, src: String,
+      dst: String, retired: String,
+      withHit: DataFrame => DataFrame): Unit = {
+    val df = withHit(spark.read.parquet(src).withColumn("_f",
+      regexp_extract(col("_metadata.file_path"), "[^/]+$", 0)))
+    // bounded collect: one row per AFFECTED FILE (≤ |drop list|)
+    val affected = df.filter(col("_hit")).select(col("_f")).distinct()
       .collect().map(_.getString(0)).toSet
     // retire first: the restore path must exist before the live swap
-    df.filter(hit(idCol)).drop("_f")
+    df.filter(col("_hit")).drop("_f", "_hit")
       .write.mode("overwrite").parquet(retired)
     val survivors =
-      if (affected.isEmpty) df.limit(0).drop("_f")
-      else df.filter(col("_f").isin(affected.toSeq: _*) && !hit(idCol))
-        .drop("_f")
+      if (affected.isEmpty) df.limit(0).drop("_f", "_hit")
+      else df.filter(col("_f").isin(affected.toSeq: _*) && !col("_hit"))
+        .drop("_f", "_hit")
     survivors.write.mode("overwrite").parquet(dst)
     // untouched files: retained by hard link (zero-copy), copy as the
     // cross-device fallback. A single-FILE table lists as itself and
@@ -161,6 +166,92 @@ object Takedown {
       .select(col("source"), col("n_before"), col("n_removed"),
         coalesce(col("n_after"), lit(0L)).as("n_after"),
         coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"))
+      .orderBy("source")
+  }
+
+  // ---- X76b: apply-dedup write-back ----------------------------------
+
+  /** The NON-CANONICAL near-dup members — every doc whose component
+    * label (min doc_id, [[Dedup.minLabelComponents]] over the X3
+    * MinHash pairs) is not itself: the rows [[Dedup.dedupCanonical]]'s
+    * manifest says to collapse. Bounded by pair participation, ≪
+    * corpus. */
+  private[graft] def neardupDropIds(spark: SparkSession,
+      dir: String): DataFrame =
+    Dedup.minLabelComponents(
+      Dedup.nearDupPairsCached(spark, dir)
+        .select(col("doc_a"), col("doc_b")))
+      .filter(col("doc_id") =!= col("grp"))
+      .select(col("doc_id").as("drop_id"))
+
+  /** Execute (or reuse) the DEDUP write-back: the X76 canonical
+    * manifest, APPLIED. [[Dedup.dedupCanonical]] names each near-dup
+    * group's keeper; until round 15 nothing consumed that manifest —
+    * this store drops every non-canonical member from the lake
+    * through the SAME file-granular retire-then-rewrite as the X85
+    * takedown (hard-linked untouched files, `_deleted/` retirement
+    * written first, root `_SUCCESS` last), with the drop marker a
+    * BROADCAST join against the bounded drop-id relation instead of a
+    * predicate. Embeddings drop by the same ids (vector rows of
+    * collapsed documents must not keep serving similarity search —
+    * the IndexFreshnessSpec re-key contract then rebuilds every
+    * persisted index without them). Keyed by the corpus listing tags;
+    * the drop list is corpus-derived and deterministic, so the tags
+    * fully identify it. */
+  def dedupApplyStore(spark: SparkSession, dir: String): String = {
+    val out = s"target/graft_dedup_apply/${Tables.pathTag(dir)}_" +
+      Tables.listingTag(spark, s"$dir/documents.parquet") + "_" +
+      Tables.listingTag(spark, s"$dir/embeddings.parquet")
+    if (!Tables.successExists(spark, out)) {
+      // pair-participant-sized; checkpointed so the two rewrites and
+      // the affected-file collects don't re-run the MinHash chain
+      val drops = neardupDropIds(spark, dir).localCheckpoint()
+      def withDropHit(idName: String)(df: DataFrame): DataFrame =
+        df.join(broadcast(drops.withColumn("_h", lit(true))),
+            col(idName) === col("drop_id"), "left")
+          .withColumn("_hit", coalesce(col("_h"), lit(false)))
+          .drop("drop_id", "_h")
+      rewriteTable(spark, s"$dir/documents.parquet",
+        s"$out/documents.parquet", s"$out/_deleted/documents",
+        withDropHit("doc_id"))
+      rewriteTable(spark, s"$dir/embeddings.parquet",
+        s"$out/embeddings.parquet", s"$out/_deleted/embeddings",
+        withDropHit("vec_id"))
+      Files.write(Paths.get(out, "_SUCCESS"), Array.empty[Byte])
+      log.info(s"dedup write-back committed at $out")
+    }
+    out
+  }
+
+  /** X76b registered query — the dedup-application manifest: per
+    * source, corpus size before, non-canonical members removed, rows
+    * AFTER read back from the rewritten corpus (proving the write,
+    * not the plan — the takedown discipline), and the removed char
+    * mass. Same conditional-agg + null-safe-join shape as
+    * [[takedownPropagate]] so a null-source group keeps its counts.
+    *
+    * Scale shape: the drop list is pair-bounded and broadcast; one
+    * conditional-agg scan of the source corpus, one scan of the
+    * rewritten corpus, and the write-back itself is
+    * affected-file-bounded and `_SUCCESS`-memoized. */
+  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val store = dedupApplyStore(spark, dir)
+    val drops = neardupDropIds(spark, dir)
+    val br = t(spark, dir, "documents")
+      .join(broadcast(drops.withColumn("_h", lit(true))),
+        col("doc_id") === col("drop_id"), "left")
+      .withColumn("_rm", coalesce(col("_h"), lit(false)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("_rm"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("_rm"), col("n_chars"))).as("removed_chars"))
+    val a = spark.read.parquet(s"$store/documents.parquet")
+      .groupBy(col("source").as("a_source"))
+      .agg(count(lit(1)).as("n_after"))
+    br.join(a, col("source") <=> col("a_source"), "left")
+      .select(col("source"), col("n_before"), col("n_removed"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
         coalesce(col("removed_chars"), lit(0L)).as("removed_chars"))
       .orderBy("source")
   }

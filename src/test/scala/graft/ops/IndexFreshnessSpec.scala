@@ -202,6 +202,68 @@ class IndexFreshnessSpec extends AnyFunSuite {
       "gate stats still carry the fully-deleted source")
   }
 
+  /** X76b (round 15): the dedup manifest APPLIED — after
+    * [[Takedown.dedupApplyStore]] drops the non-canonical near-dup
+    * members, the rewritten corpus keeps exactly the keepers, the
+    * retirement carries the dropped rows, and stores rebuilt against
+    * the post-dedup dir re-key with none of the collapsed docs — the
+    * takedown propagation contract, driven by the X76 manifest
+    * instead of a compliance list. */
+  test("applying the dedup manifest drops non-canonical members and re-keys the stores") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft-dedup-apply").toString
+    cloneTable("/root/testdata/sf0.001/documents.parquet",
+      s"$base/documents.parquet")
+    cloneTable("/root/testdata/sf0.001/embeddings.parquet",
+      s"$base/embeddings.parquet")
+    // plant a 3-doc near-dup clique: identical text → identical
+    // MinHash signatures on every band → pairs; min id is canonical
+    val clique = Seq(999900001L, 999900002L, 999900003L)
+    val cliqueText = "zzqx wvrbl kpth zzqx wvrbl kpth unique clique " +
+      "payload words that shingle identically across all three copies"
+    clique.map(id => (id, cliqueText, "en", "src_cliq", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(s"$base/documents.parquet")
+    clique.map { id =>
+      val v = Array.fill(64)(0.0f); v(2) = 1.0f; (id, v, 4) }
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("append").parquet(s"$base/embeddings.parquet")
+
+    val newDir = Takedown.dedupApplyStore(spark, base)
+    assert(newDir != base)
+    val keeper = clique.min
+    val dropped = clique.filter(_ != keeper)
+    val afterIds = spark.read.parquet(s"$newDir/documents.parquet")
+      .select("doc_id").as[Long].collect().toSet
+    assert(afterIds.contains(keeper), "the canonical member must survive")
+    dropped.foreach(id => assert(!afterIds.contains(id),
+      s"non-canonical member $id survived the write-back"))
+    val retired = spark.read.parquet(s"$newDir/_deleted/documents")
+      .select("doc_id").as[Long].collect().toSet
+    assert(dropped.toSet.subsetOf(retired),
+      "retirement must carry exactly the collapsed members")
+    assert(!retired.contains(keeper))
+    // embeddings of collapsed docs are gone too — similarity search
+    // must not keep serving vectors of rows the lake no longer has
+    val afterVecs = spark.read.parquet(s"$newDir/embeddings.parquet")
+      .select("vec_id").as[Long].collect().toSet
+    assert(afterVecs.contains(keeper))
+    dropped.foreach(id => assert(!afterVecs.contains(id)))
+    // the post-delete probe walk: stores rebuilt against the
+    // post-dedup dir re-key and contain none of the collapsed docs
+    val sig2 = Dedup.neardupBuildIndex(spark, newDir)
+    assert(spark.read.parquet(sig2)
+      .filter(col("doc_id").isin(dropped: _*)).count() == 0,
+      "rebuilt signature index still serves collapsed docs")
+    val ivf2 = Similarity.ivfBuildIndex(spark, newDir)
+    assert(spark.read.parquet(s"$ivf2/cells")
+      .filter(col("vec_id").isin(dropped: _*)).count() == 0,
+      "rebuilt IVF cells still serve collapsed vectors")
+    // idempotent: the second call is the _SUCCESS fast path
+    assert(Takedown.dedupApplyStore(spark, base) == newDir)
+  }
+
   /** The SIXTH store (round 14): the X90 rank vector the X99 priority
     * reads. Keyed by the crawl FIXTURE's listing tag (it derives from
     * crawled pages, not the testdata dir — which is why the takedown

@@ -262,6 +262,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // corpus's rollup, null-safe join + presentation sort; the
     // write-back happens store-side, not in the registered plan
     "takedown_propagate" -> 3,
+    // X76b: the takedown shape driven by the dedup manifest — one
+    // conditional-agg scan (drop list broadcast), the rewritten
+    // corpus's rollup, null-safe join + presentation sort; write-back
+    // and the MinHash drop-list derivation run store-side/checkpointed
+    "dedup_apply" -> 3,
     // X107: one user-keyed window (both leads share the spec) + the
     // map-side-combined path count; the top-k cut plans as
     // TakeOrderedAndProject — no range exchange
