@@ -108,13 +108,13 @@ object Bench {
     // before EACH timed pass makes every pass time the cold build,
     // comparable to rounds ≤ 10 and to ScaleStress (which adopted the
     // same discipline in round 11). BASELINE.md §protocol item 3.
-    def timedPass(): Map[String, Double] = {
+    def timedPass(): (Map[String, Double], Map[String, Double]) = {
       // clears BOTH the derived-checkpoint memo and the candidate-pair
       // memo (ADVICE r12: clearing only CkptMemo left the ~6 pair-cache
       // consumers reusing the warm session pair set across passes — the
       // same phantom-improvement class the cold protocol exists to kill)
       graft.ops.Dedup.clearPairsMemo()
-      names.map { n =>
+      val times = names.map { n =>
         if (warmupErr.contains(n) || timedErr.contains(n)) n -> -1.0
         else {
           val t0 = System.nanoTime()
@@ -123,8 +123,26 @@ object Bench {
             timedErr(n) = e.toString.take(300); n -> -1.0 }
         }
       }.toMap
+      // TRAILING anchor re-run (VERDICT r14): the lead anchors run
+      // FIRST in every pass, so a session that slows down as the pass
+      // progresses (GC pressure, box load) shows clean anchors and
+      // inflated late-run rows. Re-timing the same five at the END of
+      // each pass makes within-pass drift measurable at both ends —
+      // trail/lead per pass IS the drift factor. Failures here record
+      // -1 locally and never mark the query failed (it already ran).
+      val trail = abSubset.map { n =>
+        if (warmupErr.contains(n) || timedErr.contains(n)) n -> -1.0
+        else {
+          val t0 = System.nanoTime()
+          try { run(n); n -> (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => n -> -1.0 }
+        }
+      }.toMap
+      (times, trail)
     }
-    val passes = Seq.fill(3)(timedPass())
+    val passOut = Seq.fill(3)(timedPass())
+    val passes = passOut.map(_._1)
+    val trails = passOut.map(_._2)
     val results = names.map { n =>
       val samples = passes.map(_(n))
       n -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
@@ -145,7 +163,15 @@ object Bench {
     def jnum(d: Double) = if (d.isNaN) "\"NaN\"" else d.toString
     val rv1 = jnum(baselineRatio(resultMap, baselineV1))
     val rv2 = jnum(baselineRatio(resultMap, baselineV2))
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${allErr.size},"baseline_ratio_v1":$rv1,"baseline_ratio_v2":$rv2,"sf":"$sfDir"}"""
+    // per-pass anchor samples at BOTH ends of each pass: lead values
+    // from the pass maps (anchors run first), trail from the per-pass
+    // re-run — the within-pass drift fingerprint
+    def anchorArr(ms: Seq[Map[String, Double]]) = abSubset.map { n =>
+      jstr(n) + ":[" + ms.map(m => m.getOrElse(n, -1.0)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val anchors = s""""anchors_lead":${anchorArr(passes)},""" +
+      s""""anchors_trail":${anchorArr(trails)}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${allErr.size},"baseline_ratio_v1":$rv1,"baseline_ratio_v2":$rv2,$anchors,"sf":"$sfDir"}"""
     // durable file artifact: stdout tail-truncation-proof record of the
     // full per-query map (overwritten per run, committed per round)
     val outFile = java.nio.file.Paths.get("target/bench_full.json")

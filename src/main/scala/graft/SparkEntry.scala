@@ -678,6 +678,44 @@ object SparkEntry {
           JOIN rp_ag ag ON ru.host = ag.host AND ru.run_id = ag.run_id))"""
   }
 
+  /** Shared oracle of `discovery_feed` (X101) and its streaming twin
+    * `discovery_feed_stream` (X101b — byte-equal by construction,
+    * both assemble through `Sitemap.discoveryFeedAssemble`): the
+    * outlink-novel ∪ sitemap-novel ∪ robots-declared three-channel
+    * merge with sorted provenance and the freshness hint. */
+  private lazy val discoveryFeedOracle: String = {
+    def sq(x: String) = x.replace("'", "''")
+    s"""
+      WITH $resolvedUrlsCtes,
+      $sitemapDeclaredCtes,
+      $robotsParsedCtes,
+      ${fetchableFrontierCte("fo")},
+      ${seenUrlsCte("seenx")},
+      no AS (SELECT host, url, 'outlink' AS via,
+          CAST(NULL AS DATE) AS lastmod
+        FROM fo ANTI JOIN seenx USING (url)),
+      ns AS (SELECT g.host, g.url, 'sitemap' AS via, g.lastmod
+        FROM sm_g g ANTI JOIN seenx ON g.url = seenx.url),
+      rs0 AS (SELECT DISTINCT
+          regexp_extract(url, '${sq(HtmlExtract.HostPattern)}', 1)
+            AS host, url
+        FROM (SELECT ${HtmlExtract.normalizeUrlSql("value")} AS url
+          FROM rp_rules WHERE directive = 'sitemap')
+        WHERE url <> ''
+          AND regexp_extract(url, '${sq(HtmlExtract.HostPattern)}', 1)
+            <> ''),
+      rs AS (SELECT host, url, 'robots' AS via,
+          CAST(NULL AS DATE) AS lastmod
+        FROM rs0 ANTI JOIN seenx USING (url)),
+      u AS (SELECT * FROM no UNION ALL SELECT * FROM ns
+        UNION ALL SELECT * FROM rs)
+      SELECT host, url,
+        array_to_string(list_sort(array_agg(DISTINCT via)), '+')
+          AS via,
+        max(lastmod) AS lastmod
+      FROM u GROUP BY 1, 2 ORDER BY host, url"""
+  }
+
   /** Shared oracle of `crawl_ingest` (X84) and its streaming twin
     * `crawl_ingest_stream` (X84b): the X82 CTE block, the admission +
     * exact-dedup stages, the proven X3 signature CTEs
@@ -2159,38 +2197,16 @@ object SparkEntry {
     // normalize chain, so cross-channel duplicates fold by
     // construction.
     "discovery_feed" -> Q(
-      (s, d) => Sitemap.discoveryFeed(s, d), Some {
-        def sq(x: String) = x.replace("'", "''")
-        s"""
-      WITH $resolvedUrlsCtes,
-      $sitemapDeclaredCtes,
-      $robotsParsedCtes,
-      ${fetchableFrontierCte("fo")},
-      ${seenUrlsCte("seenx")},
-      no AS (SELECT host, url, 'outlink' AS via,
-          CAST(NULL AS DATE) AS lastmod
-        FROM fo ANTI JOIN seenx USING (url)),
-      ns AS (SELECT g.host, g.url, 'sitemap' AS via, g.lastmod
-        FROM sm_g g ANTI JOIN seenx ON g.url = seenx.url),
-      rs0 AS (SELECT DISTINCT
-          regexp_extract(url, '${sq(HtmlExtract.HostPattern)}', 1)
-            AS host, url
-        FROM (SELECT ${HtmlExtract.normalizeUrlSql("value")} AS url
-          FROM rp_rules WHERE directive = 'sitemap')
-        WHERE url <> ''
-          AND regexp_extract(url, '${sq(HtmlExtract.HostPattern)}', 1)
-            <> ''),
-      rs AS (SELECT host, url, 'robots' AS via,
-          CAST(NULL AS DATE) AS lastmod
-        FROM rs0 ANTI JOIN seenx USING (url)),
-      u AS (SELECT * FROM no UNION ALL SELECT * FROM ns
-        UNION ALL SELECT * FROM rs)
-      SELECT host, url,
-        array_to_string(list_sort(array_agg(DISTINCT via)), '+')
-          AS via,
-        max(lastmod) AS lastmod
-      FROM u GROUP BY 1, 2 ORDER BY host, url"""
-      }),
+      (s, d) => Sitemap.discoveryFeed(s, d),
+      Some(discoveryFeedOracle)),
+
+    // X101b — streaming discovery feed: per-arrival batch-sized
+    // outlink/seen state appends, feed assembled at read time through
+    // the SAME channel folds — byte-equal to batch over the
+    // accumulated arrivals, so it shares the X101 oracle verbatim.
+    "discovery_feed_stream" -> Q(
+      (s, d) => graft.streaming.DiscoveryStream.discoveryStreamQuery(s, d),
+      Some(discoveryFeedOracle)),
 
     // X100 — raw robots.txt parsing: fetched bodies → the rules
     // relation X87 consumes. Line grammar (comments, CRLF, spaced

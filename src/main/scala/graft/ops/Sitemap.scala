@@ -67,8 +67,10 @@ object Sitemap {
     sitemapIngestFrom(fixtureSitemaps(spark),
       HtmlExtract.fixturePages(spark))
 
-  private[graft] def sitemapIngestFrom(sitemaps: DataFrame,
-      pages: DataFrame): DataFrame = {
+  /** The parsed, validated, (host, url)-folded declared-URL relation
+    * of a sitemap store — the shared core of [[sitemapIngestFrom]]
+    * and the X101 feed assembly. */
+  private[graft] def declaredUrls(sitemaps: DataFrame): DataFrame = {
     // the emitted host is LOWERED at the door: the outlink discovery
     // channel derives hosts from lowercased normalized URLs, so a
     // mixed-case host value in the sitemap relation would otherwise
@@ -88,18 +90,26 @@ object Sitemap {
       .filter(col("url") =!= "" &&
         regexp_extract(col("url"), HtmlExtract.HostPattern, 1) ===
           col("host"))
-    val declared = entries.groupBy(col("host"), col("url"))
+    entries.groupBy(col("host"), col("url"))
       .agg(max(col("lastmod")).as("lastmod"))
-    val seen = pages
+  }
+
+  /** The crawled corpus's distinct normalized page URLs — the seen
+    * set every novelty anti-join subtracts. */
+  private[graft] def seenUrls(pages: DataFrame): DataFrame =
+    pages
       .filter(col("page_url").isNotNull && col("page_url") =!= "")
       .select(HtmlExtract.normalizeUrl(col("page_url")).as("url"))
       .distinct()
-      .withColumn("seen", lit(true))
-    declared.join(seen, Seq("url"), "left")
+
+  private[graft] def sitemapIngestFrom(sitemaps: DataFrame,
+      pages: DataFrame): DataFrame =
+    declaredUrls(sitemaps)
+      .join(seenUrls(pages).withColumn("seen", lit(true)),
+        Seq("url"), "left")
       .select(col("host"), col("url"), col("lastmod"),
         col("seen").isNull.as("is_novel"))
       .orderBy("host", "url")
-  }
 
   // ---- X101: merged discovery feed ------------------------------------
 
@@ -126,18 +136,30 @@ object Sitemap {
     * combined, a URL appears at most once per channel. */
   def discoveryFeed(spark: SparkSession, dir: String): DataFrame = {
     val pages = HtmlExtract.fixturePages(spark)
-    val outlinks = HtmlExtract.frontierNovelFrom(pages)
+    val outlinks = HtmlExtract.resolvedUrls(pages)
+      .filter(!col("host").isin("(non-http)", "(unresolved)"))
+      .select(col("host"), col("r").as("url")).distinct()
+    discoveryFeedAssemble(spark, outlinks, seenUrls(pages))
+  }
+
+  /** The shared X101 feed ASSEMBLY over an arbitrary fetchable
+    * outlink relation (host, url) and seen-URL relation (url) — the
+    * batch feed and its streaming twin ([[graft.streaming
+    * .DiscoveryStream]]) must stay realizations of the same merge, so
+    * the channel folds live in one place. The sitemap and robots
+    * channels read the committed fixtures (publisher-declared state —
+    * refreshed on the robots/sitemap fetch cadence, not per crawl
+    * batch). */
+  private[graft] def discoveryFeedAssemble(spark: SparkSession,
+      outlinks: DataFrame, seen: DataFrame): DataFrame = {
+    val no = outlinks.join(seen, Seq("url"), "left_anti")
       .select(col("host"), col("url"),
         lit("outlink").as("via"),
         lit(null).cast("date").as("lastmod"))
-    val declared = sitemapIngestFrom(fixtureSitemaps(spark), pages)
-      .filter(col("is_novel"))
+    val declared = declaredUrls(fixtureSitemaps(spark))
+      .join(seen, Seq("url"), "left_anti")
       .select(col("host"), col("url"),
         lit("sitemap").as("via"), col("lastmod"))
-    val seen = pages
-      .filter(col("page_url").isNotNull && col("page_url") =!= "")
-      .select(HtmlExtract.normalizeUrl(col("page_url")).as("url"))
-      .distinct()
     // robots-declared sitemap URLs: the crawl must FETCH these to
     // read the declared frontier, so they enter the feed as URLs in
     // their own right — host derived from the normalized URL itself
@@ -159,7 +181,7 @@ object Sitemap {
       .join(seen, Seq("url"), "left_anti")
       .select(col("host"), col("url"),
         lit("robots").as("via"), lit(null).cast("date").as("lastmod"))
-    outlinks.unionByName(declared).unionByName(robotsDeclared)
+    no.unionByName(declared).unionByName(robotsDeclared)
       .groupBy(col("host"), col("url"))
       .agg(array_join(array_sort(collect_set(col("via"))), "+")
           .as("via"),

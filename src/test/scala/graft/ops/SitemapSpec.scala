@@ -119,6 +119,48 @@ class SitemapSpec extends AnyFunSuite {
     assert(feed.map(_._2).toSet == (outl ++ sm ++ rb))
   }
 
+  test("discovery_feed_stream equals batch over the fixture (X101b)") {
+    import spark.implicits._
+    val batch = Sitemap.discoveryFeed(spark, dir)
+      .as[(String, String, String, Option[java.sql.Date])].collect().toSeq
+    val stream = graft.streaming.DiscoveryStream
+      .discoveryStreamQuery(spark, dir)
+      .as[(String, String, String, Option[java.sql.Date])].collect().toSeq
+    assert(stream == batch,
+      "accumulated stream feed must equal the batch feed row for row")
+  }
+
+  test("a URL crawled in a later arrival LEAVES the stream feed (X101b)") {
+    import spark.implicits._
+    // planted corpus: page A (arrival 1) links URL u; the page at u
+    // arrives (is crawled) in arrival 2 — the read-time anti-join
+    // must retract u, which per-batch append-only feed rows never
+    // could (the fixture's only crawled-URL targets are self links,
+    // hence the planted witness)
+    val u = "http://w.test/b.html"
+    val pages = Seq(
+      (0L, "s", "http://w.test/a.html",
+        s"<p><a href='$u'>next</a> body words</p>"),
+      (1L, "s", u, "<p>no links here</p>"))
+      .toDF("doc_id", "source", "page_url", "html")
+    val stream = graft.streaming.DiscoveryStream
+      .streamFeed(spark, pages, col("doc_id") === 0L)
+      .as[(String, String, String, Option[java.sql.Date])].collect()
+    assert(!stream.map(_._2).contains(u),
+      s"$u was crawled in arrival 2 and must leave the feed")
+    // ...while the arrival-1-only assembly DOES discover it — the
+    // retraction is the second arrival's doing, not a parse gap
+    val a1 = pages.filter(col("doc_id") === 0L)
+    val a1links = graft.ops.HtmlExtract.resolvedUrls(a1)
+      .filter(!col("host").isin("(non-http)", "(unresolved)"))
+      .select(col("host"), col("r").as("url")).distinct()
+    val feed1 = Sitemap
+      .discoveryFeedAssemble(spark, a1links, Sitemap.seenUrls(a1))
+      .as[(String, String, String, Option[java.sql.Date])].collect()
+    assert(feed1.exists(r => r._2 == u && r._3 == "outlink"),
+      s"arrival 1 must discover $u as an outlink")
+  }
+
   test("toDF edges: invalid calendar date, scheme variance, null-loses max (X98)") {
     import spark.implicits._
     val sm = Seq(

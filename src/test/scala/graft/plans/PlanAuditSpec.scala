@@ -327,14 +327,20 @@ class PlanAuditSpec extends AnyFunSuite {
     // reuse) + presentation sort; the store build and the warm rounds
     // run at checkpoint time
     "link_pagerank_probe" -> 2,
-    // X101: the X88 novel anti-join chain (distinct + anti) + the
-    // sitemap fold + its novelty join + the merge agg + presentation
-    // sort — the channels' seen-set scans don't share an exchange
-    // (different anti-join sides) — plus the robots channel's novelty
-    // anti-join (its X100 parse is checkpointed at the host-bounded
-    // (host, url) boundary, so the parse windows run at build, not in
-    // the feed plan)
-    "discovery_feed" -> 9,
+    // X101: the outlink distinct + its novelty anti-join, the sitemap
+    // fold + its novelty join, the robots channel's novelty anti-join
+    // (its X100 parse is checkpointed at the host-bounded (host, url)
+    // boundary, so the parse windows run at build), the merge agg +
+    // presentation sort. The round-15 shared-assembly refactor
+    // dropped the frontierNovelFrom detour's 2 extra exchanges (its
+    // internal orderBy + second seen distinct): 9 → 7
+    "discovery_feed" -> 7,
+    // X101b: the batch feed's merge shape over the accumulated
+    // per-batch stores — the outlink/seen distincts read slim state
+    // parquet instead of the resolve chain (whose exchanges ran
+    // per-arrival inside foreachBatch), then the three novelty
+    // anti-joins + merge agg + presentation sort
+    "discovery_feed_stream" -> 7,
     // X100: the line windows, the rules×agents self-join and the
     // rule_order window all REUSE the one host exchange; plus the
     // presentation sort — all host-bounded (lines per robots file)
