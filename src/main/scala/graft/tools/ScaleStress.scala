@@ -237,6 +237,12 @@ object ScaleStress {
       // (_SUCCESS-gated per corpus), timed passes measure the PROBE —
       // same accounting as neardup_probe/ann_ivf_probe
       "jaccard_probe" -> (d => m(Dedup.jaccardProbe(spark, d))),
+      // X106b: the asset + variant stores land in warmup (one PPM per
+      // doc, memoized per corpus listing); timed passes measure the
+      // REAL per-run work — binaryFile scan → decode+dHash
+      // mapPartitions → banded pair join
+      "media_neardup" -> (d =>
+        m(graft.ops.MediaNeardup.mediaNeardup(spark, d))),
       "containment_probe" ->
         (d => m(Dedup.containmentProbe(spark, d))),
       // the SERVING regime: batchMod ∝ scale keeps the incoming batch
@@ -672,6 +678,11 @@ object ScaleStress {
           nBits = lshBits(d)))),
       "ann_ivf_topk" -> (d => m(Similarity.ivfTopK(spark, d))),
       "ann_ivf_probe" -> (d => m(Similarity.ivfProbeTopK(spark, d))),
+      // X31+X4 serving split: quantized store derives from the full
+      // index in warmup; timed passes measure the int8 probe + the
+      // shortlist's full-precision re-rank
+      "ann_ivf_quantized" -> (d =>
+        m(Similarity.ivfQuantizedProbe(spark, d))),
       "cosine_pairs" -> (d =>
         m(Similarity.cosinePairs(spark, d, threshold = 0.8))),
       "embedding_quantize" -> (d => m(Similarity.quantizeInt8(spark, d))),
@@ -735,6 +746,13 @@ object ScaleStress {
     // the corpus at 10×+ (a real corpus grows frequencies with
     // volume; the registered threshold is calibrated for that)
     val pipelineOps: Seq[(String, String => Long)] = Seq(
+      // X76b serving split (pipeline family — it rewrites BOTH corpus
+      // tables, so it needs the documents AND embeddings corpora):
+      // the write-back store lands in the warmup pass (_SUCCESS-gated
+      // per corpus listing); timed passes measure the manifest — one
+      // conditional-agg corpus scan + the read-back rollup (the
+      // takedown accounting)
+      "dedup_apply" -> (d => m(graft.ops.Takedown.dedupApply(spark, d))),
       // X70 serving regime: batchMod ∝ scale keeps the increment a
       // constant ~714 docs while the corpus (and its indexes) grow n×
       "corpus_pipeline_incr" -> (d => {
