@@ -678,6 +678,64 @@ object SparkEntry {
           JOIN rp_ag ag ON ru.host = ag.host AND ru.run_id = ag.run_id))"""
   }
 
+  /** The shared dHash signature CTE chain of the X106b/X106c media
+    * near-dup oracles (no leading WITH, ends in `sig`: id, dh_lo,
+    * dh_hi): base + planted-variant images re-derived from the
+    * generating document text, sampled on the 9x8 grid, grayscaled,
+    * bit-packed into the two 32-bit halves. */
+  private lazy val mediaDhashCtes: String = {
+    import MediaNeardup._
+    s"""dims AS (SELECT doc_id, text,
+          CAST(8 + doc_id % 9 AS INT) AS w0,
+          CAST(8 + (doc_id // 9) % 7 AS INT) AS h0
+        FROM documents),
+      imgs AS (
+        SELECT 'doc_' || doc_id AS id, text, w0, w0 AS sw, h0 AS sh,
+          false AS up, false AS br FROM dims
+        UNION ALL
+        SELECT 'doc_' || doc_id || '_up', text, w0, 2 * w0, 2 * h0,
+          true, false FROM dims WHERE doc_id % $VariantMod = 0
+        UNION ALL
+        SELECT 'doc_' || doc_id || '_br', text, w0, w0, h0,
+          false, true FROM dims WHERE doc_id % $VariantMod = 4),
+      s1 AS (SELECT id, text, w0, up, br,
+          CAST(j % $GridW AS INT) AS gx,
+          CAST(j // $GridW AS INT) AS gy,
+          (j % $GridW) * sw // $GridW AS sx,
+          (j // $GridW) * sh // $GridH AS sy
+        FROM (SELECT *, unnest(range(0, ${GridW * GridH})) AS j
+          FROM imgs)),
+      s2 AS (SELECT id, text, br, gx, gy,
+          3 * ((CASE WHEN up THEN sy // 2 ELSE sy END) * w0 +
+               (CASE WHEN up THEN sx // 2 ELSE sx END)) AS pidx
+        FROM s1),
+      s3 AS (SELECT id, gx, gy,
+          (LEAST(255, ord(substring(text,
+              CAST((pidx + 0) % len(text) AS INT) + 1, 1)) +
+             CASE WHEN br THEN $BrightDelta ELSE 0 END)
+           + LEAST(255, ord(substring(text,
+              CAST((pidx + 1) % len(text) AS INT) + 1, 1)) +
+             CASE WHEN br THEN $BrightDelta ELSE 0 END)
+           + LEAST(255, ord(substring(text,
+              CAST((pidx + 2) % len(text) AS INT) + 1, 1)) +
+             CASE WHEN br THEN $BrightDelta ELSE 0 END)) // 3 AS gray
+        FROM s2),
+      bits AS (SELECT id, gy, gx,
+          CASE WHEN gray > nxt THEN 1 ELSE 0 END AS bit
+        FROM (SELECT id, gy, gx, gray,
+            lead(gray) OVER (PARTITION BY id, gy ORDER BY gx) AS nxt
+          FROM s3)
+        WHERE gx < ${GridW - 1}),
+      sig AS (SELECT id,
+          CAST(sum(CASE WHEN gy < 4
+            THEN bit * (CAST(1 AS BIGINT) << (gy * 8 + gx))
+            ELSE 0 END) AS BIGINT) AS dh_lo,
+          CAST(sum(CASE WHEN gy >= 4
+            THEN bit * (CAST(1 AS BIGINT) << ((gy - 4) * 8 + gx))
+            ELSE 0 END) AS BIGINT) AS dh_hi
+        FROM bits GROUP BY 1)"""
+  }
+
   /** Shared oracle of `discovery_feed` (X101) and its streaming twin
     * `discovery_feed_stream` (X101b — byte-equal by construction,
     * both assemble through `Sitemap.discoveryFeedAssemble`): the
@@ -1418,55 +1476,7 @@ object SparkEntry {
       (s, d) => MediaNeardup.mediaNeardup(s, d), Some {
         import MediaNeardup._
         s"""
-      WITH dims AS (SELECT doc_id, text,
-          CAST(8 + doc_id % 9 AS INT) AS w0,
-          CAST(8 + (doc_id // 9) % 7 AS INT) AS h0
-        FROM documents),
-      imgs AS (
-        SELECT 'doc_' || doc_id AS id, text, w0, w0 AS sw, h0 AS sh,
-          false AS up, false AS br FROM dims
-        UNION ALL
-        SELECT 'doc_' || doc_id || '_up', text, w0, 2 * w0, 2 * h0,
-          true, false FROM dims WHERE doc_id % $VariantMod = 0
-        UNION ALL
-        SELECT 'doc_' || doc_id || '_br', text, w0, w0, h0,
-          false, true FROM dims WHERE doc_id % $VariantMod = 4),
-      s1 AS (SELECT id, text, w0, up, br,
-          CAST(j % $GridW AS INT) AS gx,
-          CAST(j // $GridW AS INT) AS gy,
-          (j % $GridW) * sw // $GridW AS sx,
-          (j // $GridW) * sh // $GridH AS sy
-        FROM (SELECT *, unnest(range(0, ${GridW * GridH})) AS j
-          FROM imgs)),
-      s2 AS (SELECT id, text, br, gx, gy,
-          3 * ((CASE WHEN up THEN sy // 2 ELSE sy END) * w0 +
-               (CASE WHEN up THEN sx // 2 ELSE sx END)) AS pidx
-        FROM s1),
-      s3 AS (SELECT id, gx, gy,
-          (LEAST(255, ord(substring(text,
-              CAST((pidx + 0) % len(text) AS INT) + 1, 1)) +
-             CASE WHEN br THEN $BrightDelta ELSE 0 END)
-           + LEAST(255, ord(substring(text,
-              CAST((pidx + 1) % len(text) AS INT) + 1, 1)) +
-             CASE WHEN br THEN $BrightDelta ELSE 0 END)
-           + LEAST(255, ord(substring(text,
-              CAST((pidx + 2) % len(text) AS INT) + 1, 1)) +
-             CASE WHEN br THEN $BrightDelta ELSE 0 END)) // 3 AS gray
-        FROM s2),
-      bits AS (SELECT id, gy, gx,
-          CASE WHEN gray > nxt THEN 1 ELSE 0 END AS bit
-        FROM (SELECT id, gy, gx, gray,
-            lead(gray) OVER (PARTITION BY id, gy ORDER BY gx) AS nxt
-          FROM s3)
-        WHERE gx < ${GridW - 1}),
-      sig AS (SELECT id,
-          CAST(sum(CASE WHEN gy < 4
-            THEN bit * (CAST(1 AS BIGINT) << (gy * 8 + gx))
-            ELSE 0 END) AS BIGINT) AS dh_lo,
-          CAST(sum(CASE WHEN gy >= 4
-            THEN bit * (CAST(1 AS BIGINT) << ((gy - 4) * 8 + gx))
-            ELSE 0 END) AS BIGINT) AS dh_hi
-        FROM bits GROUP BY 1),
+      WITH $mediaDhashCtes,
       ch AS (
         SELECT id, dh_lo, dh_hi, 0 AS chunk, dh_lo % 65536 AS cval
           FROM sig
@@ -1490,6 +1500,50 @@ object SparkEntry {
       SELECT id_a, id_b, hamming FROM hm
       WHERE hamming <= $HammingMax ORDER BY id_a, id_b"""
       }),
+
+    // X106c — incremental perceptual probe: the incoming re-encode
+    // batch's dHash signatures (the variant assets, decoded
+    // batch-side only) against the persisted base-asset index; same
+    // shared sig chain, plain banded join (no adversarial cap — the
+    // batch side is bounded), exact Hamming filter.
+    "media_neardup_probe" -> Q(
+      (s, d) => MediaNeardup.mediaNeardupProbe(s, d), Some {
+        import MediaNeardup._
+        s"""
+      WITH $mediaDhashCtes,
+      nb AS (SELECT id, dh_lo, dh_hi FROM sig
+        WHERE NOT regexp_matches(id, '^doc_[0-9]+$$')),
+      co AS (SELECT id, dh_lo, dh_hi FROM sig
+        WHERE regexp_matches(id, '^doc_[0-9]+$$')),
+      chn AS (
+        SELECT id, dh_lo, dh_hi, 0 AS chunk, dh_lo % 65536 AS cval
+          FROM nb
+        UNION ALL SELECT id, dh_lo, dh_hi, 1, (dh_lo // 65536) % 65536
+          FROM nb
+        UNION ALL SELECT id, dh_lo, dh_hi, 2, dh_hi % 65536 FROM nb
+        UNION ALL SELECT id, dh_lo, dh_hi, 3, (dh_hi // 65536) % 65536
+          FROM nb),
+      chc AS (
+        SELECT id, dh_lo, dh_hi, 0 AS chunk, dh_lo % 65536 AS cval
+          FROM co
+        UNION ALL SELECT id, dh_lo, dh_hi, 1, (dh_lo // 65536) % 65536
+          FROM co
+        UNION ALL SELECT id, dh_lo, dh_hi, 2, dh_hi % 65536 FROM co
+        UNION ALL SELECT id, dh_lo, dh_hi, 3, (dh_hi // 65536) % 65536
+          FROM co),
+      cand AS (SELECT DISTINCT n.id AS new_id, c.id AS corpus_id,
+          n.dh_lo AS n_lo, n.dh_hi AS n_hi,
+          c.dh_lo AS c_lo, c.dh_hi AS c_hi
+        FROM chn n JOIN chc c
+          ON n.chunk = c.chunk AND n.cval = c.cval),
+      hm AS (SELECT new_id, corpus_id,
+          CAST(bit_count(xor(n_lo, c_lo)) + bit_count(xor(n_hi, c_hi))
+            AS INT) AS hamming
+        FROM cand)
+      SELECT new_id, corpus_id, hamming FROM hm
+      WHERE hamming <= $HammingMax ORDER BY new_id, corpus_id"""
+      }),
+
 
     // Parquet schema evolution: two file generations (one without the
     // o_totalprice column) merged by a mergeSchema read; oracle splits

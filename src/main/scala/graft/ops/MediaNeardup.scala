@@ -173,15 +173,11 @@ object MediaNeardup {
     out.toString
   }
 
-  /** (id, dh_lo, dh_hi) signatures over base + variant assets via the
-    * REAL decode (binaryFile → PpmCodec → dHash). Corrupt payloads
-    * are excluded loudly — accumulator + per-asset warn, the
-    * [[Multimodal.embedDf]] admission rule. */
-  private[graft] def signatures(spark: SparkSession,
-      dir: String): DataFrame = {
-    import spark.implicits._
-    val failures = spark.sparkContext
-      .longAccumulator("graft.media.dhash_failures")
+  /** The loaded asset relation (id, content) over base + variant
+    * stores — the shared scan of [[signatures]] and the X106c
+    * serving split. */
+  private[graft] def assetFiles(spark: SparkSession,
+      dir: String): DataFrame =
     spark.read.format("binaryFile")
       .load(Multimodal.mediaAssetDir(spark, dir),
         variantDir(spark, dir))
@@ -189,6 +185,17 @@ object MediaNeardup {
       .select(
         regexp_extract(col("path"), "([^/]+)\\.ppm$", 1).as("id"),
         col("content"))
+
+  /** (id, dh_lo, dh_hi) signatures over an (id, content) relation via
+    * the REAL decode (binaryFile → PpmCodec → dHash). Corrupt
+    * payloads are excluded loudly — accumulator + per-asset warn, the
+    * [[Multimodal.embedDf]] admission rule. */
+  private[graft] def sigsOf(spark: SparkSession,
+      files: DataFrame): DataFrame = {
+    import spark.implicits._
+    val failures = spark.sparkContext
+      .longAccumulator("graft.media.dhash_failures")
+    files
       .as[(String, Array[Byte])]
       .mapPartitions { it =>
         val log =
@@ -207,6 +214,11 @@ object MediaNeardup {
       }
       .toDF("id", "dh_lo", "dh_hi")
   }
+
+  /** (id, dh_lo, dh_hi) signatures over base + variant assets. */
+  private[graft] def signatures(spark: SparkSession,
+      dir: String): DataFrame =
+    sigsOf(spark, assetFiles(spark, dir))
 
   /** [[signatures]] through the banded pair tail — the registered
     * X106b query: one row per perceptual near-dup pair (id_a < id_b)
@@ -263,5 +275,78 @@ object MediaNeardup {
           .cast("int").as("hamming"))
       .filter(col("hamming") <= hammingMax)
       .orderBy("id_a", "id_b")
+  }
+
+  // ---- X106c: persisted signature index + incremental probe ----------
+
+  /** The serving split: the INDEX holds the base assets (the corpus
+    * as first crawled, id `doc_<n>`); the incoming BATCH is the
+    * variant store — re-encoded/resized copies fetched later under
+    * new names (id `doc_<n>_up`/`_br`). The probe must catch every
+    * one against its indexed original without decoding the corpus —
+    * the exact scenario the perceptual index exists for. */
+  private[graft] def isBaseAsset: org.apache.spark.sql.Column =
+    col("id").rlike("^doc_[0-9]+$")
+
+  /** The persisted dHash signature INDEX over the base assets:
+    * 16 bytes + an id per image — at 100 TB of media the index is
+    * MB-scale and the corpus is decoded exactly once, at build.
+    * `_SUCCESS`-gated per (sf dir, documents listing fingerprint),
+    * the [[Dedup.neardupBuildIndex]] discipline; accepted batch
+    * signatures would append as new files, the same maintenance
+    * shape. */
+  def sigIndexDir(spark: SparkSession, dir: String): String = {
+    val out = s"target/graft_media_idx/${graft.util.Tables.pathTag(dir)}_" +
+      graft.util.Tables.listingTag(spark, s"$dir/documents.parquet")
+    if (!graft.util.Tables.successExists(spark, out)) {
+      sigsOf(spark, assetFiles(spark, dir).filter(isBaseAsset))
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
+  /** X106c — INCREMENTAL perceptual near-dup probe: ONLY the incoming
+    * batch's assets are decoded (batch-sized work — the daily-loop
+    * serving shape); their signatures banded-join the PERSISTED index
+    * (16-bit chunk equality, then the exact Hamming filter), so a
+    * re-encoded or resized copy of anything already indexed is caught
+    * without touching the corpus bytes. Output: one row per
+    * (new asset, indexed asset) pair within the Hamming bound —
+    * every planted variant must hit its original at hamming 0
+    * (MediaNeardupSpec pins exactly that).
+    *
+    * Scale shape: decode is batch-bounded; the index side is a slim
+    * parquet scan (no decode); the banded join shuffles 16-byte
+    * signatures keyed by (chunk, value) — bucket-bounded fan-out,
+    * never batch × corpus. */
+  def mediaNeardupProbe(spark: SparkSession, dir: String,
+      hammingMax: Int = HammingMax): DataFrame = {
+    val idx = sigIndexDir(spark, dir)
+    val batch = sigsOf(spark,
+      assetFiles(spark, dir).filter(!isBaseAsset))
+    val store = spark.read.parquet(idx)
+    def chunked(df: DataFrame, pre: String): DataFrame = {
+      val mask = 0xFFFFL
+      df.select(col("id").as(s"${pre}_id"),
+          col("dh_lo").as(s"${pre}_lo"), col("dh_hi").as(s"${pre}_hi"),
+          posexplode(array(
+            col("dh_lo").bitwiseAND(lit(mask)),
+            shiftright(col("dh_lo"), 16).bitwiseAND(lit(mask)),
+            col("dh_hi").bitwiseAND(lit(mask)),
+            shiftright(col("dh_hi"), 16).bitwiseAND(lit(mask)))))
+        .withColumnRenamed("pos", "chunk")
+        .withColumnRenamed("col", "cval")
+    }
+    chunked(batch, "n").join(chunked(store, "c"), Seq("chunk", "cval"))
+      .select(col("n_id"), col("c_id"), col("n_lo"), col("n_hi"),
+        col("c_lo"), col("c_hi"))
+      // dedup pairs surfaced by several chunk regions BEFORE scoring
+      .distinct()
+      .select(col("n_id").as("new_id"), col("c_id").as("corpus_id"),
+        (bit_count(col("n_lo").bitwiseXOR(col("c_lo"))) +
+          bit_count(col("n_hi").bitwiseXOR(col("c_hi"))))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= hammingMax)
+      .orderBy("new_id", "corpus_id")
   }
 }

@@ -106,6 +106,39 @@ class MediaNeardupSpec extends AnyFunSuite {
         s"${(banded -- brute).take(5)}")
   }
 
+  test("probe: every re-encoded arrival hits its indexed original; banded ≡ brute (X106c)") {
+    import spark.implicits._
+    val probe = MediaNeardup.mediaNeardupProbe(spark, dir)
+      .as[(String, String, Int)].collect()
+    // every planted variant (the incoming batch) pairs with exactly
+    // its base at hamming 0 — the re-encoded-copy catch the index
+    // exists for, with ZERO corpus decode at probe time
+    val varDir = MediaNeardup.variantDir(spark, dir)
+    val variants = new java.io.File(varDir).listFiles()
+      .filter(_.getName.endsWith(".ppm"))
+      .map(_.getName.stripSuffix(".ppm")).toSeq
+    assert(variants.nonEmpty)
+    val byPair = probe.map(p => (p._1, p._2) -> p._3).toMap
+    variants.foreach { vid =>
+      val bid = vid.replaceAll("_(up|br)$", "")
+      assert(byPair.get((vid, bid)).contains(0),
+        s"arrival $vid must hit indexed $bid at hamming 0")
+    }
+    // the banded probe equals brute force over (batch × index)
+    val sigs = MediaNeardup.signatures(spark, dir)
+      .as[(String, Long, Long)].collect()
+    val (base, vars) = sigs.partition(_._1.matches("^doc_[0-9]+$"))
+    val brute = (for {
+      a <- vars; b <- base
+      hm = java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3)
+      if hm <= MediaNeardup.HammingMax
+    } yield (a._1, b._1, hm)).toSet
+    assert(probe.toSet == brute,
+      s"probe missed ${(brute -- probe.toSet).take(5)} / extra " +
+        s"${(probe.toSet -- brute).take(5)}")
+  }
+
   test("candidate mass stays bucket-bounded (X106b scale gate)") {
     val mask = 0xFFFFL
     val buckets = MediaNeardup.signatures(spark, dir)

@@ -286,6 +286,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // presentation sort; decode+dHash is mapPartitions over the scan
     // (no shuffle), signatures are the only thing that ever moves
     "media_neardup" -> 3,
+    // X106c: the pair distinct + presentation sort — the batch decode
+    // is mapPartitions, the index a slim parquet scan, the banded
+    // join broadcasts the batch side at this sf (keyed at scale)
+    "media_neardup_probe" -> 2,
     // X92: one lag window + one agg over the merge key (the same
     // exchange reused), presentation sort; the three version
     // reconstructions read the tiny fixture lake, not a scaled table
