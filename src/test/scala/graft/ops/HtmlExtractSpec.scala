@@ -684,4 +684,19 @@ class HtmlExtractSpec extends AnyFunSuite {
     // deterministic, documented fall-through, one surviving paragraph
     assert(got(4L)._1 == 1L && got(4L)._3 == md5hex("never closed A B C"))
   }
+
+  test("paragraph dedup FAILS LOUDLY on a winner-encode bound violation (X95)") {
+    import spark.implicits._
+    // doc_id ≥ 2⁴³ would silently wrap into a neighboring doc's key
+    // space pre-round-15; the raise_error guard must surface instead
+    val pages = Seq((Long.MaxValue / HtmlExtract.IdxCap, "<p>x</p>"))
+      .toDF("doc_id", "html")
+    val e = intercept[Exception] {
+      HtmlExtract.paragraphDedupFrom(pages).collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: causes(t.getCause)
+    assert(causes(e).exists(_.contains("winner encode out of bounds")),
+      s"expected the guard's message, got: ${causes(e).take(3)}")
+  }
 }
