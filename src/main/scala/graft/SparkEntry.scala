@@ -736,6 +736,34 @@ object SparkEntry {
         FROM bits GROUP BY 1)"""
   }
 
+  /** The banded candidate-pair CTE chain over `sig` (no leading
+    * WITH, ends in `hm`: id_a, id_b, hamming — 16-bit chunk buckets,
+    * MaxBucket-capped, pair-distinct, exact Hamming) — shared by the
+    * X106b pair oracle and the X106d consolidation. */
+  private lazy val mediaPairCtes: String = {
+    import MediaNeardup._
+    s"""ch AS (
+        SELECT id, dh_lo, dh_hi, 0 AS chunk, dh_lo % 65536 AS cval
+          FROM sig
+        UNION ALL SELECT id, dh_lo, dh_hi, 1, (dh_lo // 65536) % 65536
+          FROM sig
+        UNION ALL SELECT id, dh_lo, dh_hi, 2, dh_hi % 65536 FROM sig
+        UNION ALL SELECT id, dh_lo, dh_hi, 3, (dh_hi // 65536) % 65536
+          FROM sig),
+      bk AS (SELECT chunk, cval FROM ch GROUP BY 1, 2
+        HAVING count(*) BETWEEN 2 AND $MaxBucket),
+      cm AS (SELECT ch.* FROM ch JOIN bk USING (chunk, cval)),
+      cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+          a.dh_lo AS lo_a, b.dh_lo AS lo_b,
+          a.dh_hi AS hi_a, b.dh_hi AS hi_b
+        FROM cm a JOIN cm b
+          ON a.chunk = b.chunk AND a.cval = b.cval AND a.id < b.id),
+      hm AS (SELECT id_a, id_b,
+          CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+            AS INT) AS hamming
+        FROM cand)"""
+  }
+
   /** Shared oracle of `discovery_feed` (X101) and its streaming twin
     * `discovery_feed_stream` (X101b — byte-equal by construction,
     * both assemble through `Sitemap.discoveryFeedAssemble`): the
@@ -1477,28 +1505,38 @@ object SparkEntry {
         import MediaNeardup._
         s"""
       WITH $mediaDhashCtes,
-      ch AS (
-        SELECT id, dh_lo, dh_hi, 0 AS chunk, dh_lo % 65536 AS cval
-          FROM sig
-        UNION ALL SELECT id, dh_lo, dh_hi, 1, (dh_lo // 65536) % 65536
-          FROM sig
-        UNION ALL SELECT id, dh_lo, dh_hi, 2, dh_hi % 65536 FROM sig
-        UNION ALL SELECT id, dh_lo, dh_hi, 3, (dh_hi // 65536) % 65536
-          FROM sig),
-      bk AS (SELECT chunk, cval FROM ch GROUP BY 1, 2
-        HAVING count(*) BETWEEN 2 AND $MaxBucket),
-      cm AS (SELECT ch.* FROM ch JOIN bk USING (chunk, cval)),
-      cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-          a.dh_lo AS lo_a, b.dh_lo AS lo_b,
-          a.dh_hi AS hi_a, b.dh_hi AS hi_b
-        FROM cm a JOIN cm b
-          ON a.chunk = b.chunk AND a.cval = b.cval AND a.id < b.id),
-      hm AS (SELECT id_a, id_b,
-          CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
-            AS INT) AS hamming
-        FROM cand)
+      $mediaPairCtes
       SELECT id_a, id_b, hamming FROM hm
       WHERE hamming <= $HammingMax ORDER BY id_a, id_b"""
+      }),
+
+    // X106d — media canonical consolidation: connected components
+    // over the X106b pair relation (recursive-CTE walk, string ids
+    // labeled by their lexicographic minimum — the host_clusters
+    // convention), singletons emitted as 1-member groups so the
+    // output is a full asset manifest with the keeper per group.
+    "media_canonical" -> Q(
+      (s, d) => MediaNeardup.mediaCanonical(s, d), Some {
+        import MediaNeardup._
+        s"""
+      WITH RECURSIVE $mediaDhashCtes,
+      $mediaPairCtes,
+      mnp AS (SELECT id_a, id_b FROM hm
+        WHERE hamming <= $HammingMax),
+      edges AS (SELECT id_a AS s, id_b AS d FROM mnp
+        UNION SELECT id_b, id_a FROM mnp),
+      walk AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT w.s, e.d FROM walk w JOIN edges e ON w.d = e.s),
+      lbl AS (SELECT s AS id, least(s, min(d)) AS group_id
+        FROM walk GROUP BY s),
+      g AS (SELECT sg.id, COALESCE(l.group_id, sg.id) AS group_id
+        FROM sig sg LEFT JOIN lbl l ON sg.id = l.id)
+      SELECT group_id, min(id) AS canonical,
+        count(*) AS n_members,
+        array_to_string(list_sort(array_agg(id)), '+') AS members
+      FROM g GROUP BY 1 ORDER BY 1"""
       }),
 
     // X106c — incremental perceptual probe: the incoming re-encode

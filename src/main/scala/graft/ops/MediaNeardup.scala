@@ -349,4 +349,45 @@ object MediaNeardup {
       .filter(col("hamming") <= hammingMax)
       .orderBy("new_id", "corpus_id")
   }
+
+  // ---- X106d: canonical-representative consolidation ------------------
+
+  /** X106d — media CANONICAL consolidation: one row per perceptual
+    * near-dup GROUP with its keeper and provenance — the
+    * [[Dedup.dedupCanonical]] (X76) step for images, turning X106b's
+    * pairwise verdicts into what a pipeline writes back (keep ONE
+    * copy per perceptual group, decode/embed/serve only that one).
+    * Groups are connected components over the pair relation via the
+    * SHARED [[Dedup.minLabelComponents]] pointer-jump core (min/least
+    * are type-generic — string asset ids label components by their
+    * lexicographic minimum, the [[graft.ops.LinkGraph]] host-cluster
+    * convention); every asset not in a pair is emitted as a 1-member
+    * group, so the output is a full asset manifest, not just the
+    * collapsed part. Per group: the min-id canonical keeper, member
+    * count, and the sorted `+`-joined member list (the
+    * [[Formats.assetDedup]] reporting convention).
+    *
+    * Scale shape: the pair relation is bucket-bounded (X106b), label
+    * rounds run on checkpointed pair-participant-sized relations; the
+    * manifest is one left join of the label relation onto the
+    * asset-id universe (label side ≪ assets — broadcasts under AQE)
+    * and one group-keyed agg whose collect_list state is bounded by
+    * GROUP size, which the MaxBucket cap already bounds. */
+  def mediaCanonical(spark: SparkSession, dir: String,
+      hammingMax: Int = HammingMax,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val pairs = pairsFor(signatures(spark, dir), hammingMax, maxBucket)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val labels = Dedup.minLabelComponents(pairs)
+      .select(col("doc_id").as("id"), col("grp"))
+    assetFiles(spark, dir).select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .withColumn("group_id", coalesce(col("grp"), col("id")))
+      .groupBy(col("group_id"))
+      .agg(min(col("id")).as("canonical"),
+        count(lit(1)).as("n_members"),
+        array_join(array_sort(collect_list(col("id"))), "+")
+          .as("members"))
+      .orderBy("group_id")
+  }
 }

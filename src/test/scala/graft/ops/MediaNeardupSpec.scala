@@ -139,6 +139,39 @@ class MediaNeardupSpec extends AnyFunSuite {
         s"${(probe.toSet -- brute).take(5)}")
   }
 
+  test("media_canonical: full manifest, variants fold to their base's group (X106d)") {
+    import spark.implicits._
+    val groups = MediaNeardup.mediaCanonical(spark, dir)
+      .as[(String, String, Long, String)].collect()
+    // COMPLETENESS: groups partition the asset universe — member
+    // mass equals the asset count, every id appears exactly once
+    val allIds = MediaNeardup.assetFiles(spark, dir)
+      .select("id").as[String].collect().toSet
+    assert(groups.map(_._3).sum == allIds.size)
+    val memberIds = groups.flatMap(_._4.split("\\+"))
+    assert(memberIds.length == allIds.size &&
+      memberIds.toSet == allIds, "groups must partition the assets")
+    // every planted variant sits in its base's group; the canonical
+    // keeper is the base (lexicographic min — 'doc_N' < 'doc_N_up')
+    val byMember = groups.flatMap(g =>
+      g._4.split("\\+").map(_ -> g)).toMap
+    val varDir = MediaNeardup.variantDir(spark, dir)
+    new java.io.File(varDir).listFiles()
+      .filter(_.getName.endsWith(".ppm"))
+      .map(_.getName.stripSuffix(".ppm")).foreach { vid =>
+        val bid = vid.replaceAll("_(up|br)$", "")
+        val g = byMember(vid)
+        assert(g._2 == bid && g._1 == bid,
+          s"variant $vid must fold into $bid's group with $bid " +
+            s"canonical, got $g")
+        assert(g._4.split("\\+").contains(bid))
+      }
+    // singletons are 1-member groups canonicalized to themselves
+    val singles = groups.filter(_._3 == 1L)
+    assert(singles.nonEmpty &&
+      singles.forall(g => g._2 == g._1 && g._4 == g._1))
+  }
+
   test("candidate mass stays bucket-bounded (X106b scale gate)") {
     val mask = 0xFFFFL
     val buckets = MediaNeardup.signatures(spark, dir)

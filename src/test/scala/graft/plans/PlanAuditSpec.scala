@@ -290,6 +290,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // is mapPartitions, the index a slim parquet scan, the banded
     // join broadcasts the batch side at this sf (keyed at scale)
     "media_neardup_probe" -> 2,
+    // X106d: the label join onto the asset universe (the component
+    // rounds ran on checkpointed leaves), the group agg + its
+    // partial, and the presentation sort
+    "media_canonical" -> 4,
     // X92: one lag window + one agg over the merge key (the same
     // exchange reused), presentation sort; the three version
     // reconstructions read the tiny fixture lake, not a scaled table
