@@ -376,8 +376,14 @@ object MediaNeardup {
   def mediaCanonical(spark: SparkSession, dir: String,
       hammingMax: Int = HammingMax,
       maxBucket: Int = MaxBucket): DataFrame = {
+    // the pair relation is CHECKPOINTED before the label rounds: its
+    // lineage is the full decode+bucket chain, and every propagation
+    // round joins the edge set — un-checkpointed, each round would
+    // re-decode the corpus (the host_clusters 16.4 → 3.4 s lesson,
+    // re-measured here as 10.0 → ~3 s)
     val pairs = pairsFor(signatures(spark, dir), hammingMax, maxBucket)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .localCheckpoint()
     val labels = Dedup.minLabelComponents(pairs)
       .select(col("doc_id").as("id"), col("grp"))
     assetFiles(spark, dir).select(col("id"))
