@@ -81,10 +81,16 @@ def main():
     files["reupload_1.png"] = files["ok_png.png"]
     files["reupload_2.jpg"] = files["ok_png.png"]
     files["mirror.pdf"] = files["ok_pdf.pdf"]
-    # a dup group whose BOTH member names contain spaces: pins the
-    # URI decoding of Spark binaryFile paths (percent-encoded) against
-    # DuckDB read_blob's raw filenames inside a multi-member group
+    # dup groups pinning RAW name identity across engines inside
+    # multi-member groups: spaces, a literal %, and a literal %20
+    # (binaryFile's path is FileStatus.getPath.toString — probed NOT
+    # percent-encoded, matching read_blob's raw filename; a decode
+    # step would throw on the % name and fold %20 into a space)
     files["spaces twin.pdf"] = files["spaces in name.pdf"]
+    files["100%.pdf"] = MAGIC["pdf"] + payload("pct")
+    files["100% copy.pdf"] = files["100%.pdf"]
+    files["lit%20enc.pdf"] = MAGIC["pdf"] + payload("p20")
+    files["lit%20enc twin.pdf"] = files["lit%20enc.pdf"]
 
     for name, content in sorted(files.items()):
         with open(os.path.join(OUT, name), "wb") as fh:

@@ -214,13 +214,15 @@ object Formats {
     * blob itself and both engines identify groups by the canonical
     * member name instead.
     *
-    * Member names decode the source URI: Spark's `binaryFile` `path`
-    * is a Hadoop URI where e.g. spaces are percent-encoded, while the
-    * oracle's `read_blob` filename is raw. Literal `+` is pre-escaped
-    * to `%2B` before `url_decode` (URL form-decoding would turn a
-    * literal `+` into a space; a literal `%` arrives URI-encoded as
-    * `%25` and round-trips). The fixture pins this with a duplicate
-    * group whose BOTH member names contain spaces.
+    * Member names are the RAW path basename: Spark's `binaryFile`
+    * `path` (`FileStatus.getPath.toString`) does NOT percent-encode —
+    * probed empirically: a space and a literal `%20` both arrive raw,
+    * exactly as the oracle's `read_blob` filename does — so any
+    * decoding step would be the divergence, not the cure (url_decode
+    * THROWS on a literal `%` name and would fold a literal `%20`
+    * into a space the on-disk name doesn't have). The fixture pins
+    * raw-vs-raw equality with dup groups whose names carry a space,
+    * a literal `%`, and a literal `%20`.
     *
     * Output: one row per DUPLICATE group (singletons are not a dedup
     * finding), with the detected type (same bytes → same magic; `min`
@@ -238,9 +240,7 @@ object Formats {
     spark.read.format("binaryFile").load(BinmixDir)
       .select(md5(col("content")).as("k"),
         detectedType.as("detected"), col("length"),
-        url_decode(regexp_replace(
-          regexp_extract(col("path"), "([^/]+)$", 1),
-          "\\+", "%2B")).as("name"))
+        regexp_extract(col("path"), "([^/]+)$", 1).as("name"))
       .groupBy(col("k"))
       .agg(min(col("detected")).as("detected"),
         count(lit(1)).as("n_files"),

@@ -213,6 +213,8 @@ class MultimodalSpec extends AnyFunSuite {
     // jpeg pair (both honest spellings share a payload) — nothing
     // else shares bytes
     assert(got.keySet == Set(
+      "100% copy.pdf+100%.pdf",
+      "lit%20enc twin.pdf+lit%20enc.pdf",
       "mirror.pdf+ok_pdf.pdf",
       "ok_jpeg.jpeg+ok_jpeg.jpg",
       "ok_png.png+reupload_1.png+reupload_2.jpg",
@@ -224,9 +226,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got("ok_png.png+reupload_1.png+reupload_2.jpg") ==
       (("png", 3L, "ok_png.png")))
     assert(got("mirror.pdf+ok_pdf.pdf") == (("pdf", 2L, "mirror.pdf")))
-    // the space-named pair pins binaryFile's URI encoding against the
-    // raw on-disk names: both member names must render with SPACES
+    // RAW name identity pins, inside real dup groups: spaces, a
+    // literal %, and a literal %20 must all render EXACTLY as on
+    // disk in both engines (binaryFile's path is not percent-encoded
+    // — probed; a decode step would throw on '100%.pdf' and fold
+    // 'lit%20enc' into 'lit enc')
     assert(got("spaces in name.pdf+spaces twin.pdf") ==
       (("pdf", 2L, "spaces in name.pdf")))
+    assert(got("100% copy.pdf+100%.pdf") ==
+      (("pdf", 2L, "100% copy.pdf")))
+    assert(got("lit%20enc twin.pdf+lit%20enc.pdf") ==
+      (("pdf", 2L, "lit%20enc twin.pdf")))
   }
 }
