@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to stdout (no sbt "[info] " prefix):
+// the bench driver parses the JSON line Bench prints, and the logger
+// prefix has made that parse fail every round (BENCH_r*.json
+// "parsed": null — VERDICT r15 item 8).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

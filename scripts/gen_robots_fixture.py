@@ -38,11 +38,24 @@ ROWS = [
     ("crawl8.crawl.test", "*", "disallow", "/root", 1),
     ("crawl8.crawl.test", "*", "allow", "/sub/", 2),
     ("crawl8.crawl.test", "*", "disallow", "/sub/", 3),
+    # cdn.shared.test: a JUNK crawl-delay — non-numeric values are
+    # filtered before the min on both engines (TRY_CAST / cast-null),
+    # so the host keeps the default delay
+    ("cdn.shared.test", "*", "crawl-delay", "n/a", 2),
     # www.example.org: rules for OTHER agents only — ignored entirely
     ("www.example.org", "badbot", "disallow", "/", 1),
     ("www.example.org", "otherbot", "crawl-delay", "99", 2),
-    # unquoted.test: a specific page blocked
+    # trapsite.crawl.test: publisher disallows EVERYTHING — the
+    # host's already-fetched pages must leave the corpus at the X108
+    # pipeline's retroactive-compliance stage, and its outlinks never
+    # schedule
+    ("trapsite.crawl.test", "*", "disallow", "/", 1),
+    # unquoted.test: a specific page blocked + a FRACTIONAL
+    # crawl-delay (0.5 s, the wild's most common fractional form):
+    # parses through double and ceils to 500 ms — an integer cast
+    # would silently fall back to the 1000 ms default
     ("unquoted.test", "*", "disallow", "/u1", 1),
+    ("unquoted.test", "*", "crawl-delay", "0.5", 2),
     # tracker.test.net, f.test, x.test, crawl*.crawl.test (others):
     # no rules at all -> default allow, default delay
 ]

@@ -18,9 +18,14 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "fixtures",
                    "corpus", "robots")
 
 FILES = {
-    # plain single group, comments, blank lines, CRLF line endings
+    # plain single group, comments, blank lines, CRLF line endings;
+    # the Sitemap line sits BEFORE the first user-agent group — the
+    # common top-of-file placement RFC 9309 allows for non-group
+    # records (the parse must emit it even though group rules up
+    # there are invalid and drop)
     "a.test.txt": "\r\n".join([
         "# robots for a.test",
+        "Sitemap: http://a.test/sitemap-index.xml",
         "User-agent: *",
         "Disallow: /private",
         "Allow: /private/ok  # carve-out",
@@ -66,11 +71,16 @@ FILES = {
         "Crawl-delay: 10",
         "Sitemap: http://docs.example.com/sitemap.xml",
     ]),
-    # heuristically COLD (1000ms) but declares 2s — the declared value
-    # must win over BOTH heuristic tiers, not just the hot one
+    # heuristically COLD (1000ms) but declares a FRACTIONAL 2.5s —
+    # the declared value must win over BOTH heuristic tiers, and the
+    # fractional form (common in the wild) must parse through double
+    # and ceil to 2500 ms, not null out under an integer cast; the
+    # junk value must be ignored (filtered before the min), never
+    # poison the numeric one
     "tracker.test.net.txt": "\n".join([
         "User-agent: *",
-        "Crawl-delay: 2",
+        "Crawl-delay: 2.5",
+        "Crawl-delay: soonish",
     ]),
 }
 

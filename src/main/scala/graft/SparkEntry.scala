@@ -508,13 +508,16 @@ object SparkEntry {
         FROM fp JOIN ru ON fp.host = ru.host
           AND starts_with(fp.path, ru.value)),
       best AS (SELECT host, url, directive, value FROM m WHERE rn = 1),
-      cd AS (SELECT host, min(CAST(value AS BIGINT)) AS delay_s
+      cd AS (SELECT host,
+          CAST(ceil(min(TRY_CAST(value AS DOUBLE)) * 1000) AS BIGINT)
+            AS delay_ms
         FROM $rulesCsv
-        WHERE agent = '*' AND directive = 'crawl-delay' GROUP BY 1),
+        WHERE agent = '*' AND directive = 'crawl-delay'
+          AND TRY_CAST(value AS DOUBLE) IS NOT NULL GROUP BY 1),
       v AS (SELECT fp.host, fp.url,
         COALESCE(b.directive = 'allow', TRUE) AS allowed,
         COALESCE(b.directive || ':' || b.value, '(default)') AS rule,
-        CAST(COALESCE(cd.delay_s * 1000, ${Robots.DefaultDelayMs})
+        CAST(COALESCE(cd.delay_ms, ${Robots.DefaultDelayMs})
           AS BIGINT) AS delay_ms
       FROM fp LEFT JOIN best b ON fp.host = b.host AND fp.url = b.url
         LEFT JOIN cd ON fp.host = cd.host)"""
@@ -668,14 +671,20 @@ object SparkEntry {
       rp_ag AS (SELECT host, run_id, lower(value) AS agent
         FROM rp_ri WHERE is_ua),
       rp_ru AS (SELECT host, run_id, line_no, key AS directive, value
-        FROM rp_ri WHERE NOT is_ua AND run_id > 0),
+        FROM rp_ri
+        WHERE NOT is_ua AND key <> 'sitemap' AND run_id > 0),
+      rp_sm AS (SELECT host, '*' AS agent, 'sitemap' AS directive,
+          value, line_no
+        FROM rp_l3 WHERE key = 'sitemap'),
       rp_rules AS (SELECT host, agent, directive, value,
           CAST(row_number() OVER (PARTITION BY host
             ORDER BY line_no, agent) AS BIGINT) AS rule_order
         FROM (SELECT ru.host, ag.agent, ru.directive, ru.value,
             ru.line_no
           FROM rp_ru ru
-          JOIN rp_ag ag ON ru.host = ag.host AND ru.run_id = ag.run_id))"""
+          JOIN rp_ag ag ON ru.host = ag.host AND ru.run_id = ag.run_id
+          UNION ALL SELECT host, agent, directive, value, line_no
+          FROM rp_sm))"""
   }
 
   /** The shared dHash signature CTE chain of the X106b/X106c media
@@ -1542,8 +1551,10 @@ object SparkEntry {
     // X106c — incremental perceptual probe: the incoming re-encode
     // batch's dHash signatures (the variant assets, decoded
     // batch-side only) against the persisted base-asset index; same
-    // shared sig chain, plain banded join (no adversarial cap — the
-    // batch side is bounded), exact Hamming filter.
+    // shared sig chain, banded join with the index side
+    // MaxBucket-capped (ADVICE r15: the batch bound bounds only one
+    // side — a flat-image mega-bucket in the corpus must not fan
+    // every probe out), exact Hamming filter.
     "media_neardup_probe" -> Q(
       (s, d) => MediaNeardup.mediaNeardupProbe(s, d), Some {
         import MediaNeardup._
@@ -1561,7 +1572,7 @@ object SparkEntry {
         UNION ALL SELECT id, dh_lo, dh_hi, 2, dh_hi % 65536 FROM nb
         UNION ALL SELECT id, dh_lo, dh_hi, 3, (dh_hi // 65536) % 65536
           FROM nb),
-      chc AS (
+      chc0 AS (
         SELECT id, dh_lo, dh_hi, 0 AS chunk, dh_lo % 65536 AS cval
           FROM co
         UNION ALL SELECT id, dh_lo, dh_hi, 1, (dh_lo // 65536) % 65536
@@ -1569,6 +1580,9 @@ object SparkEntry {
         UNION ALL SELECT id, dh_lo, dh_hi, 2, dh_hi % 65536 FROM co
         UNION ALL SELECT id, dh_lo, dh_hi, 3, (dh_hi // 65536) % 65536
           FROM co),
+      bkc AS (SELECT chunk, cval FROM chc0 GROUP BY 1, 2
+        HAVING count(*) <= $MaxBucket),
+      chc AS (SELECT chc0.* FROM chc0 JOIN bkc USING (chunk, cval)),
       cand AS (SELECT DISTINCT n.id AS new_id, c.id AS corpus_id,
           n.dh_lo AS n_lo, n.dh_hi AS n_hi,
           c.dh_lo AS c_lo, c.dh_hi AS c_hi
@@ -2197,9 +2211,11 @@ object SparkEntry {
       WITH lhr AS ($linkHostsResolvedOracle),
       $robotsParsedCtes,
       rp_cd AS (SELECT host,
-          min(CAST(value AS BIGINT)) * 1000 AS declared_ms
+          CAST(ceil(min(TRY_CAST(value AS DOUBLE)) * 1000) AS BIGINT)
+            AS declared_ms
         FROM rp_rules
         WHERE agent = '*' AND directive = 'crawl-delay'
+          AND TRY_CAST(value AS DOUBLE) IS NOT NULL
         GROUP BY 1),
       a AS (SELECT l.host, l.n_urls,
           CAST(COALESCE(cd.declared_ms,

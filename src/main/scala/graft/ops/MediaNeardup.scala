@@ -318,9 +318,18 @@ object MediaNeardup {
     * Scale shape: decode is batch-bounded; the index side is a slim
     * parquet scan (no decode); the banded join shuffles 16-byte
     * signatures keyed by (chunk, value) — bucket-bounded fan-out,
-    * never batch × corpus. */
+    * never batch × corpus. The INDEX side carries the same
+    * `maxBucket` occupancy cap as the X106b pair path (ADVICE r15):
+    * "the batch is bounded" bounds only one join side — the all-zero
+    * dHash bucket (flat/solid-color images, ubiquitous in real
+    * crawls) would otherwise fan every probe out across the whole
+    * flat-image corpus slice. Buckets past the cap are dropped from
+    * the index relation (the X106b adversarial-bucket posture; a
+    * production probe would route such batch images to a dedicated
+    * flat-image path instead of pairing them). */
   def mediaNeardupProbe(spark: SparkSession, dir: String,
-      hammingMax: Int = HammingMax): DataFrame = {
+      hammingMax: Int = HammingMax,
+      maxBucket: Int = MaxBucket): DataFrame = {
     val idx = sigIndexDir(spark, dir)
     val batch = sigsOf(spark,
       assetFiles(spark, dir).filter(!isBaseAsset))
@@ -337,7 +346,19 @@ object MediaNeardup {
         .withColumnRenamed("pos", "chunk")
         .withColumnRenamed("col", "cval")
     }
-    chunked(batch, "n").join(chunked(store, "c"), Seq("chunk", "cval"))
+    val corpusChunks = chunked(store, "c")
+    val cappedCorpus =
+      if (maxBucket > 0)
+        // occupancy is computed over the slim chunked index relation
+        // (bucket-keyed agg, index-sized) — never against the batch
+        corpusChunks.join(
+          corpusChunks.groupBy(col("chunk"), col("cval"))
+            .agg(count(lit(1)).as("occ"))
+            .filter(col("occ") <= maxBucket)
+            .select(col("chunk"), col("cval")),
+          Seq("chunk", "cval"), "left_semi")
+      else corpusChunks
+    chunked(batch, "n").join(cappedCorpus, Seq("chunk", "cval"))
       .select(col("n_id"), col("c_id"), col("n_lo"), col("n_hi"),
         col("c_lo"), col("c_hi"))
       // dedup pairs surfaced by several chunk regions BEFORE scoring

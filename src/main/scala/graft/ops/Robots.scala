@@ -23,8 +23,10 @@ import org.apache.spark.sql.types._
   *  - LONGEST match wins; on a length tie `allow` wins (RFC 9309
   *    §2.2.2), then `rule_order` breaks exact duplicates;
   *  - no matching rule (or no rules for the host) → allowed;
-  *  - `crawl-delay` (min over the host's `*` rows, seconds) overrides
-  *    the default politeness delay.
+  *  - `crawl-delay` (min over the host's `*` rows, seconds — parsed
+  *    through double so fractional values count, ceil'd to whole ms;
+  *    non-numeric values ignored) overrides the default politeness
+  *    delay.
   *
   * Every step is replayed by the DuckDB oracle from the same two
   * committed fixtures — prefix match via `startsWith`/`starts_with`,
@@ -100,10 +102,8 @@ object Robots {
             col("rule_order"))))
       .filter(col("rn") === 1)
       .select(col("host"), col("url"), col("directive"), col("value"))
-    val delays = broadcast(rules
-      .filter(col("agent") === "*" && col("directive") === "crawl-delay")
-      .groupBy(col("host"))
-      .agg(min(col("value").cast("long")).as("delay_s")))
+    val delays = broadcast(declaredDelays(rules)
+      .withColumnRenamed("declared_delay_ms", "rb_delay_ms"))
     frontier
       .join(best, Seq("host", "url"), "left")
       .join(delays, Seq("host"), "left")
@@ -111,7 +111,7 @@ object Robots {
         coalesce(col("directive") === "allow", lit(true)).as("allowed"),
         coalesce(concat(col("directive"), lit(":"), col("value")),
           lit("(default)")).as("rule"),
-        coalesce(col("delay_s") * 1000L, lit(DefaultDelayMs))
+        coalesce(col("rb_delay_ms"), lit(DefaultDelayMs))
           .as("delay_ms"))
       .orderBy("host", "url")
   }
@@ -186,8 +186,12 @@ object Robots {
     * starts at a `user-agent` line whose predecessor is not one
     * (lag window), `run_id` is the running count of run starts, and
     * rules join their run's agents. Rules before any header are
-    * invalid per the RFC and drop (`run_id` 0). Unknown directives
-    * (`sitemap`, …) are parsed faithfully — consumers filter, the
+    * invalid per the RFC and drop (`run_id` 0) — EXCEPT `sitemap`,
+    * which RFC 9309 treats as a non-group record: sitemap lines are
+    * emitted unconditionally (agent `*`, one row each) wherever they
+    * appear, including before the first group — the common
+    * top-of-file placement (ADVICE r15). Other unknown directives
+    * inside groups are parsed faithfully — consumers filter, the
     * parser does not police. Empty values survive (`Disallow:` with
     * no value is MEANINGFUL — it clears restrictions; X87 drops it
     * at judge time). `rule_order` numbers each host's (line, agent)
@@ -203,15 +207,30 @@ object Robots {
 
   /** Per-host PUBLISHER-declared crawl delay (ms) from a parsed rules
     * relation — agent `*` rows only, min seconds on duplicates (the
-    * X87 verdict convention), ×1000. The relation the X86 budget
-    * joins so the publisher's declared value wins over the link-mass
-    * heuristic: a crawler that parses `Crawl-delay` and then ignores
-    * it is not polite, it is merely well-documented. Host-bounded. */
+    * X87 verdict convention), converted to ms. The relation the X86
+    * budget joins so the publisher's declared value wins over the
+    * link-mass heuristic: a crawler that parses `Crawl-delay` and
+    * then ignores it is not polite, it is merely well-documented.
+    * Host-bounded.
+    *
+    * The value parses through DOUBLE, not long (ADVICE r15):
+    * fractional delays (`Crawl-delay: 0.5`) are common in the wild
+    * and an integer cast silently nulled them into the heuristic
+    * fallback. `ceil(seconds · 1000)` rounds UP to whole ms — the
+    * polite direction — and both engines run the identical IEEE
+    * chain (`TRY_CAST AS DOUBLE` mirrors Spark's null-on-junk cast).
+    * Non-numeric values are filtered BEFORE the agg on both sides so
+    * a host whose only declared value is junk gets no row (default
+    * delay) rather than a null one. */
   private[graft] def declaredDelays(rules: DataFrame): DataFrame =
     rules
-      .filter(col("agent") === "*" && col("directive") === "crawl-delay")
+      // try_cast, not cast: under ANSI a junk value would otherwise
+      // fail the job; null-on-junk is exactly the DuckDB TRY_CAST the
+      // oracle uses
+      .filter(col("agent") === "*" && col("directive") === "crawl-delay" &&
+        col("value").try_cast("double").isNotNull)
       .groupBy(col("host"))
-      .agg((min(col("value").cast("long")) * 1000L)
+      .agg(ceil(min(col("value").try_cast("double")) * 1000d).cast("long")
         .as("declared_delay_ms"))
 
   private[graft] def rawRobots(spark: SparkSession): DataFrame =
@@ -245,10 +264,25 @@ object Robots {
             Window.currentRow)))
     val agents = runs.filter(col("is_ua"))
       .select(col("host"), col("run_id"), lower(col("value")).as("agent"))
-    val rules = runs.filter(!col("is_ua") && col("run_id") > 0)
+    // `sitemap` is a NON-GROUP record (RFC 9309 §2.2.4 / the sitemaps
+    // protocol): it commonly appears at the TOP of robots.txt before
+    // any user-agent group, and its placement inside a group carries
+    // no scoping — so sitemap lines are emitted UNCONDITIONALLY, one
+    // row each, with agent `*` (ADVICE r15: the group join dropped
+    // pre-group declarations, silently starving the X101 robots
+    // channel; the in-group form also no longer fans out per agent).
+    val sitemaps = lines.filter(col("key") === "sitemap")
+      .select(col("host"), lit("*").as("agent"), col("line_no"),
+        lit("sitemap").as("directive"), col("value"))
+    val rules = runs
+      .filter(!col("is_ua") && col("key") =!= "sitemap" &&
+        col("run_id") > 0)
       .select(col("host"), col("run_id"), col("line_no"),
         col("key").as("directive"), col("value"))
     rules.join(agents, Seq("host", "run_id"))
+      .select(col("host"), col("agent"), col("line_no"),
+        col("directive"), col("value"))
+      .unionByName(sitemaps)
       .withColumn("rule_order", row_number().over(
         Window.partitionBy(col("host"))
           .orderBy(col("line_no"), col("agent"))).cast("long"))

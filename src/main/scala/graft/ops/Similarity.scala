@@ -1386,6 +1386,13 @@ object Similarity {
       maxCells: Int = 16): String = {
     val base = ivfBuildIndex(spark, dir, maxCells)
     val out = base.replaceFirst("/ivf_v2_", "/ivfq_v1_")
+    // if ivfBuildIndex's naming drifts, the no-match replace yields
+    // out == base and the overwrite below would clobber the
+    // full-precision store the quantized probe re-ranks from — fail
+    // loudly instead (ADVICE r15)
+    require(out != base,
+      s"quantized-index path derivation failed: base store '$base' " +
+        "does not carry the expected /ivf_v2_ segment")
     def ok(sub: String): Boolean =
       graft.util.Tables.successExists(spark, s"$out/$sub")
     if (!ok("codebook") || !ok("cells")) {

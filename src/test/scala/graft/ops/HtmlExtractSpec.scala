@@ -364,12 +364,13 @@ class HtmlExtractSpec extends AnyFunSuite {
       (("fallback.test", 100L, 1000L, 3600L, 1L)))
     // end to end over the committed fixtures: docs.example.com is
     // heuristically HOT but declares 10s; tracker.test.net is
-    // heuristically cold but declares 2s; undeclared hosts keep the
-    // heuristic tiers
+    // heuristically cold but declares a FRACTIONAL 2.5s (ceil'd to
+    // 2500 ms) next to a junk value the numeric filter must ignore;
+    // undeclared hosts keep the heuristic tiers
     val full = HtmlExtract.crawlBudget(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(full("docs.example.com") == 10000L)
-    assert(full("tracker.test.net") == 2000L)
+    assert(full("tracker.test.net") == 2500L)
     assert(full("www.example.org") == 2000L)
     assert(full("cdn.shared.test") == 1000L)
   }

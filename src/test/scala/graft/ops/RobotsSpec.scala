@@ -59,6 +59,15 @@ class RobotsSpec extends AnyFunSuite {
   test("disallow:/ blocks everything; rule-free hosts default-allow") {
     assert(allowed("cdn.shared.test").forall(v => !v._2))
     assert(allowed("tracker.test.net").forall(_._2))
+    // cdn's only crawl-delay value is junk ("n/a") — filtered, so the
+    // host keeps the default delay instead of a null one
+    assert(verdicts.collect { case ((h, _), v)
+      if h == "cdn.shared.test" => v._3 }
+      .forall(_ == Robots.DefaultDelayMs))
+    // unquoted.test declares a FRACTIONAL 0.5 s: double-parsed and
+    // ceil'd to 500 ms (an integer cast silently fell to the default)
+    assert(verdicts.collect { case ((h, _), v)
+      if h == "unquoted.test" => v._3 }.forall(_ == 500L))
   }
 
   test("frontier_schedule: novel ∧ allowed only, robots delay drives windows") {
@@ -123,11 +132,14 @@ class RobotsSpec extends AnyFunSuite {
     import spark.implicits._
     val got = Robots.robotsParse(spark, dir)
       .as[(String, String, String, String, Long)].collect().toSeq
-    // a.test: comments/CRLF/blank lines stripped, one * group
+    // a.test: comments/CRLF/blank lines stripped, one * group; the
+    // TOP-OF-FILE Sitemap line (before any group) is a non-group
+    // record and must be emitted with agent * (ADVICE r15)
     assert(got.filter(_._1 == "a.test") == Seq(
-      ("a.test", "*", "disallow", "/private", 1L),
-      ("a.test", "*", "allow", "/private/ok", 2L),
-      ("a.test", "*", "crawl-delay", "5", 3L)))
+      ("a.test", "*", "sitemap", "http://a.test/sitemap-index.xml", 1L),
+      ("a.test", "*", "disallow", "/private", 2L),
+      ("a.test", "*", "allow", "/private/ok", 3L),
+      ("a.test", "*", "crawl-delay", "5", 4L)))
     // multi.test: two UA lines SHARE the first group (its one rule
     // emits under both agents); the second group is bot2-only
     assert(got.filter(_._1 == "multi.test") == Seq(
@@ -137,11 +149,12 @@ class RobotsSpec extends AnyFunSuite {
       ("multi.test", "bot2", "allow", "/bot2only/sub", 4L)))
     // sloppy.test: orphan rule (before any UA) and junk line dropped;
     // caps + spaced colons fold; agents lowercase, VALUES keep case;
-    // empty disallow and unknown directives survive faithfully
+    // empty disallow survives faithfully; the in-group sitemap line
+    // emits as a NON-GROUP record (agent *, not the group's agent)
     assert(got.filter(_._1 == "sloppy.test") == Seq(
       ("sloppy.test", "spiderbot", "disallow", "/Caps", 1L),
       ("sloppy.test", "spiderbot", "disallow", "", 2L),
-      ("sloppy.test", "spiderbot", "sitemap",
+      ("sloppy.test", "*", "sitemap",
         "http://sloppy.test/sitemap.xml", 3L),
       ("sloppy.test", "spiderbot", "allow", "/nospace", 4L)))
     // comments-only body contributes nothing
@@ -153,7 +166,8 @@ class RobotsSpec extends AnyFunSuite {
       ("docs.example.com", "*", "sitemap",
         "http://docs.example.com/sitemap.xml", 2L)))
     assert(got.filter(_._1 == "tracker.test.net") == Seq(
-      ("tracker.test.net", "*", "crawl-delay", "2", 1L)))
+      ("tracker.test.net", "*", "crawl-delay", "2.5", 1L),
+      ("tracker.test.net", "*", "crawl-delay", "soonish", 2L)))
   }
 
   test("declaredDelays: agent-* crawl-delay rows only, min seconds, ms (X86 input)") {
@@ -163,11 +177,21 @@ class RobotsSpec extends AnyFunSuite {
       ("h.test", "*", "crawl-delay", "3", 2L),     // min wins
       ("h.test", "bot2", "crawl-delay", "1", 3L),  // non-* ignored
       ("i.test", "*", "disallow", "/x", 1L),       // not a delay
-      ("j.test", "*", "crawl-delay", "7", 1L))
+      ("j.test", "*", "crawl-delay", "7", 1L),
+      // fractional seconds parse through double and ceil to whole ms
+      // (ADVICE r15: an integer cast nulled them to the heuristic)
+      ("k.test", "*", "crawl-delay", "0.5", 1L),
+      ("k.test", "*", "crawl-delay", "0.75", 2L),  // min of doubles
+      // junk is filtered BEFORE the min: it neither poisons a
+      // numeric sibling (l.test) nor yields a null row (m.test)
+      ("l.test", "*", "crawl-delay", "soonish", 1L),
+      ("l.test", "*", "crawl-delay", "1.5", 2L),
+      ("m.test", "*", "crawl-delay", "whenever", 1L))
       .toDF("host", "agent", "directive", "value", "rule_order")
     val got = Robots.declaredDelays(rules)
       .as[(String, Long)].collect().toMap
-    assert(got == Map("h.test" -> 3000L, "j.test" -> 7000L))
+    assert(got == Map("h.test" -> 3000L, "j.test" -> 7000L,
+      "k.test" -> 500L, "l.test" -> 1500L))
   }
 
   test("robots_parse output drives the X87 gate end to end (X100)") {

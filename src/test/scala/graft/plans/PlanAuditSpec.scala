@@ -288,8 +288,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "media_neardup" -> 3,
     // X106c: the pair distinct + presentation sort — the batch decode
     // is mapPartitions, the index a slim parquet scan, the banded
-    // join broadcasts the batch side at this sf (keyed at scale)
-    "media_neardup_probe" -> 2,
+    // join broadcasts the batch side at this sf (keyed at scale);
+    // +1 (r16): the index-side bucket-occupancy agg behind the
+    // MaxBucket cap (ADVICE r15 — the cap the pair path always had)
+    "media_neardup_probe" -> 3,
     // X106d: the label join onto the asset universe (the component
     // rounds ran on checkpointed leaves), the group agg + its
     // partial, and the presentation sort
@@ -351,8 +353,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "discovery_feed_stream" -> 7,
     // X100: the line windows, the rules×agents self-join and the
     // rule_order window all REUSE the one host exchange; plus the
-    // presentation sort — all host-bounded (lines per robots file)
-    "robots_parse" -> 3,
+    // presentation sort — all host-bounded (lines per robots file);
+    // +1 (r16): the non-group sitemap branch unions BEFORE the
+    // rule_order window (ADVICE r15 — pre-group Sitemap lines), so
+    // the window re-partitions the unioned relation
+    "robots_parse" -> 4,
     // X99: four host-bounded rollups (novel distinct+anti+agg, the
     // admit join+agg, the two trap aggs) + the three host-keyed left
     // joins + presentation sort; the rank vector is a PERSISTED-store
