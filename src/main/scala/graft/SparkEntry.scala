@@ -687,6 +687,68 @@ object SparkEntry {
           FROM rp_sm))"""
   }
 
+  /** The X102 Gopher rule CTE block over a (doc_id, w) token relation
+    * `src` (no leading WITH, `p`-prefixed, ends in `${p}fl`:
+    * doc_id, n_words, fails) — ONE definition for the standalone
+    * `gopher_rules` oracle and the X108 pipeline's quality gate, so a
+    * threshold change can never leave one of them silently stale. */
+  private def gopherCtes(src: String, p: String,
+      minWords: Long = QualitySignals.GopherMinWords): String = {
+    import QualitySignals._
+    val mean = """(CAST(list_sum(list_transform(w, x -> len(x)))
+      AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE))"""
+    val stops = GopherStops.map(s =>
+      s"(CASE WHEN list_contains(w, '$s') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""${p}b AS (SELECT doc_id, w, len(w) AS n FROM $src),
+      ${p}sc AS (SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+          CASE WHEN n < $minWords OR n > $GopherMaxWords
+            THEN 'word_count' END AS f1,
+          CASE WHEN $mean < $GopherMinMeanLen
+            OR $mean > $GopherMaxMeanLen
+            THEN 'mean_word_len' END AS f2,
+          CASE WHEN CAST(len(list_filter(w, x -> contains(x, '#')))
+              AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE)
+              > $GopherMaxHashRatio
+            THEN 'hash_ratio' END AS f3,
+          CASE WHEN CAST(len(list_filter(w, x -> contains(x, '...')))
+              AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE)
+              > $GopherMaxEllipsisRatio
+            THEN 'ellipsis_ratio' END AS f4,
+          CASE WHEN CAST(len(list_filter(w,
+              x -> regexp_matches(x, '[a-z]')))
+              AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE)
+              < $GopherMinAlphaFrac
+            THEN 'alpha_words' END AS f5,
+          CASE WHEN ($stops) < $GopherMinStopwords
+            THEN 'stopwords' END AS f6
+        FROM ${p}b),
+      ${p}bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+          i -> w[i] || ' ' || w[i + 1])) AS g FROM $src),
+      ${p}bgc AS (SELECT doc_id, g, count(*) AS c FROM ${p}bg
+        GROUP BY 1, 2),
+      ${p}bi AS (SELECT doc_id, CAST(max(c) AS DOUBLE) /
+          CAST(sum(c) AS DOUBLE) AS top_bi FROM ${p}bgc GROUP BY 1),
+      ${p}tg AS (SELECT doc_id,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g
+        FROM $src),
+      ${p}tri AS (SELECT doc_id,
+          CAST(count(*) - count(DISTINCT g) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE) AS dup_tri FROM ${p}tg GROUP BY 1),
+      ${p}j AS (SELECT ${p}sc.*, ${p}bi.top_bi, ${p}tri.dup_tri
+        FROM ${p}sc LEFT JOIN ${p}bi USING (doc_id)
+          LEFT JOIN ${p}tri USING (doc_id)),
+      ${p}fl AS (SELECT doc_id, n_words,
+          list_filter([f1, f2, f3, f4, f5, f6,
+            CASE WHEN top_bi > $GopherMaxTopBigram
+              THEN 'top_bigram' END,
+            CASE WHEN dup_tri > $GopherMaxDupTrigram
+              THEN 'dup_trigram' END],
+            x -> x IS NOT NULL) AS fails
+        FROM ${p}j)"""
+  }
+
   /** The shared dHash signature CTE chain of the X106b/X106c media
     * near-dup oracles (no leading WITH, ends in `sig`: id, dh_lo,
     * dh_hi): base + planted-variant images re-derived from the
@@ -4131,68 +4193,16 @@ object SparkEntry {
     // the repetition rules pass vacuously below 2/3 tokens — the same
     // CASE semantics both engines replay.
     "gopher_rules" -> Q(
-      (s, d) => QualitySignals.gopherRules(s, d), Some {
-        import QualitySignals._
-        val mean = """(CAST(list_sum(list_transform(w, x -> len(x)))
-          AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE))"""
-        val stops = GopherStops.map(s =>
-          s"(CASE WHEN list_contains(w, '$s') THEN 1 ELSE 0 END)")
-          .mkString(" + ")
-        s"""
+      (s, d) => QualitySignals.gopherRules(s, d), Some(s"""
       WITH d AS (SELECT doc_id,
           list_filter(string_split_regex(lower(text), '\\s+'),
             x -> x <> '') AS w
         FROM documents),
-      b AS (SELECT doc_id, w, len(w) AS n FROM d),
-      sc AS (SELECT doc_id, CAST(n AS BIGINT) AS n_words,
-          CASE WHEN n < $GopherMinWords OR n > $GopherMaxWords
-            THEN 'word_count' END AS f1,
-          CASE WHEN $mean < $GopherMinMeanLen
-            OR $mean > $GopherMaxMeanLen
-            THEN 'mean_word_len' END AS f2,
-          CASE WHEN CAST(len(list_filter(w, x -> contains(x, '#')))
-              AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE)
-              > $GopherMaxHashRatio
-            THEN 'hash_ratio' END AS f3,
-          CASE WHEN CAST(len(list_filter(w, x -> contains(x, '...')))
-              AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE)
-              > $GopherMaxEllipsisRatio
-            THEN 'ellipsis_ratio' END AS f4,
-          CASE WHEN CAST(len(list_filter(w,
-              x -> regexp_matches(x, '[a-z]')))
-              AS DOUBLE) / CAST(nullif(n, 0) AS DOUBLE)
-              < $GopherMinAlphaFrac
-            THEN 'alpha_words' END AS f5,
-          CASE WHEN ($stops) < $GopherMinStopwords
-            THEN 'stopwords' END AS f6
-        FROM b),
-      bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
-          i -> w[i] || ' ' || w[i + 1])) AS g FROM d),
-      bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
-      bi AS (SELECT doc_id, CAST(max(c) AS DOUBLE) /
-          CAST(sum(c) AS DOUBLE) AS top_bi FROM bgc GROUP BY 1),
-      tg AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
-          i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g
-        FROM d),
-      tri AS (SELECT doc_id,
-          CAST(count(*) - count(DISTINCT g) AS DOUBLE) /
-          CAST(count(*) AS DOUBLE) AS dup_tri FROM tg GROUP BY 1),
-      j AS (SELECT sc.*, bi.top_bi, tri.dup_tri
-        FROM sc LEFT JOIN bi USING (doc_id)
-          LEFT JOIN tri USING (doc_id)),
-      fl AS (SELECT doc_id, n_words,
-          list_filter([f1, f2, f3, f4, f5, f6,
-            CASE WHEN top_bi > $GopherMaxTopBigram
-              THEN 'top_bigram' END,
-            CASE WHEN dup_tri > $GopherMaxDupTrigram
-              THEN 'dup_trigram' END],
-            x -> x IS NOT NULL) AS fails
-        FROM j)
+      ${gopherCtes("d", "")}
       SELECT doc_id, n_words,
         array_to_string(list_sort(fails), '+') AS failed,
         (len(fails) = 0) AS pass
-      FROM fl ORDER BY doc_id"""
-      }),
+      FROM fl ORDER BY doc_id""")),
 
     "decontaminate" -> Q(
       (s, d) => QualitySignals.decontaminate(s, d), Some("""
@@ -4786,6 +4796,149 @@ object SparkEntry {
         CAST(sum(n_tok) AS BIGINT) AS n_tokens
       FROM ipk4 GROUP BY 2
       ORDER BY stage, shard""")),
+
+    // X108 — the END-TO-END WEB PIPELINE: raw fetched HTML → training
+    // shards in one lineage (robots compliance → extraction +
+    // admission → exact dedup → banded near-dup → paragraph
+    // keep-first → Gopher gate → chunk/pack/physical shard export).
+    // The oracle replays the WHOLE chain from the shared CTE blocks —
+    // extraction, robots verdicts, the X84 minhash stages, the X95
+    // paragraph winners, the X102 rule battery, the X69 pack
+    // arithmetic — pinning every stage boundary and the export
+    // roundtrip in one hash.
+    "web_pipeline" -> Q(
+      (s, d) => WebPipeline.webPipeline(s, d), Some {
+        def sq(x: String) = x.replace("'", "''")
+        def strip(x: String) =
+          s"regexp_replace($x, '${sq(HtmlExtract.TagPattern)}', ' ', 'g')"
+        def coll(x: String) =
+          s"trim(regexp_replace($x, '${sq(HtmlExtract.WsPattern)}', ' ', 'g'))"
+        def toks(x: String) =
+          s"list_filter(string_split_regex(lower($x), '\\s+'), x -> x <> '')"
+        s"""
+      WITH ${htmlCtes("")},
+      pu AS (SELECT doc_id,
+          ${HtmlExtract.normalizeUrlSql("page_url")} AS url,
+          html
+        FROM read_csv('${HtmlExtract.FixtureCsv}', header=true,
+          columns={'doc_id':'BIGINT','source':'VARCHAR',
+          'page_url':'VARCHAR','html':'VARCHAR'})
+        WHERE page_url IS NOT NULL AND page_url <> ''),
+      pu2 AS (SELECT doc_id, url,
+          regexp_extract(url, '${sq(HtmlExtract.HostPattern)}', 1)
+            AS host, html
+        FROM pu WHERE url <> ''),
+      pfr AS (SELECT DISTINCT host, url FROM pu2 WHERE host <> ''),
+      ${robotsVerdictCtes("pfr")},
+      pok AS (SELECT DISTINCT pu2.doc_id FROM pu2
+        JOIN v ON pu2.host = v.host AND pu2.url = v.url
+        WHERE v.allowed),
+      w2 AS (SELECT out.doc_id, out.text FROM out
+        SEMI JOIN pok USING (doc_id)
+        WHERE NOT boilerplate_flag
+          AND text_len >= ${HtmlExtract.MinTextLen}),
+      w3 AS (SELECT doc_id, text FROM (
+          SELECT doc_id, text, row_number() OVER (
+            PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM w2) WHERE rn = 1),
+      w3t AS (SELECT doc_id, text, ${toks("text")} AS w FROM w3),
+      wsh AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM w3t WHERE len(w) >= 3),
+      wsig AS (SELECT doc_id, b.band,
+          min(md5(b.band || ':' || shingle)) AS sig
+        FROM wsh, (SELECT unnest(range(0, 8)) AS band) b GROUP BY 1, 2),
+      wpr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM wsig a JOIN wsig b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 4),
+      wdrop AS (SELECT DISTINCT doc_b AS doc_id FROM wpr),
+      w4 AS (SELECT w3t.* FROM w3t ANTI JOIN wdrop USING (doc_id)),
+      wpg AS (SELECT doc_id, html FROM pu2 SEMI JOIN w4 USING (doc_id)),
+      pl AS (SELECT doc_id,
+          unnest(list_transform(range(1, len(ps) + 1), i -> i)) AS idx,
+          unnest(ps) AS raw
+        FROM (SELECT doc_id, regexp_extract_all(html,
+            '${sq(HtmlExtract.ParaPattern)}', 1) AS ps FROM wpg)),
+      pp0 AS (SELECT doc_id, idx, ${coll(strip("raw"))} AS ptext
+        FROM pl),
+      pp AS (SELECT * FROM pp0 WHERE ptext <> ''),
+      pw AS (SELECT *, row_number() OVER (PARTITION BY md5(ptext)
+          ORDER BY doc_id, idx) AS rn FROM pp),
+      kp AS (SELECT doc_id, idx, ptext FROM pw WHERE rn = 1),
+      reb AS (SELECT doc_id, string_agg(ptext, ' ' ORDER BY idx)
+          AS rtext FROM kp GROUP BY 1),
+      npz AS (SELECT doc_id, count(*) AS np FROM pp GROUP BY 1),
+      st5 AS (SELECT w4.doc_id,
+          CASE WHEN npz.np IS NOT NULL THEN COALESCE(reb.rtext, '')
+            ELSE w4.text END AS text
+        FROM w4 LEFT JOIN npz USING (doc_id)
+          LEFT JOIN reb USING (doc_id)),
+      t5 AS (SELECT doc_id, ${toks("text")} AS w FROM st5),
+      ${gopherCtes("t5", "gp", WebPipeline.WebMinWords)},
+      s6 AS (SELECT t5.doc_id, t5.w FROM t5
+        JOIN gpfl ON t5.doc_id = gpfl.doc_id
+        WHERE len(gpfl.fails) = 0),
+      nch AS (SELECT doc_id, w, GREATEST(1,
+          CAST(ceil((len(w) - ${CorpusPipeline.ChunkOverlap}) /
+            ${(CorpusPipeline.ChunkSize -
+              CorpusPipeline.ChunkOverlap).toDouble}) AS BIGINT))
+            AS nchunks
+        FROM s6),
+      chq AS (SELECT doc_id, unnest(range(nchunks)) AS chunk_id, w
+        FROM nch),
+      ch2 AS (SELECT doc_id, chunk_id,
+          CAST(len(list_slice(w,
+            chunk_id * ${CorpusPipeline.ChunkSize -
+              CorpusPipeline.ChunkOverlap} + 1,
+            chunk_id * ${CorpusPipeline.ChunkSize -
+              CorpusPipeline.ChunkOverlap} +
+              ${CorpusPipeline.ChunkSize})) AS BIGINT) AS n_tok
+        FROM chq),
+      pkq AS (SELECT doc_id, chunk_id, n_tok,
+          CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_id AS VARCHAR)
+            AS key
+        FROM ch2),
+      pk2 AS (SELECT doc_id, chunk_id, n_tok,
+          md5('pack:' || key) AS h,
+          CAST(CAST(('0x' || substring(md5('shard:' || key), 1, 8))
+            AS BIGINT) % ${CorpusPipeline.NShards} AS INTEGER) AS shard
+        FROM pkq),
+      pk3 AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY shard
+          ORDER BY h, doc_id, chunk_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_tok FROM pk2),
+      pk4 AS (SELECT *,
+          CAST(floor((cum_tok - n_tok) /
+            ${CorpusPipeline.PackBudget.toDouble}) AS BIGINT) AS pack_id
+        FROM pk3),
+      acc AS (
+        SELECT '00_fetch' AS stage, count(*) AS n_docs,
+          CAST(0 AS BIGINT) AS n_tokens FROM d
+        UNION ALL SELECT '01_robots', count(*), 0 FROM pok
+        UNION ALL SELECT '02_extract', count(*),
+          COALESCE(CAST(sum(len(${toks("text")})) AS BIGINT), 0)
+          FROM w2
+        UNION ALL SELECT '03_exact', count(*),
+          COALESCE(CAST(sum(len(w)) AS BIGINT), 0) FROM w3t
+        UNION ALL SELECT '04_neardup', count(*),
+          COALESCE(CAST(sum(len(w)) AS BIGINT), 0) FROM w4
+        UNION ALL SELECT '05_paradedup', count(*),
+          COALESCE(CAST(sum(len(w)) AS BIGINT), 0) FROM t5
+        UNION ALL SELECT '06_gopher', count(*),
+          COALESCE(CAST(sum(len(w)) AS BIGINT), 0) FROM s6
+        UNION ALL SELECT '07_chunk', count(*),
+          COALESCE(CAST(sum(n_tok) AS BIGINT), 0) FROM ch2)
+      SELECT stage, CAST(-1 AS INTEGER) AS shard, n_docs,
+        CAST(0 AS BIGINT) AS n_packs, n_tokens FROM acc
+      UNION ALL
+      SELECT '08_shard' AS stage, shard, count(*) AS n_docs,
+        CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+        CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM pk4 GROUP BY 2
+      ORDER BY stage, shard"""
+      }),
 
     // X91 — bigram-LM quality score (the CCNet recipe): add-one
     // bigram LM trained on the doc_id%5 reference slice scores every

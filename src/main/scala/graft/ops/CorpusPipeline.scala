@@ -112,6 +112,71 @@ object CorpusPipeline {
     * bench's handful), each export doc-id-sized. */
   private val invocation = new java.util.concurrent.atomic.AtomicLong
 
+  /** The shared CHUNK → PACK → PHYSICAL SHARD EXPORT tail over a
+    * (doc_id, w) token state — one definition for the rebuild (X69),
+    * the incremental batch (X70) and the X108 web pipeline, so the
+    * pack rule and the export roundtrip can never drift between the
+    * composed queries. Chunks by [[ChunkSize]]/[[ChunkOverlap]],
+    * packs to [[PackBudget]] tokens within [[NShards]] content-hash
+    * shards, WRITES the partitioned parquet under
+    * `scratchRoot/run_<n>` (the per-invocation counter — see
+    * [[invocation]]) and reads the manifest back from the written
+    * files. Returns the chunk accounting row (`chunkLabel`) unioned
+    * with one manifest row per written shard (`shardLabel`). */
+  private[graft] def chunkShardExport(spark: SparkSession,
+      s: DataFrame, scratchRoot: String,
+      chunkLabel: String, shardLabel: String): DataFrame = {
+    val stride = ChunkSize - ChunkOverlap
+    val ch = s
+      .withColumn("n_chunks", greatest(lit(1L),
+        ceil((size(col("w")) - lit(ChunkOverlap)).cast("double") /
+          lit(stride.toDouble)).cast("long")))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("ct",
+        slice(col("w"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(ChunkSize)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ct")).cast("long").as("n_tok"))
+    val key = concat(col("doc_id").cast("string"), lit(":"),
+      col("chunk_id").cast("string"))
+    val packed = ch
+      .withColumn("h", md5(concat(lit("pack:"), key)))
+      .withColumn("shard",
+        graft.util.Tables.md5Bucket("shard:", key, NShards).cast("int"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("h"), col("doc_id"), col("chunk_id"))))
+      .withColumn("pack_id",
+        floor((col("cum_tok") - col("n_tok")) / lit(PackBudget))
+          .cast("long"))
+      .select(col("doc_id"), col("chunk_id"), col("shard"),
+        col("pack_id"), col("n_tok"), col("cum_tok"))
+    // overwrite: the counter restarts per JVM, so run_N may exist from
+    // a PREVIOUS process — dead, safe to replace; live same-JVM
+    // invocations never share a counter value
+    val out = graft.util.Scratch
+      .under(scratchRoot + "/run_" + invocation.incrementAndGet())
+      .toString
+    packed.write.mode("overwrite").partitionBy("shard").parquet(out)
+    // explicit schema on the read-back: a fully-filtered corpus writes
+    // an EMPTY dataset (just _SUCCESS, no footers) and schema
+    // inference would throw where "0 shards" is the correct answer
+    val manifest = spark.read.schema(packed.schema).parquet(out)
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("pack_id")).as("n_packs"),
+        sum(col("n_tok")).as("n_tokens"))
+      .select(lit(shardLabel).as("stage"), col("shard"), col("n_docs"),
+        col("n_packs"), col("n_tokens"))
+    val chAcct = ch
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
+      .select(lit(chunkLabel).as("stage"), lit(-1).as("shard"),
+        col("n_docs"), lit(0L).as("n_packs"), col("n_tokens"))
+    chAcct.unionByName(manifest)
+  }
+
   /** `semTau`/`semCells` parameterize the two embedding-space stages
     * for the scale harness (threshold 0.8 / cells ∝ corpus — the
     * planted-twin regime; the registered defaults sit partly in the
@@ -271,57 +336,10 @@ object CorpusPipeline {
     }
     val s10 = s9.join(drop10, Seq("doc_id"), "left_anti")
 
-    // ---- stage 11: chunking (the docChunk rule) ----
-    val stride = ChunkSize - ChunkOverlap
-    val ch = s10
-      .withColumn("n_chunks", greatest(lit(1L),
-        ceil((size(col("w")) - lit(ChunkOverlap)).cast("double") /
-          lit(stride.toDouble)).cast("long")))
-      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
-      .withColumn("ct",
-        slice(col("w"), (col("chunk_id") * stride + 1).cast("int"),
-          lit(ChunkSize)))
-      .select(col("doc_id"), col("chunk_id"),
-        size(col("ct")).cast("long").as("n_tok"))
-
-    // ---- stage 12: pack + physical shard export + manifest ----
-    val key = concat(col("doc_id").cast("string"), lit(":"),
-      col("chunk_id").cast("string"))
-    val packed = ch
-      .withColumn("h", md5(concat(lit("pack:"), key)))
-      .withColumn("shard",
-        graft.util.Tables.md5Bucket("shard:", key, NShards).cast("int"))
-      .withColumn("cum_tok", sum(col("n_tok")).over(
-        Window.partitionBy(col("shard"))
-          .orderBy(col("h"), col("doc_id"), col("chunk_id"))))
-      .withColumn("pack_id",
-        floor((col("cum_tok") - col("n_tok")) / lit(PackBudget))
-          .cast("long"))
-      .select(col("doc_id"), col("chunk_id"), col("shard"),
-        col("pack_id"), col("n_tok"), col("cum_tok"))
-    val out = graft.util.Scratch
-      .under("graft_pipeline/" + graft.util.Tables.pathTag(dir) +
-        "/run_" + invocation.incrementAndGet()).toString
-    // overwrite: the counter restarts per JVM, so run_N may exist from
-    // a PREVIOUS process — dead, safe to replace; live same-JVM
-    // invocations never share a counter value
-    packed.write.mode("overwrite").partitionBy("shard").parquet(out)
-    // explicit schema on the read-back: a fully-filtered corpus writes
-    // an EMPTY dataset (just _SUCCESS, no footers) and schema
-    // inference would throw where "0 shards" is the correct answer
-    val manifest = spark.read.schema(packed.schema).parquet(out)
-      .groupBy(col("shard").cast("int").as("shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("pack_id")).as("n_packs"),
-        sum(col("n_tok")).as("n_tokens"))
-      .select(lit("12_shard").as("stage"), col("shard"), col("n_docs"),
-        col("n_packs"), col("n_tokens"))
-
-    val chAcct = ch
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
-      .select(lit("11_chunk").as("stage"), lit(-1).as("shard"),
-        col("n_docs"), lit(0L).as("n_packs"), col("n_tokens"))
+    // ---- stages 11-12: the shared chunk → pack → shard-export tail ----
+    val tail = chunkShardExport(spark, s10,
+      "graft_pipeline/" + graft.util.Tables.pathTag(dir),
+      "11_chunk", "12_shard")
 
     (Seq(
       acct("00_ingest", tok), acct("01_quality", s1),
@@ -329,7 +347,7 @@ object CorpusPipeline {
       acct("04_spanscrub", s4), acct("05_contain", s5),
       acct("06_decon_ngram", s6), acct("07_semdedup", s7),
       acct("08_decon_sem", s8), acct("09_rarity", s9),
-      acct("10_quality_score", s10), chAcct, manifest)
+      acct("10_quality_score", s10), tail)
       .reduce(_ unionByName _))
       .orderBy("stage", "shard")
   }
@@ -557,48 +575,9 @@ object CorpusPipeline {
     val b9 = b8.join(drop9, Seq("doc_id"), "left_anti")
 
     // ---- stages 10–11: chunk + pack + export (batch delivery) ----
-    val stride = ChunkSize - ChunkOverlap
-    val ch = b9
-      .withColumn("n_chunks", greatest(lit(1L),
-        ceil((size(col("w")) - lit(ChunkOverlap)).cast("double") /
-          lit(stride.toDouble)).cast("long")))
-      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
-      .withColumn("ct",
-        slice(col("w"), (col("chunk_id") * stride + 1).cast("int"),
-          lit(ChunkSize)))
-      .select(col("doc_id"), col("chunk_id"),
-        size(col("ct")).cast("long").as("n_tok"))
-    val key = concat(col("doc_id").cast("string"), lit(":"),
-      col("chunk_id").cast("string"))
-    val packed = ch
-      .withColumn("h", md5(concat(lit("pack:"), key)))
-      .withColumn("shard",
-        graft.util.Tables.md5Bucket("shard:", key, NShards).cast("int"))
-      .withColumn("cum_tok", sum(col("n_tok")).over(
-        Window.partitionBy(col("shard"))
-          .orderBy(col("h"), col("doc_id"), col("chunk_id"))))
-      .withColumn("pack_id",
-        floor((col("cum_tok") - col("n_tok")) / lit(PackBudget))
-          .cast("long"))
-      .select(col("doc_id"), col("chunk_id"), col("shard"),
-        col("pack_id"), col("n_tok"), col("cum_tok"))
-    val out = graft.util.Scratch
-      .under("graft_pipeline_incr/" + graft.util.Tables.pathTag(dir) +
-        "/run_" + invocation.incrementAndGet())
-      .toString
-    packed.write.mode("overwrite").partitionBy("shard").parquet(out)
-    val manifest = spark.read.schema(packed.schema).parquet(out)
-      .groupBy(col("shard").cast("int").as("shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("pack_id")).as("n_packs"),
-        sum(col("n_tok")).as("n_tokens"))
-      .select(lit("11_shard").as("stage"), col("shard"), col("n_docs"),
-        col("n_packs"), col("n_tokens"))
-    val chAcct = ch
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
-      .select(lit("10_chunk").as("stage"), lit(-1).as("shard"),
-        col("n_docs"), lit(0L).as("n_packs"), col("n_tokens"))
+    val tail = chunkShardExport(spark, b9,
+      "graft_pipeline_incr/" + graft.util.Tables.pathTag(dir),
+      "10_chunk", "11_shard")
 
     (Seq(
       acct("00_batch", btok), acct("01_quality", b1),
@@ -606,7 +585,7 @@ object CorpusPipeline {
       acct("04_contain", b4), acct("05_decon_ngram", b5),
       acct("06_semdedup", b6), acct("07_decon_sem", b7),
       acct("08_rarity", b8), acct("09_quality_score", b9),
-      chAcct, manifest)
+      tail)
       .reduce(_ unionByName _))
       .orderBy("stage", "shard")
   }

@@ -747,40 +747,52 @@ object HtmlExtract {
   def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
     paragraphDedupFrom(fixturePages(spark))
 
-  private[graft] def paragraphDedupFrom(pages: DataFrame): DataFrame = {
-    // fanOut: a plain parquet scan of the corpus yields
-    // size-of-file/128MB input splits — the per-paragraph regex chain
-    // (the dominant cost, measured 33 s of a 41 s run at 100× on TWO
-    // splits) must run at full parallelism
-    val paras = graft.util.Tables.fanOut(pages)
+  /** Paragraph fan-out: one row per non-empty tag-stripped `<p>`
+    * block — (doc_id, idx, text), `idx` the 0-based raw-match
+    * position. fanOut: a plain parquet scan of the corpus yields
+    * size-of-file/128MB input splits — the per-paragraph regex chain
+    * (the dominant cost, measured 33 s of a 41 s run at 100× on TWO
+    * splits) must run at full parallelism. Checkpointed (multiple
+    * consumers in every caller). Shared by X95 and the X108 composed
+    * pipeline. */
+  private[graft] def paragraphsOf(pages: DataFrame): DataFrame =
+    graft.util.Tables.fanOut(pages)
       .select(col("doc_id"), posexplode(
         regexp_extract_all(col("html"), lit(ParaPattern), lit(1))))
       .withColumn("text", collapse(stripTags(col("col"))))
       .filter(col("text") =!= "")
       .select(col("doc_id"), col("pos").as("idx"), col("text"))
       .localCheckpoint()
-    // winner = min of (doc_id, idx) ENCODED as one long: a plain
-    // min(long) HASH-aggregates with whole-stage codegen (min over a
-    // struct — and min_by — carry non-primitive buffers and fall to
-    // SortAggregate: a full sort of the corpus-text relation, 2×
-    // slower at 100×, measured). The winner fetch joins back on the
-    // UNIQUE (doc_id, idx) key — uniform shuffle, so the hot
-    // boilerplate keys never meet a join or window partition.
-    // the radix encode's documented bounds are ENFORCED, not assumed:
-    // a pathological page with ≥ 2²⁰ <p> blocks (or a doc_id outside
-    // [0, 2⁴³)) would silently wrap into a neighboring doc's key
-    // space and corrupt keep-first winners — fail loudly instead
+
+  /** Corpus-wide KEEP-FIRST winner per distinct paragraph text:
+    * winner = min of (doc_id, idx) ENCODED as one long — a plain
+    * min(long) HASH-aggregates with whole-stage codegen (min over a
+    * struct — and min_by — carry non-primitive buffers and fall to
+    * SortAggregate: a full sort of the corpus-text relation, 2×
+    * slower at 100×, measured). Consumers fetch winners back by the
+    * UNIQUE (doc_id, idx) key — uniform shuffle, so the hot
+    * boilerplate keys never meet a join or window partition.
+    * The radix encode's documented bounds are ENFORCED, not assumed:
+    * a pathological page with ≥ 2²⁰ `<p>` blocks (or a doc_id outside
+    * [0, 2⁴³)) would silently wrap into a neighboring doc's key
+    * space and corrupt keep-first winners — fail loudly instead. */
+  private[graft] def paragraphWinners(paras: DataFrame): DataFrame = {
     val inBounds = col("idx") >= 0 && col("idx") < IdxCap &&
       col("doc_id") >= 0 && col("doc_id") < Long.MaxValue / IdxCap
     val enc = when(inBounds, col("doc_id") * lit(IdxCap) + col("idx"))
       .otherwise(raise_error(concat(
         lit("paragraph winner encode out of bounds: (doc_id, idx) = ("),
         col("doc_id"), lit(", "), col("idx"), lit(")"))))
-    val winners = paras
+    paras
       .select(md5(col("text")).as("k"), enc.as("e"))
       .groupBy(col("k")).agg(min(col("e")).as("e"))
       .select(expr(s"e div ${IdxCap}L").as("doc_id"),
         pmod(col("e"), lit(IdxCap)).cast("int").as("idx"))
+  }
+
+  private[graft] def paragraphDedupFrom(pages: DataFrame): DataFrame = {
+    val paras = paragraphsOf(pages)
+    val winners = paragraphWinners(paras)
     val kept = paras.join(winners, Seq("doc_id", "idx"))
     val total = paras.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_paras"))

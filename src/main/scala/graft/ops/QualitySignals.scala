@@ -571,9 +571,21 @@ object QualitySignals {
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
     gopherRulesFrom(fanOut(t(spark, dir, "documents")))
 
-  private[graft] def gopherRulesFrom(docs: DataFrame): DataFrame = {
-    val base = docs
-      .withColumn("w", TextAnalysis.tokens(col("text")))
+  private[graft] def gopherRulesFrom(docs: DataFrame): DataFrame =
+    gopherRulesTok(docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w")))
+
+  /** The rule battery over an ALREADY-TOKENIZED (doc_id, w) relation —
+    * the composed-pipeline form (X108 gates its post-paragraph-dedup
+    * token state without re-materializing a text column). `minWords`
+    * parameterizes ONLY the word-count floor: Gopher's published 50
+    * is calibrated for full web documents, and a composed pipeline
+    * over a corpus of shorter units (the committed fixture's
+    * miniature pages) scales that one bound while keeping every
+    * other rule at its published threshold. */
+  private[graft] def gopherRulesTok(tok: DataFrame,
+      minWords: Long = GopherMinWords): DataFrame = {
+    val base = tok
       .select(col("doc_id"), col("w"), size(col("w")).as("n"))
       .localCheckpoint()
     val denom = nullif(col("n"), lit(0)).cast("double")
@@ -582,7 +594,7 @@ object QualitySignals {
       .reduce(_ + _)
     val scalarFails: Seq[(String, org.apache.spark.sql.Column)] = Seq(
       "word_count" ->
-        (col("n") < GopherMinWords || col("n") > GopherMaxWords),
+        (col("n") < minWords || col("n") > GopherMaxWords),
       "mean_word_len" -> {
         val m = aggregate(transform(col("w"), w => length(w)), lit(0),
           _ + _).cast("double") / denom

@@ -402,6 +402,16 @@ class PlanAuditSpec extends AnyFunSuite {
     // re-fetch-dedup DISTINCT, pair chain, four rollups) — the
     // extraction ran in foreachBatch
     "crawl_ingest_stream" -> 9,
+    // X108: every inter-stage relation is an eager checkpoint, so the
+    // registered plan is the stage-accounting UNION over checkpoint
+    // reads plus the LIVE tails: the paragraph rebuild agg + its
+    // winner fetch join (3), the gopher gate's repetition aggs +
+    // stitch joins + admit semi-join (5), the manifest read-back
+    // rollup + chunk-accounting agg (2), presentation sort (1). The
+    // html fixture's 2 scans (extraction chain + paragraph fan-out)
+    // are the documented by-design pair — fixture-sized, not a
+    // scaled-table scan.
+    "web_pipeline" -> 11,
     "pivot_orders" -> 3,
     "price_histogram" -> 2,
     "q10_returned_items" -> 1,
