@@ -1610,6 +1610,49 @@ object SparkEntry {
       FROM g GROUP BY 1 ORDER BY 1"""
       }),
 
+    // X106e — the media dedup-apply twin: the X106d manifest EXECUTED
+    // against the asset store (retire-then-link consolidation) and
+    // the persisted signature index (file-granular rewrite minus the
+    // dropped ids). The engine reads the manifest BACK from the
+    // written store; the oracle re-derives every expected count from
+    // the dHash chain, so a wrong write hash-fails on arithmetic.
+    "media_apply" -> Q(
+      (s, d) => MediaNeardup.mediaApply(s, d), Some {
+        import MediaNeardup._
+        s"""
+      WITH RECURSIVE $mediaDhashCtes,
+      $mediaPairCtes,
+      mnp AS (SELECT id_a, id_b FROM hm
+        WHERE hamming <= $HammingMax),
+      edges AS (SELECT id_a AS s, id_b AS d FROM mnp
+        UNION SELECT id_b, id_a FROM mnp),
+      walk AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT w.s, e.d FROM walk w JOIN edges e ON w.d = e.s),
+      lbl AS (SELECT s AS id, least(s, min(d)) AS group_id
+        FROM walk GROUP BY s),
+      dr AS (SELECT id FROM lbl WHERE id <> group_id),
+      cls AS (SELECT id, CASE
+          WHEN regexp_matches(id, '_up$$') THEN 'up'
+          WHEN regexp_matches(id, '_br$$') THEN 'br'
+          ELSE 'base' END AS asset_class
+        FROM sig),
+      b AS (SELECT asset_class, count(*) AS n_before FROM cls
+        GROUP BY 1),
+      r AS (SELECT asset_class, count(*) AS n_removed
+        FROM cls SEMI JOIN dr USING (id) GROUP BY 1)
+      SELECT b.asset_class, b.n_before,
+        CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+        CAST(b.n_before - COALESCE(r.n_removed, 0) AS BIGINT)
+          AS n_after,
+        CAST(CASE WHEN b.asset_class = 'base'
+          THEN b.n_before - COALESCE(r.n_removed, 0) ELSE 0 END
+          AS BIGINT) AS n_indexed_after
+      FROM b LEFT JOIN r USING (asset_class)
+      ORDER BY asset_class"""
+      }),
+
     // X106c — incremental perceptual probe: the incoming re-encode
     // batch's dHash signatures (the variant assets, decoded
     // batch-side only) against the persisted base-asset index; same

@@ -397,15 +397,7 @@ object MediaNeardup {
   def mediaCanonical(spark: SparkSession, dir: String,
       hammingMax: Int = HammingMax,
       maxBucket: Int = MaxBucket): DataFrame = {
-    // the pair relation is CHECKPOINTED before the label rounds: its
-    // lineage is the full decode+bucket chain, and every propagation
-    // round joins the edge set — un-checkpointed, each round would
-    // re-decode the corpus (the host_clusters 16.4 → 3.4 s lesson,
-    // re-measured here as 10.0 → ~3 s)
-    val pairs = pairsFor(signatures(spark, dir), hammingMax, maxBucket)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-      .localCheckpoint()
-    val labels = Dedup.minLabelComponents(pairs)
+    val labels = pairLabels(spark, dir, hammingMax, maxBucket)
       .select(col("doc_id").as("id"), col("grp"))
     assetFiles(spark, dir).select(col("id"))
       .join(labels, Seq("id"), "left")
@@ -416,5 +408,159 @@ object MediaNeardup {
         array_join(array_sort(collect_list(col("id"))), "+")
           .as("members"))
       .orderBy("group_id")
+  }
+
+  /** Component labels over the PAIRED assets only — (doc_id, grp),
+    * grp = the component's lexicographic-min id. The shared core of
+    * X106d's manifest and X106e's drop list. The pair relation is
+    * CHECKPOINTED before the label rounds: its lineage is the full
+    * decode+bucket chain, and every propagation round joins the edge
+    * set — un-checkpointed, each round would re-decode the corpus
+    * (the host_clusters 16.4 → 3.4 s lesson, re-measured here as
+    * 10.0 → ~3 s). */
+  private def pairLabels(spark: SparkSession, dir: String,
+      hammingMax: Int, maxBucket: Int): DataFrame = {
+    val pairs = pairsFor(signatures(spark, dir), hammingMax, maxBucket)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .localCheckpoint()
+    Dedup.minLabelComponents(pairs)
+  }
+
+  // ---- X106e: canonical consolidation APPLIED --------------------------
+
+  /** Asset class from the id: the planted variant suffixes or base. */
+  private def assetClass(c: org.apache.spark.sql.Column) =
+    when(c.endsWith("_up"), lit("up"))
+      .when(c.endsWith("_br"), lit("br"))
+      .otherwise(lit("base"))
+
+  /** X106e — the media `dedup_apply` twin: EXECUTE the X106d
+    * canonical manifest against the asset store and the persisted
+    * dHash signature index. Until this store existed, X106d elected
+    * keepers but every non-canonical re-encode kept serving from the
+    * asset store and nothing consolidated (VERDICT r15 item 2).
+    *
+    * Mechanics (the [[Takedown]] write-back discipline):
+    *  - drop list = every asset whose component label is not itself
+    *    ([[pairLabels]] — pair-participant-bounded, ≪ corpus; the
+    *    broadcast-join marker, never a predicate);
+    *  - the consolidated ASSET STORE is a new dir: dropped assets are
+    *    RETIRED under `_deleted/assets` FIRST (restore/audit reads
+    *    are a listing), keepers hard-link into `assets/` (zero bytes
+    *    copied — the copy-on-write economics; cross-device falls back
+    *    to copy). Linking runs executor-side over the listing
+    *    relation — per-file work distributes like the store builds.
+    *  - the SIGNATURE INDEX is rewritten through the SAME
+    *    file-granular [[Takedown.rewriteTable]] core (retire-first,
+    *    hard-linked untouched files) minus the dropped ids — the
+    *    serving index must stop answering for assets the manifest
+    *    collapsed (the IndexFreshnessSpec re-key contract).
+    *  - `_SUCCESS` last, keyed by (sf dir, documents listing tag) —
+    *    a corpus refresh re-keys the whole consolidation.
+    *
+    * Undecodable assets carry no signature, join no pair, and are
+    * therefore singleton keepers — a corrupt file is never silently
+    * dropped by a dedup pass. */
+  def mediaApplyStore(spark: SparkSession, dir: String,
+      hammingMax: Int = HammingMax,
+      maxBucket: Int = MaxBucket): String = {
+    val out = s"target/graft_media_apply/${graft.util.Tables.pathTag(dir)}_" +
+      graft.util.Tables.listingTag(spark, s"$dir/documents.parquet")
+    if (!graft.util.Tables.successExists(spark, out)) {
+      graft.util.Scratch.deleteRecursive(
+        java.nio.file.Paths.get(out).toAbsolutePath)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(out, "assets"))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(out, "_deleted", "assets"))
+      // pair-participant-bounded; checkpointed so the two link passes
+      // and the index rewrite never re-run the decode+pair chain
+      val drops = pairLabels(spark, dir, hammingMax, maxBucket)
+        .filter(col("doc_id") =!= col("grp"))
+        .select(col("doc_id").as("id"))
+        .localCheckpoint()
+      val listing = spark.read.format("binaryFile")
+        .load(Multimodal.mediaAssetDir(spark, dir),
+          variantDir(spark, dir))
+        .filter(col("path").endsWith(".ppm"))
+        .select(col("path"),
+          regexp_extract(col("path"), "([^/]+)\\.ppm$", 1).as("id"))
+        .join(broadcast(drops.withColumn("_h", lit(true))),
+          Seq("id"), "left")
+        .withColumn("_hit", coalesce(col("_h"), lit(false)))
+        .select(col("path"), col("id"), col("_hit"))
+        .localCheckpoint()
+      val outAbs = java.nio.file.Paths.get(out).toAbsolutePath.toString
+      def linkAll(df: DataFrame, sub: String): Unit =
+        df.select(col("path"), col("id"))
+          .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+            it.foreach { r =>
+              val src = java.nio.file.Paths.get(
+                new java.net.URI(r.getString(0)))
+              val dst = java.nio.file.Paths.get(
+                s"$outAbs/$sub/${r.getString(1)}.ppm")
+              try { java.nio.file.Files.createLink(dst, src); () }
+              catch { case _: UnsupportedOperationException |
+                  _: java.nio.file.FileSystemException =>
+                java.nio.file.Files.copy(src, dst,
+                  java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+                ()
+              }
+            }
+          }
+      // retire FIRST: the restore path exists before any keeper lands
+      linkAll(listing.filter(col("_hit")), "_deleted/assets")
+      linkAll(listing.filter(!col("_hit")), "assets")
+      Takedown.rewriteTable(spark, sigIndexDir(spark, dir),
+        s"$out/sig_index", s"$out/_deleted/sig_index",
+        df => df
+          .join(broadcast(drops.withColumn("_h", lit(true))),
+            Seq("id"), "left")
+          .withColumn("_hit", coalesce(col("_h"), lit(false)))
+          .drop("_h"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out, "_SUCCESS"), Array.emptyByteArray)
+    }
+    out
+  }
+
+  /** X106e registered query — the consolidation manifest, computed by
+    * READING BACK the written store (proving the write, not the plan
+    * — the takedown discipline): per asset class (base / up-variant /
+    * br-variant), assets before, retired, surviving, and surviving
+    * signature-index rows. The DuckDB oracle independently re-derives
+    * every count from the dHash chain (groups → non-canonical
+    * members), so a consolidation that dropped or kept the wrong
+    * files hash-fails on arithmetic.
+    *
+    * Scale shape: three file listings (no decode — ids come from
+    * names) + one slim parquet scan; the write-back itself is
+    * `_SUCCESS`-memoized. */
+  def mediaApply(spark: SparkSession, dir: String): DataFrame = {
+    val store = mediaApplyStore(spark, dir)
+    def listIds(paths: String*): DataFrame =
+      spark.read.format("binaryFile").load(paths: _*)
+        .filter(col("path").endsWith(".ppm"))
+        .select(regexp_extract(col("path"), "([^/]+)\\.ppm$", 1)
+          .as("id"))
+    def byClass(df: DataFrame, n: String): DataFrame =
+      df.groupBy(assetClass(col("id")).as("asset_class"))
+        .agg(count(lit(1)).as(n))
+    val before = byClass(listIds(Multimodal.mediaAssetDir(spark, dir),
+      variantDir(spark, dir)), "n_before")
+    val removed = byClass(listIds(s"$store/_deleted/assets"),
+      "n_removed")
+    val after = byClass(listIds(s"$store/assets"), "n_after")
+    val idx = byClass(spark.read.parquet(s"$store/sig_index")
+      .select(col("id")), "n_indexed_after")
+    before
+      .join(removed, Seq("asset_class"), "left")
+      .join(after, Seq("asset_class"), "left")
+      .join(idx, Seq("asset_class"), "left")
+      .select(col("asset_class"), col("n_before"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("n_indexed_after"), lit(0L)).as("n_indexed_after"))
+      .orderBy("asset_class")
   }
 }

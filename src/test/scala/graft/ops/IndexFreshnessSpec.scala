@@ -264,6 +264,39 @@ class IndexFreshnessSpec extends AnyFunSuite {
     assert(Takedown.dedupApplyStore(spark, base) == newDir)
   }
 
+  /** The MEDIA stores (round 16): the X106c dHash signature index and
+    * the X106e consolidation both derive from the generated asset
+    * stores, which key by the DOCUMENTS listing tag — a corpus change
+    * must re-key both, and the rebuilt signature index must cover the
+    * newly landed document's asset. */
+  test("a corpus change re-keys the media signature index and the apply store") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-freshness-media").toString
+    cloneTable("/root/testdata/sf0.001/documents.parquet",
+      s"$base/documents.parquet")
+    val idx1 = MediaNeardup.sigIndexDir(spark, base)
+    val app1 = MediaNeardup.mediaApplyStore(spark, base)
+    // same corpus, second call: the _SUCCESS fast path
+    assert(MediaNeardup.sigIndexDir(spark, base) == idx1)
+    assert(MediaNeardup.mediaApplyStore(spark, base) == app1)
+    def idxIds(p: String) = spark.read.parquet(p)
+      .select("id").as[String].collect().toSet
+    assert(!idxIds(idx1).contains("doc_999998"))
+    Seq((999998L, "fresh media arrival with enough words to raster",
+        "en", "src_new", 47L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append")
+      .parquet(s"$base/documents.parquet")
+    val idx2 = MediaNeardup.sigIndexDir(spark, base)
+    val app2 = MediaNeardup.mediaApplyStore(spark, base)
+    assert(idx2 != idx1,
+      "media signature index must re-key when the corpus changes")
+    assert(app2 != app1,
+      "media apply store must re-key when the corpus changes")
+    assert(idxIds(idx2).contains("doc_999998"),
+      "rebuilt signature index must cover the newly landed asset")
+  }
+
   /** The SIXTH store (round 14): the X90 rank vector the X99 priority
     * reads. Keyed by the crawl FIXTURE's listing tag (it derives from
     * crawled pages, not the testdata dir — which is why the takedown

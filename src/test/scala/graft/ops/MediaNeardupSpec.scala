@@ -172,6 +172,47 @@ class MediaNeardupSpec extends AnyFunSuite {
       singles.forall(g => g._2 == g._1 && g._4 == g._1))
   }
 
+  test("media_apply: consolidation executes the manifest; post-apply store is pair-free (X106e)") {
+    import spark.implicits._
+    val store = MediaNeardup.mediaApplyStore(spark, dir)
+    def ids(p: String): Set[String] = {
+      val f = new java.io.File(p)
+      if (!f.exists) Set.empty
+      else f.listFiles().filter(_.getName.endsWith(".ppm"))
+        .map(_.getName.stripSuffix(".ppm")).toSet
+    }
+    val kept = ids(s"$store/assets")
+    val retired = ids(s"$store/_deleted/assets")
+    // the retired set is EXACTLY the non-canonical members of the
+    // X106d manifest — the apply executed the election, nothing else
+    val expectedDrops = MediaNeardup.mediaCanonical(spark, dir)
+      .as[(String, String, Long, String)].collect()
+      .flatMap(g => g._4.split("\\+").filter(_ != g._2)).toSet
+    assert(retired == expectedDrops)
+    // keepers + retired partition the original store
+    val allIds = MediaNeardup.assetFiles(spark, dir)
+      .select("id").as[String].collect().toSet
+    assert((kept ++ retired) == allIds && (kept & retired).isEmpty)
+    // the rewritten signature index answers ONLY for keepers: its id
+    // set is exactly the surviving base assets
+    val idxIds = spark.read.parquet(s"$store/sig_index")
+      .select("id").as[String].collect().toSet
+    assert(idxIds == kept.filter(_.matches("^doc_[0-9]+$")),
+      "index must drop collapsed assets and keep every base keeper")
+    // POST-APPLY: re-hashing the consolidated store finds ZERO pairs —
+    // by component transitivity, two surviving keepers can never sit
+    // within the Hamming bound (they would have shared a group)
+    val postSigs = MediaNeardup.sigsOf(spark,
+      spark.read.format("binaryFile").load(s"$store/assets")
+        .filter(col("path").endsWith(".ppm"))
+        .select(regexp_extract(col("path"), "([^/]+)\\.ppm$", 1)
+          .as("id"), col("content")))
+    val post = MediaNeardup
+      .pairsFor(postSigs, MediaNeardup.HammingMax, maxBucket = 0)
+      .count()
+    assert(post == 0L, s"consolidated store still pairs: $post")
+  }
+
   test("candidate mass stays bucket-bounded (X106b scale gate)") {
     val mask = 0xFFFFL
     val buckets = MediaNeardup.signatures(spark, dir)

@@ -296,6 +296,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // rounds ran on checkpointed leaves), the group agg + its
     // partial, and the presentation sort
     "media_canonical" -> 4,
+    // X106e: read-back manifest — four per-class listing/index aggs
+    // + the presentation sort ride one exchange each via the class
+    // joins; the write-back ran at store build (memoized)
+    "media_apply" -> 5,
     // X92: one lag window + one agg over the merge key (the same
     // exchange reused), presentation sort; the three version
     // reconstructions read the tiny fixture lake, not a scaled table
