@@ -807,20 +807,22 @@ object SparkEntry {
         FROM bits GROUP BY 1)"""
   }
 
-  /** The banded candidate-pair CTE chain over `sig` (no leading
-    * WITH, ends in `hm`: id_a, id_b, hamming — 16-bit chunk buckets,
-    * MaxBucket-capped, pair-distinct, exact Hamming) — shared by the
-    * X106b pair oracle and the X106d consolidation. */
-  private lazy val mediaPairCtes: String = {
+  /** The banded candidate-pair CTE chain over a (id, dh_lo, dh_hi)
+    * signature CTE `src` (no leading WITH, ends in `hm`: id_a, id_b,
+    * hamming — 16-bit chunk buckets, MaxBucket-capped, pair-distinct,
+    * exact Hamming) — ONE pair engine for every 64-bit perceptual
+    * fingerprint: the X106b/X106d/X106e image oracles and the X109b
+    * audio oracle all splice it. */
+  private def mediaPairCtes(src: String = "sig"): String = {
     import MediaNeardup._
     s"""ch AS (
         SELECT id, dh_lo, dh_hi, 0 AS chunk, dh_lo % 65536 AS cval
-          FROM sig
+          FROM $src
         UNION ALL SELECT id, dh_lo, dh_hi, 1, (dh_lo // 65536) % 65536
-          FROM sig
-        UNION ALL SELECT id, dh_lo, dh_hi, 2, dh_hi % 65536 FROM sig
+          FROM $src
+        UNION ALL SELECT id, dh_lo, dh_hi, 2, dh_hi % 65536 FROM $src
         UNION ALL SELECT id, dh_lo, dh_hi, 3, (dh_hi // 65536) % 65536
-          FROM sig),
+          FROM $src),
       bk AS (SELECT chunk, cval FROM ch GROUP BY 1, 2
         HAVING count(*) BETWEEN 2 AND $MaxBucket),
       cm AS (SELECT ch.* FROM ch JOIN bk USING (chunk, cval)),
@@ -833,6 +835,60 @@ object SparkEntry {
           CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
             AS INT) AS hamming
         FROM cand)"""
+  }
+
+  /** The X109 audio store CTE chain (no leading WITH): `ai` — one row
+    * per clip (base + planted resample/gain variants) with its
+    * geometry and variant flags, re-derived from the generating
+    * document text exactly like the engine's store build. Shared by
+    * the X109a stats oracle and the X109b signature chain. */
+  private lazy val audioStoreCtes: String = {
+    import AudioNeardup._
+    s"""ad AS (SELECT doc_id, text,
+          CAST(240 + (doc_id % 5) * 60 AS INT) AS n0,
+          CAST(8000 + (doc_id % 3) * 2000 AS INT) AS r0
+        FROM documents),
+      ai AS (
+        SELECT 'doc_' || doc_id AS id, text, n0 AS ns, r0 AS rate,
+          false AS rs, false AS gn FROM ad
+        UNION ALL
+        SELECT 'doc_' || doc_id || '_rs', text, 2 * n0, 2 * r0,
+          true, false FROM ad WHERE doc_id % $VariantMod = $RsMod
+        UNION ALL
+        SELECT 'doc_' || doc_id || '_gn', text, n0, r0,
+          false, true FROM ad WHERE doc_id % $VariantMod = $GnMod)"""
+  }
+
+  /** The amplitude of (0-based) sample index `i` of a clip row of
+    * `ai` — the engine's `(textByte(j mod len) − 128) · 64` base
+    * chain with the resample index fold and the gain doubling. */
+  private def audioSampleSql(i: String): String =
+    s"""(ord(substring(text, CAST(
+        (CASE WHEN rs THEN ($i) // 2 ELSE ($i) END) % len(text)
+        AS INT) + 1, 1)) - 128) * 64 *
+      (CASE WHEN gn THEN 2 ELSE 1 END)"""
+
+  /** The X109b fingerprint chain over `ai` (no leading WITH, ends in
+    * `asig`: id, dh_lo, dh_hi) — 65 point-sampled amplitudes, 64
+    * comparison bits, two 32-bit halves. */
+  private lazy val audioSigCtes: String = {
+    import AudioNeardup._
+    s"""apt AS (SELECT id, x, ${audioSampleSql(s"x * ns // $Points")}
+          AS v
+        FROM ai, (SELECT unnest(range(0, $Points)) AS x)),
+      abt AS (SELECT id, x, CASE WHEN v > nxt THEN 1 ELSE 0 END AS bit
+        FROM (SELECT id, x, v,
+            lead(v) OVER (PARTITION BY id ORDER BY x) AS nxt
+          FROM apt)
+        WHERE x < ${Points - 1}),
+      asig AS (SELECT id,
+          CAST(sum(CASE WHEN x < 32
+            THEN bit * (CAST(1 AS BIGINT) << x) ELSE 0 END)
+            AS BIGINT) AS dh_lo,
+          CAST(sum(CASE WHEN x >= 32
+            THEN bit * (CAST(1 AS BIGINT) << (x - 32)) ELSE 0 END)
+            AS BIGINT) AS dh_hi
+        FROM abt GROUP BY 1)"""
   }
 
   /** Shared oracle of `discovery_feed` (X101) and its streaming twin
@@ -1576,7 +1632,7 @@ object SparkEntry {
         import MediaNeardup._
         s"""
       WITH $mediaDhashCtes,
-      $mediaPairCtes
+      ${mediaPairCtes()}
       SELECT id_a, id_b, hamming FROM hm
       WHERE hamming <= $HammingMax ORDER BY id_a, id_b"""
       }),
@@ -1591,7 +1647,7 @@ object SparkEntry {
         import MediaNeardup._
         s"""
       WITH RECURSIVE $mediaDhashCtes,
-      $mediaPairCtes,
+      ${mediaPairCtes()},
       mnp AS (SELECT id_a, id_b FROM hm
         WHERE hamming <= $HammingMax),
       edges AS (SELECT id_a AS s, id_b AS d FROM mnp
@@ -1621,7 +1677,7 @@ object SparkEntry {
         import MediaNeardup._
         s"""
       WITH RECURSIVE $mediaDhashCtes,
-      $mediaPairCtes,
+      ${mediaPairCtes()},
       mnp AS (SELECT id_a, id_b FROM hm
         WHERE hamming <= $HammingMax),
       edges AS (SELECT id_a AS s, id_b AS d FROM mnp
@@ -1651,6 +1707,41 @@ object SparkEntry {
           AS BIGINT) AS n_indexed_after
       FROM b LEFT JOIN r USING (asset_class)
       ORDER BY asset_class"""
+      }),
+
+    // X109a — WAV audio ingest: real RIFF/PCM decode over the
+    // generated clip store (base + planted resample/gain variants);
+    // per-clip integer stats (parsed rate, sample count, integer-ms
+    // duration, amplitude min/max/sum) the oracle re-derives from the
+    // generating document text.
+    "audio_ingest" -> Q(
+      (s, d) => AudioNeardup.audioIngest(s, d), Some(s"""
+      WITH $audioStoreCtes,
+      sm AS (SELECT id, rate, ns, unnest(range(0, ns)) AS i,
+          text, rs, gn
+        FROM ai),
+      sv AS (SELECT id, rate, ns, ${audioSampleSql("i")} AS v FROM sm)
+      SELECT id, rate AS sample_rate, CAST(ns AS BIGINT) AS n_samples,
+        CAST(ns * 1000 // rate AS BIGINT) AS duration_ms,
+        CAST(min(v) AS BIGINT) AS amp_min,
+        CAST(max(v) AS BIGINT) AS amp_max,
+        CAST(sum(v) AS BIGINT) AS amp_sum
+      FROM sv GROUP BY id, rate, ns ORDER BY id""")),
+
+    // X109b — perceptual audio near-dup: the 1-D dHash analog (65
+    // point-sampled amplitudes → 64 comparison bits) through the
+    // SHARED banded Hamming pair engine; the planted 2×-resample and
+    // 2×-gain re-encodes pair with their base at hamming 0 while
+    // byte-exact dedup provably misses them.
+    "audio_neardup" -> Q(
+      (s, d) => AudioNeardup.audioNeardup(s, d), Some {
+        import AudioNeardup._
+        s"""
+      WITH $audioStoreCtes,
+      $audioSigCtes,
+      ${mediaPairCtes("asig")}
+      SELECT id_a, id_b, hamming FROM hm
+      WHERE hamming <= $HammingMax ORDER BY id_a, id_b"""
       }),
 
     // X106c — incremental perceptual probe: the incoming re-encode

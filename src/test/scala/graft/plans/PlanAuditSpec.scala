@@ -300,6 +300,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // + the presentation sort ride one exchange each via the class
     // joins; the write-back ran at store build (memoized)
     "media_apply" -> 5,
+    // X109a: decode+stats is mapPartitions over the clip scan; only
+    // the presentation sort exchanges
+    "audio_ingest" -> 1,
+    // X109b: the shared pair engine's shape — bucket agg + pair
+    // distinct + presentation sort; decode+fingerprint never shuffles
+    "audio_neardup" -> 3,
     // X92: one lag window + one agg over the merge key (the same
     // exchange reused), presentation sort; the three version
     // reconstructions read the tiny fixture lake, not a scaled table
