@@ -837,6 +837,51 @@ object SparkEntry {
         FROM cand)"""
   }
 
+  /** Shared oracle of `media_neardup_probe` (X106c) and its streaming
+    * twin `media_probe_stream` (X106f — byte-equal by construction,
+    * both run `MediaNeardup.probeAgainstIndex`): the batch (variant)
+    * signatures banded-joined against the base-asset index with the
+    * index-side occupancy cap, exact Hamming filter. */
+  private lazy val mediaProbeOracle: String = {
+    import MediaNeardup._
+    s"""
+      WITH $mediaDhashCtes,
+      nb AS (SELECT id, dh_lo, dh_hi FROM sig
+        WHERE NOT regexp_matches(id, '^doc_[0-9]+$$')),
+      co AS (SELECT id, dh_lo, dh_hi FROM sig
+        WHERE regexp_matches(id, '^doc_[0-9]+$$')),
+      chn AS (
+        SELECT id, dh_lo, dh_hi, 0 AS chunk, dh_lo % 65536 AS cval
+          FROM nb
+        UNION ALL SELECT id, dh_lo, dh_hi, 1, (dh_lo // 65536) % 65536
+          FROM nb
+        UNION ALL SELECT id, dh_lo, dh_hi, 2, dh_hi % 65536 FROM nb
+        UNION ALL SELECT id, dh_lo, dh_hi, 3, (dh_hi // 65536) % 65536
+          FROM nb),
+      chc0 AS (
+        SELECT id, dh_lo, dh_hi, 0 AS chunk, dh_lo % 65536 AS cval
+          FROM co
+        UNION ALL SELECT id, dh_lo, dh_hi, 1, (dh_lo // 65536) % 65536
+          FROM co
+        UNION ALL SELECT id, dh_lo, dh_hi, 2, dh_hi % 65536 FROM co
+        UNION ALL SELECT id, dh_lo, dh_hi, 3, (dh_hi // 65536) % 65536
+          FROM co),
+      bkc AS (SELECT chunk, cval FROM chc0 GROUP BY 1, 2
+        HAVING count(*) <= $MaxBucket),
+      chc AS (SELECT chc0.* FROM chc0 JOIN bkc USING (chunk, cval)),
+      cand AS (SELECT DISTINCT n.id AS new_id, c.id AS corpus_id,
+          n.dh_lo AS n_lo, n.dh_hi AS n_hi,
+          c.dh_lo AS c_lo, c.dh_hi AS c_hi
+        FROM chn n JOIN chc c
+          ON n.chunk = c.chunk AND n.cval = c.cval),
+      hm AS (SELECT new_id, corpus_id,
+          CAST(bit_count(xor(n_lo, c_lo)) + bit_count(xor(n_hi, c_hi))
+            AS INT) AS hamming
+        FROM cand)
+      SELECT new_id, corpus_id, hamming FROM hm
+      WHERE hamming <= $HammingMax ORDER BY new_id, corpus_id"""
+  }
+
   /** The X109 audio store CTE chain (no leading WITH): `ai` — one row
     * per clip (base + planted resample/gain variants) with its
     * geometry and variant flags, re-derived from the generating
@@ -1750,47 +1795,21 @@ object SparkEntry {
     // shared sig chain, banded join with the index side
     // MaxBucket-capped (ADVICE r15: the batch bound bounds only one
     // side — a flat-image mega-bucket in the corpus must not fan
-    // every probe out), exact Hamming filter.
+    // every probe out), exact Hamming filter. The oracle is SHARED
+    // with the X106f streaming twin (byte-equal by construction —
+    // both run MediaNeardup.probeAgainstIndex).
     "media_neardup_probe" -> Q(
-      (s, d) => MediaNeardup.mediaNeardupProbe(s, d), Some {
-        import MediaNeardup._
-        s"""
-      WITH $mediaDhashCtes,
-      nb AS (SELECT id, dh_lo, dh_hi FROM sig
-        WHERE NOT regexp_matches(id, '^doc_[0-9]+$$')),
-      co AS (SELECT id, dh_lo, dh_hi FROM sig
-        WHERE regexp_matches(id, '^doc_[0-9]+$$')),
-      chn AS (
-        SELECT id, dh_lo, dh_hi, 0 AS chunk, dh_lo % 65536 AS cval
-          FROM nb
-        UNION ALL SELECT id, dh_lo, dh_hi, 1, (dh_lo // 65536) % 65536
-          FROM nb
-        UNION ALL SELECT id, dh_lo, dh_hi, 2, dh_hi % 65536 FROM nb
-        UNION ALL SELECT id, dh_lo, dh_hi, 3, (dh_hi // 65536) % 65536
-          FROM nb),
-      chc0 AS (
-        SELECT id, dh_lo, dh_hi, 0 AS chunk, dh_lo % 65536 AS cval
-          FROM co
-        UNION ALL SELECT id, dh_lo, dh_hi, 1, (dh_lo // 65536) % 65536
-          FROM co
-        UNION ALL SELECT id, dh_lo, dh_hi, 2, dh_hi % 65536 FROM co
-        UNION ALL SELECT id, dh_lo, dh_hi, 3, (dh_hi // 65536) % 65536
-          FROM co),
-      bkc AS (SELECT chunk, cval FROM chc0 GROUP BY 1, 2
-        HAVING count(*) <= $MaxBucket),
-      chc AS (SELECT chc0.* FROM chc0 JOIN bkc USING (chunk, cval)),
-      cand AS (SELECT DISTINCT n.id AS new_id, c.id AS corpus_id,
-          n.dh_lo AS n_lo, n.dh_hi AS n_hi,
-          c.dh_lo AS c_lo, c.dh_hi AS c_hi
-        FROM chn n JOIN chc c
-          ON n.chunk = c.chunk AND n.cval = c.cval),
-      hm AS (SELECT new_id, corpus_id,
-          CAST(bit_count(xor(n_lo, c_lo)) + bit_count(xor(n_hi, c_hi))
-            AS INT) AS hamming
-        FROM cand)
-      SELECT new_id, corpus_id, hamming FROM hm
-      WHERE hamming <= $HammingMax ORDER BY new_id, corpus_id"""
-      }),
+      (s, d) => MediaNeardup.mediaNeardupProbe(s, d),
+      Some(mediaProbeOracle)),
+
+    // X106f — streaming media ingest: variant assets land as REAL
+    // files in two arrivals (binaryFile file-stream source); each
+    // micro-batch decodes batch-side only and probes the persisted
+    // signature index, verdicts accumulating idempotently per
+    // batch_id — byte-equal to the batch probe, same oracle.
+    "media_probe_stream" -> Q(
+      (s, d) => graft.streaming.MediaStream.mediaProbeStreamQuery(s, d),
+      Some(mediaProbeOracle)),
 
 
     // Parquet schema evolution: two file generations (one without the

@@ -51,6 +51,21 @@ import graft.util.Tables.t
   * every planted variant (md5(base) ≠ md5(variant)) while this
   * operator pairs each with its base.
   *
+  * RECALL ENVELOPE (honest bounds — MediaNeardupSpec measures both
+  * sides): dHash is invariant to the RE-ENCODE class — nearest
+  * -neighbor resize, uniform brightness/gain shifts below clamp,
+  * format/quality re-encodes that preserve neighbor ordering — and
+  * those pair at hamming ≈ 0. It is NOT invariant to geometric
+  * edits: a 2-column CROP (the thumbnail/letterbox re-edit class)
+  * shifts the sampling grid and moves the hash far outside the
+  * Hamming bound — measured ≥ 90% missed on the fixture, pinned as
+  * a spec gate so the claim cannot silently go stale. A second
+  * gradient channel (vertical aHash) would NOT close that gap — any
+  * fixed-grid hash shifts with the content — so crop-robust pairing
+  * is a documented non-goal here; it needs shift-search or keypoint
+  * methods (a different operator class, out of this engine's
+  * fixed-grid fingerprint family).
+  *
   * Scale shape: decode + hash is embarrassingly parallel
   * (mapPartitions over the binaryFile scan, no shuffle — at 100 TB of
   * assets this is the scan stage and the 16-byte signatures are all
@@ -329,11 +344,20 @@ object MediaNeardup {
     * flat-image path instead of pairing them). */
   def mediaNeardupProbe(spark: SparkSession, dir: String,
       hammingMax: Int = HammingMax,
-      maxBucket: Int = MaxBucket): DataFrame = {
-    val idx = sigIndexDir(spark, dir)
-    val batch = sigsOf(spark,
-      assetFiles(spark, dir).filter(!isBaseAsset))
-    val store = spark.read.parquet(idx)
+      maxBucket: Int = MaxBucket): DataFrame =
+    probeAgainstIndex(spark,
+      sigsOf(spark, assetFiles(spark, dir).filter(!isBaseAsset)),
+      sigIndexDir(spark, dir), hammingMax, maxBucket)
+
+  /** The probe CORE over an arbitrary batch signature relation and a
+    * persisted index path — shared by the registered X106c probe and
+    * its X106f streaming twin, so the serving semantics (banded join,
+    * index-side occupancy cap, exact Hamming filter) have ONE
+    * spelling. */
+  private[graft] def probeAgainstIndex(spark: SparkSession,
+      batchSigs: DataFrame, idxDir: String,
+      hammingMax: Int, maxBucket: Int): DataFrame = {
+    val store = spark.read.parquet(idxDir)
     def chunked(df: DataFrame, pre: String): DataFrame = {
       val mask = 0xFFFFL
       df.select(col("id").as(s"${pre}_id"),
@@ -358,7 +382,7 @@ object MediaNeardup {
             .select(col("chunk"), col("cval")),
           Seq("chunk", "cval"), "left_semi")
       else corpusChunks
-    chunked(batch, "n").join(cappedCorpus, Seq("chunk", "cval"))
+    chunked(batchSigs, "n").join(cappedCorpus, Seq("chunk", "cval"))
       .select(col("n_id"), col("c_id"), col("n_lo"), col("n_hi"),
         col("c_lo"), col("c_hi"))
       // dedup pairs surfaced by several chunk regions BEFORE scoring

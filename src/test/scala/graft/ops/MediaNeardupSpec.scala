@@ -213,6 +213,46 @@ class MediaNeardupSpec extends AnyFunSuite {
     assert(post == 0L, s"consolidated store still pairs: $post")
   }
 
+  test("recall ENVELOPE: crop re-encodes fall outside the dHash bound — a documented miss (X106b)") {
+    import spark.implicits._
+    // The two planted variant classes (2× upscale, +4 brightness) are
+    // transforms dHash is invariant to BY CONSTRUCTION — honest, but
+    // a spec that only shows catches overclaims the channel. Build
+    // CROP variants (2 columns off the left — the thumbnail/letterbox
+    // re-edit class) and measure: the grid sampling shifts under
+    // translation, so the hash moves far outside the Hamming bound
+    // and the pair is MISSED. The envelope is therefore:
+    // resize/re-encode/brightness-class → caught at hamming 0;
+    // crop/translate/letterbox → NOT caught (needs shift-search or
+    // keypoint methods, documented out of scope).
+    val base = MediaNeardup.assetFiles(spark, dir)
+      .filter(col("id").rlike("^doc_[0-9]+$"))
+      .as[(String, Array[Byte])].collect()
+      .sortBy(_._1).take(50)
+    assert(base.length == 50)
+    val hams = base.map { case (_, bytes) =>
+      val img = PpmCodec.decode(bytes)
+      val off = 2
+      val w2 = img.width - off
+      val crop = Array.tabulate[Byte](w2 * img.height * 3) { i =>
+        val c = i % 3
+        val p = i / 3
+        img.raster(3 * ((p / w2) * img.width + (p % w2 + off)) + c)
+      }
+      val (bl, bh) = MediaNeardup.dhash(img)
+      val (cl, ch) = MediaNeardup
+        .dhash(PpmCodec.Image(w2, img.height, crop))
+      java.lang.Long.bitCount(bl ^ cl) + java.lang.Long.bitCount(bh ^ ch)
+    }
+    val missed = hams.count(_ > MediaNeardup.HammingMax)
+    // the miss must be SYSTEMATIC (≥ 90% of crops escape the bound) —
+    // if crops started landing inside it, the envelope documentation
+    // would be stale and this pin forces the rewrite
+    assert(missed >= 45,
+      s"only $missed/50 crops escaped the Hamming bound — the " +
+        "documented crop-miss envelope no longer holds")
+  }
+
   test("candidate mass stays bucket-bounded (X106b scale gate)") {
     val mask = 0xFFFFL
     val buckets = MediaNeardup.signatures(spark, dir)

@@ -300,6 +300,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // + the presentation sort ride one exchange each via the class
     // joins; the write-back ran at store build (memoized)
     "media_apply" -> 5,
+    // X106f: the registered plan is the verdict-store read-back +
+    // presentation sort — decode/probe ran inside foreachBatch
+    "media_probe_stream" -> 1,
     // X109a: decode+stats is mapPartitions over the clip scan; only
     // the presentation sort exchanges
     "audio_ingest" -> 1,

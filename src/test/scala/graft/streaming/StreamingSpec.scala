@@ -344,4 +344,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(NeardupIndex.liveBatchDirs(spark, idx) ==
       Seq("batch_id=compact2"))
   }
+
+  test("media probe stream: two file arrivals accumulate the batch probe exactly (X106f)") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = MediaStream.mediaProbeStreamQuery(spark, dir)
+      .collect().toSeq
+    val batch = graft.ops.MediaNeardup.mediaNeardupProbe(spark, dir)
+      .collect().toSeq
+    assert(streamed.nonEmpty, "fixture variants must produce verdicts")
+    assert(streamed == batch,
+      "accumulated stream verdicts must equal the batch probe")
+  }
 }
