@@ -656,7 +656,37 @@ object ScaleStress {
         (d => m(graft.ops.Multimodal.mediaEmbedTopK(spark, d))),
       "ngram_repetition" -> (d => m(QualitySignals.ngramRepetition(spark, d))),
       "decontaminate" -> (d => m(QualitySignals.decontaminate(spark, d))),
-      "zipf_spectrum" -> (d => m(QualitySignals.zipfSpectrum(spark, d))))
+      "zipf_spectrum" -> (d => m(QualitySignals.zipfSpectrum(spark, d))),
+      // X106e: the consolidation store lands in the warmup pass
+      // (_SUCCESS-gated per corpus listing); timed passes measure the
+      // READ-BACK manifest — three listings + one slim index scan,
+      // the recurring cost. The build itself is drop-list-bounded
+      // links + a file-granular index rewrite (affected-file-bounded)
+      "media_apply" -> (d =>
+        m(graft.ops.MediaNeardup.mediaApply(spark, d))),
+      // X109a/b: the WAV store lands in warmup (one clip per doc,
+      // memoized per corpus listing); timed passes measure the real
+      // per-run work — binaryFile scan → decode+fingerprint
+      // mapPartitions → (neardup only) the banded pair join
+      "audio_ingest" -> (d =>
+        m(graft.ops.AudioNeardup.audioIngest(spark, d))),
+      "audio_neardup" -> (d =>
+        m(graft.ops.AudioNeardup.audioNeardup(spark, d))),
+      // X108: the full composed web pipeline over the mixed-chrome n×
+      // corpus with synthetic per-page URLs (1000-host domain; the
+      // committed rules leave them default-allowed, so every stage
+      // does corpus-sized work); cold pair memo per run — growth must
+      // stay extraction+LSH-bound, the seam the query exists to audit
+      "web_pipeline" -> (d => {
+        Dedup.clearPairsMemo()
+        val pages = graft.ops.HtmlExtract.chromeWrapMixed(
+            Tables.t(spark, d, "documents"))
+          .withColumn("page_url",
+            concat(lit("http://s"), pmod(col("doc_id"), lit(1000)),
+              lit(".test/a/p"), col("doc_id"), lit(".html")))
+        m(graft.ops.WebPipeline.webPipelineFrom(spark, pages,
+          graft.ops.Robots.fixtureRules(spark),
+          "graft_pipeline_web/stress_" + Tables.pathTag(d))) }))
 
     // ANN family, in its realistic regime: detection threshold 0.8 (the
     // planted-dup band; the registered 0.4 default sits inside the

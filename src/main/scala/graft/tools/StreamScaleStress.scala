@@ -155,6 +155,57 @@ object StreamScaleStress {
       f"last-third ${tail}%.2fs ratio ${ratio}%.2f (1.0 = flat)")
   }
 
+  /** X106f: streaming media probe — asset FILES land per arrival and
+    * each micro-batch decodes batch-side only, probing the PERSISTED
+    * signature index (built once from the n× corpus). Per-arrival
+    * cost must be flat: batch decode + a banded join against the slim
+    * index; the index never grows during the stream and no state
+    * store exists. The variant store's files are dealt round-robin
+    * into arrivals. */
+  def mediaStress(spark: SparkSession, corpus: String,
+      nArrivals: Int): Unit = {
+    val base = Scratch.under("ingest/media_probe_stream_stress")
+    Scratch.deleteRecursive(base)
+    val (watch, out, ckpt) = (s"$base/watch", s"$base/verdicts",
+      s"$base/ckpt")
+    Files.createDirectories(Paths.get(watch))
+    val (idxDir, idxSec) = timed {
+      graft.ops.MediaNeardup.sigIndexDir(spark, corpus)
+    }
+    val variants = new java.io.File(
+        graft.ops.MediaNeardup.variantDir(spark, corpus))
+      .listFiles().filter(_.getName.endsWith(".ppm")).sortBy(_.getName)
+    println(f"media_probe_stream_stress: corpus=$corpus " +
+      f"index_build=$idxSec%.2fs assets=${variants.length} " +
+      f"arrivals=$nArrivals")
+    println(f"${"arrival"}%8s ${"files"}%6s ${"sec"}%7s")
+    val secs = Seq.newBuilder[Double]
+    val q = graft.streaming.MediaStream.start(spark, watch, idxDir,
+      out, ckpt)
+    try {
+      (0 until nArrivals).foreach { k =>
+        val slice = variants.zipWithIndex
+          .filter(_._2 % nArrivals == k).map(_._1)
+        val (_, sec) = timed {
+          slice.foreach { f =>
+            val tmp = Paths.get(base.toString, s".tmp_${f.getName}")
+            Files.copy(f.toPath, tmp,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            Files.move(tmp, Paths.get(watch, f.getName),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            ()
+          }
+          q.processAllAvailable()
+        }
+        secs += sec
+        println(f"$k%8d ${slice.length}%6d $sec%7.2f")
+      }
+    } finally q.stop()
+    val (head, tail, ratio) = flatness(secs.result())
+    println(f"media_probe_stream flatness: first-third ${head}%.2fs " +
+      f"last-third ${tail}%.2fs ratio ${ratio}%.2f (1.0 = flat)")
+  }
+
   /** X82b: the streaming extractor is a pure projection — no stats,
     * no state, no index — so its per-arrival cost is the strongest
     * flat claim in the streaming family. Measured over the n× doc
@@ -329,6 +380,7 @@ object StreamScaleStress {
     run("quality_gate_stream")(gateStress(spark, corpus, nArrivals))
     run("html_extract_stream")(extractStress(spark, corpus, nArrivals))
     run("crawl_ingest_stream")(crawlStress(spark, corpus, nArrivals))
+    run("media_probe_stream")(mediaStress(spark, corpus, nArrivals))
     run("ingest_stream")(ingestStress(spark, nArrivals, rowsPerBatch))
     spark.stop()
   }
