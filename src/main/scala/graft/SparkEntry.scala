@@ -936,6 +936,76 @@ object SparkEntry {
         FROM abt GROUP BY 1)"""
   }
 
+  /** The X110 video store CTE chain (no leading WITH): `vi` — one row
+    * per clip (base + planted temporal/brightness variants) with its
+    * geometry, frame count, rate and variant flags, re-derived from
+    * the generating document text exactly like the engine's store
+    * build. */
+  private lazy val videoStoreCtes: String = {
+    import VideoNeardup._
+    s"""vd AS (SELECT doc_id, text,
+          CAST(8 + doc_id % 9 AS INT) AS w0,
+          CAST(8 + (doc_id // 9) % 7 AS INT) AS h0,
+          CAST(4 + doc_id % 4 AS INT) AS nf0,
+          CAST(10 + doc_id % 5 AS INT) AS fn0
+        FROM documents),
+      vi AS (
+        SELECT 'doc_' || doc_id AS id, text, w0, h0, nf0 AS nf,
+          fn0 AS fnum, 1 AS fden, false AS rt, false AS br FROM vd
+        UNION ALL
+        SELECT 'doc_' || doc_id || '_rt', text, w0, h0, 2 * nf0,
+          2 * fn0, 1, true, false FROM vd
+        WHERE doc_id % $VariantMod = $RtMod
+        UNION ALL
+        SELECT 'doc_' || doc_id || '_br', text, w0, h0, nf0, fn0, 1,
+          false, true FROM vd WHERE doc_id % $VariantMod = $BrMod)"""
+  }
+
+  /** The luma byte of (frame `f`, pixel `i`) of a `vi` clip row: the
+    * engine's `textByte((17·bf + i) mod len)` chain with the temporal
+    * index fold and the +4 brightness shift (LEAST mirrors the
+    * engine's clamp, unreachable on ASCII planes). */
+  private def videoYSql(f: String, i: String): String = {
+    import VideoNeardup._
+    s"""LEAST(255, ord(substring(text, CAST(
+        ($FrameStride * (CASE WHEN rt THEN ($f) // 2 ELSE ($f) END)
+          + ($i)) % len(text) AS INT) + 1, 1)) +
+      CASE WHEN br THEN $BrightDelta ELSE 0 END)"""
+  }
+
+  /** The per-frame luma dHash chain over a CTE `src` carrying
+    * (text, w0, h0, rt, br, fi, `keys`...) — ends in `${p}sig`:
+    * keys..., dh_lo, dh_hi. `keys` lets the X110b oracle hash three
+    * sampled frames per clip while X110c hashes one. */
+  private def videoDhashCtes(src: String, p: String,
+      keys: Seq[String]): String = {
+    import MediaNeardup.{GridW, GridH}
+    val ks = keys.mkString(", ")
+    s"""${p}g1 AS (SELECT $ks, text, rt, br, fi, w0, h0,
+          CAST(j % $GridW AS INT) AS gx,
+          CAST(j // $GridW AS INT) AS gy,
+          (j % $GridW) * w0 // $GridW AS sx,
+          (j // $GridW) * h0 // $GridH AS sy
+        FROM $src, (SELECT unnest(range(0, ${GridW * GridH})) AS j)),
+      ${p}g2 AS (SELECT $ks, gx, gy,
+          ${videoYSql("fi", "sy * w0 + sx")} AS yv
+        FROM ${p}g1),
+      ${p}gb AS (SELECT $ks, gy, gx,
+          CASE WHEN yv > nxt THEN 1 ELSE 0 END AS bit
+        FROM (SELECT *, lead(yv) OVER (PARTITION BY $ks, gy
+            ORDER BY gx) AS nxt
+          FROM ${p}g2)
+        WHERE gx < ${GridW - 1}),
+      ${p}sig AS (SELECT $ks,
+          CAST(sum(CASE WHEN gy < 4
+            THEN bit * (CAST(1 AS BIGINT) << (gy * 8 + gx))
+            ELSE 0 END) AS BIGINT) AS dh_lo,
+          CAST(sum(CASE WHEN gy >= 4
+            THEN bit * (CAST(1 AS BIGINT) << ((gy - 4) * 8 + gx))
+            ELSE 0 END) AS BIGINT) AS dh_hi
+        FROM ${p}gb GROUP BY $ks)"""
+  }
+
   /** Shared oracle of `discovery_feed` (X101) and its streaming twin
     * `discovery_feed_stream` (X101b — byte-equal by construction,
     * both assemble through `Sitemap.discoveryFeedAssemble`): the
@@ -1785,6 +1855,71 @@ object SparkEntry {
       WITH $audioStoreCtes,
       $audioSigCtes,
       ${mediaPairCtes("asig")}
+      SELECT id_a, id_b, hamming FROM hm
+      WHERE hamming <= $HammingMax ORDER BY id_a, id_b"""
+      }),
+
+    // X110a — Y4M video ingest: real stream-header + planar-frame
+    // decode over the generated clip store (base + planted temporal/
+    // brightness variants); per-clip integer stats the oracle
+    // re-derives from the generating document text.
+    "video_ingest" -> Q(
+      (s, d) => VideoNeardup.videoIngest(s, d), Some(s"""
+      WITH $videoStoreCtes,
+      vfp AS (SELECT id, text, w0, h0, nf, rt, br,
+          unnest(range(0, nf)) AS f
+        FROM vi),
+      vpx AS (SELECT id, ${videoYSql("f", "i")} AS y
+        FROM (SELECT *, unnest(range(0, w0 * h0)) AS i FROM vfp)),
+      vs AS (SELECT id, CAST(sum(y) AS BIGINT) AS y_sum FROM vpx
+        GROUP BY 1)
+      SELECT vi.id, vi.w0 AS width, vi.h0 AS height,
+        CAST(vi.nf AS INT) AS n_frames, vi.fnum AS fps_num,
+        vi.fden AS fps_den,
+        CAST(vi.nf * 1000 * vi.fden // vi.fnum AS BIGINT)
+          AS duration_ms,
+        vs.y_sum
+      FROM vi JOIN vs USING (id) ORDER BY id""")),
+
+    // X110b — FRAME SAMPLING: three sampled frames per clip (first /
+    // temporal middle / last), per-frame luma stats + the frame's
+    // 64-bit luma dHash — the multimodal frame-extract stage with a
+    // typed row per frame; the temporal variant's sampled CONTENT
+    // maps to the base's frames by construction.
+    "video_frames" -> Q(
+      (s, d) => VideoNeardup.videoFrames(s, d), Some(s"""
+      WITH $videoStoreCtes,
+      vsf AS (SELECT id, text, w0, h0, rt, br,
+          unnest(['first', 'mid', 'last']) AS pos,
+          unnest([0, nf // 2, nf - 1]) AS fi
+        FROM vi),
+      vst AS (SELECT id, pos, fi,
+          CAST(min(y) AS BIGINT) AS y_min,
+          CAST(max(y) AS BIGINT) AS y_max,
+          CAST(sum(y) AS BIGINT) AS y_sum
+        FROM (SELECT id, pos, fi, ${videoYSql("fi", "i")} AS y
+          FROM (SELECT *, unnest(range(0, w0 * h0)) AS i FROM vsf))
+        GROUP BY 1, 2, 3),
+      ${videoDhashCtes("vsf", "vf", Seq("id", "pos", "fi"))}
+      SELECT vst.id, vst.pos, CAST(vst.fi AS INT) AS frame_idx,
+        vst.y_min, vst.y_max, vst.y_sum, vfsig.dh_lo, vfsig.dh_hi
+      FROM vst JOIN vfsig USING (id, pos, fi)
+      ORDER BY id, frame_idx, pos""")),
+
+    // X110c — keyframe perceptual near-dup: the temporal-middle
+    // frame's luma dHash through the SHARED banded Hamming engine;
+    // the planted 2×-temporal and +4-brightness re-encodes pair with
+    // their base at hamming 0 while byte-exact dedup provably misses
+    // them.
+    "video_neardup" -> Q(
+      (s, d) => VideoNeardup.videoNeardup(s, d), Some {
+        import VideoNeardup._
+        s"""
+      WITH $videoStoreCtes,
+      vmf AS (SELECT id, text, w0, h0, rt, br, nf // 2 AS fi FROM vi),
+      ${videoDhashCtes("vmf", "vm", Seq("id"))},
+      vsig AS (SELECT id, dh_lo, dh_hi FROM vmsig),
+      ${mediaPairCtes("vsig")}
       SELECT id_a, id_b, hamming FROM hm
       WHERE hamming <= $HammingMax ORDER BY id_a, id_b"""
       }),

@@ -309,6 +309,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // X109b: the shared pair engine's shape — bucket agg + pair
     // distinct + presentation sort; decode+fingerprint never shuffles
     "audio_neardup" -> 3,
+    // X110a/b: decode + per-frame features is mapPartitions over the
+    // clip scan; only the presentation sort exchanges
+    "video_ingest" -> 1,
+    "video_frames" -> 1,
+    // X110c: the shared pair engine's shape (see audio_neardup)
+    "video_neardup" -> 3,
     // X92: one lag window + one agg over the merge key (the same
     // exchange reused), presentation sort; the three version
     // reconstructions read the tiny fixture lake, not a scaled table
