@@ -951,37 +951,45 @@ object SparkEntry {
         FROM documents),
       vi AS (
         SELECT 'doc_' || doc_id AS id, text, w0, h0, nf0 AS nf,
-          fn0 AS fnum, 1 AS fden, false AS rt, false AS br FROM vd
+          fn0 AS fnum, 1 AS fden, false AS rt, false AS br,
+          false AS cl FROM vd
         UNION ALL
         SELECT 'doc_' || doc_id || '_rt', text, w0, h0, 2 * nf0,
-          2 * fn0, 1, true, false FROM vd
+          2 * fn0, 1, true, false, false FROM vd
         WHERE doc_id % $VariantMod = $RtMod
         UNION ALL
+        SELECT 'doc_' || doc_id || '_cl', text, w0, h0, nf0 - $ClDrop,
+          fn0, 1, false, false, true FROM vd
+        WHERE doc_id % $VariantMod = $ClMod
+        UNION ALL
         SELECT 'doc_' || doc_id || '_br', text, w0, h0, nf0, fn0, 1,
-          false, true FROM vd WHERE doc_id % $VariantMod = $BrMod)"""
+          false, true, false FROM vd
+        WHERE doc_id % $VariantMod = $BrMod)"""
   }
 
   /** The luma byte of (frame `f`, pixel `i`) of a `vi` clip row: the
-    * engine's `textByte((17·bf + i) mod len)` chain with the temporal
-    * index fold and the +4 brightness shift (LEAST mirrors the
-    * engine's clamp, unreachable on ASCII planes). */
+    * engine's `textByte((17·bf + i) mod len)` chain with the variant
+    * index folds (rt: duplicated frames, cl: leading-trim offset) and
+    * the +4 brightness shift (LEAST mirrors the engine's clamp,
+    * unreachable on ASCII planes). */
   private def videoYSql(f: String, i: String): String = {
     import VideoNeardup._
     s"""LEAST(255, ord(substring(text, CAST(
-        ($FrameStride * (CASE WHEN rt THEN ($f) // 2 ELSE ($f) END)
+        ($FrameStride * (CASE WHEN rt THEN ($f) // 2
+            WHEN cl THEN ($f) + $ClDrop ELSE ($f) END)
           + ($i)) % len(text) AS INT) + 1, 1)) +
       CASE WHEN br THEN $BrightDelta ELSE 0 END)"""
   }
 
   /** The per-frame luma dHash chain over a CTE `src` carrying
-    * (text, w0, h0, rt, br, fi, `keys`...) — ends in `${p}sig`:
+    * (text, w0, h0, rt, br, cl, fi, `keys`...) — ends in `${p}sig`:
     * keys..., dh_lo, dh_hi. `keys` lets the X110b oracle hash three
-    * sampled frames per clip while X110c hashes one. */
+    * sampled frames per clip while X110c hashes one and X110d all. */
   private def videoDhashCtes(src: String, p: String,
       keys: Seq[String]): String = {
     import MediaNeardup.{GridW, GridH}
     val ks = keys.mkString(", ")
-    s"""${p}g1 AS (SELECT $ks, text, rt, br, fi, w0, h0,
+    s"""${p}g1 AS (SELECT $ks, text, rt, br, cl, fi, w0, h0,
           CAST(j % $GridW AS INT) AS gx,
           CAST(j // $GridW AS INT) AS gy,
           (j % $GridW) * w0 // $GridW AS sx,
@@ -1004,6 +1012,31 @@ object SparkEntry {
             THEN bit * (CAST(1 AS BIGINT) << ((gy - 4) * 8 + gx))
             ELSE 0 END) AS BIGINT) AS dh_hi
         FROM ${p}gb GROUP BY $ks)"""
+  }
+
+  /** The X110d shingle-pair chain over the `vi` store: every frame's
+    * luma dHash, consecutive-frame shingles (distinct per clip),
+    * occupancy cap, and the equality self-join — ends in `pr`
+    * (id_a, id_b, shared) and `nsh` (id, n_sh), the containment
+    * ingredients shared by `video_subclip` and `video_canonical`. */
+  private lazy val videoShingleCtes: String = {
+    import VideoNeardup._
+    s"""vaf AS (SELECT id, text, w0, h0, rt, br, cl,
+          unnest(range(0, nf)) AS fi FROM vi),
+      ${videoDhashCtes("vaf", "va", Seq("id", "fi"))},
+      shp AS (SELECT id, dh_lo AS a_lo, dh_hi AS a_hi,
+          lead(dh_lo) OVER w AS b_lo, lead(dh_hi) OVER w AS b_hi
+        FROM vasig WINDOW w AS (PARTITION BY id ORDER BY fi)),
+      shd AS (SELECT DISTINCT id, a_lo, a_hi, b_lo, b_hi FROM shp
+        WHERE b_lo IS NOT NULL),
+      nsh AS (SELECT id, count(*) AS n_sh FROM shd GROUP BY 1),
+      occ AS (SELECT a_lo, a_hi, b_lo, b_hi FROM shd
+        GROUP BY 1, 2, 3, 4 HAVING count(*) <= $MaxBucket),
+      cap AS (SELECT shd.* FROM shd
+        JOIN occ USING (a_lo, a_hi, b_lo, b_hi)),
+      pr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+        FROM cap a JOIN cap b USING (a_lo, a_hi, b_lo, b_hi)
+        WHERE a.id < b.id GROUP BY 1, 2)"""
   }
 
   /** Shared oracle of `discovery_feed` (X101) and its streaming twin
@@ -1866,7 +1899,7 @@ object SparkEntry {
     "video_ingest" -> Q(
       (s, d) => VideoNeardup.videoIngest(s, d), Some(s"""
       WITH $videoStoreCtes,
-      vfp AS (SELECT id, text, w0, h0, nf, rt, br,
+      vfp AS (SELECT id, text, w0, h0, nf, rt, br, cl,
           unnest(range(0, nf)) AS f
         FROM vi),
       vpx AS (SELECT id, ${videoYSql("f", "i")} AS y
@@ -1889,7 +1922,7 @@ object SparkEntry {
     "video_frames" -> Q(
       (s, d) => VideoNeardup.videoFrames(s, d), Some(s"""
       WITH $videoStoreCtes,
-      vsf AS (SELECT id, text, w0, h0, rt, br,
+      vsf AS (SELECT id, text, w0, h0, rt, br, cl,
           unnest(['first', 'mid', 'last']) AS pos,
           unnest([0, nf // 2, nf - 1]) AS fi
         FROM vi),
@@ -1916,12 +1949,81 @@ object SparkEntry {
         import VideoNeardup._
         s"""
       WITH $videoStoreCtes,
-      vmf AS (SELECT id, text, w0, h0, rt, br, nf // 2 AS fi FROM vi),
+      vmf AS (SELECT id, text, w0, h0, rt, br, cl, nf // 2 AS fi
+        FROM vi),
       ${videoDhashCtes("vmf", "vm", Seq("id"))},
       vsig AS (SELECT id, dh_lo, dh_hi FROM vmsig),
       ${mediaPairCtes("vsig")}
       SELECT id_a, id_b, hamming FROM hm
       WHERE hamming <= $HammingMax ORDER BY id_a, id_b"""
+      }),
+
+    // X110d — temporal SUBCLIP near-dup: clips sharing most of the
+    // smaller side's consecutive-frame-hash shingles. The channel
+    // that closes the keyframe path's temporal blind spot: the
+    // planted leading-trim `_cl` re-edits (which `video_neardup`'s
+    // middle-frame hash structurally misses) hit containment 1.0,
+    // and the `_rt`/`_br` classes are subsumed.
+    "video_subclip" -> Q(
+      (s, d) => VideoNeardup.videoSubclip(s, d), Some {
+        import VideoNeardup._
+        s"""
+      WITH $videoStoreCtes,
+      $videoShingleCtes
+      SELECT id_a, id_b, shared,
+        CAST(shared AS DOUBLE) / least(na.n_sh, nb.n_sh) AS containment
+      FROM pr JOIN nsh na ON pr.id_a = na.id
+        JOIN nsh nb ON pr.id_b = nb.id
+      WHERE CAST(shared AS DOUBLE) / least(na.n_sh, nb.n_sh)
+        >= $MinContain
+      ORDER BY id_a, id_b"""
+      }),
+
+    // X110e — video canonical consolidation: components over the
+    // UNION of the keyframe and subclip channels (recursive-CTE
+    // walk, the media_canonical convention), keeper elected by the
+    // modality's own rule — LONGEST decoded duration, tie → min id
+    // (in a subclip group the superclip carries the trim's entire
+    // content). Singletons emitted: a full clip manifest.
+    "video_canonical" -> Q(
+      (s, d) => VideoNeardup.videoCanonical(s, d), Some {
+        import VideoNeardup._
+        s"""
+      WITH RECURSIVE $videoStoreCtes,
+      $videoShingleCtes,
+      scp AS (SELECT id_a, id_b
+        FROM pr JOIN nsh na ON pr.id_a = na.id
+          JOIN nsh nb ON pr.id_b = nb.id
+        WHERE CAST(shared AS DOUBLE) / least(na.n_sh, nb.n_sh)
+          >= $MinContain),
+      vmf AS (SELECT id, text, w0, h0, rt, br, cl, nf // 2 AS fi
+        FROM vi),
+      ${videoDhashCtes("vmf", "vm", Seq("id"))},
+      vsig AS (SELECT id, dh_lo, dh_hi FROM vmsig),
+      ${mediaPairCtes("vsig")},
+      knp AS (SELECT id_a, id_b FROM hm
+        WHERE hamming <= $HammingMax),
+      allp AS (SELECT * FROM scp UNION SELECT * FROM knp),
+      edges AS (SELECT id_a AS s, id_b AS d FROM allp
+        UNION SELECT id_b, id_a FROM allp),
+      walk AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT w.s, e.d FROM walk w JOIN edges e ON w.d = e.s),
+      lbl AS (SELECT s AS id, least(s, min(d)) AS group_id
+        FROM walk GROUP BY s),
+      g AS (SELECT vi.id,
+          vi.nf * 1000 * vi.fden // vi.fnum AS dur,
+          COALESCE(l.group_id, vi.id) AS group_id
+        FROM vi LEFT JOIN lbl l ON vi.id = l.id),
+      k AS (SELECT group_id, id AS canonical FROM g
+        QUALIFY row_number() OVER (PARTITION BY group_id
+          ORDER BY dur DESC, id) = 1),
+      a AS (SELECT group_id, count(*) AS n_members,
+          array_to_string(list_sort(array_agg(id)), '+') AS members
+        FROM g GROUP BY 1)
+      SELECT a.group_id, k.canonical, a.n_members, a.members
+      FROM a JOIN k USING (group_id) ORDER BY group_id"""
       }),
 
     // X106c — incremental perceptual probe: the incoming re-encode
@@ -3839,6 +3941,44 @@ object SparkEntry {
         CAST(length(text) AS INTEGER) AS n_chars_text,
         CAST(len(b) AS DOUBLE) / NULLIF(len(w), 0) AS tokens_per_word
       FROM d ORDER BY doc_id""")),
+
+    // X111 — the cross-modal asset manifest: one row per document
+    // with decoded counts/unit-sums over ALL THREE asset stores
+    // (PPM image incl. up/br variants at doc_id ≡ 0/4 mod 8, WAV
+    // audio at 2/6, Y4M video at 1/3/5). The oracle re-derives every
+    // figure from the store-generation arithmetic — a decode drift
+    // in any codec hash-fails here.
+    "multimodal_manifest" -> Q(
+      (s, d) => MediaManifest.multimodalManifest(s, d), Some {
+        import VideoNeardup.{VariantMod, RtMod, ClMod, BrMod, ClDrop}
+        import AudioNeardup.{RsMod, GnMod}
+        s"""
+      WITH m AS (SELECT doc_id,
+          CAST(8 + doc_id % 9 AS BIGINT) AS w0,
+          CAST(8 + (doc_id // 9) % 7 AS BIGINT) AS h0,
+          CAST(240 + (doc_id % 5) * 60 AS BIGINT) AS ns,
+          CAST(4 + doc_id % 4 AS BIGINT) AS nf,
+          doc_id % $VariantMod AS v
+        FROM documents)
+      SELECT doc_id,
+        CAST(CASE WHEN v IN (0, 4) THEN 2 ELSE 1 END AS BIGINT)
+          AS n_image,
+        CAST(w0 * h0 * (1 + CASE WHEN v = 0 THEN 4
+          WHEN v = 4 THEN 1 ELSE 0 END) AS BIGINT) AS image_px,
+        CAST(CASE WHEN v IN ($RsMod, $GnMod) THEN 2 ELSE 1 END
+          AS BIGINT) AS n_audio,
+        CAST(ns * (1 + CASE WHEN v = $RsMod THEN 2
+          WHEN v = $GnMod THEN 1 ELSE 0 END) AS BIGINT)
+          AS audio_samples,
+        CAST(CASE WHEN v IN ($RtMod, $ClMod, $BrMod) THEN 2 ELSE 1 END
+          AS BIGINT) AS n_video,
+        CAST(nf + CASE WHEN v = $RtMod THEN 2 * nf
+          WHEN v = $ClMod THEN nf - $ClDrop
+          WHEN v = $BrMod THEN nf ELSE 0 END AS BIGINT)
+          AS video_frames,
+        CAST(CASE WHEN v = 7 THEN 3 ELSE 4 END AS BIGINT) AS n_assets
+      FROM m ORDER BY doc_id"""
+      }),
 
     "multimodal_media" -> Q(Multimodal.mediaFeatures, Some("""
       WITH m AS (SELECT doc_id AS media_id, lang, source, n_chars, text,

@@ -16,6 +16,9 @@ private[graft] case class VFrameRow(id: String, pos: String,
     frame_idx: Int, y_min: Long, y_max: Long, y_sum: Long,
     dh_lo: Long, dh_hi: Long)
 private[graft] case class VSigRow(id: String, dh_lo: Long, dh_hi: Long)
+private[graft] case class VShingleRow(id: String, n_sh: Int,
+    a_lo: Long, a_hi: Long, b_lo: Long, b_hi: Long)
+private[graft] case class VDurRow(id: String, duration_ms: Long)
 
 /** X110 — the THIRD modality: Y4M video ingest, frame sampling and
   * keyframe perceptual near-dup. Completes the multimodal triple the
@@ -57,13 +60,25 @@ private[graft] case class VSigRow(id: String, dh_lo: Long, dh_hi: Long)
   *  - `_br`: +4 LUMA brightness re-encode (the levels-adjust
   *    re-export; ASCII-derived planes never clamp). A constant shift
   *    preserves every neighbor comparison — hamming 0, bytes differ.
-  * Variant planting: `id ≡ 1 (mod 8)` → temporal, `≡ 5` → brightness
-  * — disjoint from the image (0/4) and audio (2/6) classes, so the
-  * four stores never alias a document's variants.
+  * A third planted class exercises the documented MISS:
+  *  - `_cl`: TEMPORAL crop — the first [[ClDrop]] frames trimmed (the
+  *    re-edit that shifts every frame index). The keyframe channel
+  *    misses it structurally (the cropped clip's middle is a
+  *    different content frame, and frames are de-correlated by the
+  *    [[FrameStride]]); the SEQUENCE channel (`video_subclip`)
+  *    catches it: consecutive-frame-hash shingles are index-free, so
+  *    a subclip shares all its interior shingles with its base —
+  *    containment 1.0 regardless of the trim offset.
+  * Variant planting: `id ≡ 1 (mod 8)` → temporal, `≡ 3` → crop, `≡ 5`
+  * → brightness — disjoint from the image (0/4) and audio (2/6)
+  * classes, so the four stores never alias a document's variants.
   *
   * The dHash recall ENVELOPE documented for images applies verbatim
   * (same hash, same grid): re-encode/resize/brightness caught at
-  * hamming ≈ 0; crop/translate missed by construction.
+  * hamming ≈ 0; SPATIAL crop/translate missed by construction (the
+  * fixed grid shifts with content). The temporal-crop class, by
+  * contrast, is recovered by the shingle channel above — time has an
+  * alignment-free representation where space does not.
   *
   * Scale shape: decode + per-frame features is mapPartitions over the
   * binaryFile scan (no shuffle; at 100 TB of video the scan IS the
@@ -78,7 +93,18 @@ object VideoNeardup {
   val VariantMod = 8L
   val RtMod = 1L
   val BrMod = 5L
+  val ClMod = 3L
   val BrightDelta = 4
+  /** The `_cl` temporal crop drops this many LEADING frames (a
+    * trimmed-intro re-edit). Two, not one: for every frame count in
+    * range the cropped clip's temporal-middle frame is then a
+    * DIFFERENT content frame than the base's (`2 + (n-2)/2 ≠ n/2` for
+    * all n ≥ 3), so the keyframe channel's miss is structural, not
+    * luck of the frame parity. */
+  val ClDrop = 2
+  /** Subclip containment threshold: fraction of the smaller clip's
+    * distinct frame-hash shingles the pair must share. */
+  val MinContain = 0.8
   /** Frame-generation stride: frame `f` reads the text cycle at
     * offset `17·f` (17 is coprime to every plane size in range, so
     * consecutive frames de-correlate). */
@@ -128,8 +154,11 @@ object VideoNeardup {
     * discipline. */
   def videoAssetDir(spark: SparkSession, dir: String): String = {
     val tag = graft.util.Tables.pathTag(dir)
+    // v2: the store gained the `_cl` temporal-crop class — the
+    // version in the prefix invalidates v1 stores (the listing-tag
+    // memo can't see a BUILDER change, only a source change)
     val out = java.nio.file.Paths.get("target/graft_video/" +
-      s"y4m_${tag}_" +
+      s"y4mv2_${tag}_" +
       graft.util.Tables.listingTag(spark, s"$dir/documents.parquet"))
       .toAbsolutePath
     if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
@@ -139,7 +168,8 @@ object VideoNeardup {
         try ls.toArray.map(_.asInstanceOf[java.nio.file.Path])
           .filter { p =>
             val n = p.getFileName.toString
-            n.startsWith(s"y4m_${tag}_") && p.toAbsolutePath != out
+            (n.startsWith(s"y4m_${tag}_") ||
+              n.startsWith(s"y4mv2_${tag}_")) && p.toAbsolutePath != out
           }.foreach(graft.util.Scratch.deleteRecursive)
         finally ls.close()
       }
@@ -177,6 +207,14 @@ object VideoNeardup {
               java.nio.file.Files.write(
                 java.nio.file.Paths.get(s"$outStr/doc_${id}_rt.y4m"),
                 Y4mCodec.encode(w, h, 2 * fn, 1, rt))
+            }
+            if (id % VariantMod == ClMod) {
+              // temporal crop: the first ClDrop frames trimmed (the
+              // re-edit class the KEYFRAME channel structurally
+              // misses — the documented crop gap, here in time)
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(s"$outStr/doc_${id}_cl.y4m"),
+                Y4mCodec.encode(w, h, fn, 1, base.drop(ClDrop)))
             }
             if (id % VariantMod == BrMod) {
               // +4 luma re-encode (U/V untouched — a levels adjust)
@@ -301,4 +339,134 @@ object VideoNeardup {
       hammingMax: Int = HammingMax,
       maxBucket: Int = MaxBucket): DataFrame =
     MediaNeardup.pairsFor(signatures(spark, dir), hammingMax, maxBucket)
+
+  /** Per-clip DISTINCT consecutive-frame-hash shingles: every frame's
+    * luma dHash, paired with its successor's — `(h_i, h_{i+1})`, the
+    * order-preserving alignment-FREE unit of the sequence channel.
+    * One row per distinct shingle, carrying the clip's distinct-
+    * shingle count (the containment denominator). All work inside the
+    * decode closure — the whole clip is already in hand, so the
+    * shingle window costs no shuffle. */
+  private[graft] def frameShingles(spark: SparkSession,
+      dir: String): DataFrame =
+    decodedFlatMap(spark, dir, "graft.video.shingle_failures") {
+      (id, v) =>
+        val hs = v.frames.map(fr => dhashLuma(v.width, v.height, fr))
+        val sh = (0 until hs.length - 1)
+          .map(i => (hs(i), hs(i + 1))).distinct
+        sh.iterator.map { case ((alo, ahi), (blo, bhi)) =>
+          VShingleRow(id, sh.size, alo, ahi, blo, bhi)
+        }
+    }(org.apache.spark.sql.Encoders.product[VShingleRow])
+      .toDF()
+
+  /** X110d registered query — temporal SUBCLIP near-dup: clips
+    * sharing ≥ `minContain` of the smaller side's frame-hash shingles
+    * (id_a < id_b, with the shared count and the containment score).
+    *
+    * This is the channel that closes the keyframe path's temporal
+    * blind spot: a trimmed/re-cut clip shares none of its frame
+    * INDICES with its source, but every interior consecutive-frame
+    * shingle survives, so containment hits 1.0 wherever the overlap
+    * covers the smaller clip — while `video_neardup`'s single
+    * middle-frame hash lands on different content and misses. The
+    * constant-shift (`_br`) and frame-doubling (`_rt`) classes are
+    * subsumed: both preserve consecutive-frame shingles (`_rt`'s
+    * `(h_i, h_i)` self-shingles are extras on the larger side, which
+    * containment ignores).
+    *
+    * Scale shape: shingles join by 256-bit EQUALITY — hash-partitioned
+    * bucket work, never all-pairs; the occupancy cap drops degenerate
+    * shingle values (flat/looping content) exactly like the banded
+    * engine's [[MaxBucket]]. Output pairs are containment-gated, so
+    * only genuinely overlapping clips survive to the driver. */
+  def videoSubclip(spark: SparkSession, dir: String,
+      minContain: Double = MinContain,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val keyCols = Seq("a_lo", "a_hi", "b_lo", "b_hi")
+    val sh = frameShingles(spark, dir)
+    val capped =
+      if (maxBucket > 0) {
+        val allowed = sh.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("occ"))
+          .filter(col("occ") <= maxBucket)
+          .drop("occ")
+        sh.join(allowed, keyCols)
+      } else sh
+    val a = capped.select(col("id").as("id_a"), col("n_sh").as("n_a"),
+      col("a_lo"), col("a_hi"), col("b_lo"), col("b_hi"))
+    val b = capped.select(col("id").as("id_b"), col("n_sh").as("n_b"),
+      col("a_lo"), col("a_hi"), col("b_lo"), col("b_hi"))
+    a.join(b, keyCols)
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("containment",
+        col("shared") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= minContain)
+      .select("id_a", "id_b", "shared", "containment")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** (id, duration_ms) from the parsed container headers — the
+    * election key of [[videoCanonical]]. */
+  private def clipDurations(spark: SparkSession,
+      dir: String): DataFrame =
+    decodedFlatMap(spark, dir, "graft.video.duration_failures") {
+      (id, v) =>
+        Iterator.single(VDurRow(id,
+          v.frames.length.toLong * 1000L * v.fpsDen / v.fpsNum))
+    }(org.apache.spark.sql.Encoders.product[VDurRow])
+      .toDF()
+
+  /** X110e registered query — video CANONICAL consolidation: one row
+    * per near-dup GROUP with its keeper, over the UNION of the two
+    * perceptual channels (keyframe Hamming + subclip shingles — a
+    * pair caught by either collapses). Groups are connected
+    * components via the SHARED [[Dedup.minLabelComponents]]
+    * pointer-jump core, labeled by their lexicographic-min id (the
+    * [[MediaNeardup.mediaCanonical]] convention); singletons are
+    * emitted, so the output is a full clip manifest.
+    *
+    * The ELECTION RULE is the modality's own: the keeper is the
+    * LONGEST clip by decoded duration (tie → min id) — in a
+    * subclip group the superclip carries the trimmed copy's entire
+    * content, so duration, not name order, is what "canonical" means
+    * for video. The planted classes pin all three arms: `_cl` is
+    * SHORTER (base wins on duration), `_rt`/`_br` are duration-ties
+    * (base wins on id).
+    *
+    * Scale shape: both pair channels are bucket-bounded; the edge
+    * union is pair-sized and CHECKPOINTED before the label rounds
+    * (the [[MediaNeardup.mediaCanonical]] lesson — un-checkpointed,
+    * every propagation round would re-run both decode+bucket
+    * chains); the manifest is one left join of the label relation
+    * onto the clip universe and one group-keyed agg whose
+    * collect_list state is group-size-bounded. */
+  def videoCanonical(spark: SparkSession, dir: String,
+      minContain: Double = MinContain,
+      hammingMax: Int = HammingMax,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val edges = videoSubclip(spark, dir, minContain, maxBucket)
+      .select(col("id_a"), col("id_b"))
+      .union(videoNeardup(spark, dir, hammingMax, maxBucket)
+        .select(col("id_a"), col("id_b")))
+      .distinct()
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .localCheckpoint()
+    val labels = Dedup.minLabelComponents(edges)
+      .select(col("doc_id").as("id"), col("grp"))
+    clipDurations(spark, dir)
+      .join(labels, Seq("id"), "left")
+      .withColumn("group_id", coalesce(col("grp"), col("id")))
+      .groupBy(col("group_id"))
+      .agg(
+        // min over (−duration, id): longest first, ties by min id
+        min(struct((-col("duration_ms")).as("k"), col("id").as("i")))
+          .getField("i").as("canonical"),
+        count(lit(1)).as("n_members"),
+        array_join(array_sort(collect_list(col("id"))), "+")
+          .as("members"))
+      .orderBy("group_id")
+  }
 }

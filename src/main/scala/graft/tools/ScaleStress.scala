@@ -682,6 +682,18 @@ object ScaleStress {
         m(graft.ops.VideoNeardup.videoFrames(spark, d))),
       "video_neardup" -> (d =>
         m(graft.ops.VideoNeardup.videoNeardup(spark, d))),
+      // X110d: all-frames hash + shingle equality join — the growth
+      // axis is shingle-bucket occupancy, never all-pairs
+      "video_subclip" -> (d =>
+        m(graft.ops.VideoNeardup.videoSubclip(spark, d))),
+      // X110e: both pair channels + checkpointed label rounds + the
+      // manifest join/agg — the media_canonical accounting
+      "video_canonical" -> (d =>
+        m(graft.ops.VideoNeardup.videoCanonical(spark, d))),
+      // X111: three header-decode scans into one doc-keyed agg — the
+      // curve must stay scan-bound (ledger rows are all that shuffle)
+      "multimodal_manifest" -> (d =>
+        m(graft.ops.MediaManifest.multimodalManifest(spark, d))),
       // X108: the full composed web pipeline over the mixed-chrome n×
       // corpus with synthetic per-page URLs (1000-host domain; the
       // committed rules leave them default-allowed, so every stage

@@ -112,6 +112,85 @@ class VideoNeardupSpec extends AnyFunSuite {
         s"${(banded -- brute).take(5)}")
   }
 
+  test("subclip channel catches the planted temporal crops at containment 1.0") {
+    import spark.implicits._
+    val store = VideoNeardup.videoAssetDir(spark, dir)
+    val cls = new java.io.File(store).listFiles()
+      .map(_.getName).filter(_.endsWith("_cl.y4m"))
+      .map(_.stripSuffix(".y4m")).toSeq
+    assert(cls.nonEmpty, "store must plant _cl temporal crops")
+    val sub = VideoNeardup.videoSubclip(spark, dir)
+      .as[(String, String, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._4).toMap
+    cls.foreach { vid =>
+      val bid = vid.stripSuffix("_cl")
+      val key = if (bid < vid) (bid, vid) else (vid, bid)
+      assert(sub.get(key).contains(1.0),
+        s"crop $vid must reach containment 1.0 with $bid")
+    }
+    // the rt/br classes are SUBSUMED: frame-doubling and constant
+    // shift both preserve consecutive-frame shingles
+    val others = new java.io.File(store).listFiles()
+      .map(_.getName)
+      .filter(n => n.contains("_rt") || n.contains("_br"))
+      .map(_.stripSuffix(".y4m")).toSeq
+    others.foreach { vid =>
+      val bid = vid.replaceAll("_(rt|br)$", "")
+      val key = if (bid < vid) (bid, vid) else (vid, bid)
+      assert(sub.get(key).contains(1.0),
+        s"$vid must be subsumed at containment 1.0 with $bid")
+    }
+  }
+
+  test("keyframe channel structurally MISSES the temporal-crop class") {
+    import spark.implicits._
+    val store = VideoNeardup.videoAssetDir(spark, dir)
+    val cls = new java.io.File(store).listFiles()
+      .map(_.getName).filter(_.endsWith("_cl.y4m"))
+      .map(_.stripSuffix(".y4m")).toSeq
+    val key = VideoNeardup.videoNeardup(spark, dir)
+      .as[(String, String, Int)].collect()
+      .map(p => Set(p._1, p._2)).toSet
+    val caught = cls.count(vid => key(Set(vid, vid.stripSuffix("_cl"))))
+    // the crop shifts the temporal middle onto a DIFFERENT content
+    // frame and the stride de-correlates frames — the keyframe hash
+    // should land outside the Hamming bound for (nearly) every pair.
+    // Pin the envelope: at most 20% coincidental catches.
+    assert(caught <= cls.size / 5,
+      s"keyframe channel caught $caught/${cls.size} planted crops — " +
+        "the miss this class documents has disappeared")
+  }
+
+  test("canonical election: the longest clip survives, trims and re-encodes fold in") {
+    import spark.implicits._
+    val store = VideoNeardup.videoAssetDir(spark, dir)
+    val variants = new java.io.File(store).listFiles()
+      .map(_.getName)
+      .filter(n => n.contains("_rt") || n.contains("_br") ||
+        n.contains("_cl"))
+      .map(_.stripSuffix(".y4m")).toSeq
+    assert(variants.nonEmpty)
+    val rows = VideoNeardup.videoCanonical(spark, dir)
+      .as[(String, String, Long, String)].collect()
+    val byMember = rows.flatMap { case (g, can, _, members) =>
+      members.split('+').map(_ -> ((g, can)))
+    }.toMap
+    variants.foreach { vid =>
+      val bid = vid.replaceAll("_(rt|br|cl)$", "")
+      val (g, can) = byMember(vid)
+      // every planted class folds into its base's group, and the
+      // base wins the election on all three arms: _cl is SHORTER
+      // (duration), _rt/_br tie on duration and lose on id
+      assert(byMember(bid)._1 == g,
+        s"$vid and $bid must share a group")
+      assert(can == bid, s"group of $vid must elect $bid, got $can")
+    }
+    // the manifest is the full clip universe: every asset appears
+    val nAssets = new java.io.File(store).listFiles()
+      .count(_.getName.endsWith(".y4m"))
+    assert(rows.map(_._3).sum == nAssets)
+  }
+
   test("frame sampling: three rows per clip, stats match a direct decode") {
     import spark.implicits._
     val rows = VideoNeardup.videoFrames(spark, dir)

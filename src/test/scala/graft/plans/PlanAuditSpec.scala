@@ -315,6 +315,17 @@ class PlanAuditSpec extends AnyFunSuite {
     "video_frames" -> 1,
     // X110c: the shared pair engine's shape (see audio_neardup)
     "video_neardup" -> 3,
+    // X110d: shingle occupancy agg + cap join + pair self-join (one
+    // exchange reused across them) + pair agg + presentation sort;
+    // decode+shingling itself never shuffles (in-closure window)
+    "video_subclip" -> 4,
+    // X110e: the label relation is checkpointed (pair chains priced
+    // at build, not in this plan): manifest left join + keeper/agg
+    // exchange + presentation sort
+    "video_canonical" -> 4,
+    // X111: three decode scans union into ONE doc-keyed agg (map-side
+    // combinable) + presentation sort — no per-modality shuffles
+    "multimodal_manifest" -> 2,
     // X92: one lag window + one agg over the merge key (the same
     // exchange reused), presentation sort; the three version
     // reconstructions read the tiny fixture lake, not a scaled table
