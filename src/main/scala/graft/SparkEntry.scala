@@ -1039,6 +1039,73 @@ object SparkEntry {
         WHERE a.id < b.id GROUP BY 1, 2)"""
   }
 
+  /** The X76 MinHash drop chain (needs a leading WITH RECURSIVE):
+    * 3-gram shingles → 8-band min-signatures → banded pairs (≥ 4
+    * agreeing bands) → component walk → `dr(doc_id)`, the
+    * NON-CANONICAL members the dedup manifest collapses. Shared by
+    * `dedup_apply` (X76b) and `asset_gc` (X112) so the two write-back
+    * oracles can never disagree about which documents died. */
+  private lazy val dedupDropCtes: String =
+    """tok AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        FROM tok WHERE len(w) >= 3),
+      sig AS (SELECT doc_id, b.band,
+          min(md5(b.band || ':' || shingle)) AS sig
+        FROM sh, (SELECT unnest(range(0, 8)) AS band) b GROUP BY 1, 2),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 4),
+      edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      walk AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT w.s, e.d FROM walk w JOIN edges e ON w.d = e.s),
+      lbl AS (SELECT s AS doc_id, least(s, min(d)) AS group_id
+        FROM walk GROUP BY s),
+      dr AS (SELECT doc_id FROM lbl WHERE doc_id <> group_id)"""
+
+  /** The per-document cross-modal asset arithmetic (no leading WITH)
+    * — ends in `mm`: doc_id, per-modality asset counts and decoded
+    * unit sums, re-derived from the three stores' generation
+    * formulas. Shared by `multimodal_manifest` (X111) and `asset_gc`
+    * (X112). */
+  private lazy val assetArithCte: String = {
+    import VideoNeardup.{VariantMod, RtMod, ClMod, BrMod, ClDrop}
+    import AudioNeardup.{RsMod, GnMod}
+    s"""ma AS (SELECT doc_id,
+          CAST(8 + doc_id % 9 AS BIGINT) AS w0,
+          CAST(8 + (doc_id // 9) % 7 AS BIGINT) AS h0,
+          CAST(240 + (doc_id % 5) * 60 AS BIGINT) AS ns,
+          CAST(4 + doc_id % 4 AS BIGINT) AS nf,
+          doc_id % $VariantMod AS v
+        FROM documents),
+      mm AS (SELECT doc_id,
+        CAST(CASE WHEN v IN (0, 4) THEN 2 ELSE 1 END AS BIGINT)
+          AS n_image,
+        CAST(w0 * h0 * (1 + CASE WHEN v = 0 THEN 4
+          WHEN v = 4 THEN 1 ELSE 0 END) AS BIGINT) AS image_px,
+        CAST(CASE WHEN v IN ($RsMod, $GnMod) THEN 2 ELSE 1 END
+          AS BIGINT) AS n_audio,
+        CAST(ns * (1 + CASE WHEN v = $RsMod THEN 2
+          WHEN v = $GnMod THEN 1 ELSE 0 END) AS BIGINT)
+          AS audio_samples,
+        CAST(CASE WHEN v IN ($RtMod, $ClMod, $BrMod) THEN 2 ELSE 1 END
+          AS BIGINT) AS n_video,
+        CAST(nf + CASE WHEN v = $RtMod THEN 2 * nf
+          WHEN v = $ClMod THEN nf - $ClDrop
+          WHEN v = $BrMod THEN nf ELSE 0 END AS BIGINT)
+          AS video_frames,
+        CAST(CASE WHEN v = 7 THEN 3 ELSE 4 END AS BIGINT) AS n_assets
+      FROM ma)"""
+  }
+
   /** Shared oracle of `discovery_feed` (X101) and its streaming twin
     * `discovery_feed_stream` (X101b — byte-equal by construction,
     * both assemble through `Sitemap.discoveryFeedAssemble`): the
@@ -3949,36 +4016,51 @@ object SparkEntry {
     // figure from the store-generation arithmetic — a decode drift
     // in any codec hash-fails here.
     "multimodal_manifest" -> Q(
-      (s, d) => MediaManifest.multimodalManifest(s, d), Some {
-        import VideoNeardup.{VariantMod, RtMod, ClMod, BrMod, ClDrop}
-        import AudioNeardup.{RsMod, GnMod}
-        s"""
-      WITH m AS (SELECT doc_id,
-          CAST(8 + doc_id % 9 AS BIGINT) AS w0,
-          CAST(8 + (doc_id // 9) % 7 AS BIGINT) AS h0,
-          CAST(240 + (doc_id % 5) * 60 AS BIGINT) AS ns,
-          CAST(4 + doc_id % 4 AS BIGINT) AS nf,
-          doc_id % $VariantMod AS v
-        FROM documents)
-      SELECT doc_id,
-        CAST(CASE WHEN v IN (0, 4) THEN 2 ELSE 1 END AS BIGINT)
-          AS n_image,
-        CAST(w0 * h0 * (1 + CASE WHEN v = 0 THEN 4
-          WHEN v = 4 THEN 1 ELSE 0 END) AS BIGINT) AS image_px,
-        CAST(CASE WHEN v IN ($RsMod, $GnMod) THEN 2 ELSE 1 END
-          AS BIGINT) AS n_audio,
-        CAST(ns * (1 + CASE WHEN v = $RsMod THEN 2
-          WHEN v = $GnMod THEN 1 ELSE 0 END) AS BIGINT)
-          AS audio_samples,
-        CAST(CASE WHEN v IN ($RtMod, $ClMod, $BrMod) THEN 2 ELSE 1 END
-          AS BIGINT) AS n_video,
-        CAST(nf + CASE WHEN v = $RtMod THEN 2 * nf
-          WHEN v = $ClMod THEN nf - $ClDrop
-          WHEN v = $BrMod THEN nf ELSE 0 END AS BIGINT)
-          AS video_frames,
-        CAST(CASE WHEN v = 7 THEN 3 ELSE 4 END AS BIGINT) AS n_assets
-      FROM m ORDER BY doc_id"""
-      }),
+      (s, d) => MediaManifest.multimodalManifest(s, d), Some(s"""
+      WITH $assetArithCte
+      SELECT doc_id, n_image, image_px, n_audio, audio_samples,
+        n_video, video_frames, n_assets
+      FROM mm ORDER BY doc_id""")),
+
+    // X112 — cross-modal asset GC: the text dedup manifest's drop
+    // list executed against ALL THREE asset stores (retire-then-link,
+    // read-back manifest). The oracle re-derives every count AND the
+    // retired unit mass from the drop chain + the store-generation
+    // arithmetic, so a GC that linked or retired the wrong files
+    // hash-fails.
+    "asset_gc" -> Q(
+      (s, d) => AssetGc.assetGc(s, d), Some(s"""
+      WITH RECURSIVE $dedupDropCtes,
+      $assetArithCte,
+      mj AS (SELECT mm.*, (dr.doc_id IS NOT NULL) AS dropped
+        FROM mm LEFT JOIN dr ON mm.doc_id = dr.doc_id)
+      SELECT 'audio' AS modality,
+        CAST(sum(n_audio) AS BIGINT) AS n_before,
+        CAST(sum(CASE WHEN dropped THEN n_audio ELSE 0 END) AS BIGINT)
+          AS n_removed,
+        CAST(sum(CASE WHEN NOT dropped THEN n_audio ELSE 0 END)
+          AS BIGINT) AS n_after,
+        CAST(sum(CASE WHEN dropped THEN audio_samples ELSE 0 END)
+          AS BIGINT) AS units_removed
+      FROM mj
+      UNION ALL
+      SELECT 'image',
+        CAST(sum(n_image) AS BIGINT),
+        CAST(sum(CASE WHEN dropped THEN n_image ELSE 0 END) AS BIGINT),
+        CAST(sum(CASE WHEN NOT dropped THEN n_image ELSE 0 END)
+          AS BIGINT),
+        CAST(sum(CASE WHEN dropped THEN image_px ELSE 0 END) AS BIGINT)
+      FROM mj
+      UNION ALL
+      SELECT 'video',
+        CAST(sum(n_video) AS BIGINT),
+        CAST(sum(CASE WHEN dropped THEN n_video ELSE 0 END) AS BIGINT),
+        CAST(sum(CASE WHEN NOT dropped THEN n_video ELSE 0 END)
+          AS BIGINT),
+        CAST(sum(CASE WHEN dropped THEN video_frames ELSE 0 END)
+          AS BIGINT)
+      FROM mj
+      ORDER BY modality""")),
 
     "multimodal_media" -> Q(Multimodal.mediaFeatures, Some("""
       WITH m AS (SELECT doc_id AS media_id, lang, source, n_chars, text,
@@ -4381,31 +4463,8 @@ object SparkEntry {
     // rewrite; n_after is read BACK from the rewritten corpus, so the
     // oracle's n_before - n_removed arithmetic hash-checks the WRITE.
     "dedup_apply" -> Q(
-      (s, d) => Takedown.dedupApply(s, d), Some("""
-      WITH RECURSIVE tok AS (SELECT doc_id,
-          list_filter(string_split_regex(lower(text), '\s+'),
-            x -> x <> '') AS w
-        FROM documents),
-      sh AS (SELECT DISTINCT doc_id,
-          unnest(list_transform(range(1, len(w) - 1),
-            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-        FROM tok WHERE len(w) >= 3),
-      sig AS (SELECT doc_id, b.band,
-          min(md5(b.band || ':' || shingle)) AS sig
-        FROM sh, (SELECT unnest(range(0, 8)) AS band) b GROUP BY 1, 2),
-      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sig a JOIN sig b
-          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-        GROUP BY 1, 2 HAVING count(*) >= 4),
-      edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-        UNION SELECT doc_b, doc_a FROM pairs),
-      walk AS (
-        SELECT s, d FROM edges
-        UNION
-        SELECT w.s, e.d FROM walk w JOIN edges e ON w.d = e.s),
-      lbl AS (SELECT s AS doc_id, least(s, min(d)) AS group_id
-        FROM walk GROUP BY s),
-      dr AS (SELECT doc_id FROM lbl WHERE doc_id <> group_id),
+      (s, d) => Takedown.dedupApply(s, d), Some(s"""
+      WITH RECURSIVE $dedupDropCtes,
       b AS (SELECT d.source, count(*) AS n_before,
           CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
             AS BIGINT) AS n_removed,

@@ -694,6 +694,11 @@ object ScaleStress {
       // curve must stay scan-bound (ledger rows are all that shuffle)
       "multimodal_manifest" -> (d =>
         m(graft.ops.MediaManifest.multimodalManifest(spark, d))),
+      // X112: the write-back lands in warmup (_SUCCESS-memoized,
+      // drop-bounded); timed passes price the read-back manifest —
+      // three path listings + the retired-set decode
+      "asset_gc" -> (d =>
+        m(graft.ops.AssetGc.assetGc(spark, d))),
       // X108: the full composed web pipeline over the mixed-chrome n×
       // corpus with synthetic per-page URLs (1000-host domain; the
       // committed rules leave them default-allowed, so every stage

@@ -326,6 +326,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // X111: three decode scans union into ONE doc-keyed agg (map-side
     // combinable) + presentation sort — no per-modality shuffles
     "multimodal_manifest" -> 2,
+    // X112: nine path listings + the retired decode union into two
+    // modality-keyed aggs (one exchange reused by the join) +
+    // presentation sort
+    "asset_gc" -> 3,
     // X92: one lag window + one agg over the merge key (the same
     // exchange reused), presentation sort; the three version
     // reconstructions read the tiny fixture lake, not a scaled table
