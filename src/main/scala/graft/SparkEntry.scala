@@ -4022,6 +4022,49 @@ object SparkEntry {
         n_video, video_frames, n_assets
       FROM mm ORDER BY doc_id""")),
 
+    // X113 — multimodal sequence packing: seq_packing's shard/window
+    // arithmetic with each document priced at text tokens + decoded
+    // media token cost of its BASE assets (variants are re-encodes —
+    // dedup's job, not the packer's). Integer token model both
+    // engines replay exactly.
+    "multimodal_pack" -> Q(
+      (s, d) => MediaManifest.multimodalPack(s, d), Some {
+        import MediaManifest._
+        s"""
+      WITH d AS (SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+            x -> x <> '')) AS BIGINT) AS n_tok,
+          md5('pack:' || CAST(doc_id AS VARCHAR)) AS h,
+          CAST(CAST(('0x' || substring(
+            md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % $PackShards AS INTEGER) AS shard,
+          CAST(8 + doc_id % 9 AS BIGINT) AS w0,
+          CAST(8 + (doc_id // 9) % 7 AS BIGINT) AS h0,
+          CAST(240 + (doc_id % 5) * 60 AS BIGINT) AS ns,
+          CAST(4 + doc_id % 4 AS BIGINT) AS nf
+        FROM documents),
+      m AS (SELECT doc_id, n_tok, h, shard,
+          CAST((w0 * h0 + ${ImgPatchPx - 1}) // $ImgPatchPx
+            + (ns + ${AudFrameSamples - 1}) // $AudFrameSamples
+            + (nf * w0 * h0 + ${ImgPatchPx - 1}) // $ImgPatchPx
+            AS BIGINT) AS media_tok
+        FROM d),
+      c AS (SELECT doc_id, shard, n_tok, media_tok,
+          n_tok + media_tok AS total_tok,
+          CAST(sum(n_tok + media_tok) OVER (
+            PARTITION BY shard ORDER BY h, doc_id) AS BIGINT)
+            AS cum_tok
+        FROM m),
+      p AS (SELECT doc_id, shard, n_tok, media_tok, total_tok,
+          cum_tok,
+          CAST(floor((cum_tok - total_tok) / ${PackBudget}.0)
+            AS BIGINT) AS pack_id
+        FROM c)
+      SELECT doc_id, shard, n_tok, media_tok, total_tok, cum_tok,
+        pack_id
+      FROM p ORDER BY doc_id"""
+      }),
+
     // X112 — cross-modal asset GC: the text dedup manifest's drop
     // list executed against ALL THREE asset stores (retire-then-link,
     // read-back manifest). The oracle re-derives every count AND the

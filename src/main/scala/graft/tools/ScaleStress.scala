@@ -699,6 +699,11 @@ object ScaleStress {
       // three path listings + the retired-set decode
       "asset_gc" -> (d =>
         m(graft.ops.AssetGc.assetGc(spark, d))),
+      // X113: three base-asset decodes + the doc-keyed cost agg +
+      // ONE window exchange — must track seq_packing's curve plus
+      // the scan term
+      "multimodal_pack" -> (d =>
+        m(graft.ops.MediaManifest.multimodalPack(spark, d))),
       // X108: the full composed web pipeline over the mixed-chrome n×
       // corpus with synthetic per-page URLs (1000-host domain; the
       // committed rules leave them default-allowed, so every stage

@@ -34,6 +34,44 @@ class MediaManifestSpec extends AnyFunSuite {
     assert(rows.map(_._8).sum == nImages + nAudio + nVideo)
   }
 
+  test("multimodal pack: media cost matches direct decode, window sums balance") {
+    import spark.implicits._
+    val rows = MediaManifest.multimodalPack(spark, dir)
+      .as[(Long, Int, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length ==
+      graft.util.Tables.t(spark, dir, "documents").count())
+    rows.foreach { case (_, _, nTok, mTok, tot, _, _) =>
+      assert(mTok > 0 && tot == nTok + mTok)
+    }
+    // doc 7's media cost from the arithmetic (base assets only —
+    // doc 7 ≡ 7 (mod 8) has NO variants, doc 10 ≡ 2 has an audio
+    // variant which must NOT be priced)
+    import MediaManifest.{ImgPatchPx, AudFrameSamples}
+    def cost(id: Long): Long = {
+      val px = Multimodal.assetWidth(id).toLong * Multimodal.assetHeight(id)
+      val ns = AudioNeardup.nSamples(id).toLong
+      val nf = VideoNeardup.nFrames(id).toLong
+      (px + ImgPatchPx - 1) / ImgPatchPx +
+        (ns + AudFrameSamples - 1) / AudFrameSamples +
+        (nf * px + ImgPatchPx - 1) / ImgPatchPx
+    }
+    val byId = rows.map(r => r._1 -> r._4).toMap
+    assert(byId(7L) == cost(7L))
+    assert(byId(10L) == cost(10L), "variants must not be priced")
+    // per shard, cum_tok is the running sum in (h, doc_id) order
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(r =>
+        (java.security.MessageDigest.getInstance("MD5")
+          .digest(s"pack:${r._1}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString, r._1))
+      var run = 0L
+      ordered.foreach { r =>
+        run += r._5
+        assert(r._6 == run, s"cum_tok drift at doc ${r._1}")
+      }
+    }
+  }
+
   test("unit sums match a direct decode for a variant-bearing doc") {
     import spark.implicits._
     val rows = MediaManifest.multimodalManifest(spark, dir)

@@ -330,6 +330,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // modality-keyed aggs (one exchange reused by the join) +
     // presentation sort
     "asset_gc" -> 3,
+    // X113: media-cost agg (its exchange reused by the doc join) +
+    // the shard window + presentation sort
+    "multimodal_pack" -> 3,
     // X92: one lag window + one agg over the merge key (the same
     // exchange reused), presentation sort; the three version
     // reconstructions read the tiny fixture lake, not a scaled table
