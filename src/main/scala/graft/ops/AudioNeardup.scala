@@ -129,8 +129,9 @@ object AudioNeardup {
   /** The store read back through the real binaryFile source. */
   private[graft] def assetFiles(spark: SparkSession,
       dir: String): DataFrame =
-    spark.read.format("binaryFile").load(audioAssetDir(spark, dir))
-      .filter(col("path").endsWith(".wav"))
+    graft.util.Tables.packScan(
+      spark.read.format("binaryFile").load(audioAssetDir(spark, dir))
+        .filter(col("path").endsWith(".wav")))
       .select(
         regexp_extract(col("path"), "([^/]+)\\.wav$", 1).as("id"),
         col("content"))

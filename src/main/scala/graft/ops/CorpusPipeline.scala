@@ -217,11 +217,11 @@ object CorpusPipeline {
     // ---- stage 3: near-dup groups -> keep each component's min ----
     val s3 = CkptMemo.of(spark, "cp_s3", dir) {
       val pairs = Dedup.nearDupPairsTok(s2)
-        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+        .select(col("doc_a"), col("doc_b")).localCheckpoint(false)
       val drops = Dedup.minLabelComponents(pairs)
         .filter(col("grp") =!= col("doc_id")).select(col("doc_id"))
       s2.join(drops, Seq("doc_id"), "left_anti")
-        .localCheckpoint(true, StorageLevel.DISK_ONLY)
+        .localCheckpoint(false, StorageLevel.DISK_ONLY)
     }
 
     // ---- stage 4: repeated-span scrub; token state becomes `kept` ----
@@ -257,17 +257,17 @@ object CorpusPipeline {
             p.getField("i") >= s && p.getField("i") < s + SpanW)))
         .select(col("doc_id"),
           transform(col("kept"), p => p.getField("t")).as("w"))
-        .localCheckpoint(true, StorageLevel.DISK_ONLY)
+        .localCheckpoint(false, StorageLevel.DISK_ONLY)
     }
 
     // ---- stage 5: containment strip over scrubbed shingles ----
     val sh4 = CkptMemo.of(spark, "cp_sh4", dir) {
       s4.select(col("doc_id"),
           explode(array_distinct(Dedup.shingles3(col("w")))).as("g"))
-        .localCheckpoint(true, StorageLevel.DISK_ONLY)
+        .localCheckpoint(false, StorageLevel.DISK_ONLY)
     }
     val drop5 = CkptMemo.of(spark, "cp_drop5", dir) {
-      Dedup.containmentDrops(sh4, MinContain).localCheckpoint()
+      Dedup.containmentDrops(sh4, MinContain).localCheckpoint(false)
     }
     val s5 = s4.join(drop5, Seq("doc_id"), "left_anti")
 
@@ -284,7 +284,7 @@ object CorpusPipeline {
       sh5.filter(col("doc_id") % DeconEvalMod =!= 0)
         .join(ev, Seq("g"), "left_semi")
         .select(col("doc_id")).distinct()
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     val s6 = s5.filter(col("doc_id") % DeconEvalMod =!= 0)
       .join(drop6, Seq("doc_id"), "left_anti")
@@ -294,7 +294,7 @@ object CorpusPipeline {
       Similarity.semDedupDrops(spark, dir,
           s6.select(col("doc_id").as("vec_id")), semTau, semCells,
           nProbe = SemProbe)
-        .select(col("vec_id").as("doc_id")).localCheckpoint()
+        .select(col("vec_id").as("doc_id")).localCheckpoint(false)
     }
     val s7 = s6.join(drop7, Seq("doc_id"), "left_anti")
 
@@ -303,7 +303,7 @@ object CorpusPipeline {
       Similarity.semanticDeconDrops(spark, dir,
           s7.select(col("doc_id").as("vec_id")), SdTau, semCells,
           SdEvalMod)
-        .select(col("vec_id").as("doc_id")).localCheckpoint()
+        .select(col("vec_id").as("doc_id")).localCheckpoint(false)
     }
     val s8 = s7.join(drop8, Seq("doc_id"), "left_anti")
 
@@ -332,7 +332,7 @@ object CorpusPipeline {
         semCells, rarityMax) {
       QualitySignals.qualityScoreTok(s9, threshold = QsMinMargin)
         .filter(!col("keep")).select(col("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     val s10 = s9.join(drop10, Seq("doc_id"), "left_anti")
 
@@ -448,13 +448,13 @@ object CorpusPipeline {
           t(spark, dir, "documents")
             .filter(pmod(col("doc_id"), lit(batchMod)) === 0), statsIdx)
         .filter(col("admit")).select(col("doc_id"))
-      btok.join(admitted, Seq("doc_id"), "left_semi").localCheckpoint()
+      btok.join(admitted, Seq("doc_id"), "left_semi").localCheckpoint(false)
     }
 
     // ---- stage 2: exact dedup, batch-internal + vs corpus hashes ----
     val corpusHashes = CkptMemo.of(spark, "cpi_chash", dir, batchMod) {
       ctok.select(md5(concat_ws(" ", col("w"))).as("k")).distinct()
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     // checkpointed (batch-sized): every downstream stage AND its
     // accounting branch would otherwise replay the dedup window
@@ -465,7 +465,7 @@ object CorpusPipeline {
         .filter(col("rn") === 1)
         .join(corpusHashes, Seq("k"), "left_anti")
         .select(col("doc_id"), col("w"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
 
     // ---- stage 3: near-dup — signature-index probe + batch pairs ----
@@ -483,7 +483,7 @@ object CorpusPipeline {
       val withinB = Dedup.pairsFromSigs(bSigs, minBands = 4,
           maxBucket = 0)
         .select(col("doc_b").as("doc_id")).distinct()
-      crossHit.union(withinB).distinct().localCheckpoint()
+      crossHit.union(withinB).distinct().localCheckpoint(false)
     }
     val b3 = b2.join(drop3, Seq("doc_id"), "left_anti")
 
@@ -504,7 +504,7 @@ object CorpusPipeline {
         .filter(col("inter").cast("double") / col("n_a") >= MinContain)
         .select(col("new_doc").as("doc_id")).distinct()
       val withinContained = Dedup.containmentDrops(bsh, MinContain)
-      crossContained.union(withinContained).distinct().localCheckpoint()
+      crossContained.union(withinContained).distinct().localCheckpoint(false)
     }
     val b4 = b3.join(drop4, Seq("doc_id"), "left_anti")
 
@@ -517,12 +517,12 @@ object CorpusPipeline {
         .as("g"))
     val evalSh = CkptMemo.of(spark, "cpi_evsh", dir) {
       grams5(tok.filter(col("doc_id") % DeconEvalMod === 0))
-        .select("g").distinct().localCheckpoint()
+        .select("g").distinct().localCheckpoint(false)
     }
     val drop5 = CkptMemo.of(spark, "cpi_drop5", dir, batchMod) {
       grams5(b4.filter(col("doc_id") % DeconEvalMod =!= 0))
         .join(evalSh, Seq("g"), "left_semi")
-        .select(col("doc_id")).distinct().localCheckpoint()
+        .select(col("doc_id")).distinct().localCheckpoint(false)
     }
     val b5 = b4.filter(col("doc_id") % DeconEvalMod =!= 0)
       .join(drop5, Seq("doc_id"), "left_anti")
@@ -532,7 +532,7 @@ object CorpusPipeline {
       Similarity.semDedupIncrDrops(spark, dir,
           b5.select(col("doc_id").as("vec_id")), batchMod, SemTau,
           MaxCells, SemProbe)
-        .select(col("vec_id").as("doc_id")).localCheckpoint()
+        .select(col("vec_id").as("doc_id")).localCheckpoint(false)
     }
     val b6 = b5.join(drop6, Seq("doc_id"), "left_anti")
 
@@ -541,7 +541,7 @@ object CorpusPipeline {
       Similarity.semanticDeconDrops(spark, dir,
           b6.select(col("doc_id").as("vec_id")), SdTau, MaxCells,
           SdEvalMod)
-        .select(col("vec_id").as("doc_id")).localCheckpoint()
+        .select(col("vec_id").as("doc_id")).localCheckpoint(false)
     }
     val b7 = b6.join(drop7, Seq("doc_id"), "left_anti")
 
@@ -570,7 +570,7 @@ object CorpusPipeline {
     val drop9 = CkptMemo.of(spark, "cpi_drop9", dir, batchMod,
         rarityMax) {
       QualitySignals.qualityScoreTok(b8, threshold = QsMinMargin)
-        .filter(!col("keep")).select(col("doc_id")).localCheckpoint()
+        .filter(!col("keep")).select(col("doc_id")).localCheckpoint(false)
     }
     val b9 = b8.join(drop9, Seq("doc_id"), "left_anti")
 

@@ -889,6 +889,10 @@ object Dedup {
       // jumped stays a shallow plan over the checkpoint leaf; next
       // round's propagation re-checkpoints, so lineage depth is
       // bounded at one join regardless of round count
+      // checkpointed (r16): the convergence isEmpty below and the
+      // NEXT round's propagation both consume the jump join — un-
+      // checkpointed it evaluated twice per round (once under each
+      // action); now the join runs once and both reads scan the leaf
       val jumped = propagated
         .join(propagated.select(col("doc_id").as("grp"),
           col("grp").as("ggrp")), Seq("grp"), "left")
@@ -896,6 +900,7 @@ object Dedup {
           least(col("grp"), coalesce(col("ggrp"), col("grp")))
             .as("grp"),
           col("old"))
+        .localCheckpoint()
       converged = jumped.filter(col("grp") =!= col("old")).isEmpty
       labels = jumped.select(col("doc_id"), col("grp"))
       iter += 1

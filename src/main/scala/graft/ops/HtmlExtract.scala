@@ -501,7 +501,8 @@ object HtmlExtract {
     * projection into one map-side-combined keyed agg; resolution adds
     * zero shuffles. */
   def linkHostsResolved(spark: SparkSession, dir: String): DataFrame =
-    linkHostsResolvedFrom(fixturePages(spark))
+    linkHostsResolvedFrom(fixturePages(spark),
+      Some(fixtureResolved(spark)))
 
   /** The per-link RESOLVED URL relation (doc_id, p, u, r, host) —
     * the shared base of the X83b rollup and the X87 robots gate. */
@@ -524,8 +525,30 @@ object HtmlExtract {
       .withColumn("r", resolveUrl(col("u"), col("p")))
       .withColumn("host", hostBucket(col("u"), col("r")))
 
-  private[graft] def linkHostsResolvedFrom(pages: DataFrame): DataFrame = {
-    val urls = resolvedUrls(pages)
+  /** Session-memoized CHECKPOINT of [[resolvedUrls]] over the FULL
+    * fixture crawl — the relation ~10 registered crawl queries
+    * (frontier, budget, traps, gate, feed, pagerank family) each
+    * re-derived per invocation before r16. The chain is cheap to RUN
+    * but expensive to PLAN: CollapseProject inlines the normalize/
+    * resolve aliases ~10×, and re-analyzing that expression tree
+    * dominated the crawl family's wall clock (profiled: e.g.
+    * frontier_novel 1.42 s wall, 0.27 s of jobs — the rest driver
+    * planning). The memo makes every consumer plan over a slim leaf;
+    * the [[graft.util.CkptMemo]] cold protocol (cleared per bench
+    * pass) keeps the build honestly priced once per pass — the
+    * [[graft.ops.Dedup.nearDupPairsCached]] discipline. LAZY: the
+    * first consumer's job materializes it. In production this IS the
+    * materialized resolved-outlink table every downstream crawl
+    * consumer reads. */
+  private[graft] def fixtureResolved(spark: SparkSession): DataFrame =
+    graft.util.CkptMemo.of(spark, "hx_resolved",
+        graft.util.Tables.listingTag(spark, FixtureCsv)) {
+      resolvedUrls(fixturePages(spark)).localCheckpoint(false)
+    }
+
+  private[graft] def linkHostsResolvedFrom(pages: DataFrame,
+      resolved: Option[DataFrame] = None): DataFrame = {
+    val urls = resolved.getOrElse(resolvedUrls(pages))
     urls.groupBy(col("host"))
       .agg(count(lit(1)).as("n_links"),
         countDistinct(col("doc_id")).as("n_pages"),
@@ -556,14 +579,16 @@ object HtmlExtract {
     * frontier is probed instead); nothing quadratic, nothing
     * corpus-text-sized (URLs only). */
   def frontierNovel(spark: SparkSession, dir: String): DataFrame =
-    frontierNovelFrom(fixturePages(spark))
+    frontierNovelFrom(fixturePages(spark),
+      Some(fixtureResolved(spark)))
 
-  private[graft] def frontierNovelFrom(pages: DataFrame): DataFrame = {
+  private[graft] def frontierNovelFrom(pages: DataFrame,
+      resolved: Option[DataFrame] = None): DataFrame = {
     val seen = pages
       .select(normalizeUrl(col("page_url")).as("url"))
       .filter(col("url").isNotNull && col("url") =!= "")
       .distinct()
-    resolvedUrls(pages)
+    resolved.getOrElse(resolvedUrls(pages))
       .filter(!col("host").isin("(non-http)", "(unresolved)"))
       .select(col("host"), col("r").as("url")).distinct()
       .join(seen, Seq("url"), "left_anti")
@@ -665,7 +690,8 @@ object HtmlExtract {
     * checkpoint caps the budget plan at the host-sized relations. */
   def crawlBudget(spark: SparkSession, dir: String): DataFrame =
     crawlBudgetFrom(
-      linkHostsResolvedFrom(fixturePages(spark)).localCheckpoint(),
+      linkHostsResolvedFrom(fixturePages(spark),
+        Some(fixtureResolved(spark))).localCheckpoint(),
       Robots.declaredDelays(
         Robots.robotsParseFrom(Robots.rawRobots(spark)))
         .localCheckpoint())
@@ -842,10 +868,11 @@ object HtmlExtract {
     * path-bounded relation. Depth is a function of the path (computed
     * once per group, not per URL). No corpus-sized join anywhere. */
   def crawlTraps(spark: SparkSession, dir: String): DataFrame =
-    crawlTrapsFrom(fixturePages(spark))
+    crawlTrapsFrom(fixturePages(spark), Some(fixtureResolved(spark)))
 
-  private[graft] def crawlTrapsFrom(pages: DataFrame): DataFrame = {
-    val urls = resolvedUrls(pages)
+  private[graft] def crawlTrapsFrom(pages: DataFrame,
+      resolved: Option[DataFrame] = None): DataFrame = {
+    val urls = resolved.getOrElse(resolvedUrls(pages))
       .filter(!col("host").isin("(non-http)", "(unresolved)"))
       .select(col("host"),
         regexp_replace(col("r"), PageQueryPattern, "").as("path"),

@@ -66,8 +66,9 @@ object LinkGraph {
   /** The distinct fetchable host→host edge relation (src, dst) from
     * a (doc_id, page_url, html) page set — shared by the registered
     * query and the ScaleStress leg. */
-  private[graft] def hostEdges(pages: DataFrame): DataFrame = {
-    val urls = HtmlExtract.resolvedUrls(pages)
+  private[graft] def hostEdges(pages: DataFrame,
+      resolved: Option[DataFrame] = None): DataFrame = {
+    val urls = resolved.getOrElse(HtmlExtract.resolvedUrls(pages))
     urls
       .withColumn("src",
         regexp_extract(col("p"), HtmlExtract.HostPattern, 1))
@@ -81,7 +82,8 @@ object LinkGraph {
   /** Registered query: PageRank over the fixture crawl's host graph.
     * Output (host, in_deg, out_deg, rank), highest rank first. */
   def linkPagerank(spark: SparkSession, dir: String): DataFrame =
-    pagerank(hostEdges(HtmlExtract.fixturePages(spark)))
+    pagerank(hostEdges(HtmlExtract.fixturePages(spark),
+      Some(HtmlExtract.fixtureResolved(spark))))
 
   /** PageRank core over an arbitrary DISTINCT (src, dst) edge set —
     * specs feed planted graphs here. */
@@ -132,19 +134,43 @@ object LinkGraph {
   private def iterate(edges: DataFrame, outDeg: DataFrame,
       nodes: DataFrame, nn: DataFrame, start: DataFrame,
       iters: Int): DataFrame = {
+    // LOOP-INVARIANT relations hoisted out of the rounds (r16, guide
+    // §2.4): edges ⋈ outDeg never changes — pre-r16 every round
+    // re-ran that join (10 extra shuffles per cold build); likewise
+    // the DANGLING HOST SET (nodes with no outlinks) is fixed, so
+    // each round's dangling mass is a semi-join against the
+    // precomputed set instead of a per-round anti-join against
+    // outDeg. The per-round arithmetic is unchanged: the same
+    // rank/out_deg contribution per edge, the same decimal sum over
+    // the same dangling ranks.
+    val edgesDeg = edges.join(outDeg, Seq("src"))
+      .select(col("src"), col("dst"), col("out_deg"))
+      .localCheckpoint()
+    val dangHosts = nodes
+      .join(outDeg, nodes("host") === outDeg("src"), "left_anti")
+      .localCheckpoint()
     var ranks = start
     for (_ <- 1 to iters) {
-      val contribs = edges
-        .join(ranks, edges("src") === ranks("host"))
-        .join(outDeg, Seq("src"))
+      // the RANK VECTOR is the broadcast side (r16, guide §3.1): it
+      // is the one host-bounded relation in the round (tens of MB at
+      // billions of pages), while the edge relation is host-PAIR-
+      // sized and loop-invariant — shipping the vector to the edges
+      // leaves the edge relation un-shuffled in every round (the
+      // pregel layout). The per-target sum is the same dsum over the
+      // same rank/out_deg terms (exact decimal — order-free).
+      val contribs = edgesDeg
+        .join(broadcast(ranks), edgesDeg("src") === ranks("host"))
         .select(col("dst"),
           (col("rank") / col("out_deg").cast("double")).as("c"))
         .groupBy(col("dst")).agg(dsum(col("c")).as("s"))
       val dang = ranks
-        .join(outDeg, ranks("host") === outDeg("src"), "left_anti")
+        .join(dangHosts, Seq("host"), "left_semi")
         .agg(coalesce(dsum(col("rank")), lit(0.0)).as("dang"))
+      // contribs (≤ host-sized) broadcasts into the node update for
+      // the same reason: no per-round shuffle of the node relation
       ranks = nodes
-        .join(contribs, nodes("host") === contribs("dst"), "left")
+        .join(broadcast(contribs), nodes("host") === contribs("dst"),
+          "left")
         .crossJoin(broadcast(dang))
         .crossJoin(broadcast(nn))
         .select(nodes("host"),
@@ -199,7 +225,8 @@ object LinkGraph {
     * crawl fingerprint. */
   def linkPagerankProbe(spark: SparkSession, dir: String): DataFrame =
     linkPagerankProbeWith(
-      hostEdges(HtmlExtract.fixturePages(spark)),
+      hostEdges(HtmlExtract.fixturePages(spark),
+        Some(HtmlExtract.fixtureResolved(spark))),
       spark.read.parquet(baseRankStore(spark))
         .select(col("host"), col("rank").as("base_rank")))
 
@@ -246,10 +273,12 @@ object LinkGraph {
     * (reach doubles per round — diameter ~2^maxIter) over the
     * host-bounded edge set, each round one keyed join + agg. */
   def hostClusters(spark: SparkSession, dir: String): DataFrame =
-    hostClustersFrom(HtmlExtract.fixturePages(spark))
+    hostClustersFrom(HtmlExtract.fixturePages(spark),
+      Some(HtmlExtract.fixtureResolved(spark)))
 
-  private[graft] def hostClustersFrom(pages: DataFrame): DataFrame = {
-    val e = hostEdges(pages)
+  private[graft] def hostClustersFrom(pages: DataFrame,
+      resolved: Option[DataFrame] = None): DataFrame = {
+    val e = hostEdges(pages, resolved)
     // checkpoint BEFORE the label rounds: minLabelComponents consumes
     // its pair relation once per round, and an un-checkpointed pair
     // plan re-runs the corpus-sized resolve chain every round (16.4 s
@@ -322,7 +351,8 @@ object LinkGraph {
   def hostPriority(spark: SparkSession, dir: String): DataFrame =
     hostPriorityWith(HtmlExtract.fixturePages(spark),
       spark.read.parquet(rankStore(spark))
-        .select(col("host"), col("rank")))
+        .select(col("host"), col("rank")),
+      Some(HtmlExtract.fixtureResolved(spark)))
 
   /** Full-compute form (pagerank inline) — specs and the ScaleStress
     * leg price the backfill; the registered query reads the store. */
@@ -331,8 +361,9 @@ object LinkGraph {
       pagerank(hostEdges(pages)).select(col("host"), col("rank")))
 
   private def hostPriorityWith(pages: DataFrame,
-      ranks: DataFrame): DataFrame = {
-    val novel = HtmlExtract.frontierNovelFrom(pages)
+      ranks: DataFrame,
+      resolved: Option[DataFrame] = None): DataFrame = {
+    val novel = HtmlExtract.frontierNovelFrom(pages, resolved)
       .groupBy(col("host")).agg(count(lit(1)).as("n_novel"))
     val admitted = HtmlExtract.htmlExtractFrom(pages)
       .select(col("doc_id"), HtmlExtract.admissionOk.as("admitted"))
@@ -348,7 +379,7 @@ object LinkGraph {
       .select(col("host"),
         (col("n_admitted").cast("double") /
           col("n_pages").cast("double")).as("admit_rate"))
-    val traps = HtmlExtract.crawlTrapsFrom(pages)
+    val traps = HtmlExtract.crawlTrapsFrom(pages, resolved)
       .select(col("host"), col("trap_flag"))
     novel
       .join(ranks, Seq("host"), "left")

@@ -193,10 +193,10 @@ object MediaNeardup {
     * serving split. */
   private[graft] def assetFiles(spark: SparkSession,
       dir: String): DataFrame =
-    spark.read.format("binaryFile")
+    graft.util.Tables.packScan(spark.read.format("binaryFile")
       .load(Multimodal.mediaAssetDir(spark, dir),
         variantDir(spark, dir))
-      .filter(col("path").endsWith(".ppm"))
+      .filter(col("path").endsWith(".ppm")))
       .select(
         regexp_extract(col("path"), "([^/]+)\\.ppm$", 1).as("id"),
         col("content"))

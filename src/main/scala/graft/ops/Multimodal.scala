@@ -158,8 +158,9 @@ object Multimodal {
   /** The asset store read back through the real `binaryFile` source:
     * (media_id from the file name, payload = the raw PPM bytes). */
   def mediaAssets(spark: SparkSession, dir: String): DataFrame =
-    spark.read.format("binaryFile").load(mediaAssetDir(spark, dir))
-      .filter(col("path").endsWith(".ppm"))
+    graft.util.Tables.packScan(
+      spark.read.format("binaryFile").load(mediaAssetDir(spark, dir))
+        .filter(col("path").endsWith(".ppm")))
       .select(
         regexp_extract(col("path"), "doc_(\\d+)\\.ppm$", 1)
           .cast("long").as("media_id"),

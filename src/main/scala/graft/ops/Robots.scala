@@ -62,7 +62,7 @@ object Robots {
     * corpus's resolved frontier and the fixture robots rules. */
   def robotsGate(spark: SparkSession, dir: String): DataFrame =
     robotsGateFrom(
-      HtmlExtract.resolvedUrls(HtmlExtract.fixturePages(spark)),
+      HtmlExtract.fixtureResolved(spark),
       fixtureRules(spark))
 
   private[graft] def robotsGateFrom(urls: DataFrame,
@@ -135,7 +135,9 @@ object Robots {
     * host-bounded. */
   def frontierSchedule(spark: SparkSession, dir: String): DataFrame = {
     val pages = HtmlExtract.fixturePages(spark)
-    frontierScheduleFrom(HtmlExtract.frontierNovelFrom(pages),
+    frontierScheduleFrom(
+      HtmlExtract.frontierNovelFrom(pages,
+        Some(HtmlExtract.fixtureResolved(spark))),
       fixtureRules(spark))
   }
 

@@ -929,7 +929,12 @@ object Similarity {
     // vertices, by contrast, are always decided EXPLICITLY (as the b
     // of a kept root), so kept = all pair-graph vertices ∖ dropped is
     // exact.
-    var dropped = Seq.empty[Long].toDF("vec_id")
+    // per-round drop lists accumulate LAZILY (r16): each round's list
+    // is itself a checkpoint leaf and the cumulative set is only read
+    // AFTER the loop, so the old per-round union+checkpoint job was
+    // one materialization per round for data already on the block
+    // store — union the leaves once at the end instead
+    var droppedRounds = List.empty[DataFrame]
     var remaining = undecided.count()
     var iter = 0
     while (remaining > 0 && iter < maxIter) {
@@ -943,7 +948,7 @@ object Similarity {
           "left_semi")
         .select(col("b_id").as("vec_id")).distinct()
         .localCheckpoint()
-      dropped = dropped.union(roundDropped).localCheckpoint()
+      droppedRounds ::= roundDropped
       val decided = roots.union(roundDropped)
       undecided = undecided
         .join(decided.select(col("vec_id").as("a_id")), Seq("a_id"),
@@ -958,6 +963,8 @@ object Similarity {
       s"semDedupGreedy: $remaining undecided pairs after $maxIter rounds")
     // FINAL kept set = every pair-graph vertex minus the dropped set
     // (covers implicitly-kept vertices; see the accumulator comment)
+    val dropped = droppedRounds
+      .foldLeft(Seq.empty[Long].toDF("vec_id"))(_ union _)
     val kept = qualifying.select(col("a_id").as("vec_id"))
       .union(qualifying.select(col("b_id").as("vec_id"))).distinct()
       .join(dropped, Seq("vec_id"), "left_anti")

@@ -136,7 +136,7 @@ object Sitemap {
     * combined, a URL appears at most once per channel. */
   def discoveryFeed(spark: SparkSession, dir: String): DataFrame = {
     val pages = HtmlExtract.fixturePages(spark)
-    val outlinks = HtmlExtract.resolvedUrls(pages)
+    val outlinks = HtmlExtract.fixtureResolved(spark)
       .filter(!col("host").isin("(non-http)", "(unresolved)"))
       .select(col("host"), col("r").as("url")).distinct()
     discoveryFeedAssemble(spark, outlinks, seenUrls(pages))

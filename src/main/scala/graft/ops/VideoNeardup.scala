@@ -15,10 +15,11 @@ private[graft] case class VIngestRow(id: String, width: Int,
 private[graft] case class VFrameRow(id: String, pos: String,
     frame_idx: Int, y_min: Long, y_max: Long, y_sum: Long,
     dh_lo: Long, dh_hi: Long)
-private[graft] case class VSigRow(id: String, dh_lo: Long, dh_hi: Long)
-private[graft] case class VShingleRow(id: String, n_sh: Int,
-    a_lo: Long, a_hi: Long, b_lo: Long, b_hi: Long)
-private[graft] case class VDurRow(id: String, duration_ms: Long)
+private[graft] case class VQuad(a_lo: Long, a_hi: Long,
+    b_lo: Long, b_hi: Long)
+private[graft] case class VProxyRow(id: String, n_frames: Int,
+    duration_ms: Long, mid_lo: Long, mid_hi: Long,
+    shingles: Seq[VQuad])
 
 /** X110 — the THIRD modality: Y4M video ingest, frame sampling and
   * keyframe perceptual near-dup. Completes the multimodal triple the
@@ -240,8 +241,9 @@ object VideoNeardup {
   /** The store read back through the real binaryFile source. */
   private[graft] def assetFiles(spark: SparkSession,
       dir: String): DataFrame =
-    spark.read.format("binaryFile").load(videoAssetDir(spark, dir))
-      .filter(col("path").endsWith(".y4m"))
+    graft.util.Tables.packScan(
+      spark.read.format("binaryFile").load(videoAssetDir(spark, dir))
+        .filter(col("path").endsWith(".y4m")))
       .select(
         regexp_extract(col("path"), "([^/]+)\\.y4m$", 1).as("id"),
         col("content"))
@@ -321,17 +323,46 @@ object VideoNeardup {
       .toDF()
       .orderBy("id", "frame_idx", "pos")
 
+  /** Decode-once per-clip PROXY relation (r16 optimization, guide §8:
+    * decide with small rows — one decode of the store yields every
+    * per-clip feature the pair channels need). Per clip, the
+    * frame-hash sequence collapses to the temporal-middle dHash, the
+    * DISTINCT consecutive-hash shingle set, and the integer duration;
+    * `video_neardup`'s signatures, `video_subclip`'s shingles and
+    * `video_canonical`'s election key all derive from this ONE scan.
+    * Pre-r16, `video_canonical` re-decoded the store once per channel
+    * reference (profiled: 5 concurrent 215-task decode jobs at sf0.1
+    * — 6.4 s; the subclip self-join alone held 4 copies of the
+    * decode subtree, which Catalyst cannot CSE through an opaque
+    * mapPartitions). Every derived value is bit-identical to the old
+    * per-channel closures: same [[dhashLuma]] per frame, same
+    * `.distinct` shingle rule, same integer duration arithmetic. */
+  private[graft] def videoProxies(spark: SparkSession,
+      dir: String): DataFrame =
+    decodedFlatMap(spark, dir, "graft.video.proxy_failures") {
+      (id, v) =>
+        val hs = v.frames.map(fr => dhashLuma(v.width, v.height, fr))
+        val sh = (0 until hs.length - 1)
+          .map(i => (hs(i), hs(i + 1))).distinct
+        val (mlo, mhi) = hs(hs.length / 2)
+        Iterator.single(VProxyRow(id, v.frames.length,
+          v.frames.length.toLong * 1000L * v.fpsDen / v.fpsNum,
+          mlo, mhi,
+          sh.map { case ((alo, ahi), (blo, bhi)) =>
+            VQuad(alo, ahi, blo, bhi) }))
+    }(org.apache.spark.sql.Encoders.product[VProxyRow])
+      .toDF()
+
   /** (id, dh_lo, dh_hi) keyframe signatures: the temporal-middle
-    * frame's luma dHash. */
+    * frame's luma dHash (derived from [[videoProxies]] — one decode
+    * path to maintain; the standalone query still scans once). */
   private[graft] def signatures(spark: SparkSession,
       dir: String): DataFrame =
-    decodedFlatMap(spark, dir, "graft.video.dhash_failures") {
-      (id, v) =>
-        val fr = v.frames(v.frames.length / 2)
-        val (lo, hi) = dhashLuma(v.width, v.height, fr)
-        Iterator.single(VSigRow(id, lo, hi))
-    }(org.apache.spark.sql.Encoders.product[VSigRow])
-      .toDF()
+    signaturesFrom(videoProxies(spark, dir))
+
+  private def signaturesFrom(proxy: DataFrame): DataFrame =
+    proxy.select(col("id"), col("mid_lo").as("dh_lo"),
+      col("mid_hi").as("dh_hi"))
 
   /** X110c registered query — keyframe perceptual near-dup through
     * the SHARED banded Hamming engine ([[MediaNeardup.pairsFor]]). */
@@ -349,16 +380,20 @@ object VideoNeardup {
     * shingle window costs no shuffle. */
   private[graft] def frameShingles(spark: SparkSession,
       dir: String): DataFrame =
-    decodedFlatMap(spark, dir, "graft.video.shingle_failures") {
-      (id, v) =>
-        val hs = v.frames.map(fr => dhashLuma(v.width, v.height, fr))
-        val sh = (0 until hs.length - 1)
-          .map(i => (hs(i), hs(i + 1))).distinct
-        sh.iterator.map { case ((alo, ahi), (blo, bhi)) =>
-          VShingleRow(id, sh.size, alo, ahi, blo, bhi)
-        }
-    }(org.apache.spark.sql.Encoders.product[VShingleRow])
-      .toDF()
+    shinglesFrom(videoProxies(spark, dir))
+
+  /** The (id, n_sh, a_lo, a_hi, b_lo, b_hi) shingle relation unpacked
+    * from the proxy rows — `n_sh` is the clip's distinct-shingle
+    * count (the containment denominator), exactly the old closure's
+    * `sh.size`; single-frame clips carry an empty array and emit no
+    * rows, matching the old empty iterator. */
+  private def shinglesFrom(proxy: DataFrame): DataFrame =
+    proxy
+      .select(col("id"), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("q"))
+      .select(col("id"), col("n_sh"), col("q.a_lo").as("a_lo"),
+        col("q.a_hi").as("a_hi"), col("q.b_lo").as("b_lo"),
+        col("q.b_hi").as("b_hi"))
 
   /** X110d registered query — temporal SUBCLIP near-dup: clips
     * sharing ≥ `minContain` of the smaller side's frame-hash shingles
@@ -382,9 +417,19 @@ object VideoNeardup {
     * only genuinely overlapping clips survive to the driver. */
   def videoSubclip(spark: SparkSession, dir: String,
       minContain: Double = MinContain,
-      maxBucket: Int = MaxBucket): DataFrame = {
+      maxBucket: Int = MaxBucket): DataFrame =
+    // the proxy is CHECKPOINTED: the occupancy-cap + self-join shape
+    // below references the shingle relation four times, and through
+    // an opaque decode closure each reference would re-scan and
+    // re-decode the store (r16 profile: 4 decode jobs; with the
+    // checkpoint, one)
+    subclipPairs(shinglesFrom(
+        videoProxies(spark, dir).localCheckpoint()),
+      minContain, maxBucket)
+
+  private def subclipPairs(sh: DataFrame, minContain: Double,
+      maxBucket: Int): DataFrame = {
     val keyCols = Seq("a_lo", "a_hi", "b_lo", "b_hi")
-    val sh = frameShingles(spark, dir)
     val capped =
       if (maxBucket > 0) {
         val allowed = sh.groupBy(keyCols.map(col): _*)
@@ -410,14 +455,8 @@ object VideoNeardup {
 
   /** (id, duration_ms) from the parsed container headers — the
     * election key of [[videoCanonical]]. */
-  private def clipDurations(spark: SparkSession,
-      dir: String): DataFrame =
-    decodedFlatMap(spark, dir, "graft.video.duration_failures") {
-      (id, v) =>
-        Iterator.single(VDurRow(id,
-          v.frames.length.toLong * 1000L * v.fpsDen / v.fpsNum))
-    }(org.apache.spark.sql.Encoders.product[VDurRow])
-      .toDF()
+  private def clipDurations(proxy: DataFrame): DataFrame =
+    proxy.select(col("id"), col("duration_ms"))
 
   /** X110e registered query — video CANONICAL consolidation: one row
     * per near-dup GROUP with its keeper, over the UNION of the two
@@ -447,16 +486,23 @@ object VideoNeardup {
       minContain: Double = MinContain,
       hammingMax: Int = HammingMax,
       maxBucket: Int = MaxBucket): DataFrame = {
-    val edges = videoSubclip(spark, dir, minContain, maxBucket)
+    // ONE checkpointed decode pass feeds all three channels (subclip
+    // shingles, keyframe signatures, duration election key) — the
+    // r16 decode-once restructure; pre-r16 this query ran 5 full
+    // store decodes (see [[videoProxies]])
+    val proxy = videoProxies(spark, dir).localCheckpoint()
+    val edges = subclipPairs(shinglesFrom(proxy), minContain,
+        maxBucket)
       .select(col("id_a"), col("id_b"))
-      .union(videoNeardup(spark, dir, hammingMax, maxBucket)
+      .union(MediaNeardup.pairsFor(signaturesFrom(proxy), hammingMax,
+          maxBucket)
         .select(col("id_a"), col("id_b")))
       .distinct()
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .localCheckpoint()
     val labels = Dedup.minLabelComponents(edges)
       .select(col("doc_id").as("id"), col("grp"))
-    clipDurations(spark, dir)
+    clipDurations(proxy)
       .join(labels, Seq("id"), "left")
       .withColumn("group_id", coalesce(col("grp"), col("id")))
       .groupBy(col("group_id"))

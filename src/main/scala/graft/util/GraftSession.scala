@@ -48,6 +48,19 @@ object GraftSession {
                   s"got '$v'")
             }))
           .getOrElse(cores).toString)
+      // r16: file-listing strategy. The default threshold (32 paths)
+      // launches a DISTRIBUTED listing job whenever a scan names more
+      // than 32 files — the media/video stores and the streaming
+      // file sources routinely name a few hundred, and each such job
+      // costs a full scheduler round-trip with one task per path
+      // (profiled: 0.9 s per micro-batch at sf0.1 just to re-list
+      // ~500 asset paths). Driver-side listing of a few thousand
+      // paths is cheaper on any filesystem (it is one RPC per path,
+      // pooled); the distributed job only pays off at tens of
+      // thousands of paths. Parameterized for deployments whose
+      // stores really are that wide (SPARK_GRAFT_LISTING_THRESHOLD).
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LISTING_THRESHOLD", "4096"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")

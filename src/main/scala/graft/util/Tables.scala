@@ -137,6 +137,32 @@ object Tables {
     * probing `.rdd` there can trigger stage execution under AQE and the
     * tiny-scan problem it solves doesn't exist post-shuffle anyway.
     * FanOutSpec asserts the scan probe runs zero jobs. */
+  /** The OPPOSITE scan correction to [[fanOut]] (r16, guide §6/§2.2):
+    * coalesce a MANY-SMALL-FILES scan down to a scale-adaptive
+    * partition count. File-split packing caps at ~32 files per split
+    * (`openCostInBytes` charging), so a store of thousands of
+    * KB-sized assets scans as hundreds of near-empty partitions and
+    * every downstream stage over it (or over a checkpoint of it)
+    * re-schedules that many tiny tasks — profiled at sf0.1 as
+    * 215-task stages over the 6,876-file video store, repeated per
+    * consumer job. Target count = max(one wave of cores,
+    * totalBytes / maxPartitionBytes): never fewer tasks than the
+    * cluster can run at once, never partitions bigger than the
+    * configured split size — so a store whose BYTES demand more
+    * partitions keeps them (a 100 TB store is untouched; only the
+    * small-file pathology collapses). `coalesce` merges without a
+    * shuffle: the decode closures downstream then run once per
+    * merged partition over locally-read bytes. */
+  def packScan(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxPB = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
+    val byBytes = (bytes / maxPB).toLong + 1L
+    val target = math.max(
+      spark.sparkContext.defaultParallelism.toLong, byBytes)
+    df.coalesce(math.min(target, Int.MaxValue.toLong).toInt)
+  }
+
   def fanOut(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
     def scanOnly(p: LogicalPlan): Boolean = p match {
