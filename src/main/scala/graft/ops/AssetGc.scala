@@ -63,8 +63,12 @@ object AssetGc {
 
   private def pathListing(spark: SparkSession, paths: Seq[String],
       ext: String): DataFrame =
-    spark.read.format("binaryFile").load(paths: _*)
-      .filter(col("path").endsWith(s".$ext"))
+    // packScan (r16): a per-file-path binaryFile load otherwise scans
+    // as one partition PER PATH — profiled as a 1,278-task job over
+    // the three stores at sf0.1
+    graft.util.Tables.packScan(
+      spark.read.format("binaryFile").load(paths: _*)
+        .filter(col("path").endsWith(s".$ext")))
       .select(col("path"),
         regexp_extract(col("path"), s"([^/]+)\\.$ext$$", 1).as("id"))
 
@@ -146,8 +150,9 @@ object AssetGc {
     val failures =
       spark.sparkContext.longAccumulator("graft.assetgc.decode_failures")
     val units = stores(spark, dir).map { case (mod, _, ext, decode) =>
-      spark.read.format("binaryFile").load(s"$store/_deleted/$mod")
-        .filter(col("path").endsWith(s".$ext"))
+      graft.util.Tables.packScan(
+        spark.read.format("binaryFile").load(s"$store/_deleted/$mod")
+          .filter(col("path").endsWith(s".$ext")))
         .select(col("path"), col("content"))
         .as[(String, Array[Byte])]
         .mapPartitions { it =>

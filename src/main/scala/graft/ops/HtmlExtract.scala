@@ -692,8 +692,7 @@ object HtmlExtract {
     crawlBudgetFrom(
       linkHostsResolvedFrom(fixturePages(spark),
         Some(fixtureResolved(spark))).localCheckpoint(),
-      Robots.declaredDelays(
-        Robots.robotsParseFrom(Robots.rawRobots(spark)))
+      Robots.declaredDelays(Robots.fixtureParsed(spark))
         .localCheckpoint())
 
   /** Heuristic-only form (no robots relation): every delay falls back

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.util.Tables.t
+import graft.util.Tables.{t, fanOut}
 
 /** Data-inspection / change-capture operators a lake pipeline runs
   * between loads:
@@ -170,7 +170,7 @@ object Inspect {
     * in-engine-audited HLL bound boolean (see
     * [[tableProfileApproxGate]]). */
   def ordersProfileApproxGate(spark: SparkSession, dir: String): DataFrame =
-    tableProfileApproxGate(t(spark, dir, "orders"),
+    tableProfileApproxGate(fanOut(t(spark, dir, "orders")),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
 
   /** Referential-integrity audit across the star schema: orphan counts
@@ -185,8 +185,8 @@ object Inspect {
     def keyOf(table: String, c: String, flag: String): DataFrame =
       t(spark, dir, table).select(col(c)).distinct()
         .withColumn(flag, lit(true))
-    val li = t(spark, dir, "lineitem")
-      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val li = fanOut(t(spark, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey"))
       .join(keyOf("orders", "o_orderkey", "__o"),
         col("l_orderkey") === col("o_orderkey"), "left")
       .join(keyOf("part", "p_partkey", "__p"),
@@ -232,14 +232,14 @@ object Inspect {
     * (double min/max render differently across engines; their VALUES
     * are exact — see q1's decimal sums — only the string form differs). */
   def ordersProfile(spark: SparkSession, dir: String): DataFrame =
-    tableProfile(t(spark, dir, "orders"),
+    tableProfile(fanOut(t(spark, dir, "orders")),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
 
   /** Registered HLL twin of [[ordersProfile]] — the shape that runs at
     * 100 TB (rows-only in the gate; InspectSpec asserts <5% relative
     * distinct error vs the exact twin). */
   def ordersProfileApprox(spark: SparkSession, dir: String): DataFrame =
-    tableProfileApprox(t(spark, dir, "orders"),
+    tableProfileApprox(fanOut(t(spark, dir, "orders")),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
 
   /** One declarative data-quality expectation: `metric` must satisfy
