@@ -381,13 +381,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // presentation sort. The round-15 shared-assembly refactor
     // dropped the frontierNovelFrom detour's 2 extra exchanges (its
     // internal orderBy + second seen distinct): 9 → 7
-    "discovery_feed" -> 7,
+    // r16: the sitemap/robots channels read memoized checkpoint
+    // leaves — one window exchange left the read-time plan
+    "discovery_feed" -> 6,
     // X101b: the batch feed's merge shape over the accumulated
     // per-batch stores — the outlink/seen distincts read slim state
     // parquet instead of the resolve chain (whose exchanges ran
     // per-arrival inside foreachBatch), then the three novelty
     // anti-joins + merge agg + presentation sort
-    "discovery_feed_stream" -> 7,
+    "discovery_feed_stream" -> 6,
     // X100: the line windows, the rules×agents self-join and the
     // rule_order window all REUSE the one host exchange; plus the
     // presentation sort — all host-bounded (lines per robots file);
