@@ -130,22 +130,40 @@ object HtmlExtract {
     Entities.foldLeft(c) { case (acc, (ent, ch)) =>
       replace(acc, lit(ent), lit(ch)) }
 
-  /** The extraction over any (doc_id, source, html) relation. */
+  /** The extraction over any (doc_id, source, html) relation.
+    *
+    * The shared subexpressions (`regions`, `anchors`, the two length
+    * folds) are bound ONCE as [[graft.expressions.PlanFence]]d
+    * intermediate columns instead of being textually duplicated into
+    * every consumer expression (r17, VERDICT item 1): the fence stops
+    * project collapsing from re-inlining them, so the ANALYZED and
+    * OPTIMIZED trees stay O(sum of the chain's stages) — `regions`
+    * (6 stacked regexes) was duplicated 3×, `anchors` 2× and the
+    * length folds 3×/2× per plan, and every foreachBatch micro-batch
+    * (crawl_ingest_stream, html_extract_stream, web_pipeline's entry)
+    * re-planned that blown-up tree. Values are bit-identical (same
+    * expressions, evaluated once per row instead of per reference). */
   def htmlExtractFrom(df: DataFrame): DataFrame = {
-    val regions = dropRegions(col("html"))
-    val anchors = regexp_extract_all(regions, lit(AnchorPattern), lit(1))
-    val linkChars = aggregate(
-      transform(anchors, a => length(collapse(stripTags(a))).cast("long")),
-      lit(0L), (acc, x) => acc + x)
-    val bodyChars =
-      greatest(lit(1L), length(collapse(stripTags(regions))).cast("long"))
-    df.select(col("doc_id"), col("source"),
-        collapse(decode(stripTags(regions))).as("text"),
-        size(anchors).cast("long").as("n_links"),
-        linkChars.as("link_chars"),
-        (linkChars.cast("double") / bodyChars).as("link_density"),
+    import graft.expressions.PlanFence
+    val staged = df
+      .withColumn("_regions", PlanFence(dropRegions(col("html"))))
+      .withColumn("_anchors", PlanFence(
+        regexp_extract_all(col("_regions"), lit(AnchorPattern), lit(1))))
+      .withColumn("_link_chars", PlanFence(aggregate(
+        transform(col("_anchors"),
+          a => length(collapse(stripTags(a))).cast("long")),
+        lit(0L), (acc, x) => acc + x)))
+      .withColumn("_body_chars", PlanFence(greatest(lit(1L),
+        length(collapse(stripTags(col("_regions")))).cast("long"))))
+    staged.select(col("doc_id"), col("source"),
+        collapse(decode(stripTags(col("_regions")))).as("text"),
+        size(col("_anchors")).cast("long").as("n_links"),
+        col("_link_chars").as("link_chars"),
+        (col("_link_chars").cast("double") / col("_body_chars"))
+          .as("link_density"),
         (col("html").rlike(BoilerTagPattern) ||
-          linkChars.cast("double") / bodyChars > LinkDensityCut)
+          col("_link_chars").cast("double") / col("_body_chars")
+            > LinkDensityCut)
           .as("boilerplate_flag"))
       .withColumn("text_len", length(col("text")).cast("long"))
       .select("doc_id", "source", "text", "text_len", "n_links",
@@ -398,11 +416,14 @@ object HtmlExtract {
   /** [[linkHosts]] over an arbitrary (doc_id, html) relation — the
     * ScaleStress leg feeds the chrome-wrapped n× corpus through it. */
   private[graft] def linkHostsFrom(pages: DataFrame): DataFrame = {
+    // `u` fenced: the host bucketing references it 3× (two extracts +
+    // the distinct count), and project collapsing would inline the
+    // whole normalize regex tree into each — see [[resolvedUrls]]
     val urls = pages
       .select(col("doc_id"),
         explode(regexp_extract_all(col("html"), lit(HrefPattern),
           lit(1))).as("url"))
-      .withColumn("u", normalizeUrl(col("url")))
+      .withColumn("u", graft.expressions.PlanFence(normalizeUrl(col("url"))))
       .withColumn("host",
         when(regexp_extract(col("u"), HostPattern, 1) === "",
           lit("(relative)"))
@@ -516,14 +537,28 @@ object HtmlExtract {
         lit("(unresolved)"))
       .otherwise(regexp_extract(r, HostPattern, 1))
 
-  private[graft] def resolvedUrls(pages: DataFrame): DataFrame =
+  /** Each chain stage is a [[graft.expressions.PlanFence]]d alias
+    * (r17, VERDICT item 1): without the fence, project collapsing
+    * inlines `u`'s normalize tree into `r`'s ~7 references and `r`
+    * into `host`'s 3, so the optimized expression tree — and with it
+    * every optimizer pass — grows multiplicatively (~21× the
+    * normalize chain). The r16 checkpoint memo ([[fixtureResolved]])
+    * shields batch consumers, but the foreachBatch STREAMS
+    * (discovery_feed_stream, crawl_ingest_stream) re-plan this chain
+    * per micro-batch where no memo can help; the fence caps planning
+    * at O(sum of stages) for every consumer. Same values, zero
+    * runtime cost (the fence codegens to its child). */
+  private[graft] def resolvedUrls(pages: DataFrame): DataFrame = {
+    import graft.expressions.PlanFence
     pages
-      .select(col("doc_id"), normalizeUrl(col("page_url")).as("p"),
+      .select(col("doc_id"),
+        PlanFence(normalizeUrl(col("page_url"))).as("p"),
         explode(regexp_extract_all(col("html"), lit(HrefPattern),
           lit(1))).as("url"))
-      .withColumn("u", normalizeUrl(col("url")))
-      .withColumn("r", resolveUrl(col("u"), col("p")))
-      .withColumn("host", hostBucket(col("u"), col("r")))
+      .withColumn("u", PlanFence(normalizeUrl(col("url"))))
+      .withColumn("r", PlanFence(resolveUrl(col("u"), col("p"))))
+      .withColumn("host", PlanFence(hostBucket(col("u"), col("r"))))
+  }
 
   /** Session-memoized CHECKPOINT of [[resolvedUrls]] over the FULL
     * fixture crawl — the relation ~10 registered crawl queries
@@ -932,19 +967,24 @@ object HtmlExtract {
     anchorTextFrom(fixturePages(spark))
 
   private[graft] def anchorTextFrom(pages: DataFrame): DataFrame = {
+    // fenced chain stages, same rationale (and same zero runtime
+    // cost) as [[resolvedUrls]]: anchor_text builds its OWN
+    // element-paired chain — the r16 memo cannot serve it — and paid
+    // the same multiplicative planning blowup per invocation
+    import graft.expressions.PlanFence
     val elems = pages
-      .select(normalizeUrl(col("page_url")).as("p"),
+      .select(PlanFence(normalizeUrl(col("page_url"))).as("p"),
         explode(regexp_extract_all(col("html"), lit(AnchorElemPattern),
           lit(0))).as("e"))
       .select(col("p"),
-        regexp_extract(col("e"), HrefPattern, 1).as("url"),
-        collapse(stripTags(regexp_extract(col("e"), AnchorPattern, 1)))
-          .as("atext"))
+        PlanFence(regexp_extract(col("e"), HrefPattern, 1)).as("url"),
+        PlanFence(collapse(stripTags(
+          regexp_extract(col("e"), AnchorPattern, 1)))).as("atext"))
       .filter(col("url") =!= "" && col("atext") =!= "")
     val hosts = elems
-      .withColumn("u", normalizeUrl(col("url")))
-      .withColumn("r", resolveUrl(col("u"), col("p")))
-      .withColumn("host", hostBucket(col("u"), col("r")))
+      .withColumn("u", PlanFence(normalizeUrl(col("url"))))
+      .withColumn("r", PlanFence(resolveUrl(col("u"), col("p"))))
+      .withColumn("host", PlanFence(hostBucket(col("u"), col("r"))))
       .filter(!col("host").isin("(non-http)", "(unresolved)"))
     val counts = hosts
       .select(col("host"),
