@@ -127,6 +127,13 @@ object CorpusPipeline {
       s: DataFrame, scratchRoot: String,
       chunkLabel: String, shardLabel: String): DataFrame = {
     val stride = ChunkSize - ChunkOverlap
+    // LAZY chunk-relation checkpoint (r17): `ch` has two consumers —
+    // the pack/export write (runs at construction) and the chunk
+    // accounting row of the RETURNED query — and without a checkpoint
+    // the accounting branch re-ran the whole survivor chain + chunk
+    // explode a second time at materialization. Chunk-count-sized
+    // (doc_id, chunk_id, n_tok — no tokens); the construction-time
+    // write is its first action and materializes it.
     val ch = s
       .withColumn("n_chunks", greatest(lit(1L),
         ceil((size(col("w")) - lit(ChunkOverlap)).cast("double") /
@@ -138,6 +145,7 @@ object CorpusPipeline {
           lit(ChunkSize)))
       .select(col("doc_id"), col("chunk_id"),
         size(col("ct")).cast("long").as("n_tok"))
+      .localCheckpoint(false)
     val key = concat(col("doc_id").cast("string"), lit(":"),
       col("chunk_id").cast("string"))
     val packed = ch
@@ -334,23 +342,118 @@ object CorpusPipeline {
         .filter(!col("keep")).select(col("doc_id"))
         .localCheckpoint(false)
     }
-    val s10 = s9.join(drop10, Seq("doc_id"), "left_anti")
+    // ---- single-pass accounting for the drop-list stages (r17) ----
+    // The per-stage acct branches each replayed the anti-join chain
+    // from s4 (acct(s5) = 1 join, acct(s6) = 2, ... acct(s10) = 6 —
+    // 21 broadcast anti-joins + 6 aggregates + 6 s4 scans in ONE
+    // query), and with AQE every exchange materialized as its own
+    // job: 157 jobs, most of the query's 12 s. Every drop list is
+    // DISTINCT on doc_id by construction (containmentDrops /
+    // decon .distinct(), semDedup/semanticDecon drops .distinct(),
+    // rarity/quality groupBy(doc_id)), so a LEFT join marks
+    // membership without row multiplication and stage K's survivor
+    // set is exactly the conjunction of "not in any earlier drop
+    // list" — the same sets the anti-join chain computes, now derived
+    // in ONE pass over s4 with 6 broadcast flag joins + ONE aggregate
+    // of conditional sums. Oracle-verified identical (the stage rows
+    // hash-match at sf0.01 and sf0.1).
+    val survived = cumulativeSurvival(s4,
+      Seq("d5" -> drop5, "d6" -> drop6, "d7" -> drop7,
+        "d8" -> drop8, "d9" -> drop9, "d10" -> drop10),
+      // stage 6 additionally removes the eval stand-in slice
+      Map("d6" -> (col("doc_id") % DeconEvalMod =!= 0)))
+    val acctDrops = survivalAcct(survived,
+      Seq("05_contain" -> "d5", "06_decon_ngram" -> "d6",
+        "07_semdedup" -> "d7", "08_decon_sem" -> "d8",
+        "09_rarity" -> "d9", "10_quality_score" -> "d10"))
 
     // ---- stages 11-12: the shared chunk → pack → shard-export tail ----
-    val tail = chunkShardExport(spark, s10,
+    val tail = chunkShardExport(spark,
+      survived.filter(col("alive_d10")).select(col("doc_id"), col("w")),
       "graft_pipeline/" + graft.util.Tables.pathTag(dir),
       "11_chunk", "12_shard")
 
+    // stages 0/1 share one tok scan (conditional sums — same values
+    // as the separate filter+agg branches)
+    val q1 = size(col("w")) >= MinTokens &&
+      (size(array_distinct(col("w"))).cast("double") /
+        nullif(size(col("w")), lit(0))) >= MinUniqRatio
+    val acct01 = stagePairAcct(tok, "00_ingest", "01_quality", q1)
+
     (Seq(
-      acct("00_ingest", tok), acct("01_quality", s1),
+      acct01,
       acct("02_exact", s2), acct("03_neardup", s3),
-      acct("04_spanscrub", s4), acct("05_contain", s5),
-      acct("06_decon_ngram", s6), acct("07_semdedup", s7),
-      acct("08_decon_sem", s8), acct("09_rarity", s9),
-      acct("10_quality_score", s10), tail)
+      acct("04_spanscrub", s4), acctDrops, tail)
       .reduce(_ unionByName _))
       .orderBy("stage", "shard")
   }
+
+  /** One pass over `base` (doc_id, w) marking, per drop list, whether
+    * each doc is STILL ALIVE after that stage: `alive_<k>` =
+    * alive_<k-1> ∧ extra-filter(k) ∧ doc ∉ drops(k). Drop lists must
+    * be distinct on doc_id (they are — see call sites); LEFT joins
+    * then mark membership without multiplying rows, which is exactly
+    * the anti-join chain's semantics. */
+  private def cumulativeSurvival(base: DataFrame,
+      drops: Seq[(String, DataFrame)],
+      extraFilter: Map[String, org.apache.spark.sql.Column]):
+      DataFrame = {
+    val joined = drops.foldLeft(base) { case (df, (name, d)) =>
+      df.join(d.withColumn(s"in_$name", lit(true)),
+        Seq("doc_id"), "left")
+    }
+    drops.foldLeft((joined, lit(true))) {
+      case ((df, prev), (name, _)) =>
+        val alive = prev && extraFilter.getOrElse(name, lit(true)) &&
+          col(s"in_$name").isNull
+        (df.withColumn(s"alive_$name", alive), col(s"alive_$name"))
+    }._1
+  }
+
+  /** The per-stage accounting rows of [[cumulativeSurvival]]'s flags,
+    * from ONE aggregate of conditional sums — value-identical to
+    * aggregating each anti-joined stage separately. */
+  private def survivalAcct(survived: DataFrame,
+      stages: Seq[(String, String)]): DataFrame = {
+    val aggs = stages.flatMap { case (_, k) =>
+      Seq(
+        coalesce(sum(when(col(s"alive_$k"), 1L)), lit(0L))
+          .as(s"c_$k"),
+        coalesce(sum(when(col(s"alive_$k"),
+          size(col("w")).cast("long"))), lit(0L)).as(s"t_$k"))
+    }
+    val rows = stages.map { case (stage, k) =>
+      struct(lit(stage).as("stage"), lit(-1).as("shard"),
+        col(s"c_$k").as("n_docs"), lit(0L).as("n_packs"),
+        col(s"t_$k").as("n_tokens"))
+    }
+    survived.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.stage"), col("r.shard"), col("r.n_docs"),
+        col("r.n_packs"), col("r.n_tokens"))
+  }
+
+  /** Accounting for a stage and its filtered successor from ONE scan
+    * (stage pair 00/01 in both pipelines): count/token mass of `df`
+    * and of `df.filter(pred)` as two conditional sums. */
+  private def stagePairAcct(df: DataFrame, allStage: String,
+      filtStage: String,
+      pred: org.apache.spark.sql.Column): DataFrame =
+    df.agg(
+        count(lit(1)).as("c0"),
+        coalesce(sum(size(col("w")).cast("long")), lit(0L)).as("t0"),
+        coalesce(sum(when(pred, 1L)), lit(0L)).as("c1"),
+        coalesce(sum(when(pred, size(col("w")).cast("long"))),
+          lit(0L)).as("t1"))
+      .select(explode(array(
+        struct(lit(allStage).as("stage"), lit(-1).as("shard"),
+          col("c0").as("n_docs"), lit(0L).as("n_packs"),
+          col("t0").as("n_tokens")),
+        struct(lit(filtStage).as("stage"), lit(-1).as("shard"),
+          col("c1").as("n_docs"), lit(0L).as("n_packs"),
+          col("t1").as("n_tokens")))).as("r"))
+      .select(col("r.stage"), col("r.shard"), col("r.n_docs"),
+        col("r.n_packs"), col("r.n_tokens"))
 
   /** X70 — the INCREMENTAL (daily-batch) form of [[corpusPipeline]]:
     * the shape a production corpus build actually runs after the
@@ -572,20 +675,31 @@ object CorpusPipeline {
       QualitySignals.qualityScoreTok(b8, threshold = QsMinMargin)
         .filter(!col("keep")).select(col("doc_id")).localCheckpoint(false)
     }
-    val b9 = b8.join(drop9, Seq("doc_id"), "left_anti")
+    // ---- single-pass accounting for the drop-list stages (r17) ----
+    // same restructure (and same equivalence argument) as the rebuild:
+    // every incr drop list is distinct on doc_id (the unions/decon
+    // .distinct(), rarity/quality groupBy(doc_id)), so one pass over
+    // the b2 checkpoint with 7 broadcast flag joins + one aggregate
+    // replaces 28 anti-join replays across the acct branches
+    val survived = cumulativeSurvival(b2,
+      Seq("d3" -> drop3, "d4" -> drop4, "d5" -> drop5,
+        "d6" -> drop6, "d7" -> drop7, "d8" -> drop8, "d9" -> drop9),
+      Map("d5" -> (col("doc_id") % DeconEvalMod =!= 0)))
+    val acctDrops = survivalAcct(survived,
+      Seq("03_neardup" -> "d3", "04_contain" -> "d4",
+        "05_decon_ngram" -> "d5", "06_semdedup" -> "d6",
+        "07_decon_sem" -> "d7", "08_rarity" -> "d8",
+        "09_quality_score" -> "d9"))
 
     // ---- stages 10–11: chunk + pack + export (batch delivery) ----
-    val tail = chunkShardExport(spark, b9,
+    val tail = chunkShardExport(spark,
+      survived.filter(col("alive_d9")).select(col("doc_id"), col("w")),
       "graft_pipeline_incr/" + graft.util.Tables.pathTag(dir),
       "10_chunk", "11_shard")
 
     (Seq(
       acct("00_batch", btok), acct("01_quality", b1),
-      acct("02_exact", b2), acct("03_neardup", b3),
-      acct("04_contain", b4), acct("05_decon_ngram", b5),
-      acct("06_semdedup", b6), acct("07_decon_sem", b7),
-      acct("08_rarity", b8), acct("09_quality_score", b9),
-      tail)
+      acct("02_exact", b2), acctDrops, tail)
       .reduce(_ unionByName _))
       .orderBy("stage", "shard")
   }
