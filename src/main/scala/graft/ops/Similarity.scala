@@ -480,7 +480,6 @@ object Similarity {
       java.nio.file.Paths.get(out).toAbsolutePath)
     val all = scorableEmb(t(spark, dir, "embeddings"))
     val corpus = all.filter(pmod(col("vec_id"), lit(appendMod)) =!= 0)
-    val incoming = all.filter(pmod(col("vec_id"), lit(appendMod)) === 0)
     coarseCodebookFor(corpus, maxCells).select("cell", "centroid")
       .write.parquet(s"$out/codebook")
     // route with the PERSISTED codebook (see ivfBuildIndex: re-running
@@ -490,14 +489,21 @@ object Similarity {
       .as[(Int, Seq[Double])].collect().toSeq
     val assignCell = argmaxCell(cells, col("embedding"))
     // same v2 store schema as ivfBuildIndex (label rides along) so
-    // filtered probes work against appended stores too
-    def routed(df: DataFrame) = fanOut(df)
+    // filtered probes work against appended stores too.
+    // ONE routing pass (r17): the corpus write and the append write
+    // are separate jobs by contract (appends land as NEW files), but
+    // they previously each re-ran the scan + argmax routing — route
+    // the whole relation once into a lazy checkpoint and write the
+    // two slices from it. Same rows, same routing, same file layout.
+    val routedAll = fanOut(all)
       .select(col("vec_id"), col("embedding"), col("label"),
         l2norm(col("embedding")).as("nrm"))
       .withColumn("cell", assignCell)
-    routed(corpus).write.partitionBy("cell").parquet(s"$out/cells")
-    routed(incoming).write.mode("append").partitionBy("cell")
-      .parquet(s"$out/cells")
+      .localCheckpoint(false)
+    routedAll.filter(pmod(col("vec_id"), lit(appendMod)) =!= 0)
+      .write.partitionBy("cell").parquet(s"$out/cells")
+    routedAll.filter(pmod(col("vec_id"), lit(appendMod)) === 0)
+      .write.mode("append").partitionBy("cell").parquet(s"$out/cells")
     out
   }
 
@@ -611,7 +617,11 @@ object Similarity {
     if (cells.isEmpty)
       return (emb.select(col("vec_id").as("a"), col("vec_id").as("b"),
         lit(0.0).as("score")).limit(0), PairPruneStats(0, 0, 0, 0))
+    // one routing pass: the radius/count collect materializes the
+    // checkpoint, which then serves both block-join sides (r17 —
+    // the semDedupQualifying leaf contract)
     val celled = emb.withColumn("cell", argmaxCell(cells, col("embedding")))
+      .localCheckpoint(false)
     // Per-cell angular radius vs the cell's own centroid (the pruning
     // bound) and per-cell COUNT (the salting input), one keyed agg.
     // The radius fold is double-precision (dotHof casts both sides),
@@ -750,10 +760,14 @@ object Similarity {
     val cells: Seq[(Int, Seq[Double])] =
       coarseCodebook(spark, dir, maxCells)
         .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSeq
+    // ONE routing pass: the lazy checkpoint is materialized by the
+    // salt-count collect and then serves both pair-join sides and the
+    // output join below (see semDedupQualifying's leaf contract)
     val celled = fanOut(scorableEmb(t(spark, dir, "embeddings")))
       .select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
       .withColumn("cell", argmaxCell(cells, col("embedding")))
+      .localCheckpoint(false)
     val qualifying =
       semDedupQualifying(spark, celled, tau, targetBlockRows,
         maxSaltsPerCell)
@@ -777,6 +791,13 @@ object Similarity {
   private def semDedupQualifying(spark: SparkSession, celled: DataFrame,
       tau: Double, targetBlockRows: Int, maxSaltsPerCell: Int): DataFrame = {
     import spark.implicits._
+    // `celled` must be a CHECKPOINT LEAF (callers checkpoint once,
+    // r17): this helper consumes it three times — the salt-count
+    // collect below, then BOTH sides of the block-pair join — and the
+    // callers read it again for their output join. Un-checkpointed,
+    // each consumer re-ran the embeddings scan + argmax/top-k cell
+    // routing (4-5 routing passes per query; the salting was derived
+    // "per consumer, not once" — VERDICT r16 item 5).
     // Adaptive per-cell salting, same rationale as [[cosinePairsFor]]:
     // block size bounds both per-task pair work and replication.
     val counts: Map[Int, Long] = celled.groupBy("cell")
@@ -847,11 +868,15 @@ object Similarity {
     val cells: Seq[(Int, Seq[Double])] =
       coarseCodebook(spark, dir, maxCells)
         .select("cell", "centroid").as[(Int, Seq[Double])].collect().toSeq
+    // ONE top-k routing pass (leaf contract, as in [[semDedup]]): the
+    // listed explode, both pair-join sides and the output join all
+    // read this checkpoint instead of re-running CellRouteTopK
     val base = fanOut(scorableEmb(t(spark, dir, "embeddings")))
       .select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
       .withColumn("cells",
         graft.expressions.CellRouteTopK(col("embedding"), cells, nProbe))
+      .localCheckpoint(false)
     val listed = base.select(col("vec_id"), col("embedding"),
       col("nrm"), explode(col("cells")).as("cell"))
     val qualifying =
@@ -916,6 +941,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
       .withColumn("cell", argmaxCell(cells, col("embedding")))
+      .localCheckpoint(false) // one routing pass (leaf contract)
     val qualifying = semDedupQualifying(spark, celled, tau,
       targetBlockRows, maxSaltsPerCell).localCheckpoint()
     var undecided = qualifying
@@ -1016,11 +1042,12 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         l2norm(col("embedding")).as("nrm"))
     val celled =
-      if (nProbe <= 1)
+      (if (nProbe <= 1)
         base.withColumn("cell", argmaxCell(cells, col("embedding")))
       else base.select(col("vec_id"), col("embedding"), col("nrm"),
         explode(graft.expressions.CellRouteTopK(col("embedding"),
-          cells, nProbe)).as("cell"))
+          cells, nProbe)).as("cell")))
+        .localCheckpoint(false) // one routing pass (leaf contract)
     semDedupQualifying(spark, celled, tau, targetBlockRows,
         maxSaltsPerCell)
       .select(col("b_id").as("vec_id")).distinct()
@@ -1230,14 +1257,17 @@ object Similarity {
         l2norm(col("embedding")).as(s"${pre}n"),
         explode(graft.expressions.CellRouteTopK(col("embedding"),
           cells, nProbe)).as("cell"))
+    // the batch side is routed ONCE (r17): it feeds both the cross
+    // and the within joins, and the within Y-side is the same rows
+    // under the y aliases — rename the checkpoint instead of running
+    // the scan + top-k routing a third time
     val batchL = listed(
       emb.join(survivors.select(col("vec_id")), Seq("vec_id"),
-        "left_semi"), "x")
+        "left_semi"), "x").localCheckpoint(false)
     val corpusL = listed(
       emb.filter(pmod(col("vec_id"), lit(batchMod)) =!= 0), "y")
-    val withinL = listed(
-      emb.join(survivors.select(col("vec_id")), Seq("vec_id"),
-        "left_semi"), "y")
+    val withinL = batchL.select(col("xid").as("yid"),
+      col("xe").as("ye"), col("xn").as("yn"), col("cell"))
     def qualified(pairs: DataFrame) = pairs
       .withColumn("score", dot(col("xe"), col("ye")) /
         (col("xn") * col("yn")))
