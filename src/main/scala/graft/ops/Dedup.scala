@@ -399,17 +399,42 @@ object Dedup {
     * two MINs the positional filter needs (min rn on each side is the
     * shared minimal token's position pair — its overlap upper bound
     * is exact; see [[jaccardPrefixJoin]]'s scaladoc for the lemma). */
+  /** Shared document-frequency relation over [[shingleRelation]]
+    * (g, df), memoized: BOTH exact set-similarity joins (jaccard
+    * prefix + containment) order prefixes by the same global rarity
+    * rank, and each derived its own `sh.groupBy(g)` — a full pass
+    * over the corpus shingle relation per query (r17). The groupBy
+    * keeps map-side partial aggregation (hot boilerplate shingles
+    * are absorbed per map partition — a window over `g` would funnel
+    * every copy of a hot shingle through one reducer, the skew class
+    * the prefix filter exists to avoid). In production this IS the
+    * persisted document-frequency artifact of the AllPairs family. */
+  private[graft] def shingleDf(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.util.CkptMemo.of(spark, "shingle_df", dir,
+        graft.util.Tables.listingTag(spark, s"$dir/documents.parquet")) {
+      shingleRelation(spark, dir)
+        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .localCheckpoint(false)
+    }
+
   private[graft] def jaccardCandidatePairs(spark: SparkSession,
       dir: String, minJaccard: Double): DataFrame = {
     val sh = shingleRelation(spark, dir)
-    val sz = shingleSizes(spark, dir)
     val prefix = graft.util.CkptMemo.of(spark, "jp_prefix", dir,
         minJaccard) {
       import org.apache.spark.sql.expressions.Window
-      val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      sh.join(dfreq, Seq("g")).join(sz, Seq("doc_id"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+      // per-doc set size from the SAME window partitioning the rank
+      // pass already needs (one exchange + one sort serve both — the
+      // sz join's extra shuffle is gone, r17); sh is distinct
+      // (doc_id, g) by construction, so the partition count IS the
+      // shingle-set size the memoized sz relation holds
+      val wDoc = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df"), col("g"))
+      sh.join(shingleDf(spark, dir), Seq("g"))
+        .withColumn("n", count(lit(1)).over(wDoc.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("rn", row_number().over(wDoc))
         .filter(col("rn") <=
           col("n") - ceil(lit(minJaccard) * col("n")) + lit(1))
         .select(col("doc_id"), col("g"), col("n"), col("rn"))
@@ -492,10 +517,14 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val sh = shingleRelation(spark, dir)
     val sz = shingleSizes(spark, dir)
-    val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val prefixA = sh.join(dfreq, Seq("g")).join(sz, Seq("doc_id"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+    // shared memoized df relation + window-derived set size: same
+    // two-shuffles-saved rewrite as [[jaccardCandidatePairs]] (r17)
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("g"))
+    val prefixA = sh.join(shingleDf(spark, dir), Seq("g"))
+      .withColumn("n", count(lit(1)).over(wDoc.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <=
         col("n") - ceil(lit(minContain) * col("n")) + lit(1))
       .select(col("g"), col("doc_id").as("doc_a"),
@@ -529,9 +558,15 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val dfreq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val prefixA = sh.join(dfreq, Seq("g")).join(sz, Seq("doc_id"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+    // set size from the rank pass's own window (one exchange + one
+    // sort serve both; the sz join below stays for the n_b side) —
+    // the r17 prefix rewrite, see [[jaccardCandidatePairs]]
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("g"))
+    val prefixA = sh.join(dfreq, Seq("g"))
+      .withColumn("n", count(lit(1)).over(wDoc.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <=
         col("n") - ceil(lit(minContain) * col("n")) + lit(1))
       .select(col("g"), col("doc_id").as("doc_a"),
