@@ -55,6 +55,16 @@ object LinkGraph {
 
   /** Damping factor — the standard published value. */
   val Damping = 0.85
+  /** Host-count bound for the per-round BROADCAST joins (r17, VERDICT
+    * r16 item 7): the rank vector is (host, double) rows — ~50 B
+    * framed — so 16M hosts is a few-hundred-MB broadcast, inside the
+    * guide's §3.1 comfort zone and far under the 8 GB/512M-row hard
+    * cap. Graphs with more hosts than this fall back to keyed
+    * shuffle joins instead of forcing an OOM through an unconditional
+    * hint: past the bound the edge relation is so much larger than
+    * the vector that the shuffle is the right trade anyway. The
+    * fixture graph (32 hosts) always broadcasts — plan unchanged. */
+  val MaxBroadcastHosts: Long = 16L << 20
   /** Teleport share, as its OWN literal: `1.0 - 0.85` computed in
     * double is NOT the double nearest to 0.15, and the oracle
     * interpolates these constants as decimal strings — both engines
@@ -87,12 +97,14 @@ object LinkGraph {
 
   /** PageRank core over an arbitrary DISTINCT (src, dst) edge set —
     * specs feed planted graphs here. */
-  private[graft] def pagerank(edgesIn: DataFrame): DataFrame = {
+  private[graft] def pagerank(edgesIn: DataFrame,
+      maxBroadcastHosts: Long = MaxBroadcastHosts): DataFrame = {
     val (edges, outDeg, inDeg, nodes, nn) = graphRelations(edgesIn)
     val uniform = nodes.crossJoin(broadcast(nn))
       .select(col("host"), (lit(1.0) / col("nd")).as("rank"))
       .localCheckpoint()
-    val ranks = iterate(edges, outDeg, nodes, nn, uniform, Iters)
+    val ranks = iterate(edges, outDeg, nodes, nn, uniform, Iters,
+      maxBroadcastHosts)
     ranks
       .join(inDeg, ranks("host") === inDeg("dst"), "left")
       .join(outDeg, ranks("host") === outDeg("src"), "left")
@@ -131,9 +143,10 @@ object LinkGraph {
     * out-neighbors, decimal-summed per target), dangling mass (ranks
     * of hosts with no outlinks; empty set → NULL sum → 0.0 matching
     * the oracle's COALESCE), then the fixed-shape rank update. */
-  private def iterate(edges: DataFrame, outDeg: DataFrame,
+  private[graft] def iterate(edges: DataFrame, outDeg: DataFrame,
       nodes: DataFrame, nn: DataFrame, start: DataFrame,
-      iters: Int): DataFrame = {
+      iters: Int,
+      maxBroadcastHosts: Long = MaxBroadcastHosts): DataFrame = {
     // LOOP-INVARIANT relations hoisted out of the rounds (r16, guide
     // §2.4): edges ⋈ outDeg never changes — pre-r16 every round
     // re-ran that join (10 extra shuffles per cold build); likewise
@@ -149,6 +162,15 @@ object LinkGraph {
     val dangHosts = nodes
       .join(outDeg, nodes("host") === outDeg("src"), "left_anti")
       .localCheckpoint()
+    // SIZE-GUARDED broadcast (r17, VERDICT r16 item 7): the r16 hint
+    // was unconditional, which at extreme host counts (10⁸+) would
+    // force a multi-GB broadcast into an OOM where a keyed shuffle
+    // join degrades gracefully. The host count is already on hand as
+    // the 1-row nn checkpoint — reading it is a constant-size action,
+    // never data-sized. Within the bound the plan is unchanged.
+    val nHosts = nn.head().getLong(0)
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (nHosts <= maxBroadcastHosts) broadcast(df) else df
     var ranks = start
     for (_ <- 1 to iters) {
       // the RANK VECTOR is the broadcast side (r16, guide §3.1): it
@@ -159,7 +181,7 @@ object LinkGraph {
       // pregel layout). The per-target sum is the same dsum over the
       // same rank/out_deg terms (exact decimal — order-free).
       val contribs = edgesDeg
-        .join(broadcast(ranks), edgesDeg("src") === ranks("host"))
+        .join(maybeBroadcast(ranks), edgesDeg("src") === ranks("host"))
         .select(col("dst"),
           (col("rank") / col("out_deg").cast("double")).as("c"))
         .groupBy(col("dst")).agg(dsum(col("c")).as("s"))
@@ -169,8 +191,8 @@ object LinkGraph {
       // contribs (≤ host-sized) broadcasts into the node update for
       // the same reason: no per-round shuffle of the node relation
       ranks = nodes
-        .join(broadcast(contribs), nodes("host") === contribs("dst"),
-          "left")
+        .join(maybeBroadcast(contribs),
+          nodes("host") === contribs("dst"), "left")
         .crossJoin(broadcast(dang))
         .crossJoin(broadcast(nn))
         .select(nodes("host"),

@@ -57,6 +57,23 @@ class LinkGraphSpec extends AnyFunSuite {
       "six in-links must dominate a no-in-link leaf")
   }
 
+  test("broadcast guard: shuffle-join fallback is rank-identical (r17)") {
+    // maxBroadcastHosts = 0 forces every round's rank/contrib joins
+    // onto the keyed-shuffle path — the graceful degradation the
+    // guard exists for at 10⁸+ hosts. Ranks must be BIT-identical:
+    // the per-round sums are exact decimal (order-free), so the join
+    // strategy cannot change a single ulp.
+    val edges = (1 to 6).map(i => (s"leaf$i.test", "hub.test")) ++
+      Seq(("hub.test", "leaf1.test"), ("x.test", "y.test"))
+    val bcast = LinkGraph.pagerank(edges.toDF("src", "dst").distinct())
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val shuf = LinkGraph.pagerank(edges.toDF("src", "dst").distinct(),
+        maxBroadcastHosts = 0L)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(bcast == shuf,
+      "shuffle fallback must reproduce the broadcast plan's ranks")
+  }
+
   test("dangling mass: a sink's rank is redistributed, mass sums to 1") {
     // chain with a sink end and a side feeder — the sink donates back
     val edges = Seq(("a.test", "b.test"), ("b.test", "c.test"),
