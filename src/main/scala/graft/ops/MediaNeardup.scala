@@ -230,10 +230,22 @@ object MediaNeardup {
       .toDF("id", "dh_lo", "dh_hi")
   }
 
-  /** (id, dh_lo, dh_hi) signatures over base + variant assets. */
+  /** (id, dh_lo, dh_hi) signatures over base + variant assets —
+    * SESSION-MEMOIZED checkpoint (r17, the [[graft.ops.VideoNeardup
+    * .videoProxies]] discipline): media_neardup, media_canonical and
+    * media_apply each re-decoded both stores per invocation; the memo
+    * decodes once per pass (cold-cleared with the rest of CkptMemo)
+    * and is keyed on both stores' listing tags so a refresh
+    * self-invalidates. 16 bytes + an id per image — the persisted
+    * perceptual-signature table a production media pipeline keeps. */
   private[graft] def signatures(spark: SparkSession,
       dir: String): DataFrame =
-    sigsOf(spark, assetFiles(spark, dir))
+    graft.util.CkptMemo.of(spark, "media_sigs",
+        graft.util.Tables.listingTag(spark,
+          Multimodal.mediaAssetDir(spark, dir)),
+        graft.util.Tables.listingTag(spark, variantDir(spark, dir))) {
+      sigsOf(spark, assetFiles(spark, dir)).localCheckpoint(false)
+    }
 
   /** [[signatures]] through the banded pair tail — the registered
     * X106b query: one row per perceptual near-dup pair (id_a < id_b)

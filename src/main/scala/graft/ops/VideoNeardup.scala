@@ -339,19 +339,34 @@ object VideoNeardup {
     * `.distinct` shingle rule, same integer duration arithmetic. */
   private[graft] def videoProxies(spark: SparkSession,
       dir: String): DataFrame =
-    decodedFlatMap(spark, dir, "graft.video.proxy_failures") {
-      (id, v) =>
-        val hs = v.frames.map(fr => dhashLuma(v.width, v.height, fr))
-        val sh = (0 until hs.length - 1)
-          .map(i => (hs(i), hs(i + 1))).distinct
-        val (mlo, mhi) = hs(hs.length / 2)
-        Iterator.single(VProxyRow(id, v.frames.length,
-          v.frames.length.toLong * 1000L * v.fpsDen / v.fpsNum,
-          mlo, mhi,
-          sh.map { case ((alo, ahi), (blo, bhi)) =>
-            VQuad(alo, ahi, blo, bhi) }))
-    }(org.apache.spark.sql.Encoders.product[VProxyRow])
-      .toDF()
+    // SESSION-MEMOIZED checkpoint (r17, ADVICE r16): the r16 form
+    // re-decoded the store and pinned a FRESH per-invocation
+    // checkpoint in each of videoSubclip/videoCanonical — unbounded
+    // pinned storage in a long-lived session, and video_neardup/
+    // video_subclip/video_canonical each paid their own full decode
+    // in every bench pass. The memo is keyed on the store listing tag
+    // (refresh self-invalidates), cold-cleared per bench pass like
+    // every CkptMemo relation, and — clip-proxy-sized (hashes,
+    // shingles, duration; no pixels) — is exactly the materialized
+    // proxy table a production video pipeline maintains.
+    graft.util.CkptMemo.of(spark, "video_proxies",
+        graft.util.Tables.listingTag(spark,
+          videoAssetDir(spark, dir))) {
+      decodedFlatMap(spark, dir, "graft.video.proxy_failures") {
+        (id, v) =>
+          val hs = v.frames.map(fr => dhashLuma(v.width, v.height, fr))
+          val sh = (0 until hs.length - 1)
+            .map(i => (hs(i), hs(i + 1))).distinct
+          val (mlo, mhi) = hs(hs.length / 2)
+          Iterator.single(VProxyRow(id, v.frames.length,
+            v.frames.length.toLong * 1000L * v.fpsDen / v.fpsNum,
+            mlo, mhi,
+            sh.map { case ((alo, ahi), (blo, bhi)) =>
+              VQuad(alo, ahi, blo, bhi) }))
+      }(org.apache.spark.sql.Encoders.product[VProxyRow])
+        .toDF()
+        .localCheckpoint(false)
+    }
 
   /** (id, dh_lo, dh_hi) keyframe signatures: the temporal-middle
     * frame's luma dHash (derived from [[videoProxies]] — one decode
@@ -418,13 +433,12 @@ object VideoNeardup {
   def videoSubclip(spark: SparkSession, dir: String,
       minContain: Double = MinContain,
       maxBucket: Int = MaxBucket): DataFrame =
-    // the proxy is CHECKPOINTED: the occupancy-cap + self-join shape
-    // below references the shingle relation four times, and through
-    // an opaque decode closure each reference would re-scan and
-    // re-decode the store (r16 profile: 4 decode jobs; with the
-    // checkpoint, one)
-    subclipPairs(shinglesFrom(
-        videoProxies(spark, dir).localCheckpoint()),
+    // the proxy is the memoized checkpoint: the occupancy-cap +
+    // self-join shape below references the shingle relation four
+    // times, and through an opaque decode closure each reference
+    // would re-scan and re-decode the store (r16 profile: 4 decode
+    // jobs; with the [[videoProxies]] memo leaf, one per pass)
+    subclipPairs(shinglesFrom(videoProxies(spark, dir)),
       minContain, maxBucket)
 
   private def subclipPairs(sh: DataFrame, minContain: Double,
@@ -486,11 +500,12 @@ object VideoNeardup {
       minContain: Double = MinContain,
       hammingMax: Int = HammingMax,
       maxBucket: Int = MaxBucket): DataFrame = {
-    // ONE checkpointed decode pass feeds all three channels (subclip
+    // ONE memoized decode pass feeds all three channels (subclip
     // shingles, keyframe signatures, duration election key) — the
-    // r16 decode-once restructure; pre-r16 this query ran 5 full
-    // store decodes (see [[videoProxies]])
-    val proxy = videoProxies(spark, dir).localCheckpoint()
+    // r16 decode-once restructure, now shared ACROSS the video
+    // queries per pass via the [[videoProxies]] memo (r17); pre-r16
+    // this query ran 5 full store decodes
+    val proxy = videoProxies(spark, dir)
     val edges = subclipPairs(shinglesFrom(proxy), minContain,
         maxBucket)
       .select(col("id_a"), col("id_b"))
