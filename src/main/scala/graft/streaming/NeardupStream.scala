@@ -103,18 +103,27 @@ object NeardupStream {
       s"$base/pairs", s"$base/ckpt")
     Files.createDirectories(Paths.get(watch))
 
-    // fanned out (r16): docs feeds two FULL corpus minhash passes
-    // (the seed-index build and the rebuild fingerprint below); the
-    // one-file parquet scan otherwise runs each as a single task —
-    // profiled 1.2 s + 1.5 s single-threaded at sf0.1 on local[32]
+    // fanned out (r16): the one-file parquet scan otherwise runs the
+    // corpus minhash as a single task — profiled 1.2 s + 1.5 s
+    // single-threaded at sf0.1 on local[32]
     val docs = graft.util.Tables.fanOut(
       graft.util.Tables.t(spark, dir, "documents")
         .select(col("doc_id"), col("text")))
+    // ONE corpus minhash pass (r17): the seed index is the
+    // `doc_id % batchMod != 0` slice of the FULL signature relation
+    // and the maintenance-invariant fingerprint below reads the same
+    // relation — bandSignaturesFor is per-row, so filtering after ≡
+    // filtering before (identical rows), and the invariant still
+    // compares the STREAMED index (read back from disk after appends
+    // + compaction) against an independently-derived signature set.
+    // Pre-r17 the build and the fingerprint each ran their own full
+    // shingle+minhash pass (profiled 1.9 s + 1.2 s).
+    val sigsAll = Dedup.bandSignaturesFor(docs, nBands)
+      .localCheckpoint(false)
     // corpus seed lives in its own batch_id partition, giving the
     // index ONE uniform layout with the stream's idempotent
     // per-batch-subdir writes
-    docs.filter(pmod(col("doc_id"), lit(batchMod)) =!= 0)
-      .transform(d => Dedup.bandSignaturesFor(d, nBands))
+    sigsAll.filter(pmod(col("doc_id"), lit(batchMod)) =!= 0)
       .write.partitionBy("band").parquet(s"$idx/batch_id=seed")
 
     // Two arrivals split by doc parity. Files are staged outside the
@@ -175,7 +184,7 @@ object NeardupStream {
     // cast explicitly, or xxhash64 hashes "0" and 0 differently and
     // the checksum diverges with equal counts (caught at the sf0.01
     // gate; the sf0.001 spec session infers int and masked it)
-    val rebuilt = fingerprint(Dedup.bandSignaturesFor(docs, nBands)
+    val rebuilt = fingerprint(sigsAll
       .select(col("doc_id").cast("long"), col("band").cast("int"),
         col("sig")))
     val maintained = fingerprint(NeardupIndex.read(spark, idx)
