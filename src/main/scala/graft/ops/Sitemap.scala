@@ -67,9 +67,6 @@ object Sitemap {
     sitemapIngestFrom(fixtureSitemaps(spark),
       HtmlExtract.fixturePages(spark))
 
-  /** The parsed, validated, (host, url)-folded declared-URL relation
-    * of a sitemap store — the shared core of [[sitemapIngestFrom]]
-    * and the X101 feed assembly. */
   /** Session-memoized lazy checkpoint of the fixture's declared-URL
     * relation — the sitemap channel the discovery feed splices; the
     * registered `sitemap_ingest` stays direct (it prices the parse).
@@ -80,6 +77,9 @@ object Sitemap {
       declaredUrls(fixtureSitemaps(spark)).localCheckpoint(false)
     }
 
+  /** The parsed, validated, (host, url)-folded declared-URL relation
+    * of a sitemap store — the shared core of [[sitemapIngestFrom]]
+    * and the X101 feed assembly. */
   private[graft] def declaredUrls(sitemaps: DataFrame): DataFrame = {
     // the emitted host is LOWERED at the door: the outlink discovery
     // channel derives hosts from lowercased normalized URLs, so a

@@ -120,23 +120,6 @@ object Tables {
           "(nanos), DATE, TIMESTAMP_NTZ, or TIMESTAMP")
     }
 
-  /** Spread a SCAN across the cluster before CPU-heavy per-row work.
-    * A small parquet file is one row group, so Spark reads it as ONE
-    * partition regardless of maxPartitionBytes, and every downstream
-    * map stage (tokenize/shingle/hash/vector-fold) runs single-threaded
-    * — profiled 3-5× slowdowns at sf0.1. At 100 TB the scan already has
-    * thousands of splits and this is a no-op, so the round-robin
-    * shuffle only ever moves small data. Call it on freshly-read frames
-    * only: `.rdd` on a pure scan plans without running jobs, but on a
-    * join/agg under AQE it can trigger stage execution. Results are
-    * retry-safe — Spark local-sorts before round-robin partitioning
-    * (SPARK-23207), and our consumers are order-insensitive aggs.
-    *
-    * Guarded to bare scans (relation + column-level Project/Filter):
-    * for any derived frame (join/agg/...) this is an identity, because
-    * probing `.rdd` there can trigger stage execution under AQE and the
-    * tiny-scan problem it solves doesn't exist post-shuffle anyway.
-    * FanOutSpec asserts the scan probe runs zero jobs. */
   /** The OPPOSITE scan correction to [[fanOut]] (r16, guide §6/§2.2):
     * coalesce a MANY-SMALL-FILES scan down to a scale-adaptive
     * partition count. File-split packing caps at ~32 files per split
@@ -158,11 +141,35 @@ object Tables {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val maxPB = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
     val byBytes = (bytes / maxPB).toLong + 1L
+    // TWO waves of cores, not one (r17, ADVICE r16): packScan's
+    // consumers are CPU-bound decode closures, and coalesce merges
+    // ADJACENT partitions regardless of per-file size skew — at
+    // exactly one wave a single outsized merged partition stalls the
+    // stage with every other core idle; two waves keep balancing
+    // slack at a negligible scheduling cost. Bytes still win when
+    // they demand more partitions (the 100 TB store is untouched).
     val target = math.max(
-      spark.sparkContext.defaultParallelism.toLong, byBytes)
+      2L * spark.sparkContext.defaultParallelism, byBytes)
     df.coalesce(math.min(target, Int.MaxValue.toLong).toInt)
   }
 
+  /** Spread a SCAN across the cluster before CPU-heavy per-row work.
+    * A small parquet file is one row group, so Spark reads it as ONE
+    * partition regardless of maxPartitionBytes, and every downstream
+    * map stage (tokenize/shingle/hash/vector-fold) runs single-threaded
+    * — profiled 3-5× slowdowns at sf0.1. At 100 TB the scan already has
+    * thousands of splits and this is a no-op, so the round-robin
+    * shuffle only ever moves small data. Call it on freshly-read frames
+    * only: `.rdd` on a pure scan plans without running jobs, but on a
+    * join/agg under AQE it can trigger stage execution. Results are
+    * retry-safe — Spark local-sorts before round-robin partitioning
+    * (SPARK-23207), and our consumers are order-insensitive aggs.
+    *
+    * Guarded to bare scans (relation + column-level Project/Filter):
+    * for any derived frame (join/agg/...) this is an identity, because
+    * probing `.rdd` there can trigger stage execution under AQE and the
+    * tiny-scan problem it solves doesn't exist post-shuffle anyway.
+    * FanOutSpec asserts the scan probe runs zero jobs. */
   def fanOut(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
     def scanOnly(p: LogicalPlan): Boolean = p match {
