@@ -141,15 +141,17 @@ object Tables {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val maxPB = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
     val byBytes = (bytes / maxPB).toLong + 1L
-    // TWO waves of cores, not one (r17, ADVICE r16): packScan's
-    // consumers are CPU-bound decode closures, and coalesce merges
-    // ADJACENT partitions regardless of per-file size skew — at
-    // exactly one wave a single outsized merged partition stalls the
-    // stage with every other core idle; two waves keep balancing
-    // slack at a negligible scheduling cost. Bytes still win when
-    // they demand more partitions (the 100 TB store is untouched).
+    // ONE wave of cores (ADVICE r16 suggested 2-3 waves of balancing
+    // slack for skewed stores; MEASURED at sf0.1/32 and rejected: two
+    // waves cost +0.4-0.6 s per decode consumer — multimodal_pack
+    // 1.54→2.01 s, asset_gc 1.62→2.18 s cold — because doubling the
+    // task count doubles the per-task scheduling+decode-setup floor
+    // while the fixture has no skew to balance. At sizes where skew
+    // slack matters, byBytes dominates the max() anyway, so the wave
+    // count is moot; the straggler guard at scale is AQE + speculative
+    // execution, not a smaller coalesce target).
     val target = math.max(
-      2L * spark.sparkContext.defaultParallelism, byBytes)
+      spark.sparkContext.defaultParallelism.toLong, byBytes)
     df.coalesce(math.min(target, Int.MaxValue.toLong).toInt)
   }
 

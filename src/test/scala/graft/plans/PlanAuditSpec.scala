@@ -171,11 +171,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "click_attribution" -> 1,
     "containment_join" -> 6,
     "containment_probe" -> 3,
-    "corpus_pipeline" -> 42,
-    // the incremental twin: 12 accounting branches over the batch
-    // checkpoints + probe candidate/verify aggs — batch- or
-    // pair-sized rows throughout (index sides stream)
-    "corpus_pipeline_incr" -> 49,
+    // r17 single-pass accounting: one flags aggregate + the shard
+    // tail's keyed exchanges over the stage checkpoints (was 42 when
+    // each stage branch replayed the anti-join chain)
+    "corpus_pipeline" -> 15,
+    // the incremental twin: same single-pass flags aggregate + probe
+    // candidate/verify aggs — batch- or pair-sized rows throughout
+    // (index sides stream; was 49 with per-stage replay branches)
+    "corpus_pipeline_incr" -> 14,
     "cosine_pairs" -> 1,
     "coverage_select" -> 2,
     "csv_roundtrip" -> 2,
@@ -609,24 +612,26 @@ class PlanAuditSpec extends AnyFunSuite {
     *  - ngram_repetition, bigram_novelty, decontaminate, kmv_distinct,
     *    dpp_scan, range_join, click_attribution, except_all,
     *    table_profile_approx, percentiles_approx, neardup_probe,
-    *    cosine_pairs, sql_native_dot, similarity_topk, filtered_topk,
+    *    sql_native_dot, similarity_topk, filtered_topk,
     *    ann_ivf_topk 2       = two-slice / probe-vs-corpus /
     *    exact-vs-sketch-twin shapes
     *  - span_scrub, clean_corpus, tfidf_top_terms, bm25_search 3;
-    *    ann_lsh_pairs 4; semdedup 3 = signature/score build + both
+    *    ann_lsh_pairs 4 = signature/score build + both
     *    verification attach sides; the ≤1-scan path at 100 TB is the
     *    corresponding SERVING split (neardup_probe / ann_ivf_probe /
     *    the persisted LSH index), which is why these inline forms pin
-    *    rather than chase checkpoints */
+    *    rather than chase checkpoints. (semdedup/semdedup_probe/
+    *    cosine_pairs dropped to 0 in r17: the routed-embeddings
+    *    checkpoint is the only consumer of the scan.) */
   private val multiScanBudgets: Map[String, Int] = Map(
     "set_ops" -> 4, "ann_lsh_pairs" -> 4,
     "span_scrub" -> 3, "clean_corpus" -> 3, "tfidf_top_terms" -> 3,
-    "bm25_search" -> 3, "semdedup" -> 3, "semdedup_probe" -> 3, "bloom_join" -> 3,
+    "bm25_search" -> 3, "bloom_join" -> 3,
     "q22_dormant_rich" -> 2,
     "except_all" -> 2, "similarity_topk" -> 2, "filtered_topk" -> 2,
     "dpp_scan" -> 2, "table_profile_approx" -> 2,
     "click_attribution" -> 2, "sql_native_dot" -> 2,
-    "neardup_probe" -> 2, "cosine_pairs" -> 2, "ann_ivf_topk" -> 2,
+    "neardup_probe" -> 2, "ann_ivf_topk" -> 2,
     "semantic_decon" -> 2, "semantic_decon_probe" -> 2,
     "percentiles_approx" -> 2, "range_join" -> 2, "kmv_distinct" -> 2,
     "bigram_novelty" -> 2, "ngram_repetition" -> 2,
